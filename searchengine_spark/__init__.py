@@ -1,0 +1,28 @@
+"""searchengine_spark — a from-scratch PySpark-native inverted-index + BM25 engine.
+
+Re-implements the query and data-processing capabilities of the reference
+full-text search engine (mrcreate163/searchengine, a Java/Spring/MySQL
+crawler+indexer — see SURVEY.md) as idiomatic Spark DataFrame jobs:
+
+- corpus ingestion over a ``docs(repo, path, commit, lang, content)`` table
+  (the reference's ``page`` table analog,
+  reference: src/main/java/searchengine/model/Page.java:13-38);
+- tokenize/lemmatize via Arrow-vectorized pandas UDFs (the reference's
+  Lucene-morphology pipeline, services/LemmatizationService.java:27-70);
+- term-frequency postings and document-frequency stats as hash aggregations
+  (the reference's ``index``/``lemma`` tables,
+  model/Index.java:12-30, model/Lemma.java:12-32);
+- sharded, delta+varbyte-compressed posting-list segments with block-max
+  metadata, built with grouped-map pandas UDFs;
+- a BM25 (k1=1.2, b=0.75) top-k query engine with df-ordered intersection
+  and block-max WAND pruning (the reference's ranked search,
+  services/SearchServiceImpl.java:34-81, re-scored with real BM25);
+- resumable builds with a per-shard manifest (the reference's site-status
+  lifecycle, services/IndexingServiceImpl.java:47-111).
+
+Nothing here is a port: the reference executes row-at-a-time Java against
+MySQL; this package declares DataFrame plans and keeps Python inside
+Arrow-batched UDFs only.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,281 @@
+"""Deterministic synthetic source-code corpus + query set (FIXTURES.md).
+
+Everything is derived from a fixed seed — no external data.  The corpus plays
+the role of the reference's crawled `page` rows (model/Page.java:13-38) with
+the (repo, path, commit, lang, content) shape mandated by BASELINE.json
+input_hint; the query set mirrors the search API inputs
+(controllers/ApiController.java:45-52).
+
+Run:  python -m searchengine_spark.fixtures.gen_corpus [--sf t1|t2|bench ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 20260816
+FIXTURES_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+N_ENGLISH = 3000
+N_CYRILLIC = 1000
+EN_SUFFIXES = ["s", "ed", "ing"]
+RU_SUFFIXES = ["а", "ами", "ов"]
+
+STOPWORDS = [
+    "the", "and", "for", "not", "with", "you", "this", "but", "are", "was",
+    "его", "как", "что", "или", "на",
+]
+
+NOISE_TOKENS = [
+    "!!!", "?!", "12345", "3.14159", "camelCaseName", "snake_case_name",
+    "x1y2z3", "-->", "[0]", "{};", "0xDEADBEEF", "__init__",
+]
+
+SF_DOCS = {"t1": 500, "t2": 20_000, "bench": 200_000}
+
+DIR_POOL = [
+    "core", "utils", "index", "query", "search", "model", "config", "io",
+    "net", "auth", "cache", "codec", "plan", "exec", "store", "api",
+    "tests", "bench", "docs", "tools",
+]
+
+EXTS = ["py", "java", "md", "txt"]
+EXT_WEIGHTS = [0.40, 0.30, 0.15, 0.15]
+EXT_LANG = {"py": "python", "java": "java", "md": "text", "txt": "text"}
+
+
+def _gen_vocab(rng: random.Random) -> tuple[list[str], list[str]]:
+    """3,000 English-like + 1,000 Cyrillic-like CVCV words, 4-10 chars."""
+    en_c, en_v = "bcdfgklmnprstvz", "aeiou"
+    ru_c, ru_v = "бвгдклмнпрстхчш", "аеиоу"
+
+    def make(n: int, cons: str, vow: str) -> list[str]:
+        words: list[str] = []
+        seen: set[str] = set()
+        while len(words) < n:
+            syllables = rng.randint(2, 5)
+            w = "".join(rng.choice(cons) + rng.choice(vow) for _ in range(syllables))
+            if 4 <= len(w) <= 10 and w not in seen:
+                seen.add(w)
+                words.append(w)
+        return words
+
+    return make(N_ENGLISH, en_c, en_v), make(N_CYRILLIC, ru_c, ru_v)
+
+
+def build_lemma_dict(en: list[str], ru: list[str]) -> dict[str, str]:
+    """suffixed surface form -> base form; never remaps a vocab word itself."""
+    vocab = set(en) | set(ru)
+    out: dict[str, str] = {}
+    for words, suffixes in ((en, EN_SUFFIXES), (ru, RU_SUFFIXES)):
+        for w in words:
+            for sfx in suffixes:
+                key = w + sfx
+                if key not in vocab:
+                    out[key] = w
+    return out
+
+
+def _zipf_probs(n: int, a: float) -> np.ndarray:
+    ranks = np.arange(1, n + 1, dtype=np.float64)
+    p = 1.0 / ranks**a
+    return p / p.sum()
+
+
+def generate_docs(sf: str) -> pa.Table:
+    n_docs = SF_DOCS[sf]
+    rng = random.Random(SEED)
+    nrng = np.random.default_rng(SEED)
+
+    en, ru = _gen_vocab(rng)
+    vocab = en + ru  # index order defines Zipf rank
+    vocab_arr = np.array(vocab)
+    is_en = np.arange(len(vocab)) < N_ENGLISH
+
+    n_repos = n_docs // 200 + 3
+    repo_probs = _zipf_probs(n_repos, 1.3)
+    repo_ids = nrng.choice(n_repos, size=n_docs, p=repo_probs)
+
+    term_probs = _zipf_probs(len(vocab), 1.1)
+    lengths = np.clip(
+        nrng.lognormal(mean=5.5, sigma=0.8, size=n_docs), 20, 4000
+    ).astype(np.int64)
+
+    sw_arr = np.array(STOPWORDS)
+    noise_arr = np.array(NOISE_TOKENS)
+    en_sfx = np.array(EN_SUFFIXES)
+    ru_sfx = np.array(RU_SUFFIXES)
+
+    repos, paths, commits, langs, contents = [], [], [], [], []
+    path_counter: dict[tuple[int, str, str, str], int] = {}
+
+    total = int(lengths.sum())
+    all_terms = nrng.choice(len(vocab), size=total, p=term_probs)
+    all_u = nrng.random(size=total)          # role selector (noise/stopword)
+    all_inflect = nrng.random(size=total)    # inflection selector
+    all_sfx_pick = nrng.integers(0, 3, size=total)
+    all_noise_pick = nrng.integers(0, len(noise_arr), size=total)
+    all_sw_pick = nrng.integers(0, len(sw_arr), size=total)
+
+    pos = 0
+    for i in range(n_docs):
+        r = int(repo_ids[i])
+        repo = f"org{r % 7}/repo{r}"
+        d = DIR_POOL[rng.randrange(len(DIR_POOL))]
+        ext = rng.choices(EXTS, weights=EXT_WEIGHTS, k=1)[0]
+        name = vocab[rng.randrange(N_ENGLISH)]
+        key = (r, d, name, ext)
+        k = path_counter.get(key, 0)
+        path_counter[key] = k + 1
+        path = f"src/{d}/{name}{k}.{ext}"
+        commit = hashlib.sha256(f"{repo}/{path}".encode()).hexdigest()[:40]
+
+        n = int(lengths[i])
+        idx = all_terms[pos : pos + n]
+        u = all_u[pos : pos + n]
+        infl = all_inflect[pos : pos + n]
+        sfx_pick = all_sfx_pick[pos : pos + n]
+        noise_pick = all_noise_pick[pos : pos + n]
+        sw_pick = all_sw_pick[pos : pos + n]
+        pos += n
+
+        toks = vocab_arr[idx].copy()
+        inflect_mask = infl < 0.30
+        en_mask = is_en[idx] & inflect_mask
+        ru_mask = ~is_en[idx] & inflect_mask
+        if en_mask.any():
+            toks[en_mask] = np.char.add(toks[en_mask], en_sfx[sfx_pick[en_mask]])
+        if ru_mask.any():
+            toks[ru_mask] = np.char.add(toks[ru_mask], ru_sfx[sfx_pick[ru_mask]])
+        noise_mask = u < 0.05
+        sw_mask = (u >= 0.05) & (u < 0.07)
+        toks[noise_mask] = noise_arr[noise_pick[noise_mask]]
+        toks[sw_mask] = sw_arr[sw_pick[sw_mask]]
+
+        parts = []
+        for j in range(0, n, 12):
+            parts.append(" ".join(toks[j : j + 12]))
+        body = "\n".join(parts)
+        if ext == "py":
+            body = f"# generated fixture module {name}\n# lemma corpus body\n{body}"
+        elif ext == "java":
+            body = f"// generated fixture class {name}\n// lemma corpus body\n{body}"
+
+        repos.append(repo)
+        paths.append(path)
+        commits.append(commit)
+        langs.append(EXT_LANG[ext])
+        contents.append(body)
+
+    return pa.table(
+        {
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array(commits, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "content": pa.array(contents, pa.string()),
+        }
+    )
+
+
+def generate_queries(docs: pa.Table, lemma_dict: dict[str, str],
+                     stopwords: frozenset[str]) -> list[dict]:
+    """50 queries drawn against actual term dfs of the t2 corpus (FIXTURES.md §2)."""
+    from collections import Counter
+
+    from searchengine_spark.textproc.core import Analyzer
+
+    an = Analyzer(lemma_dict=lemma_dict, stopwords=stopwords, mode="compat")
+    df_counter: Counter = Counter()
+    contents = docs.column("content").to_pylist()
+    repos_col = docs.column("repo").to_pylist()
+    for c in contents:
+        df_counter.update(an.lemma_set(c))
+
+    by_df = sorted(df_counter.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(by_df)
+    rare = [t for t, d in by_df if d >= 2][:200]
+    mid = [t for t, _ in by_df[n // 2 : n // 2 + 200]]
+    hot = [t for t, _ in by_df[-20:]]
+    repo_names = sorted(set(repos_col))
+
+    rng = random.Random(SEED + 1)
+    inflectables = [k for k, v in lemma_dict.items() if v in df_counter]
+
+    queries: list[dict] = []
+
+    def add(q: str, repo: str | None = None) -> None:
+        queries.append({"query_id": len(queries), "query": q, "repo": repo})
+
+    for pool in (rare, rare, rare, mid, mid, mid, mid, hot, hot, hot):
+        add(rng.choice(pool))
+    for _ in range(20):
+        a, b = rng.choice(rare + mid), rng.choice(mid + hot)
+        repo = rng.choice(repo_names) if rng.random() < 0.2 else None
+        add(f"{a} {b}", repo)
+    for _ in range(10):
+        a, b, c = rng.choice(rare + mid), rng.choice(mid), rng.choice(mid + hot)
+        add(f"{a} {b} {c}")
+    for _ in range(4):
+        add(f"{rng.choice(mid)} zzzqqqxx{rng.randrange(100)}")
+    for _ in range(3):
+        sw = rng.sample(sorted(stopwords), 3)
+        add(" ".join(sw))
+    for _ in range(3):
+        add(rng.choice(inflectables))
+    return queries
+
+
+def main(sfs: list[str]) -> None:
+    os.makedirs(FIXTURES_DIR, exist_ok=True)
+    rng = random.Random(SEED)
+    en, ru = _gen_vocab(rng)
+    lemma_dict = build_lemma_dict(en, ru)
+
+    dict_path = os.path.join(os.path.dirname(__file__), "lemma_dict.tsv")
+    with open(dict_path, "w", encoding="utf-8") as f:
+        for k in sorted(lemma_dict):
+            f.write(f"{k}\t{lemma_dict[k]}\n")
+    sw_path = os.path.join(os.path.dirname(__file__), "stopwords.txt")
+    with open(sw_path, "w", encoding="utf-8") as f:
+        f.write("\n".join(STOPWORDS) + "\n")
+
+    t2_docs = None
+    for sf in sfs:
+        out_dir = os.path.join(FIXTURES_DIR, sf)
+        os.makedirs(out_dir, exist_ok=True)
+        table = generate_docs(sf)
+        pq.write_table(table, os.path.join(out_dir, "docs.parquet"))
+        print(f"{sf}: {table.num_rows} docs -> {out_dir}/docs.parquet")
+        if sf == "t2":
+            t2_docs = table
+
+    if t2_docs is None and "t2" in SF_DOCS:
+        t2_docs = generate_docs("t2")
+    qs = generate_queries(t2_docs, lemma_dict, frozenset(STOPWORDS))
+    qt = pa.table(
+        {
+            "query_id": pa.array([q["query_id"] for q in qs], pa.int32()),
+            "query": pa.array([q["query"] for q in qs], pa.string()),
+            "repo": pa.array([q["repo"] for q in qs], pa.string()),
+        }
+    )
+    pq.write_table(qt, os.path.join(FIXTURES_DIR, "queries.parquet"))
+    with open(os.path.join(FIXTURES_DIR, "queries.json"), "w") as f:
+        json.dump(qs, f, ensure_ascii=False, indent=1)
+    print(f"queries: {len(qs)} -> {FIXTURES_DIR}/queries.parquet")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", nargs="*", default=["t1", "t2"])
+    args = ap.parse_args()
+    main(args.sf)

@@ -1,0 +1,38 @@
+"""Load the shared analysis resources (lemma dictionary, stopwords, queries)."""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+
+_HERE = os.path.dirname(__file__)
+LEMMA_DICT_PATH = os.path.join(_HERE, "lemma_dict.tsv")
+STOPWORDS_PATH = os.path.join(_HERE, "stopwords.txt")
+DATA_DIR = os.path.join(_HERE, "data")
+
+
+@lru_cache(maxsize=1)
+def load_lemma_dict() -> dict[str, str]:
+    out: dict[str, str] = {}
+    with open(LEMMA_DICT_PATH, encoding="utf-8") as f:
+        for line in f:
+            if line.strip():
+                k, v = line.rstrip("\n").split("\t")
+                out[k] = v
+    return out
+
+
+@lru_cache(maxsize=1)
+def load_stopwords() -> frozenset[str]:
+    with open(STOPWORDS_PATH, encoding="utf-8") as f:
+        return frozenset(w.strip() for w in f if w.strip())
+
+
+def load_queries() -> list[dict]:
+    with open(os.path.join(DATA_DIR, "queries.json"), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def docs_path(sf: str) -> str:
+    return os.path.join(DATA_DIR, sf, "docs.parquet")

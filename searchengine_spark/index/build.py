@@ -1,0 +1,171 @@
+"""Index build: docs -> docs_meta + postings + df_stats (+ stats.json).
+
+The Spark re-expression of the reference's crawl-and-upsert pipeline
+(services/indexing/SiteMapBuilder.java:139-186): instead of per-page
+find-or-insert upserts against MySQL (SiteMapBuilder.java:150-181), term
+frequencies and document frequencies fall out of two hash aggregations —
+``groupBy(term, doc_id).count()`` and ``groupBy(term).agg(count, sum)`` —
+both of which do map-side partial aggregation, so the hot-term skew that
+makes the reference's ``lemma`` row a contention point costs nothing here.
+
+Scale notes (the plan at 1000 executors / 100 TB):
+- the analyze UDF is a narrow map over the corpus scan — parallelism = input
+  splits, no shuffle before the TF aggregation;
+- TF groupBy keys are (term, doc_id): effectively unique per doc, so the
+  shuffle is uniform regardless of term skew;
+- DF groupBy key is term alone — skewed, but count/sum partials combine
+  map-side so each reducer receives one partial row per upstream task, not
+  one row per posting;
+- everything is written partitioned by range ``shard`` (top bits of doc_id),
+  which aligns postings, docs_meta and segments for shard-local query
+  execution and resumable shard-at-a-time builds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from searchengine_spark.fixtures.loaders import load_lemma_dict, load_stopwords
+from searchengine_spark.textproc.udfs import make_analyze_udf, with_doc_id
+
+DEFAULT_SHARDS = 8
+DEFAULT_BUCKETS = 16
+
+
+def bucket_col(term_col, n_buckets: int):
+    """Term bucket for partition pruning on term lookups (md5-based, portable)."""
+    h = F.conv(F.substring(F.md5(F.encode(term_col, "utf-8")), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(n_buckets)).cast("int")
+
+
+class IndexPaths:
+    def __init__(self, root: str):
+        self.root = root
+        self.docs_meta = os.path.join(root, "docs_meta")
+        self.postings = os.path.join(root, "postings")
+        self.df_stats = os.path.join(root, "df_stats")
+        self.segments = os.path.join(root, "segments")
+        self.manifest = os.path.join(root, "manifest")
+        self.stats = os.path.join(root, "stats.json")
+
+
+def analyze_docs(docs: DataFrame, n_shards: int, mode: str = "compat") -> DataFrame:
+    """corpus -> (doc_id, shard, repo, path, commit, lang, content_sha, lemmas).
+
+    Derives doc_id (md5-60bit), range shard, the per-row content sha256
+    invariant (BASELINE.json input_hint) and the lemma array in one pass.
+    """
+    udf = make_analyze_udf(load_lemma_dict(), load_stopwords(), mode)
+    base = docs.dropDuplicates(["repo", "path", "commit"])
+    base = with_doc_id(base, n_shards)
+    return base.select(
+        "doc_id",
+        "shard",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2(F.col("content").cast("binary"), 256).alias("content_sha"),
+        udf(F.col("content")).alias("lemmas"),
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = DEFAULT_SHARDS,
+    n_buckets: int = DEFAULT_BUCKETS,
+    mode: str = "compat",
+) -> "IndexPaths":
+    """Full rebuild (the reference's startIndexing wipe-and-rebuild,
+    IndexingServiceImpl.java:47-91): overwrite-writes every index table."""
+    paths = IndexPaths(out_dir)
+    t0 = time.time()
+
+    analyzed = analyze_docs(docs, n_shards, mode)
+    analyzed.persist()  # one UDF pass feeds both docs_meta and postings
+
+    docs_meta = analyzed.select(
+        "doc_id", "repo", "path", "commit", "lang", "content_sha",
+        F.size("lemmas").cast("long").alias("dl"), "shard",
+    )
+    docs_meta.write.mode("overwrite").partitionBy("shard").parquet(paths.docs_meta)
+
+    postings = (
+        analyzed.select("doc_id", "shard", F.explode("lemmas").alias("term"))
+        .groupBy("term", "doc_id", "shard")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    postings.select("term", "doc_id", "tf", "shard") \
+        .write.mode("overwrite").partitionBy("shard").parquet(paths.postings)
+    analyzed.unpersist()
+
+    postings_r = spark.read.parquet(paths.postings)
+    df_stats = (
+        postings_r.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"),
+             F.sum("tf").cast("long").alias("cf"))
+        .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+    )
+    df_stats.write.mode("overwrite").partitionBy("bucket").parquet(paths.df_stats)
+
+    meta_r = spark.read.parquet(paths.docs_meta)
+    agg = meta_r.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    dfagg = spark.read.parquet(paths.df_stats).agg(
+        F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings"),
+        F.sum("cf").alias("sum_tf"),
+    ).collect()[0]
+    stats = {
+        "n_docs": int(agg.n_docs),
+        "sum_dl": int(agg.sum_dl or 0),
+        "avgdl": (agg.sum_dl or 0) / agg.n_docs if agg.n_docs else 0.0,
+        "n_terms": int(dfagg.n_terms),
+        "n_postings": int(dfagg.n_postings or 0),
+        "sum_tf": int(dfagg.sum_tf or 0),
+        "n_shards": n_shards,
+        "n_buckets": n_buckets,
+        "mode": mode,
+        "build_secs": time.time() - t0,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(paths.stats, "w") as f:
+        json.dump(stats, f, indent=1)
+    return paths
+
+
+class InvertedIndex:
+    """Loaded index handle: lazy DataFrames + driver-side scalar stats."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.paths = IndexPaths(root)
+        with open(self.paths.stats) as f:
+            self.stats = json.load(f)
+
+    @property
+    def docs_meta(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.docs_meta)
+
+    @property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.postings)
+
+    @property
+    def df_stats(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.df_stats)
+
+    @property
+    def segments(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.segments)
+
+    def has_segments(self) -> bool:
+        return os.path.isdir(self.paths.segments) and any(
+            n.startswith(("bucket=", "part-")) for n in os.listdir(self.paths.segments)
+        )

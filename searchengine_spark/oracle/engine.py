@@ -1,0 +1,196 @@
+"""Single-process reference oracle: the semantics the Spark engine must match.
+
+Implements the exact search pipeline of the reference
+(services/SearchServiceImpl.java:34-81) in plain Python/NumPy over the
+synthetic corpus, in two scoring modes:
+
+- ``bm25``   — the engine's primary scoring: BM25 (k1=1.2, b=0.75), global
+  scope, conjunctive (AND) semantics, ties broken by ascending doc_id.
+- ``compat`` — the reference's quirk-faithful scoring: per-repo (site) AND
+  gate (SearchServiceImpl.java:100-102), the >= 0.8 document-frequency
+  stopword filter with the *distinct-lemma-count* denominator
+  (SearchServiceImpl.java:119-127), absolute relevance = sum of raw tf
+  (SearchServiceImpl.java:153-157), normalized by the global max
+  (SearchServiceImpl.java:164-182).
+
+The analyzer, doc-id derivation and BM25 math are imported from
+``searchengine_spark.textproc.core`` — the same bytes the Spark UDFs run, so
+rank identity is meaningful.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from searchengine_spark.textproc.core import (
+    Analyzer,
+    bm25_score_scalar,
+    doc_id_of,
+)
+
+
+@dataclass
+class OracleIndex:
+    analyzer: Analyzer
+    n_docs: int = 0
+    avgdl: float = 0.0
+    doc_len: dict[int, int] = field(default_factory=dict)
+    doc_repo: dict[int, str] = field(default_factory=dict)
+    doc_meta: dict[int, tuple[str, str]] = field(default_factory=dict)  # (path, lang)
+    content_sha: dict[int, str] = field(default_factory=dict)
+    postings: dict[str, dict[int, int]] = field(default_factory=dict)  # term -> doc -> tf
+    repo_terms: dict[str, set[str]] = field(default_factory=dict)      # repo -> distinct terms
+
+    # -- build ---------------------------------------------------------------
+
+    @classmethod
+    def build(cls, docs_parquet: str, analyzer: Analyzer) -> "OracleIndex":
+        t = pq.read_table(docs_parquet)
+        idx = cls(analyzer=analyzer)
+        repos = t.column("repo").to_pylist()
+        paths = t.column("path").to_pylist()
+        commits = t.column("commit").to_pylist()
+        langs = t.column("lang").to_pylist()
+        contents = t.column("content").to_pylist()
+        total_len = 0
+        for repo, path, commit, lang, content in zip(repos, paths, commits, langs, contents):
+            did = doc_id_of(repo, path, commit)
+            counts = analyzer.lemma_counts(content)
+            dl = sum(counts.values())
+            idx.doc_len[did] = dl
+            idx.doc_repo[did] = repo
+            idx.doc_meta[did] = (path, lang)
+            idx.content_sha[did] = hashlib.sha256(content.encode("utf-8")).hexdigest()
+            total_len += dl
+            rt = idx.repo_terms.setdefault(repo, set())
+            for term, tf in counts.items():
+                idx.postings.setdefault(term, {})[did] = tf
+                rt.add(term)
+        idx.n_docs = len(idx.doc_len)
+        idx.avgdl = total_len / idx.n_docs if idx.n_docs else 0.0
+        return idx
+
+    # -- statistics (mirrors StatisticsServiceImpl.java:31-73) ---------------
+
+    def stats(self) -> dict:
+        per_repo = {}
+        for repo, terms in self.repo_terms.items():
+            pages = sum(1 for d, r in self.doc_repo.items() if r == repo)
+            per_repo[repo] = {"pages": pages, "lemmas": len(terms)}
+        return {
+            "n_docs": self.n_docs,
+            "n_terms": len(self.postings),
+            "n_postings": sum(len(p) for p in self.postings.values()),
+            "sum_tf": sum(tf for p in self.postings.values() for tf in p.values()),
+            "per_repo": per_repo,
+        }
+
+    def df(self, term: str, repo: str | None = None) -> int:
+        p = self.postings.get(term, {})
+        if repo is None:
+            return len(p)
+        return sum(1 for d in p if self.doc_repo[d] == repo)
+
+    # -- search --------------------------------------------------------------
+
+    def search(
+        self,
+        query: str,
+        repo: str | None = None,
+        offset: int = 0,
+        limit: int = 20,
+        mode: str = "bm25",
+    ) -> dict:
+        """Returns {"result", "error"?, "count", "data": [(doc_id, score)]}.
+
+        Mirrors the response contract of dto/search/SearchResponse.java:8-12;
+        data rows correspond to SearchData ordered by relevance.
+        """
+        terms = sorted(self.analyzer.lemma_set(query))
+        if not terms:
+            return {"result": False, "error": "empty query", "count": 0, "data": []}
+        if mode == "bm25":
+            scored = self._search_bm25(terms, repo)
+        elif mode == "compat":
+            scored = self._search_compat(terms, repo)
+        else:
+            raise ValueError(mode)
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        return {
+            "result": True,
+            "count": len(scored),
+            "data": scored[offset : offset + limit],
+        }
+
+    def _scoped_docs(self, term: str, repo: str | None) -> dict[int, int]:
+        p = self.postings.get(term, {})
+        if repo is None:
+            return p
+        return {d: tf for d, tf in p.items() if self.doc_repo[d] == repo}
+
+    def _search_bm25(self, terms: list[str], repo: str | None) -> list[tuple[int, float]]:
+        # AND gate: every query lemma must exist in scope
+        # (SearchServiceImpl.java:100-102 generalized to the whole scope).
+        plists = []
+        for t in terms:
+            p = self._scoped_docs(t, repo)
+            if not p:
+                return []
+            plists.append((t, p))
+        # df-ascending intersection order (SearchServiceImpl.java:134-138)
+        plists.sort(key=lambda tp: (len(tp[1]), tp[0]))
+        candidates = set(plists[0][1])
+        for _, p in plists[1:]:
+            candidates &= p.keys()
+            if not candidates:
+                return []
+        out = []
+        for d in candidates:
+            dl = self.doc_len[d]
+            s = 0.0
+            for t, p in plists:
+                s += bm25_score_scalar(p[d], len(self.postings[t]), dl,
+                                       self.n_docs, self.avgdl)
+            out.append((d, s))
+        return out
+
+    def _search_compat(self, terms: list[str], repo: str | None) -> list[tuple[int, float]]:
+        repos = [repo] if repo is not None else sorted(self.repo_terms)
+        page_rel: dict[int, float] = {}
+        for r in repos:
+            rt = self.repo_terms.get(r, set())
+            # per-site AND existence gate (SearchServiceImpl.java:100-102)
+            if any(t not in rt for t in terms):
+                continue
+            # >=0.8 df filter; denominator = distinct lemma count on the site
+            # (SearchServiceImpl.java:119-127 quirk)
+            total = len(rt)
+            kept = [t for t in terms
+                    if total == 0 or self.df(t, r) / total < 0.8]
+            if not kept:
+                continue
+            plists = sorted(
+                ((t, self._scoped_docs(t, r)) for t in kept),
+                key=lambda tp: (len(tp[1]), tp[0]),
+            )
+            candidates = set(plists[0][1])
+            for _, p in plists[1:]:
+                candidates &= p.keys()
+            for d in candidates:
+                page_rel[d] = float(sum(p[d] for _, p in plists))
+        if not page_rel:
+            return []
+        max_rel = max(page_rel.values())
+        return [(d, v / max_rel) for d, v in page_rel.items()]
+
+
+def build_default(docs_parquet: str, mode: str = "compat") -> OracleIndex:
+    from searchengine_spark.fixtures.loaders import load_lemma_dict, load_stopwords
+
+    an = Analyzer(lemma_dict=load_lemma_dict(), stopwords=load_stopwords(), mode=mode)
+    return OracleIndex.build(docs_parquet, an)

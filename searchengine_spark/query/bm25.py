@@ -1,0 +1,122 @@
+"""DataFrame-native ranked search — the correctness spine of the engine.
+
+Re-expresses the reference's ranked AND-search
+(services/SearchServiceImpl.java:92-182) set-at-a-time:
+
+- term resolution = broadcast semi-join of the (tiny) query-term list with
+  df_stats (reference J1: repository/LemmaRepository.java:20-21);
+- the AND existence gate = resolved-count check (reference J2:
+  SearchServiceImpl.java:100-102) decided driver-side before any postings
+  are touched — a missing term short-circuits to an empty result;
+- posting intersection = ``filter(term isin ...)`` + hash aggregation with
+  ``HAVING count(*) = n_terms`` replacing the reference's per-page N+1 SQL
+  probes (J4: SearchServiceImpl.java:145-159);
+- scoring = BM25 (k1=1.2, b=0.75) computed with JVM-side column arithmetic
+  (whole-stage codegen; zero Python at query time);
+- top-k = orderBy(score desc, doc_id asc).limit(k) which Catalyst executes
+  as TakeOrderedAndProject (per-partition heaps, no global sort).
+
+The idf per term is computed driver-side from the resolved df values (a few
+scalars) and shipped as literals, so the only distributed inputs are the
+term-pruned postings scan and the doc-length dimension.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Row, functions as F
+
+from searchengine_spark.index.build import InvertedIndex
+from searchengine_spark.textproc.core import BM25_B, BM25_K1
+
+
+def resolve_terms(index: InvertedIndex, terms: list[str]) -> dict[str, tuple[int, int]]:
+    """term -> (df, cf) for the query's terms; df-ordered dict.
+
+    A broadcast-side lookup: df_stats is bucket-partitioned, and the filter
+    on ``bucket`` prunes the scan to the query terms' buckets only.
+    """
+    from searchengine_spark.index.build import bucket_col
+    from searchengine_spark.textproc.core import term_hash
+
+    n_buckets = index.stats["n_buckets"]
+    buckets = sorted({term_hash(t) % n_buckets for t in terms})
+    rows = (
+        index.df_stats.filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("term", "df", "cf")
+        .collect()
+    )
+    resolved = {r.term: (int(r.df), int(r.cf)) for r in rows}
+    return dict(sorted(resolved.items(), key=lambda kv: (kv[1][0], kv[0])))
+
+
+def bm25_scored(
+    index: InvertedIndex,
+    terms: list[str],
+    repo: str | None = None,
+) -> DataFrame | None:
+    """All matching docs with BM25 scores; None => AND gate failed (empty).
+
+    Returned schema: (doc_id long, score double) — unordered; callers apply
+    top-k / pagination.
+    """
+    terms = sorted(set(terms))
+    if not terms:
+        return None
+    resolved = resolve_terms(index, terms)
+    if len(resolved) != len(terms):
+        return None  # some query lemma absent everywhere -> empty (AND gate)
+
+    n_docs = index.stats["n_docs"]
+    avgdl = index.stats["avgdl"]
+    idf = {
+        t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        for t, (df, _) in resolved.items()
+    }
+
+    spark = index.spark
+    idf_df = spark.createDataFrame(
+        [Row(term=t, idf=v) for t, v in idf.items()], "term string, idf double"
+    )
+
+    cand = index.postings.filter(F.col("term").isin(terms))
+    dl = index.docs_meta.select("doc_id", "dl", "repo")
+    if repo is not None:
+        dl = dl.filter(F.col("repo") == repo)
+
+    scored = (
+        cand.join(F.broadcast(idf_df), "term")
+        .join(dl, "doc_id")  # repo scope applied via this join when set
+        .withColumn(
+            "pscore",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / F.lit(float(avgdl))))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nhit"),
+            F.sum("pscore").alias("score"),
+        )
+        .filter(F.col("nhit") == len(terms))  # conjunctive contract (J4)
+        .select("doc_id", "score")
+    )
+    return scored
+
+
+def bm25_topk(
+    index: InvertedIndex,
+    terms: list[str],
+    k: int = 20,
+    repo: str | None = None,
+) -> list[tuple[int, float]]:
+    scored = bm25_scored(index, terms, repo)
+    if scored is None:
+        return []
+    rows = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    return [(int(r.doc_id), float(r.score)) for r in rows]

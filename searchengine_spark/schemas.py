@@ -1,0 +1,88 @@
+"""Explicit schemas for every persisted table (no inference anywhere).
+
+One module, mirroring the reference's fixed JPA schema
+(src/main/java/searchengine/model/*.java — see SURVEY.md §1.1) re-shaped for
+a columnar, sharded index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# input corpus (BASELINE.json input_hint shape; reference: model/Page.java)
+DOCS = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+# per-document dimension (reference: model/Page.java + model/Site.java scoping)
+DOCS_META = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content_sha", T.StringType(), False),
+        T.StructField("dl", T.LongType(), False),       # doc length in lemmas
+        T.StructField("shard", T.IntegerType(), False),
+    ]
+)
+
+# exploded postings (reference: model/Index.java — one row per (page, lemma))
+POSTINGS = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("shard", T.IntegerType(), False),
+    ]
+)
+
+# per-term stats (reference: model/Lemma.java — frequency = document frequency)
+DF_STATS = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("df", T.LongType(), False),
+        T.StructField("cf", T.LongType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+    ]
+)
+
+# packed posting-list segments: one row per (term, shard); binary columns are
+# delta+varbyte encoded, block_* arrays hold per-block skip metadata
+SEGMENTS = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("num_docs", T.IntegerType(), False),
+        T.StructField("doc_ids_vb", T.BinaryType(), False),
+        T.StructField("tfs_vb", T.BinaryType(), False),
+        T.StructField("block_last_doc", T.ArrayType(T.LongType()), False),
+        T.StructField("block_max_impact", T.ArrayType(T.FloatType()), False),
+        T.StructField("block_doc_off", T.ArrayType(T.IntegerType()), False),
+        T.StructField("block_tf_off", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+# build manifest / checkpoint lineage (reference: model/Site.java status rows)
+MANIFEST = T.StructType(
+    [
+        T.StructField("build_id", T.StringType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),  # RUNNING|DONE|FAILED
+        T.StructField("started_at", T.TimestampType(), True),
+        T.StructField("finished_at", T.TimestampType(), True),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("docs", T.LongType(), True),
+        T.StructField("terms", T.LongType(), True),
+        T.StructField("postings", T.LongType(), True),
+    ]
+)

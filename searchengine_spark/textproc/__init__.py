@@ -1,0 +1,25 @@
+from searchengine_spark.textproc.core import (
+    Analyzer,
+    bm25_idf,
+    bm25_score,
+    doc_id_of,
+    shard_of,
+    term_hash,
+    tokenize_compat,
+    tokenize_code,
+    xxh64,
+    xxh64_columns,
+)
+
+__all__ = [
+    "Analyzer",
+    "bm25_idf",
+    "bm25_score",
+    "doc_id_of",
+    "shard_of",
+    "term_hash",
+    "tokenize_compat",
+    "tokenize_code",
+    "xxh64",
+    "xxh64_columns",
+]

@@ -1,0 +1,246 @@
+"""Pure-Python analysis core shared byte-for-byte by the Spark UDFs and the oracle.
+
+The reference's analysis chain is HTML-strip -> lowercase -> strip
+non-letters -> split -> morphology normal form -> particle filter
+(reference: src/main/java/searchengine/services/LemmatizationService.java:27-125).
+We reproduce those semantics with a deterministic dictionary lemmatizer so the
+distributed engine and the single-process oracle share one implementation and
+produce identical lemma streams (the rank-identity requirement needs exact
+term identity).
+
+Also hosts:
+- the stable document-id derivation (md5-based 60-bit id) shared by the
+  engine (JVM ``md5``/``conv`` built-ins), the oracle (hashlib) and the
+  DuckDB oracle SQL — Spark 4.1's ``xxhash64`` is collation-aware and not
+  reproducible outside the JVM, so md5 is the portable choice;
+- a pure-Python xxHash64 (standard algorithm) used engine-internally
+  (salting, fingerprints) where cross-system parity is not needed;
+- the BM25 (k1=1.2, b=0.75) scoring math as NumPy functions, used by the
+  oracle, the DataFrame scorer and the WAND scorer alike.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Tokenization
+# ---------------------------------------------------------------------------
+
+# Reference tokenizer: lowercase, replace [^а-яёa-z\s] with space, split \s+
+# (LemmatizationService.java:114-119). compat mode mirrors it exactly.
+_COMPAT_STRIP = re.compile(r"[^a-zа-яё\s]+")
+# code mode keeps digits and underscores (identifiers) and splits camelCase
+# before lowercasing (SURVEY.md §2.2 P2 "code-aware tokenizer").
+_CODE_STRIP = re.compile(r"[^a-zа-яё0-9_\s]+")
+_CAMEL = re.compile(r"(?<=[a-zа-яё0-9])(?=[A-ZА-ЯЁ])")
+_WS = re.compile(r"\s+")
+
+
+def tokenize_compat(text: str) -> list[str]:
+    """Reference-identical tokenization (LemmatizationService.java:114-119)."""
+    if not text:
+        return []
+    cleaned = _COMPAT_STRIP.sub(" ", text.lower())
+    return [t for t in _WS.split(cleaned) if t]
+
+
+def tokenize_code(text: str) -> list[str]:
+    """Code-aware tokenization: camelCase split, digits/underscores kept."""
+    if not text:
+        return []
+    cleaned = _CODE_STRIP.sub(" ", _CAMEL.sub(" ", text).lower())
+    return [t for t in _WS.split(cleaned) if t]
+
+
+_TOKENIZERS = {"compat": tokenize_compat, "code": tokenize_code}
+
+
+@dataclass
+class Analyzer:
+    """Tokenize + lemmatize + stopword filter with a shared dictionary.
+
+    The lemma dictionary plays the role of the reference's Lucene morphology
+    normal-form lookup (LemmatizationService.java:86-98, first normal form
+    picked at :40); the stopword set plays the particle filter
+    (LemmatizationService.java:20,100-112).
+    """
+
+    lemma_dict: dict[str, str] = field(default_factory=dict)
+    stopwords: frozenset[str] = frozenset()
+    mode: str = "compat"
+
+    def tokens(self, text: str) -> list[str]:
+        return _TOKENIZERS[self.mode](text)
+
+    def lemmas(self, text: str) -> list[str]:
+        """Lemma stream in document order (blank/stopword-filtered)."""
+        get = self.lemma_dict.get
+        sw = self.stopwords
+        out = []
+        for tok in self.tokens(text):
+            base = get(tok, tok)
+            if base in sw:
+                continue
+            out.append(base)
+        return out
+
+    def lemma_counts(self, text: str) -> Counter:
+        """TF map per text — mirrors getLemmas (LemmatizationService.java:27-48)."""
+        return Counter(self.lemmas(text))
+
+    def lemma_set(self, text: str) -> set[str]:
+        """Distinct lemmas — mirrors getLemmaSet (LemmatizationService.java:50-70)."""
+        return set(self.lemmas(text))
+
+
+# ---------------------------------------------------------------------------
+# xxHash64 (matches Spark's F.xxhash64 / org.apache.spark.sql.catalyst XXH64)
+# ---------------------------------------------------------------------------
+
+_M = 0xFFFFFFFFFFFFFFFF
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D514CC2B5
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """Standard xxHash64 over bytes; returns an unsigned 64-bit int."""
+    seed &= _M
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed
+        v4 = (seed - _P1) & _M
+        while i + 32 <= n:
+            v1 = (_rotl((v1 + int.from_bytes(data[i : i + 8], "little") * _P2) & _M, 31) * _P1) & _M
+            v2 = (_rotl((v2 + int.from_bytes(data[i + 8 : i + 16], "little") * _P2) & _M, 31) * _P1) & _M
+            v3 = (_rotl((v3 + int.from_bytes(data[i + 16 : i + 24], "little") * _P2) & _M, 31) * _P1) & _M
+            v4 = (_rotl((v4 + int.from_bytes(data[i + 24 : i + 32], "little") * _P2) & _M, 31) * _P1) & _M
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M, 31) * _P1) & _M
+            h = ((h * _P1) + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl((k * _P2) & _M, 31) * _P1) & _M
+        h = ((_rotl(h, 27) * _P1) + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(data[i : i + 4], "little")
+        h ^= (k * _P1) & _M
+        h = ((_rotl(h, 23) * _P2) + _P3) & _M
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def _to_signed(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxh64_columns(*values: str, seed: int = 42) -> int:
+    """Chained xxh64 over several strings (engine-internal use only)."""
+    h = seed
+    for v in values:
+        h = xxh64(v.encode("utf-8"), seed=h)
+    return _to_signed(h)
+
+
+# Stable doc id: first 15 hex digits (60 bits) of md5 over
+# repo \x01 path \x01 commit.  Always positive, which makes range-sharding a
+# plain right-shift.  Engine side: conv(substring(md5(...), 1, 15), 16, 10).
+DOC_ID_SEP = "\x01"
+DOC_ID_BITS = 60
+
+
+def doc_id_of(repo: str, path: str, commit: str) -> int:
+    payload = DOC_ID_SEP.join((repo, path, commit)).encode("utf-8")
+    return int(hashlib.md5(payload).hexdigest()[:15], 16)
+
+
+def term_hash(term: str) -> int:
+    """60-bit md5 hash of a term — bucket routing + minhash base, portable
+    across Spark / Python / DuckDB (same expression shape as doc_id_of)."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def shard_of(doc_id: int, n_shards: int) -> int:
+    """Range shard: top bits of the 60-bit id → contiguous, ordered ranges.
+
+    n_shards must be a power of two; postings within a shard stay sorted by
+    doc_id, and shard boundaries align across all terms, so per-shard indexes
+    are independently queryable and a hot term's postings split evenly."""
+    k = n_shards.bit_length() - 1
+    assert (1 << k) == n_shards, "n_shards must be a power of two"
+    return doc_id >> (DOC_ID_BITS - k)
+
+
+# ---------------------------------------------------------------------------
+# BM25 (k1=1.2, b=0.75 per BASELINE.json north_star)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_idf(df: np.ndarray | float, n_docs: int) -> np.ndarray | float:
+    """Robertson/Lucene idf: ln(1 + (N - df + 0.5) / (df + 0.5))."""
+    return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_score(
+    tf: np.ndarray | float,
+    df: np.ndarray | float,
+    dl: np.ndarray | float,
+    n_docs: int,
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> np.ndarray | float:
+    """Per-(doc, term) BM25 partial score; float64 throughout."""
+    idf = bm25_idf(df, n_docs)
+    norm = k1 * (1.0 - b + b * (dl / avgdl))
+    return idf * (tf * (k1 + 1.0)) / (tf + norm)
+
+
+def bm25_max_impact(tf: np.ndarray, dl: np.ndarray, avgdl: float,
+                    k1: float = BM25_K1, b: float = BM25_B) -> float:
+    """idf-free upper-bound factor used for block-max metadata at pack time:
+    max over the block of tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)).  Query-time
+    block upper bound = idf(term) * this value (idf is df-dependent, so it is
+    applied at query time, keeping packed segments valid across df updates)."""
+    norm = k1 * (1.0 - b + b * (dl / avgdl))
+    return float(np.max((tf * (k1 + 1.0)) / (tf + norm)))
+
+
+def bm25_score_scalar(tf: float, df: int, dl: int, n_docs: int, avgdl: float) -> float:
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    norm = BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avgdl))
+    return idf * (tf * (BM25_K1 + 1.0)) / (tf + norm)

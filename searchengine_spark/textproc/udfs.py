@@ -1,0 +1,82 @@
+"""Arrow-vectorized analysis UDFs — the only Python in the build hot path.
+
+The reference runs its Lucene-morphology chain row-at-a-time in Java
+(services/LemmatizationService.java:27-48); here the same chain is expressed
+as pandas string ops over whole Arrow batches: lower -> regex strip ->
+split -> dict lemma map -> stopword filter.  No per-row Python function is
+applied anywhere — every step is a vectorized pandas/NumPy kernel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from searchengine_spark.textproc.core import _CAMEL, _CODE_STRIP, _COMPAT_STRIP
+
+_STRIP_PATTERNS = {"compat": _COMPAT_STRIP, "code": _CODE_STRIP}
+
+
+def analyze_batch(
+    s: pd.Series,
+    lemma_dict: dict[str, str],
+    stopwords: frozenset[str],
+    mode: str = "compat",
+) -> pd.Series:
+    """content Series -> Series of lemma lists, fully vectorized.
+
+    Must stay semantics-identical to ``core.Analyzer.lemmas`` — enforced by
+    tests/test_tokenizer.py property checks.
+    """
+    s = s.fillna("")
+    if mode == "code":
+        s = s.str.replace(_CAMEL, " ", regex=True)
+    cleaned = s.str.lower().str.replace(_STRIP_PATTERNS[mode], " ", regex=True)
+    tokens = cleaned.str.split()
+
+    # explode to one big flat token Series, vectorized dict map + filter,
+    # then regroup to lists by original row index
+    flat = tokens.explode()
+    flat = flat[flat.notna() & (flat != "")]
+    if len(flat) == 0:
+        return pd.Series([[] for _ in range(len(s))], index=s.index)
+    mapped = flat.map(lemma_dict).fillna(flat)
+    mapped = mapped[~mapped.isin(stopwords)]
+    regrouped = mapped.groupby(level=0, sort=False).agg(list)
+    return regrouped.reindex(s.index).apply(lambda v: v if isinstance(v, list) else [])
+
+
+def make_analyze_udf(lemma_dict: dict[str, str], stopwords: frozenset[str],
+                     mode: str = "compat"):
+    """Scalar pandas UDF: content -> array<string> of lemmas."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def analyze(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield analyze_batch(s, lemma_dict, stopwords, mode)
+
+    return analyze
+
+
+def doc_id_col(repo: str = "repo", path: str = "path", commit: str = "commit"):
+    """JVM-side stable 60-bit doc id: conv(substr(md5(repo\\x01path\\x01commit),1,15),16,10).
+
+    Matches ``core.doc_id_of`` (hashlib) and the DuckDB oracle expression —
+    all three systems agree bit-for-bit, no Python in the plan.
+    """
+    payload = F.concat_ws("\x01", F.col(repo), F.col(path), F.col(commit))
+    return F.conv(F.substring(F.md5(F.encode(payload, "utf-8")), 1, 15), 16, 10).cast("long")
+
+
+def shard_col(doc_id_column, n_shards: int):
+    """Range shard = top bits of the 60-bit id (aligned across all terms)."""
+    k = n_shards.bit_length() - 1
+    assert (1 << k) == n_shards, "n_shards must be a power of two"
+    return F.shiftright(doc_id_column, 60 - k).cast("int")
+
+
+def with_doc_id(docs: DataFrame, n_shards: int) -> DataFrame:
+    d = docs.withColumn("doc_id", doc_id_col())
+    return d.withColumn("shard", shard_col(F.col("doc_id"), n_shards))

@@ -1,0 +1,37 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from searchengine_spark.fixtures.loaders import docs_path  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from searchengine_spark.session import get_spark
+
+    s = get_spark("searchengine-tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def t1_index(spark, tmp_path_factory):
+    """t1 corpus indexed once per session (naive postings + df_stats)."""
+    from searchengine_spark.index.build import InvertedIndex, build_index
+
+    out = str(tmp_path_factory.mktemp("index_t1"))
+    docs = spark.read.parquet(docs_path("t1"))
+    build_index(spark, docs, out, n_shards=4, n_buckets=8)
+    return InvertedIndex(spark, out)
+
+
+@pytest.fixture(scope="session")
+def t1_oracle():
+    from searchengine_spark.oracle.engine import build_default
+
+    return build_default(docs_path("t1"))

@@ -1,0 +1,72 @@
+"""Engine vs oracle: index statistics exact, top-k rank-identical, scores ±1e-6.
+
+This is the correctness spine (SURVEY.md §5.2): the Spark engine and the
+pure-Python oracle analyze the same corpus with the same shared core and must
+agree on every index statistic and on every query of the reference query set.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.fixtures.loaders import load_queries
+from searchengine_spark.query.bm25 import bm25_topk
+
+
+def test_index_stats_match(t1_index, t1_oracle):
+    ostats = t1_oracle.stats()
+    assert t1_index.stats["n_docs"] == ostats["n_docs"]
+    assert t1_index.stats["n_terms"] == ostats["n_terms"]
+    assert t1_index.stats["n_postings"] == ostats["n_postings"]
+    assert t1_index.stats["sum_tf"] == ostats["sum_tf"]
+
+
+def test_doc_lengths_match(t1_index, t1_oracle):
+    rows = t1_index.docs_meta.select("doc_id", "dl").collect()
+    assert len(rows) == t1_oracle.n_docs
+    for r in rows:
+        assert t1_oracle.doc_len[r.doc_id] == r.dl
+
+
+def test_content_sha_invariant(t1_index, t1_oracle):
+    """Per-row content sha256 equality between source corpus and indexed docs
+    (BASELINE.json input_hint)."""
+    rows = t1_index.docs_meta.select("doc_id", "content_sha").collect()
+    for r in rows:
+        assert t1_oracle.content_sha[r.doc_id] == r.content_sha
+
+
+def test_df_values_match(t1_index, t1_oracle):
+    rows = t1_index.df_stats.select("term", "df", "cf").collect()
+    assert len(rows) == len(t1_oracle.postings)
+    for r in rows:
+        p = t1_oracle.postings[r.term]
+        assert len(p) == r.df
+        assert sum(p.values()) == r.cf
+
+
+def test_postings_spotcheck(t1_index, t1_oracle):
+    some_terms = sorted(t1_oracle.postings)[::200][:10]
+    rows = (
+        t1_index.postings.filter(F.col("term").isin(some_terms))
+        .select("term", "doc_id", "tf")
+        .collect()
+    )
+    got = {(r.term, r.doc_id): r.tf for r in rows}
+    expected = {
+        (t, d): tf for t in some_terms for d, tf in t1_oracle.postings[t].items()
+    }
+    assert got == expected
+
+
+@pytest.mark.parametrize("qid", range(50))
+def test_topk_rank_identical(t1_index, t1_oracle, qid):
+    q = load_queries()[qid]
+    terms = sorted(t1_oracle.analyzer.lemma_set(q["query"]))
+    expected = t1_oracle.search(q["query"], q["repo"], mode="bm25")
+    got = bm25_topk(t1_index, terms, k=20, repo=q["repo"])
+    exp_pairs = expected["data"]
+    assert [d for d, _ in got] == [d for d, _ in exp_pairs], f"query={q['query']!r}"
+    for (gd, gs), (ed, es) in zip(got, exp_pairs):
+        assert abs(gs - es) < 1e-6, f"score mismatch doc={gd} {gs} vs {es}"
