@@ -1,38 +1,124 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry pairs a Spark DataFrame plan from ``searchengine_spark.pipeline``
+with a DuckDB oracle SQL twin from ``searchengine_spark.pipeline.oracle_sql``
+built from the same hashing constants and expression shapes, so the driver's
+row-count/schema/value-hash comparison is exact (floats are rounded
+identically on both sides).
+
+Operator coverage map (SURVEY.md §2): tokenize P1-P9 -> q_tf_postings;
+TF A1 -> q_tf_postings; DF A2 -> q_df_stats; doc length/statistics A5-A6 ->
+q_doc_stats/q_corpus_stats; J1-J4+A3+O1-O2 BM25 AND-search -> q_bm25_*;
+O3 pagination -> q_search_pagination; reference compat scoring A3-A4 ->
+q_compat_relevance_*; J8 dup cleanup -> q_dedup_exact; plus the
+training-data ops (dedup/minhash/LSH/simhash/jaccard, similarity search,
+text stats) as first-class queries.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from searchengine_spark.pipeline import (  # noqa: E402
+    dedup,
+    fulltext,
+    oracle_sql as osql,
+    similarity,
+    textstats,
+)
+
+# fixed query terms, present at every scale factor of the testdata corpus
+Q_SINGLE = ["dup"]
+Q_AND2 = ["merge", "vector"]
+Q_AND3 = ["hash", "stream", "vector"]
+Q_ABSENT = ["vector", "zzznotaterm"]
+Q_PAGE = ["table", "join"]
+PROBE_VEC_IDS = [0, 1, 2, 3, 4]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-20 conjunctive search on sf0.001."""
+    return fulltext.bm25_topk(_docs(spark, "/root/testdata/sf0.001"), Q_AND2, k=20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # inverted-index build surface
+        "q_tf_postings": lambda s, d: fulltext.tf_postings(_docs(s, d)),
+        "q_df_stats": lambda s, d: fulltext.df_stats(fulltext.tf_postings(_docs(s, d))),
+        "q_doc_stats": lambda s, d: fulltext.doc_stats(fulltext.tf_postings(_docs(s, d))),
+        "q_corpus_stats": lambda s, d: fulltext.corpus_stats(_docs(s, d)),
+        # ranked search surface
+        "q_bm25_single": lambda s, d: fulltext.bm25_topk(_docs(s, d), Q_SINGLE, k=20),
+        "q_bm25_and2": lambda s, d: fulltext.bm25_topk(_docs(s, d), Q_AND2, k=20),
+        "q_bm25_and3": lambda s, d: fulltext.bm25_topk(_docs(s, d), Q_AND3, k=20),
+        "q_bm25_and_gate_empty": lambda s, d: fulltext.bm25_topk(_docs(s, d), Q_ABSENT, k=20),
+        "q_search_pagination": lambda s, d: fulltext.search_paginated(
+            _docs(s, d), Q_PAGE, offset=5, limit=10
+        ),
+        "q_compat_relevance_strict": lambda s, d: fulltext.compat_relevance(
+            _docs(s, d), Q_AND2, max_df_ratio=0.8
+        ),
+        "q_compat_relevance_loose": lambda s, d: fulltext.compat_relevance(
+            _docs(s, d), Q_AND2, max_df_ratio=1e9
+        ),
+        # dedup suite
+        "q_dedup_exact": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
+        "q_minhash_signatures": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
+        "q_lsh_candidate_pairs": lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d)),
+        "q_ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
+            _docs(s, d), threshold=0.2
+        ),
+        "q_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        # text analysis suite
+        "q_token_counts": lambda s, d: textstats.token_counts(_docs(s, d)),
+        "q_quality_scores": lambda s, d: textstats.quality_scores(_docs(s, d)),
+        "q_language_id": lambda s, d: textstats.language_id(_docs(s, d)),
+        "q_fingerprints": lambda s, d: textstats.fingerprints(_docs(s, d)),
+        # similarity search suite
+        "q_cosine_topk": lambda s, d: similarity.cosine_topk(
+            _emb(s, d), PROBE_VEC_IDS, k=5
+        ),
+        "q_embedding_lsh_buckets": lambda s, d: similarity.lsh_buckets(_emb(s, d)),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_tf_postings": osql.tf_postings(),
+        "q_df_stats": osql.df_stats(),
+        "q_doc_stats": osql.doc_stats(),
+        "q_corpus_stats": osql.corpus_stats(),
+        "q_bm25_single": osql.bm25_topk(Q_SINGLE, k=20),
+        "q_bm25_and2": osql.bm25_topk(Q_AND2, k=20),
+        "q_bm25_and3": osql.bm25_topk(Q_AND3, k=20),
+        "q_bm25_and_gate_empty": osql.bm25_topk(Q_ABSENT, k=20),
+        "q_search_pagination": osql.search_paginated(Q_PAGE, offset=5, limit=10),
+        "q_compat_relevance_strict": osql.compat_relevance(Q_AND2, max_df_ratio=0.8),
+        "q_compat_relevance_loose": osql.compat_relevance(Q_AND2, max_df_ratio=1e9),
+        "q_dedup_exact": osql.exact_duplicates(),
+        "q_minhash_signatures": osql.minhash_signatures(),
+        "q_lsh_candidate_pairs": osql.lsh_candidate_pairs(),
+        "q_ngram_jaccard_pairs": osql.ngram_jaccard_pairs(threshold=0.2),
+        "q_simhash": osql.simhash(),
+        "q_token_counts": osql.token_counts(),
+        "q_quality_scores": osql.quality_scores(),
+        "q_language_id": osql.language_id(),
+        "q_fingerprints": osql.fingerprints(),
+        "q_cosine_topk": osql.cosine_topk(PROBE_VEC_IDS, k=5),
+        "q_embedding_lsh_buckets": osql.embedding_lsh_buckets(),
+    }

@@ -1,0 +1,196 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Core training-data-pipeline components over a generic (doc_id, text) table.
+Everything is JVM-side built-ins over the cross-engine md5 hashing scheme
+(pipeline/hashing.py) so the DuckDB oracle reproduces each value exactly.
+
+Scale design:
+- exact dedup: one hash-agg over sha256(text) — shuffle keyed by digest,
+  uniform by construction;
+- minhash: shingle explode -> per-doc min-agg (16 mins in ONE wide hash agg,
+  partial-aggregated map-side; no row blow-up per permutation);
+- LSH: band-hash explode (4 rows/doc) -> self-join on (band, bucket) — the
+  classic candidate generation that avoids the O(n²) pair space;
+- n-gram Jaccard: exact verification on the candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from searchengine_spark.pipeline.fulltext import tokens_col
+from searchengine_spark.pipeline.hashing import (
+    MINHASH_BANDS,
+    MINHASH_P,
+    MINHASH_ROWS,
+    NUM_MINHASH,
+    md5_long,
+    minhash_perm,
+)
+
+
+def exact_duplicates(documents: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, text_sha, keep_doc_id, is_duplicate) — J8's keep-MIN(id) rule
+    (cleanup_duplicates.sql:4-22) as a window, no self-join."""
+    d = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("text_sha"),
+    )
+    w = Window.partitionBy("text_sha")
+    return d.select(
+        "doc_id",
+        "text_sha",
+        F.min("doc_id").over(w).alias("keep_doc_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+    )
+
+
+def shingles(documents: DataFrame, n: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct n-token shingles (docs with >= n tokens)."""
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    d = documents.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    d = d.filter(F.size("toks") >= n)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]),
+    )
+    return (
+        d.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3, **kw) -> DataFrame:
+    """(doc_id, sig_0 .. sig_15) — 16 permutations, one wide min-aggregation."""
+    sh = shingles(documents, n, **kw)
+    base = md5_long(F.col("shingle")) % F.lit(MINHASH_P)
+    with_perms = sh.select(
+        "doc_id", *[minhash_perm(i, base).alias(f"p{i}") for i in range(NUM_MINHASH)]
+    )
+    return with_perms.groupBy("doc_id").agg(
+        *[F.min(f"p{i}").alias(f"sig_{i}") for i in range(NUM_MINHASH)]
+    )
+
+
+def lsh_band_buckets(documents: DataFrame, n: int = 3, **kw) -> DataFrame:
+    """(doc_id, band, bucket) — bucket = md5 hash of the band's row signature."""
+    sigs = minhash_signatures(documents, n, **kw)
+    bands = []
+    for b in range(MINHASH_BANDS):
+        cols = [F.col(f"sig_{b * MINHASH_ROWS + r}").cast("string")
+                for r in range(MINHASH_ROWS)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), md5_long(F.concat_ws("_", *cols)).alias("bucket"))
+        )
+    return (
+        sigs.select("doc_id", F.explode(F.array(*bands)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+
+
+def lsh_candidate_pairs(documents: DataFrame, n: int = 3, **kw) -> DataFrame:
+    """(doc_a, doc_b) distinct, doc_a < doc_b — near-dup candidates sharing
+    any LSH band bucket."""
+    bb = lsh_band_buckets(documents, n, **kw)
+    left = bb.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a"))
+    right = bb.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.2,
+                        **kw) -> DataFrame:
+    """(doc_a, doc_b, inter, union_size, jaccard) — exact n-gram Jaccard for
+    pairs sharing >= 1 shingle, thresholded.
+
+    At scale this runs AFTER lsh_candidate_pairs as the verify stage; the
+    shingle self-join here is the exact (small-corpus / verification) path.
+    """
+    sh = shingles(documents, n, **kw)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_a"))
+    b = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_b"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn("union_size", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("union_size"), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "union_size", "jaccard")
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 60, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — tf-weighted 60-bit SimHash over md5 term hashes.
+
+    One wide aggregation: 60 signed per-bit sums per doc, assembled into a
+    single long.  Wide-agg beats a (doc, bit) explode by 60x in shuffle rows.
+    """
+    toks = (
+        documents.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks"))
+        .select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", md5_long(F.col("term")))
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("tf") * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        acc = acc + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
+    """(doc_a, doc_b, hamming) — SimHash pairs within a Hamming radius.
+
+    Blocked by 4 x 15-bit bands (a pair within Hamming<=3 shares >= 1 exact
+    band; wider radii still prune massively) to avoid the O(n^2) cross join.
+    """
+    sh = simhash(documents, **kw)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("key"),
+            )
+            for b in range(4)
+        ]
+    )
+    bb = sh.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
+    )
+    a = bb.select("band", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = bb.select("band", "key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    return pairs

@@ -1,0 +1,179 @@
+"""Full-text plan builders over a generic ``(doc_id, text)`` table.
+
+These are the engine's operators expressed as composable DataFrame plan
+fragments — the driver correctness gate runs them against DuckDB oracle SQL,
+so every transform here sticks to JVM-side built-ins whose semantics are
+reproducible in ANSI SQL (lower/regexp_replace/split/explode/hash-agg math).
+The lemma-dictionary corpus path (fixtures) uses the pandas-UDF analyzer in
+``textproc.udfs``; this module is the plain-tokenizer path.
+
+Reference parity: TF = A1 (LemmatizationService.java:42-44), DF = A2
+(SiteMapBuilder.java:150-168), BM25 replaces the reference's Σtf relevance
+(SearchServiceImpl.java:153-157), compat_relevance reproduces it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from searchengine_spark.textproc.core import BM25_B, BM25_K1
+
+# tokenizer shared with the DuckDB oracle SQL: lower -> strip non-[a-z0-9] ->
+# split on single spaces -> drop empties.  (SQL twin in oracle_sql_snippets.)
+TOKENIZE_SQL_SPARK = "split(trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ')), ' ')"
+
+
+def tokens_col(col: str = "text") -> Column:
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]+", " ")), " "
+    )
+
+
+def tokenized(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term) — one row per token occurrence, document order lost
+    (order-dependent ops use ``positional_tokens``)."""
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks"))
+        .select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+def positional_tokens(documents: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, term) with 1-based positions (for fingerprints/shingles)."""
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks"))
+        .select("doc_id", F.posexplode("toks").alias("pos0", "term"))
+        .filter(F.col("term") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    )
+
+
+def tf_postings(documents: DataFrame, **kw) -> DataFrame:
+    """(term, doc_id, tf) — the reference's `index` table as one hash agg."""
+    return (
+        tokenized(documents, **kw)
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def df_stats(postings: DataFrame) -> DataFrame:
+    """(term, df, cf) — the reference's `lemma` table as one hash agg."""
+    return postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+
+
+def doc_stats(postings: DataFrame) -> DataFrame:
+    """(doc_id, dl, n_terms) — doc length + distinct-term count."""
+    return postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+
+
+def corpus_stats(documents: DataFrame, **kw) -> DataFrame:
+    """One-row roll-up mirroring the statistics API (StatisticsServiceImpl.java:31-73)."""
+    p = tf_postings(documents, **kw)
+    return p.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.countDistinct("term").cast("long").alias("n_terms"),
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.sum("tf").cast("long").alias("sum_tf"),
+    )
+
+
+def bm25_scored(documents: DataFrame, query_terms: list[str],
+                k1: float = BM25_K1, b: float = BM25_B, **kw) -> DataFrame:
+    """(doc_id, nhit, score) for docs containing ALL query terms (AND).
+
+    Self-contained plan (derives df/dl/avgdl from the corpus in-plan) so the
+    driver can diff it against a single DuckDB SQL statement.  The broadcast
+    scalar subplans (n_docs/avgdl) are 1-row crossjoins — Catalyst folds them
+    into BroadcastNestedLoopJoin with a single-row build side.
+    """
+    p = tf_postings(documents, **kw)
+    ds = doc_stats(p)
+    # sum/count instead of avg(): the long sum is exact, so avgdl is the
+    # same double in Spark and the DuckDB oracle regardless of merge order
+    n_and_avg = ds.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfs = df_stats(p).filter(F.col("term").isin(query_terms))
+    cand = p.filter(F.col("term").isin(query_terms))
+    scored = (
+        cand.join(F.broadcast(dfs.select("term", "df")), "term")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .withColumn("idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .withColumn(
+            "pscore",
+            F.col("idf") * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nhit"), F.sum("pscore").alias("score"))
+        .filter(F.col("nhit") == len(query_terms))
+    )
+    return scored.select("doc_id", F.round(F.col("score"), 4).alias("score"))
+
+
+def bm25_topk(documents: DataFrame, query_terms: list[str], k: int = 20, **kw) -> DataFrame:
+    """Top-k by (rounded score desc, doc_id asc) — rounding first so the
+    boundary is decided on values both engines agree on bit-for-bit."""
+    return (
+        bm25_scored(documents, query_terms, **kw)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def search_paginated(documents: DataFrame, query_terms: list[str],
+                     offset: int = 0, limit: int = 20, **kw) -> DataFrame:
+    """Offset/limit pagination via row_number (reference O3:
+    SearchServiceImpl.java:64-73 subList semantics)."""
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        bm25_scored(documents, query_terms, **kw)
+        .withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") > offset) & (F.col("rank") <= offset + limit))
+        .select("rank", "doc_id", "score")
+    )
+
+
+def compat_relevance(documents: DataFrame, query_terms: list[str],
+                     max_df_ratio: float = 0.8, **kw) -> DataFrame:
+    """The reference's exact scoring: drop terms with df/n_distinct_terms >=
+    0.8 (quirk denominator, SearchServiceImpl.java:119-127), require ALL
+    remaining terms (J4), relevance = Σtf normalized by the global max
+    (SearchServiceImpl.java:153-182)."""
+    p = tf_postings(documents, **kw)
+    total_terms = df_stats(p).agg(F.count(F.lit(1)).cast("double").alias("total"))
+    kept = (
+        df_stats(p)
+        .filter(F.col("term").isin(query_terms))
+        .crossJoin(F.broadcast(total_terms))
+        .filter(F.col("df") / F.col("total") < max_df_ratio)
+        .select("term")
+    )
+    cand = p.join(F.broadcast(kept), "term")
+    n_kept = F.broadcast(kept.agg(F.count(F.lit(1)).alias("n_kept")))
+    abs_rel = (
+        cand.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nhit"), F.sum("tf").alias("abs_rel"))
+        .crossJoin(n_kept)
+        .filter((F.col("nhit") == F.col("n_kept")) & (F.col("n_kept") > 0))
+    )
+    w_max = Window.partitionBy()
+    return (
+        abs_rel.withColumn("max_rel", F.max("abs_rel").over(w_max))
+        .select(
+            "doc_id",
+            F.col("abs_rel").cast("double").alias("abs_rel"),
+            F.round(F.col("abs_rel") / F.col("max_rel"), 6).alias("relevance"),
+        )
+    )

@@ -1,0 +1,62 @@
+"""Cross-engine deterministic hashing: identical values in Spark, DuckDB, Python.
+
+Everything is built on md5 (available in all three systems over identical
+UTF-8 bytes) reduced to integers of controlled width, so the driver's
+DuckDB-oracle comparison can replicate minhash/simhash/fingerprint math
+bit-for-bit.  Spark's own hash()/xxhash64() are NOT reproducible outside the
+JVM (collation-aware in 4.x) and are never used for persisted or compared
+values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import Column, functions as F
+
+# 60-bit md5 prefix -------------------------------------------------------
+
+def md5_long(col: Column, hexdigits: int = 15) -> Column:
+    """Spark: first `hexdigits` hex chars of md5 as a non-negative long."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, hexdigits), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str, hexdigits: int = 15) -> str:
+    """DuckDB twin of md5_long."""
+    return f"('0x' || substr(md5({expr}), 1, {hexdigits}))::BIGINT"
+
+
+def md5_long_py(s: str, hexdigits: int = 15) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:hexdigits], 16)
+
+
+# minhash permutation constants ------------------------------------------
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime); base hashes reduced mod P
+NUM_MINHASH = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = NUM_MINHASH // MINHASH_BANDS
+
+_rng = random.Random(0x5EED)
+MINHASH_A = [_rng.randrange(1, MINHASH_P) for _ in range(NUM_MINHASH)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(NUM_MINHASH)]
+
+
+def minhash_perm(i: int, base_col: Column) -> Column:
+    """Spark: (a_i * h + b_i) mod P over a base hash already reduced mod P."""
+    return (F.lit(MINHASH_A[i]) * base_col + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)
+
+
+def minhash_perm_sql(i: int, base_expr: str) -> str:
+    return f"(({MINHASH_A[i]}::BIGINT * {base_expr} + {MINHASH_B[i]}) % {MINHASH_P})"
+
+
+# simhash ----------------------------------------------------------------
+
+SIMHASH_BITS = 60  # md5_long width
+
+
+# fingerprint ------------------------------------------------------------
+
+FINGERPRINT_HEX = 10  # 40-bit per-position hashes; sums stay far below 2^63

@@ -1,0 +1,323 @@
+"""DuckDB oracle SQL twins for every driver-gate query.
+
+Each function returns ANSI-ish SQL (DuckDB dialect) computing exactly what
+the corresponding Spark plan in pipeline/{fulltext,textstats,dedup,
+similarity}.py computes — same tokenizer, same md5-based hashing constants
+(imported from pipeline/hashing.py so they can never drift), same float
+expression shapes, same rounding.
+"""
+
+from __future__ import annotations
+
+from searchengine_spark.pipeline.hashing import (
+    FINGERPRINT_HEX,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_BANDS,
+    MINHASH_P,
+    MINHASH_ROWS,
+    NUM_MINHASH,
+)
+from searchengine_spark.pipeline.textstats import EN_MARKERS
+
+# tokenizer twin of pipeline.fulltext.tokens_col
+_TOKS_CTE = """
+tok0 AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+toks AS (SELECT doc_id, term FROM tok0 WHERE term <> ''),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)
+"""
+
+_TOKARR = (
+    "list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')"
+)
+
+
+def tf_postings() -> str:
+    return f"WITH {_TOKS_CTE} SELECT term, doc_id, tf FROM postings"
+
+
+def df_stats() -> str:
+    return (
+        f"WITH {_TOKS_CTE} "
+        "SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "
+        "FROM postings GROUP BY term"
+    )
+
+
+def doc_stats() -> str:
+    return (
+        f"WITH {_TOKS_CTE} "
+        "SELECT doc_id, sum(tf)::BIGINT AS dl, count(*)::BIGINT AS n_terms "
+        "FROM postings GROUP BY doc_id"
+    )
+
+
+def corpus_stats() -> str:
+    return (
+        f"WITH {_TOKS_CTE} "
+        "SELECT count(DISTINCT doc_id)::BIGINT AS n_docs, "
+        "count(DISTINCT term)::BIGINT AS n_terms, "
+        "count(*)::BIGINT AS n_postings, sum(tf)::BIGINT AS sum_tf FROM postings"
+    )
+
+
+def _terms_in(terms: list[str]) -> str:
+    return ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+
+
+def bm25_scored(terms: list[str]) -> str:
+    tl = _terms_in(terms)
+    return f"""
+WITH {_TOKS_CTE},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY term),
+scored AS (
+  SELECT p.doc_id, count(*) AS nhit,
+         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (p.tf * 2.2)
+              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ) AS score
+  FROM postings p
+  JOIN dfs USING (term)
+  JOIN ds ON p.doc_id = ds.doc_id
+  CROSS JOIN g
+  GROUP BY p.doc_id
+  HAVING count(*) = {len(terms)}
+)
+SELECT doc_id, round(score, 4) AS score FROM scored
+"""
+
+
+def bm25_topk(terms: list[str], k: int = 20) -> str:
+    return (
+        f"SELECT doc_id, score FROM ({bm25_scored(terms)}) "
+        f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    )
+
+
+def search_paginated(terms: list[str], offset: int, limit: int) -> str:
+    return f"""
+SELECT rank, doc_id, score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ({bm25_scored(terms)})
+) WHERE rank > {offset} AND rank <= {offset + limit}
+"""
+
+
+def compat_relevance(terms: list[str], max_df_ratio: float = 0.8) -> str:
+    tl = _terms_in(terms)
+    return f"""
+WITH {_TOKS_CTE},
+total AS (SELECT count(DISTINCT term)::DOUBLE AS total FROM postings),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY term),
+kept AS (SELECT term FROM dfs CROSS JOIN total WHERE df / total < {max_df_ratio}),
+n_kept AS (SELECT count(*) AS n_kept FROM kept),
+cand AS (
+  SELECT p.doc_id, count(*) AS nhit, sum(p.tf) AS abs_rel
+  FROM postings p JOIN kept USING (term)
+  GROUP BY p.doc_id
+),
+hits AS (
+  SELECT doc_id, abs_rel FROM cand CROSS JOIN n_kept
+  WHERE nhit = n_kept AND n_kept > 0
+)
+SELECT doc_id, abs_rel::DOUBLE AS abs_rel,
+       round(abs_rel::DOUBLE / (SELECT max(abs_rel) FROM hits), 6) AS relevance
+FROM hits
+"""
+
+
+def exact_duplicates() -> str:
+    return """
+SELECT doc_id, text_sha, keep_doc_id, (doc_id <> keep_doc_id) AS is_duplicate
+FROM (
+  SELECT doc_id, sha256(text) AS text_sha,
+         min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_doc_id
+  FROM documents
+)
+"""
+
+
+def token_counts() -> str:
+    return f"""
+SELECT doc_id,
+       len(arr)::BIGINT AS n_tokens,
+       len(list_distinct(arr))::BIGINT AS n_distinct,
+       length(text)::BIGINT AS n_chars
+FROM (SELECT doc_id, text, {_TOKARR} AS arr FROM documents)
+"""
+
+
+def quality_scores() -> str:
+    markers = ", ".join(f"'{m}'" for m in EN_MARKERS)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS n_chars,
+         {_TOKARR} AS arr,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE AS n_alnum
+  FROM documents
+),
+e AS (
+  SELECT doc_id, n_chars,
+         len(arr)::DOUBLE AS n_tokens,
+         n_alnum / greatest(n_chars, 1.0) AS alnum_ratio,
+         len(list_filter(arr, t -> t IN ({markers}))) / greatest(len(arr), 1)::DOUBLE AS marker_ratio
+  FROM d
+)
+SELECT doc_id,
+       n_chars::BIGINT AS n_chars,
+       n_tokens::BIGINT AS n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END, 4) AS avg_token_len,
+       round(alnum_ratio, 4) AS alnum_ratio,
+       round(marker_ratio, 4) AS marker_ratio,
+       round( least(n_tokens / 20.0, 1.0) * alnum_ratio
+              * (0.5 + 0.5 * least(marker_ratio * 10.0, 1.0)), 4) AS quality
+FROM e
+"""
+
+
+def language_id(threshold: float = 0.05) -> str:
+    return f"""
+SELECT doc_id, marker_ratio,
+       CASE WHEN marker_ratio >= {threshold} THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM ({quality_scores()})
+"""
+
+
+def fingerprints() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKARR} AS arr FROM documents)
+SELECT doc_id, fingerprint FROM (
+  SELECT doc_id,
+         list_sum([('0x' || substr(md5(arr[i] || ':' || i::VARCHAR), 1, {FINGERPRINT_HEX}))::BIGINT
+                   for i in generate_series(1, len(arr))])::BIGINT AS fingerprint
+  FROM d
+) WHERE fingerprint IS NOT NULL
+"""
+
+
+_SHINGLE_CTE = f"""
+d AS (SELECT doc_id, {_TOKARR} AS arr FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest([arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                 for i in generate_series(1, len(arr) - 2)]) AS shingle
+  FROM d WHERE len(arr) >= 3
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+mh_base AS (
+  SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P}) AS h
+  FROM sh
+)
+"""
+
+
+def _sig_exprs() -> list[str]:
+    return [
+        f"min(({MINHASH_A[i]}::BIGINT * h + {MINHASH_B[i]}) % {MINHASH_P}) AS sig_{i}"
+        for i in range(NUM_MINHASH)
+    ]
+
+
+def minhash_signatures() -> str:
+    sigs = ", ".join(_sig_exprs())
+    return f"WITH {_SHINGLE_CTE} SELECT doc_id, {sigs} FROM mh_base GROUP BY doc_id"
+
+
+def lsh_candidate_pairs() -> str:
+    band_rows = []
+    for b in range(MINHASH_BANDS):
+        cols = " || '_' || ".join(
+            f"sig_{b * MINHASH_ROWS + r}::VARCHAR" for r in range(MINHASH_ROWS)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, ('0x' || substr(md5({cols}), 1, 15))::BIGINT AS bucket FROM sigs"
+        )
+    bands_union = " UNION ALL ".join(band_rows)
+    return f"""
+WITH sigs AS ({minhash_signatures()}),
+bb AS ({bands_union})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def ngram_jaccard_pairs(threshold: float = 0.2) -> str:
+    return f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       (sa.sz + sb.sz - inter) AS union_size,
+       round(inter / (sa.sz + sb.sz - inter)::DOUBLE, 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.sz + sb.sz - inter)::DOUBLE, 4) >= {threshold}
+"""
+
+
+def simhash(bits: int = 60) -> str:
+    sums = ", ".join(
+        f"sum(tf * (((h >> {j}) & 1) * 2 - 1)) AS s{j}" for j in range(bits)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+th AS (SELECT doc_id, term, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM postings),
+sums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
+SELECT doc_id, ({assemble})::BIGINT AS simhash FROM sums
+"""
+
+
+_COS = """
+round(
+  list_sum([pvec[i]::DOUBLE * cvec[i]::DOUBLE for i in generate_series(1, len(pvec))])
+  / ( sqrt(list_sum([pvec[i]::DOUBLE * pvec[i]::DOUBLE for i in generate_series(1, len(pvec))]))
+    * sqrt(list_sum([cvec[i]::DOUBLE * cvec[i]::DOUBLE for i in generate_series(1, len(cvec))])) ),
+  3) AS cosine
+"""
+
+
+def cosine_topk(probe_ids: list[int], k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id IN ({ids})),
+cand AS (SELECT vec_id, embedding AS cvec FROM embeddings),
+scored AS (
+  SELECT probe_id, vec_id, {_COS}
+  FROM cand CROSS JOIN probes WHERE vec_id <> probe_id
+)
+SELECT probe_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def embedding_lsh_buckets(n_planes: int = 8) -> str:
+    dots = ", ".join(
+        f"list_sum([embedding[i]::DOUBLE * (CASE WHEN ((i-1)*31 + {p}*17) % 7 < 3 "
+        f"THEN 1.0 ELSE -1.0 END) for i in generate_series(1, len(embedding))]) AS d{p}"
+        for p in range(n_planes)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN d{p} > 0 THEN {1 << p}::BIGINT ELSE 0 END" for p in range(n_planes)
+    )
+    return f"""
+WITH sums AS (SELECT vec_id, {dots} FROM embeddings)
+SELECT vec_id, ({assemble})::BIGINT AS bucket FROM sums
+"""

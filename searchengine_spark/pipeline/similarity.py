@@ -1,0 +1,136 @@
+"""Embedding similarity search over (vec_id, embedding array<float>).
+
+- brute-force cosine top-k: the exact baseline (cross join + per-probe heap
+  via TakeOrdered window);
+- random-hyperplane LSH buckets: the scale path — deterministic ±1
+  hyperplanes derived from integer arithmetic so the DuckDB oracle can
+  reproduce every bucket id.
+
+All vector math is F.zip_with / F.aggregate over JVM arrays (no Python);
+elements are cast float->double (exact) before arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+N_HYPERPLANES = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+
+
+def cosine_topk(embeddings: DataFrame, probe_ids: list[int], k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(probe_id, vec_id, cosine, rank) — exact top-k neighbours per probe.
+
+    Probe side is tiny -> broadcast; candidate side scans once.  At cluster
+    scale the same plan shape holds: broadcast the query batch, one pass over
+    the corpus, per-partition heaps via the rank window.
+    """
+    probes = (
+        embeddings.filter(F.col(id_col).isin(probe_ids))
+        .select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
+    )
+    cand = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        cand.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("pvec"), F.col("cvec"))
+                / (_norm(F.col("pvec")) * _norm(F.col("cvec"))),
+                3,
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "cosine", "rank")
+    )
+
+
+def hyperplane_sign(dim_idx: Column, plane: int) -> Column:
+    """Deterministic ±1 hyperplane component: +1 iff (i*31 + plane*17) % 7 < 3.
+
+    Integer arithmetic only -> bit-identical in Spark, DuckDB and Python.
+    """
+    return F.when((dim_idx * 31 + plane * 17) % 7 < 3, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_buckets(embeddings: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, bucket) — sign-random-projection bucket (8-bit).
+
+    Per-row array folds (zip_with + aggregate): zero shuffle, and the
+    summation order is the array order — bit-identical to the DuckDB
+    oracle's list_sum, unlike a groupBy(sum) whose merge order floats.
+    """
+    v = F.col(vec_col)
+    idxs = F.sequence(F.lit(0), F.size(v) - 1)
+    dots = [
+        F.aggregate(
+            F.zip_with(v, idxs, lambda x, i: x.cast("double") * hyperplane_sign(i, p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for p in range(N_HYPERPLANES)
+    ]
+    acc = F.lit(0).cast("long")
+    for p in range(N_HYPERPLANES):
+        acc = acc + F.when(dots[p] > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return embeddings.select(F.col(id_col).alias("vec_id"), acc.alias("bucket"))
+
+
+def lsh_cosine_topk(embeddings: DataFrame, probe_ids: list[int], k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN variant: exact cosine restricted to the probe's LSH bucket.
+
+    Recall < 1 by design; at 10^12 scale the bucket join replaces the full
+    scan — candidate count drops by ~2^8 per probe for uniform data.
+    """
+    buckets = lsh_buckets(embeddings, id_col, vec_col)
+    emb_b = embeddings.join(buckets, on=F.col(id_col) == buckets.vec_id).drop(buckets.vec_id)
+    probes = (
+        emb_b.filter(F.col(id_col).isin(probe_ids))
+        .select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"),
+                F.col("bucket").alias("pbucket"))
+    )
+    cand = emb_b.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
+                        F.col("bucket"))
+    scored = (
+        cand.join(F.broadcast(probes), cand.bucket == probes.pbucket)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("pvec"), F.col("cvec"))
+                / (_norm(F.col("pvec")) * _norm(F.col("cvec"))),
+                3,
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "cosine", "rank")
+    )

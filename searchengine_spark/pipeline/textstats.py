@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines over (doc_id, text).
+
+All JVM-side built-ins (codegen'd, SQL-reproducible): token counting,
+quality scoring, n-gram-free language ID heuristic, positional rolling-hash
+document fingerprinting.  These extend the reference's analysis surface
+(SURVEY.md §2.2) with the ops a 100 TB training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from searchengine_spark.pipeline.fulltext import positional_tokens, tokens_col
+from searchengine_spark.pipeline.hashing import FINGERPRINT_HEX, md5_long
+
+# words whose presence marks English-ish text (shared with oracle SQL)
+EN_MARKERS = ["the", "a", "and", "of", "to", "in", "is", "for", "with", "on"]
+
+
+def token_counts(documents: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, n_chars)."""
+    toks = tokens_col(text_col)
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(toks, lambda t: t != "").alias("toks"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        "n_chars",
+    )
+
+
+def quality_scores(documents: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_token_len, alnum_ratio, marker_ratio, quality).
+
+    quality = heuristic in [0,1]: penalizes tiny docs, non-alphanumeric junk
+    and marker-free (unnatural) text — deterministic arithmetic only.
+    """
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    d = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("double").alias("n_chars"),
+        toks.alias("toks"),
+        F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")).cast(
+            "double"
+        ).alias("n_alnum"),
+    )
+    marker_arr = F.array(*[F.lit(m) for m in EN_MARKERS])
+    d = d.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").cast("double").alias("n_tokens"),
+        (F.col("n_alnum") / F.greatest(F.col("n_chars"), F.lit(1.0))).alias("alnum_ratio"),
+        (
+            F.size(F.filter(F.col("toks"), lambda t: F.array_contains(marker_arr, t)))
+            / F.greatest(F.size("toks"), F.lit(1)).cast("double")
+        ).alias("marker_ratio"),
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.when(F.col("n_tokens") > 0, F.col("n_chars") / F.col("n_tokens")).otherwise(0.0), 4
+        ).alias("avg_token_len"),
+        F.round("alnum_ratio", 4).alias("alnum_ratio"),
+        F.round("marker_ratio", 4).alias("marker_ratio"),
+        F.round(
+            F.least(F.col("n_tokens") / 20.0, F.lit(1.0))
+            * F.col("alnum_ratio")
+            * (0.5 + 0.5 * F.least(F.col("marker_ratio") * 10.0, F.lit(1.0))),
+            4,
+        ).alias("quality"),
+    )
+
+
+def language_id(documents: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", threshold: float = 0.05) -> DataFrame:
+    """(doc_id, marker_ratio, lang_pred) — stopword-marker heuristic."""
+    q = quality_scores(documents, id_col, text_col)
+    return q.select(
+        "doc_id",
+        "marker_ratio",
+        F.when(F.col("marker_ratio") >= threshold, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("lang_pred"),
+    )
+
+
+def fingerprints(documents: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint) — order-sensitive positional hash sum.
+
+    fingerprint = Σ_pos md5_40bit(term || ':' || pos); two docs differing only
+    in token order get different fingerprints (unlike bag-of-words hashes).
+    """
+    pt = positional_tokens(documents, id_col, text_col)
+    h = md5_long(F.concat_ws(":", F.col("term"), F.col("pos").cast("string")),
+                 FINGERPRINT_HEX)
+    return (
+        pt.select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(F.sum("h").cast("long").alias("fingerprint"))
+    )

@@ -1,0 +1,50 @@
+"""Driver-contract conformance: every queries() entry runs and matches its
+DuckDB oracle at sf0.001 (fast); the full sf0.01 sweep runs via
+tools/check_entry.py."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from tools.check_entry import compare  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        p = Path(SF_DIR) / f"{t}.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert [f.name for f in df.schema.fields] == ["doc_id", "score"]
+
+
+def test_every_query_has_oracle():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # all current ops are SQL-expressible; WAND/streaming additions may omit
+    assert len(qs) >= 20
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_matches_oracle(spark, duck, name):
+    fn = entry_mod.queries()[name]
+    sdf = fn(spark, SF_DIR).toPandas()
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        pytest.skip("no oracle (rows-only check)")
+    odf = duck.execute(oracle).df()
+    problems = compare(name, sdf, odf)
+    assert not problems, problems

@@ -1,0 +1,104 @@
+"""Local stand-in for the driver's correctness gate: run every
+__spark_entry__ query against its DuckDB oracle at a given sf and compare
+row count, column names/order-insensitive values.
+
+Usage: python tools/check_entry.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        problems.append(f"columns differ: {sorted(spark_df.columns)} vs {sorted(oracle_df.columns)}")
+        return problems
+    if len(spark_df) != len(oracle_df):
+        problems.append(f"row count {len(spark_df)} vs {len(oracle_df)}")
+    a, b = normalize(spark_df), normalize(oracle_df)
+    if len(a) == len(b):
+        for c in a.columns:
+            if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
+                import numpy as np
+
+                av = a[c].astype(float).to_numpy()
+                bv = b[c].astype(float).to_numpy()
+                bad = ~(np.isclose(av, bv, rtol=0, atol=1e-9) | (pd.isna(av) & pd.isna(bv)))
+                if bad.any():
+                    i = int(bad.argmax())
+                    problems.append(f"col {c}: {bad.sum()} value diffs, e.g. {av[i]} vs {bv[i]} at {i}")
+            else:
+                if not a[c].equals(b[c].astype(a[c].dtype, errors="ignore") if a[c].dtype != b[c].dtype else b[c]):
+                    neq = (a[c].astype(str) != b[c].astype(str))
+                    if neq.any():
+                        i = int(neq.to_numpy().argmax())
+                        problems.append(f"col {c}: {int(neq.sum())} diffs, e.g. {a[c].iloc[i]!r} vs {b[c].iloc[i]!r}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("check-entry", master="local[8]", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP-ORACLE {name}: rows={len(sdf)}")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0]}")
+            failures += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"OK   {name}: rows={len(sdf)}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
