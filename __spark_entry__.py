@@ -46,6 +46,36 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# plain segment index per sf_dir, built once per process (the WAND and
+# segment-decode queries share it)
+_PLAIN_IDX: dict[str, str] = {}
+
+
+def _plain_index(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _PLAIN_IDX:
+        import tempfile
+
+        from searchengine_spark.index.plain import build_plain_index
+
+        out = tempfile.mkdtemp(prefix="segidx_")
+        build_plain_index(spark, _docs(spark, sf_dir), out)
+        _PLAIN_IDX[sf_dir] = out
+    return _PLAIN_IDX[sf_dir]
+
+
+def _wand(spark: SparkSession, sf_dir: str, terms: list[str], k: int = 20) -> DataFrame:
+    from searchengine_spark.query.wand import wand_topk
+
+    return wand_topk(spark, _plain_index(spark, sf_dir), terms, k=k)
+
+
+def _decode_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.index.segments import decode_segments
+
+    segs = spark.read.parquet(f"{_plain_index(spark, sf_dir)}/segments")
+    return decode_segments(segs)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -76,6 +106,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_compat_relevance_loose": lambda s, d: fulltext.compat_relevance(
             _docs(s, d), Q_AND2, max_df_ratio=1e9
         ),
+        # packed-segment index + block-max WAND (index/codec.py,
+        # index/segments.py, query/wand.py) — same result contract as the
+        # DataFrame BM25 path, so the oracle twins are shared
+        "q_wand_single": lambda s, d: _wand(s, d, Q_SINGLE),
+        "q_wand_and2": lambda s, d: _wand(s, d, Q_AND2),
+        "q_wand_and3": lambda s, d: _wand(s, d, Q_AND3),
+        "q_wand_and_gate_empty": lambda s, d: _wand(s, d, Q_ABSENT),
+        "q_segments_decode": _decode_segments,
         # dedup suite
         "q_dedup_exact": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
         "q_minhash_signatures": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
@@ -110,6 +148,11 @@ def oracle_sql() -> dict[str, str]:
         "q_search_pagination": osql.search_paginated(Q_PAGE, offset=5, limit=10),
         "q_compat_relevance_strict": osql.compat_relevance(Q_AND2, max_df_ratio=0.8),
         "q_compat_relevance_loose": osql.compat_relevance(Q_AND2, max_df_ratio=1e9),
+        "q_wand_single": osql.bm25_topk(Q_SINGLE, k=20),
+        "q_wand_and2": osql.bm25_topk(Q_AND2, k=20),
+        "q_wand_and3": osql.bm25_topk(Q_AND3, k=20),
+        "q_wand_and_gate_empty": osql.bm25_topk(Q_ABSENT, k=20),
+        "q_segments_decode": osql.postings_with_dl(),
         "q_dedup_exact": osql.exact_duplicates(),
         "q_minhash_signatures": osql.minhash_signatures(),
         "q_lsh_candidate_pairs": osql.lsh_candidate_pairs(),

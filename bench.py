@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop-format write so the full plan
+(scan -> UDF -> shuffle -> agg) executes without collecting results to the
+driver.  Also reports index-build docs/sec at the current parallelism; the
+two-parallelism scaling-efficiency evidence lives in tools/scaling_bench.py
+and BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q_tf_postings",
+    "q_df_stats",
+    "q_bm25_and2",
+    "q_bm25_and3",
+    "q_search_pagination",
+    "q_compat_relevance_strict",
+    "q_dedup_exact",
+    "q_lsh_candidate_pairs",
+    "q_simhash",
+    "q_token_counts",
+    "q_quality_scores",
+    "q_fingerprints",
+    "q_cosine_topk",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from searchengine_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_spark("bench")
+    qmap = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM + Python workers on the smallest table once
+    _force(qmap["q_corpus_stats"](spark, sf_dir))
+
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(qmap[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # index-build throughput at the current parallelism (segment build path)
+    import shutil
+    import tempfile
+
+    from searchengine_spark.index.build import build_index
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr(
+            "cast(doc_id as string) as repo",
+            "concat('doc/', cast(doc_id as string), '.txt') as path",
+            "'HEAD' as commit",
+            "lang",
+            "text as content",
+        )
+    )
+    n_docs = docs.count()
+    tmp = tempfile.mkdtemp(prefix="benchidx_")
+    try:
+        t0 = time.time()
+        build_index(spark, docs, tmp, mode="code")
+        build_s = time.time() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    timings["index_build"] = round(build_s, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline-suite seconds (sum) @ sf; index_build docs/sec in extras",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extras": {
+            "index_build_docs_per_sec": round(n_docs / build_s, 1),
+            "n_docs": n_docs,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,12 +1,23 @@
-"""Index build: docs -> docs_meta + postings + df_stats (+ stats.json).
+"""Index build: docs -> docs_meta + postings + df_stats + segments (+ manifest).
 
 The Spark re-expression of the reference's crawl-and-upsert pipeline
 (services/indexing/SiteMapBuilder.java:139-186): instead of per-page
 find-or-insert upserts against MySQL (SiteMapBuilder.java:150-181), term
-frequencies and document frequencies fall out of two hash aggregations —
-``groupBy(term, doc_id).count()`` and ``groupBy(term).agg(count, sum)`` —
-both of which do map-side partial aggregation, so the hot-term skew that
-makes the reference's ``lemma`` row a contention point costs nothing here.
+frequencies and document frequencies fall out of hash aggregations with
+map-side partial combine, and the posting store is the packed segment table
+(index/segments.py) instead of one row per posting.
+
+Two build paths over the same layout:
+
+- ``build_index(..., resume=False)`` — bulk: one Spark job per table, with
+  ``Observation`` metrics instead of extra passes.  The fast path for full
+  rebuilds (the reference's startIndexing wipe-and-rebuild semantics,
+  IndexingServiceImpl.java:47-91).
+- ``build_index(..., resume=True)`` — checkpointed: one job per doc-shard
+  per stage, each recorded in the manifest ledger (index/manifest.py) with
+  docs/terms/postings metrics; a rerun skips DONE partitions — the
+  north_rule's resumable-from-checkpoint contract.  Kill-and-rerun yields a
+  byte-identical index (tests/test_resume.py).
 
 Scale notes (the plan at 1000 executors / 100 TB):
 - the analyze UDF is a narrow map over the corpus scan — parallelism = input
@@ -14,11 +25,12 @@ Scale notes (the plan at 1000 executors / 100 TB):
 - TF groupBy keys are (term, doc_id): effectively unique per doc, so the
   shuffle is uniform regardless of term skew;
 - DF groupBy key is term alone — skewed, but count/sum partials combine
-  map-side so each reducer receives one partial row per upstream task, not
-  one row per posting;
-- everything is written partitioned by range ``shard`` (top bits of doc_id),
-  which aligns postings, docs_meta and segments for shard-local query
-  execution and resumable shard-at-a-time builds.
+  map-side so each reducer receives one partial row per upstream task;
+- segment packing is skew-bounded by the (shard, bucket) grid (segments.py);
+- every table is written partitioned (postings/docs_meta by doc-shard,
+  df_stats/segments by term-bucket) with an explicit repartition to one
+  shuffle partition per output partition — no small-file explosion, and
+  term lookups prune to one bucket directory.
 """
 
 from __future__ import annotations
@@ -27,9 +39,11 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from searchengine_spark.fixtures.loaders import load_lemma_dict, load_stopwords
+from searchengine_spark.index.manifest import Manifest
+from searchengine_spark.index.segments import pack_segments
 from searchengine_spark.textproc.udfs import make_analyze_udf, with_doc_id
 
 DEFAULT_SHARDS = 8
@@ -74,6 +88,97 @@ def analyze_docs(docs: DataFrame, n_shards: int, mode: str = "compat") -> DataFr
     )
 
 
+def _postings_of(analyzed: DataFrame) -> DataFrame:
+    return (
+        analyzed.select("doc_id", "shard", F.explode("lemmas").alias("term"))
+        .groupBy("term", "doc_id", "shard")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
+def _write_df_stats(postings: DataFrame, paths: IndexPaths, n_buckets: int) -> None:
+    (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"),
+             F.sum("tf").cast("long").alias("cf"))
+        .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+        .repartition(n_buckets, "bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(paths.df_stats)
+    )
+
+
+def _collect_stats(spark: SparkSession, paths: IndexPaths, n_shards: int,
+                   n_buckets: int, mode: str, build_secs: float) -> dict:
+    meta = spark.read.parquet(paths.docs_meta).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    dfa = spark.read.parquet(paths.df_stats).agg(
+        F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings"),
+        F.sum("cf").alias("sum_tf"),
+    ).collect()[0]
+    stats = {
+        "n_docs": int(meta.n_docs),
+        "sum_dl": int(meta.sum_dl or 0),
+        "avgdl": (meta.sum_dl or 0) / meta.n_docs if meta.n_docs else 0.0,
+        "n_terms": int(dfa.n_terms),
+        "n_postings": int(dfa.n_postings or 0),
+        "sum_tf": int(dfa.sum_tf or 0),
+        "n_shards": n_shards,
+        "n_buckets": n_buckets,
+        "mode": mode,
+        "build_secs": build_secs,
+    }
+    with open(paths.stats, "w") as f:
+        json.dump(stats, f, indent=1)
+    return stats
+
+
+def _write_segments(spark: SparkSession, paths: IndexPaths, avgdl: float,
+                    n_buckets: int, compact_fanin: int | None,
+                    shard: int | None = None) -> None:
+    """Pack one shard's partial runs (resumable path) or the whole index
+    (bulk path, shard=None — phase 1 + compaction chained in one lineage)."""
+    post = spark.read.parquet(
+        paths.postings if shard is None else f"{paths.postings}/shard={shard}"
+    )
+    meta = spark.read.parquet(
+        paths.docs_meta if shard is None else f"{paths.docs_meta}/shard={shard}"
+    )
+    if shard is not None:
+        post = post.withColumn("shard", F.lit(shard))
+    pw = (
+        post.join(meta.select("doc_id", "dl"), "doc_id")
+        .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+    )
+    if shard is None:
+        segs = pack_segments(pw, avgdl, fanin=compact_fanin)
+        (segs.repartition(n_buckets, "bucket")
+             .write.mode("overwrite").partitionBy("bucket").parquet(paths.segments))
+    else:
+        # resumable path phase 1: per-shard partial runs under segments_runs/
+        from searchengine_spark.index.segments import SEGMENT_SCHEMA, make_pack_fn
+        runs = pw.groupBy("shard", "bucket").applyInPandas(
+            make_pack_fn(avgdl), SEGMENT_SCHEMA
+        )
+        runs.write.mode("overwrite").parquet(
+            os.path.join(paths.root, "segments_runs", f"shard={shard}")
+        )
+
+
+def _compact_runs(spark: SparkSession, paths: IndexPaths, avgdl: float,
+                  n_buckets: int, compact_fanin: int | None) -> None:
+    from searchengine_spark.index.segments import SEGMENT_SCHEMA, make_compact_fn
+    runs = spark.read.parquet(os.path.join(paths.root, "segments_runs")).select(
+        [f.name for f in SEGMENT_SCHEMA.fields]  # drop the discovered shard dir col
+    )
+    fanin = compact_fanin if compact_fanin is not None else (1 << 30)
+    segs = runs.groupBy("bucket").applyInPandas(
+        make_compact_fn(avgdl, fanin), SEGMENT_SCHEMA
+    )
+    (segs.repartition(n_buckets, "bucket")
+         .write.mode("overwrite").partitionBy("bucket").parquet(paths.segments))
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -81,12 +186,32 @@ def build_index(
     n_shards: int = DEFAULT_SHARDS,
     n_buckets: int = DEFAULT_BUCKETS,
     mode: str = "compat",
-) -> "IndexPaths":
-    """Full rebuild (the reference's startIndexing wipe-and-rebuild,
-    IndexingServiceImpl.java:47-91): overwrite-writes every index table."""
-    paths = IndexPaths(out_dir)
-    t0 = time.time()
+    resume: bool = False,
+    with_segments: bool = True,
+    compact_fanin: int | None = None,
+    fail_after_shards: int | None = None,
+) -> IndexPaths:
+    """Build the full index layout under ``out_dir``.
 
+    ``fail_after_shards`` is a test hook: raise after that many shard
+    partitions complete, to exercise kill-and-resume.
+    """
+    paths = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    if resume:
+        _build_resumable(spark, docs, paths, n_shards, n_buckets, mode,
+                         with_segments, compact_fanin, fail_after_shards)
+    else:
+        _build_bulk(spark, docs, paths, n_shards, n_buckets, mode,
+                    with_segments, compact_fanin)
+    return paths
+
+
+def _build_bulk(spark, docs, paths, n_shards, n_buckets, mode,
+                with_segments, compact_fanin):
+    t0 = time.time()
+    man = Manifest(paths.manifest)
+    man.clear()
     analyzed = analyze_docs(docs, n_shards, mode)
     analyzed.persist()  # one UDF pass feeds both docs_meta and postings
 
@@ -94,50 +219,112 @@ def build_index(
         "doc_id", "repo", "path", "commit", "lang", "content_sha",
         F.size("lemmas").cast("long").alias("dl"), "shard",
     )
-    docs_meta.write.mode("overwrite").partitionBy("shard").parquet(paths.docs_meta)
+    (docs_meta.repartition(n_shards, "shard")
+        .write.mode("overwrite").partitionBy("shard").parquet(paths.docs_meta))
 
-    postings = (
-        analyzed.select("doc_id", "shard", F.explode("lemmas").alias("term"))
-        .groupBy("term", "doc_id", "shard")
-        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
-    )
-    postings.select("term", "doc_id", "tf", "shard") \
-        .write.mode("overwrite").partitionBy("shard").parquet(paths.postings)
+    postings = _postings_of(analyzed)
+    (postings.select("term", "doc_id", "tf", "shard")
+        .repartition(n_shards, "shard")
+        .write.mode("overwrite").partitionBy("shard").parquet(paths.postings))
     analyzed.unpersist()
 
-    postings_r = spark.read.parquet(paths.postings)
-    df_stats = (
-        postings_r.groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"),
-             F.sum("tf").cast("long").alias("cf"))
-        .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
-    )
-    df_stats.write.mode("overwrite").partitionBy("bucket").parquet(paths.df_stats)
-
-    meta_r = spark.read.parquet(paths.docs_meta)
-    agg = meta_r.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).collect()[0]
-    dfagg = spark.read.parquet(paths.df_stats).agg(
-        F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings"),
-        F.sum("cf").alias("sum_tf"),
-    ).collect()[0]
-    stats = {
-        "n_docs": int(agg.n_docs),
-        "sum_dl": int(agg.sum_dl or 0),
-        "avgdl": (agg.sum_dl or 0) / agg.n_docs if agg.n_docs else 0.0,
-        "n_terms": int(dfagg.n_terms),
-        "n_postings": int(dfagg.n_postings or 0),
-        "sum_tf": int(dfagg.sum_tf or 0),
-        "n_shards": n_shards,
-        "n_buckets": n_buckets,
-        "mode": mode,
-        "build_secs": time.time() - t0,
+    # per-shard manifest metrics in one small agg over the written postings
+    per_shard = {
+        int(r.shard): r
+        for r in spark.read.parquet(paths.postings)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("postings"),
+             F.countDistinct("doc_id").alias("docs"),
+             F.countDistinct("term").alias("terms"))
+        .collect()
     }
-    os.makedirs(out_dir, exist_ok=True)
+    for s in range(n_shards):
+        rec = man.start("postings", s)
+        r = per_shard.get(s)
+        man.finish(rec, docs=int(r.docs) if r else 0,
+                   terms=int(r.terms) if r else 0,
+                   postings=int(r.postings) if r else 0)
+
+    rec = man.start("df_stats", 0)
+    _write_df_stats(spark.read.parquet(paths.postings), paths, n_buckets)
+    stats = _collect_stats(spark, paths, n_shards, n_buckets, mode, time.time() - t0)
+    man.finish(rec, docs=stats["n_docs"], terms=stats["n_terms"],
+               postings=stats["n_postings"])
+
+    if with_segments:
+        rec = man.start("segments", 0)
+        _write_segments(spark, paths, stats["avgdl"], n_buckets, compact_fanin)
+        man.finish(rec, postings=stats["n_postings"])
+    stats["build_secs"] = time.time() - t0
     with open(paths.stats, "w") as f:
         json.dump(stats, f, indent=1)
-    return paths
+
+
+def _build_resumable(spark, docs, paths, n_shards, n_buckets, mode,
+                     with_segments, compact_fanin, fail_after_shards):
+    t0 = time.time()
+    man = Manifest(paths.manifest)
+    analyzed = analyze_docs(docs, n_shards, mode)
+
+    todo = [s for s in range(n_shards) if not man.is_done("postings", s)]
+    if todo:
+        analyzed.persist()
+        done_count = 0
+        for s in todo:
+            rec = man.start("postings", s)
+            try:
+                part = analyzed.filter(F.col("shard") == s)
+                obs_d = Observation(f"docs-{s}")
+                (part.select(
+                    "doc_id", "repo", "path", "commit", "lang", "content_sha",
+                    F.size("lemmas").cast("long").alias("dl"),
+                ).observe(obs_d, F.count(F.lit(1)).alias("n"))
+                 .coalesce(1)
+                 .write.mode("overwrite").parquet(f"{paths.docs_meta}/shard={s}"))
+                obs_p = Observation(f"post-{s}")
+                shard_post = (
+                    part.select("doc_id", F.explode("lemmas").alias("term"))
+                    .groupBy("term", "doc_id")
+                    .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+                    .observe(obs_p, F.count(F.lit(1)).alias("n"),
+                             F.approx_count_distinct("term").alias("t"))
+                )
+                (shard_post.coalesce(1)
+                 .write.mode("overwrite").parquet(f"{paths.postings}/shard={s}"))
+                man.finish(rec, docs=int(obs_d.get["n"]),
+                           terms=int(obs_p.get["t"]),
+                           postings=int(obs_p.get["n"]))
+            except Exception as e:  # noqa: BLE001 — ledger must record the failure
+                man.fail(rec, repr(e))
+                raise
+            done_count += 1
+            if fail_after_shards is not None and done_count >= fail_after_shards:
+                analyzed.unpersist()
+                raise RuntimeError(f"injected failure after {done_count} shards")
+        analyzed.unpersist()
+
+    if not man.is_done("df_stats", 0):
+        rec = man.start("df_stats", 0)
+        _write_df_stats(spark.read.parquet(paths.postings), paths, n_buckets)
+        stats = _collect_stats(spark, paths, n_shards, n_buckets, mode,
+                               time.time() - t0)
+        man.finish(rec, docs=stats["n_docs"], terms=stats["n_terms"],
+                   postings=stats["n_postings"])
+    with open(paths.stats) as f:
+        stats = json.load(f)
+
+    if with_segments:
+        for s in range(n_shards):
+            if man.is_done("segments", s):
+                continue
+            rec = man.start("segments", s)
+            _write_segments(spark, paths, stats["avgdl"], n_buckets,
+                            compact_fanin, shard=s)
+            man.finish(rec)
+        if not man.is_done("compact", 0):
+            rec = man.start("compact", 0)
+            _compact_runs(spark, paths, stats["avgdl"], n_buckets, compact_fanin)
+            man.finish(rec)
 
 
 class InvertedIndex:
@@ -164,6 +351,9 @@ class InvertedIndex:
     @property
     def segments(self) -> DataFrame:
         return self.spark.read.parquet(self.paths.segments)
+
+    def manifest(self) -> Manifest:
+        return Manifest(self.paths.manifest)
 
     def has_segments(self) -> bool:
         return os.path.isdir(self.paths.segments) and any(

@@ -1,0 +1,240 @@
+"""Posting-list codec: delta + varbyte compression with block-max metadata.
+
+The reference stores one MySQL row per posting (model/Index.java:12-30);
+at 10^12-file scale that representation is ~100 bytes/posting of row
+overhead.  Here a term's postings become one segment row holding three
+varbyte streams (doc-id deltas, term frequencies, doc lengths) plus
+per-block skip/prune metadata, giving ~2-4 bytes/posting and sequential
+decode.
+
+Encoding is classic unsigned LEB128-style varbyte: little-endian 7-bit
+groups, MSB set on every byte except the last of a value.  Doc ids are
+delta-encoded (first value absolute) — ids are sorted ascending within a
+segment, so deltas are small and compress hard.
+
+All kernels are NumPy-vectorized (no per-element Python loops beyond a
+fixed <=9-iteration byte-position loop), because they run inside Arrow
+batches of the pack/decode pandas UDFs on executors.
+
+Block metadata, per fixed-size block of BLOCK postings:
+- ``last``  — last (largest) doc id in the block → skip pointer for
+  intersection (searchsorted over ``last`` finds the one block that can
+  contain a candidate id without decoding anything else);
+- ``maxw``  — max over the block of the idf-free BM25 impact
+  tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) (core.bm25_max_impact) → the
+  block-max WAND upper bound is idf(term) * maxw;
+- ``doff/toff/loff`` — byte offsets of the block's start in each stream,
+  so a pruned block is never even decoded.
+
+Segments built from disjoint sorted doc-id ranges (the build's range
+shards) concatenate by re-encoding only the boundary delta — see
+``concat_streams``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 128
+
+_U64 = np.uint64
+_THRESH = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Unsigned varbyte encode. ``values``: non-negative int array (any dtype)."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: 1 + number of 7-bit thresholds passed
+    nb = np.ones(v.size, dtype=np.int64)
+    for t in _THRESH:
+        nb += (v >= t).astype(np.int64)
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for j in range(int(nb.max())):
+        mask = nb > j
+        chunk = (v[mask] >> _U64(7 * j)) & _U64(0x7F)
+        cont = np.where(nb[mask] > j + 1, 0x80, 0).astype(np.uint8)
+        out[starts[mask] + j] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes | memoryview, offset: int = 0, count: int | None = None) -> np.ndarray:
+    """Decode varbyte stream -> uint64 array.
+
+    ``offset`` skips to a block boundary; ``count`` stops after that many
+    values (both come from block metadata, enabling block-at-a-time decode).
+    """
+    b = np.frombuffer(buf, dtype=np.uint8)[offset:]
+    if b.size == 0:
+        return np.empty(0, dtype=_U64)
+    is_last = (b & 0x80) == 0
+    if count is not None:
+        # trim the buffer to exactly `count` values
+        last_positions = np.flatnonzero(is_last)
+        if count > last_positions.size:
+            raise ValueError("varbyte stream truncated")
+        end = int(last_positions[count - 1]) + 1
+        b = b[:end]
+        is_last = is_last[:end]
+    n = int(is_last.sum())
+    if n == 0:
+        raise ValueError("varbyte stream has no terminated value")
+    # group id per byte: 0-based index of the value this byte belongs to
+    group = np.zeros(b.size, dtype=np.int64)
+    group[1:] = np.cumsum(is_last[:-1])
+    first_of_group = np.flatnonzero(np.r_[True, is_last[:-1]])
+    pos_in_group = np.arange(b.size, dtype=np.int64) - first_of_group[group]
+    out = np.zeros(n, dtype=_U64)
+    np.bitwise_or.at(
+        out, group, (b.astype(_U64) & _U64(0x7F)) << (pos_in_group.astype(_U64) * _U64(7))
+    )
+    return out
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Sorted ascending uint64 ids -> deltas (first value absolute)."""
+    v = np.ascontiguousarray(sorted_ids, dtype=_U64)
+    if v.size == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.ascontiguousarray(deltas, dtype=_U64), dtype=_U64)
+
+
+def _stream_byte_lengths(values: np.ndarray) -> np.ndarray:
+    v = np.ascontiguousarray(values, dtype=_U64)
+    nb = np.ones(v.size, dtype=np.int64)
+    for t in _THRESH:
+        nb += (v >= t).astype(np.int64)
+    return nb
+
+
+class PackedList:
+    """One term's packed postings + block metadata (plain arrays/bytes,
+    maps 1:1 onto the segment table's binary columns)."""
+
+    __slots__ = ("num", "ids_vb", "tfs_vb", "dls_vb", "last", "maxw",
+                 "doff", "toff", "loff")
+
+    def __init__(self, num, ids_vb, tfs_vb, dls_vb, last, maxw, doff, toff, loff):
+        self.num = num
+        self.ids_vb = ids_vb
+        self.tfs_vb = tfs_vb
+        self.dls_vb = dls_vb
+        self.last = last      # uint64[n_blocks]
+        self.maxw = maxw      # float64[n_blocks]
+        self.doff = doff      # int64[n_blocks] byte offset into ids_vb
+        self.toff = toff
+        self.loff = loff
+
+
+def pack_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    block: int = BLOCK,
+) -> PackedList:
+    """Sort by doc_id and pack into delta+varbyte streams with block metadata.
+
+    Each block's streams are encoded independently (the first id of every
+    block is delta'd against the previous block's last id, but offsets let a
+    decoder start at any block given the previous block's ``last``).
+    """
+    order = np.argsort(doc_ids, kind="stable")
+    ids = np.ascontiguousarray(doc_ids, dtype=_U64)[order]
+    tf = np.ascontiguousarray(tfs, dtype=_U64)[order]
+    dl = np.ascontiguousarray(dls, dtype=_U64)[order]
+    n = ids.size
+    n_blocks = (n + block - 1) // block
+
+    deltas = delta_encode(ids)
+    ids_vb = vb_encode(deltas)
+    tfs_vb = vb_encode(tf)
+    dls_vb = vb_encode(dl)
+
+    id_nb = _stream_byte_lengths(deltas)
+    tf_nb = _stream_byte_lengths(tf)
+    dl_nb = _stream_byte_lengths(dl)
+    id_ends = np.cumsum(id_nb)
+    tf_ends = np.cumsum(tf_nb)
+    dl_ends = np.cumsum(dl_nb)
+
+    last = np.empty(n_blocks, dtype=_U64)
+    maxw = np.empty(n_blocks, dtype=np.float64)
+    doff = np.empty(n_blocks, dtype=np.int64)
+    toff = np.empty(n_blocks, dtype=np.int64)
+    loff = np.empty(n_blocks, dtype=np.int64)
+    tff = tf.astype(np.float64)
+    dlf = dl.astype(np.float64)
+    impact = (tff * (k1 + 1.0)) / (tff + k1 * (1.0 - b + b * (dlf / avgdl)))
+    for i in range(n_blocks):
+        lo, hi = i * block, min((i + 1) * block, n)
+        last[i] = ids[hi - 1]
+        maxw[i] = impact[lo:hi].max()
+        doff[i] = 0 if lo == 0 else id_ends[lo - 1]
+        toff[i] = 0 if lo == 0 else tf_ends[lo - 1]
+        loff[i] = 0 if lo == 0 else dl_ends[lo - 1]
+    return PackedList(n, ids_vb, tfs_vb, dls_vb, last, maxw, doff, toff, loff)
+
+
+def unpack_all(p: PackedList) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full decode -> (doc_ids, tfs, dls). Lossless inverse of pack_postings."""
+    ids = delta_decode(vb_decode(p.ids_vb, 0, p.num))
+    tfs = vb_decode(p.tfs_vb, 0, p.num)
+    dls = vb_decode(p.dls_vb, 0, p.num)
+    return ids, tfs, dls
+
+
+def decode_block(p: PackedList, i: int, block: int = BLOCK) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a single block without touching the rest of the streams."""
+    lo = i * block
+    cnt = min(block, p.num - lo)
+    deltas = vb_decode(p.ids_vb, int(p.doff[i]), cnt)
+    if i == 0:
+        ids = delta_decode(deltas)
+    else:
+        ids = p.last[i - 1] + np.cumsum(deltas, dtype=_U64)
+    tfs = vb_decode(p.tfs_vb, int(p.toff[i]), cnt)
+    dls = vb_decode(p.dls_vb, int(p.loff[i]), cnt)
+    return ids, tfs, dls
+
+
+def concat_streams(
+    runs: list[tuple[int, bytes, np.ndarray]],
+) -> bytes:
+    """Merge per-shard delta streams whose doc-id ranges are disjoint and
+    ascending in run order.
+
+    ``runs`` = [(num, ids_vb, decoded_first_and_last)] where the third item is
+    ``np.array([first_id, last_id])`` of the run.  Only the first value of
+    each run after the first is re-encoded (absolute -> delta vs previous
+    run's last id); the remaining bytes are copied verbatim — merge cost is
+    O(total bytes), no re-encode of the tails.
+    """
+    out = bytearray()
+    prev_last: int | None = None
+    for num, ids_vb, fl in runs:
+        if num == 0:
+            continue
+        first = int(fl[0])
+        if prev_last is None:
+            out += ids_vb
+        else:
+            # length of the old first-value encoding
+            b = np.frombuffer(ids_vb, dtype=np.uint8)
+            first_len = int(np.flatnonzero((b & 0x80) == 0)[0]) + 1
+            out += vb_encode(np.array([first - prev_last], dtype=_U64))
+            out += ids_vb[first_len:]
+        prev_last = int(fl[1])
+    return bytes(out)

@@ -1,0 +1,110 @@
+"""Build manifest: per-partition checkpoint ledger with lineage + metrics.
+
+The Spark re-expression of the reference's `site` status table
+(model/Site.java:13-41, transitions in services/IndexingServiceImpl.java:
+67-73,104-111,285-296): one row per (stage, partition) with
+RUNNING/DONE/FAILED status, timing and docs/terms/postings metrics — the
+north_rule's resumability contract.
+
+Storage is one small JSON file per (stage, partition), written atomically
+(tmp + rename), because a resume decision must survive a killed driver
+mid-build; ``as_dataframe`` exposes the ledger relationally for the
+statistics surface.  On a cluster this seam becomes an Iceberg table with
+row-level commits — the protocol (write DONE after the partition's data
+files are durable; readers treat anything else as not-done) is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+RUNNING = "RUNNING"
+DONE = "DONE"
+FAILED = "FAILED"
+
+MANIFEST_SCHEMA = T.StructType([
+    T.StructField("stage", T.StringType()),
+    T.StructField("part", T.IntegerType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("started_at", T.DoubleType()),
+    T.StructField("finished_at", T.DoubleType()),
+    T.StructField("secs", T.DoubleType()),
+    T.StructField("docs", T.LongType()),
+    T.StructField("terms", T.LongType()),
+    T.StructField("postings", T.LongType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+class Manifest:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, stage: str, part: int) -> str:
+        return os.path.join(self.root, f"{stage}-{part:05d}.json")
+
+    def _write(self, stage: str, part: int, rec: dict) -> None:
+        path = self._path(stage, part)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, path)
+
+    def read(self, stage: str, part: int) -> dict | None:
+        try:
+            with open(self._path(stage, part)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def is_done(self, stage: str, part: int) -> bool:
+        rec = self.read(stage, part)
+        return bool(rec) and rec.get("status") == DONE
+
+    def start(self, stage: str, part: int) -> dict:
+        rec = {
+            "stage": stage, "part": part, "status": RUNNING,
+            "started_at": time.time(), "finished_at": None, "secs": None,
+            "docs": None, "terms": None, "postings": None, "error": None,
+        }
+        self._write(stage, part, rec)
+        return rec
+
+    def finish(self, rec: dict, docs: int | None = None, terms: int | None = None,
+               postings: int | None = None) -> None:
+        rec.update(
+            status=DONE, finished_at=time.time(),
+            secs=time.time() - rec["started_at"],
+            docs=docs, terms=terms, postings=postings,
+        )
+        self._write(rec["stage"], rec["part"], rec)
+
+    def fail(self, rec: dict, error: str) -> None:
+        rec.update(status=FAILED, finished_at=time.time(),
+                   secs=time.time() - rec["started_at"], error=error[:2000])
+        self._write(rec["stage"], rec["part"], rec)
+
+    def records(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.root)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.root, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def as_dataframe(self, spark: SparkSession) -> DataFrame:
+        recs = self.records()
+        return spark.createDataFrame(
+            [{k: r.get(k) for k in MANIFEST_SCHEMA.fieldNames()} for r in recs],
+            schema=MANIFEST_SCHEMA,
+        )
+
+    def clear(self) -> None:
+        for name in os.listdir(self.root):
+            if name.endswith(".json"):
+                os.unlink(os.path.join(self.root, name))

@@ -1,0 +1,82 @@
+"""Segment index over a generic ``(doc_id, text)`` table with the SQL-twin
+tokenizer — the driver-gate corpus path.
+
+Same segment/df_stats/stats layout as the analyzer-corpus build
+(index/build.py) but fed by ``pipeline.fulltext.tf_postings`` (the tokenizer
+whose DuckDB twin the correctness gate diffs against), so WAND results over
+these segments are oracle-comparable.  Doc ids here are the table's own
+small ints, so the skew-bounding shard is ``pmod(doc_id, n_shards)`` — any
+deterministic function of doc_id works: conjunctive evaluation only needs a
+doc's postings for all terms to land in the same grp, and pack_postings
+sorts within each cell.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from searchengine_spark.index.build import IndexPaths, bucket_col
+from searchengine_spark.index.segments import pack_segments
+from searchengine_spark.pipeline import fulltext
+
+
+def build_plain_index(
+    spark: SparkSession,
+    documents: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    n_buckets: int = 16,
+    compact_fanin: int | None = None,
+) -> IndexPaths:
+    paths = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    p = fulltext.tf_postings(documents)
+    ds = fulltext.doc_stats(p)
+    pw = (
+        p.join(ds.select("doc_id", "dl"), "doc_id")
+        .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
+        .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+    )
+    pw.persist()
+
+    g = pw.groupBy().agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("term").alias("n_terms"),
+        F.count(F.lit(1)).alias("n_postings"),
+    ).collect()[0]
+    # avgdl exactly as bm25_scored/the oracle: sum(dl)/count over doc_stats
+    dsr = ds.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).collect()[0]
+    n_docs = int(dsr.n)
+    avgdl = (dsr.s or 0) / n_docs if n_docs else 0.0
+
+    segs = pack_segments(pw, avgdl, fanin=compact_fanin)
+    (segs.repartition(n_buckets, "bucket")
+         .write.mode("overwrite").partitionBy("bucket").parquet(paths.segments))
+
+    (fulltext.df_stats(p)
+        .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+        .repartition(n_buckets, "bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(paths.df_stats))
+
+    (ds.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
+        .repartition(n_shards, "shard")
+        .write.mode("overwrite").partitionBy("shard").parquet(paths.docs_meta))
+    pw.unpersist()
+
+    stats = {
+        "n_docs": n_docs,
+        "sum_dl": int(dsr.s or 0),
+        "avgdl": avgdl,
+        "n_terms": int(g.n_terms),
+        "n_postings": int(g.n_postings),
+        "n_shards": n_shards,
+        "n_buckets": n_buckets,
+        "mode": "sql",
+    }
+    with open(paths.stats, "w") as f:
+        json.dump(stats, f, indent=1)
+    return paths

@@ -1,0 +1,198 @@
+"""Posting-list segment build: postings rows -> packed binary segments.
+
+Two-phase, skew-bounded by construction (the north_rule's explicit skew
+handling — the salt is the doc-id shard):
+
+- **Phase 1 (pack runs)** — ``groupBy(shard, bucket).applyInPandas``: every
+  task packs the postings of one (doc-shard, term-bucket) cell.  A hot term
+  (df ≈ n_docs) never lands on one reducer: its postings split across all
+  shards, so task memory is bounded by |shard| / n_buckets regardless of
+  term skew.  Output: one partial-segment row per (term, shard).
+- **Phase 2 (compact)** — ``groupBy(bucket).applyInPandas`` merges each
+  term's per-shard runs into segments of at most ``fanin`` runs.  Merge
+  memory is bounded by fanin * max-run postings; truly hot terms simply keep
+  multiple segment rows (disjoint doc sets), which the query engine scores
+  independently — exact for BM25, whose per-posting score is independent of
+  other postings.
+
+The shard is a pure function of doc_id, so conjunctive (AND) evaluation
+decomposes per shard group: a doc's postings for *all* terms live in the
+same grp.  Segment table is written ``partitionBy(bucket)`` so a query-term
+lookup prunes to its bucket's files (SURVEY.md §4 partition-pruning row).
+
+Replaces the reference's one-row-per-posting `index` table
+(model/Index.java:12-30) at ~2-4 bytes/posting instead of ~100.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from searchengine_spark.index import codec
+from searchengine_spark.textproc.core import BM25_B, BM25_K1
+
+SEGMENT_SCHEMA = T.StructType([
+    T.StructField("bucket", T.IntegerType()),
+    T.StructField("term", T.StringType()),
+    T.StructField("grp", T.IntegerType()),
+    T.StructField("num", T.LongType()),
+    T.StructField("ids_vb", T.BinaryType()),
+    T.StructField("tfs_vb", T.BinaryType()),
+    T.StructField("dls_vb", T.BinaryType()),
+    T.StructField("blk_last", T.BinaryType()),
+    T.StructField("blk_maxw", T.BinaryType()),
+    T.StructField("blk_doff", T.BinaryType()),
+    T.StructField("blk_toff", T.BinaryType()),
+    T.StructField("blk_loff", T.BinaryType()),
+])
+
+
+def packed_to_row(term: str, bucket: int, grp: int, p: codec.PackedList) -> dict:
+    return {
+        "bucket": bucket,
+        "term": term,
+        "grp": grp,
+        "num": p.num,
+        "ids_vb": p.ids_vb,
+        "tfs_vb": p.tfs_vb,
+        "dls_vb": p.dls_vb,
+        "blk_last": p.last.tobytes(),
+        "blk_maxw": p.maxw.tobytes(),
+        "blk_doff": p.doff.tobytes(),
+        "blk_toff": p.toff.tobytes(),
+        "blk_loff": p.loff.tobytes(),
+    }
+
+
+def row_to_packed(row) -> codec.PackedList:
+    """Inverse of packed_to_row; accepts any mapping or attr-style row."""
+    g = (lambda k: row[k]) if isinstance(row, dict) else (lambda k: getattr(row, k))
+    return codec.PackedList(
+        int(g("num")),
+        bytes(g("ids_vb")),
+        bytes(g("tfs_vb")),
+        bytes(g("dls_vb")),
+        np.frombuffer(g("blk_last"), dtype=np.uint64),
+        np.frombuffer(g("blk_maxw"), dtype=np.float64),
+        np.frombuffer(g("blk_doff"), dtype=np.int64),
+        np.frombuffer(g("blk_toff"), dtype=np.int64),
+        np.frombuffer(g("blk_loff"), dtype=np.int64),
+    )
+
+
+def make_pack_fn(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
+    """applyInPandas fn for phase 1: postings of one (shard, bucket) cell.
+
+    Input pdf columns: term, doc_id, tf, dl, shard, bucket.
+    Vectorized: one argsort over the cell, then per-term slice packing.
+    """
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in SEGMENT_SCHEMA.fields])
+        bucket = int(pdf["bucket"].iloc[0])
+        grp = int(pdf["shard"].iloc[0])
+        order = np.lexsort((pdf["doc_id"].to_numpy(), pdf["term"].to_numpy()))
+        terms = pdf["term"].to_numpy()[order]
+        ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
+        tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
+        dls = pdf["dl"].to_numpy()[order].astype(np.uint64)
+        bounds = np.flatnonzero(np.r_[True, terms[1:] != terms[:-1], True])
+        rows = []
+        for i in range(bounds.size - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            p = codec.pack_postings(ids[lo:hi], tfs[lo:hi], dls[lo:hi],
+                                    avgdl=avgdl, k1=k1, b=b)
+            rows.append(packed_to_row(str(terms[lo]), bucket, grp, p))
+        return pd.DataFrame(rows)
+
+    return pack
+
+
+def make_compact_fn(avgdl: float, fanin: int, k1: float = BM25_K1, b: float = BM25_B):
+    """applyInPandas fn for phase 2: all partial rows of one bucket.
+
+    Groups each term's runs into ceil(n_runs / fanin) merged segments;
+    decode + repack is NumPy-vectorized, memory bounded by fanin runs.
+    Merged rows are re-numbered grp = 0..n_groups-1 per term.
+    """
+
+    def compact(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in SEGMENT_SCHEMA.fields])
+        out = []
+        for term, tg in pdf.sort_values(["term", "grp"]).groupby("term", sort=False):
+            bucket = int(tg["bucket"].iloc[0])
+            recs = tg.to_dict("records")
+            for gi in range(0, len(recs), fanin):
+                chunk = recs[gi : gi + fanin]
+                if len(chunk) == 1 and gi == 0 and len(recs) <= fanin:
+                    r = dict(chunk[0])
+                    r["grp"] = 0
+                    out.append(r)
+                    continue
+                parts = [codec.unpack_all(row_to_packed(r)) for r in chunk]
+                ids = np.concatenate([p[0] for p in parts])
+                tfs = np.concatenate([p[1] for p in parts])
+                dls = np.concatenate([p[2] for p in parts])
+                p = codec.pack_postings(ids, tfs, dls, avgdl=avgdl, k1=k1, b=b)
+                out.append(packed_to_row(str(term), bucket, gi // fanin, p))
+        return pd.DataFrame(out)
+
+    return compact
+
+
+def pack_segments(
+    postings_with_dl: DataFrame,
+    avgdl: float,
+    fanin: int | None = None,
+) -> DataFrame:
+    """(term, doc_id, tf, dl, shard, bucket) -> segment rows.
+
+    ``fanin=None`` merges every term to a single segment per bucket (right
+    for corpora whose hottest term fits one task); pass a bounded fanin at
+    scale to cap merge memory.
+    """
+    partial = postings_with_dl.groupBy("shard", "bucket").applyInPandas(
+        make_pack_fn(avgdl), SEGMENT_SCHEMA
+    )
+    if fanin is None:
+        fanin = 1 << 30  # merge all runs per term
+    return partial.groupBy("bucket").applyInPandas(
+        make_compact_fn(avgdl, fanin), SEGMENT_SCHEMA
+    )
+
+
+DECODED_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType()),
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("tf", T.LongType()),
+    T.StructField("dl", T.LongType()),
+])
+
+
+def decode_segments(segments: DataFrame) -> DataFrame:
+    """Segments -> exploded (term, doc_id, tf, dl) via mapInPandas.
+
+    The losslessness proof: this must equal the postings+dl DataFrame the
+    segments were packed from (driver-gated against the tf_postings oracle).
+    """
+
+    def gen(it):
+        for pdf in it:
+            frames = []
+            for r in pdf.to_dict("records"):
+                p = row_to_packed(r)
+                ids, tfs, dls = codec.unpack_all(p)
+                frames.append(pd.DataFrame({
+                    "term": np.repeat(r["term"], p.num),
+                    "doc_id": ids.astype(np.int64),
+                    "tf": tfs.astype(np.int64),
+                    "dl": dls.astype(np.int64),
+                }))
+            yield (pd.concat(frames) if frames
+                   else pd.DataFrame(columns=["term", "doc_id", "tf", "dl"]))
+
+    return segments.mapInPandas(gen, DECODED_SCHEMA)

@@ -41,6 +41,16 @@ def tf_postings() -> str:
     return f"WITH {_TOKS_CTE} SELECT term, doc_id, tf FROM postings"
 
 
+def postings_with_dl() -> str:
+    """Twin of segments.decode_segments over a plain index: postings joined
+    with doc length — proves the packed segments are a lossless encoding."""
+    return (
+        f"WITH {_TOKS_CTE}, "
+        "ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id) "
+        "SELECT p.term, p.doc_id, p.tf, ds.dl FROM postings p JOIN ds USING (doc_id)"
+    )
+
+
 def df_stats() -> str:
     return (
         f"WITH {_TOKS_CTE} "

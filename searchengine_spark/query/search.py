@@ -1,0 +1,147 @@
+"""High-level search + statistics API — the reference's service surface.
+
+``search()`` mirrors SearchService.search(query, site, offset, limit)
+(services/SearchService.java:7, impl services/SearchServiceImpl.java:34-81)
+end-to-end: query lemmatization, AND gate, ranked scoring, pagination and
+result assembly into SearchData-shaped dicts {site, uri, title, snippet,
+relevance} (dto/search/SearchData.java:6-12) inside a SearchResponse-shaped
+dict {result, error?, count, data} (dto/search/SearchResponse.java:8-12).
+
+Scorer selection: the packed-segment block-max WAND engine (query/wand.py)
+when the index has segments and the query is unscoped; the DataFrame BM25
+plan (query/bm25.py) otherwise (repo-scoped queries filter the doc
+dimension, which the packed global segments don't carry).  Both produce
+identical rankings — tests/test_wand.py pins that.
+
+``statistics()`` mirrors GET /api/statistics
+(services/StatisticsServiceImpl.java:31-73): total + per-repo page/lemma
+counts, plus build status from the manifest ledger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.fixtures.loaders import load_lemma_dict, load_stopwords
+from searchengine_spark.index.build import InvertedIndex
+from searchengine_spark.query.bm25 import bm25_scored
+from searchengine_spark.textproc.core import Analyzer
+from searchengine_spark.textproc.snippets import extract_title, make_snippet
+
+
+def _analyzer(index: InvertedIndex) -> Analyzer:
+    return Analyzer(
+        lemma_dict=load_lemma_dict(),
+        stopwords=load_stopwords(),
+        mode=index.stats.get("mode", "compat"),
+    )
+
+
+def _scored_pairs(
+    index: InvertedIndex, terms: list[str], repo: str | None, need: int
+) -> tuple[int, list[tuple[int, float]]]:
+    """(total_count, top-`need` (doc_id, score)) via WAND or DataFrame plan."""
+    if repo is None and index.has_segments():
+        from searchengine_spark.query.wand import SegmentSearcher
+
+        searcher = SegmentSearcher(index.spark, index.paths.root)
+        res = searcher.search(terms, k=need, prune=False)  # exact match count
+        return len(res), res[:need]
+    scored = bm25_scored(index, terms, repo)
+    if scored is None:
+        return 0, []
+    rows = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(need).collect()
+    # count: cheap second aggregate over the same cached plan shape
+    total = scored.count()
+    return total, [(int(r.doc_id), float(r.score)) for r in rows]
+
+
+def search(
+    index: InvertedIndex,
+    query: str,
+    repo: str | None = None,
+    offset: int = 0,
+    limit: int = 20,
+    docs=None,
+) -> dict:
+    """Ranked conjunctive search.
+
+    ``docs``: optional corpus DataFrame (repo, path, commit, lang, content)
+    for snippet/title assembly; when omitted, titles fall back to the path
+    and snippets are empty (the index does not duplicate corpus content —
+    at 100 TB the corpus table IS the content store, joined per result page).
+    """
+    analyzer = _analyzer(index)
+    terms = sorted(analyzer.lemma_set(query or ""))
+    if not terms:
+        # reference: empty query -> error response (SearchServiceImpl.java:35-43)
+        return {"result": False, "error": "empty query", "count": 0, "data": []}
+
+    total, pairs = _scored_pairs(index, terms, repo, need=offset + limit)
+    page = pairs[offset : offset + limit]
+    if not page:
+        return {"result": True, "count": total, "data": []}
+
+    ids = [d for d, _ in page]
+    meta = {
+        int(r.doc_id): r
+        for r in index.docs_meta.filter(F.col("doc_id").isin(ids))
+        .select("doc_id", "repo", "path", "lang")
+        .collect()
+    }
+    contents: dict[int, str] = {}
+    if docs is not None:
+        from searchengine_spark.textproc.udfs import doc_id_col
+
+        crows = (
+            docs.withColumn("doc_id", doc_id_col())
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "content")
+            .collect()
+        )
+        contents = {int(r.doc_id): r.content for r in crows}
+
+    # normalized relevance like the reference (absolute / max,
+    # SearchServiceImpl.java:164-182); max over the full result set = the
+    # top score since scoring is global here
+    max_score = pairs[0][1] if pairs else 1.0
+    qset = set(terms)
+    data = []
+    for doc_id, score in page:
+        m = meta.get(doc_id)
+        content = contents.get(doc_id)
+        data.append({
+            "doc_id": doc_id,
+            "site": m.repo if m else None,
+            "uri": m.path if m else None,
+            "title": extract_title(content) if content else (m.path if m else ""),
+            "snippet": make_snippet(content, qset, analyzer) if content else "",
+            "relevance": score / max_score if max_score > 0 else 0.0,
+            "score": score,
+        })
+    return {"result": True, "count": total, "data": data}
+
+
+def statistics(index: InvertedIndex) -> dict:
+    """Total + detailed per-repo statistics + build status
+    (mirrors services/StatisticsServiceImpl.java:31-73)."""
+    per_repo = {
+        r.repo: {"pages": int(r.pages)}
+        for r in index.docs_meta.groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("pages"))
+        .collect()
+    }
+    man = index.manifest()
+    recs = man.records()
+    running = any(r["status"] == "RUNNING" for r in recs)
+    return {
+        "total": {
+            "sites": len(per_repo),
+            "pages": index.stats["n_docs"],
+            "lemmas": index.stats["n_terms"],
+            "postings": index.stats["n_postings"],
+            "indexing": running,
+        },
+        "detailed": per_repo,
+        "manifest": recs,
+    }

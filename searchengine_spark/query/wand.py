@@ -1,0 +1,216 @@
+"""Block-max WAND top-k over packed posting segments (conjunctive variant).
+
+The reference's search is an index nested-loop intersection with one SQL
+probe per candidate page (services/SearchServiceImpl.java:145-159, the N+1
+pattern).  Here the same AND semantics run over the segment table with the
+two classic IR optimizations the reference hand-rolled plus the one it
+lacked:
+
+- **df-ascending term order** (SearchServiceImpl.java:134-138, JPQL
+  ``order by l.frequency asc`` repository/LemmaRepository.java:20-21):
+  candidates seed from the rarest term's postings;
+- **AND existence gate** (SearchServiceImpl.java:100-102): any query term
+  absent from the index ⇒ empty result without touching postings;
+- **block-max pruning** (absent in the reference, which scores every
+  matching page then sorts — SearchServiceImpl.java:59-73): per-block
+  score upper bounds (idf * packed maxw) drop candidates that cannot reach
+  the current top-k threshold *before* their blocks are decoded, and the
+  block skip pointers (``blk_last``) locate a candidate's block by binary
+  search so untouched blocks are never decompressed.
+
+Scoring is exact float64 BM25 (k1=1.2, b=0.75) — tf and dl are stored in
+the segments, so scores match the DataFrame/DuckDB oracle path bit-for-bit
+modulo summation order; pruning uses an epsilon guard so the round-to-4
+oracle comparison can't be flipped by a boundary prune.
+
+Execution shape: the segment lookup is a bucket-pruned Catalyst scan
+(``bucket IN (...) AND term IN (...)`` push down to the parquet partition
+dirs / row groups); scoring runs driver-side in NumPy over the collected
+segment rows — the working set is the compressed postings of the query
+terms only.  Grps (disjoint doc-shards aligned across terms) are scored
+independently, sharing one threshold — the same loop distributes as a
+``mapInPandas`` over grp when a query term's postings outgrow the driver.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from searchengine_spark.index import codec
+from searchengine_spark.index.build import IndexPaths
+from searchengine_spark.index.segments import row_to_packed
+from searchengine_spark.textproc.core import BM25_B, BM25_K1, term_hash
+
+# pruning slack: survivors within EPS of the threshold stay alive so the
+# rounded-to-4-decimals oracle ordering is never decided by a prune
+EPS = 1e-4
+
+
+def _impact(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
+            k1: float = BM25_K1, b: float = BM25_B) -> np.ndarray:
+    tf = tfs.astype(np.float64)
+    dl = dls.astype(np.float64)
+    return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+
+
+class SegmentSearcher:
+    """Query engine over a segment index directory (build.py / plain.py)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.paths = IndexPaths(root)
+        with open(self.paths.stats) as f:
+            self.stats = json.load(f)
+        self.n_buckets = int(self.stats["n_buckets"])
+
+    # -- term resolution (J1 broadcast-join analog, bucket-pruned scan) ------
+
+    def resolve(self, terms: list[str]) -> dict[str, int]:
+        buckets = sorted({term_hash(t) % self.n_buckets for t in terms})
+        rows = (
+            self.spark.read.parquet(self.paths.df_stats)
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        return {r.term: int(r.df) for r in rows}
+
+    def _segment_rows(self, terms: list[str]):
+        buckets = sorted({term_hash(t) % self.n_buckets for t in terms})
+        return (
+            self.spark.read.parquet(self.paths.segments)
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .collect()
+        )
+
+    # -- search --------------------------------------------------------------
+
+    def search(self, terms: list[str], k: int = 20,
+               prune: bool = True) -> list[tuple[int, float]]:
+        """Exact BM25 scores for the conjunctive query, ordered by
+        (-score, doc_id).  Returns [] if any term is absent (AND gate).
+
+        ``prune=True`` applies the block-max threshold (top-k result only);
+        ``prune=False`` keeps block skip pointers but scores every AND match
+        — the full result set, for exact match counts (the reference's
+        ``count`` field, dto/search/SearchResponse.java:10)."""
+        terms = sorted(set(terms))
+        if not terms:
+            return []
+        dfs = self.resolve(terms)
+        if len(dfs) < len(terms):
+            return []  # AND gate: SearchServiceImpl.java:100-102
+
+        n_docs = int(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"])
+        idf = {
+            t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+            for t, d in dfs.items()
+        }
+        # df-ascending processing order (O1), ties by term for determinism
+        order = sorted(terms, key=lambda t: (dfs[t], t))
+
+        # grp -> term -> PackedList
+        by_grp: dict[int, dict[str, codec.PackedList]] = {}
+        for r in self._segment_rows(terms):
+            by_grp.setdefault(int(r.grp), {})[r.term] = row_to_packed(r)
+
+        heap: list[tuple[float, int]] = []  # min-heap of (score, -doc) top-k
+        results: list[tuple[int, float]] = []
+
+        def threshold() -> float:
+            if not prune:
+                return -np.inf
+            return heap[0][0] if len(heap) >= k else -np.inf
+
+        for grp in sorted(by_grp):
+            runs = by_grp[grp]
+            if len(runs) < len(terms):
+                continue  # AND within the grp: some term has no docs here
+            rarest = order[0]
+            p0 = runs[rarest]
+            ids, tfs, dls = codec.unpack_all(p0)
+            scores = idf[rarest] * _impact(tfs, dls, avgdl)
+
+            # grp-level upper bound of every remaining term
+            rest_ub = np.array(
+                [idf[t] * float(runs[t].maxw.max()) for t in order[1:]],
+                dtype=np.float64,
+            )
+            rest_cum = np.r_[np.cumsum(rest_ub[::-1])[::-1], 0.0]
+
+            alive_ids = ids
+            alive_scores = scores
+            for j, t in enumerate(order[1:], start=1):
+                if alive_ids.size == 0:
+                    break
+                p = runs[t]
+                # block lookup by skip pointer: first block whose last >= id
+                blk = np.searchsorted(p.last, alive_ids, side="left")
+                in_range = blk < p.last.size
+                alive_ids = alive_ids[in_range]
+                alive_scores = alive_scores[in_range]
+                blk = blk[in_range]
+                if alive_ids.size == 0:
+                    break
+                # block-max prune BEFORE decoding: score so far + this
+                # term's block bound + remaining grp bounds must beat θ
+                ub = alive_scores + idf[t] * p.maxw[blk] + rest_cum[j]
+                keep = ub >= threshold() - EPS
+                alive_ids = alive_ids[keep]
+                alive_scores = alive_scores[keep]
+                blk = blk[keep]
+                if alive_ids.size == 0:
+                    break
+                # decode only the blocks that still hold candidates
+                new_scores = np.empty_like(alive_scores)
+                member = np.zeros(alive_ids.size, dtype=bool)
+                for bi in np.unique(blk):
+                    sel = blk == bi
+                    bids, btfs, bdls = codec.decode_block(p, int(bi))
+                    pos = np.searchsorted(bids, alive_ids[sel])
+                    ok = (pos < bids.size) & (bids[np.minimum(pos, bids.size - 1)]
+                                              == alive_ids[sel])
+                    midx = np.flatnonzero(sel)[ok]
+                    member[midx] = True
+                    bimp = idf[t] * _impact(btfs, bdls, avgdl)
+                    new_scores[midx] = bimp[np.minimum(pos, bids.size - 1)[ok]]
+                alive_ids = alive_ids[member]
+                alive_scores = alive_scores[member] + new_scores[member]
+
+            for d, s in zip(alive_ids.tolist(), alive_scores.tolist()):
+                results.append((int(d), float(s)))
+                item = (float(s), -int(d))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+
+        results.sort(key=lambda ds_: (-ds_[1], ds_[0]))
+        return results
+
+
+RESULT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("score", T.DoubleType()),
+])
+
+
+def wand_topk(spark: SparkSession, index_root: str, terms: list[str],
+              k: int = 20) -> DataFrame:
+    """DataFrame-shaped WAND result matching ``fulltext.bm25_topk``'s
+    contract exactly: columns (doc_id, score), score rounded to 4 via the
+    same Spark ``round``, ordered by (score desc, doc_id asc), limit k."""
+    searcher = SegmentSearcher(spark, index_root)
+    rows = searcher.search(terms, k=k + 8)  # slack so rounding can't flip the cut
+    df = spark.createDataFrame(rows or [], schema=RESULT_SCHEMA)
+    return (
+        df.select("doc_id", F.round(F.col("score"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,109 @@
+"""Result assembly: title extraction, snippet build, hit highlighting.
+
+Pure-Python core (shared with tests and the oracle) + a pandas-UDF wrapper
+for the Spark result page.  Mirrors the reference's assembly chain:
+
+- title: substring between <title></title>, fallback constant
+  (services/SearchServiceImpl.java:207-219); for source code the first
+  non-blank line plays the title role;
+- sentences: split on [.!?]+ (services/SearchServiceImpl.java:222);
+- snippet: up to 3 sentences longer than 10 chars whose lemma set
+  intersects the query lemmas, else the first 2 sentences
+  (services/SearchServiceImpl.java:221-259);
+- highlight: words whose lemma is a query lemma wrapped in <b>…</b>
+  (services/SearchServiceImpl.java:261-284);
+- truncate: 197 chars + "..." when longer than 200
+  (services/SearchServiceImpl.java:253-256).
+
+These run only over the final result page (<= limit rows), never over the
+corpus — snippet cost is O(page), independent of index size.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+from searchengine_spark.textproc.core import Analyzer
+
+_TITLE_RE = re.compile(r"(?is)<title>(.*?)</title>")
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+_SENT_RE = re.compile(r"[.!?]+")
+_WORD_RE = re.compile(r"[\wЀ-ӿ]+")
+
+NO_TITLE = "No title"  # reference: "Нет заголовка", SearchServiceImpl.java:217
+
+
+def clean_html(content: str) -> str:
+    """HTML strip + whitespace collapse (LemmatizationService.java:121-125)."""
+    return _WS_RE.sub(" ", _TAG_RE.sub(" ", content or "")).strip()
+
+
+def extract_title(content: str) -> str:
+    m = _TITLE_RE.search(content or "")
+    if m:
+        t = clean_html(m.group(1))
+        if t:
+            return t
+    # source-code analog: first non-blank line
+    for line in (content or "").splitlines():
+        line = line.strip()
+        if line:
+            return line[:120]
+    return NO_TITLE
+
+
+def highlight(text: str, query_lemmas: set[str], analyzer: Analyzer) -> str:
+    """Wrap words whose lemma is in the query set in <b>…</b>."""
+    get = analyzer.lemma_dict.get
+
+    def repl(m: re.Match) -> str:
+        w = m.group(0)
+        lw = w.lower()
+        if get(lw, lw) in query_lemmas:
+            return f"<b>{w}</b>"
+        return w
+
+    return _WORD_RE.sub(repl, text)
+
+
+def make_snippet(
+    content: str,
+    query_lemmas: set[str],
+    analyzer: Analyzer,
+    max_sentences: int = 3,
+) -> str:
+    text = clean_html(content)
+    sentences = _SENT_RE.split(text)
+    chosen: list[str] = []
+    for s in sentences:
+        s = s.strip()
+        if len(s) <= 10:
+            continue
+        if analyzer.lemma_set(s) & query_lemmas:
+            chosen.append(s)
+            if len(chosen) >= max_sentences:  # cap (SearchServiceImpl.java:235)
+                break
+    if not chosen:  # fallback: first 2 sentences (SearchServiceImpl.java:244-250)
+        chosen = [s.strip() for s in sentences[:2] if s.strip()]
+    snippet = ". ".join(chosen)
+    snippet = highlight(snippet, query_lemmas, analyzer)
+    if len(snippet) > 200:
+        snippet = snippet[:197] + "..."
+    return snippet
+
+
+def assemble_batches(
+    it: Iterator, analyzer: Analyzer, query_lemmas: set[str]
+) -> Iterator:
+    """mapInPandas generator: adds title/snippet columns to result-page rows
+    carrying a ``content`` column.  Iterates rows of the final page only."""
+    import pandas as pd
+
+    for pdf in it:
+        contents = pdf["content"].fillna("")
+        pdf = pdf.copy()
+        pdf["title"] = [extract_title(c) for c in contents]
+        pdf["snippet"] = [make_snippet(c, query_lemmas, analyzer) for c in contents]
+        yield pdf.drop(columns=["content"])

@@ -1,0 +1,133 @@
+"""Codec unit + property tests (SURVEY.md §5 item 1: round-trip + fuzz)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchengine_spark.index import codec
+
+
+def test_vb_roundtrip_basic():
+    vals = np.array([0, 1, 127, 128, 129, 16383, 16384, 2**35, 2**60 - 1], dtype=np.uint64)
+    assert np.array_equal(codec.vb_decode(codec.vb_encode(vals)), vals)
+
+
+def test_vb_empty():
+    assert codec.vb_encode(np.array([], dtype=np.uint64)) == b""
+    assert codec.vb_decode(b"").size == 0
+
+
+def test_vb_single_byte_values():
+    vals = np.arange(128, dtype=np.uint64)
+    enc = codec.vb_encode(vals)
+    assert len(enc) == 128  # all single-byte
+    assert np.array_equal(codec.vb_decode(enc), vals)
+
+
+def test_vb_offset_count():
+    vals = np.array([5, 300, 7, 1_000_000, 2], dtype=np.uint64)
+    enc = codec.vb_encode(vals)
+    # first value is 1 byte; decode 3 values starting after it
+    assert np.array_equal(codec.vb_decode(enc, offset=1, count=3),
+                          np.array([300, 7, 1_000_000], dtype=np.uint64))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+def test_vb_roundtrip_fuzz(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(codec.vb_decode(codec.vb_encode(arr), count=len(vals) or None),
+                          arr) or len(vals) == 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**60 - 1), min_size=1, max_size=400, unique=True))
+def test_delta_roundtrip_fuzz(ids):
+    arr = np.sort(np.array(ids, dtype=np.uint64))
+    d = codec.delta_encode(arr)
+    assert np.array_equal(codec.delta_decode(d), arr)
+
+
+def _rand_plist(rng, n, id_space=2**60):
+    ids = np.sort(rng.choice(id_space, size=n, replace=False).astype(np.uint64))
+    tfs = rng.integers(1, 50, size=n).astype(np.uint64)
+    dls = rng.integers(1, 5000, size=n).astype(np.uint64)
+    return ids, tfs, dls
+
+
+@pytest.mark.parametrize("n", [1, 127, 128, 129, 1000, 5000])
+def test_pack_unpack_roundtrip(n):
+    rng = np.random.default_rng(n)
+    ids, tfs, dls = _rand_plist(rng, n)
+    # feed shuffled — pack must sort by doc_id
+    perm = rng.permutation(n)
+    p = codec.pack_postings(ids[perm], tfs[perm], dls[perm], avgdl=100.0)
+    out_ids, out_tfs, out_dls = codec.unpack_all(p)
+    assert np.array_equal(out_ids, ids)
+    assert np.array_equal(out_tfs, tfs)
+    assert np.array_equal(out_dls, dls)
+
+
+def test_block_decode_matches_full():
+    rng = np.random.default_rng(7)
+    ids, tfs, dls = _rand_plist(rng, 1000)
+    p = codec.pack_postings(ids, tfs, dls, avgdl=250.0)
+    full = codec.unpack_all(p)
+    n_blocks = p.last.size
+    assert n_blocks == (1000 + codec.BLOCK - 1) // codec.BLOCK
+    got_ids, got_tfs, got_dls = [], [], []
+    for i in range(n_blocks):
+        bi, bt, bl = codec.decode_block(p, i)
+        got_ids.append(bi)
+        got_tfs.append(bt)
+        got_dls.append(bl)
+    assert np.array_equal(np.concatenate(got_ids), full[0])
+    assert np.array_equal(np.concatenate(got_tfs), full[1])
+    assert np.array_equal(np.concatenate(got_dls), full[2])
+
+
+def test_block_metadata_bounds():
+    rng = np.random.default_rng(11)
+    ids, tfs, dls = _rand_plist(rng, 700)
+    avgdl = 300.0
+    p = codec.pack_postings(ids, tfs, dls, avgdl=avgdl)
+    k1, b = 1.2, 0.75
+    impact = (tfs.astype(float) * (k1 + 1)) / (
+        tfs.astype(float) + k1 * (1 - b + b * dls.astype(float) / avgdl)
+    )
+    for i in range(p.last.size):
+        lo, hi = i * codec.BLOCK, min((i + 1) * codec.BLOCK, 700)
+        assert p.last[i] == ids[hi - 1]
+        assert p.maxw[i] == pytest.approx(impact[lo:hi].max())
+        # upper bound property: every posting's impact <= block max
+        assert (impact[lo:hi] <= p.maxw[i] + 1e-12).all()
+
+
+def test_concat_streams_equals_single_encode():
+    rng = np.random.default_rng(3)
+    ids = np.sort(rng.choice(2**60, size=900, replace=False).astype(np.uint64))
+    # split into 3 disjoint ascending runs (range shards)
+    runs_ids = [ids[:200], ids[200:650], ids[650:]]
+    runs = []
+    for r in runs_ids:
+        enc = codec.vb_encode(codec.delta_encode(r))
+        runs.append((r.size, enc, np.array([r[0], r[-1]], dtype=np.uint64)))
+    merged = codec.concat_streams(runs)
+    assert np.array_equal(codec.delta_decode(codec.vb_decode(merged, count=900)), ids)
+
+
+def test_concat_streams_with_empty_run():
+    a = np.array([10, 20], dtype=np.uint64)
+    b = np.array([30, 45], dtype=np.uint64)
+    enc_a = codec.vb_encode(codec.delta_encode(a))
+    enc_b = codec.vb_encode(codec.delta_encode(b))
+    merged = codec.concat_streams([
+        (2, enc_a, np.array([10, 20], dtype=np.uint64)),
+        (0, b"", np.array([0, 0], dtype=np.uint64)),
+        (2, enc_b, np.array([30, 45], dtype=np.uint64)),
+    ])
+    assert np.array_equal(codec.delta_decode(codec.vb_decode(merged, count=4)),
+                          np.array([10, 20, 30, 45], dtype=np.uint64))

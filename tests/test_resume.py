@@ -1,0 +1,79 @@
+"""Checkpoint/resume: kill after K of N shard partitions, rerun, identical
+index + manifest shows the K cached partitions (SURVEY.md §5 item 4)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.fixtures.loaders import docs_path
+from searchengine_spark.index.build import InvertedIndex, build_index
+from searchengine_spark.index.manifest import DONE, Manifest
+
+
+N_SHARDS = 4
+
+
+def _snapshot(idx: InvertedIndex) -> dict:
+    postings = sorted(
+        (r.term, r.doc_id, r.tf, r.shard) for r in idx.postings.collect()
+    )
+    dfs = sorted((r.term, r.df, r.cf) for r in idx.df_stats.collect())
+    segs = sorted(
+        (r.term, r.grp, r.num, bytes(r.ids_vb), bytes(r.tfs_vb))
+        for r in idx.segments.collect()
+    )
+    return {"postings": postings, "df_stats": dfs, "segments": segs}
+
+
+def test_kill_and_resume_identical(spark, tmp_path):
+    docs = spark.read.parquet(docs_path("t1"))
+
+    # uninterrupted reference build
+    ref_out = str(tmp_path / "ref")
+    build_index(spark, docs, ref_out, n_shards=N_SHARDS, n_buckets=4, resume=True)
+    ref = _snapshot(InvertedIndex(spark, ref_out))
+    ref_man = Manifest(InvertedIndex(spark, ref_out).paths.manifest)
+    post_recs = [r for r in ref_man.records() if r["stage"] == "postings"]
+    assert len(post_recs) == N_SHARDS
+    assert all(r["status"] == DONE for r in post_recs)
+    # lineage metrics present per partition (north_rule)
+    assert all(r["postings"] > 0 and r["docs"] > 0 for r in post_recs)
+
+    # interrupted build: fail after 2 of 4 shards
+    out = str(tmp_path / "resumed")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, docs, out, n_shards=N_SHARDS, n_buckets=4,
+                    resume=True, fail_after_shards=2)
+    man = Manifest(os.path.join(out, "manifest"))
+    done_before = {r["part"] for r in man.records()
+                   if r["stage"] == "postings" and r["status"] == DONE}
+    assert len(done_before) == 2
+
+    # resume run completes the remaining shards only
+    build_index(spark, docs, out, n_shards=N_SHARDS, n_buckets=4, resume=True)
+    recs = {(r["stage"], r["part"]): r
+            for r in Manifest(os.path.join(out, "manifest")).records()}
+    for s in done_before:
+        # cached partitions keep their original timestamps (not recomputed)
+        assert recs[("postings", s)]["finished_at"] < recs[("df_stats", 0)]["started_at"]
+    assert all(r["status"] == DONE for r in recs.values())
+
+    got = _snapshot(InvertedIndex(spark, out))
+    assert got == ref
+
+
+def test_manifest_dataframe_surface(spark, tmp_path):
+    docs = spark.read.parquet(docs_path("t1"))
+    out = str(tmp_path / "m")
+    build_index(spark, docs, out, n_shards=2, n_buckets=4, resume=True)
+    idx = InvertedIndex(spark, out)
+    mdf = idx.manifest().as_dataframe(spark)
+    rows = {(r.stage, r.part): r for r in mdf.collect()}
+    assert ("postings", 0) in rows and ("compact", 0) in rows
+    total_postings = mdf.filter(
+        (F.col("stage") == "postings") & (F.col("status") == "DONE")
+    ).agg(F.sum("postings")).collect()[0][0]
+    assert total_postings == idx.stats["n_postings"]

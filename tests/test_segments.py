@@ -1,0 +1,109 @@
+"""Segment pack/merge losslessness + skew-path coverage (SURVEY.md §5 items 3,5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.fixtures.loaders import docs_path
+from searchengine_spark.index.segments import decode_segments
+
+
+@pytest.fixture(scope="module")
+def t1_segments(spark, t1_index):
+    assert t1_index.has_segments()
+    return t1_index.segments
+
+
+def _postings_with_dl(t1_index):
+    return t1_index.postings.join(
+        t1_index.docs_meta.select("doc_id", "dl"), "doc_id"
+    ).select("term", "doc_id", "tf", "dl")
+
+
+def test_segments_decode_lossless(spark, t1_index, t1_segments):
+    """decode(segments) must equal the postings+dl rows they were packed from."""
+    expect = {(r.term, r.doc_id, r.tf, r.dl)
+              for r in _postings_with_dl(t1_index).collect()}
+    got = {(r.term, r.doc_id, r.tf, r.dl)
+           for r in decode_segments(t1_segments).collect()}
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_segments_sorted_and_bucketed(spark, t1_index, t1_segments):
+    from searchengine_spark.index.segments import row_to_packed
+    from searchengine_spark.index import codec
+    from searchengine_spark.textproc.core import term_hash
+
+    rows = t1_segments.collect()
+    n_buckets = t1_index.stats["n_buckets"]
+    for r in rows:
+        assert r.bucket == term_hash(r.term) % n_buckets
+        p = row_to_packed(r)
+        ids, _, _ = codec.unpack_all(p)
+        assert (ids[1:] > ids[:-1]).all(), f"unsorted ids for {r.term}"
+        assert p.last.size == (p.num + codec.BLOCK - 1) // codec.BLOCK
+
+
+def test_segment_df_matches_df_stats(spark, t1_index, t1_segments):
+    seg_df = (
+        t1_segments.groupBy("term").agg(F.sum("num").alias("df"))
+    )
+    diff = (
+        seg_df.join(t1_index.df_stats.select("term", "df").withColumnRenamed("df", "df2"),
+                    "term", "full")
+        .filter((F.col("df").isNull()) | (F.col("df2").isNull())
+                | (F.col("df") != F.col("df2")))
+    )
+    assert diff.count() == 0
+
+
+def test_hot_term_spans_shards_and_merges(spark, tmp_path):
+    """A term present in every doc exercises the salted (shard-split) pack
+    and the compaction merge; decode must still be lossless."""
+    from searchengine_spark.index.build import InvertedIndex, build_index
+
+    n = 64
+    rows = [("r", f"f{i}.py", "c", "py",
+             "hotterm " * ((i % 5) + 1) + f"unique{i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    out = str(tmp_path / "hotidx")
+    build_index(spark, docs, out, n_shards=4, n_buckets=4, mode="code")
+    idx = InvertedIndex(spark, out)
+
+    segs = idx.segments.filter(F.col("term") == "hotterm").collect()
+    assert len(segs) == 1  # full compaction: one merged segment
+    assert segs[0].num == n
+
+    dec = decode_segments(idx.segments).filter(F.col("term") == "hotterm")
+    got = {(r.doc_id, r.tf) for r in dec.collect()}
+    expect = {(r.doc_id, r.tf) for r in idx.postings.filter(F.col("term") == "hotterm").collect()}
+    assert got == expect
+
+    # bounded-fanin compaction keeps multiple disjoint runs — also lossless
+    from searchengine_spark.index.build import build_index as bi
+    out2 = str(tmp_path / "hotidx2")
+    bi(spark, docs, out2, n_shards=4, n_buckets=4, mode="code", compact_fanin=2)
+    idx2 = InvertedIndex(spark, out2)
+    segs2 = idx2.segments.filter(F.col("term") == "hotterm").collect()
+    assert len(segs2) == 2  # 4 runs merged 2-at-a-time
+    assert sum(s.num for s in segs2) == n
+    ids = []
+    from searchengine_spark.index.segments import row_to_packed
+    from searchengine_spark.index import codec as C
+    for s in segs2:
+        ids.extend(C.unpack_all(row_to_packed(s))[0].tolist())
+    assert len(set(ids)) == n
+
+
+def test_t2_segment_roundtrip_counts(spark, tmp_path_factory):
+    """Larger corpus (t2): postings count through segments is preserved."""
+    from searchengine_spark.index.build import InvertedIndex, build_index
+
+    out = str(tmp_path_factory.mktemp("index_t2seg"))
+    docs = spark.read.parquet(docs_path("t2"))
+    build_index(spark, docs, out, n_shards=4, n_buckets=8)
+    idx = InvertedIndex(spark, out)
+    n_dec = decode_segments(idx.segments).count()
+    assert n_dec == idx.stats["n_postings"] == idx.postings.count()

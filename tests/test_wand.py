@@ -1,0 +1,119 @@
+"""Block-max WAND rank-identity vs the DataFrame BM25 path and the oracle
+engine (SURVEY.md §5 item 2 — the north_star rank-identity requirement)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.fixtures.loaders import docs_path, load_queries
+from searchengine_spark.pipeline import fulltext
+from searchengine_spark.query.wand import SegmentSearcher, wand_topk
+from searchengine_spark.textproc.core import bm25_score_scalar
+
+
+@pytest.fixture(scope="module")
+def plain_idx(spark, tmp_path_factory):
+    from searchengine_spark.index.plain import build_plain_index
+
+    out = str(tmp_path_factory.mktemp("plainidx"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    build_plain_index(spark, docs, out, n_shards=4, n_buckets=8)
+    return out
+
+
+TERMSETS = [
+    ["dup"],
+    ["merge", "vector"],
+    ["hash", "stream", "vector"],
+    ["table", "join"],
+    ["vector", "zzznotaterm"],
+]
+
+
+@pytest.mark.parametrize("terms", TERMSETS, ids=["1term", "and2", "and3", "and2b", "absent"])
+def test_wand_matches_dataframe_bm25(spark, plain_idx, terms):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    expect = [(r.doc_id, r.score) for r in fulltext.bm25_topk(docs, terms, k=20).collect()]
+    got = [(r.doc_id, r.score) for r in wand_topk(spark, plain_idx, terms, k=20).collect()]
+    assert got == expect
+
+
+def test_wand_exact_scores_unrounded(spark, plain_idx):
+    """Searcher scores equal a from-scratch scalar BM25 within 1e-9."""
+    terms = ["merge", "vector"]
+    s = SegmentSearcher(spark, plain_idx)
+    res = s.search(terms, k=10)
+    assert res
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = fulltext.tf_postings(docs)
+    tf_map = {(r.term, r.doc_id): r.tf
+              for r in p.filter(F.col("term").isin(terms)).collect()}
+    ds = {r.doc_id: r.dl for r in fulltext.doc_stats(p).collect()}
+    dfs = {r.term: r.df for r in
+           fulltext.df_stats(p).filter(F.col("term").isin(terms)).collect()}
+    n_docs = len(ds)
+    avgdl = sum(ds.values()) / n_docs
+    for doc, score in res[:10]:
+        want = sum(
+            bm25_score_scalar(tf_map[(t, doc)], dfs[t], ds[doc], n_docs, avgdl)
+            for t in terms
+        )
+        assert score == pytest.approx(want, abs=1e-9)
+
+
+def test_wand_fixture_corpus_vs_oracle(spark, t1_index, t1_oracle):
+    """Analyzer-corpus WAND equals the single-process oracle rank+score on
+    the reference query set."""
+    searcher = SegmentSearcher(spark, t1_index.paths.root)
+    checked = 0
+    for q in load_queries():
+        if q["repo"] is not None:
+            continue  # searcher scope is global; repo scoping via bm25.py path
+        query = q["query"]
+        terms = sorted(t1_oracle.analyzer.lemma_set(query))
+        want = t1_oracle.search(query, mode="bm25", limit=20)["data"]
+        got = searcher.search(terms, k=20)[:20]
+        assert [d for d, _ in got] == [d for d, _ in want], f"rank mismatch for {query!r}"
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-6), f"score mismatch for {query!r}"
+        checked += 1
+    assert checked >= 3
+
+
+def test_wand_fixture_corpus_conjunctive_vs_oracle(spark, t1_index, t1_oracle):
+    """Fixture multi-term queries are all zero-hit, so derive conjunctive
+    queries from real co-occurrences and pin rank+score identity on them."""
+    searcher = SegmentSearcher(spark, t1_index.paths.root)
+    # pick docs and take two mid-df lemmas that co-occur there
+    derived = []
+    for did, (path, _lang) in sorted(t1_oracle.doc_meta.items())[:50]:
+        doc_terms = [t for t, p in t1_oracle.postings.items()
+                     if did in p and 2 <= len(p) <= 80]
+        if len(doc_terms) >= 2:
+            derived.append(sorted(doc_terms[:2]))
+        if len(derived) >= 5:
+            break
+    assert len(derived) >= 3
+    for terms in derived:
+        want = t1_oracle._search_bm25(terms, None)
+        want.sort(key=lambda kv: (-kv[1], kv[0]))
+        got = searcher.search(terms, k=20)
+        assert [d for d, _ in got[:20]] == [d for d, _ in want[:20]], terms
+        for (gd, gs), (wd, ws) in zip(got[:20], want[:20]):
+            assert gs == pytest.approx(ws, abs=1e-6)
+        assert want, f"derived query {terms} had no hits"
+
+
+def test_wand_and_gate_absent_term(spark, t1_index):
+    searcher = SegmentSearcher(spark, t1_index.paths.root)
+    assert searcher.search(["qqqqzz_not_a_term"], k=5) == []
+
+
+def test_wand_block_pruning_effective(spark, plain_idx):
+    """With k=1 the threshold rises fast; result must still be exact."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["table", "join"]
+    expect = [(r.doc_id, r.score) for r in fulltext.bm25_topk(docs, terms, k=1).collect()]
+    got = [(r.doc_id, r.score) for r in wand_topk(spark, plain_idx, terms, k=1).collect()]
+    assert got == expect
