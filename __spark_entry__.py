@@ -28,6 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from searchengine_spark.pipeline import (  # noqa: E402
     dedup,
     fulltext,
+    multimodal,
     oracle_sql as osql,
     similarity,
     textstats,
@@ -122,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), threshold=0.2
         ),
         "q_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        "q_simhash_near_pairs": lambda s, d: dedup.simhash_near_pairs(
+            _docs(s, d), max_hamming=8
+        ),
         # text analysis suite
         "q_token_counts": lambda s, d: textstats.token_counts(_docs(s, d)),
         "q_quality_scores": lambda s, d: textstats.quality_scores(_docs(s, d)),
@@ -132,6 +136,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), PROBE_VEC_IDS, k=5
         ),
         "q_embedding_lsh_buckets": lambda s, d: similarity.lsh_buckets(_emb(s, d)),
+        "q_lsh_cosine_topk": lambda s, d: similarity.lsh_cosine_topk(
+            _emb(s, d), PROBE_VEC_IDS, k=5
+        ),
+        # threshold 0.3: the synthetic embeddings are near-orthogonal, so a
+        # production-style 0.9 matches nothing at any sf
+        "q_embedding_near_dup": lambda s, d: similarity.embedding_near_dup_pairs(
+            _emb(s, d), threshold=0.3
+        ),
+        # multimodal plumbing (stubbed codecs, real Spark schema/batch path) —
+        # no SQL twin: binary header parsing is not oracle-expressible, the
+        # driver records the weaker rows-only check
+        "q_media_features": lambda s, d: multimodal.extract_features(
+            multimodal.synth_media(_docs(s, d))
+        ),
+        "q_media_frame_sample": lambda s, d: multimodal.sample_frames(
+            multimodal.synth_media(_docs(s, d))
+        ),
     }
 
 
@@ -158,10 +179,15 @@ def oracle_sql() -> dict[str, str]:
         "q_lsh_candidate_pairs": osql.lsh_candidate_pairs(),
         "q_ngram_jaccard_pairs": osql.ngram_jaccard_pairs(threshold=0.2),
         "q_simhash": osql.simhash(),
+        "q_simhash_near_pairs": osql.simhash_near_pairs(max_hamming=8),
         "q_token_counts": osql.token_counts(),
         "q_quality_scores": osql.quality_scores(),
         "q_language_id": osql.language_id(),
         "q_fingerprints": osql.fingerprints(),
         "q_cosine_topk": osql.cosine_topk(PROBE_VEC_IDS, k=5),
         "q_embedding_lsh_buckets": osql.embedding_lsh_buckets(),
+        "q_lsh_cosine_topk": osql.lsh_cosine_topk(PROBE_VEC_IDS, k=5),
+        "q_embedding_near_dup": osql.embedding_near_dup_pairs(threshold=0.3),
+        # q_media_features / q_media_frame_sample intentionally absent:
+        # rows-only check (binary parsing has no SQL twin)
     }

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: full or resumable index build.
+
+Cluster usage (the north_rule shipping contract):
+
+    zip -r engine.zip searchengine_spark
+    spark-submit --py-files engine.zip jobs/build_index.py \
+        --input <corpus path or table> --output <index root> \
+        --shards 4096 --buckets 1024 --resume
+
+Local sandbox usage:
+
+    python jobs/build_index.py --input /root/testdata/sf0.01/documents.parquet \
+        --input-kind documents --output /tmp/idx
+
+``--input-kind corpus`` expects the Iceberg-shaped source-code schema
+(repo, path, commit, lang, content) per BASELINE.json input_hint (a parquet
+path or a catalog table name both work — at cluster scale the table is
+Iceberg and the scan prunes by repo/lang pushdown); ``documents`` expects
+the generic (doc_id, text) shape and builds the plain-tokenizer segment
+index.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet path or table name")
+    ap.add_argument("--input-kind", choices=["corpus", "documents"], default="corpus")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--mode", choices=["compat", "code"], default="code")
+    ap.add_argument("--resume", action="store_true",
+                    help="checkpointed build: skip manifest-DONE partitions")
+    ap.add_argument("--no-segments", action="store_true")
+    ap.add_argument("--compact-fanin", type=int, default=None)
+    args = ap.parse_args()
+
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("build-index")
+    src = (
+        spark.read.parquet(args.input)
+        if args.input.endswith(".parquet") or "/" in args.input
+        else spark.read.table(args.input)
+    )
+
+    if args.input_kind == "documents":
+        from searchengine_spark.index.plain import build_plain_index
+
+        build_plain_index(spark, src, args.output,
+                          n_shards=args.shards, n_buckets=args.buckets,
+                          compact_fanin=args.compact_fanin)
+    else:
+        from searchengine_spark.index.build import build_index
+
+        build_index(spark, src, args.output,
+                    n_shards=args.shards, n_buckets=args.buckets,
+                    mode=args.mode, resume=args.resume,
+                    with_segments=not args.no_segments,
+                    compact_fanin=args.compact_fanin)
+
+    with open(Path(args.output) / "stats.json") as f:
+        print(json.dumps(json.load(f)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""spark-submit / CLI entrypoint: ranked search against a built index.
+
+    python jobs/search.py --index /tmp/idx --query "hash join" \
+        [--repo org/repo] [--offset 0] [--limit 20] [--docs corpus.parquet]
+
+Mirrors GET /api/search (controllers/ApiController.java:45-52): prints the
+SearchResponse-shaped JSON {result, count, data:[{site, uri, title,
+snippet, relevance}]}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", required=True)
+    ap.add_argument("--repo", default=None)
+    ap.add_argument("--offset", type=int, default=0)
+    ap.add_argument("--limit", type=int, default=20)
+    ap.add_argument("--docs", default=None,
+                    help="corpus parquet for snippet assembly (optional)")
+    args = ap.parse_args()
+
+    from searchengine_spark.index.build import InvertedIndex
+    from searchengine_spark.query.search import search
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("search")
+    idx = InvertedIndex(spark, args.index)
+    docs = spark.read.parquet(args.docs) if args.docs else None
+    out = search(idx, args.query, repo=args.repo,
+                 offset=args.offset, limit=args.limit, docs=docs)
+    print(json.dumps(out, ensure_ascii=False, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

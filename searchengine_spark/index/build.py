@@ -133,7 +133,7 @@ def _collect_stats(spark: SparkSession, paths: IndexPaths, n_shards: int,
     return stats
 
 
-def _write_segments(spark: SparkSession, paths: IndexPaths, avgdl: float,
+def _write_segments(spark: SparkSession, paths: IndexPaths,
                     n_buckets: int, compact_fanin: int | None,
                     shard: int | None = None) -> None:
     """Pack one shard's partial runs (resumable path) or the whole index
@@ -151,21 +151,21 @@ def _write_segments(spark: SparkSession, paths: IndexPaths, avgdl: float,
         .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
     )
     if shard is None:
-        segs = pack_segments(pw, avgdl, fanin=compact_fanin)
+        segs = pack_segments(pw, fanin=compact_fanin)
         (segs.repartition(n_buckets, "bucket")
              .write.mode("overwrite").partitionBy("bucket").parquet(paths.segments))
     else:
         # resumable path phase 1: per-shard partial runs under segments_runs/
         from searchengine_spark.index.segments import SEGMENT_SCHEMA, make_pack_fn
         runs = pw.groupBy("shard", "bucket").applyInPandas(
-            make_pack_fn(avgdl), SEGMENT_SCHEMA
+            make_pack_fn(), SEGMENT_SCHEMA
         )
         runs.write.mode("overwrite").parquet(
             os.path.join(paths.root, "segments_runs", f"shard={shard}")
         )
 
 
-def _compact_runs(spark: SparkSession, paths: IndexPaths, avgdl: float,
+def _compact_runs(spark: SparkSession, paths: IndexPaths,
                   n_buckets: int, compact_fanin: int | None) -> None:
     from searchengine_spark.index.segments import SEGMENT_SCHEMA, make_compact_fn
     runs = spark.read.parquet(os.path.join(paths.root, "segments_runs")).select(
@@ -173,7 +173,7 @@ def _compact_runs(spark: SparkSession, paths: IndexPaths, avgdl: float,
     )
     fanin = compact_fanin if compact_fanin is not None else (1 << 30)
     segs = runs.groupBy("bucket").applyInPandas(
-        make_compact_fn(avgdl, fanin), SEGMENT_SCHEMA
+        make_compact_fn(fanin), SEGMENT_SCHEMA
     )
     (segs.repartition(n_buckets, "bucket")
          .write.mode("overwrite").partitionBy("bucket").parquet(paths.segments))
@@ -215,10 +215,12 @@ def _build_bulk(spark, docs, paths, n_shards, n_buckets, mode,
     analyzed = analyze_docs(docs, n_shards, mode)
     analyzed.persist()  # one UDF pass feeds both docs_meta and postings
 
+    obs_meta = Observation("docs_meta")
     docs_meta = analyzed.select(
         "doc_id", "repo", "path", "commit", "lang", "content_sha",
         F.size("lemmas").cast("long").alias("dl"), "shard",
-    )
+    ).observe(obs_meta, F.count(F.lit(1)).alias("n_docs"),
+              F.sum("dl").alias("sum_dl"))
     (docs_meta.repartition(n_shards, "shard")
         .write.mode("overwrite").partitionBy("shard").parquet(paths.docs_meta))
 
@@ -226,34 +228,57 @@ def _build_bulk(spark, docs, paths, n_shards, n_buckets, mode,
     (postings.select("term", "doc_id", "tf", "shard")
         .repartition(n_shards, "shard")
         .write.mode("overwrite").partitionBy("shard").parquet(paths.postings))
+
     analyzed.unpersist()
 
-    # per-shard manifest metrics in one small agg over the written postings
-    per_shard = {
-        int(r.shard): r
+    # per-shard manifest metrics from the written tables — shard-column-only
+    # scans, answered from parquet metadata (no data pages read).  The
+    # resumable path records exact per-partition term counts too; bulk
+    # trades that one metric for not re-running the TF aggregation.
+    post_counts = {
+        int(r.shard): int(r.n)
         for r in spark.read.parquet(paths.postings)
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("postings"),
-             F.countDistinct("doc_id").alias("docs"),
-             F.countDistinct("term").alias("terms"))
-        .collect()
+        .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    doc_counts = {
+        int(r.shard): int(r.n)
+        for r in spark.read.parquet(paths.docs_meta)
+        .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     for s in range(n_shards):
         rec = man.start("postings", s)
-        r = per_shard.get(s)
-        man.finish(rec, docs=int(r.docs) if r else 0,
-                   terms=int(r.terms) if r else 0,
-                   postings=int(r.postings) if r else 0)
+        man.finish(rec, docs=doc_counts.get(s, 0), terms=None,
+                   postings=post_counts.get(s, 0))
 
     rec = man.start("df_stats", 0)
-    _write_df_stats(spark.read.parquet(paths.postings), paths, n_buckets)
-    stats = _collect_stats(spark, paths, n_shards, n_buckets, mode, time.time() - t0)
+    obs_df = Observation("df_stats")
+    dfst = (
+        spark.read.parquet(paths.postings).groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"),
+             F.sum("tf").cast("long").alias("cf"))
+        .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+        .observe(obs_df, F.count(F.lit(1)).alias("n_terms"),
+                 F.sum("df").alias("n_postings"), F.sum("cf").alias("sum_tf"))
+    )
+    (dfst.repartition(n_buckets, "bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(paths.df_stats))
+
+    m, d = obs_meta.get, obs_df.get
+    stats = {
+        "n_docs": int(m["n_docs"]),
+        "sum_dl": int(m["sum_dl"] or 0),
+        "avgdl": (m["sum_dl"] or 0) / m["n_docs"] if m["n_docs"] else 0.0,
+        "n_terms": int(d["n_terms"]),
+        "n_postings": int(d["n_postings"] or 0),
+        "sum_tf": int(d["sum_tf"] or 0),
+        "n_shards": n_shards, "n_buckets": n_buckets, "mode": mode,
+    }
     man.finish(rec, docs=stats["n_docs"], terms=stats["n_terms"],
                postings=stats["n_postings"])
 
     if with_segments:
         rec = man.start("segments", 0)
-        _write_segments(spark, paths, stats["avgdl"], n_buckets, compact_fanin)
+        _write_segments(spark, paths, n_buckets, compact_fanin)
         man.finish(rec, postings=stats["n_postings"])
     stats["build_secs"] = time.time() - t0
     with open(paths.stats, "w") as f:
@@ -318,12 +343,11 @@ def _build_resumable(spark, docs, paths, n_shards, n_buckets, mode,
             if man.is_done("segments", s):
                 continue
             rec = man.start("segments", s)
-            _write_segments(spark, paths, stats["avgdl"], n_buckets,
-                            compact_fanin, shard=s)
+            _write_segments(spark, paths, n_buckets, compact_fanin, shard=s)
             man.finish(rec)
         if not man.is_done("compact", 0):
             rec = man.start("compact", 0)
-            _compact_runs(spark, paths, stats["avgdl"], n_buckets, compact_fanin)
+            _compact_runs(spark, paths, n_buckets, compact_fanin)
             man.finish(rec)
 
 

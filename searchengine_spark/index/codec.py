@@ -20,9 +20,13 @@ Block metadata, per fixed-size block of BLOCK postings:
 - ``last``  — last (largest) doc id in the block → skip pointer for
   intersection (searchsorted over ``last`` finds the one block that can
   contain a candidate id without decoding anything else);
-- ``maxw``  — max over the block of the idf-free BM25 impact
-  tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) (core.bm25_max_impact) → the
-  block-max WAND upper bound is idf(term) * maxw;
+- ``btf``/``bdl`` — max tf and min dl over the block.  The block-max WAND
+  upper bound is computed at query time as idf(term) * impact(btf, bdl,
+  current avgdl) — the BM25 impact is monotone increasing in tf and
+  decreasing in dl, so this dominates every posting in the block, and
+  (unlike a packed max *score*) stays a valid bound when collection stats
+  (avgdl, df) drift under delta reindexing — the same reason Lucene stores
+  (freq, norm) impact pairs per block rather than scores;
 - ``doff/toff/loff`` — byte offsets of the block's start in each stream,
   so a pruned block is never even decoded.
 
@@ -121,16 +125,17 @@ class PackedList:
     """One term's packed postings + block metadata (plain arrays/bytes,
     maps 1:1 onto the segment table's binary columns)."""
 
-    __slots__ = ("num", "ids_vb", "tfs_vb", "dls_vb", "last", "maxw",
+    __slots__ = ("num", "ids_vb", "tfs_vb", "dls_vb", "last", "btf", "bdl",
                  "doff", "toff", "loff")
 
-    def __init__(self, num, ids_vb, tfs_vb, dls_vb, last, maxw, doff, toff, loff):
+    def __init__(self, num, ids_vb, tfs_vb, dls_vb, last, btf, bdl, doff, toff, loff):
         self.num = num
         self.ids_vb = ids_vb
         self.tfs_vb = tfs_vb
         self.dls_vb = dls_vb
         self.last = last      # uint64[n_blocks]
-        self.maxw = maxw      # float64[n_blocks]
+        self.btf = btf        # uint64[n_blocks] max tf per block
+        self.bdl = bdl        # uint64[n_blocks] min dl per block
         self.doff = doff      # int64[n_blocks] byte offset into ids_vb
         self.toff = toff
         self.loff = loff
@@ -140,9 +145,6 @@ def pack_postings(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    avgdl: float,
-    k1: float = 1.2,
-    b: float = 0.75,
     block: int = BLOCK,
 ) -> PackedList:
     """Sort by doc_id and pack into delta+varbyte streams with block metadata.
@@ -171,21 +173,20 @@ def pack_postings(
     dl_ends = np.cumsum(dl_nb)
 
     last = np.empty(n_blocks, dtype=_U64)
-    maxw = np.empty(n_blocks, dtype=np.float64)
+    btf = np.empty(n_blocks, dtype=_U64)
+    bdl = np.empty(n_blocks, dtype=_U64)
     doff = np.empty(n_blocks, dtype=np.int64)
     toff = np.empty(n_blocks, dtype=np.int64)
     loff = np.empty(n_blocks, dtype=np.int64)
-    tff = tf.astype(np.float64)
-    dlf = dl.astype(np.float64)
-    impact = (tff * (k1 + 1.0)) / (tff + k1 * (1.0 - b + b * (dlf / avgdl)))
     for i in range(n_blocks):
         lo, hi = i * block, min((i + 1) * block, n)
         last[i] = ids[hi - 1]
-        maxw[i] = impact[lo:hi].max()
+        btf[i] = tf[lo:hi].max()
+        bdl[i] = dl[lo:hi].min()
         doff[i] = 0 if lo == 0 else id_ends[lo - 1]
         toff[i] = 0 if lo == 0 else tf_ends[lo - 1]
         loff[i] = 0 if lo == 0 else dl_ends[lo - 1]
-    return PackedList(n, ids_vb, tfs_vb, dls_vb, last, maxw, doff, toff, loff)
+    return PackedList(n, ids_vb, tfs_vb, dls_vb, last, btf, bdl, doff, toff, loff)
 
 
 def unpack_all(p: PackedList) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

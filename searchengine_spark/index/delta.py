@@ -1,0 +1,190 @@
+"""Delta reindex: replace changed documents without a full rebuild.
+
+The reference's only incremental maintenance is the single-page reindex
+(POST /api/indexPage, services/IndexingServiceImpl.java:117-207): tear down
+the old page's postings, decrement each touched lemma's document frequency,
+delete zero-frequency lemmas, then re-fetch and re-index
+(IndexingServiceImpl.java:166-181 teardown, :199-201 rebuild).
+
+Spark re-expression, set-at-a-time over the partitioned layout:
+
+1. identity is (repo, path) — a changed doc arrives with a new commit and
+   therefore a new doc_id (md5 of repo/path/commit);
+2. affected doc-shards = shards of old + new doc ids; only those
+   postings/docs_meta partitions are rewritten (partition overwrite — the
+   Iceberg MERGE INTO analog on plain parquet);
+3. df_stats is updated by a term-delta merge, not a recompute: the removed
+   docs' postings decrement df/cf, the new docs' increment them, rows
+   reaching df<=0 are dropped (the reference's delete-lemma-at-zero,
+   IndexingServiceImpl.java:172-176); only the touched terms' bucket
+   partitions are rewritten;
+4. packed segments for the touched term-buckets are rebuilt from the
+   updated postings (bucket-pruned scan), leaving every other bucket
+   untouched.
+
+At 10^12-file scale each step touches O(changed docs) + O(touched buckets)
+data — no full corpus pass anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from searchengine_spark.index.build import IndexPaths, analyze_docs, bucket_col
+from searchengine_spark.index.segments import SEGMENT_SCHEMA, make_compact_fn, make_pack_fn
+
+
+def reindex_docs(
+    spark: SparkSession,
+    index_root: str,
+    changed_docs: DataFrame,
+    mode: str | None = None,
+) -> dict:
+    """Apply changed/new documents (corpus schema: repo, path, commit, lang,
+    content) to an existing index in place.  Returns a summary dict."""
+    paths = IndexPaths(index_root)
+    with open(paths.stats) as f:
+        stats = json.load(f)
+    n_shards = int(stats["n_shards"])
+    n_buckets = int(stats["n_buckets"])
+    mode = mode or stats.get("mode", "compat")
+
+    analyzed = analyze_docs(changed_docs, n_shards, mode).persist()
+
+    old_meta = spark.read.parquet(paths.docs_meta)
+    keys = analyzed.select("repo", "path").distinct()
+    # old versions of the same (repo, path) — the teardown set
+    old_docs = old_meta.join(F.broadcast(keys), ["repo", "path"], "left_semi")
+    old_ids = [int(r.doc_id) for r in old_docs.select("doc_id").collect()]
+    new_rows = analyzed.select("doc_id", "shard").collect()
+    new_ids = [int(r.doc_id) for r in new_rows]
+
+    affected_shards = sorted(
+        {int(r.shard) for r in old_docs.select("shard").collect()}
+        | {int(r.shard) for r in new_rows}
+    )
+    replaced = set(old_ids) - set(new_ids)
+
+    postings = spark.read.parquet(paths.postings)
+    removed_postings = postings.filter(F.col("doc_id").isin(old_ids)).persist()
+
+    new_postings = (
+        analyzed.select("doc_id", "shard", F.explode("lemmas").alias("term"))
+        .groupBy("term", "doc_id", "shard")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    ).persist()
+
+    # ---- df_stats term-delta merge (S6/S9: SiteMapBuilder.java:150-168,
+    # IndexingServiceImpl.java:166-181) -----------------------------------
+    minus = removed_postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("ddf"), F.sum("tf").alias("dcf"))
+    plus = new_postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("idf_"), F.sum("tf").alias("icf"))
+    delta = (
+        minus.select("term", (-F.col("ddf")).alias("d_df"), (-F.col("dcf")).alias("d_cf"))
+        .unionByName(plus.select("term", F.col("idf_").alias("d_df"), F.col("icf").alias("d_cf")))
+        .groupBy("term")
+        .agg(F.sum("d_df").alias("d_df"), F.sum("d_cf").alias("d_cf"))
+        .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+    ).persist()
+    touched_buckets = sorted({int(r.bucket) for r in delta.select("bucket").distinct().collect()})
+
+    # ---- rewrite affected postings/docs_meta shard partitions ------------
+    new_meta = analyzed.select(
+        "doc_id", "repo", "path", "commit", "lang", "content_sha",
+        F.size("lemmas").cast("long").alias("dl"), "shard",
+    ).persist()
+    for s in affected_shards:
+        shard_post = (
+            spark.read.parquet(f"{paths.postings}/shard={s}")
+            .filter(~F.col("doc_id").isin(old_ids))
+            .unionByName(new_postings.filter(F.col("shard") == s)
+                         .select("term", "doc_id", "tf"))
+        )
+        shard_post.coalesce(1).write.mode("overwrite").parquet(
+            f"{paths.postings}/__delta_shard={s}")
+        shard_meta = (
+            spark.read.parquet(f"{paths.docs_meta}/shard={s}")
+            .filter(~F.col("doc_id").isin(old_ids))
+            .unionByName(new_meta.filter(F.col("shard") == s).drop("shard"))
+        )
+        shard_meta.coalesce(1).write.mode("overwrite").parquet(
+            f"{paths.docs_meta}/__delta_shard={s}")
+    # two-phase swap: writes finished, now promote (a crashed promote is
+    # re-runnable; Iceberg snapshots make this a single atomic commit on a
+    # real catalog)
+    import shutil
+
+    for s in affected_shards:
+        for base in (paths.postings, paths.docs_meta):
+            shutil.rmtree(f"{base}/shard={s}", ignore_errors=True)
+            shutil.move(f"{base}/__delta_shard={s}", f"{base}/shard={s}")
+
+    # ---- df_stats bucket-partition merge ---------------------------------
+    for b in touched_buckets:
+        old_b = spark.read.parquet(f"{paths.df_stats}/bucket={b}")
+        merged = (
+            old_b.join(delta.filter(F.col("bucket") == b).select("term", "d_df", "d_cf"),
+                       "term", "full_outer")
+            .select(
+                "term",
+                (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("d_df"), F.lit(0))).alias("df"),
+                (F.coalesce(F.col("cf"), F.lit(0)) + F.coalesce(F.col("d_cf"), F.lit(0))).alias("cf"),
+            )
+            .filter(F.col("df") > 0)  # delete-lemma-at-zero
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{paths.df_stats}/__delta_bucket={b}")
+    for b in touched_buckets:
+        shutil.rmtree(f"{paths.df_stats}/bucket={b}", ignore_errors=True)
+        shutil.move(f"{paths.df_stats}/__delta_bucket={b}", f"{paths.df_stats}/bucket={b}")
+
+    # ---- stats + segments rebuild for touched buckets --------------------
+    meta_r = spark.read.parquet(paths.docs_meta)
+    agg = meta_r.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).collect()[0]
+    stats["n_docs"] = int(agg.n)
+    stats["sum_dl"] = int(agg.s or 0)
+    stats["avgdl"] = stats["sum_dl"] / stats["n_docs"] if stats["n_docs"] else 0.0
+    dfr = spark.read.parquet(paths.df_stats).agg(
+        F.count(F.lit(1)).alias("t"), F.sum("df").alias("p"), F.sum("cf").alias("c")
+    ).collect()[0]
+    stats["n_terms"] = int(dfr.t)
+    stats["n_postings"] = int(dfr.p or 0)
+    stats["sum_tf"] = int(dfr.c or 0)
+    with open(paths.stats, "w") as f:
+        json.dump(stats, f, indent=1)
+
+    import os
+
+    if os.path.isdir(paths.segments):
+        post_r = spark.read.parquet(paths.postings)
+        meta_dl = meta_r.select("doc_id", "dl")
+        for b in touched_buckets:
+            pw = (
+                post_r.withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+                .filter(F.col("bucket") == b)
+                .join(meta_dl, "doc_id")
+            )
+            runs = pw.groupBy("shard", "bucket").applyInPandas(
+                make_pack_fn(), SEGMENT_SCHEMA)
+            segs = runs.groupBy("bucket").applyInPandas(
+                make_compact_fn(1 << 30), SEGMENT_SCHEMA)
+            segs.coalesce(1).write.mode("overwrite").parquet(
+                f"{paths.segments}/__delta_bucket={b}")
+        for b in touched_buckets:
+            shutil.rmtree(f"{paths.segments}/bucket={b}", ignore_errors=True)
+            shutil.move(f"{paths.segments}/__delta_bucket={b}", f"{paths.segments}/bucket={b}")
+        # untouched buckets stay valid under the avgdl/df drift because the
+        # packed block metadata is (max tf, min dl) — collection-stat-free;
+        # WAND recomputes bounds with the current avgdl at query time.
+
+    analyzed.unpersist(); removed_postings.unpersist()
+    new_postings.unpersist(); delta.unpersist(); new_meta.unpersist()
+    return {
+        "replaced_docs": len(replaced),
+        "new_docs": len(new_ids),
+        "affected_shards": affected_shards,
+        "touched_buckets": touched_buckets,
+    }

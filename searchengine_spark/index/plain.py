@@ -53,7 +53,7 @@ def build_plain_index(
     n_docs = int(dsr.n)
     avgdl = (dsr.s or 0) / n_docs if n_docs else 0.0
 
-    segs = pack_segments(pw, avgdl, fanin=compact_fanin)
+    segs = pack_segments(pw, fanin=compact_fanin)
     (segs.repartition(n_buckets, "bucket")
          .write.mode("overwrite").partitionBy("bucket").parquet(paths.segments))
 

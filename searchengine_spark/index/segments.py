@@ -31,7 +31,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from searchengine_spark.index import codec
-from searchengine_spark.textproc.core import BM25_B, BM25_K1
 
 SEGMENT_SCHEMA = T.StructType([
     T.StructField("bucket", T.IntegerType()),
@@ -42,7 +41,8 @@ SEGMENT_SCHEMA = T.StructType([
     T.StructField("tfs_vb", T.BinaryType()),
     T.StructField("dls_vb", T.BinaryType()),
     T.StructField("blk_last", T.BinaryType()),
-    T.StructField("blk_maxw", T.BinaryType()),
+    T.StructField("blk_maxtf", T.BinaryType()),
+    T.StructField("blk_mindl", T.BinaryType()),
     T.StructField("blk_doff", T.BinaryType()),
     T.StructField("blk_toff", T.BinaryType()),
     T.StructField("blk_loff", T.BinaryType()),
@@ -59,7 +59,8 @@ def packed_to_row(term: str, bucket: int, grp: int, p: codec.PackedList) -> dict
         "tfs_vb": p.tfs_vb,
         "dls_vb": p.dls_vb,
         "blk_last": p.last.tobytes(),
-        "blk_maxw": p.maxw.tobytes(),
+        "blk_maxtf": p.btf.tobytes(),
+        "blk_mindl": p.bdl.tobytes(),
         "blk_doff": p.doff.tobytes(),
         "blk_toff": p.toff.tobytes(),
         "blk_loff": p.loff.tobytes(),
@@ -75,18 +76,21 @@ def row_to_packed(row) -> codec.PackedList:
         bytes(g("tfs_vb")),
         bytes(g("dls_vb")),
         np.frombuffer(g("blk_last"), dtype=np.uint64),
-        np.frombuffer(g("blk_maxw"), dtype=np.float64),
+        np.frombuffer(g("blk_maxtf"), dtype=np.uint64),
+        np.frombuffer(g("blk_mindl"), dtype=np.uint64),
         np.frombuffer(g("blk_doff"), dtype=np.int64),
         np.frombuffer(g("blk_toff"), dtype=np.int64),
         np.frombuffer(g("blk_loff"), dtype=np.int64),
     )
 
 
-def make_pack_fn(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
+def make_pack_fn():
     """applyInPandas fn for phase 1: postings of one (shard, bucket) cell.
 
     Input pdf columns: term, doc_id, tf, dl, shard, bucket.
     Vectorized: one argsort over the cell, then per-term slice packing.
+    Block metadata is (max tf, min dl) — collection-stat-free, so packed
+    segments stay valid across delta reindexes that shift avgdl/df.
     """
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -103,15 +107,14 @@ def make_pack_fn(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
         rows = []
         for i in range(bounds.size - 1):
             lo, hi = bounds[i], bounds[i + 1]
-            p = codec.pack_postings(ids[lo:hi], tfs[lo:hi], dls[lo:hi],
-                                    avgdl=avgdl, k1=k1, b=b)
+            p = codec.pack_postings(ids[lo:hi], tfs[lo:hi], dls[lo:hi])
             rows.append(packed_to_row(str(terms[lo]), bucket, grp, p))
         return pd.DataFrame(rows)
 
     return pack
 
 
-def make_compact_fn(avgdl: float, fanin: int, k1: float = BM25_K1, b: float = BM25_B):
+def make_compact_fn(fanin: int):
     """applyInPandas fn for phase 2: all partial rows of one bucket.
 
     Groups each term's runs into ceil(n_runs / fanin) merged segments;
@@ -137,7 +140,7 @@ def make_compact_fn(avgdl: float, fanin: int, k1: float = BM25_K1, b: float = BM
                 ids = np.concatenate([p[0] for p in parts])
                 tfs = np.concatenate([p[1] for p in parts])
                 dls = np.concatenate([p[2] for p in parts])
-                p = codec.pack_postings(ids, tfs, dls, avgdl=avgdl, k1=k1, b=b)
+                p = codec.pack_postings(ids, tfs, dls)
                 out.append(packed_to_row(str(term), bucket, gi // fanin, p))
         return pd.DataFrame(out)
 
@@ -146,7 +149,6 @@ def make_compact_fn(avgdl: float, fanin: int, k1: float = BM25_K1, b: float = BM
 
 def pack_segments(
     postings_with_dl: DataFrame,
-    avgdl: float,
     fanin: int | None = None,
 ) -> DataFrame:
     """(term, doc_id, tf, dl, shard, bucket) -> segment rows.
@@ -156,12 +158,12 @@ def pack_segments(
     scale to cap merge memory.
     """
     partial = postings_with_dl.groupBy("shard", "bucket").applyInPandas(
-        make_pack_fn(avgdl), SEGMENT_SCHEMA
+        make_pack_fn(), SEGMENT_SCHEMA
     )
     if fanin is None:
         fanin = 1 << 30  # merge all runs per term
     return partial.groupBy("bucket").applyInPandas(
-        make_compact_fn(avgdl, fanin), SEGMENT_SCHEMA
+        make_compact_fn(fanin), SEGMENT_SCHEMA
     )
 
 

@@ -318,6 +318,68 @@ SELECT probe_id, vec_id, cosine, rank FROM (
 """
 
 
+def embedding_near_dup_pairs(threshold: float = 0.9, n_planes: int = 8) -> str:
+    """Twin of similarity.embedding_near_dup_pairs: LSH-bucket candidates +
+    exact cosine verify (same integer-arithmetic hyperplanes)."""
+    return f"""
+WITH b AS ({embedding_lsh_buckets(n_planes)}),
+emb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN b USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS vec_a, x.vec_id AS vec_b, a.embedding AS pvec, x.embedding AS cvec
+  FROM emb a JOIN emb x USING (bucket)
+  WHERE a.vec_id < x.vec_id
+),
+scored AS (SELECT vec_a, vec_b, {_COS} FROM pairs)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}
+"""
+
+
+def simhash_near_pairs(max_hamming: int = 8, bits: int = 60) -> str:
+    """Twin of dedup.simhash_near_pairs: 4 x 15-bit band blocking over the
+    simhash, exact Hamming verify via xor bit_count."""
+    bands = ", ".join(
+        f"({{'band': {b}, 'key': (simhash >> {b * 15}) & {(1 << 15) - 1}}})"
+        for b in range(4)
+    )
+    return f"""
+WITH sh AS ({simhash(bits)}),
+bb AS (
+  SELECT doc_id, simhash, u.band AS band, u.key AS key
+  FROM sh, unnest([{bands}]) AS t(u)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bb a JOIN bb b USING (band, key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
+def lsh_cosine_topk(probe_ids: list[int], k: int = 5, n_planes: int = 8) -> str:
+    """Twin of similarity.lsh_cosine_topk: exact cosine restricted to the
+    probe's LSH bucket."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+WITH b AS ({embedding_lsh_buckets(n_planes)}),
+emb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN b USING (vec_id)),
+probes AS (SELECT vec_id AS probe_id, embedding AS pvec, bucket AS pbucket
+           FROM emb WHERE vec_id IN ({ids})),
+cand AS (SELECT vec_id, embedding AS cvec, bucket FROM emb),
+scored AS (
+  SELECT probe_id, vec_id, {_COS}
+  FROM cand JOIN probes ON cand.bucket = probes.pbucket
+  WHERE vec_id <> probe_id
+)
+SELECT probe_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def embedding_lsh_buckets(n_planes: int = 8) -> str:
     dots = ", ".join(
         f"list_sum([embedding[i]::DOUBLE * (CASE WHEN ((i-1)*31 + {p}*17) % 7 < 3 "

@@ -13,10 +13,12 @@ lacked:
   absent from the index ⇒ empty result without touching postings;
 - **block-max pruning** (absent in the reference, which scores every
   matching page then sorts — SearchServiceImpl.java:59-73): per-block
-  score upper bounds (idf * packed maxw) drop candidates that cannot reach
-  the current top-k threshold *before* their blocks are decoded, and the
-  block skip pointers (``blk_last``) locate a candidate's block by binary
-  search so untouched blocks are never decompressed.
+  score upper bounds — idf * impact(block max tf, block min dl, current
+  avgdl), computed at query time from the packed (max tf, min dl) metadata
+  so they remain valid across delta reindexes — drop candidates that
+  cannot reach the current top-k threshold *before* their blocks are
+  decoded, and the block skip pointers (``blk_last``) locate a candidate's
+  block by binary search so untouched blocks are never decompressed.
 
 Scoring is exact float64 BM25 (k1=1.2, b=0.75) — tf and dl are stored in
 the segments, so scores match the DataFrame/DuckDB oracle path bit-for-bit
@@ -137,9 +139,11 @@ class SegmentSearcher:
             ids, tfs, dls = codec.unpack_all(p0)
             scores = idf[rarest] * _impact(tfs, dls, avgdl)
 
-            # grp-level upper bound of every remaining term
+            # grp-level upper bound of every remaining term (bounds derived
+            # from packed (max tf, min dl) with the *current* avgdl)
             rest_ub = np.array(
-                [idf[t] * float(runs[t].maxw.max()) for t in order[1:]],
+                [idf[t] * float(_impact(runs[t].btf, runs[t].bdl, avgdl).max())
+                 for t in order[1:]],
                 dtype=np.float64,
             )
             rest_cum = np.r_[np.cumsum(rest_ub[::-1])[::-1], 0.0]
@@ -160,7 +164,8 @@ class SegmentSearcher:
                     break
                 # block-max prune BEFORE decoding: score so far + this
                 # term's block bound + remaining grp bounds must beat θ
-                ub = alive_scores + idf[t] * p.maxw[blk] + rest_cum[j]
+                blk_ub = _impact(p.btf, p.bdl, avgdl)
+                ub = alive_scores + idf[t] * blk_ub[blk] + rest_cum[j]
                 keep = ub >= threshold() - EPS
                 alive_ids = alive_ids[keep]
                 alive_scores = alive_scores[keep]

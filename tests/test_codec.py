@@ -64,7 +64,7 @@ def test_pack_unpack_roundtrip(n):
     ids, tfs, dls = _rand_plist(rng, n)
     # feed shuffled — pack must sort by doc_id
     perm = rng.permutation(n)
-    p = codec.pack_postings(ids[perm], tfs[perm], dls[perm], avgdl=100.0)
+    p = codec.pack_postings(ids[perm], tfs[perm], dls[perm])
     out_ids, out_tfs, out_dls = codec.unpack_all(p)
     assert np.array_equal(out_ids, ids)
     assert np.array_equal(out_tfs, tfs)
@@ -74,7 +74,7 @@ def test_pack_unpack_roundtrip(n):
 def test_block_decode_matches_full():
     rng = np.random.default_rng(7)
     ids, tfs, dls = _rand_plist(rng, 1000)
-    p = codec.pack_postings(ids, tfs, dls, avgdl=250.0)
+    p = codec.pack_postings(ids, tfs, dls)
     full = codec.unpack_all(p)
     n_blocks = p.last.size
     assert n_blocks == (1000 + codec.BLOCK - 1) // codec.BLOCK
@@ -92,18 +92,21 @@ def test_block_decode_matches_full():
 def test_block_metadata_bounds():
     rng = np.random.default_rng(11)
     ids, tfs, dls = _rand_plist(rng, 700)
-    avgdl = 300.0
-    p = codec.pack_postings(ids, tfs, dls, avgdl=avgdl)
+    p = codec.pack_postings(ids, tfs, dls)
     k1, b = 1.2, 0.75
-    impact = (tfs.astype(float) * (k1 + 1)) / (
-        tfs.astype(float) + k1 * (1 - b + b * dls.astype(float) / avgdl)
-    )
-    for i in range(p.last.size):
-        lo, hi = i * codec.BLOCK, min((i + 1) * codec.BLOCK, 700)
-        assert p.last[i] == ids[hi - 1]
-        assert p.maxw[i] == pytest.approx(impact[lo:hi].max())
-        # upper bound property: every posting's impact <= block max
-        assert (impact[lo:hi] <= p.maxw[i] + 1e-12).all()
+    for avgdl in (50.0, 300.0, 5000.0):  # bound must hold for ANY avgdl
+        impact = (tfs.astype(float) * (k1 + 1)) / (
+            tfs.astype(float) + k1 * (1 - b + b * dls.astype(float) / avgdl)
+        )
+        for i in range(p.last.size):
+            lo, hi = i * codec.BLOCK, min((i + 1) * codec.BLOCK, 700)
+            assert p.last[i] == ids[hi - 1]
+            assert p.btf[i] == tfs[lo:hi].max()
+            assert p.bdl[i] == dls[lo:hi].min()
+            bound = (float(p.btf[i]) * (k1 + 1)) / (
+                float(p.btf[i]) + k1 * (1 - b + b * float(p.bdl[i]) / avgdl)
+            )
+            assert (impact[lo:hi] <= bound + 1e-12).all()
 
 
 def test_concat_streams_equals_single_encode():

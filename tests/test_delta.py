@@ -1,0 +1,79 @@
+"""Delta reindex == full rebuild (reference §3.3 single-page reindex,
+services/IndexingServiceImpl.java:117-207)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.fixtures.loaders import docs_path
+from searchengine_spark.index.build import InvertedIndex, build_index
+from searchengine_spark.index.delta import reindex_docs
+from searchengine_spark.index.segments import decode_segments
+
+
+@pytest.fixture()
+def corpora(spark):
+    docs = spark.read.parquet(docs_path("t1"))
+    some = [r.path for r in docs.select("path").limit(5).collect()]
+    changed = (
+        docs.filter(F.col("path").isin(some))
+        .withColumn("commit", F.concat(F.col("commit"), F.lit("-v2")))
+        .withColumn("content", F.concat(F.col("content"), F.lit(" freshterm freshterm")))
+    )
+    brand_new = spark.createDataFrame(
+        [("org9/newrepo", "src/new.py", "c1", "py", "totally fresh freshterm document body")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    updated_corpus = (
+        docs.filter(~F.col("path").isin(some))
+        .unionByName(changed)
+        .unionByName(brand_new)
+    )
+    return docs, changed.unionByName(brand_new), updated_corpus
+
+
+def _index_state(idx: InvertedIndex) -> dict:
+    postings = sorted((r.term, r.doc_id, r.tf) for r in idx.postings.collect())
+    dfs = sorted((r.term, r.df, r.cf) for r in idx.df_stats.collect())
+    decoded = sorted(
+        (r.term, r.doc_id, r.tf, r.dl) for r in decode_segments(idx.segments).collect()
+    )
+    return {"postings": postings, "df_stats": dfs, "decoded": decoded,
+            "stats": {k: idx.stats[k] for k in
+                      ("n_docs", "sum_dl", "n_terms", "n_postings", "sum_tf")}}
+
+
+def test_delta_reindex_equals_full_rebuild(spark, tmp_path, corpora):
+    docs, changed, updated_corpus = corpora
+
+    out = str(tmp_path / "idx")
+    build_index(spark, docs, out, n_shards=4, n_buckets=4)
+    summary = reindex_docs(spark, out, changed)
+    assert summary["replaced_docs"] == 5  # changed docs' old versions removed
+    assert summary["new_docs"] == 6
+    got = _index_state(InvertedIndex(spark, out))
+
+    ref_out = str(tmp_path / "ref")
+    build_index(spark, updated_corpus, ref_out, n_shards=4, n_buckets=4)
+    want = _index_state(InvertedIndex(spark, ref_out))
+
+    assert got["stats"] == want["stats"]
+    assert got["df_stats"] == want["df_stats"]
+    assert got["postings"] == want["postings"]
+    assert got["decoded"] == want["decoded"]
+
+
+def test_delta_search_sees_new_content(spark, tmp_path, corpora):
+    from searchengine_spark.query.wand import SegmentSearcher
+
+    docs, changed, _ = corpora
+    out = str(tmp_path / "idx2")
+    build_index(spark, docs, out, n_shards=4, n_buckets=4)
+    s = SegmentSearcher(spark, out)
+    assert s.search(["freshterm"], k=10) == []
+
+    reindex_docs(spark, out, changed)
+    s2 = SegmentSearcher(spark, out)
+    hits = s2.search(["freshterm"], k=10)
+    assert len(hits) == 6  # 5 changed + 1 brand-new doc

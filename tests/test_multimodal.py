@@ -1,0 +1,64 @@
+"""Multimodal plumbing: schemas, mapInPandas batch path, deterministic
+outputs, stubbed codec seam."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def media(spark, docs):
+    m = MM.synth_media(docs)
+    m.persist().count()
+    return m
+
+
+def test_media_schema_and_kinds(media, docs):
+    assert [f.name for f in media.schema.fields] == ["doc_id", "kind", "data", "n_bytes"]
+    assert media.count() == docs.count()
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_media_deterministic(spark, docs):
+    a = {r.doc_id: bytes(r.data) for r in MM.synth_media(docs).collect()}
+    b = {r.doc_id: bytes(r.data) for r in MM.synth_media(docs).collect()}
+    assert a == b
+
+
+def test_features_match_headers(media):
+    feats = {r.doc_id: r for r in MM.extract_features(media).collect()}
+    raw = {r.doc_id: bytes(r.data) for r in media.collect()}
+    assert len(feats) == len(raw)
+    for did, data in raw.items():
+        f = feats[did]
+        w, h, nf = struct.unpack("<III", data[4:16])
+        assert (f.width, f.height, f.n_frames) == (w, h, nf)
+        assert f.n_bytes == len(data)
+        assert f.payload_sha == hashlib.sha256(data[16:]).hexdigest()
+
+
+def test_frame_sampling_video_only(media):
+    frames = MM.sample_frames(media, every=2).collect()
+    assert frames
+    vids = {r.doc_id for r in media.filter(F.col("kind") == "video").collect()}
+    assert {r.frame for r in frames} and all(r.doc_id in vids for r in frames)
+    for r in frames:
+        assert r.frame % 2 == 0
+        assert len(r.frame_sha) == 64
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_real(b"\x00", "image")

@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling evidence (north_rule: >=0.8 efficiency N -> 4N).
+
+No real cluster exists in the sandbox, so per driver instruction the
+cluster-size proxy is the same job at two local parallelism levels:
+``local[8]`` vs ``local[32]`` (N and 4N cores), same input, fixed partition
+counts.  Reports index-build docs/sec at both, scaling efficiency
+(dps@4N / (4 * dps@N)), and query latency p50/p99 over the fixture query
+set on the built index.  Results are appended to BASELINE.md between
+markers.
+
+The input corpus is the sf testdata documents table deterministically
+replicated R times (distinct repo per replica) so the build is
+compute-bound rather than job-overhead-bound — 5k docs finish in seconds
+of mostly fixed cost, which would understate scaling at any core count.
+
+Usage: python tools/scaling_bench.py [--sf-dir DIR] [--replicas R]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+MARK_BEGIN = "<!-- scaling-bench:begin -->"
+MARK_END = "<!-- scaling-bench:end -->"
+
+
+def corpus(spark, sf_dir: str, replicas: int):
+    from pyspark.sql import functions as F
+
+    # repartition BEFORE the crossJoin so corpus generation itself is
+    # parallel (the sf table is a single parquet split)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(64)
+    reps = spark.range(replicas).select(F.col("id").alias("rep"))
+    return (
+        docs.crossJoin(reps)
+        .selectExpr(
+            "concat('rep', rep, '/', cast(doc_id as string)) as repo",
+            "concat('doc/', cast(doc_id as string), '.txt') as path",
+            "'HEAD' as commit",
+            "lang",
+            "text as content",
+        )
+    )
+
+
+def build_at(cpus: int, sf_dir: str, replicas: int) -> dict:
+    from searchengine_spark.index.build import build_index
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark(
+        f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=32,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    docs = corpus(spark, sf_dir, replicas)
+    # materialize the synthetic corpus before timing: its lineage (single
+    # parquet split -> crossJoin) is serial generator overhead that a real
+    # corpus scan doesn't have; the timed job must start from a parallel
+    # cached input, like reading a many-split table
+    docs = docs.persist()
+    n_docs = docs.count()
+    # warm-up: spawn + warm the Python UDF workers and JIT the job path on a
+    # tiny slice, so the timed run measures steady-state throughput (cluster
+    # executors stay warm across jobs; a cold JVM/worker spawn is a one-time
+    # cost, not a per-job one)
+    # shard/bucket counts sized to the larger core count so output-partition
+    # parallelism never caps task parallelism (at cluster scale these are
+    # thousands; both runs use identical values for a fair comparison)
+    build_index(spark, docs.limit(500), tempfile.mkdtemp(prefix="warm_"),
+                mode="code", n_shards=32, n_buckets=64)
+    out = tempfile.mkdtemp(prefix=f"scalidx{cpus}_")
+    t0 = time.time()
+    build_index(spark, docs, out, mode="code", n_shards=32, n_buckets=64)
+    secs = time.time() - t0
+    spark.stop()
+    return {"cpus": cpus, "n_docs": n_docs, "secs": round(secs, 2),
+            "docs_per_sec": round(n_docs / secs, 1), "out": out}
+
+
+def query_latencies(sf_dir: str) -> dict:
+    """p50/p99 over the fixture query set against a t2 analyzer index."""
+    from searchengine_spark.fixtures.loaders import docs_path, load_queries
+    from searchengine_spark.index.build import InvertedIndex, build_index
+    from searchengine_spark.oracle.engine import build_default
+    from searchengine_spark.query.wand import SegmentSearcher
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("scaling-query", master="local[32]",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    out = tempfile.mkdtemp(prefix="qidx_")
+    build_index(spark, spark.read.parquet(docs_path("t2")), out)
+    idx = InvertedIndex(spark, out)
+    searcher = SegmentSearcher(spark, out)
+    oracle_analyzer = build_default(docs_path("t2")).analyzer
+
+    lat = []
+    n_hits = 0
+    for q in load_queries():
+        terms = sorted(oracle_analyzer.lemma_set(q["query"]))
+        t0 = time.time()
+        res = searcher.search(terms, k=20)
+        lat.append((time.time() - t0) * 1000.0)
+        n_hits += len(res)
+    spark.stop()
+    lat.sort()
+    return {
+        "queries": len(lat),
+        "total_hits": n_hits,
+        "p50_ms": round(statistics.median(lat), 1),
+        "p99_ms": round(lat[max(0, int(len(lat) * 0.99) - 1)], 1),
+        "max_ms": round(lat[-1], 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicas", type=int, default=768)
+    args = ap.parse_args()
+
+    r8 = build_at(8, args.sf_dir, args.replicas)
+    r32 = build_at(32, args.sf_dir, args.replicas)
+    eff = r32["docs_per_sec"] / (4.0 * r8["docs_per_sec"])
+    qlat = query_latencies(args.sf_dir)
+
+    result = {
+        "build_local8": r8, "build_local32": r32,
+        "scaling_efficiency": round(eff, 3),
+        "query_latency": qlat,
+        "sf_dir": args.sf_dir, "replicas": args.replicas,
+    }
+    print(json.dumps(result))
+
+    block = f"""{MARK_BEGIN}
+## Measured (tools/scaling_bench.py — two-parallelism cluster-size proxy)
+
+Same index-build job (analyze → postings → df_stats → packed segments) on the
+same input ({r8['n_docs']:,} docs = sf0.1 documents × {args.replicas} deterministic
+replicas), fixed `spark.sql.shuffle.partitions=32` at both core counts:
+
+| cores | build secs | docs/sec |
+| --- | --- | --- |
+| local[8] (N) | {r8['secs']} | {r8['docs_per_sec']} |
+| local[32] (4N) | {r32['secs']} | {r32['docs_per_sec']} |
+
+**Scaling efficiency** = dps@4N / (4 × dps@N) = **{eff:.3f}** (target ≥ 0.8).
+
+Query latency (block-max WAND over packed segments, t2 fixture index,
+{qlat['queries']} fixture queries, top-20): p50 = {qlat['p50_ms']} ms,
+p99 = {qlat['p99_ms']} ms, max = {qlat['max_ms']} ms.
+{MARK_END}"""
+
+    baseline = Path(__file__).resolve().parent.parent / "BASELINE.md"
+    text = baseline.read_text()
+    if MARK_BEGIN in text:
+        pre = text.split(MARK_BEGIN)[0]
+        post = text.split(MARK_END)[1]
+        text = pre + block + post
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    baseline.write_text(text)
+    print(f"BASELINE.md updated (efficiency={eff:.3f})")
+
+
+if __name__ == "__main__":
+    main()
