@@ -25,13 +25,20 @@ the segments, so scores match the DataFrame/DuckDB oracle path bit-for-bit
 modulo summation order; pruning uses an epsilon guard so the round-to-4
 oracle comparison can't be flipped by a boundary prune.
 
-Execution shape: the segment lookup is a bucket-pruned Catalyst scan
-(``bucket IN (...) AND term IN (...)`` push down to the parquet partition
-dirs / row groups); scoring runs driver-side in NumPy over the collected
-segment rows — the working set is the compressed postings of the query
-terms only.  Grps (disjoint doc-shards aligned across terms) are scored
-independently, sharing one threshold — the same loop distributes as a
-``mapInPandas`` over grp when a query term's postings outgrow the driver.
+Execution shape: the segment lookup is a bucket-pruned parquet read —
+``bucket IN (...)`` prunes to partition directories, ``term IN (...)``
+prunes row groups via column statistics.  By default it runs through
+pyarrow.dataset directly (``io="arrow"``): an interactive point lookup has
+no business paying a Spark job's scheduling latency, exactly as the
+reference queries MySQL B-trees rather than scanning; on a cluster the
+search head reads the same files from shared storage through the same
+Arrow filesystem API.  ``io="spark"`` runs the identical filter as a
+Catalyst scan (the fallback when segment rows must be collected through
+the cluster).  Scoring runs driver-side in NumPy over the collected rows —
+the working set is the compressed postings of the query terms only.  Grps
+(disjoint doc-shards aligned across terms) are scored independently,
+sharing one threshold — the same loop distributes as a ``mapInPandas``
+over grp when a query term's postings outgrow the driver.
 """
 
 from __future__ import annotations
@@ -63,32 +70,53 @@ def _impact(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
 class SegmentSearcher:
     """Query engine over a segment index directory (build.py / plain.py)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession | None, root: str, io: str = "arrow"):
         self.spark = spark
         self.paths = IndexPaths(root)
         with open(self.paths.stats) as f:
             self.stats = json.load(f)
         self.n_buckets = int(self.stats["n_buckets"])
+        if io == "spark" and spark is None:
+            raise ValueError("io='spark' needs a SparkSession")
+        self.io = io
+
+    def _buckets_of(self, terms: list[str]) -> list[int]:
+        return sorted({term_hash(t) % self.n_buckets for t in terms})
+
+    def _arrow_read(self, path: str, terms: list[str], columns: list[str] | None):
+        import pyarrow.dataset as pads
+
+        dataset = pads.dataset(path, format="parquet", partitioning="hive")
+        filt = pads.field("bucket").isin(self._buckets_of(terms)) & pads.field(
+            "term"
+        ).isin(terms)
+        return dataset.to_table(filter=filt, columns=columns).to_pylist()
 
     # -- term resolution (J1 broadcast-join analog, bucket-pruned scan) ------
 
     def resolve(self, terms: list[str]) -> dict[str, int]:
-        buckets = sorted({term_hash(t) % self.n_buckets for t in terms})
+        if self.io == "arrow":
+            rows = self._arrow_read(self.paths.df_stats, terms, ["term", "df"])
+            return {r["term"]: int(r["df"]) for r in rows}
         rows = (
             self.spark.read.parquet(self.paths.df_stats)
-            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .filter(F.col("bucket").isin(self._buckets_of(terms))
+                    & F.col("term").isin(terms))
             .select("term", "df")
             .collect()
         )
         return {r.term: int(r.df) for r in rows}
 
-    def _segment_rows(self, terms: list[str]):
-        buckets = sorted({term_hash(t) % self.n_buckets for t in terms})
-        return (
+    def _segment_rows(self, terms: list[str]) -> list[dict]:
+        if self.io == "arrow":
+            return self._arrow_read(self.paths.segments, terms, None)
+        rows = (
             self.spark.read.parquet(self.paths.segments)
-            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .filter(F.col("bucket").isin(self._buckets_of(terms))
+                    & F.col("term").isin(terms))
             .collect()
         )
+        return [r.asDict() for r in rows]
 
     # -- search --------------------------------------------------------------
 
@@ -120,7 +148,7 @@ class SegmentSearcher:
         # grp -> term -> PackedList
         by_grp: dict[int, dict[str, codec.PackedList]] = {}
         for r in self._segment_rows(terms):
-            by_grp.setdefault(int(r.grp), {})[r.term] = row_to_packed(r)
+            by_grp.setdefault(int(r["grp"]), {})[r["term"]] = row_to_packed(r)
 
         heap: list[tuple[float, int]] = []  # min-heap of (score, -doc) top-k
         results: list[tuple[int, float]] = []
