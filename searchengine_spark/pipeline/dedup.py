@@ -93,7 +93,7 @@ def lsh_band_buckets(documents: DataFrame, n: int = 3, **kw) -> DataFrame:
 def lsh_candidate_pairs(documents: DataFrame, n: int = 3, **kw) -> DataFrame:
     """(doc_a, doc_b) distinct, doc_a < doc_b — near-dup candidates sharing
     any LSH band bucket."""
-    bb = lsh_band_buckets(documents, n, **kw)
+    bb = lsh_band_buckets(documents, n, **kw).persist()  # self-join: 2 branches
     left = bb.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a"))
     right = bb.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_b"))
     return (
@@ -112,7 +112,7 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.2
     At scale this runs AFTER lsh_candidate_pairs as the verify stage; the
     shingle self-join here is the exact (small-corpus / verification) path.
     """
-    sh = shingles(documents, n, **kw)
+    sh = shingles(documents, n, **kw).persist()  # 3 consuming branches
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_a"))
     b = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_b"))
@@ -169,7 +169,7 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8, **kw) -> Data
     Blocked by 4 x 15-bit bands (a pair within Hamming<=3 shares >= 1 exact
     band; wider radii still prune massively) to avoid the O(n^2) cross join.
     """
-    sh = simhash(documents, **kw)
+    sh = simhash(documents, **kw).persist()  # band self-join: 2 branches
     bands = F.array(
         *[
             F.struct(

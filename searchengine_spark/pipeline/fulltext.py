@@ -94,9 +94,15 @@ def bm25_scored(documents: DataFrame, query_terms: list[str],
     driver can diff it against a single DuckDB SQL statement.  The broadcast
     scalar subplans (n_docs/avgdl) are 1-row crossjoins — Catalyst folds them
     into BroadcastNestedLoopJoin with a single-row build side.
+
+    The postings/doc_stats subplans appear in four branches of the tree and
+    Catalyst does not deduplicate common subplans — without the persist the
+    corpus would be scanned and tokenized 8x per query (observed via
+    .explain("formatted")); with it, one InMemoryTableScan feeds every
+    branch.
     """
-    p = tf_postings(documents, **kw)
-    ds = doc_stats(p)
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p).persist()
     # sum/count instead of avg(): the long sum is exact, so avgdl is the
     # same double in Spark and the DuckDB oracle regardless of merge order
     n_and_avg = ds.agg(
@@ -151,7 +157,7 @@ def compat_relevance(documents: DataFrame, query_terms: list[str],
     0.8 (quirk denominator, SearchServiceImpl.java:119-127), require ALL
     remaining terms (J4), relevance = Σtf normalized by the global max
     (SearchServiceImpl.java:153-182)."""
-    p = tf_postings(documents, **kw)
+    p = tf_postings(documents, **kw).persist()  # 3 consuming branches
     total_terms = df_stats(p).agg(F.count(F.lit(1)).cast("double").alias("total"))
     kept = (
         df_stats(p)
