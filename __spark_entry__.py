@@ -70,6 +70,12 @@ def _wand(spark: SparkSession, sf_dir: str, terms: list[str], k: int = 20) -> Da
     return wand_topk(spark, _plain_index(spark, sf_dir), terms, k=k)
 
 
+def _wand_dist(spark: SparkSession, sf_dir: str, terms: list[str], k: int = 20) -> DataFrame:
+    from searchengine_spark.query.wand import wand_topk_distributed
+
+    return wand_topk_distributed(spark, _plain_index(spark, sf_dir), terms, k=k)
+
+
 def _decode_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.index.segments import decode_segments
 
@@ -114,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wand_and2": lambda s, d: _wand(s, d, Q_AND2),
         "q_wand_and3": lambda s, d: _wand(s, d, Q_AND3),
         "q_wand_and_gate_empty": lambda s, d: _wand(s, d, Q_ABSENT),
+        "q_wand_distributed_and2": lambda s, d: _wand_dist(s, d, Q_AND2),
         "q_segments_decode": _decode_segments,
         # dedup suite
         "q_dedup_exact": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
@@ -173,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "q_wand_and2": osql.bm25_topk(Q_AND2, k=20),
         "q_wand_and3": osql.bm25_topk(Q_AND3, k=20),
         "q_wand_and_gate_empty": osql.bm25_topk(Q_ABSENT, k=20),
+        "q_wand_distributed_and2": osql.bm25_topk(Q_AND2, k=20),
         "q_segments_decode": osql.postings_with_dl(),
         "q_dedup_exact": osql.exact_duplicates(),
         "q_minhash_signatures": osql.minhash_signatures(),

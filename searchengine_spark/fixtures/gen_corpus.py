@@ -197,8 +197,11 @@ def generate_queries(docs: pa.Table, lemma_dict: dict[str, str],
     df_counter: Counter = Counter()
     contents = docs.column("content").to_pylist()
     repos_col = docs.column("repo").to_pylist()
-    for c in contents:
-        df_counter.update(an.lemma_set(c))
+    doc_sets: list[tuple[str, set]] = []  # (repo, lemma set) per doc
+    for repo, c in zip(repos_col, contents):
+        s = an.lemma_set(c)
+        df_counter.update(s)
+        doc_sets.append((repo, s))
 
     by_df = sorted(df_counter.items(), key=lambda kv: (kv[1], kv[0]))
     n = len(by_df)
@@ -231,6 +234,30 @@ def generate_queries(docs: pa.Table, lemma_dict: dict[str, str],
         add(" ".join(sw))
     for _ in range(3):
         add(rng.choice(inflectables))
+
+    # conjunctive queries with guaranteed hits: terms drawn from one real
+    # doc's lemma set (random pairings above almost never co-occur, which
+    # left every multi-term query empty)
+    selective = {t for t, d in df_counter.items() if 3 <= d <= 500}
+
+    def doc_terms(min_terms: int) -> tuple[str, list[str]]:
+        while True:
+            repo, s = doc_sets[rng.randrange(len(doc_sets))]
+            cand = sorted(s & selective)
+            if len(cand) >= min_terms:
+                return repo, cand
+
+    for _ in range(10):
+        _, cand = doc_terms(2)
+        add(" ".join(rng.sample(cand, 2)))
+    for _ in range(5):
+        _, cand = doc_terms(3)
+        add(" ".join(rng.sample(cand, 3)))
+    # repo-scoped queries with hits (mirrors site-scoped search,
+    # SearchServiceImpl.java:83-90)
+    for _ in range(5):
+        repo, cand = doc_terms(1)
+        add(rng.choice(cand), repo)
     return queries
 
 

@@ -67,6 +67,78 @@ def _impact(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
     return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
 
 
+def score_grp(
+    runs: dict[str, codec.PackedList],
+    order: list[str],
+    idf: dict[str, float],
+    avgdl: float,
+    theta: float = -np.inf,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Conjunctive block-max scoring of one grp (disjoint doc set).
+
+    Shared by the driver-side searcher and the distributed mapInPandas
+    variant.  ``theta`` is the entry threshold: candidates whose upper
+    bound cannot reach it are dropped before their blocks are decoded.
+    Returns (doc_ids, exact_scores) of all surviving AND matches.
+    """
+    empty = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64))
+    if len(runs) < len(order):
+        return empty  # AND within the grp: some term has no docs here
+    rarest = order[0]
+    ids, tfs, dls = codec.unpack_all(runs[rarest])
+    scores = idf[rarest] * _impact(tfs, dls, avgdl)
+
+    # grp-level upper bound of every remaining term (bounds derived from
+    # packed (max tf, min dl) with the *current* avgdl)
+    rest_ub = np.array(
+        [idf[t] * float(_impact(runs[t].btf, runs[t].bdl, avgdl).max())
+         for t in order[1:]],
+        dtype=np.float64,
+    )
+    rest_cum = np.r_[np.cumsum(rest_ub[::-1])[::-1], 0.0]
+
+    alive_ids = ids
+    alive_scores = scores
+    for j, t in enumerate(order[1:], start=1):
+        if alive_ids.size == 0:
+            return empty
+        p = runs[t]
+        # block lookup by skip pointer: first block whose last >= id
+        blk = np.searchsorted(p.last, alive_ids, side="left")
+        in_range = blk < p.last.size
+        alive_ids = alive_ids[in_range]
+        alive_scores = alive_scores[in_range]
+        blk = blk[in_range]
+        if alive_ids.size == 0:
+            return empty
+        # block-max prune BEFORE decoding: score so far + this term's
+        # block bound + remaining grp bounds must beat theta
+        blk_ub = _impact(p.btf, p.bdl, avgdl)
+        ub = alive_scores + idf[t] * blk_ub[blk] + rest_cum[j]
+        keep = ub >= theta - EPS
+        alive_ids = alive_ids[keep]
+        alive_scores = alive_scores[keep]
+        blk = blk[keep]
+        if alive_ids.size == 0:
+            return empty
+        # decode only the blocks that still hold candidates
+        new_scores = np.empty_like(alive_scores)
+        member = np.zeros(alive_ids.size, dtype=bool)
+        for bi in np.unique(blk):
+            sel = blk == bi
+            bids, btfs, bdls = codec.decode_block(p, int(bi))
+            pos = np.searchsorted(bids, alive_ids[sel])
+            ok = (pos < bids.size) & (bids[np.minimum(pos, bids.size - 1)]
+                                      == alive_ids[sel])
+            midx = np.flatnonzero(sel)[ok]
+            member[midx] = True
+            bimp = idf[t] * _impact(btfs, bdls, avgdl)
+            new_scores[midx] = bimp[np.minimum(pos, bids.size - 1)[ok]]
+        alive_ids = alive_ids[member]
+        alive_scores = alive_scores[member] + new_scores[member]
+    return alive_ids, alive_scores
+
+
 class SegmentSearcher:
     """Query engine over a segment index directory (build.py / plain.py)."""
 
@@ -153,69 +225,11 @@ class SegmentSearcher:
         heap: list[tuple[float, int]] = []  # min-heap of (score, -doc) top-k
         results: list[tuple[int, float]] = []
 
-        def threshold() -> float:
-            if not prune:
-                return -np.inf
-            return heap[0][0] if len(heap) >= k else -np.inf
-
         for grp in sorted(by_grp):
-            runs = by_grp[grp]
-            if len(runs) < len(terms):
-                continue  # AND within the grp: some term has no docs here
-            rarest = order[0]
-            p0 = runs[rarest]
-            ids, tfs, dls = codec.unpack_all(p0)
-            scores = idf[rarest] * _impact(tfs, dls, avgdl)
-
-            # grp-level upper bound of every remaining term (bounds derived
-            # from packed (max tf, min dl) with the *current* avgdl)
-            rest_ub = np.array(
-                [idf[t] * float(_impact(runs[t].btf, runs[t].bdl, avgdl).max())
-                 for t in order[1:]],
-                dtype=np.float64,
+            theta = heap[0][0] if (prune and len(heap) >= k) else -np.inf
+            alive_ids, alive_scores = score_grp(
+                by_grp[grp], order, idf, avgdl, theta
             )
-            rest_cum = np.r_[np.cumsum(rest_ub[::-1])[::-1], 0.0]
-
-            alive_ids = ids
-            alive_scores = scores
-            for j, t in enumerate(order[1:], start=1):
-                if alive_ids.size == 0:
-                    break
-                p = runs[t]
-                # block lookup by skip pointer: first block whose last >= id
-                blk = np.searchsorted(p.last, alive_ids, side="left")
-                in_range = blk < p.last.size
-                alive_ids = alive_ids[in_range]
-                alive_scores = alive_scores[in_range]
-                blk = blk[in_range]
-                if alive_ids.size == 0:
-                    break
-                # block-max prune BEFORE decoding: score so far + this
-                # term's block bound + remaining grp bounds must beat θ
-                blk_ub = _impact(p.btf, p.bdl, avgdl)
-                ub = alive_scores + idf[t] * blk_ub[blk] + rest_cum[j]
-                keep = ub >= threshold() - EPS
-                alive_ids = alive_ids[keep]
-                alive_scores = alive_scores[keep]
-                blk = blk[keep]
-                if alive_ids.size == 0:
-                    break
-                # decode only the blocks that still hold candidates
-                new_scores = np.empty_like(alive_scores)
-                member = np.zeros(alive_ids.size, dtype=bool)
-                for bi in np.unique(blk):
-                    sel = blk == bi
-                    bids, btfs, bdls = codec.decode_block(p, int(bi))
-                    pos = np.searchsorted(bids, alive_ids[sel])
-                    ok = (pos < bids.size) & (bids[np.minimum(pos, bids.size - 1)]
-                                              == alive_ids[sel])
-                    midx = np.flatnonzero(sel)[ok]
-                    member[midx] = True
-                    bimp = idf[t] * _impact(btfs, bdls, avgdl)
-                    new_scores[midx] = bimp[np.minimum(pos, bids.size - 1)[ok]]
-                alive_ids = alive_ids[member]
-                alive_scores = alive_scores[member] + new_scores[member]
-
             for d, s in zip(alive_ids.tolist(), alive_scores.tolist()):
                 results.append((int(d), float(s)))
                 item = (float(s), -int(d))
@@ -232,6 +246,61 @@ RESULT_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("score", T.DoubleType()),
 ])
+
+
+def wand_topk_distributed(spark: SparkSession, index_root: str,
+                          terms: list[str], k: int = 20) -> DataFrame:
+    """Executor-side WAND: the scale path when a query term's postings
+    outgrow the driver (a hot term at 10^12 docs).
+
+    The bucket-pruned segment scan stays distributed; each grp (disjoint
+    doc-shard, aligned across terms) is scored independently by
+    ``score_grp`` inside ``applyInPandas`` — block skip pointers still
+    avoid decoding candidate-free blocks, and each grp emits only its
+    local top-k (a superset of its contribution to the global top-k, since
+    scores are grp-independent) — then Catalyst's TakeOrderedAndProject
+    finishes the global cut.  Same result contract as ``wand_topk``.
+    """
+    import pandas as pd
+
+    searcher = SegmentSearcher(spark, index_root, io="spark")
+    terms = sorted(set(terms))
+    if not terms:
+        return spark.createDataFrame([], schema=RESULT_SCHEMA)
+    dfs = searcher.resolve(terms)
+    if len(dfs) < len(terms):
+        return spark.createDataFrame([], schema=RESULT_SCHEMA)
+    n_docs = int(searcher.stats["n_docs"])
+    avgdl = float(searcher.stats["avgdl"])
+    idf = {t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+           for t, d in dfs.items()}
+    order = sorted(terms, key=lambda t: (dfs[t], t))
+    n_terms = len(terms)
+    local_k = k + 8  # rounding slack, as in wand_topk
+
+    def grp_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        runs = {r["term"]: row_to_packed(r) for r in pdf.to_dict("records")}
+        if len(runs) < n_terms:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"})
+        ids, scores = score_grp(runs, order, idf, avgdl)
+        if ids.size > local_k:
+            part = np.argpartition(-scores, local_k)[:local_k]
+            ids, scores = ids[part], scores[part]
+        return pd.DataFrame({"doc_id": ids.astype(np.int64),
+                             "score": scores})
+
+    segs = (
+        spark.read.parquet(searcher.paths.segments)
+        .filter(F.col("bucket").isin(searcher._buckets_of(terms))
+                & F.col("term").isin(terms))
+    )
+    scored = segs.groupBy("grp").applyInPandas(grp_topk, RESULT_SCHEMA)
+    return (
+        scored.select("doc_id", F.round(F.col("score"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 def wand_topk(spark: SparkSession, index_root: str, terms: list[str],

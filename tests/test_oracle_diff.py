@@ -60,7 +60,7 @@ def test_postings_spotcheck(t1_index, t1_oracle):
     assert got == expected
 
 
-@pytest.mark.parametrize("qid", range(50))
+@pytest.mark.parametrize("qid", range(70))
 def test_topk_rank_identical(t1_index, t1_oracle, qid):
     q = load_queries()[qid]
     terms = sorted(t1_oracle.analyzer.lemma_set(q["query"]))

@@ -110,6 +110,17 @@ def test_wand_and_gate_absent_term(spark, t1_index):
     assert searcher.search(["qqqqzz_not_a_term"], k=5) == []
 
 
+@pytest.mark.parametrize("terms", TERMSETS, ids=["1term", "and2", "and3", "and2b", "absent"])
+def test_wand_distributed_matches_dataframe_bm25(spark, plain_idx, terms):
+    from searchengine_spark.query.wand import wand_topk_distributed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    expect = [(r.doc_id, r.score) for r in fulltext.bm25_topk(docs, terms, k=20).collect()]
+    got = [(r.doc_id, r.score)
+           for r in wand_topk_distributed(spark, plain_idx, terms, k=20).collect()]
+    assert got == expect
+
+
 def test_wand_block_pruning_effective(spark, plain_idx):
     """With k=1 the threshold rises fast; result must still be exact."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
