@@ -1,0 +1,86 @@
+"""Structured Streaming ingest: continuous corpus updates -> index deltas.
+
+The reference has no streaming surface — its closest analog is the
+single-page reindex endpoint polled per URL (POST /api/indexPage,
+services/IndexingServiceImpl.java:117-207).  At pipeline scale the same
+need appears as a continuous feed of new/changed files (a crawl drop
+folder, a CDC stream off the corpus table); this module expresses it as a
+Structured Streaming job:
+
+    readStream(corpus schema) -> foreachBatch(reindex_docs)
+
+Each micro-batch applies the delta-reindex protocol (index/delta.py):
+partition overwrite for affected doc-shards, df term-delta merge,
+touched-bucket segment rebuild — so the serving index is queryable and
+rank-consistent after every batch.  foreachBatch (rather than a stateful
+streaming agg) is the right shape here because index maintenance is an
+idempotent batch MERGE per micro-batch, not a windowed aggregation; the
+checkpoint directory gives exactly-once batch tracking and the manifest
+gives intra-batch resumability.
+
+``run_ingest_stream(..., available_now=True)`` drains everything present
+and stops — the testable local mode; with ``available_now=False`` it runs
+until ``query.stop()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, types as T
+
+CORPUS_SCHEMA = T.StructType([
+    T.StructField("repo", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("commit", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("content", T.StringType()),
+])
+
+
+def run_ingest_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Stream parquet drops from ``drop_dir`` into the index at
+    ``index_root`` (which must already exist — bootstrap with build_index).
+
+    Returns the StreamingQuery; with ``available_now`` the call blocks
+    until present files are drained.
+    """
+    from searchengine_spark.index.delta import reindex_docs
+
+    reader = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .format("parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(drop_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # dedup within the batch: last writer wins per (repo, path) —
+        # matches the reference's reindex-replaces-page semantics
+        from pyspark.sql import Window, functions as F
+
+        w = Window.partitionBy("repo", "path").orderBy(F.desc("commit"))
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        reindex_docs(spark, index_root, latest)
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

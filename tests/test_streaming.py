@@ -1,0 +1,78 @@
+"""Streaming ingest: micro-batched delta reindex keeps the index
+rank-consistent with a from-scratch rebuild after each drop."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.fixtures.loaders import docs_path
+from searchengine_spark.index.build import InvertedIndex, build_index
+from searchengine_spark.query.wand import SegmentSearcher
+from searchengine_spark.streaming.ingest import run_ingest_stream
+
+
+def test_stream_ingest_applies_drops(spark, tmp_path):
+    docs = spark.read.parquet(docs_path("t1"))
+    out = str(tmp_path / "idx")
+    build_index(spark, docs, out, n_shards=4, n_buckets=4)
+
+    drop_dir = str(tmp_path / "drops")
+    os.makedirs(drop_dir)
+    ckpt = str(tmp_path / "ckpt")
+
+    # drop 1: two changed docs + one new doc
+    some = [r.path for r in docs.select("path").limit(2).collect()]
+    changed = (
+        docs.filter(F.col("path").isin(some))
+        .withColumn("commit", F.concat(F.col("commit"), F.lit("-v2")))
+        .withColumn("content", F.concat(F.col("content"), F.lit(" streamterm")))
+    )
+    new_doc = spark.createDataFrame(
+        [("org8/streamrepo", "src/s.py", "c1", "py", "streamterm only here")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    changed.unionByName(new_doc).coalesce(1).write.mode("append").parquet(drop_dir)
+
+    run_ingest_stream(spark, drop_dir, out, ckpt, available_now=True)
+    s = SegmentSearcher(spark, out)
+    assert len(s.search(["streamterm"], k=10)) == 3
+
+    # drop 2: another new doc; checkpoint must skip the already-applied files
+    new2 = spark.createDataFrame(
+        [("org8/streamrepo", "src/t.py", "c1", "py", "streamterm again")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    new2.coalesce(1).write.mode("append").parquet(drop_dir)
+    run_ingest_stream(spark, drop_dir, out, ckpt, available_now=True)
+    s2 = SegmentSearcher(spark, out)
+    assert len(s2.search(["streamterm"], k=10)) == 4
+
+    # stats stayed consistent (n_docs grew by exactly the two new docs)
+    idx = InvertedIndex(spark, out)
+    assert idx.stats["n_docs"] == docs.count() + 2
+
+
+def test_stream_batch_last_writer_wins(spark, tmp_path):
+    docs = spark.read.parquet(docs_path("t1"))
+    out = str(tmp_path / "idx2")
+    build_index(spark, docs, out, n_shards=4, n_buckets=4)
+    drop_dir = str(tmp_path / "drops2")
+    os.makedirs(drop_dir)
+
+    # two versions of the same (repo, path) in ONE batch: commit order decides
+    rows = [
+        ("org8/r", "src/x.py", "c-aaa", "py", "oldversion streamdup"),
+        ("org8/r", "src/x.py", "c-bbb", "py", "newversion streamdup"),
+    ]
+    spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).coalesce(1).write.mode("append").parquet(drop_dir)
+
+    run_ingest_stream(spark, drop_dir, out, str(tmp_path / "ckpt2"), available_now=True)
+    s = SegmentSearcher(spark, out)
+    assert len(s.search(["streamdup"], k=10)) == 1
+    assert s.search(["newversion"], k=10)
+    assert s.search(["oldversion"], k=10) == []
