@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # text analysis suite
         "q_token_counts": lambda s, d: textstats.token_counts(_docs(s, d)),
+        "q_subword_counts": lambda s, d: textstats.subword_counts(_docs(s, d)),
         "q_quality_scores": lambda s, d: textstats.quality_scores(_docs(s, d)),
         "q_language_id": lambda s, d: textstats.language_id(_docs(s, d)),
         "q_fingerprints": lambda s, d: textstats.fingerprints(_docs(s, d)),
@@ -189,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash": osql.simhash(),
         "q_simhash_near_pairs": osql.simhash_near_pairs(max_hamming=8),
         "q_token_counts": osql.token_counts(),
+        "q_subword_counts": osql.subword_counts(),
         "q_quality_scores": osql.quality_scores(),
         "q_language_id": osql.language_id(),
         "q_fingerprints": osql.fingerprints(),

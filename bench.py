@@ -33,13 +33,19 @@ HEADLINE = [
     "q_bm25_and3",
     "q_search_pagination",
     "q_compat_relevance_strict",
+    "q_wand_and2",             # includes one-time plain segment-index build
+    "q_wand_and3",
+    "q_wand_distributed_and2",
     "q_dedup_exact",
     "q_lsh_candidate_pairs",
     "q_simhash",
+    "q_simhash_near_pairs",
     "q_token_counts",
+    "q_subword_counts",
     "q_quality_scores",
     "q_fingerprints",
     "q_cosine_topk",
+    "q_embedding_near_dup",
 ]
 
 

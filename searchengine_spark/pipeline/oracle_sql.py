@@ -164,6 +164,22 @@ FROM (SELECT doc_id, text, {_TOKARR} AS arr FROM documents)
 """
 
 
+def subword_counts() -> str:
+    """Twin of textstats.subword_counts (BPE pre-tokenizer run counts)."""
+    pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+    return f"""
+WITH pt AS (
+  SELECT doc_id, regexp_extract_all(text, '{pat}') AS runs FROM documents
+)
+SELECT doc_id,
+       len(runs)::BIGINT AS n_pretokens,
+       len(list_filter(runs, r -> regexp_matches(r, '^[a-zA-Z]+$')))::BIGINT AS n_word_runs,
+       len(list_filter(runs, r -> regexp_matches(r, '^[0-9]+$')))::BIGINT AS n_digit_runs,
+       len(list_filter(runs, r -> NOT regexp_matches(r, '^[a-zA-Z0-9]+$')))::BIGINT AS n_punct_runs
+FROM pt
+"""
+
+
 def quality_scores() -> str:
     markers = ", ".join(f"'{m}'" for m in EN_MARKERS)
     return f"""

@@ -33,6 +33,32 @@ def token_counts(documents: DataFrame, id_col: str = "doc_id",
     )
 
 
+# GPT-style pre-tokenizer classes: letter runs, digit runs, punctuation runs
+# (the unit BPE merges operate on — counting these gives the standard
+# upper-estimate of BPE token cost without shipping a merges table)
+BPE_PRETOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+
+def subword_counts(documents: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, n_pretokens, n_word_runs, n_digit_runs, n_punct_runs) —
+    BPE-ish token cost estimate via the pre-tokenizer regex, JVM-side."""
+    d = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0).alias("pt"),
+    )
+    return d.select(
+        "doc_id",
+        F.size("pt").cast("long").alias("n_pretokens"),
+        F.size(F.filter(F.col("pt"), lambda t: t.rlike("^[a-zA-Z]+$")))
+        .cast("long").alias("n_word_runs"),
+        F.size(F.filter(F.col("pt"), lambda t: t.rlike("^[0-9]+$")))
+        .cast("long").alias("n_digit_runs"),
+        F.size(F.filter(F.col("pt"), lambda t: ~t.rlike("^[a-zA-Z0-9]+$")))
+        .cast("long").alias("n_punct_runs"),
+    )
+
+
 def quality_scores(documents: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """(doc_id, n_chars, n_tokens, avg_token_len, alnum_ratio, marker_ratio, quality).

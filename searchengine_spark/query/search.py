@@ -30,10 +30,15 @@ from searchengine_spark.textproc.snippets import extract_title, make_snippet
 
 
 def _analyzer(index: InvertedIndex) -> Analyzer:
+    mode = index.stats.get("mode", "compat")
+    if mode == "sql":
+        # plain/"sql"-mode indexes (index/plain.py) store raw SQL-twin
+        # tokens — no lemmatization or particle filter on either side
+        return Analyzer(mode="sql")
     return Analyzer(
         lemma_dict=load_lemma_dict(),
         stopwords=load_stopwords(),
-        mode=index.stats.get("mode", "compat"),
+        mode=mode,
     )
 
 
@@ -83,22 +88,25 @@ def search(
         return {"result": True, "count": total, "data": []}
 
     ids = [d for d, _ in page]
+    dm = index.docs_meta
+    # plain/"sql"-mode indexes carry only (doc_id, dl, n_terms): no corpus
+    # metadata to join — titles/snippets then need the ``docs`` DataFrame
+    meta_cols = [c for c in ("repo", "path", "lang") if c in dm.columns]
     meta = {
         int(r.doc_id): r
-        for r in index.docs_meta.filter(F.col("doc_id").isin(ids))
-        .select("doc_id", "repo", "path", "lang")
+        for r in dm.filter(F.col("doc_id").isin(ids))
+        .select("doc_id", *meta_cols)
         .collect()
-    }
+    } if meta_cols else {}
     contents: dict[int, str] = {}
     if docs is not None:
-        from searchengine_spark.textproc.udfs import doc_id_col
+        if "content" in docs.columns:  # corpus shape (repo, path, ..., content)
+            from searchengine_spark.textproc.udfs import doc_id_col
 
-        crows = (
-            docs.withColumn("doc_id", doc_id_col())
-            .filter(F.col("doc_id").isin(ids))
-            .select("doc_id", "content")
-            .collect()
-        )
+            cdf = docs.withColumn("doc_id", doc_id_col()).select("doc_id", "content")
+        else:  # documents shape (doc_id, text)
+            cdf = docs.select("doc_id", F.col("text").alias("content"))
+        crows = cdf.filter(F.col("doc_id").isin(ids)).collect()
         contents = {int(r.doc_id): r.content for r in crows}
 
     # normalized relevance like the reference (absolute / max,

@@ -59,7 +59,20 @@ def tokenize_code(text: str) -> list[str]:
     return [t for t in _WS.split(cleaned) if t]
 
 
-_TOKENIZERS = {"compat": tokenize_compat, "code": tokenize_code}
+_SQL_STRIP = re.compile(r"[^a-z0-9]+")
+
+
+def tokenize_sql(text: str) -> list[str]:
+    """Python twin of pipeline.fulltext.TOKENIZE_SQL_SPARK (lower ->
+    strip non-[a-z0-9] -> split) so plain/"sql"-mode segment indexes are
+    queryable through the same Analyzer path."""
+    if not text:
+        return []
+    cleaned = _SQL_STRIP.sub(" ", text.lower())
+    return [t for t in _WS.split(cleaned) if t]
+
+
+_TOKENIZERS = {"compat": tokenize_compat, "code": tokenize_code, "sql": tokenize_sql}
 
 
 @dataclass
