@@ -27,6 +27,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from searchengine_spark.pipeline import (  # noqa: E402
     dedup,
+    events,
     fulltext,
     multimodal,
     oracle_sql as osql,
@@ -45,6 +46,10 @@ PROBE_VEC_IDS = [0, 1, 2, 3, 4]
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 # plain segment index per sf_dir, built once per process (the WAND and
@@ -147,11 +152,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_cosine_topk": lambda s, d: similarity.lsh_cosine_topk(
             _emb(s, d), PROBE_VEC_IDS, k=5
         ),
+        "q_ivf_lists": lambda s, d: similarity.ivf_lists(_emb(s, d)),
+        "q_ivf_topk": lambda s, d: similarity.ivf_topk(
+            _emb(s, d), PROBE_VEC_IDS, k=5
+        ),
         # threshold 0.3: the synthetic embeddings are near-orthogonal, so a
         # production-style 0.9 matches nothing at any sf
         "q_embedding_near_dup": lambda s, d: similarity.embedding_near_dup_pairs(
             _emb(s, d), threshold=0.3
         ),
+        # event-time windowed aggregations (the batch twins of the
+        # streaming/windows.py Structured Streaming jobs)
+        "q_events_tumbling": lambda s, d: events.tumbling_counts(_events(s, d)),
+        "q_events_sliding": lambda s, d: events.sliding_counts(_events(s, d)),
+        "q_events_sessions": lambda s, d: events.session_windows(_events(s, d)),
         # multimodal plumbing (stubbed codecs, real Spark schema/batch path) —
         # no SQL twin: binary header parsing is not oracle-expressible, the
         # driver records the weaker rows-only check
@@ -197,6 +211,11 @@ def oracle_sql() -> dict[str, str]:
         "q_cosine_topk": osql.cosine_topk(PROBE_VEC_IDS, k=5),
         "q_embedding_lsh_buckets": osql.embedding_lsh_buckets(),
         "q_lsh_cosine_topk": osql.lsh_cosine_topk(PROBE_VEC_IDS, k=5),
+        "q_ivf_lists": osql.ivf_lists(),
+        "q_ivf_topk": osql.ivf_topk(PROBE_VEC_IDS, k=5),
+        "q_events_tumbling": osql.tumbling_counts(),
+        "q_events_sliding": osql.sliding_counts(),
+        "q_events_sessions": osql.session_windows(),
         "q_embedding_near_dup": osql.embedding_near_dup_pairs(threshold=0.3),
         # q_media_features / q_media_frame_sample intentionally absent:
         # rows-only check (binary parsing has no SQL twin)

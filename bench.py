@@ -46,6 +46,9 @@ HEADLINE = [
     "q_fingerprints",
     "q_cosine_topk",
     "q_embedding_near_dup",
+    "q_ivf_topk",
+    "q_events_tumbling",
+    "q_events_sessions",
 ]
 
 

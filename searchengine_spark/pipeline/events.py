@@ -1,0 +1,94 @@
+"""Event-time windowed aggregations over the ``events`` table
+(event_id, ts, user_id, event_type, value, props).
+
+The reference has no time-series surface; these are the windowing
+operators a training-data/telemetry pipeline needs, expressed with
+Spark's native window functions so the same plans run unchanged as
+Structured Streaming aggregations (streaming/windows.py drives exactly
+these through readStream + withWatermark):
+
+- tumbling_counts: fixed 5-minute buckets — groupBy(window(ts, w)),
+  partial-aggregated map-side, shuffle keyed by (window, event_type);
+- sliding_counts: overlapping windows — each event expands to
+  width/slide window instances (Spark does this inside the Expand
+  operator, no Python);
+- session_windows: per-user activity sessions via F.session_window
+  (gap-merged event-time sessions, Spark's native session operator).
+
+Float policy: ``value`` sums are rounded to 2 decimals on both engines
+(inputs are 2-decimal doubles, so the sum is an exact multiple of 0.01
+up to 1e-12 float noise — rounding makes the hash comparison exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tumbling_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
+    """(window_start, window_end, event_type, n_events, sum_value) —
+    fixed-size event-time buckets aligned to the epoch."""
+    w = F.window(F.col("ts"), f"{minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width_minutes: int = 10,
+                   slide_minutes: int = 5) -> DataFrame:
+    """(window_start, window_end, n_events, n_users, sum_value) —
+    overlapping windows; each event lands in width/slide instances."""
+    w = F.window(F.col("ts"), f"{width_minutes} minutes", f"{slide_minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """(user_id, session_start, session_end, n_events, sum_value) —
+    per-user sessions: events within ``gap_minutes`` of each other merge;
+    session_end = last event + gap (Spark session_window semantics).
+
+    F.session_window is Spark's native gap-merged session operator — the
+    same expression is a stateful streaming aggregation under
+    withWatermark, which is why we use it instead of a lag()-based
+    gaps-and-islands window (that shape cannot stream).
+    """
+    w = F.session_window(F.col("ts"), f"{gap_minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

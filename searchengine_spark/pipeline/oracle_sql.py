@@ -396,6 +396,137 @@ SELECT probe_id, vec_id, cosine, rank FROM (
 """
 
 
+def tumbling_counts(minutes: int = 5) -> str:
+    """Twin of events.tumbling_counts: epoch-aligned fixed buckets."""
+    return f"""
+SELECT
+  time_bucket(INTERVAL '{minutes} minutes', ts) AS window_start,
+  time_bucket(INTERVAL '{minutes} minutes', ts) + INTERVAL '{minutes} minutes' AS window_end,
+  event_type,
+  count(*)::BIGINT AS n_events,
+  round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def sliding_counts(width_minutes: int = 10, slide_minutes: int = 5) -> str:
+    """Twin of events.sliding_counts: each event expands to width/slide
+    overlapping window instances (Spark's Expand operator, spelled as an
+    unnest over slide offsets here)."""
+    n_inst = width_minutes // slide_minutes
+    return f"""
+WITH expanded AS (
+  SELECT e.*, time_bucket(INTERVAL '{slide_minutes} minutes', e.ts)
+              - k * INTERVAL '{slide_minutes} minutes' AS window_start
+  FROM events e, unnest(generate_series(0, {n_inst - 1})) AS t(k)
+)
+SELECT window_start,
+       window_start + INTERVAL '{width_minutes} minutes' AS window_end,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       round(sum(value), 2) AS sum_value
+FROM expanded
+WHERE ts < window_start + INTERVAL '{width_minutes} minutes'
+GROUP BY 1, 2
+"""
+
+
+def session_windows(gap_minutes: int = 30) -> str:
+    """Twin of events.session_windows: gaps-and-islands sessionization;
+    session_end = last event + gap (Spark session_window semantics)."""
+    return f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL '{gap_minutes} minutes'
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '{gap_minutes} minutes' AS session_end,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, session_no
+"""
+
+
+_IVF_ASSIGN = """
+cents AS (SELECT vec_id AS list_id, embedding AS centroid
+          FROM embeddings ORDER BY vec_id ASC LIMIT {n_lists}),
+assign AS (
+  SELECT vec_id, list_id, list_cosine FROM (
+    SELECT v.vec_id, c.list_id,
+      round(
+        list_sum([v.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE for i in generate_series(1, len(v.embedding))])
+        / ( sqrt(list_sum([v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE for i in generate_series(1, len(v.embedding))]))
+          * sqrt(list_sum([c.centroid[i]::DOUBLE * c.centroid[i]::DOUBLE for i in generate_series(1, len(c.centroid))])) ),
+        3) AS list_cosine,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        round(
+          list_sum([v.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE for i in generate_series(1, len(v.embedding))])
+          / ( sqrt(list_sum([v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE for i in generate_series(1, len(v.embedding))]))
+            * sqrt(list_sum([c.centroid[i]::DOUBLE * c.centroid[i]::DOUBLE for i in generate_series(1, len(c.centroid))])) ),
+          3) DESC, c.list_id ASC) AS rn
+    FROM embeddings v CROSS JOIN cents c
+  ) WHERE rn = 1
+)"""
+
+
+def ivf_lists(n_lists: int = 8) -> str:
+    """Twin of similarity.ivf_lists: nearest-centroid coarse quantization,
+    centroids = the n_lists smallest vec_ids, ties -> lowest list_id."""
+    return f"""
+WITH {_IVF_ASSIGN.format(n_lists=n_lists)}
+SELECT vec_id, list_id, list_cosine FROM assign
+"""
+
+
+def ivf_topk(probe_ids: list[int], k: int = 5, n_lists: int = 8,
+             nprobe: int = 2) -> str:
+    """Twin of similarity.ivf_topk: probe the nprobe nearest lists per
+    query, exact cosine within them."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+WITH {_IVF_ASSIGN.format(n_lists=n_lists)},
+probes AS (SELECT vec_id AS probe_id, embedding AS pvec
+           FROM embeddings WHERE vec_id IN ({ids})),
+pl AS (
+  SELECT probe_id, pvec, list_id FROM (
+    SELECT p.probe_id, p.pvec, c.list_id,
+      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+        round(
+          list_sum([p.pvec[i]::DOUBLE * c.centroid[i]::DOUBLE for i in generate_series(1, len(p.pvec))])
+          / ( sqrt(list_sum([p.pvec[i]::DOUBLE * p.pvec[i]::DOUBLE for i in generate_series(1, len(p.pvec))]))
+            * sqrt(list_sum([c.centroid[i]::DOUBLE * c.centroid[i]::DOUBLE for i in generate_series(1, len(c.centroid))])) ),
+          3) DESC, c.list_id ASC) AS rn
+    FROM probes p CROSS JOIN cents c
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT e.vec_id, e.embedding AS cvec, a.list_id
+  FROM embeddings e JOIN assign a USING (vec_id)
+),
+scored AS (
+  SELECT probe_id, vec_id, {_COS}
+  FROM cand JOIN pl USING (list_id)
+  WHERE vec_id <> probe_id
+)
+SELECT probe_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def embedding_lsh_buckets(n_planes: int = 8) -> str:
     dots = ", ".join(
         f"list_sum([embedding[i]::DOUBLE * (CASE WHEN ((i-1)*31 + {p}*17) % 7 < 3 "

@@ -1,0 +1,137 @@
+"""Structured Streaming analytics: watermarked windowed aggregations and
+stateful streaming deduplication.
+
+Two streaming shapes the batch pipeline (pipeline/events.py, pipeline/
+dedup.py) also exposes, so tests can assert stream == batch on the same
+drops:
+
+- ``run_tumbling_counts_stream``: readStream -> withWatermark ->
+  groupBy(window(ts)) agg -> append-mode parquet sink.  Append mode only
+  emits a window once the watermark passes its end, so late events inside
+  the watermark still land in their window and the sink is final — the
+  standard late-data contract.  Windows newer than the final watermark
+  stay in state (emitted by the next run over the same checkpoint).
+- ``run_streaming_dedup``: applyInPandasWithState keyed by content
+  sha256 — first-seen-wins exact dedup across micro-batches (the
+  streaming form of dedup.exact_duplicates, where the "seen" set lives
+  in the state store instead of a window over the full corpus).
+
+Both use availableNow for drain-and-stop local testing; the same code
+runs continuously against a feed at cluster scale, with state backed by
+the checkpoint directory (RocksDB state store in production configs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+DOCUMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def run_tumbling_counts_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    minutes: int = 5,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+):
+    """Stream events from ``drop_dir``; append finalized tumbling windows
+    (same shape as events.tumbling_counts) to parquet at ``out_dir``."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(drop_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), f"{minutes} minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def _dedup_fn(key, pdf_iter, state):
+    """Emit the lowest doc_id for a content hash the first time the hash is
+    seen; suppress every later occurrence (state = one boolean per hash)."""
+    import pandas as pd
+
+    if state.exists:
+        for _ in pdf_iter:  # drain — hash already emitted in a prior batch
+            pass
+        return
+    min_id = None
+    for pdf in pdf_iter:
+        m = int(pdf["doc_id"].min())
+        min_id = m if min_id is None else min(min_id, m)
+    state.update((True,))
+    yield pd.DataFrame({"text_sha": [key[0]], "doc_id": [min_id]})
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream (doc_id, text) drops; append one (text_sha, doc_id) row per
+    never-before-seen content hash to parquet at ``out_dir``.
+
+    Within a batch the kept id is min(doc_id) — dedup.exact_duplicates'
+    keep-MIN rule; across batches first writer wins via the state store.
+    """
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA).format("parquet").load(drop_dir)
+        .withColumn("text_sha", F.sha2(F.col("text").cast("binary"), 256))
+    )
+    deduped = stream.groupBy("text_sha").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType="text_sha string, doc_id long",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

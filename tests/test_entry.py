@@ -18,7 +18,7 @@ from tools.check_entry import compare  # noqa: E402
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ["documents", "embeddings"]:
+    for t in ["documents", "embeddings", "events"]:
         p = Path(SF_DIR) / f"{t}.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con

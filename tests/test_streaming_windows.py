@@ -1,0 +1,121 @@
+"""Streaming windowed aggregation + stateful streaming dedup: streamed
+results must equal their batch twins on the same drops."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline.dedup import exact_duplicates
+from searchengine_spark.pipeline.events import tumbling_counts
+from searchengine_spark.streaming.windows import (
+    run_streaming_dedup,
+    run_tumbling_counts_stream,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events_df(spark, rows):
+    """rows: (event_id, minutes_after_T0, user_id, event_type, value)"""
+    data = [
+        (eid, T0 + dt.timedelta(minutes=m), uid, et, val, "{}")
+        for eid, m, uid, et, val in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_stream_tumbling_matches_batch_behind_watermark(spark, tmp_path):
+    drop_dir = str(tmp_path / "edrops")
+    out_dir = str(tmp_path / "eout")
+    ckpt = str(tmp_path / "eckpt")
+    os.makedirs(drop_dir)
+
+    # phase 1: events spanning 0..47 min -> watermark 37 min; windows ending
+    # <= 35 min finalize (37 falls mid-window, no boundary ambiguity)
+    p1 = [
+        (1, 1.0, 10, "click", 1.5),
+        (2, 3.0, 11, "view", 2.0),
+        (3, 7.0, 10, "click", 0.5),
+        (4, 12.0, 12, "error", 3.25),
+        (5, 21.0, 10, "view", 1.0),
+        (6, 33.0, 11, "click", 2.5),
+        (7, 47.0, 12, "view", 4.0),
+    ]
+    _events_df(spark, p1).coalesce(1).write.mode("append").parquet(drop_dir)
+    run_tumbling_counts_stream(spark, drop_dir, out_dir, ckpt, minutes=5,
+                               watermark="10 minutes")
+
+    batch_all = tumbling_counts(_events_df(spark, p1), minutes=5)
+    wm1 = T0 + dt.timedelta(minutes=47 - 10)
+    expect1 = {
+        (r.window_start, r.window_end, r.event_type, r.n_events, r.sum_value)
+        for r in batch_all.filter(F.col("window_end") <= F.lit(wm1)).collect()
+    }
+    got1 = {
+        (r.window_start, r.window_end, r.event_type, r.n_events, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got1 == expect1 and len(got1) > 0
+
+    # phase 2: a late-but-inside-watermark event (39 min > wm1 window floor)
+    # must still land in its window; advancing to 70 min finalizes the rest
+    p2 = [
+        (8, 39.0, 10, "click", 9.0),
+        (9, 70.0, 11, "view", 1.25),
+    ]
+    _events_df(spark, p2).coalesce(1).write.mode("append").parquet(drop_dir)
+    run_tumbling_counts_stream(spark, drop_dir, out_dir, ckpt, minutes=5,
+                               watermark="10 minutes")
+
+    batch_union = tumbling_counts(_events_df(spark, p1 + p2), minutes=5)
+    wm2 = T0 + dt.timedelta(minutes=70 - 10)
+    expect2 = {
+        (r.window_start, r.window_end, r.event_type, r.n_events, r.sum_value)
+        for r in batch_union.filter(F.col("window_end") <= F.lit(wm2)).collect()
+    }
+    got2 = {
+        (r.window_start, r.window_end, r.event_type, r.n_events, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got2 == expect2
+    # the 39-min late event merged into the (35, 40] click window
+    late = [t for t in got2 if t[0] == T0 + dt.timedelta(minutes=35)]
+    assert any(t[2] == "click" and t[4] == 9.0 for t in late)
+
+
+def test_streaming_dedup_first_seen_wins(spark, tmp_path):
+    drop_dir = str(tmp_path / "ddrops")
+    out_dir = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    os.makedirs(drop_dir)
+
+    d1 = spark.createDataFrame(
+        [(2, "aaa"), (1, "aaa"), (3, "bbb")], "doc_id long, text string"
+    )
+    d1.coalesce(1).write.mode("append").parquet(drop_dir)
+    run_streaming_dedup(spark, drop_dir, out_dir, ckpt)
+
+    kept1 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert kept1 == {1, 3}  # min doc_id per content within the batch
+
+    # batch twin agrees on the keep rule for the same data
+    batch_keep = {
+        r.keep_doc_id
+        for r in exact_duplicates(d1).filter(~F.col("is_duplicate")).collect()
+    }
+    assert batch_keep == kept1
+
+    # batch 2: an already-seen text is suppressed by state; a new one emits
+    d2 = spark.createDataFrame([(4, "aaa"), (5, "ccc")], "doc_id long, text string")
+    d2.coalesce(1).write.mode("append").parquet(drop_dir)
+    run_streaming_dedup(spark, drop_dir, out_dir, ckpt)
+
+    kept2 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert kept2 == {1, 3, 5}
