@@ -34,14 +34,16 @@ def build_plain_index(
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
-    p = fulltext.tf_postings(documents)
+    # persist the tokenized postings: every downstream product (doc_stats,
+    # df_stats, stats aggregates, packed segments) derives from p, so one
+    # cached tokenization pass feeds them all instead of four re-scans
+    p = fulltext.tf_postings(documents).persist()
     ds = fulltext.doc_stats(p)
     pw = (
         p.join(ds.select("doc_id", "dl"), "doc_id")
         .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
         .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
     )
-    pw.persist()
 
     g = pw.groupBy().agg(
         F.countDistinct("doc_id").alias("n_docs"),
@@ -65,7 +67,7 @@ def build_plain_index(
     (ds.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
         .repartition(n_shards, "shard")
         .write.mode("overwrite").partitionBy("shard").parquet(paths.docs_meta))
-    pw.unpersist()
+    p.unpersist()
 
     stats = {
         "n_docs": n_docs,

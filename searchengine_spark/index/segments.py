@@ -157,13 +157,27 @@ def pack_segments(
     for corpora whose hottest term fits one task); pass a bounded fanin at
     scale to cap merge memory.
     """
-    partial = postings_with_dl.groupBy("shard", "bucket").applyInPandas(
-        make_pack_fn(), SEGMENT_SCHEMA
+    # explicit-count repartition on the group keys: the groupBys below reuse
+    # it (HashPartitioning satisfies their ClusteredDistribution, no second
+    # exchange) and AQE cannot coalesce a fixed-count repartition — the pack
+    # kernels are Python-CPU-bound, so tasks ≈ cores matters even when the
+    # shuffled bytes are small (locally AQE would squash them to 1-2 tasks)
+    sess = postings_with_dl.sparkSession
+    n_part = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions")),
+    )
+    partial = (
+        postings_with_dl.repartition(n_part, "shard", "bucket")
+        .groupBy("shard", "bucket")
+        .applyInPandas(make_pack_fn(), SEGMENT_SCHEMA)
     )
     if fanin is None:
         fanin = 1 << 30  # merge all runs per term
-    return partial.groupBy("bucket").applyInPandas(
-        make_compact_fn(fanin), SEGMENT_SCHEMA
+    return (
+        partial.repartition(n_part, "bucket")
+        .groupBy("bucket")
+        .applyInPandas(make_compact_fn(fanin), SEGMENT_SCHEMA)
     )
 
 
