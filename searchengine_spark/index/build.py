@@ -89,9 +89,16 @@ def analyze_docs(docs: DataFrame, n_shards: int, mode: str = "compat") -> DataFr
 
 
 def _postings_of(analyzed: DataFrame) -> DataFrame:
+    # dl rides along as a group key (functionally dependent on doc_id — no
+    # extra cardinality): denormalizing it into the postings table lets the
+    # segment pack and WAND scoring skip the postings⋈docs_meta join, one
+    # full shuffle of the largest table, for +8 bytes/posting row
     return (
-        analyzed.select("doc_id", "shard", F.explode("lemmas").alias("term"))
-        .groupBy("term", "doc_id", "shard")
+        analyzed.select(
+            "doc_id", "shard", F.size("lemmas").cast("long").alias("dl"),
+            F.explode("lemmas").alias("term"),
+        )
+        .groupBy("term", "doc_id", "shard", "dl")
         .agg(F.count(F.lit(1)).cast("int").alias("tf"))
     )
 
@@ -137,19 +144,16 @@ def _write_segments(spark: SparkSession, paths: IndexPaths,
                     n_buckets: int, compact_fanin: int | None,
                     shard: int | None = None) -> None:
     """Pack one shard's partial runs (resumable path) or the whole index
-    (bulk path, shard=None — phase 1 + compaction chained in one lineage)."""
+    (bulk path, shard=None — phase 1 + compaction chained in one lineage).
+
+    The postings table carries dl (denormalized at build), so packing is a
+    straight scan -> (shard, bucket) shuffle -> pack, no docs_meta join."""
     post = spark.read.parquet(
         paths.postings if shard is None else f"{paths.postings}/shard={shard}"
     )
-    meta = spark.read.parquet(
-        paths.docs_meta if shard is None else f"{paths.docs_meta}/shard={shard}"
-    )
     if shard is not None:
         post = post.withColumn("shard", F.lit(shard))
-    pw = (
-        post.join(meta.select("doc_id", "dl"), "doc_id")
-        .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
-    )
+    pw = post.withColumn("bucket", bucket_col(F.col("term"), n_buckets))
     if shard is None:
         segs = pack_segments(pw, fanin=compact_fanin)
         (segs.repartition(n_buckets, "bucket")
@@ -225,7 +229,7 @@ def _build_bulk(spark, docs, paths, n_shards, n_buckets, mode,
         .write.mode("overwrite").partitionBy("shard").parquet(paths.docs_meta))
 
     postings = _postings_of(analyzed)
-    (postings.select("term", "doc_id", "tf", "shard")
+    (postings.select("term", "doc_id", "tf", "dl", "shard")
         .repartition(n_shards, "shard")
         .write.mode("overwrite").partitionBy("shard").parquet(paths.postings))
 
@@ -308,13 +312,16 @@ def _build_resumable(spark, docs, paths, n_shards, n_buckets, mode,
                  .write.mode("overwrite").parquet(f"{paths.docs_meta}/shard={s}"))
                 obs_p = Observation(f"post-{s}")
                 shard_post = (
-                    part.select("doc_id", F.explode("lemmas").alias("term"))
-                    .groupBy("term", "doc_id")
+                    part.select(
+                        "doc_id", F.size("lemmas").cast("long").alias("dl"),
+                        F.explode("lemmas").alias("term"),
+                    )
+                    .groupBy("term", "doc_id", "dl")
                     .agg(F.count(F.lit(1)).cast("int").alias("tf"))
                     .observe(obs_p, F.count(F.lit(1)).alias("n"),
                              F.approx_count_distinct("term").alias("t"))
                 )
-                (shard_post.coalesce(1)
+                (shard_post.select("term", "doc_id", "tf", "dl").coalesce(1)
                  .write.mode("overwrite").parquet(f"{paths.postings}/shard={s}"))
                 man.finish(rec, docs=int(obs_d.get["n"]),
                            terms=int(obs_p.get["t"]),

@@ -36,14 +36,35 @@ from searchengine_spark.index.build import IndexPaths, analyze_docs, bucket_col
 from searchengine_spark.index.segments import SEGMENT_SCHEMA, make_compact_fn, make_pack_fn
 
 
+def remove_docs(
+    spark: SparkSession,
+    index_root: str,
+    remove_keys: DataFrame,
+) -> dict:
+    """Delete documents by (repo, path) key — the reference's page/site
+    teardown (IndexingServiceImpl.java:166-181, site removal in
+    SiteManagementTest) without the re-add: postings and docs_meta shard
+    partitions are rewritten without the docs, df decrements with
+    delete-lemma-at-zero, touched segment buckets rebuild."""
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, content string"
+    )
+    return reindex_docs(spark, index_root, empty, remove_keys=remove_keys)
+
+
 def reindex_docs(
     spark: SparkSession,
     index_root: str,
     changed_docs: DataFrame,
     mode: str | None = None,
+    remove_keys: DataFrame | None = None,
 ) -> dict:
     """Apply changed/new documents (corpus schema: repo, path, commit, lang,
-    content) to an existing index in place.  Returns a summary dict."""
+    content) to an existing index in place.  Returns a summary dict.
+
+    ``remove_keys``: optional (repo, path) DataFrame of docs to delete
+    without replacement (they join the teardown set but get no new rows).
+    """
     paths = IndexPaths(index_root)
     with open(paths.stats) as f:
         stats = json.load(f)
@@ -55,6 +76,8 @@ def reindex_docs(
 
     old_meta = spark.read.parquet(paths.docs_meta)
     keys = analyzed.select("repo", "path").distinct()
+    if remove_keys is not None:
+        keys = keys.unionByName(remove_keys.select("repo", "path")).distinct()
     # old versions of the same (repo, path) — the teardown set
     old_docs = old_meta.join(F.broadcast(keys), ["repo", "path"], "left_semi")
     old_ids = [int(r.doc_id) for r in old_docs.select("doc_id").collect()]
@@ -71,8 +94,11 @@ def reindex_docs(
     removed_postings = postings.filter(F.col("doc_id").isin(old_ids)).persist()
 
     new_postings = (
-        analyzed.select("doc_id", "shard", F.explode("lemmas").alias("term"))
-        .groupBy("term", "doc_id", "shard")
+        analyzed.select(
+            "doc_id", "shard", F.size("lemmas").cast("long").alias("dl"),
+            F.explode("lemmas").alias("term"),
+        )
+        .groupBy("term", "doc_id", "shard", "dl")
         .agg(F.count(F.lit(1)).cast("int").alias("tf"))
     ).persist()
 
@@ -101,7 +127,7 @@ def reindex_docs(
             spark.read.parquet(f"{paths.postings}/shard={s}")
             .filter(~F.col("doc_id").isin(old_ids))
             .unionByName(new_postings.filter(F.col("shard") == s)
-                         .select("term", "doc_id", "tf"))
+                         .select("term", "doc_id", "tf", "dl"))
         )
         shard_post.coalesce(1).write.mode("overwrite").parquet(
             f"{paths.postings}/__delta_shard={s}")
@@ -159,13 +185,11 @@ def reindex_docs(
     import os
 
     if os.path.isdir(paths.segments):
-        post_r = spark.read.parquet(paths.postings)
-        meta_dl = meta_r.select("doc_id", "dl")
+        post_r = spark.read.parquet(paths.postings)  # carries dl (denormalized)
         for b in touched_buckets:
             pw = (
                 post_r.withColumn("bucket", bucket_col(F.col("term"), n_buckets))
                 .filter(F.col("bucket") == b)
-                .join(meta_dl, "doc_id")
             )
             runs = pw.groupBy("shard", "bucket").applyInPandas(
                 make_pack_fn(), SEGMENT_SCHEMA)

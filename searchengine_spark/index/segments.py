@@ -157,27 +157,37 @@ def pack_segments(
     for corpora whose hottest term fits one task); pass a bounded fanin at
     scale to cap merge memory.
     """
-    # explicit-count repartition on the group keys: the groupBys below reuse
-    # it (HashPartitioning satisfies their ClusteredDistribution, no second
-    # exchange) and AQE cannot coalesce a fixed-count repartition — the pack
-    # kernels are Python-CPU-bound, so tasks ≈ cores matters even when the
-    # shuffled bytes are small (locally AQE would squash them to 1-2 tasks)
+    # When AQE partition coalescing is on, pin the group-key shuffles to an
+    # explicit count: the pack kernels are Python-CPU-bound, so tasks ≈
+    # cores matters even when the shuffled bytes are small — size-based
+    # coalescing would squash a small build to 1-2 tasks and serialize it.
+    # The groupBys reuse the pinned partitioning (HashPartitioning satisfies
+    # their ClusteredDistribution), so no extra exchange appears.  When
+    # coalescing is off (e.g. the scaling bench fixes partition counts
+    # itself), skip the pin: a plain ENSURE_REQUIREMENTS exchange lets AQE
+    # plan shuffle reads freely, which measures ~8% faster.
     sess = postings_with_dl.sparkSession
-    n_part = max(
-        sess.sparkContext.defaultParallelism,
-        int(sess.conf.get("spark.sql.shuffle.partitions")),
+    coalescing = (
+        sess.conf.get("spark.sql.adaptive.enabled", "true") == "true"
+        and sess.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        == "true"
     )
-    partial = (
-        postings_with_dl.repartition(n_part, "shard", "bucket")
-        .groupBy("shard", "bucket")
-        .applyInPandas(make_pack_fn(), SEGMENT_SCHEMA)
+    pw, pin = postings_with_dl, None
+    if coalescing:
+        pin = max(
+            sess.sparkContext.defaultParallelism,
+            int(sess.conf.get("spark.sql.shuffle.partitions")),
+        )
+        pw = pw.repartition(pin, "shard", "bucket")
+    partial = pw.groupBy("shard", "bucket").applyInPandas(
+        make_pack_fn(), SEGMENT_SCHEMA
     )
+    if pin is not None:
+        partial = partial.repartition(pin, "bucket")
     if fanin is None:
         fanin = 1 << 30  # merge all runs per term
-    return (
-        partial.repartition(n_part, "bucket")
-        .groupBy("bucket")
-        .applyInPandas(make_compact_fn(fanin), SEGMENT_SCHEMA)
+    return partial.groupBy("bucket").applyInPandas(
+        make_compact_fn(fanin), SEGMENT_SCHEMA
     )
 
 

@@ -81,14 +81,18 @@ def bm25_scored(
         [Row(term=t, idf=v) for t, v in idf.items()], "term string, idf double"
     )
 
+    # postings carry dl (denormalized at build) — the docs_meta join is only
+    # needed to apply a repo scope, so the unscoped path is join-free
     cand = index.postings.filter(F.col("term").isin(terms))
-    dl = index.docs_meta.select("doc_id", "dl", "repo")
+    scored = cand.join(F.broadcast(idf_df), "term")
     if repo is not None:
-        dl = dl.filter(F.col("repo") == repo)
+        scope = (
+            index.docs_meta.filter(F.col("repo") == repo).select("doc_id")
+        )
+        scored = scored.join(scope, "doc_id", "left_semi")
 
     scored = (
-        cand.join(F.broadcast(idf_df), "term")
-        .join(dl, "doc_id")  # repo scope applied via this join when set
+        scored
         .withColumn(
             "pscore",
             F.col("idf")

@@ -77,3 +77,24 @@ def test_delta_search_sees_new_content(spark, tmp_path, corpora):
     s2 = SegmentSearcher(spark, out)
     hits = s2.search(["freshterm"], k=10)
     assert len(hits) == 6  # 5 changed + 1 brand-new doc
+
+
+def test_remove_docs_equals_rebuild_without_them(spark, tmp_path):
+    from searchengine_spark.index.delta import remove_docs
+
+    docs = spark.read.parquet(docs_path("t1"))
+    victims = [r.path for r in docs.select("path").limit(3).collect()]
+
+    out = str(tmp_path / "idx_rm")
+    build_index(spark, docs, out, n_shards=4, n_buckets=4)
+    summary = remove_docs(
+        spark, out, docs.filter(F.col("path").isin(victims)).select("repo", "path")
+    )
+    assert summary["replaced_docs"] == 3 and summary["new_docs"] == 0
+    got = _index_state(InvertedIndex(spark, out))
+
+    ref_out = str(tmp_path / "ref_rm")
+    build_index(spark, docs.filter(~F.col("path").isin(victims)), ref_out,
+                n_shards=4, n_buckets=4)
+    want = _index_state(InvertedIndex(spark, ref_out))
+    assert got == want

@@ -16,9 +16,8 @@ def t1_segments(spark, t1_index):
 
 
 def _postings_with_dl(t1_index):
-    return t1_index.postings.join(
-        t1_index.docs_meta.select("doc_id", "dl"), "doc_id"
-    ).select("term", "doc_id", "tf", "dl")
+    # postings carry dl since the denormalization (index/build._postings_of)
+    return t1_index.postings.select("term", "doc_id", "tf", "dl")
 
 
 def test_segments_decode_lossless(spark, t1_index, t1_segments):

@@ -3,15 +3,22 @@
 
 No real cluster exists in the sandbox, so per driver instruction the
 cluster-size proxy is the same job at two local parallelism levels — N and
-4N cores on the same input with fixed partition counts.  The primary pair
-is ``local[2]`` vs ``local[8]``: a single box shares one memory subsystem
-across all threads, and this workload (string tokenization, shuffle
-serialization, NumPy packing) saturates memory bandwidth between 8 and 32
-threads — a pure-multiprocessing probe of the NumPy pack kernel alone tops
-out at ~0.58 efficiency for 8->32 threads but reaches ~0.93 for 2->8.
-Separate cluster nodes do not share a memory bus, so the sub-saturation
-pair is the faithful proxy; the 8->32 pair is reported as a secondary data
-point with this ceiling called out.
+4N cores on the same input with fixed partition counts.  Each run is
+**CPU-affinity-pinned to exactly N cores** (``taskset -c 0-(N-1)``): a
+cluster executor's container cgroup bounds the JVM task threads AND its
+pyspark UDF worker processes to the same cpuset, while an unpinned
+``local[N]`` lets Python workers run on cores beyond the N task slots —
+measured here, unpinned local[2] reaches ~1.3x its true 2-CPU throughput
+by freeloading spare cores, which understates scaling efficiency by
+~0.2.  The primary pair is ``local[2]`` vs ``local[8]``: a single box
+shares one memory subsystem across all threads, and this workload
+(string tokenization, shuffle serialization, NumPy packing) saturates
+memory bandwidth between 8 and 32 threads — a pure-multiprocessing probe
+of the NumPy pack kernel alone tops out at ~0.58 efficiency for 8->32
+threads but reaches ~0.93 for 2->8.  Separate cluster nodes do not share
+a memory bus, so the sub-saturation pair is the faithful proxy; the
+8->32 pair is reported as a secondary data point with this ceiling
+called out.
 
 Reports index-build docs/sec at each level, scaling efficiencies, and
 query latency p50/p99 over the fixture query set on a built index.
@@ -146,15 +153,50 @@ def query_latencies(sf_dir: str) -> dict:
     }
 
 
+def build_pinned(cpus: int, sf_dir: str, replicas: int) -> dict:
+    """build_at in a subprocess pinned to exactly ``cpus`` CPUs — the
+    executor-container (cgroup cpuset) model; see module docstring."""
+    import subprocess
+
+    root = str(Path(__file__).resolve().parent.parent)
+    code = (
+        f"import sys, json; sys.path.insert(0, {root!r});\n"
+        f"from tools.scaling_bench import build_at\n"
+        f"print('RESULT ' + json.dumps(build_at({cpus}, {sf_dir!r}, {replicas})))"
+    )
+    proc = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
+        capture_output=True, text=True,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"pinned build at {cpus} cpus failed:\n{proc.stderr[-2000:]}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--replicas", type=int, default=768)
+    # 512 replicas (2.56 M docs): large enough to amortize the ~16 s of
+    # fixed/serial job cost (at 256 that overhead alone costs ~0.08 of
+    # measured efficiency) while staying inside the pinned-core memory
+    # budget; sized so one median-of-3 run finishes in ~25 min
+    ap.add_argument("--replicas", type=int, default=512)
     args = ap.parse_args()
 
-    r2 = build_at(2, args.sf_dir, args.replicas)
-    r8 = build_at(8, args.sf_dir, args.replicas)
-    r32 = build_at(32, args.sf_dir, args.replicas)
+    # median-of-3 for the primary pair, interleaved 2,8,2,8,... so slow
+    # phases of the shared/virtualized box (single runs vary +-15%) hit both
+    # core counts symmetrically instead of biasing the ratio
+    s2, s8 = [], []
+    for _ in range(3):
+        s2.append(build_pinned(2, args.sf_dir, args.replicas))
+        s8.append(build_pinned(8, args.sf_dir, args.replicas))
+    pick = lambda ss: sorted(ss, key=lambda r: r["docs_per_sec"])[len(ss) // 2]
+    r2, r8 = pick(s2), pick(s8)
+    r2["samples_secs"] = [r["secs"] for r in s2]
+    r8["samples_secs"] = [r["secs"] for r in s8]
+    r32 = build_pinned(32, args.sf_dir, args.replicas)
     eff_2_8 = r8["docs_per_sec"] / (4.0 * r2["docs_per_sec"])
     eff_8_32 = r32["docs_per_sec"] / (4.0 * r8["docs_per_sec"])
     qlat = query_latencies(args.sf_dir)
@@ -174,13 +216,18 @@ def main() -> None:
 Same index-build job (analyze → postings → df_stats → packed segments) on the
 same input ({r8['n_docs']:,} docs = sf0.1 documents × {args.replicas} deterministic
 replicas), fixed `spark.sql.shuffle.partitions=64` and AQE coalescing off at
-every core count (identical physical partitioning; only core count varies):
+every core count (identical physical partitioning; only core count varies).
+Each run is CPU-affinity-pinned to exactly N cores (`taskset -c 0-(N-1)`),
+the executor-container cpuset model: JVM task threads and pyspark UDF
+worker processes share the N cores, as they do inside a cluster executor's
+cgroup (unpinned local[N] lets Python workers spill onto spare cores and
+overstates small-N throughput by ~1.3x):
 
-| cores | build secs | docs/sec |
-| --- | --- | --- |
-| local[2] (N) | {r2['secs']} | {r2['docs_per_sec']} |
-| local[8] (4N) | {r8['secs']} | {r8['docs_per_sec']} |
-| local[32] (16N) | {r32['secs']} | {r32['docs_per_sec']} |
+| cores | build secs (median of 3) | docs/sec | samples (s) |
+| --- | --- | --- | --- |
+| local[2] (N) | {r2['secs']} | {r2['docs_per_sec']} | {r2['samples_secs']} |
+| local[8] (4N) | {r8['secs']} | {r8['docs_per_sec']} | {r8['samples_secs']} |
+| local[32] (16N) | {r32['secs']} | {r32['docs_per_sec']} | single run |
 
 **Scaling efficiency N→4N (2→8 cores)** = dps@4N / (4 × dps@N) =
 **{eff_2_8:.3f}** (target ≥ 0.8).
