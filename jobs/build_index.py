@@ -43,15 +43,20 @@ def main() -> None:
                     help="checkpointed build: skip manifest-DONE partitions")
     ap.add_argument("--no-segments", action="store_true")
     ap.add_argument("--compact-fanin", type=int, default=None)
+    ap.add_argument("--repos", nargs="*", default=None,
+                    help="scope the build to these repos (pushed to the scan)")
+    ap.add_argument("--langs", nargs="*", default=None,
+                    help="scope the build to these languages")
     args = ap.parse_args()
 
+    from searchengine_spark.catalog import read_corpus, read_table
     from searchengine_spark.session import get_spark
 
     spark = get_spark("build-index")
     src = (
-        spark.read.parquet(args.input)
-        if args.input.endswith(".parquet") or "/" in args.input
-        else spark.read.table(args.input)
+        read_table(spark, args.input)
+        if args.input_kind == "documents"
+        else read_corpus(spark, args.input, repos=args.repos, langs=args.langs)
     )
 
     if args.input_kind == "documents":

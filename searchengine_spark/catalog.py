@@ -1,0 +1,61 @@
+"""Thin catalog seam: one place that resolves a corpus/table reference to a
+DataFrame, so the engine runs unchanged on plain parquet (the sandbox) and
+on Iceberg tables (the 10^12-file deployment per BASELINE.json input_hint).
+
+A *ref* is either
+- a filesystem path ("/data/corpus.parquet" or a directory) -> parquet scan;
+- a catalog table identifier ("prod.code.corpus") -> ``spark.read.table``,
+  which on an Iceberg catalog gives snapshot-isolated scans with partition
+  pruning and data-file skipping; temp views resolve the same way, which is
+  how tests exercise this path without an Iceberg runtime.
+
+``read_corpus`` applies repo/lang predicates *before* returning: expressed
+declaratively they reach the source as pushed filters — Iceberg prunes
+manifests/partitions, parquet prunes row groups — so a scoped index build
+never scans the full corpus (SURVEY.md §2.1 S2/S3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def is_path(ref: str) -> bool:
+    return "/" in ref or ref.endswith(".parquet")
+
+
+def read_table(spark: SparkSession, ref: str) -> DataFrame:
+    """Resolve a ref (path or table identifier) to a DataFrame."""
+    return spark.read.parquet(ref) if is_path(ref) else spark.read.table(ref)
+
+
+def read_corpus(
+    spark: SparkSession,
+    ref: str,
+    repos: list[str] | None = None,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """Corpus scan (repo, path, commit, lang, content) with pushed-down
+    repo/lang scope filters."""
+    df = read_table(spark, ref)
+    if repos:
+        df = df.filter(F.col("repo").isin(list(repos)))
+    if langs:
+        df = df.filter(F.col("lang").isin(list(langs)))
+    return df
+
+
+def write_table(df: DataFrame, ref: str, partition_by: str | None = None) -> None:
+    """Overwrite-write a DataFrame to a path (parquet) or catalog table
+    (``writeTo(...).createOrReplace()`` — an atomic snapshot commit on
+    Iceberg, the S8 wipe-rebuild analog)."""
+    if is_path(ref):
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(ref)
+    else:
+        w = df.writeTo(ref)
+        if partition_by:
+            w = w.partitionedBy(F.col(partition_by))
+        w.createOrReplace()

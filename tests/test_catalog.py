@@ -1,0 +1,34 @@
+"""Catalog seam: path and table refs resolve identically; scope filters
+reach the parquet scan as pushed filters."""
+
+from __future__ import annotations
+
+from searchengine_spark.catalog import read_corpus, read_table, write_table
+from searchengine_spark.fixtures.loaders import docs_path
+
+
+def test_path_and_table_refs_equal(spark):
+    p = docs_path("t1")
+    by_path = read_table(spark, p)
+    spark.read.parquet(p).createOrReplaceTempView("corpus_view")
+    by_table = read_table(spark, "corpus_view")
+    assert by_path.count() == by_table.count() == 500
+    assert by_path.columns == by_table.columns
+
+
+def test_scope_filters_push_down(spark):
+    df = read_corpus(spark, docs_path("t1"), repos=["org0/repo0"], langs=["python"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "repo" in plan
+    rows = df.select("repo", "lang").distinct().collect()
+    assert all(r.repo == "org0/repo0" and r.lang == "python" for r in rows)
+    assert len(rows) == 1
+
+
+def test_write_table_path_roundtrip(spark, tmp_path):
+    src = read_table(spark, docs_path("t1")).limit(10)
+    out = str(tmp_path / "wt")
+    write_table(src, out, partition_by="lang")
+    back = spark.read.parquet(out)
+    assert back.count() == 10
+    assert sorted(back.columns) == sorted(src.columns)
