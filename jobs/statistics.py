@@ -1,0 +1,36 @@
+#!/usr/bin/env python
+"""CLI twin of GET /api/statistics (controllers/ApiController.java:30-33):
+prints the StatisticsResponse-shaped JSON for a built index — total +
+per-repo page/lemma counts and the indexing-in-progress flag from the
+manifest ledger (services/StatisticsServiceImpl.java:31-73).
+
+    python jobs/statistics.py --index /tmp/idx
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    args = ap.parse_args()
+
+    from searchengine_spark.index.build import InvertedIndex
+    from searchengine_spark.query.search import statistics
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("statistics")
+    out = statistics(InvertedIndex(spark, args.index))
+    print(json.dumps(out, ensure_ascii=False, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
