@@ -390,3 +390,19 @@ class InvertedIndex:
         return os.path.isdir(self.paths.segments) and any(
             n.startswith(("bucket=", "part-")) for n in os.listdir(self.paths.segments)
         )
+
+    def register_views(self, prefix: str = "idx") -> list[str]:
+        """Expose the index tables as temp views ({prefix}_docs_meta,
+        {prefix}_postings, {prefix}_df_stats, and {prefix}_segments when
+        built) so ad-hoc ``spark.sql`` queries run over the same
+        partition-pruned scans the engine uses.  Returns the view names."""
+        pairs = [
+            (f"{prefix}_docs_meta", self.docs_meta),
+            (f"{prefix}_postings", self.postings),
+            (f"{prefix}_df_stats", self.df_stats),
+        ]
+        if self.has_segments():
+            pairs.append((f"{prefix}_segments", self.segments))
+        for name, df in pairs:
+            df.createOrReplaceTempView(name)
+        return [n for n, _ in pairs]

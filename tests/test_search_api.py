@@ -150,3 +150,19 @@ def test_statistics_surface(t1_index, t1_oracle):
     assert st["total"]["indexing"] is False
     for repo, d in ost["per_repo"].items():
         assert st["detailed"][repo]["pages"] == d["pages"]
+
+
+def test_register_views_sql_access(spark, t1_index):
+    names = t1_index.register_views()
+    assert "idx_postings" in names and "idx_df_stats" in names
+    # the SQL surface answers the same df question as the stats table
+    row = spark.sql("""
+        SELECT count(*) AS n_terms, sum(df) AS n_postings FROM idx_df_stats
+    """).collect()[0]
+    assert int(row.n_terms) == t1_index.stats["n_terms"]
+    assert int(row.n_postings) == t1_index.stats["n_postings"]
+    # term-bucket pruning works through the view too
+    one = spark.sql(
+        "SELECT term, df FROM idx_df_stats WHERE term = 'sofiko'"
+    ).collect()
+    assert len(one) == 1 and one[0].df > 0
