@@ -128,3 +128,35 @@ def test_wand_block_pruning_effective(spark, plain_idx):
     expect = [(r.doc_id, r.score) for r in fulltext.bm25_topk(docs, terms, k=1).collect()]
     got = [(r.doc_id, r.score) for r in wand_topk(spark, plain_idx, terms, k=1).collect()]
     assert got == expect
+
+
+@pytest.fixture(scope="module")
+def t2_setup(spark, tmp_path_factory):
+    """20k-doc corpus: Spark index + single-process oracle, built once."""
+    from searchengine_spark.index.build import build_index
+    from searchengine_spark.oracle.engine import build_default
+
+    out = str(tmp_path_factory.mktemp("idx_t2"))
+    build_index(spark, spark.read.parquet(docs_path("t2")), out,
+                n_shards=8, n_buckets=16)
+    return out, build_default(docs_path("t2"))
+
+
+def test_wand_t2_scale_rank_identity(spark, t2_setup):
+    """Rank identity holds at 40x the t1 corpus: same top-20 doc ids in the
+    same order, BM25 scores equal within 1e-6, on the fixture query set."""
+    from searchengine_spark.fixtures.loaders import load_queries
+
+    out, oracle = t2_setup
+    searcher = SegmentSearcher(spark, out)
+    checked = 0
+    for q in load_queries()[:15]:
+        terms = sorted(oracle.analyzer.lemma_set(q["query"]))
+        want = oracle._search_bm25(terms, None)
+        want.sort(key=lambda kv: (-kv[1], kv[0]))
+        got = searcher.search(terms, k=20)[:20]
+        assert [d for d, _ in got] == [d for d, _ in want[:20]]
+        for (gd, gs), (wd, ws) in zip(got, want[:20]):
+            assert abs(gs - ws) < 1e-6
+        checked += 1
+    assert checked == 15
