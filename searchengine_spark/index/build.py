@@ -183,6 +183,20 @@ def _compact_runs(spark: SparkSession, paths: IndexPaths,
          .write.mode("overwrite").partitionBy("bucket").parquet(paths.segments))
 
 
+BUILD_JOB_GROUP = "searchengine-build"
+
+
+def stop_indexing(spark: SparkSession) -> None:
+    """Cooperative cancel of an in-flight build — the reference's
+    GET /api/stopIndexing (IndexingServiceImpl.java:93-114, the volatile
+    isIndexingStopped flag + shutdownNow).  Every build job runs under one
+    job group; cancelling it interrupts running stages, and because the
+    resumable path checkpoints per shard in the manifest, a later
+    ``build_index(..., resume=True)`` continues from the last DONE
+    partition (stop/restart is safe by construction)."""
+    spark.sparkContext.cancelJobGroup(BUILD_JOB_GROUP)
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -202,12 +216,20 @@ def build_index(
     """
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    if resume:
-        _build_resumable(spark, docs, paths, n_shards, n_buckets, mode,
-                         with_segments, compact_fanin, fail_after_shards)
-    else:
-        _build_bulk(spark, docs, paths, n_shards, n_buckets, mode,
-                    with_segments, compact_fanin)
+    spark.sparkContext.setJobGroup(BUILD_JOB_GROUP, f"index build -> {out_dir}",
+                                   interruptOnCancel=True)
+    try:
+        if resume:
+            _build_resumable(spark, docs, paths, n_shards, n_buckets, mode,
+                             with_segments, compact_fanin, fail_after_shards)
+        else:
+            _build_bulk(spark, docs, paths, n_shards, n_buckets, mode,
+                        with_segments, compact_fanin)
+    finally:
+        # no clearJobGroup in the Python API: reset the thread-local props
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+        spark.sparkContext.setLocalProperty("spark.job.description", None)
+        spark.sparkContext.setLocalProperty("spark.job.interruptOnCancel", None)
     return paths
 
 
