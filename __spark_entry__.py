@@ -166,9 +166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_tumbling": lambda s, d: events.tumbling_counts(_events(s, d)),
         "q_events_sliding": lambda s, d: events.sliding_counts(_events(s, d)),
         "q_events_sessions": lambda s, d: events.session_windows(_events(s, d)),
-        # multimodal plumbing (stubbed codecs, real Spark schema/batch path) —
-        # no SQL twin: binary header parsing is not oracle-expressible, the
-        # driver records the weaker rows-only check
+        # multimodal plumbing (stubbed codecs, real Spark schema/batch path);
+        # the fake format's payload is an SQL-reproducible sha256 hex chain,
+        # so both queries are fully value-hash gated against DuckDB twins
         "q_media_features": lambda s, d: multimodal.extract_features(
             multimodal.synth_media(_docs(s, d))
         ),
@@ -217,6 +217,6 @@ def oracle_sql() -> dict[str, str]:
         "q_events_sliding": osql.sliding_counts(),
         "q_events_sessions": osql.session_windows(),
         "q_embedding_near_dup": osql.embedding_near_dup_pairs(threshold=0.3),
-        # q_media_features / q_media_frame_sample intentionally absent:
-        # rows-only check (binary parsing has no SQL twin)
+        "q_media_features": osql.media_features(),
+        "q_media_frame_sample": osql.media_frame_sample(every=2),
     }

@@ -197,6 +197,12 @@ def unpack_all(p: PackedList) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return ids, tfs, dls
 
 
+def unpack_ids(p: PackedList) -> np.ndarray:
+    """Decode only the doc-id stream (sorted unique) — the count/intersect
+    path never pays for the tf/dl streams."""
+    return delta_decode(vb_decode(p.ids_vb, 0, p.num))
+
+
 def decode_block(p: PackedList, i: int, block: int = BLOCK) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a single block without touching the rest of the streams."""
     lo = i * block

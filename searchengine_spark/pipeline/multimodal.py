@@ -9,14 +9,20 @@ format stands in for the byte-level work — the Spark-side plumbing
 (schemas, mapInPandas batch shape, partition behavior, metadata extraction)
 is real and tested.
 
-Fake media format (deterministic from the source text, so tests and
-re-runs agree byte-for-byte):
+Fake media format (deterministic from the source text, so tests, re-runs,
+and the DuckDB oracle twin agree byte-for-byte):
 
     bytes 0-3   magic  b"SEM0"
     bytes 4-7   width  uint32 LE   (derived from doc text)
     bytes 8-11  height uint32 LE
     bytes 12-15 n_frames uint32 LE
-    bytes 16-   payload (pseudo-random bytes seeded by doc_id)
+    bytes 16-   payload: ASCII hex of a sha256 chain keyed by doc_id,
+                truncated to 64 + doc_id % 256 bytes
+
+The payload is an sha256 chain (not numpy randomness) so the oracle SQL in
+``oracle_sql.media_features`` / ``media_frame_sample`` can recompute every
+byte with DuckDB's string sha256 — which makes the two q_media_* queries
+fully value-hash gated instead of rows-only.
 """
 
 from __future__ import annotations
@@ -56,14 +62,24 @@ FRAME_SCHEMA = T.StructType([
 ])
 
 
+CHAIN_BLOCKS = 5  # 5 × 64 hex chars ≥ max body_len (64 + 255)
+
+
+def payload_chain(doc_id: int) -> str:
+    """ASCII hex sha256 chain keyed by doc_id — the fake payload source."""
+    return "".join(
+        hashlib.sha256(f"{doc_id}:{i}".encode()).hexdigest()
+        for i in range(CHAIN_BLOCKS)
+    )
+
+
 def fake_media_bytes(doc_id: int, text: str, kind: str) -> bytes:
-    """Deterministic fake payload: header + seeded pseudo-random body."""
+    """Deterministic fake payload: header + truncated sha256-chain body."""
     w = 16 + (len(text) % 64)
-    h = 16 + (abs(hash_stable(text)) % 48)
+    h = 16 + (hash_stable(text) % 48)
     frames = 1 if kind == "image" else 4 + (doc_id % 8)
     body_len = 64 + (doc_id % 256)
-    rng = np.random.default_rng(doc_id & 0x7FFFFFFF)
-    body = rng.integers(0, 256, size=body_len, dtype=np.uint8).tobytes()
+    body = payload_chain(doc_id)[:body_len].encode("ascii")
     return MAGIC + struct.pack("<III", w, h, frames) + body
 
 
@@ -108,25 +124,46 @@ def decode_real(data: bytes, kind: str):
     )
 
 
+_MAGIC_U32 = int.from_bytes(MAGIC, "little")
+
+
+def _parse_headers(datas: list[bytes]) -> np.ndarray:
+    """Vectorized header parse: stack the fixed 16-byte headers and read all
+    (magic, width, height, n_frames) uint32 fields in one frombuffer."""
+    hdr = np.frombuffer(b"".join(d[:HEADER] for d in datas), dtype="<u4")
+    hdr = hdr.reshape(-1, 4)
+    if (hdr[:, 0] != _MAGIC_U32).any():
+        bad = int(np.argmax(hdr[:, 0] != _MAGIC_U32))
+        raise ValueError(f"bad media magic at batch row {bad}")
+    return hdr
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """(doc_id, kind, width, height, n_frames, n_bytes, payload_sha) via
-    mapInPandas — header parse + payload hash, no full decode."""
+    mapInPandas — vectorized header parse + per-payload hash, no full
+    decode.  sha256 stays per-row (a hash is per-payload by nature); every
+    fixed-offset field comes out of one ``np.frombuffer`` over the batch."""
+
+    cols = [f.name for f in FEATURE_SCHEMA.fields]
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            recs = []
-            for r in pdf.itertuples(index=False):
-                data = bytes(r.data)
-                if data[:4] != MAGIC:
-                    raise ValueError(f"bad media magic for doc {r.doc_id}")
-                w, h, nf = struct.unpack("<III", data[4:HEADER])
-                recs.append({
-                    "doc_id": int(r.doc_id), "kind": r.kind,
-                    "width": w, "height": h, "n_frames": nf,
-                    "n_bytes": len(data),
-                    "payload_sha": hashlib.sha256(data[HEADER:]).hexdigest(),
-                })
-            yield pd.DataFrame(recs, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            if not len(pdf):
+                continue
+            datas = [bytes(d) for d in pdf["data"]]
+            hdr = _parse_headers(datas)
+            out = pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64").to_numpy(),
+                "kind": pdf["kind"].to_numpy(),
+                "width": hdr[:, 1].astype("int32"),
+                "height": hdr[:, 2].astype("int32"),
+                "n_frames": hdr[:, 3].astype("int32"),
+                "n_bytes": np.fromiter((len(d) for d in datas), dtype="int64"),
+                "payload_sha": [
+                    hashlib.sha256(d[HEADER:]).hexdigest() for d in datas
+                ],
+            }, columns=cols)
+            yield out
 
     return media.mapInPandas(gen, FEATURE_SCHEMA)
 
@@ -136,20 +173,30 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
     UDTF-shaped explode of a video payload (real pipelines emit decoded
     frame tensors here; the stub hashes the frame's byte slice)."""
 
+    cols = [f.name for f in FRAME_SCHEMA.fields]
+
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            recs = []
-            for r in pdf.itertuples(index=False):
-                data = bytes(r.data)
-                nf = struct.unpack("<I", data[12:16])[0]
+            if not len(pdf):
+                continue
+            datas = [bytes(d) for d in pdf["data"]]
+            nfs = _parse_headers(datas)[:, 3].astype("int64")
+            ids = pdf["doc_id"].astype("int64").to_numpy()
+            doc_ids, frames, shas = [], [], []
+            for did, nf, data in zip(ids, nfs, datas):
                 body = data[HEADER:]
-                step = max(1, len(body) // max(nf, 1))
-                for f_i in range(0, nf, every):
-                    sl = body[f_i * step : (f_i + 1) * step]
-                    recs.append({
-                        "doc_id": int(r.doc_id), "frame": f_i,
-                        "frame_sha": hashlib.sha256(sl).hexdigest(),
-                    })
-            yield pd.DataFrame(recs, columns=[f.name for f in FRAME_SCHEMA.fields])
+                step = max(1, len(body) // max(int(nf), 1))
+                for f_i in range(0, int(nf), every):
+                    doc_ids.append(int(did))
+                    frames.append(f_i)
+                    shas.append(
+                        hashlib.sha256(body[f_i * step:(f_i + 1) * step]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pd.array(doc_ids, dtype="int64"),
+                 "frame": pd.array(frames, dtype="int32"),
+                 "frame_sha": shas},
+                columns=cols,
+            )
 
     return media.filter(F.col("kind") == "video").mapInPandas(gen, FRAME_SCHEMA)

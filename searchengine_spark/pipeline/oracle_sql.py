@@ -540,3 +540,52 @@ def embedding_lsh_buckets(n_planes: int = 8) -> str:
 WITH sums AS (SELECT vec_id, {dots} FROM embeddings)
 SELECT vec_id, ({assemble})::BIGINT AS bucket FROM sums
 """
+
+
+# twin of pipeline.multimodal.synth_media's deterministic fake format:
+# kind = [image,audio,video][doc_id % 3]; width/height from text; payload =
+# sha256 hex chain keyed by doc_id, truncated to 64 + doc_id % 256 bytes.
+_MEDIA_CTE = """
+media AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         (16 + length(coalesce(text,'')) % 64)::INT AS width,
+         (16 + ('0x' || substr(md5(coalesce(text,'')), 1, 8))::BIGINT % 48)::INT AS height,
+         (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 4 + doc_id % 8 END)::INT AS n_frames,
+         (64 + doc_id % 256)::INT AS body_len
+  FROM documents
+),
+chain AS (
+  SELECT m.doc_id,
+         string_agg(sha256(m.doc_id::VARCHAR || ':' || i::VARCHAR), '' ORDER BY i) AS hex_chain
+  FROM media m, range({blocks}) t(i) GROUP BY m.doc_id
+)
+"""
+
+
+def media_features() -> str:
+    from searchengine_spark.pipeline.multimodal import CHAIN_BLOCKS
+
+    return f"""
+WITH {_MEDIA_CTE.format(blocks=CHAIN_BLOCKS)}
+SELECT m.doc_id, m.kind, m.width, m.height, m.n_frames,
+       (16 + m.body_len)::BIGINT AS n_bytes,
+       sha256(substr(c.hex_chain, 1, m.body_len)) AS payload_sha
+FROM media m JOIN chain c USING (doc_id)
+"""
+
+
+def media_frame_sample(every: int = 2) -> str:
+    from searchengine_spark.pipeline.multimodal import CHAIN_BLOCKS
+
+    return f"""
+WITH {_MEDIA_CTE.format(blocks=CHAIN_BLOCKS)},
+fr AS (
+  SELECT m.doc_id, unnest(range(0, m.n_frames, {every}))::INT AS frame,
+         greatest(m.body_len // m.n_frames, 1)::INT AS step, c.hex_chain
+  FROM media m JOIN chain c USING (doc_id)
+  WHERE m.kind = 'video'
+)
+SELECT doc_id, frame, sha256(substr(hex_chain, frame * step + 1, step)) AS frame_sha
+FROM fr
+"""

@@ -42,16 +42,38 @@ def _analyzer(index: InvertedIndex) -> Analyzer:
     )
 
 
+# above this many summed postings (df sum of the query terms) the exact
+# match count runs as a distributed job instead of a driver-side intersect
+COUNT_DISTRIBUTE_THRESHOLD = 2_000_000
+
+
 def _scored_pairs(
     index: InvertedIndex, terms: list[str], repo: str | None, need: int
 ) -> tuple[int, list[tuple[int, float]]]:
     """(total_count, top-`need` (doc_id, score)) via WAND or DataFrame plan."""
     if repo is None and index.has_segments():
-        from searchengine_spark.query.wand import SegmentSearcher
+        from searchengine_spark.query.wand import (
+            SegmentSearcher,
+            count_and_matches_distributed,
+        )
 
         searcher = SegmentSearcher(index.spark, index.paths.root)
-        res = searcher.search(terms, k=need, prune=False)  # exact match count
-        return len(res), res[:need]
+        # top page: block-max pruned — the driver only ever materializes the
+        # per-grp survivors, never the full match set (VERDICT r1 finding 1)
+        res = searcher.search(terms, k=need, prune=True)
+        if not res:
+            return 0, []
+        # exact match count, separately: ids-only streaming intersect on the
+        # driver while the terms' summed df is small; distributed per-grp
+        # count job once the compressed postings outgrow the driver
+        dfs = searcher.resolve(terms)
+        if index.spark is not None and sum(dfs.values()) > COUNT_DISTRIBUTE_THRESHOLD:
+            total = count_and_matches_distributed(
+                index.spark, index.paths.root, terms
+            )
+        else:
+            total = searcher.count(terms)
+        return total, res[:need]
     scored = bm25_scored(index, terms, repo)
     if scored is None:
         return 0, []

@@ -197,10 +197,13 @@ class SegmentSearcher:
         """Exact BM25 scores for the conjunctive query, ordered by
         (-score, doc_id).  Returns [] if any term is absent (AND gate).
 
-        ``prune=True`` applies the block-max threshold (top-k result only);
-        ``prune=False`` keeps block skip pointers but scores every AND match
-        — the full result set, for exact match counts (the reference's
-        ``count`` field, dto/search/SearchResponse.java:10)."""
+        ``prune=True`` applies the block-max threshold and returns exactly
+        the top-k — driver-side state is the O(k) heap, never the full match
+        set (per-grp arrays are transient and bounded by the grp shard).
+        ``prune=False`` keeps block skip pointers but scores and returns
+        every AND match — the full result set, for tests and offline dumps;
+        exact match counts use ``count()`` instead
+        (the reference's ``count`` field, dto/search/SearchResponse.java:10)."""
         terms = sorted(set(terms))
         if not terms:
             return []
@@ -231,15 +234,49 @@ class SegmentSearcher:
                 by_grp[grp], order, idf, avgdl, theta
             )
             for d, s in zip(alive_ids.tolist(), alive_scores.tolist()):
-                results.append((int(d), float(s)))
                 item = (float(s), -int(d))
                 if len(heap) < k:
                     heapq.heappush(heap, item)
                 elif item > heap[0]:
                     heapq.heapreplace(heap, item)
+                if not prune:
+                    results.append((int(d), float(s)))
 
+        if prune:
+            results = [(-nd, s) for s, nd in heap]
         results.sort(key=lambda ds_: (-ds_[1], ds_[0]))
         return results
+
+    def count(self, terms: list[str]) -> int:
+        """Exact AND-match count (the reference's ``count`` field,
+        dto/search/SearchResponse.java:10) without materializing per-doc
+        result rows: ids-only decode, grp-at-a-time sorted intersection,
+        O(one grp's postings) peak memory.  Single-term count is just df."""
+        terms = sorted(set(terms))
+        if not terms:
+            return 0
+        dfs = self.resolve(terms)
+        if len(dfs) < len(terms):
+            return 0
+        if len(terms) == 1:
+            return int(dfs[terms[0]])
+        order = sorted(terms, key=lambda t: (dfs[t], t))
+        by_grp: dict[int, dict[str, codec.PackedList]] = {}
+        for r in self._segment_rows(terms):
+            by_grp.setdefault(int(r["grp"]), {})[r["term"]] = row_to_packed(r)
+        total = 0
+        for runs in by_grp.values():
+            if len(runs) < len(terms):
+                continue
+            ids = codec.unpack_ids(runs[order[0]])
+            for t in order[1:]:
+                ids = np.intersect1d(
+                    ids, codec.unpack_ids(runs[t]), assume_unique=True
+                )
+                if ids.size == 0:
+                    break
+            total += int(ids.size)
+        return total
 
 
 RESULT_SCHEMA = T.StructType([
@@ -301,6 +338,56 @@ def wand_topk_distributed(spark: SparkSession, index_root: str,
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+COUNT_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+
+
+def count_and_matches_distributed(spark: SparkSession, index_root: str,
+                                  terms: list[str]) -> int:
+    """Exact AND-match count computed on the executors: the scale path for
+    common-term queries where even the compressed postings should not be
+    pulled through the driver.  Bucket-pruned segment scan; each grp emits
+    one count row via ids-only sorted intersection; a scalar sum finishes.
+    """
+    import pandas as pd
+
+    searcher = SegmentSearcher(spark, index_root, io="spark")
+    terms = sorted(set(terms))
+    if not terms:
+        return 0
+    dfs = searcher.resolve(terms)
+    if len(dfs) < len(terms):
+        return 0
+    if len(terms) == 1:
+        return int(dfs[terms[0]])
+    order = sorted(terms, key=lambda t: (dfs[t], t))
+    n_terms = len(terms)
+
+    def grp_count(pdf: pd.DataFrame) -> pd.DataFrame:
+        runs = {r["term"]: row_to_packed(r) for r in pdf.to_dict("records")}
+        n = 0
+        if len(runs) == n_terms:
+            ids = codec.unpack_ids(runs[order[0]])
+            for t in order[1:]:
+                ids = np.intersect1d(
+                    ids, codec.unpack_ids(runs[t]), assume_unique=True
+                )
+                if ids.size == 0:
+                    break
+            n = int(ids.size)
+        return pd.DataFrame({"n": pd.array([n], dtype="int64")})
+
+    segs = (
+        spark.read.parquet(searcher.paths.segments)
+        .filter(F.col("bucket").isin(searcher._buckets_of(terms))
+                & F.col("term").isin(terms))
+    )
+    row = (
+        segs.groupBy("grp").applyInPandas(grp_count, COUNT_SCHEMA)
+        .agg(F.sum("n").alias("n")).collect()[0]
+    )
+    return int(row.n or 0)
 
 
 def wand_topk(spark: SparkSession, index_root: str, terms: list[str],

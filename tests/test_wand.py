@@ -160,3 +160,40 @@ def test_wand_t2_scale_rank_identity(spark, t2_setup):
             assert abs(gs - ws) < 1e-6
         checked += 1
     assert checked == 15
+
+
+def test_count_matches_full_search(spark, plain_idx):
+    """SegmentSearcher.count == len(unpruned full search) for every shape:
+    single term (df shortcut), AND-2, AND gate empty."""
+    searcher = SegmentSearcher(spark, plain_idx)
+    for terms in (["dup"], ["merge", "vector"], ["table", "join"],
+                  ["vector", "zzznotaterm"]):
+        full = searcher.search(sorted(set(terms)), k=10, prune=False)
+        assert searcher.count(terms) == len(full), terms
+
+
+def test_count_distributed_matches_driver(spark, plain_idx):
+    from searchengine_spark.query.wand import count_and_matches_distributed
+
+    searcher = SegmentSearcher(spark, plain_idx)
+    for terms in (["merge", "vector"], ["table", "join"], ["dup"]):
+        assert (count_and_matches_distributed(spark, plain_idx, terms)
+                == searcher.count(terms)), terms
+
+
+def test_pruned_search_materializes_only_topk(spark, t2_setup):
+    """High-df two-term query: with prune=True the searcher returns (and
+    persistently holds) exactly the O(k) heap, never the full match set
+    (VERDICT r1 finding 1) — and the top page is still exact."""
+    out, oracle = t2_setup
+    searcher = SegmentSearcher(spark, out)
+    # the two most common terms in the corpus = worst-case match count
+    terms = sorted(sorted(oracle.postings, key=lambda t: -len(oracle.postings[t]))[:2])
+    total = searcher.count(terms)
+    assert total > 200  # the query is genuinely common-term
+
+    res = searcher.search(terms, k=5, prune=True)
+    assert len(res) == 5  # O(k), not the ~total-row full set
+    full = searcher.search(terms, k=5, prune=False)
+    assert len(full) == total
+    assert res == full[:5]
