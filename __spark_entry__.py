@@ -161,6 +161,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_near_dup": lambda s, d: similarity.embedding_near_dup_pairs(
             _emb(s, d), threshold=0.3
         ),
+        # banded variant (b bands × r bits, width from corpus size at scale;
+        # pinned here so the static oracle twin agrees)
+        "q_embedding_near_dup_banded": lambda s, d: similarity.embedding_near_dup_pairs_banded(
+            _emb(s, d), threshold=0.3, n_bands=4, n_bits=4
+        ),
         # event-time windowed aggregations (the batch twins of the
         # streaming/windows.py Structured Streaming jobs)
         "q_events_tumbling": lambda s, d: events.tumbling_counts(_events(s, d)),
@@ -217,6 +222,9 @@ def oracle_sql() -> dict[str, str]:
         "q_events_sliding": osql.sliding_counts(),
         "q_events_sessions": osql.session_windows(),
         "q_embedding_near_dup": osql.embedding_near_dup_pairs(threshold=0.3),
+        "q_embedding_near_dup_banded": osql.embedding_near_dup_pairs_banded(
+            threshold=0.3, n_bands=4, n_bits=4
+        ),
         "q_media_features": osql.media_features(),
         "q_media_frame_sample": osql.media_frame_sample(every=2),
     }

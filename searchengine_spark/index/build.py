@@ -303,7 +303,11 @@ def _build_bulk(spark, docs, paths, n_shards, n_buckets, mode,
                postings=stats["n_postings"])
 
     if with_segments:
-        rec = man.start("segments", 0)
+        # distinct stage name from the resumable path's per-shard
+        # ("segments", s) run markers: a later resume=True over this
+        # bulk-built dir must not mistake the one-shot bulk write for
+        # shard 0's run (which would drop shard 0 from the compaction)
+        rec = man.start("segments_bulk", 0)
         _write_segments(spark, paths, n_buckets, compact_fanin)
         man.finish(rec, postings=stats["n_postings"])
     stats["build_secs"] = time.time() - t0
@@ -368,6 +372,8 @@ def _build_resumable(spark, docs, paths, n_shards, n_buckets, mode,
         stats = json.load(f)
 
     if with_segments:
+        if man.is_done("segments_bulk", 0):
+            return  # a bulk build already wrote the complete segments table
         for s in range(n_shards):
             if man.is_done("segments", s):
                 continue

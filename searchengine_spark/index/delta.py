@@ -23,17 +23,72 @@ Spark re-expression, set-at-a-time over the partitioned layout:
    untouched.
 
 At 10^12-file scale each step touches O(changed docs) + O(touched buckets)
-data — no full corpus pass anywhere.
+data — no full corpus pass anywhere, and the changed-doc id set stays a
+DataFrame end-to-end: teardown is expressed as semi/anti joins, never as
+collected literal id lists in the plan (a whole-repo re-crawl would
+otherwise put millions of ids in the driver and the plan).  The only
+driver-side collects are distinct shard/bucket numbers (bounded by
+n_shards / n_buckets) and two scalar counts for the summary.
+
+Partition swaps are crash-atomic by rename-aside: write ``__delta_<part>``
+beside the live partition, rename the live one to ``__old_<part>``, rename
+the delta in, drop the old.  Every intermediate state is recoverable by
+``_recover_partitions`` on the next entry (underscore-prefixed dirs are
+invisible to Spark's file index, so a crashed state never corrupts plain
+table reads).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from searchengine_spark.index.build import IndexPaths, analyze_docs, bucket_col
 from searchengine_spark.index.segments import SEGMENT_SCHEMA, make_compact_fn, make_pack_fn
+
+
+def _read_partition(spark: SparkSession, base: str, part: str, parent_schema) -> DataFrame:
+    """Direct partition-dir read with an empty-DataFrame fallback: a bulk
+    build (repartition + partitionBy) writes no directory for an empty
+    shard/bucket, so a new doc hashing into one must see an empty table,
+    not PATH_NOT_FOUND."""
+    p = f"{base}/{part}"
+    if os.path.isdir(p):
+        return spark.read.parquet(p)
+    return spark.createDataFrame([], parent_schema)
+
+
+def _recover_partitions(base: str) -> None:
+    """Finish or roll back a crashed promote: an ``__old_<part>`` with a
+    live ``<part>`` means the promote completed (drop the leftover); one
+    without means the crash hit between the two renames (restore it); a
+    stray ``__delta_<part>`` belonged to a writer that died before its
+    promote (drop it — the re-run rewrites it)."""
+    if not os.path.isdir(base):
+        return
+    for d in os.listdir(base):
+        full = os.path.join(base, d)
+        if d.startswith("__old_"):
+            cur = os.path.join(base, d[len("__old_"):])
+            if os.path.isdir(cur):
+                shutil.rmtree(full)
+            else:
+                os.rename(full, cur)
+        elif d.startswith("__delta_"):
+            shutil.rmtree(full)
+
+
+def _promote(base: str, part: str) -> None:
+    """Crash-atomic partition swap (rename-aside); see _recover_partitions.
+    On a real catalog this whole delta is a single atomic Iceberg commit."""
+    new, cur, old = f"{base}/__delta_{part}", f"{base}/{part}", f"{base}/__old_{part}"
+    if os.path.isdir(cur):
+        os.rename(cur, old)
+    os.rename(new, cur)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def remove_docs(
@@ -72,26 +127,38 @@ def reindex_docs(
     n_buckets = int(stats["n_buckets"])
     mode = mode or stats.get("mode", "compat")
 
+    for base in (paths.postings, paths.docs_meta, paths.df_stats, paths.segments):
+        _recover_partitions(base)
+
     analyzed = analyze_docs(changed_docs, n_shards, mode).persist()
 
     old_meta = spark.read.parquet(paths.docs_meta)
     keys = analyzed.select("repo", "path").distinct()
     if remove_keys is not None:
         keys = keys.unionByName(remove_keys.select("repo", "path")).distinct()
-    # old versions of the same (repo, path) — the teardown set
-    old_docs = old_meta.join(F.broadcast(keys), ["repo", "path"], "left_semi")
-    old_ids = [int(r.doc_id) for r in old_docs.select("doc_id").collect()]
-    new_rows = analyzed.select("doc_id", "shard").collect()
-    new_ids = [int(r.doc_id) for r in new_rows]
-
-    affected_shards = sorted(
-        {int(r.shard) for r in old_docs.select("shard").collect()}
-        | {int(r.shard) for r in new_rows}
+    # old versions of the same (repo, path) — the teardown set, kept as a
+    # DataFrame: every use below is a semi/anti join (broadcast when small,
+    # shuffle join for a whole-repo delta — AQE picks)
+    old_docs = (
+        old_meta.join(keys, ["repo", "path"], "left_semi")
+        .select("doc_id", "shard")
+        .persist()
     )
-    replaced = set(old_ids) - set(new_ids)
+    old_ids = old_docs.select("doc_id")
+
+    # small distinct aggregates: values bounded by n_shards, never doc ids
+    affected_shards = sorted(
+        int(r.shard)
+        for r in old_docs.select("shard")
+        .unionByName(analyzed.select("shard"))
+        .distinct()
+        .collect()
+    )
+    n_new = analyzed.count()
+    n_replaced = old_docs.join(analyzed.select("doc_id"), "doc_id", "left_anti").count()
 
     postings = spark.read.parquet(paths.postings)
-    removed_postings = postings.filter(F.col("doc_id").isin(old_ids)).persist()
+    removed_postings = postings.join(old_ids, "doc_id", "left_semi").persist()
 
     new_postings = (
         analyzed.select(
@@ -118,39 +185,42 @@ def reindex_docs(
     touched_buckets = sorted({int(r.bucket) for r in delta.select("bucket").distinct().collect()})
 
     # ---- rewrite affected postings/docs_meta shard partitions ------------
+    # coalesce(1): the shard is the parallelism unit (4096 shards at cluster
+    # scale); maxRecordsPerFile still splits a pathologically large shard
+    # into multiple files within the single writer task
     new_meta = analyzed.select(
         "doc_id", "repo", "path", "commit", "lang", "content_sha",
         F.size("lemmas").cast("long").alias("dl"), "shard",
     ).persist()
+    post_part_schema = postings.drop("shard").schema
+    meta_part_schema = old_meta.drop("shard").schema
     for s in affected_shards:
         shard_post = (
-            spark.read.parquet(f"{paths.postings}/shard={s}")
-            .filter(~F.col("doc_id").isin(old_ids))
+            _read_partition(spark, paths.postings, f"shard={s}", post_part_schema)
+            .join(old_ids, "doc_id", "left_anti")
             .unionByName(new_postings.filter(F.col("shard") == s)
                          .select("term", "doc_id", "tf", "dl"))
         )
-        shard_post.coalesce(1).write.mode("overwrite").parquet(
-            f"{paths.postings}/__delta_shard={s}")
+        shard_post.coalesce(1).write.mode("overwrite") \
+            .option("maxRecordsPerFile", 4_000_000) \
+            .parquet(f"{paths.postings}/__delta_shard={s}")
         shard_meta = (
-            spark.read.parquet(f"{paths.docs_meta}/shard={s}")
-            .filter(~F.col("doc_id").isin(old_ids))
+            _read_partition(spark, paths.docs_meta, f"shard={s}", meta_part_schema)
+            .join(old_ids, "doc_id", "left_anti")
             .unionByName(new_meta.filter(F.col("shard") == s).drop("shard"))
         )
-        shard_meta.coalesce(1).write.mode("overwrite").parquet(
-            f"{paths.docs_meta}/__delta_shard={s}")
-    # two-phase swap: writes finished, now promote (a crashed promote is
-    # re-runnable; Iceberg snapshots make this a single atomic commit on a
-    # real catalog)
-    import shutil
-
+        shard_meta.coalesce(1).write.mode("overwrite") \
+            .option("maxRecordsPerFile", 4_000_000) \
+            .parquet(f"{paths.docs_meta}/__delta_shard={s}")
     for s in affected_shards:
         for base in (paths.postings, paths.docs_meta):
-            shutil.rmtree(f"{base}/shard={s}", ignore_errors=True)
-            shutil.move(f"{base}/__delta_shard={s}", f"{base}/shard={s}")
+            _promote(base, f"shard={s}")
 
     # ---- df_stats bucket-partition merge ---------------------------------
+    df_full = spark.read.parquet(paths.df_stats)
+    df_part_schema = df_full.drop("bucket").schema
     for b in touched_buckets:
-        old_b = spark.read.parquet(f"{paths.df_stats}/bucket={b}")
+        old_b = _read_partition(spark, paths.df_stats, f"bucket={b}", df_part_schema)
         merged = (
             old_b.join(delta.filter(F.col("bucket") == b).select("term", "d_df", "d_cf"),
                        "term", "full_outer")
@@ -164,8 +234,7 @@ def reindex_docs(
         merged.coalesce(1).write.mode("overwrite").parquet(
             f"{paths.df_stats}/__delta_bucket={b}")
     for b in touched_buckets:
-        shutil.rmtree(f"{paths.df_stats}/bucket={b}", ignore_errors=True)
-        shutil.move(f"{paths.df_stats}/__delta_bucket={b}", f"{paths.df_stats}/bucket={b}")
+        _promote(paths.df_stats, f"bucket={b}")
 
     # ---- stats + segments rebuild for touched buckets --------------------
     meta_r = spark.read.parquet(paths.docs_meta)
@@ -182,8 +251,6 @@ def reindex_docs(
     with open(paths.stats, "w") as f:
         json.dump(stats, f, indent=1)
 
-    import os
-
     if os.path.isdir(paths.segments):
         post_r = spark.read.parquet(paths.postings)  # carries dl (denormalized)
         for b in touched_buckets:
@@ -198,17 +265,16 @@ def reindex_docs(
             segs.coalesce(1).write.mode("overwrite").parquet(
                 f"{paths.segments}/__delta_bucket={b}")
         for b in touched_buckets:
-            shutil.rmtree(f"{paths.segments}/bucket={b}", ignore_errors=True)
-            shutil.move(f"{paths.segments}/__delta_bucket={b}", f"{paths.segments}/bucket={b}")
+            _promote(paths.segments, f"bucket={b}")
         # untouched buckets stay valid under the avgdl/df drift because the
         # packed block metadata is (max tf, min dl) — collection-stat-free;
         # WAND recomputes bounds with the current avgdl at query time.
 
-    analyzed.unpersist(); removed_postings.unpersist()
+    analyzed.unpersist(); old_docs.unpersist(); removed_postings.unpersist()
     new_postings.unpersist(); delta.unpersist(); new_meta.unpersist()
     return {
-        "replaced_docs": len(replaced),
-        "new_docs": len(new_ids),
+        "replaced_docs": n_replaced,
+        "new_docs": n_new,
         "affected_shards": affected_shards,
         "touched_buckets": touched_buckets,
     }

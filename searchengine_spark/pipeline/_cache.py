@@ -1,0 +1,34 @@
+"""Cache lifetime for multi-branch query plans.
+
+Several pipeline queries persist a shared subplan (a shingle table, an LSH
+bucket table, the tokenized postings) because it feeds 2+ branches of a
+self-join or aggregation tree and Catalyst does not deduplicate common
+subplans.  ``DataFrame.persist`` entries live in the session's CacheManager
+until explicitly unpersisted, so a long-lived session (search service,
+bench loop) calling these queries repeatedly would accumulate cached RDDs
+until storage eviction thrashes (ADVICE r1).
+
+``finalize(result, *cached)`` closes the lifetime: it materializes the
+result once via ``localCheckpoint`` (executor-stored blocks whose cleanup
+is GC-driven — when the returned DataFrame is dropped, the ContextCleaner
+releases its blocks) and immediately unpersists the intermediates the plan
+needed.  Callers get a self-contained DataFrame; nothing stays in the
+CacheManager.
+
+Results here are candidate/match sets, orders of magnitude smaller than
+the intermediates they replace; on a cluster, lost localCheckpoint blocks
+(executor failure) fail the query rather than recompute — acceptable for
+interactive analytics, and the price of not leaking the much larger
+intermediate caches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from searchengine_spark.pipeline.fulltext import tokens_col
+from searchengine_spark.pipeline._cache import finalize
 from searchengine_spark.pipeline.hashing import (
     MINHASH_BANDS,
     MINHASH_P,
@@ -96,12 +97,13 @@ def lsh_candidate_pairs(documents: DataFrame, n: int = 3, **kw) -> DataFrame:
     bb = lsh_band_buckets(documents, n, **kw).persist()  # self-join: 2 branches
     left = bb.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a"))
     right = bb.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_b"))
-    return (
+    pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+    return finalize(pairs, bb)
 
 
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.2,
@@ -124,7 +126,7 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.2
     )
     sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
+    scored = (
         inter.join(sz_a, "doc_a")
         .join(sz_b, "doc_b")
         .withColumn("union_size", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
@@ -132,6 +134,7 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.2
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "union_size", "jaccard")
     )
+    return finalize(scored, sh)
 
 
 def simhash(documents: DataFrame, bits: int = 60, id_col: str = "doc_id",
@@ -193,4 +196,4 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8, **kw) -> Data
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
-    return pairs
+    return finalize(pairs, sh)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from searchengine_spark.pipeline._cache import finalize
 from searchengine_spark.textproc.core import BM25_B, BM25_K1
 
 # tokenizer shared with the DuckDB oracle SQL: lower -> strip non-[a-z0-9] ->
@@ -125,7 +126,9 @@ def bm25_scored(documents: DataFrame, query_terms: list[str],
         .agg(F.count(F.lit(1)).alias("nhit"), F.sum("pscore").alias("score"))
         .filter(F.col("nhit") == len(query_terms))
     )
-    return scored.select("doc_id", F.round(F.col("score"), 4).alias("score"))
+    return finalize(
+        scored.select("doc_id", F.round(F.col("score"), 4).alias("score")), p, ds
+    )
 
 
 def bm25_topk(documents: DataFrame, query_terms: list[str], k: int = 20, **kw) -> DataFrame:
@@ -174,12 +177,17 @@ def compat_relevance(documents: DataFrame, query_terms: list[str],
         .crossJoin(n_kept)
         .filter((F.col("nhit") == F.col("n_kept")) & (F.col("n_kept") > 0))
     )
-    w_max = Window.partitionBy()
-    return (
-        abs_rel.withColumn("max_rel", F.max("abs_rel").over(w_max))
+    # scalar max + broadcast crossjoin, NOT Window.partitionBy(): a global
+    # window funnels every matching row through one partition (unbounded for
+    # common-term queries); the 1-row broadcast keeps the plan parallel —
+    # abs_rel's recompute for the max branch reads the cached postings
+    max_rel = abs_rel.agg(F.max("abs_rel").alias("max_rel"))
+    out = (
+        abs_rel.crossJoin(F.broadcast(max_rel))
         .select(
             "doc_id",
             F.col("abs_rel").cast("double").alias("abs_rel"),
             F.round(F.col("abs_rel") / F.col("max_rel"), 6).alias("relevance"),
         )
     )
+    return finalize(out, p)

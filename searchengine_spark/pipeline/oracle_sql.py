@@ -589,3 +589,52 @@ fr AS (
 SELECT doc_id, frame, sha256(substr(hex_chain, frame * step + 1, step)) AS frame_sha
 FROM fr
 """
+
+
+def _banded_sign_case(plane: int) -> str:
+    # twin of similarity.banded_hyperplane_sign (XOR-mixed integer hash)
+    return (
+        f"CASE WHEN xor((i-1)*73856093, {plane * 19349663}) % 97 < 48 "
+        "THEN 1.0 ELSE -1.0 END"
+    )
+
+
+def banded_lsh_keys(n_bands: int, n_bits: int) -> str:
+    """Twin of similarity.banded_lsh_buckets: (vec_id, band, key)."""
+    selects = []
+    for band in range(n_bands):
+        dots = ", ".join(
+            f"list_sum([embedding[i]::DOUBLE * ({_banded_sign_case(band * n_bits + j)}) "
+            f"for i in generate_series(1, len(embedding))]) AS d{j}"
+            for j in range(n_bits)
+        )
+        key = " + ".join(
+            f"CASE WHEN d{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END"
+            for j in range(n_bits)
+        )
+        selects.append(
+            f"SELECT vec_id, {band} AS band, ({key})::BIGINT AS key "
+            f"FROM (SELECT vec_id, {dots} FROM embeddings)"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def embedding_near_dup_pairs_banded(threshold: float = 0.9, n_bands: int = 4,
+                                    n_bits: int = 4) -> str:
+    """Twin of similarity.embedding_near_dup_pairs_banded."""
+    return f"""
+WITH bk AS ({banded_lsh_keys(n_bands, n_bits)}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bk a JOIN bk b USING (band, key)
+  WHERE a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.vec_a, c.vec_b, ea.embedding AS pvec, eb.embedding AS cvec
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+),
+scored AS (SELECT vec_a, vec_b, {_COS} FROM pairs)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}
+"""

@@ -58,20 +58,29 @@ def run_ingest_stream(
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.load(drop_dir)
+    from pyspark.sql import Window, functions as F
+
+    # drop-file modification time = ingest order.  Commit ids are hashes
+    # with no lexical ordering, so "newest" must come from when the version
+    # arrived, not from the commit string; commit only breaks ties between
+    # two versions of one path inside a single drop file (same mtime) —
+    # producers should not write that shape.
+    stream = reader.load(drop_dir).withColumn(
+        "_ingest_ts", F.col("_metadata.file_modification_time")
+    )
 
     def apply_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         # dedup within the batch: last writer wins per (repo, path) —
         # matches the reference's reindex-replaces-page semantics
-        from pyspark.sql import Window, functions as F
-
-        w = Window.partitionBy("repo", "path").orderBy(F.desc("commit"))
+        w = Window.partitionBy("repo", "path").orderBy(
+            F.desc("_ingest_ts"), F.desc("commit")
+        )
         latest = (
             batch_df.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .drop("rn")
+            .drop("rn", "_ingest_ts")
         )
         reindex_docs(spark, index_root, latest)
 

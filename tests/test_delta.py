@@ -98,3 +98,63 @@ def test_remove_docs_equals_rebuild_without_them(spark, tmp_path):
                 n_shards=4, n_buckets=4)
     want = _index_state(InvertedIndex(spark, ref_out))
     assert got == want
+
+
+def test_delta_into_absent_partitions(spark, tmp_path):
+    """A sparse build (more shards/buckets than docs/terms fill) leaves some
+    partition directories absent; new docs/terms hashing into them must see
+    an empty table, not PATH_NOT_FOUND (ADVICE r1), and the delta must still
+    equal a fresh rebuild."""
+    import os
+
+    docs = spark.read.parquet(docs_path("t1"))
+    base = docs.orderBy("path").limit(12)
+    out = str(tmp_path / "idx_sparse")
+    build_index(spark, base, out, n_shards=64, n_buckets=64)
+    existing = {d for d in os.listdir(f"{out}/postings") if d.startswith("shard=")}
+    assert len(existing) < 64  # precondition: genuinely sparse
+
+    new_docs = spark.createDataFrame(
+        [(f"orgx/rep{i}", f"f{i}.py", "c1", "py",
+          f"uniqueterm{i} shared corpus text body") for i in range(24)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    summary = reindex_docs(spark, out, new_docs)
+    # the repro: at least one new doc landed in a previously-absent shard
+    assert any(f"shard={s}" not in existing for s in summary["affected_shards"])
+
+    ref = str(tmp_path / "ref_sparse")
+    build_index(spark, base.unionByName(new_docs), ref, n_shards=64, n_buckets=64)
+    assert (_index_state(InvertedIndex(spark, out))
+            == _index_state(InvertedIndex(spark, ref)))
+
+
+def test_delta_whole_repo_reindex(spark, tmp_path):
+    """Re-crawl of an entire repo (6.4k docs): the teardown/insert sets stay
+    DataFrames (semi/anti joins, no literal id lists in any plan), and the
+    delta'd index equals a fresh rebuild of the updated corpus."""
+    docs = spark.read.parquet(docs_path("t2"))
+    repo = "org0/repo0"
+    changed = (
+        docs.filter(F.col("repo") == repo)
+        .withColumn("commit", F.concat(F.col("commit"), F.lit("-v2")))
+        .withColumn("content", F.concat(F.col("content"), F.lit(" repowidefresh")))
+    )
+    out = str(tmp_path / "idx_bulk")
+    build_index(spark, docs, out, n_shards=8, n_buckets=16)
+    summary = reindex_docs(spark, out, changed)
+    assert summary["replaced_docs"] == 6412
+    assert summary["new_docs"] == 6412
+
+    got = _index_state(InvertedIndex(spark, out))
+    ref = str(tmp_path / "ref_bulk")
+    build_index(
+        spark,
+        docs.filter(F.col("repo") != repo).unionByName(changed),
+        ref, n_shards=8, n_buckets=16,
+    )
+    want = _index_state(InvertedIndex(spark, ref))
+    assert got["stats"] == want["stats"]
+    assert got["df_stats"] == want["df_stats"]
+    assert got["postings"] == want["postings"]
+    assert got["decoded"] == want["decoded"]

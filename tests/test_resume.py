@@ -118,3 +118,28 @@ def test_stop_indexing_cancels_then_resume_completes(spark, tmp_path):
     idx = InvertedIndex(spark, out)
     assert idx.stats["n_docs"] == 500
     assert idx.stats["n_postings"] == 74586
+
+
+def test_resume_over_bulk_build_keeps_segments(spark, tmp_path):
+    """build_index(resume=True) over a completed bulk-built dir must be a
+    no-op that keeps every shard's postings in the packed segments (ADVICE
+    r1: the shared manifest previously let the resume path treat the bulk
+    segments marker as shard 0's run and silently drop shard 0 on
+    compaction)."""
+    from searchengine_spark.fixtures.loaders import docs_path
+    from searchengine_spark.index.build import InvertedIndex, build_index
+    from searchengine_spark.index.segments import decode_segments
+
+    docs = spark.read.parquet(docs_path("t1"))
+    out = str(tmp_path / "idx_bulk_then_resume")
+    build_index(spark, docs, out, n_shards=4, n_buckets=4)
+    before = sorted(
+        (r.term, r.doc_id, r.tf, r.dl)
+        for r in decode_segments(InvertedIndex(spark, out).segments).collect()
+    )
+    build_index(spark, docs, out, n_shards=4, n_buckets=4, resume=True)
+    after = sorted(
+        (r.term, r.doc_id, r.tf, r.dl)
+        for r in decode_segments(InvertedIndex(spark, out).segments).collect()
+    )
+    assert after == before

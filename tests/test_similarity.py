@@ -1,0 +1,85 @@
+"""Banded embedding-LSH: recall vs the exact pair set, and corpus-size
+band-width scaling (VERDICT r1 item 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline import similarity as S
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """200 random base vectors + 60 perturbed near-copies (cosine ~0.99):
+    a ground-truth near-dup structure the synthetic near-orthogonal
+    testdata embeddings lack."""
+    rng = np.random.default_rng(7)
+    dim = 32
+    base = rng.normal(size=(200, dim))
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    for j in range(60):
+        src = base[j]
+        dup = src + rng.normal(scale=0.03, size=dim)  # cosine ≈ 0.999
+        rows.append((1000 + j, [float(x) for x in dup]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _exact_pairs(df, threshold):
+    a = df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    dot = S._dot(F.col("va"), F.col("vb"))
+    cos = dot / (S._norm(F.col("va")) * S._norm(F.col("vb")))
+    return {
+        (r.vec_a, r.vec_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(F.round(cos, 3) >= threshold)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+
+
+def test_banded_near_dup_recall(spark, planted):
+    want = _exact_pairs(planted, 0.9)
+    assert len(want) >= 60  # every planted copy is a true near-dup pair
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in S.embedding_near_dup_pairs_banded(planted, threshold=0.9).collect()
+    }
+    assert got <= want  # exact verify: no false positives past the threshold
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"banded LSH recall {recall:.2f} < 0.9"
+
+
+def test_banded_matches_single_table_semantics(spark, planted):
+    """Both near-dup variants verify with the same exact cosine, so on any
+    pair BOTH emit, the cosine values agree."""
+    banded = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in S.embedding_near_dup_pairs_banded(planted, threshold=0.9).collect()
+    }
+    single = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in S.embedding_near_dup_pairs(planted, threshold=0.9).collect()
+    }
+    shared = set(banded) & set(single)
+    assert shared
+    for k in shared:
+        assert banded[k] == single[k]
+
+
+def test_banded_bits_scale_with_corpus():
+    """Band width grows with corpus size so expected bucket occupancy stays
+    ~constant — the r1 '256 buckets forever' fix."""
+    small = S.banded_lsh_bits(1_000)
+    medium = S.banded_lsh_bits(1_000_000)
+    large = S.banded_lsh_bits(10**12)
+    assert small < medium < large
+    assert large <= 30
+    # occupancy n / 2^bits stays within ~2x of the target across 6 decades
+    for n in (10**4, 10**6, 10**8, 10**10):
+        bits = S.banded_lsh_bits(n, target_bucket=64)
+        occ = n / (1 << bits)
+        assert occ <= 64 * 2

@@ -62,13 +62,18 @@ def test_stream_batch_last_writer_wins(spark, tmp_path):
     drop_dir = str(tmp_path / "drops2")
     os.makedirs(drop_dir)
 
-    # two versions of the same (repo, path) in ONE batch: commit order decides
-    rows = [
-        ("org8/r", "src/x.py", "c-aaa", "py", "oldversion streamdup"),
-        ("org8/r", "src/x.py", "c-bbb", "py", "newversion streamdup"),
-    ]
+    # two versions of the same (repo, path) in ONE batch but different drop
+    # files: ingest (file-mtime) order decides, NOT commit lexicographics —
+    # the newer drop deliberately carries the lexically SMALLER commit hash
+    import time
+
+    schema = "repo string, path string, commit string, lang string, content string"
     spark.createDataFrame(
-        rows, "repo string, path string, commit string, lang string, content string"
+        [("org8/r", "src/x.py", "f9e8d7", "py", "oldversion streamdup")], schema
+    ).coalesce(1).write.mode("append").parquet(drop_dir)
+    time.sleep(1.1)  # distinct file mtime (fs timestamps are seconds-coarse)
+    spark.createDataFrame(
+        [("org8/r", "src/x.py", "0a1b2c", "py", "newversion streamdup")], schema
     ).coalesce(1).write.mode("append").parquet(drop_dir)
 
     run_ingest_stream(spark, drop_dir, out, str(tmp_path / "ckpt2"), available_now=True)
