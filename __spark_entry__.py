@@ -112,6 +112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_search_pagination": lambda s, d: fulltext.search_paginated(
             _docs(s, d), Q_PAGE, offset=5, limit=10
         ),
+        # result assembly P10-P14 (title/snippet/highlight/truncate)
+        "q_search_assembly": lambda s, d: fulltext.search_assembly(
+            _docs(s, d), Q_PAGE, k=10
+        ),
         "q_compat_relevance_strict": lambda s, d: fulltext.compat_relevance(
             _docs(s, d), Q_AND2, max_df_ratio=0.8
         ),
@@ -194,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bm25_and3": osql.bm25_topk(Q_AND3, k=20),
         "q_bm25_and_gate_empty": osql.bm25_topk(Q_ABSENT, k=20),
         "q_search_pagination": osql.search_paginated(Q_PAGE, offset=5, limit=10),
+        "q_search_assembly": osql.search_assembly(Q_PAGE, k=10),
         "q_compat_relevance_strict": osql.compat_relevance(Q_AND2, max_df_ratio=0.8),
         "q_compat_relevance_loose": osql.compat_relevance(Q_AND2, max_df_ratio=1e9),
         "q_wand_single": osql.bm25_topk(Q_SINGLE, k=20),

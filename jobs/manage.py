@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""CLI twin of POST/DELETE /api/site (controllers/ApiController.java:54-61,
+services/IndexingServiceImpl.java:298-367): add/remove corpus scopes in the
+persistent scope list with the reference's validation rules, refusing
+removal while the index manifest shows a RUNNING build stage.
+
+    python jobs/manage.py --scopes /tmp/scopes.json add --url https://x.org --name X
+    python jobs/manage.py --scopes /tmp/scopes.json remove --url https://x.org \
+        [--index /tmp/idx]
+    python jobs/manage.py --scopes /tmp/scopes.json list
+
+No SparkSession: this is pure config/control plane (the reference mutates
+only its in-memory config list too); the data-plane removal is
+jobs-level `delta.remove_docs`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scopes", required=True, help="scope-list JSON path")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p_add = sub.add_parser("add")
+    p_add.add_argument("--url", required=True)
+    p_add.add_argument("--name", required=True)
+    p_rm = sub.add_parser("remove")
+    p_rm.add_argument("--url", required=True)
+    p_rm.add_argument("--index", help="index root; removal is refused while "
+                                      "its manifest shows a RUNNING stage")
+    sub.add_parser("list")
+    args = ap.parse_args()
+
+    from searchengine_spark.index.manage import ScopeList
+
+    scopes = ScopeList(args.scopes)
+    if args.cmd == "add":
+        out = scopes.add(args.url, args.name)
+    elif args.cmd == "remove":
+        manifest = None
+        if args.index:
+            from searchengine_spark.index.build import IndexPaths
+            from searchengine_spark.index.manifest import Manifest
+
+            manifest = Manifest(IndexPaths(args.index).manifest)
+        out = scopes.remove(args.url, manifest=manifest)
+    else:
+        out = {"result": True, "scopes": scopes.scopes}
+    print(json.dumps(out, ensure_ascii=False))
+    return 0 if out["result"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -25,8 +25,13 @@ def load_lemma_dict() -> dict[str, str]:
 
 @lru_cache(maxsize=1)
 def load_stopwords() -> frozenset[str]:
+    """English stopword file ∪ Russian particles — the reference filters
+    both (stopwords play its English filter role; RU_PARTICLES mirrors the
+    ПРЕДЛ/СОЮЗ/МЕЖД tag filter, LemmatizationService.java:20,100-112)."""
+    from searchengine_spark.textproc.ru_morph import RU_PARTICLES
+
     with open(STOPWORDS_PATH, encoding="utf-8") as f:
-        return frozenset(w.strip() for w in f if w.strip())
+        return frozenset(w.strip() for w in f if w.strip()) | RU_PARTICLES
 
 
 def load_queries() -> list[dict]:

@@ -1,0 +1,95 @@
+"""Corpus-scope management — the reference's site add/remove surface.
+
+The reference keeps a mutable config list of sites and validates mutations
+(services/IndexingServiceImpl.java:298-367, config/SitesList.java:21-34;
+15 accept/reject cases in SiteManagementTest.java): non-empty URL and
+name, http(s) protocol, trailing-slash normalization, duplicate rejection,
+and a refuse-while-indexing guard on removal.
+
+Here a "site" is a corpus scope (a repo source the build jobs enumerate);
+the list persists as one JSON file (atomic tmp+rename, like the manifest
+ledger) so CLI jobs and services share it.  The data-plane counterpart —
+actually deleting a scope's documents — is ``delta.remove_docs``; this
+module is the config/control plane only, exactly like the reference
+(removeSite mutates the config list; page rows are cleaned separately).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from searchengine_spark.index.manifest import RUNNING, Manifest
+
+
+def _ok() -> dict:
+    return {"result": True}
+
+
+def _err(msg: str) -> dict:
+    return {"result": False, "error": msg}
+
+
+def normalize_url(url: str) -> str:
+    """Trim + drop one trailing slash (IndexingServiceImpl.java:308-317)."""
+    url = (url or "").strip()
+    return url[:-1] if url.endswith("/") else url
+
+
+class ScopeList:
+    """Persistent list of {url, name} corpus scopes (SitesList analog)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.scopes: list[dict] = []
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                self.scopes = json.load(f)
+
+    def _save(self) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(self.scopes, f, indent=1)
+        os.replace(tmp, self.path)
+
+    # -- addSite (IndexingServiceImpl.java:298-337) -------------------------
+    def add(self, url: str | None, name: str | None) -> dict:
+        if url is None or not url.strip():
+            return _err("url must not be empty")
+        if name is None or not name.strip():
+            return _err("name must not be empty")
+        normalized = url.strip()
+        if not (normalized.startswith("http://")
+                or normalized.startswith("https://")):
+            return _err("url must start with http:// or https://")
+        normalized = normalize_url(normalized)
+        for s in self.scopes:
+            if normalize_url(s["url"]) == normalized:
+                return _err("a scope with this url already exists")
+        self.scopes.append({"url": normalized, "name": name.strip()})
+        self._save()
+        return _ok()
+
+    # -- removeSite (IndexingServiceImpl.java:339-366) ----------------------
+    def remove(self, url: str | None, manifest: Manifest | None = None) -> dict:
+        if url is None or not url.strip():
+            return _err("url must not be empty")
+        normalized = normalize_url(url)
+        if manifest is not None and any(
+            r.get("status") == RUNNING for r in manifest.records()
+        ):
+            return _err(
+                "cannot remove scope: indexing in progress — stop indexing "
+                "before removal"
+            )
+        before = len(self.scopes)
+        self.scopes = [
+            s for s in self.scopes if normalize_url(s["url"]) != normalized
+        ]
+        if len(self.scopes) == before:
+            return _err("no scope with this url in the configuration")
+        self._save()
+        return _ok()
+
+    def urls(self) -> list[str]:
+        return [s["url"] for s in self.scopes]

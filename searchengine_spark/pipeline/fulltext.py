@@ -191,3 +191,30 @@ def compat_relevance(documents: DataFrame, query_terms: list[str],
         )
     )
     return finalize(out, p)
+
+
+def search_assembly(documents: DataFrame, query_terms: list[str],
+                    k: int = 10, **kw) -> DataFrame:
+    """(doc_id, score, title, snippet) for the top-k page — the reference's
+    result assembly P10-P14 (SearchServiceImpl.java:207-284) as an
+    oracle-gated query: title = first non-blank line (code analog of the
+    <title> extract), snippet = up to 3 sentences intersecting the query
+    terms with <b> highlighting and the 197+'...' truncation.
+
+    Assembly runs via mapInPandas over the k result rows only — O(page),
+    never a corpus pass (the bm25 subplan does the corpus work)."""
+    from searchengine_spark.textproc.core import Analyzer
+    from searchengine_spark.textproc.snippets import assemble_batches
+
+    top = bm25_topk(documents, query_terms, k=k, **kw)
+    page = top.join(
+        documents.select("doc_id", F.col("text").alias("content")), "doc_id"
+    ).select("doc_id", "score", "content")
+    analyzer = Analyzer(mode="sql")
+    qset = set(query_terms)
+    schema = "doc_id long, score double, title string, snippet string"
+
+    def gen(it):
+        yield from assemble_batches(it, analyzer, qset)
+
+    return page.mapInPandas(gen, schema)

@@ -638,3 +638,50 @@ pairs AS (
 scored AS (SELECT vec_a, vec_b, {_COS} FROM pairs)
 SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}
 """
+
+
+def search_assembly(terms: list[str], k: int = 10) -> str:
+    """Twin of fulltext.search_assembly: title/snippet/highlight/truncate
+    (textproc/snippets.py:38-94) in DuckDB regexp/list functions."""
+    alt = "|".join(sorted(terms))
+    terms_list = "[" + _terms_in(terms) + "]"
+    tok = ("list_filter(regexp_split_to_array(trim(regexp_replace(lower(s), "
+           "'[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')")
+    return f"""
+WITH topk AS ({bm25_topk(terms, k)}),
+page AS (
+  SELECT t.doc_id, t.score, coalesce(d.text, '') AS text
+  FROM topk t JOIN documents d USING (doc_id)
+),
+parts AS (
+  SELECT doc_id, score,
+    list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                s -> s <> '') AS lines,
+    list_transform(regexp_split_to_array(text, '[.!?]+'), s -> trim(s)) AS sents
+  FROM page
+),
+asm AS (
+  SELECT doc_id, score,
+    CASE WHEN len(lines) > 0 THEN substr(lines[1], 1, 120)
+         ELSE 'No title' END AS title,
+    list_filter(sents,
+                s -> length(s) > 10 AND list_has_any({tok}, {terms_list})) AS qual,
+    sents
+  FROM parts
+),
+snip0 AS (
+  SELECT doc_id, score, title,
+    CASE WHEN len(qual) > 0 THEN array_to_string(qual[1:3], '. ')
+         ELSE array_to_string(list_filter(sents[1:2], s -> s <> ''), '. ')
+    END AS sn
+  FROM asm
+),
+hi AS (
+  SELECT doc_id, score, title,
+         regexp_replace(sn, '(?i)\\b({alt})\\b', '<b>\\1</b>', 'g') AS sn
+  FROM snip0
+)
+SELECT doc_id, score, title,
+       CASE WHEN length(sn) > 200 THEN substr(sn, 1, 197) || '...' ELSE sn END AS snippet
+FROM hi
+"""

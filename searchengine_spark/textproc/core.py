@@ -92,13 +92,23 @@ class Analyzer:
     def tokens(self, text: str) -> list[str]:
         return _TOKENIZERS[self.mode](text)
 
+    def normal_form(self, tok: str) -> str:
+        """Per-script dispatch like the reference (Cyrillic ->
+        RussianLuceneMorphology, Latin -> EnglishLuceneMorphology,
+        LemmatizationService.java:72-84): Cyrillic tokens go through the
+        rule/paradigm engine in ``ru_morph``, Latin through the dictionary."""
+        from searchengine_spark.textproc.ru_morph import CYRILLIC, ru_normal_form
+
+        if CYRILLIC.search(tok):
+            return ru_normal_form(tok)
+        return self.lemma_dict.get(tok, tok)
+
     def lemmas(self, text: str) -> list[str]:
         """Lemma stream in document order (blank/stopword-filtered)."""
-        get = self.lemma_dict.get
         sw = self.stopwords
         out = []
         for tok in self.tokens(text):
-            base = get(tok, tok)
+            base = self.normal_form(tok)
             if base in sw:
                 continue
             out.append(base)

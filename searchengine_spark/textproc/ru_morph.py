@@ -1,0 +1,203 @@
+"""Russian normal-form lookup + particle filter (reference P3-P5 parity).
+
+The reference lemmatizes Russian via Lucene's dictionary morphology
+(services/LemmatizationService.java:22-25, normal form picked at :40,86-98)
+and drops words whose base form is tagged ПРЕДЛ/СОЮЗ/МЕЖД — preposition,
+conjunction, interjection (:20,100-112).  Its only behavior-golden tests
+are Russian: "леопарда"→"леопард", "Осетии"→"осетия",
+"повторное"→"повторный", TF counting of "поиск", particle filtering
+(src/test/java/searchengine/services/LemmatizationServiceTest.java:22-156).
+
+This module reproduces those semantics from public Russian grammar
+knowledge as a deterministic exceptions-dictionary + ordered
+suffix-paradigm engine (declension families first, adjectives second,
+bare case-ending strip as the fallback) — no external data, no
+morphology jars.  A rules engine cannot match a full dictionary
+morphology on every word; it is exact on the reference's golden suite and
+on regular paradigms, and the exceptions table is the extension point.
+
+Both a scalar form (Analyzer / the single-process oracle) and a
+pandas-vectorized twin (the Arrow UDF batch path) are provided; a
+property test pins them identical, so the engine and oracle keep exact
+term identity — the rank-identity requirement.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+CYRILLIC = re.compile(r"[а-яё]")
+
+# The reference's particle filter classes (ПРЕДЛ/СОЮЗ/МЕЖД):
+RU_PREPOSITIONS = frozenset(
+    "в во на с со у к ко по за из изо о об обо от ото до под подо над надо "
+    "при про для без безо через между перед передо около вокруг среди "
+    "кроме вместо несмотря сквозь ради".split()
+)
+RU_CONJUNCTIONS = frozenset(
+    "и а но или либо да что чтобы как если хотя тоже также зато однако "
+    "причем притом ибо пока когда будто словно нежели чем".split()
+)
+RU_INTERJECTIONS = frozenset(
+    "ах ох эх ой ай эй увы ура ого ух фу браво алло".split()
+)
+RU_PARTICLES = RU_PREPOSITIONS | RU_CONJUNCTIONS | RU_INTERJECTIONS
+
+# Irregulars the suffix paradigms would get wrong: soft-stem adjectives in
+# -ний (would collide with the -ние noun family), stressed -ой adjectives,
+# suppletive plurals, a few high-frequency feminine nouns.
+RU_EXCEPTIONS: dict[str, str] = {
+    # soft adjectives (identity or inflected -> -ний nominative)
+    "синий": "синий", "синие": "синий", "синего": "синий",
+    "последний": "последний", "последние": "последний",
+    "последнего": "последний",
+    "лишний": "лишний", "нижний": "нижний", "верхний": "верхний",
+    "ранний": "ранний", "поздний": "поздний", "давний": "давний",
+    "древний": "древний", "средний": "средний", "средние": "средний",
+    "крайний": "крайний", "дальний": "дальний", "ближний": "ближний",
+    "прежний": "прежний", "домашний": "домашний",
+    "летний": "летний", "зимний": "зимний",
+    "утренний": "утренний", "вечерний": "вечерний",
+    # stressed -ой adjectives
+    "другой": "другой", "другие": "другой", "других": "другой",
+    "другим": "другой", "другому": "другой", "другого": "другой",
+    "большой": "большой", "большие": "большой", "больших": "большой",
+    "большого": "большой", "большому": "большой",
+    # common feminine nouns the bare-vowel strip would truncate
+    "вода": "вода", "воды": "вода", "воде": "вода", "воду": "вода",
+    "водой": "вода",
+    "работа": "работа", "работы": "работа", "работе": "работа",
+    "работу": "работа", "работой": "работа",
+    "система": "система", "системы": "система", "системе": "система",
+    "систему": "система", "системой": "система",
+    "книга": "книга", "книги": "книга", "книге": "книга",
+    "книгу": "книга", "книгой": "книга",
+    # suppletive / irregular plurals
+    "данные": "данные", "данных": "данные", "данным": "данные",
+    "данными": "данные",
+    "люди": "человек", "людей": "человек", "людям": "человек",
+    "человек": "человек", "человека": "человек", "человеку": "человек",
+    "дети": "ребенок", "детей": "ребенок", "ребенок": "ребенок",
+}
+
+_ADJ = "__ADJ__"        # replacement is stem-aware ый/ий
+_ADJ_SOFT = "__ADJS__"  # soft adjective form: apply only after C-stems, -> ий
+_SOFT_STEM = frozenset("гкхжчшщ")
+_SOFT_COND = frozenset("гкхжчшщн")  # stems that take soft adjective forms
+
+
+def _neuter_family_rules() -> list[tuple[str, str, int]]:
+    """Declension rules for the productive, unambiguously-neuter noun
+    families -ение/-ание/-яние (deverbal) and -ытие/-ятие/-итие: every
+    case form maps to the nominative.  Narrow families on purpose — a
+    generic -ния/-тия rule would swallow feminine -ия nouns (Осетия,
+    компания, партия), which instead fall through to the -ия rules."""
+    rules = []
+    for fam in ("ение", "ание", "яние", "ытие", "ятие", "итие"):
+        base = fam[:-1]  # "ени" ...
+        for tail in ("ями", "ях", "ям", "ем", "я", "ю", "и", "й", "е"):
+            # base+"е" == the nominative itself: identity row protecting the
+            # family from the adjective -ие rule below
+            rules.append((base + tail, fam, 1))
+    return rules
+
+
+# Ordered rule table: (suffix, replacement, min_stem_len).  First match
+# wins, so the narrow families precede -ия, which precedes adjectives,
+# which precede the bare case-ending strip.
+RU_RULES: list[tuple[str, str, int]] = [
+    *_neuter_family_rules(),
+    # -ия feminine nouns (осетия, информация): declension -> nominative
+    ("иями", "ия", 2), ("иях", "ия", 2), ("иям", "ия", 2),
+    ("ией", "ия", 2), ("ию", "ия", 2), ("ии", "ия", 2), ("ия", "ия", 2),
+    # full adjectives -> masculine nominative.  Hard forms always apply
+    # (ый, or ий after velars/hushers: хорошая -> хороший); soft forms
+    # only after stems that actually take them (velars/hushers/н), so
+    # neuter nouns like "условие" fall through untouched.
+    ("ого", _ADJ, 3), ("ому", _ADJ, 3), ("ыми", _ADJ, 3), ("ых", _ADJ, 3),
+    ("ым", _ADJ, 3), ("ую", _ADJ, 3), ("ая", _ADJ, 3), ("ое", _ADJ, 3),
+    ("ые", _ADJ, 3),
+    ("его", _ADJ_SOFT, 3), ("ему", _ADJ_SOFT, 3), ("ими", _ADJ_SOFT, 3),
+    ("их", _ADJ_SOFT, 3), ("им", _ADJ_SOFT, 3), ("юю", _ADJ_SOFT, 3),
+    ("яя", _ADJ_SOFT, 3), ("ее", _ADJ_SOFT, 3), ("ие", _ADJ_SOFT, 3),
+    # bare case endings (masc/neuter nouns: леопарда -> леопард); stem must
+    # end in a consonant so vowel-stem words are left alone
+    ("ами", "", 3), ("ями", "", 3), ("ах", "", 3), ("ях", "", 3),
+    ("ам", "", 3), ("ям", "", 3), ("ов", "", 3), ("ев", "", 3),
+    ("ом", "", 3), ("ем", "", 3), ("ей", "", 3),
+    ("у", "", 3), ("ю", "", 3), ("е", "", 3), ("а", "", 3), ("я", "", 3),
+    ("ы", "", 3), ("и", "", 3),
+]
+
+_VOWELS = frozenset("аеёиоуыэюя")
+
+
+def _strip_ok(stem: str) -> bool:
+    return bool(stem) and stem[-1] not in _VOWELS and stem[-1] not in "ьъ"
+
+
+def ru_normal_form(word: str) -> str:
+    """Scalar normal form (LemmatizationService.getNormalForms analog)."""
+    exc = RU_EXCEPTIONS.get(word)
+    if exc is not None:
+        return exc
+    if word in RU_PARTICLES:
+        return word
+    for suffix, repl, min_stem in RU_RULES:
+        if word.endswith(suffix) and len(word) >= len(suffix) + min_stem:
+            stem = word[: len(word) - len(suffix)]
+            if repl == _ADJ:
+                return stem + ("ий" if stem[-1] in _SOFT_STEM else "ый")
+            if repl == _ADJ_SOFT:
+                if stem[-1] not in _SOFT_COND:
+                    continue
+                return stem + "ий"
+            if repl == "" and not _strip_ok(stem):
+                continue
+            return stem + repl
+    return word
+
+
+def ru_normal_forms_series(s: pd.Series) -> pd.Series:
+    """Vectorized twin of ``ru_normal_form`` for the Arrow UDF batch path —
+    ordered masked suffix passes, no per-row Python.  Returns values in
+    input order on a fresh RangeIndex (callers assign positionally; the
+    exploded token Series carries duplicate labels)."""
+    s = s.reset_index(drop=True)
+    out = s.map(RU_EXCEPTIONS)
+    done = out.notna() | s.isin(RU_PARTICLES)
+    out = out.where(out.notna(), s)
+    for suffix, repl, min_stem in RU_RULES:
+        cand = (~done) & s.str.endswith(suffix) & (
+            s.str.len() >= len(suffix) + min_stem
+        )
+        if not cand.any():
+            continue
+        stems = s[cand].str[: -len(suffix)]
+        if repl == _ADJ:
+            soft = stems.str[-1].isin(_SOFT_STEM)
+            out.loc[cand] = stems.str.cat(
+                pd.Series(np.where(soft, "ий", "ый"), index=stems.index)
+            )
+            done |= cand
+        elif repl == _ADJ_SOFT:
+            good_idx = stems.index[stems.str[-1].isin(_SOFT_COND)]
+            ok = pd.Series(False, index=s.index)
+            ok.loc[good_idx] = True
+            out.loc[ok] = stems[good_idx] + "ий"
+            done |= ok
+        elif repl == "":
+            good_idx = stems.index[
+                ~stems.str[-1].isin(_VOWELS) & ~stems.str[-1].isin(list("ьъ"))
+            ]
+            ok = pd.Series(False, index=s.index)
+            ok.loc[good_idx] = True
+            out.loc[ok] = stems[good_idx]
+            done |= ok
+        else:
+            out.loc[cand] = stems + repl
+            done |= cand
+    return out

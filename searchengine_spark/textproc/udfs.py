@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -43,6 +44,17 @@ def analyze_batch(
     if len(flat) == 0:
         return pd.Series([[] for _ in range(len(s))], index=s.index)
     mapped = flat.map(lemma_dict).fillna(flat)
+    # Cyrillic tokens dispatch to the vectorized RU paradigm engine instead
+    # of the dictionary (reference: LemmatizationService.java:72-84).
+    # Positional assignment: the exploded Series has duplicate row labels,
+    # so label-aligned .loc would fail/misalign.
+    ru_pos = np.flatnonzero(
+        flat.str.contains("[а-яё]", regex=True).to_numpy()
+    )
+    if ru_pos.size:
+        from searchengine_spark.textproc.ru_morph import ru_normal_forms_series
+
+        mapped.iloc[ru_pos] = ru_normal_forms_series(flat.iloc[ru_pos]).to_numpy()
     mapped = mapped[~mapped.isin(stopwords)]
     regrouped = mapped.groupby(level=0, sort=False).agg(list)
     return regrouped.reindex(s.index).apply(lambda v: v if isinstance(v, list) else [])

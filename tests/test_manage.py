@@ -1,0 +1,107 @@
+"""Scope-list management validation — mirrors the reference's 15-case
+SiteManagementTest.java accept/reject matrix
+(services/IndexingServiceImpl.java:298-367)."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.index.manage import ScopeList
+from searchengine_spark.index.manifest import Manifest
+
+
+@pytest.fixture()
+def scopes(tmp_path) -> ScopeList:
+    return ScopeList(str(tmp_path / "scopes.json"))
+
+
+# -- SiteManagementTest.java:60-71 testAddSite_Success ------------------------
+def test_add_success(scopes):
+    r = scopes.add("https://example.com", "Example")
+    assert r == {"result": True}
+    assert scopes.urls() == ["https://example.com"]
+
+
+# -- :74-87 trailing slash normalized on add ----------------------------------
+def test_add_with_trailing_slash(scopes):
+    assert scopes.add("https://example.com/", "Example")["result"]
+    assert scopes.urls() == ["https://example.com"]
+
+
+# -- :90-114 empty / null url -------------------------------------------------
+@pytest.mark.parametrize("url", ["", "   ", None])
+def test_add_empty_url(scopes, url):
+    r = scopes.add(url, "Example")
+    assert not r["result"] and "url" in r["error"]
+
+
+# -- :118-142 empty / null name -----------------------------------------------
+@pytest.mark.parametrize("name", ["", "   ", None])
+def test_add_empty_name(scopes, name):
+    r = scopes.add("https://example.com", name)
+    assert not r["result"] and "name" in r["error"]
+
+
+# -- :146-156 protocol required -----------------------------------------------
+def test_add_invalid_url_no_protocol(scopes):
+    r = scopes.add("example.com", "Example")
+    assert not r["result"] and "http" in r["error"]
+
+
+# -- :160-193 duplicates (incl. trailing-slash-normalized) --------------------
+def test_add_duplicate_url(scopes):
+    assert scopes.add("https://example.com", "Example")["result"]
+    r = scopes.add("https://example.com", "Again")
+    assert not r["result"] and "exists" in r["error"]
+
+
+def test_add_duplicate_url_with_trailing_slash(scopes):
+    assert scopes.add("https://example.com", "Example")["result"]
+    r = scopes.add("https://example.com/", "Again")
+    assert not r["result"] and "exists" in r["error"]
+
+
+# -- :197-219 remove success (+ trailing slash) -------------------------------
+def test_remove_success(scopes):
+    scopes.add("https://example.com", "Example")
+    assert scopes.remove("https://example.com") == {"result": True}
+    assert scopes.urls() == []
+
+
+def test_remove_with_trailing_slash(scopes):
+    scopes.add("https://example.com", "Example")
+    assert scopes.remove("https://example.com/")["result"]
+    assert scopes.urls() == []
+
+
+# -- :222-230 not found -------------------------------------------------------
+def test_remove_not_found(scopes):
+    r = scopes.remove("https://nope.com")
+    assert not r["result"] and "no scope" in r["error"]
+
+
+# -- :233-250 empty / null url ------------------------------------------------
+@pytest.mark.parametrize("url", ["", "   ", None])
+def test_remove_empty_url(scopes, url):
+    r = scopes.remove(url)
+    assert not r["result"] and "url" in r["error"]
+
+
+# -- :253+ refuse while indexing (manifest shows a RUNNING stage) -------------
+def test_remove_refused_while_indexing(scopes, tmp_path):
+    scopes.add("https://example.com", "Example")
+    man = Manifest(str(tmp_path / "manifest"))
+    rec = man.start("postings", 0)  # RUNNING
+    r = scopes.remove("https://example.com", manifest=man)
+    assert not r["result"] and "progress" in r["error"]
+    man.finish(rec)
+    assert scopes.remove("https://example.com", manifest=man)["result"]
+
+
+# -- persistence round-trip (config survives process restart) -----------------
+def test_persistence_roundtrip(tmp_path):
+    p = str(tmp_path / "scopes.json")
+    a = ScopeList(p)
+    a.add("https://example.com", "Example")
+    b = ScopeList(p)
+    assert b.urls() == ["https://example.com"]

@@ -1,0 +1,143 @@
+"""Russian/English lemmatization parity — golden cases mirroring the
+reference's only behavior-golden suite
+(src/test/java/searchengine/services/LemmatizationServiceTest.java), plus
+scalar/vectorized engine identity (the rank-identity prerequisite)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from searchengine_spark.fixtures.loaders import load_lemma_dict, load_stopwords
+from searchengine_spark.textproc.core import Analyzer
+from searchengine_spark.textproc.ru_morph import (
+    RU_PARTICLES,
+    ru_normal_form,
+    ru_normal_forms_series,
+)
+from searchengine_spark.textproc.snippets import clean_html
+
+
+@pytest.fixture(scope="module")
+def an() -> Analyzer:
+    return Analyzer(lemma_dict=load_lemma_dict(), stopwords=load_stopwords(),
+                    mode="compat")
+
+
+# -- LemmatizationServiceTest.java:22-31 --------------------------------------
+def test_get_lemmas_russian_text(an):
+    lemmas = an.lemma_counts(
+        "Повторное появление леопарда в Осетии позволяет предположить")
+    assert lemmas
+    assert "леопард" in lemmas
+    assert "осетия" in lemmas
+    assert "появление" in lemmas
+
+
+# -- :34-43 -------------------------------------------------------------------
+def test_get_lemmas_english_text(an):
+    lemmas = an.lemma_counts("The quick brown fox jumps over the lazy dog")
+    assert lemmas
+    assert "quick" in lemmas
+    assert "brown" in lemmas
+    assert "fox" in lemmas
+
+
+# -- :46-52 -------------------------------------------------------------------
+def test_get_lemmas_mixed_text(an):
+    lemmas = an.lemma_counts("Searching поиск information информация")
+    assert lemmas
+    assert "поиск" in lemmas
+    assert "информация" in lemmas
+
+
+# -- :55-61 -------------------------------------------------------------------
+def test_get_lemmas_empty_text(an):
+    assert an.lemma_counts("") == {}
+
+
+# -- :64-71 -------------------------------------------------------------------
+def test_get_lemmas_counts_words(an):
+    lemmas = an.lemma_counts("поиск информации поиск данных поиск")
+    assert lemmas["поиск"] == 3
+
+
+# -- :74-84 -------------------------------------------------------------------
+def test_get_lemma_set_dedups_and_normalizes(an):
+    lemmas = an.lemma_set("Повторное появление леопарда повторное")
+    assert lemmas == {"повторный", "появление", "леопард"}
+
+
+# -- :96-116 ------------------------------------------------------------------
+def test_clean_html_content():
+    cleaned = clean_html(
+        "<html><head><title>Test</title></head><body><h1>Header</h1>"
+        "<p>Paragraph text</p></body></html>")
+    assert "<" not in cleaned and ">" not in cleaned
+    for w in ("Test", "Header", "Paragraph text"):
+        assert w in cleaned
+    assert "  " not in clean_html("<div>Text   with     multiple    spaces</div>")
+
+
+# -- :119-127 -----------------------------------------------------------------
+def test_filter_particles(an):
+    lemmas = an.lemma_counts("и или но у в на с")
+    assert len(lemmas) == 0
+
+
+# -- :130-137 -----------------------------------------------------------------
+def test_special_characters_removal(an):
+    lemmas = an.lemma_counts("поиск!@#$%^&*()информации")
+    assert "поиск" in lemmas
+    assert "информация" in lemmas
+
+
+# -- :140-156 -----------------------------------------------------------------
+def test_case_insensitivity(an):
+    assert (set(an.lemma_counts("ПОИСК")) == set(an.lemma_counts("поиск"))
+            == set(an.lemma_counts("ПоИсК")) == {"поиск"})
+
+
+# -- paradigm spot checks beyond the reference suite --------------------------
+@pytest.mark.parametrize("word,lemma", [
+    ("леопарда", "леопард"),
+    ("осетии", "осетия"),
+    ("информацию", "информация"),
+    ("информацией", "информация"),
+    ("появления", "появление"),
+    ("появлении", "появление"),
+    ("появлениями", "появление"),
+    ("развития", "развитие"),
+    ("повторное", "повторный"),
+    ("повторного", "повторный"),
+    ("быстрая", "быстрый"),
+    ("тихих", "тихий"),
+    ("сайта", "сайт"),
+    ("поисков", "поиск"),
+    ("данных", "данные"),
+    ("другие", "другой"),
+    ("последние", "последний"),
+    ("поиск", "поиск"),
+])
+def test_normal_form_paradigms(word, lemma):
+    assert ru_normal_form(word) == lemma
+
+
+def test_particles_are_fixpoints():
+    for w in RU_PARTICLES:
+        assert ru_normal_form(w) == w
+
+
+# -- scalar/vectorized identity (engine-oracle parity prerequisite) -----------
+_RU_WORD = st.text(alphabet="абвгдежзийклмнопрстуфхцчшщъыьэюяё", min_size=1,
+                   max_size=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_RU_WORD, min_size=1, max_size=30))
+def test_vectorized_matches_scalar(words):
+    s = pd.Series(words)
+    vec = ru_normal_forms_series(s).tolist()
+    want = [ru_normal_form(w) for w in words]
+    assert vec == want
