@@ -108,18 +108,79 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
     timings["index_build"] = round(build_s, 3)
 
+    extras = {
+        "index_build_docs_per_sec": round(n_docs / build_s, 1),
+        "n_docs": n_docs,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+
+    # --- indexed serving path: SegmentSearcher (direct Arrow reads) p50/p99
+    # over the t2 fixture index + 70 fixture queries — the serving-latency
+    # numbers BASELINE.md reports, now machine-checkable round-over-round
+    from searchengine_spark.fixtures.loaders import (
+        docs_path, load_lemma_dict, load_queries, load_stopwords)
+    from searchengine_spark.query.wand import SegmentSearcher
+    from searchengine_spark.textproc.core import Analyzer
+
+    t2tmp = tempfile.mkdtemp(prefix="bench_t2idx_")
+    try:
+        t0 = time.time()
+        build_index(spark, spark.read.parquet(docs_path("t2")), t2tmp,
+                    n_shards=8, n_buckets=16)
+        timings["t2_index_build"] = round(time.time() - t0, 3)
+        searcher = SegmentSearcher(None, t2tmp)  # io="arrow": no Spark jobs
+        an = Analyzer(lemma_dict=load_lemma_dict(), stopwords=load_stopwords())
+        qterms = [sorted(an.lemma_set(q["query"])) for q in load_queries()]
+        for terms in qterms:  # warm pass (page cache + numpy JIT-free warmup)
+            searcher.search(terms, k=20)
+        lat = []
+        for terms in qterms:
+            t0 = time.time()
+            searcher.search(terms, k=20)
+            lat.append((time.time() - t0) * 1000.0)
+        lat.sort()
+        extras["query_p50_ms"] = round(lat[len(lat) // 2], 1)
+        extras["query_p99_ms"] = round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 1)
+        extras["query_max_ms"] = round(lat[-1], 1)
+        extras["query_set_size"] = len(qterms)
+    finally:
+        shutil.rmtree(t2tmp, ignore_errors=True)
+
+    # --- larger scale point: 16x-replicated sf corpus, 3 headline plans —
+    # catches scale regressions the small-sf timings hide
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.pipeline import dedup as _dedup
+    from searchengine_spark.pipeline import fulltext as _ft
+    from searchengine_spark.pipeline import textstats as _ts
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        base.crossJoin(F.broadcast(
+            spark.range(16).withColumnRenamed("id", "rep")))
+        .select((F.col("doc_id") + F.col("rep") * F.lit(1 << 40)).alias("doc_id"),
+                "text")
+    )
+    extras["scale16_n_docs"] = n_docs * 16
+    t0 = time.time()
+    _force(_ft.bm25_topk(big, ["merge", "vector"], k=20))
+    timings["scale16_bm25_and2"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _force(_dedup.simhash(big))
+    timings["scale16_simhash"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _force(_ts.token_counts(big))
+    timings["scale16_token_counts"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "headline-suite seconds (sum) @ sf; index_build docs/sec in extras",
+        "metric": "headline-suite seconds (sum) @ sf; serving p50/p99 ms + "
+                  "index_build docs/sec in extras",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "extras": {
-            "index_build_docs_per_sec": round(n_docs / build_s, 1),
-            "n_docs": n_docs,
-            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-        },
+        "extras": extras,
     }
     print(json.dumps(out))
     spark.stop()

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Run the HTTP API server (the reference's REST surface, ApiController):
+
+    python jobs/serve.py --index /tmp/idx \
+        [--corpus /root/testdata/sf0.01/documents.parquet --corpus-kind documents] \
+        [--port 8080]
+
+Serves GET /api/search, /api/statistics, /api/startIndexing,
+/api/stopIndexing, POST /api/indexPage, POST/DELETE /api/site.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--corpus", help="corpus parquet for snippets/reindex")
+    ap.add_argument("--corpus-kind", default="corpus",
+                    choices=["corpus", "documents"])
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args()
+
+    from http.server import ThreadingHTTPServer
+
+    from searchengine_spark.api.http import SearchEngineService, make_handler
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("serve")
+    docs = None
+    if args.corpus:
+        # search() handles both shapes natively: corpus (repo, path, commit,
+        # lang, content) joins by derived doc id; documents (doc_id, text)
+        # joins by its own id — do NOT reshape, ids must stay aligned with
+        # however the index was built
+        docs = spark.read.parquet(args.corpus)
+    svc = SearchEngineService(spark, args.index, docs=docs)
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(svc))
+    print(f"serving on http://{args.host}:{httpd.server_port}/api/…  (Ctrl-C to stop)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

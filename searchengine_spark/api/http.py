@@ -1,0 +1,217 @@
+"""HTTP API mirroring the reference's REST surface.
+
+Routes and response shapes follow ApiController
+(src/main/java/searchengine/controllers/ApiController.java:25-61) and the
+dto/ package: every endpoint returns HTTP 200 with a JSON body carrying
+``result`` (+ ``error`` on logical failure), exactly like the reference's
+``ResponseEntity.ok(...)`` convention.
+
+| Reference                                   | Here                                  |
+|---------------------------------------------|---------------------------------------|
+| GET  /api/search?query&site&offset&limit    | same (site = repo scope)              |
+| GET  /api/statistics                        | same (StatisticsResponse shape)       |
+| GET  /api/startIndexing                     | same (async rebuild, refuse if busy)  |
+| GET  /api/stopIndexing                      | same (job-group cancel)               |
+| POST /api/indexPage?repo=&path=             | url param -> (repo, path) corpus key  |
+| POST /api/site  {"url","name"}              | same (scope-list add)                 |
+| DELETE /api/site?url=                       | same (scope-list remove)              |
+
+Implementation is the Python stdlib ``ThreadingHTTPServer`` — the service
+is a thin dispatcher over the existing library surface (query/search.py,
+index/build.py, index/delta.py, index/manage.py); no web framework is
+available in (or needed by) this environment.  The search head serves from
+packed segments via the Arrow path, so request latency is the
+SegmentSearcher p50 (~ms), not a Spark job submission.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from searchengine_spark.index.build import InvertedIndex, build_index, stop_indexing
+from searchengine_spark.index.manage import ScopeList
+from searchengine_spark.index.manifest import RUNNING
+from searchengine_spark.query.search import search, statistics
+
+
+class SearchEngineService:
+    """Endpoint semantics over a corpus DataFrame + index directory."""
+
+    def __init__(self, spark: SparkSession, index_root: str,
+                 docs: DataFrame | None = None,
+                 scopes_path: str | None = None):
+        self.spark = spark
+        self.index_root = index_root
+        self.docs = docs
+        self.scopes = ScopeList(scopes_path or f"{index_root}/scopes.json")
+        self._build_thread: threading.Thread | None = None
+        self._build_error: str | None = None
+
+    # -- GET /api/search (SearchServiceImpl.search) -------------------------
+    def search(self, query: str, site: str | None, offset: int, limit: int) -> dict:
+        idx = InvertedIndex(self.spark, self.index_root)
+        return search(idx, query, repo=site, offset=offset, limit=limit,
+                      docs=self.docs)
+
+    # -- GET /api/statistics ------------------------------------------------
+    def statistics(self) -> dict:
+        idx = InvertedIndex(self.spark, self.index_root)
+        s = statistics(idx)
+        # StatisticsResponse shape: {result, statistics: {total, detailed, indexing}}
+        return {
+            "result": True,
+            "statistics": {
+                "total": {
+                    "sites": s["total"]["sites"],
+                    "pages": s["total"]["pages"],
+                    "lemmas": s["total"]["lemmas"],
+                },
+                "detailed": [
+                    {"url": repo, "name": repo, **info}
+                    for repo, info in s["detailed"].items()
+                ],
+                "indexing": s["total"]["indexing"] or self.indexing_in_progress(),
+            },
+        }
+
+    def indexing_in_progress(self) -> bool:
+        if self._build_thread is not None and self._build_thread.is_alive():
+            return True
+        import os
+
+        from searchengine_spark.index.build import IndexPaths
+
+        if not os.path.exists(IndexPaths(self.index_root).stats):
+            return False  # nothing built yet (first startIndexing call)
+        idx = InvertedIndex(self.spark, self.index_root)
+        return any(r["status"] == RUNNING for r in idx.manifest().records())
+
+    # -- GET /api/startIndexing (IndexingServiceImpl.java:47-91) ------------
+    def start_indexing(self) -> dict:
+        if self.docs is None:
+            return {"result": False, "error": "no corpus configured"}
+        if self.indexing_in_progress():
+            # reference: "Индексация уже запущена" (IndexingServiceImpl.java:48-50)
+            return {"result": False, "error": "indexing already running"}
+        self._build_error = None
+
+        def run() -> None:
+            try:
+                build_index(self.spark, self.docs, self.index_root)
+            except Exception as e:  # noqa: BLE001 — surfaced via statistics
+                self._build_error = repr(e)
+
+        self._build_thread = threading.Thread(target=run, daemon=True)
+        self._build_thread.start()
+        return {"result": True}
+
+    # -- GET /api/stopIndexing (IndexingServiceImpl.java:94-114) ------------
+    def stop_indexing(self) -> dict:
+        if not self.indexing_in_progress():
+            # reference: "Индексация не запущена"
+            return {"result": False, "error": "indexing is not running"}
+        stop_indexing(self.spark)
+        return {"result": True}
+
+    # -- POST /api/indexPage (IndexingServiceImpl.java:117-207) -------------
+    def index_page(self, repo: str | None, path: str | None) -> dict:
+        if not repo or not path:
+            return {"result": False, "error": "repo and path are required"}
+        if self.docs is None:
+            return {"result": False, "error": "no corpus configured"}
+        if "repo" not in self.docs.columns:
+            return {"result": False,
+                    "error": "indexPage needs a corpus-shaped table "
+                             "(repo, path, commit, lang, content)"}
+        page = self.docs.filter((F.col("repo") == repo) & (F.col("path") == path))
+        if page.limit(1).count() == 0:
+            # reference: "Данная страница находится за пределами сайтов,
+            # указанных в конфигурационном файле"
+            return {"result": False,
+                    "error": "page is outside the configured corpus"}
+        from searchengine_spark.index.delta import reindex_docs
+
+        reindex_docs(self.spark, self.index_root, page)
+        return {"result": True}
+
+    # -- POST/DELETE /api/site (IndexingServiceImpl.java:298-367) -----------
+    def add_site(self, url: str | None, name: str | None) -> dict:
+        return self.scopes.add(url, name)
+
+    def remove_site(self, url: str | None) -> dict:
+        idx = InvertedIndex(self.spark, self.index_root)
+        return self.scopes.remove(url, manifest=idx.manifest())
+
+
+def make_handler(service: SearchEngineService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet test output
+            pass
+
+        def _json(self, payload: dict) -> None:
+            body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+            self.send_response(200)  # always 200 + result flag, like the ref
+            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _params(self):
+            u = urlparse(self.path)
+            return u.path, {k: v[0] for k, v in parse_qs(u.query).items()}
+
+        def do_GET(self):
+            path, q = self._params()
+            if path == "/api/search":
+                out = service.search(
+                    q.get("query", ""), q.get("site"),
+                    int(q.get("offset", 0)), int(q.get("limit", 20)))
+            elif path == "/api/statistics":
+                out = service.statistics()
+            elif path == "/api/startIndexing":
+                out = service.start_indexing()
+            elif path == "/api/stopIndexing":
+                out = service.stop_indexing()
+            else:
+                out = {"result": False, "error": f"unknown endpoint {path}"}
+            self._json(out)
+
+        def do_POST(self):
+            path, q = self._params()
+            if path == "/api/indexPage":
+                out = service.index_page(q.get("repo"), q.get("path"))
+            elif path == "/api/site":
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                except json.JSONDecodeError:
+                    body = {}
+                out = service.add_site(body.get("url"), body.get("name"))
+            else:
+                out = {"result": False, "error": f"unknown endpoint {path}"}
+            self._json(out)
+
+        def do_DELETE(self):
+            path, q = self._params()
+            if path == "/api/site":
+                out = service.remove_site(q.get("url"))
+            else:
+                out = {"result": False, "error": f"unknown endpoint {path}"}
+            self._json(out)
+
+    return Handler
+
+
+def serve(service: SearchEngineService, host: str = "127.0.0.1",
+          port: int = 0) -> ThreadingHTTPServer:
+    """Start the API server on a background thread; returns the server
+    (its ``server_port`` carries the bound port; ``shutdown()`` stops it)."""
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd

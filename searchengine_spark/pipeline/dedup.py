@@ -137,6 +137,42 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.2
     return finalize(scored, sh)
 
 
+
+def lsh_verified_near_dups(documents: DataFrame, n: int = 3,
+                           threshold: float = 0.2, **kw) -> DataFrame:
+    """(doc_a, doc_b, inter, union_size, jaccard) — the production two-stage
+    near-dup pipeline: banded MinHash-LSH candidate generation
+    (``lsh_candidate_pairs``) followed by exact n-gram Jaccard computed ONLY
+    over the candidate edges.
+
+    This is the at-scale composition ``ngram_jaccard_pairs`` (full shingle
+    self-join) cannot afford: the shingle join here is routed through the
+    candidate list, so its size is O(candidates x shingles-per-doc) rather
+    than O(all co-shingled pairs).  Same verification semantics; recall is
+    bounded by the LSH stage (any-band collision)."""
+    cand = lsh_candidate_pairs(documents, n, **kw)
+    sh = shingles(documents, n, **kw).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_a"))
+    b = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_b"))
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["shingle", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    scored = (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn("union_size", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("union_size"), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "union_size", "jaccard")
+    )
+    return finalize(scored, sh)
+
 def simhash(documents: DataFrame, bits: int = 60, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — tf-weighted 60-bit SimHash over md5 term hashes.

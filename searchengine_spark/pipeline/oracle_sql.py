@@ -685,3 +685,27 @@ SELECT doc_id, score, title,
        CASE WHEN length(sn) > 200 THEN substr(sn, 1, 197) || '...' ELSE sn END AS snippet
 FROM hi
 """
+
+
+def lsh_verified_near_dups(threshold: float = 0.2) -> str:
+    """Twin of dedup.lsh_verified_near_dups: LSH candidates -> exact
+    Jaccard restricted to the candidate pairs."""
+    return f"""
+WITH cand AS ({lsh_candidate_pairs()}),
+{_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       (sa.sz + sb.sz - inter) AS union_size,
+       round(inter / (sa.sz + sb.sz - inter)::DOUBLE, 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.sz + sb.sz - inter)::DOUBLE, 4) >= {threshold}
+"""

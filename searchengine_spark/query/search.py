@@ -155,12 +155,16 @@ def search(
 def statistics(index: InvertedIndex) -> dict:
     """Total + detailed per-repo statistics + build status
     (mirrors services/StatisticsServiceImpl.java:31-73)."""
-    per_repo = {
-        r.repo: {"pages": int(r.pages)}
-        for r in index.docs_meta.groupBy("repo")
-        .agg(F.count(F.lit(1)).alias("pages"))
-        .collect()
-    }
+    dm = index.docs_meta
+    if "repo" in dm.columns:
+        per_repo = {
+            r.repo: {"pages": int(r.pages)}
+            for r in dm.groupBy("repo")
+            .agg(F.count(F.lit(1)).alias("pages"))
+            .collect()
+        }
+    else:  # plain/documents-built index: one anonymous scope
+        per_repo = {"corpus": {"pages": index.stats["n_docs"]}}
     man = index.manifest()
     recs = man.records()
     running = any(r["status"] == "RUNNING" for r in recs)

@@ -1,0 +1,146 @@
+"""HTTP API surface — endpoint-for-endpoint twin of the reference's
+ApiController (controllers/ApiController.java:25-61), driven over real
+sockets against the t1 fixture index."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.api.http import SearchEngineService, serve
+from searchengine_spark.fixtures.loaders import docs_path
+
+
+@pytest.fixture(scope="module")
+def api(spark, t1_index, tmp_path_factory):
+    docs = spark.read.parquet(docs_path("t1"))
+    svc = SearchEngineService(
+        spark, t1_index.paths.root, docs=docs,
+        scopes_path=str(tmp_path_factory.mktemp("scopes") / "scopes.json"))
+    httpd = serve(svc)
+    base = f"http://127.0.0.1:{httpd.server_port}"
+    yield base
+    httpd.shutdown()
+
+
+def _get(base: str, path: str) -> dict:
+    with urllib.request.urlopen(base + path) as r:
+        assert r.status == 200
+        return json.loads(r.read())
+
+
+def _req(base: str, path: str, method: str, body: dict | None = None) -> dict:
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(base + path, data=data, method=method)
+    if data:
+        req.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        return json.loads(r.read())
+
+
+def test_search_endpoint(api):
+    out = _get(api, "/api/search?query=sofiko")
+    assert out["result"] is True
+    assert out["count"] >= 1
+    d = out["data"][0]
+    for key in ("site", "uri", "title", "snippet", "relevance"):
+        assert key in d  # SearchData shape (dto/search/SearchData.java:6-12)
+    assert d["relevance"] == 1.0  # top hit normalized to max
+
+
+def test_search_empty_query_error(api):
+    out = _get(api, "/api/search?query=")
+    assert out["result"] is False and out["error"]
+
+
+def test_search_pagination_params(api):
+    full = _get(api, "/api/search?query=sofiko&limit=10")
+    page = _get(api, "/api/search?query=sofiko&offset=1&limit=2")
+    assert page["count"] == full["count"]
+    assert [d["uri"] for d in page["data"]] == [d["uri"] for d in full["data"]][1:3]
+
+
+def test_statistics_endpoint(api):
+    out = _get(api, "/api/statistics")
+    assert out["result"] is True
+    st = out["statistics"]
+    assert st["total"]["pages"] == 500
+    assert st["total"]["lemmas"] > 0
+    assert isinstance(st["detailed"], list) and st["detailed"]
+    assert st["indexing"] is False
+
+
+def test_site_add_remove_endpoints(api):
+    assert _req(api, "/api/site", "POST",
+                {"url": "https://example.com/", "name": "Example"})["result"]
+    dup = _req(api, "/api/site", "POST",
+               {"url": "https://example.com", "name": "Again"})
+    assert dup["result"] is False
+    assert _req(api, "/api/site?url=https://example.com", "DELETE")["result"]
+    missing = _req(api, "/api/site?url=https://example.com", "DELETE")
+    assert missing["result"] is False
+
+
+def test_stop_indexing_when_idle(api):
+    out = _get(api, "/api/stopIndexing")
+    assert out["result"] is False and "not running" in out["error"]
+
+
+def test_index_page_unknown_rejected(api):
+    out = _req(api, "/api/indexPage?repo=nope/nope&path=missing.py", "POST")
+    assert out["result"] is False and "outside" in out["error"]
+
+
+def test_start_indexing_lifecycle(spark, tmp_path):
+    """startIndexing kicks an async rebuild (refusing a double start), and
+    the index is searchable once the build thread finishes."""
+    docs = spark.read.parquet(docs_path("t1")).limit(50)
+    svc = SearchEngineService(spark, str(tmp_path / "idx"), docs=docs,
+                              scopes_path=str(tmp_path / "scopes.json"))
+    httpd = serve(svc)
+    base = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        assert _get(base, "/api/startIndexing")["result"] is True
+        second = _get(base, "/api/startIndexing")
+        if not second["result"]:  # build may already have finished
+            assert "already running" in second["error"]
+        svc._build_thread.join(timeout=300)
+        assert not svc._build_thread.is_alive()
+        assert svc._build_error is None
+        out = _get(base, "/api/search?query=sofiko")
+        assert out["result"] is True
+    finally:
+        httpd.shutdown()
+
+
+def test_index_page_reindexes(spark, tmp_path):
+    """POST /api/indexPage re-indexes one (repo, path) — the reference's
+    single-page reindex endpoint (IndexingServiceImpl.java:117-207)."""
+    from searchengine_spark.index.build import build_index
+
+    docs = spark.read.parquet(docs_path("t1")).limit(50)
+    row = docs.select("repo", "path").first()
+    out_dir = str(tmp_path / "idx2")
+    # build WITHOUT the page, then index it via the endpoint
+    without = docs.filter(~((F.col("repo") == row.repo) & (F.col("path") == row.path)))
+    build_index(spark, without, out_dir, n_shards=4, n_buckets=4)
+    svc = SearchEngineService(spark, out_dir, docs=docs,
+                              scopes_path=str(tmp_path / "scopes2.json"))
+    httpd = serve(svc)
+    base = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        out = _req(base, f"/api/indexPage?repo={row.repo}&path={row.path}", "POST")
+        assert out["result"] is True
+        from searchengine_spark.index.build import InvertedIndex
+
+        n = (InvertedIndex(spark, out_dir).docs_meta
+             .filter((F.col("repo") == row.repo) & (F.col("path") == row.path))
+             .count())
+        assert n == 1
+    finally:
+        httpd.shutdown()

@@ -103,7 +103,7 @@ def test_stop_indexing_cancels_then_resume_completes(spark, tmp_path):
     t.start()
     _time.sleep(3.0)  # let at least one job get in flight
     stop_indexing(spark)
-    t.join(timeout=120)
+    t.join(timeout=300)  # generous: the suite may be loading all cores
     assert not t.is_alive()
 
     if not errors:
