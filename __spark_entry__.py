@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), PROBE_VEC_IDS, k=5
         ),
         "q_ivf_lists": lambda s, d: similarity.ivf_lists(_emb(s, d)),
+        # one deterministic Lloyd step over the seed centroids (the k-means
+        # refinement r1 noted as absent), then re-assignment
+        "q_ivf_lists_refined": lambda s, d: similarity.ivf_lists_refined(_emb(s, d)),
         "q_ivf_topk": lambda s, d: similarity.ivf_topk(
             _emb(s, d), PROBE_VEC_IDS, k=5
         ),
@@ -228,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "q_embedding_lsh_buckets": osql.embedding_lsh_buckets(),
         "q_lsh_cosine_topk": osql.lsh_cosine_topk(PROBE_VEC_IDS, k=5),
         "q_ivf_lists": osql.ivf_lists(),
+        "q_ivf_lists_refined": osql.ivf_lists_refined(),
         "q_ivf_topk": osql.ivf_topk(PROBE_VEC_IDS, k=5),
         "q_events_tumbling": osql.tumbling_counts(),
         "q_events_sliding": osql.sliding_counts(),

@@ -709,3 +709,33 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(inter / (sa.sz + sb.sz - inter)::DOUBLE, 4) >= {threshold}
 """
+
+
+def ivf_lists_refined(n_lists: int = 8) -> str:
+    """Twin of similarity.ivf_lists_refined: one Lloyd step (assign by seed
+    centroids, element-wise mean per list rounded to 6) then re-assign."""
+    cos = _COS.replace("AS cosine", "AS list_cosine")
+    return f"""
+WITH seed_assign AS ({ivf_lists(n_lists)}),
+cells AS (
+  SELECT a.list_id, t.u.pos AS pos, round(avg(t.u.val), 6) AS m
+  FROM seed_assign a
+  JOIN embeddings e ON e.vec_id = a.vec_id,
+       unnest([{{'pos': i, 'val': e.embedding[i]::DOUBLE}}
+               for i in generate_series(1, len(e.embedding))]) t(u)
+  GROUP BY 1, 2
+),
+cents AS (
+  SELECT list_id, list(m ORDER BY pos) AS cvec FROM cells GROUP BY list_id
+),
+scored AS (
+  SELECT v.vec_id, c.list_id, {cos}
+  FROM (SELECT vec_id, embedding AS pvec FROM embeddings) v
+  CROSS JOIN cents c
+)
+SELECT vec_id, list_id, list_cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+    ORDER BY list_cosine DESC, list_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""

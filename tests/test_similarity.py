@@ -83,3 +83,21 @@ def test_banded_bits_scale_with_corpus():
         bits = S.banded_lsh_bits(n, target_bucket=64)
         occ = n / (1 << bits)
         assert occ <= 64 * 2
+
+
+def test_ivf_refined_improves_quantization(spark):
+    """One Lloyd step must not degrade assignment quality (avg cosine to the
+    assigned centroid), and must actually move the centroids."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seed = S.ivf_lists(emb).agg(F.avg("list_cosine")).first()[0]
+    refined_assign = S.ivf_lists_refined(emb)
+    refined = refined_assign.agg(F.avg("list_cosine")).first()[0]
+    assert refined >= seed - 0.01, (seed, refined)
+    # centroids moved: refined centroids are means, not corpus rows
+    cents = {r.list_id: r.centroid
+             for r in S.ivf_centroids_refined(emb).collect()}
+    seeds = {r.vec_id: r.embedding
+             for r in emb.orderBy("vec_id").limit(8).collect()}
+    assert any(
+        abs(cents[i][0] - float(seeds[i][0])) > 1e-9 for i in cents
+    )
