@@ -144,12 +144,21 @@ def bm25_topk(documents: DataFrame, query_terms: list[str], k: int = 20, **kw) -
 def search_paginated(documents: DataFrame, query_terms: list[str],
                      offset: int = 0, limit: int = 20, **kw) -> DataFrame:
     """Offset/limit pagination via row_number (reference O3:
-    SearchServiceImpl.java:64-73 subList semantics)."""
+    SearchServiceImpl.java:64-73 subList semantics).
+
+    The global cut is TakeOrderedAndProject (top offset+limit, parallel
+    partial heaps); the single-partition ranking window then only ever sees
+    those <= offset+limit rows — never the full match set (the same
+    unbounded-global-window trap as r1's compat_relevance finding)."""
+    top = (
+        bm25_scored(documents, query_terms, **kw)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(offset + limit)
+    )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        bm25_scored(documents, query_terms, **kw)
-        .withColumn("rank", F.row_number().over(w))
-        .filter((F.col("rank") > offset) & (F.col("rank") <= offset + limit))
+        top.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") > offset)
         .select("rank", "doc_id", "score")
     )
 
