@@ -1,25 +1,38 @@
-"""Load the shared analysis resources (lemma dictionary, stopwords, queries)."""
+"""Load the shared analysis resources (lemma dictionary, stopwords, queries).
+
+Text resources are read via importlib.resources so they resolve both from
+a source checkout AND from inside a ``spark-submit --py-files`` zip
+(tools/package.py) — plain ``open()`` on a path cannot read from a zip.
+The parquet fixture corpora (``docs_path``) remain filesystem-only: they
+are dev/test assets, never shipped to executors.
+"""
 
 from __future__ import annotations
 
 import json
 import os
 from functools import lru_cache
+from importlib import resources
 
 _HERE = os.path.dirname(__file__)
-LEMMA_DICT_PATH = os.path.join(_HERE, "lemma_dict.tsv")
-STOPWORDS_PATH = os.path.join(_HERE, "stopwords.txt")
 DATA_DIR = os.path.join(_HERE, "data")
+
+
+def _read_text(name: str) -> str:
+    return (
+        resources.files("searchengine_spark.fixtures")
+        .joinpath(name)
+        .read_text(encoding="utf-8")
+    )
 
 
 @lru_cache(maxsize=1)
 def load_lemma_dict() -> dict[str, str]:
     out: dict[str, str] = {}
-    with open(LEMMA_DICT_PATH, encoding="utf-8") as f:
-        for line in f:
-            if line.strip():
-                k, v = line.rstrip("\n").split("\t")
-                out[k] = v
+    for line in _read_text("lemma_dict.tsv").splitlines():
+        if line.strip():
+            k, v = line.split("\t")
+            out[k] = v
     return out
 
 
@@ -30,8 +43,10 @@ def load_stopwords() -> frozenset[str]:
     ПРЕДЛ/СОЮЗ/МЕЖД tag filter, LemmatizationService.java:20,100-112)."""
     from searchengine_spark.textproc.ru_morph import RU_PARTICLES
 
-    with open(STOPWORDS_PATH, encoding="utf-8") as f:
-        return frozenset(w.strip() for w in f if w.strip()) | RU_PARTICLES
+    words = frozenset(
+        w.strip() for w in _read_text("stopwords.txt").splitlines() if w.strip()
+    )
+    return words | RU_PARTICLES
 
 
 def load_queries() -> list[dict]:

@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Package the engine for spark-submit shipping (north_rule: "ships via
+spark-submit --py-files to run at N and 4N executors"):
+
+    python tools/package.py                 # -> dist/searchengine_spark.zip
+    spark-submit --py-files dist/searchengine_spark.zip \
+        jobs/build_index.py --input ... --output ...
+
+The zip carries the pure-Python package (sources + fixture data files the
+analyzer loads); jobs/*.py stay outside as driver scripts, exactly the
+spark-submit layout.
+"""
+
+from __future__ import annotations
+
+import sys
+import zipfile
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+PKG = ROOT / "searchengine_spark"
+EXCLUDE_SUFFIXES = {".pyc"}
+EXCLUDE_DIRS = {"__pycache__"}
+
+
+def build_zip(out: Path) -> int:
+    out.parent.mkdir(parents=True, exist_ok=True)
+    n = 0
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for p in sorted(PKG.rglob("*")):
+            if p.is_dir():
+                continue
+            if p.suffix in EXCLUDE_SUFFIXES:
+                continue
+            if any(part in EXCLUDE_DIRS for part in p.parts):
+                continue
+            zf.write(p, p.relative_to(ROOT))
+            n += 1
+    return n
+
+
+def main() -> None:
+    out = Path(sys.argv[1]) if len(sys.argv) > 1 else ROOT / "dist" / "searchengine_spark.zip"
+    n = build_zip(out)
+    print(f"{out} ({n} files)")
+
+
+if __name__ == "__main__":
+    main()
