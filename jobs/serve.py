@@ -2,7 +2,7 @@
 """Run the HTTP API server (the reference's REST surface, ApiController):
 
     python jobs/serve.py --index /tmp/idx \
-        [--corpus /root/testdata/sf0.01/documents.parquet --corpus-kind documents] \
+        [--corpus /root/testdata/sf0.01/documents.parquet] \
         [--port 8080]
 
 Serves GET /api/search, /api/statistics, /api/startIndexing,
@@ -21,9 +21,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--corpus", help="corpus parquet for snippets/reindex")
-    ap.add_argument("--corpus-kind", default="corpus",
-                    choices=["corpus", "documents"])
+    ap.add_argument("--corpus", help="corpus parquet for snippets/reindex "
+                                     "(corpus or documents shape, auto-detected)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     args = ap.parse_args()

@@ -51,19 +51,33 @@ class SearchEngineService:
         self.scopes = ScopeList(scopes_path or f"{index_root}/scopes.json")
         self._build_thread: threading.Thread | None = None
         self._build_error: str | None = None
+        self._build_lock = threading.Lock()
+
+    def _index_built(self) -> bool:
+        import os
+
+        from searchengine_spark.index.build import IndexPaths
+
+        return os.path.exists(IndexPaths(self.index_root).stats)
+
+    def _index(self) -> InvertedIndex:
+        if not self._index_built():
+            raise LookupError("index is not built yet — call /api/startIndexing")
+        return InvertedIndex(self.spark, self.index_root)
 
     # -- GET /api/search (SearchServiceImpl.search) -------------------------
     def search(self, query: str, site: str | None, offset: int, limit: int) -> dict:
-        idx = InvertedIndex(self.spark, self.index_root)
-        return search(idx, query, repo=site, offset=offset, limit=limit,
-                      docs=self.docs)
+        if offset < 0 or limit <= 0:
+            return {"result": False,
+                    "error": "offset must be >= 0 and limit must be > 0"}
+        return search(self._index(), query, repo=site, offset=offset,
+                      limit=limit, docs=self.docs)
 
     # -- GET /api/statistics ------------------------------------------------
     def statistics(self) -> dict:
-        idx = InvertedIndex(self.spark, self.index_root)
-        s = statistics(idx)
+        s = statistics(self._index())
         # StatisticsResponse shape: {result, statistics: {total, detailed, indexing}}
-        return {
+        out = {
             "result": True,
             "statistics": {
                 "total": {
@@ -78,15 +92,15 @@ class SearchEngineService:
                 "indexing": s["total"]["indexing"] or self.indexing_in_progress(),
             },
         }
+        if self._build_error:
+            # the reference surfaces lastError per site (model/Site.java:27-28)
+            out["statistics"]["last_error"] = self._build_error
+        return out
 
     def indexing_in_progress(self) -> bool:
         if self._build_thread is not None and self._build_thread.is_alive():
             return True
-        import os
-
-        from searchengine_spark.index.build import IndexPaths
-
-        if not os.path.exists(IndexPaths(self.index_root).stats):
+        if not self._index_built():
             return False  # nothing built yet (first startIndexing call)
         idx = InvertedIndex(self.spark, self.index_root)
         return any(r["status"] == RUNNING for r in idx.manifest().records())
@@ -95,19 +109,33 @@ class SearchEngineService:
     def start_indexing(self) -> dict:
         if self.docs is None:
             return {"result": False, "error": "no corpus configured"}
-        if self.indexing_in_progress():
-            # reference: "Индексация уже запущена" (IndexingServiceImpl.java:48-50)
-            return {"result": False, "error": "indexing already running"}
-        self._build_error = None
+        with self._build_lock:  # check-then-act must be atomic across requests
+            if self._build_thread is not None and self._build_thread.is_alive():
+                # reference: "Индексация уже запущена" (IndexingServiceImpl.java:48-50)
+                return {"result": False, "error": "indexing already running"}
+            if self._index_built():
+                # RUNNING manifest records with no live build thread are the
+                # leftovers of a crashed/cancelled build: flip them FAILED so
+                # the service can restart (the reference flips INDEXING sites
+                # to FAILED on stop, IndexingServiceImpl.java:104-111) —
+                # without this, one cancelled build wedges the service forever
+                InvertedIndex(self.spark, self.index_root).manifest() \
+                    .fail_running("stale RUNNING: no live build thread")
+            self._build_error = None
 
-        def run() -> None:
-            try:
-                build_index(self.spark, self.docs, self.index_root)
-            except Exception as e:  # noqa: BLE001 — surfaced via statistics
-                self._build_error = repr(e)
+            def run() -> None:
+                try:
+                    build_index(self.spark, self.docs, self.index_root)
+                except Exception as e:  # noqa: BLE001
+                    self._build_error = repr(e)
+                    try:  # a dead build must not leave RUNNING markers behind
+                        InvertedIndex(self.spark, self.index_root) \
+                            .manifest().fail_running(repr(e))
+                    except Exception:  # noqa: BLE001 — index may not exist yet
+                        pass
 
-        self._build_thread = threading.Thread(target=run, daemon=True)
-        self._build_thread.start()
+            self._build_thread = threading.Thread(target=run, daemon=True)
+            self._build_thread.start()
         return {"result": True}
 
     # -- GET /api/stopIndexing (IndexingServiceImpl.java:94-114) ------------
@@ -124,6 +152,9 @@ class SearchEngineService:
             return {"result": False, "error": "repo and path are required"}
         if self.docs is None:
             return {"result": False, "error": "no corpus configured"}
+        if not self._index_built():
+            return {"result": False,
+                    "error": "index is not built yet — call /api/startIndexing"}
         if "repo" not in self.docs.columns:
             return {"result": False,
                     "error": "indexPage needs a corpus-shaped table "
@@ -144,8 +175,9 @@ class SearchEngineService:
         return self.scopes.add(url, name)
 
     def remove_site(self, url: str | None) -> dict:
-        idx = InvertedIndex(self.spark, self.index_root)
-        return self.scopes.remove(url, manifest=idx.manifest())
+        manifest = (InvertedIndex(self.spark, self.index_root).manifest()
+                    if self._index_built() else None)
+        return self.scopes.remove(url, manifest=manifest)
 
 
 def make_handler(service: SearchEngineService):
@@ -165,44 +197,63 @@ def make_handler(service: SearchEngineService):
             u = urlparse(self.path)
             return u.path, {k: v[0] for k, v in parse_qs(u.query).items()}
 
+        def _dispatch(self, fn) -> None:
+            """Every endpoint answers 200 + {result, error?} no matter what
+            (the reference's ResponseEntity.ok convention) — an unexpected
+            exception must become a JSON error, not a dropped connection."""
+            try:
+                out = fn()
+            except (LookupError, ValueError) as e:  # expected client errors
+                out = {"result": False, "error": str(e)}
+            except Exception as e:  # noqa: BLE001 — contract: never drop
+                out = {"result": False, "error": f"internal error: {e!r}"}
+            self._json(out)
+
+        @staticmethod
+        def _int(q: dict, key: str, default: int) -> int:
+            raw = q.get(key)
+            if raw is None:
+                return default
+            try:
+                return int(raw)
+            except ValueError:
+                raise ValueError(f"{key} must be an integer, got {raw!r}") from None
+
         def do_GET(self):
             path, q = self._params()
             if path == "/api/search":
-                out = service.search(
+                self._dispatch(lambda: service.search(
                     q.get("query", ""), q.get("site"),
-                    int(q.get("offset", 0)), int(q.get("limit", 20)))
+                    self._int(q, "offset", 0), self._int(q, "limit", 20)))
             elif path == "/api/statistics":
-                out = service.statistics()
+                self._dispatch(service.statistics)
             elif path == "/api/startIndexing":
-                out = service.start_indexing()
+                self._dispatch(service.start_indexing)
             elif path == "/api/stopIndexing":
-                out = service.stop_indexing()
+                self._dispatch(service.stop_indexing)
             else:
-                out = {"result": False, "error": f"unknown endpoint {path}"}
-            self._json(out)
+                self._json({"result": False, "error": f"unknown endpoint {path}"})
 
         def do_POST(self):
             path, q = self._params()
             if path == "/api/indexPage":
-                out = service.index_page(q.get("repo"), q.get("path"))
+                self._dispatch(lambda: service.index_page(q.get("repo"), q.get("path")))
             elif path == "/api/site":
                 n = int(self.headers.get("Content-Length", 0))
                 try:
                     body = json.loads(self.rfile.read(n) or b"{}")
                 except json.JSONDecodeError:
                     body = {}
-                out = service.add_site(body.get("url"), body.get("name"))
+                self._dispatch(lambda: service.add_site(body.get("url"), body.get("name")))
             else:
-                out = {"result": False, "error": f"unknown endpoint {path}"}
-            self._json(out)
+                self._json({"result": False, "error": f"unknown endpoint {path}"})
 
         def do_DELETE(self):
             path, q = self._params()
             if path == "/api/site":
-                out = service.remove_site(q.get("url"))
+                self._dispatch(lambda: service.remove_site(q.get("url")))
             else:
-                out = {"result": False, "error": f"unknown endpoint {path}"}
-            self._json(out)
+                self._json({"result": False, "error": f"unknown endpoint {path}"})
 
     return Handler
 

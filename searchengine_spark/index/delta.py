@@ -19,8 +19,7 @@ Spark re-expression, set-at-a-time over the partitioned layout:
    IndexingServiceImpl.java:172-176); only the touched terms' bucket
    partitions are rewritten;
 4. packed segments for the touched term-buckets are rebuilt from the
-   updated postings (bucket-pruned scan), leaving every other bucket
-   untouched.
+   updated postings, leaving every other bucket untouched.
 
 At 10^12-file scale each step touches O(changed docs) + O(touched buckets)
 data — no full corpus pass anywhere, and the changed-doc id set stays a
@@ -30,12 +29,26 @@ otherwise put millions of ids in the driver and the plan).  The only
 driver-side collects are distinct shard/bucket numbers (bounded by
 n_shards / n_buckets) and two scalar counts for the summary.
 
-Partition swaps are crash-atomic by rename-aside: write ``__delta_<part>``
-beside the live partition, rename the live one to ``__old_<part>``, rename
-the delta in, drop the old.  Every intermediate state is recoverable by
-``_recover_partitions`` on the next entry (underscore-prefixed dirs are
-invisible to Spark's file index, so a crashed state never corrupts plain
-table reads).
+Crash safety is transactional across ALL tables, not per partition:
+every output (postings shards, docs_meta shards, df_stats buckets,
+segment buckets) is first written beside the live partition as
+``__delta_<part>`` — all of it computed from the pre-delta state, nothing
+promoted yet — then a txn marker file listing every partition in the
+transaction is written, then every partition is promoted by rename-aside
+(live → ``__old_<part>``, delta in, old dropped), then index stats are
+recomputed and the marker removed.  Recovery on the next entry:
+
+- marker present  → roll the WHOLE transaction forward (deltas that still
+  exist promote; already-promoted partitions just drop their ``__old_``),
+  recompute stats, drop the marker — a crash anywhere in the promote phase
+  can never leave postings/docs_meta/df_stats disagreeing about which doc
+  generation is live;
+- marker absent   → stray ``__delta_``/``__old_`` dirs belong to a writer
+  that died before its marker: roll back (restore olds, drop deltas).
+
+Underscore-prefixed dirs are invisible to Spark's file index, so no crash
+state ever corrupts plain table reads.  On a real catalog this whole delta
+is a single atomic Iceberg commit and the marker protocol disappears.
 """
 
 from __future__ import annotations
@@ -50,6 +63,10 @@ from searchengine_spark.index.build import IndexPaths, analyze_docs, bucket_col
 from searchengine_spark.index.segments import SEGMENT_SCHEMA, make_compact_fn, make_pack_fn
 
 
+def _txn_marker(paths: IndexPaths) -> str:
+    return os.path.join(paths.root, "__delta_txn.json")
+
+
 def _read_partition(spark: SparkSession, base: str, part: str, parent_schema) -> DataFrame:
     """Direct partition-dir read with an empty-DataFrame fallback: a bulk
     build (repartition + partitionBy) writes no directory for an empty
@@ -61,12 +78,21 @@ def _read_partition(spark: SparkSession, base: str, part: str, parent_schema) ->
     return spark.createDataFrame([], parent_schema)
 
 
-def _recover_partitions(base: str) -> None:
-    """Finish or roll back a crashed promote: an ``__old_<part>`` with a
-    live ``<part>`` means the promote completed (drop the leftover); one
-    without means the crash hit between the two renames (restore it); a
-    stray ``__delta_<part>`` belonged to a writer that died before its
-    promote (drop it — the re-run rewrites it)."""
+def _roll_forward(base: str, part: str) -> None:
+    """Promote one partition (idempotent): live aside, delta in, old gone.
+    Safe to re-run from any intermediate crash state."""
+    new, cur, old = f"{base}/__delta_{part}", f"{base}/{part}", f"{base}/__old_{part}"
+    if os.path.isdir(new):
+        if os.path.isdir(cur):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(cur, old)
+        os.rename(new, cur)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _rollback_partitions(base: str) -> None:
+    """No-marker cleanup: restore ``__old_`` (its promote never committed a
+    marker, so the txn must not apply) and drop stray ``__delta_``."""
     if not os.path.isdir(base):
         return
     for d in os.listdir(base):
@@ -81,14 +107,37 @@ def _recover_partitions(base: str) -> None:
             shutil.rmtree(full)
 
 
-def _promote(base: str, part: str) -> None:
-    """Crash-atomic partition swap (rename-aside); see _recover_partitions.
-    On a real catalog this whole delta is a single atomic Iceberg commit."""
-    new, cur, old = f"{base}/__delta_{part}", f"{base}/{part}", f"{base}/__old_{part}"
-    if os.path.isdir(cur):
-        os.rename(cur, old)
-    os.rename(new, cur)
-    shutil.rmtree(old, ignore_errors=True)
+def _recompute_stats(spark: SparkSession, paths: IndexPaths, stats: dict) -> dict:
+    meta_r = spark.read.parquet(paths.docs_meta)
+    agg = meta_r.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).collect()[0]
+    stats["n_docs"] = int(agg.n)
+    stats["sum_dl"] = int(agg.s or 0)
+    stats["avgdl"] = stats["sum_dl"] / stats["n_docs"] if stats["n_docs"] else 0.0
+    dfr = spark.read.parquet(paths.df_stats).agg(
+        F.count(F.lit(1)).alias("t"), F.sum("df").alias("p"), F.sum("cf").alias("c")
+    ).collect()[0]
+    stats["n_terms"] = int(dfr.t)
+    stats["n_postings"] = int(dfr.p or 0)
+    stats["sum_tf"] = int(dfr.c or 0)
+    with open(paths.stats, "w") as f:
+        json.dump(stats, f, indent=1)
+    return stats
+
+
+def _recover(spark: SparkSession, paths: IndexPaths, stats: dict) -> None:
+    """Finish (marker present) or roll back (no marker) a crashed delta."""
+    marker = _txn_marker(paths)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            txn = json.load(f)
+        for base_name, parts in txn.items():
+            base = getattr(paths, base_name)
+            for part in parts:
+                _roll_forward(base, part)
+        _recompute_stats(spark, paths, stats)
+        os.remove(marker)
+    for base in (paths.postings, paths.docs_meta, paths.df_stats, paths.segments):
+        _rollback_partitions(base)
 
 
 def remove_docs(
@@ -127,8 +176,7 @@ def reindex_docs(
     n_buckets = int(stats["n_buckets"])
     mode = mode or stats.get("mode", "compat")
 
-    for base in (paths.postings, paths.docs_meta, paths.df_stats, paths.segments):
-        _recover_partitions(base)
+    _recover(spark, paths, stats)
 
     analyzed = analyze_docs(changed_docs, n_shards, mode).persist()
 
@@ -169,7 +217,7 @@ def reindex_docs(
         .agg(F.count(F.lit(1)).cast("int").alias("tf"))
     ).persist()
 
-    # ---- df_stats term-delta merge (S6/S9: SiteMapBuilder.java:150-168,
+    # ---- df_stats term-delta (S6/S9: SiteMapBuilder.java:150-168,
     # IndexingServiceImpl.java:166-181) -----------------------------------
     minus = removed_postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("ddf"), F.sum("tf").alias("dcf"))
@@ -184,7 +232,7 @@ def reindex_docs(
     ).persist()
     touched_buckets = sorted({int(r.bucket) for r in delta.select("bucket").distinct().collect()})
 
-    # ---- rewrite affected postings/docs_meta shard partitions ------------
+    # ======== phase 1: write EVERY __delta_* output from pre-delta state ===
     # coalesce(1): the shard is the parallelism unit (4096 shards at cluster
     # scale); maxRecordsPerFile still splits a pathologically large shard
     # into multiple files within the single writer task
@@ -212,11 +260,7 @@ def reindex_docs(
         shard_meta.coalesce(1).write.mode("overwrite") \
             .option("maxRecordsPerFile", 4_000_000) \
             .parquet(f"{paths.docs_meta}/__delta_shard={s}")
-    for s in affected_shards:
-        for base in (paths.postings, paths.docs_meta):
-            _promote(base, f"shard={s}")
 
-    # ---- df_stats bucket-partition merge ---------------------------------
     df_full = spark.read.parquet(paths.df_stats)
     df_part_schema = df_full.drop("bucket").schema
     for b in touched_buckets:
@@ -233,42 +277,49 @@ def reindex_docs(
         )
         merged.coalesce(1).write.mode("overwrite").parquet(
             f"{paths.df_stats}/__delta_bucket={b}")
-    for b in touched_buckets:
-        _promote(paths.df_stats, f"bucket={b}")
 
-    # ---- stats + segments rebuild for touched buckets --------------------
-    meta_r = spark.read.parquet(paths.docs_meta)
-    agg = meta_r.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).collect()[0]
-    stats["n_docs"] = int(agg.n)
-    stats["sum_dl"] = int(agg.s or 0)
-    stats["avgdl"] = stats["sum_dl"] / stats["n_docs"] if stats["n_docs"] else 0.0
-    dfr = spark.read.parquet(paths.df_stats).agg(
-        F.count(F.lit(1)).alias("t"), F.sum("df").alias("p"), F.sum("cf").alias("c")
-    ).collect()[0]
-    stats["n_terms"] = int(dfr.t)
-    stats["n_postings"] = int(dfr.p or 0)
-    stats["sum_tf"] = int(dfr.c or 0)
-    with open(paths.stats, "w") as f:
-        json.dump(stats, f, indent=1)
-
-    if os.path.isdir(paths.segments):
-        post_r = spark.read.parquet(paths.postings)  # carries dl (denormalized)
+    with_segments = os.path.isdir(paths.segments)
+    if with_segments:
+        # the post-delta postings state, expressed as a DataFrame over the
+        # still-unpromoted tables (old minus teardown, plus new)
+        updated_postings = (
+            postings.join(old_ids, "doc_id", "left_anti")
+            .unionByName(new_postings.select("term", "doc_id", "tf", "dl", "shard"))
+            .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+        )
         for b in touched_buckets:
-            pw = (
-                post_r.withColumn("bucket", bucket_col(F.col("term"), n_buckets))
-                .filter(F.col("bucket") == b)
-            )
+            pw = updated_postings.filter(F.col("bucket") == b)
             runs = pw.groupBy("shard", "bucket").applyInPandas(
                 make_pack_fn(), SEGMENT_SCHEMA)
             segs = runs.groupBy("bucket").applyInPandas(
                 make_compact_fn(1 << 30), SEGMENT_SCHEMA)
             segs.coalesce(1).write.mode("overwrite").parquet(
                 f"{paths.segments}/__delta_bucket={b}")
-        for b in touched_buckets:
-            _promote(paths.segments, f"bucket={b}")
         # untouched buckets stay valid under the avgdl/df drift because the
         # packed block metadata is (max tf, min dl) — collection-stat-free;
         # WAND recomputes bounds with the current avgdl at query time.
+
+    # ======== phase 2: txn marker, then promote everything =================
+    txn = {
+        "postings": [f"shard={s}" for s in affected_shards],
+        "docs_meta": [f"shard={s}" for s in affected_shards],
+        "df_stats": [f"bucket={b}" for b in touched_buckets],
+        "segments": [f"bucket={b}" for b in touched_buckets] if with_segments else [],
+    }
+    marker = _txn_marker(paths)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(txn, f)
+    os.replace(tmp, marker)
+
+    for base_name, parts in txn.items():
+        base = getattr(paths, base_name)
+        for part in parts:
+            _roll_forward(base, part)
+
+    # ======== phase 3: stats refresh closes the transaction ================
+    _recompute_stats(spark, paths, stats)
+    os.remove(marker)
 
     analyzed.unpersist(); old_docs.unpersist(); removed_postings.unpersist()
     new_postings.unpersist(); delta.unpersist(); new_meta.unpersist()

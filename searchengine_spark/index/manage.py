@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 from searchengine_spark.index.manifest import RUNNING, Manifest
 
@@ -42,6 +43,9 @@ class ScopeList:
     def __init__(self, path: str):
         self.path = path
         self.scopes: list[dict] = []
+        # the reference's SitesList is synchronized (config/SitesList.java:
+        # 21-34); ThreadingHTTPServer handlers mutate this concurrently too
+        self._lock = threading.Lock()
         if os.path.exists(path):
             with open(path, encoding="utf-8") as f:
                 self.scopes = json.load(f)
@@ -63,11 +67,12 @@ class ScopeList:
                 or normalized.startswith("https://")):
             return _err("url must start with http:// or https://")
         normalized = normalize_url(normalized)
-        for s in self.scopes:
-            if normalize_url(s["url"]) == normalized:
-                return _err("a scope with this url already exists")
-        self.scopes.append({"url": normalized, "name": name.strip()})
-        self._save()
+        with self._lock:
+            for s in self.scopes:
+                if normalize_url(s["url"]) == normalized:
+                    return _err("a scope with this url already exists")
+            self.scopes.append({"url": normalized, "name": name.strip()})
+            self._save()
         return _ok()
 
     # -- removeSite (IndexingServiceImpl.java:339-366) ----------------------
@@ -82,13 +87,14 @@ class ScopeList:
                 "cannot remove scope: indexing in progress — stop indexing "
                 "before removal"
             )
-        before = len(self.scopes)
-        self.scopes = [
-            s for s in self.scopes if normalize_url(s["url"]) != normalized
-        ]
-        if len(self.scopes) == before:
-            return _err("no scope with this url in the configuration")
-        self._save()
+        with self._lock:
+            before = len(self.scopes)
+            self.scopes = [
+                s for s in self.scopes if normalize_url(s["url"]) != normalized
+            ]
+            if len(self.scopes) == before:
+                return _err("no scope with this url in the configuration")
+            self._save()
         return _ok()
 
     def urls(self) -> list[str]:

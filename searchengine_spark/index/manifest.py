@@ -89,6 +89,17 @@ class Manifest:
                    secs=time.time() - rec["started_at"], error=error[:2000])
         self._write(rec["stage"], rec["part"], rec)
 
+    def fail_running(self, error: str) -> int:
+        """Flip every RUNNING record to FAILED (a dead/cancelled build's
+        leftovers — the reference's stop path flips INDEXING sites to FAILED,
+        IndexingServiceImpl.java:104-111).  Returns how many were flipped."""
+        n = 0
+        for rec in self.records():
+            if rec.get("status") == RUNNING:
+                self.fail(rec, error)
+                n += 1
+        return n
+
     def records(self) -> list[dict]:
         out = []
         for name in sorted(os.listdir(self.root)):

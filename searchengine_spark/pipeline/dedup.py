@@ -91,6 +91,25 @@ def lsh_band_buckets(documents: DataFrame, n: int = 3, **kw) -> DataFrame:
     )
 
 
+
+def _jaccard_scored(inter: DataFrame, sizes: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Shared verify tail of the two near-dup pipelines: per-pair Jaccard
+    from intersection counts + per-doc shingle sizes, thresholded.  One
+    definition so the exact and LSH-restricted paths (and their oracle
+    twins) can never drift on rounding/threshold semantics."""
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn("union_size", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("union_size"), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "union_size", "jaccard")
+    )
+
+
 def lsh_candidate_pairs(documents: DataFrame, n: int = 3, **kw) -> DataFrame:
     """(doc_a, doc_b) distinct, doc_a < doc_b — near-dup candidates sharing
     any LSH band bucket."""
@@ -124,17 +143,7 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.2
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    scored = (
-        inter.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
-        .withColumn("union_size", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-        .withColumn("jaccard", F.round(F.col("inter") / F.col("union_size"), 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "inter", "union_size", "jaccard")
-    )
-    return finalize(scored, sh)
+    return finalize(_jaccard_scored(inter, sizes, threshold), sh)
 
 
 
@@ -161,17 +170,7 @@ def lsh_verified_near_dups(documents: DataFrame, n: int = 3,
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    scored = (
-        inter.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
-        .withColumn("union_size", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-        .withColumn("jaccard", F.round(F.col("inter") / F.col("union_size"), 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "inter", "union_size", "jaccard")
-    )
-    return finalize(scored, sh)
+    return finalize(_jaccard_scored(inter, sizes, threshold), sh)
 
 def simhash(documents: DataFrame, bits: int = 60, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:

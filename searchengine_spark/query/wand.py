@@ -205,7 +205,7 @@ class SegmentSearcher:
         exact match counts use ``count()`` instead
         (the reference's ``count`` field, dto/search/SearchResponse.java:10)."""
         terms = sorted(set(terms))
-        if not terms:
+        if not terms or k <= 0:
             return []
         dfs = self.resolve(terms)
         if len(dfs) < len(terms):

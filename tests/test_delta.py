@@ -158,3 +158,64 @@ def test_delta_whole_repo_reindex(spark, tmp_path):
     assert got["df_stats"] == want["df_stats"]
     assert got["postings"] == want["postings"]
     assert got["decoded"] == want["decoded"]
+
+
+def test_delta_crash_mid_promote_recovers(spark, tmp_path, corpora, monkeypatch):
+    """Injected crash after ALL postings shards promoted but before any
+    docs_meta shard (the cross-table window): the txn marker must roll the
+    whole delta forward on the next entry, ending byte-equal to a fresh
+    rebuild — never a mixed postings/docs_meta generation."""
+    import os
+
+    import searchengine_spark.index.delta as D
+
+    docs, changed, updated_corpus = corpora
+    out = str(tmp_path / "idx_crash")
+    build_index(spark, docs, out, n_shards=4, n_buckets=4)
+
+    orig = D._roll_forward
+
+    def crashy(base, part):
+        if base.endswith("docs_meta"):
+            raise RuntimeError("injected crash mid-promote")
+        orig(base, part)
+
+    monkeypatch.setattr(D, "_roll_forward", crashy)
+    with pytest.raises(RuntimeError, match="injected"):
+        reindex_docs(spark, out, changed)
+    monkeypatch.setattr(D, "_roll_forward", orig)
+    assert os.path.exists(f"{out}/__delta_txn.json")
+
+    # any subsequent delta entry recovers the wedged transaction first
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, content string")
+    reindex_docs(spark, out, empty)
+    assert not os.path.exists(f"{out}/__delta_txn.json")
+
+    ref = str(tmp_path / "ref_crash")
+    build_index(spark, updated_corpus, ref, n_shards=4, n_buckets=4)
+    assert (_index_state(InvertedIndex(spark, out))
+            == _index_state(InvertedIndex(spark, ref)))
+
+
+def test_delta_rolls_back_unmarked_leftovers(spark, tmp_path, corpora):
+    """__delta_/__old_ dirs with no txn marker belong to a writer that died
+    before commit: they are rolled back, leaving the index untouched."""
+    import os
+    import shutil
+
+    docs, changed, _ = corpora
+    out = str(tmp_path / "idx_rb")
+    build_index(spark, docs, out, n_shards=4, n_buckets=4)
+    before = _index_state(InvertedIndex(spark, out))
+
+    # a poisoned uncommitted delta + a displaced live partition
+    os.makedirs(f"{out}/postings/__delta_shard=0")
+    shutil.move(f"{out}/df_stats/bucket=1", f"{out}/df_stats/__old_bucket=1")
+
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, content string")
+    reindex_docs(spark, out, empty)
+    assert not os.path.exists(f"{out}/postings/__delta_shard=0")
+    assert os.path.isdir(f"{out}/df_stats/bucket=1")
+    assert _index_state(InvertedIndex(spark, out)) == before

@@ -144,3 +144,49 @@ def test_index_page_reindexes(spark, tmp_path):
         assert n == 1
     finally:
         httpd.shutdown()
+
+
+def test_search_bad_params_return_json(api):
+    out = _get(api, "/api/search?query=sofiko&limit=0")
+    assert out["result"] is False and out["error"]
+    out = _get(api, "/api/search?query=sofiko&offset=abc")
+    assert out["result"] is False and "integer" in out["error"]
+
+
+def test_endpoints_before_build_return_json(spark, tmp_path):
+    """Every endpoint keeps the 200+JSON contract even before the first
+    build — no dropped connections from FileNotFoundError."""
+    svc = SearchEngineService(spark, str(tmp_path / "noidx"),
+                              scopes_path=str(tmp_path / "sc.json"))
+    httpd = serve(svc)
+    base = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        out = _get(base, "/api/statistics")
+        assert out["result"] is False and "not built" in out["error"]
+        out = _get(base, "/api/search?query=x")
+        assert out["result"] is False and "not built" in out["error"]
+        out = _req(base, "/api/site?url=https://x.com", "DELETE")
+        assert out["result"] is False  # structured error, not a dropped socket
+    finally:
+        httpd.shutdown()
+
+
+def test_stale_running_manifest_unwedges(spark, tmp_path):
+    """A RUNNING manifest record with no live build thread (crashed or
+    cancelled build) must not block startIndexing forever."""
+    from searchengine_spark.index.build import IndexPaths, build_index
+    from searchengine_spark.index.manifest import RUNNING, Manifest
+
+    docs = spark.read.parquet(docs_path("t1")).limit(30)
+    out_dir = str(tmp_path / "idx_stale")
+    build_index(spark, docs, out_dir, n_shards=4, n_buckets=4)
+    man = Manifest(IndexPaths(out_dir).manifest)
+    man.start("postings", 99)  # simulate a dead build's leftover
+
+    svc = SearchEngineService(spark, out_dir, docs=docs,
+                              scopes_path=str(tmp_path / "sc2.json"))
+    assert svc.indexing_in_progress() is True  # wedged state reproduced
+    assert svc.start_indexing()["result"] is True  # auto-unwedged
+    svc._build_thread.join(timeout=300)
+    assert svc._build_error is None
+    assert not any(r["status"] == RUNNING for r in man.records())

@@ -113,11 +113,17 @@ def test_stop_indexing_cancels_then_resume_completes(spark, tmp_path):
         assert idx.stats["n_docs"] == 500
         return
 
-    # resume after the stop: continues from the manifest and completes
+    # resume after the stop: continues from the manifest and completes —
+    # compare against a fresh build, not a hardcoded count (analysis
+    # semantics may evolve; the invariant is cancel+resume == clean build)
     build_index(spark, docs, out, n_shards=4, n_buckets=4, resume=True)
     idx = InvertedIndex(spark, out)
-    assert idx.stats["n_docs"] == 500
-    assert idx.stats["n_postings"] == 74586
+    ref_out = str(tmp_path / "idx_cancel_ref")
+    build_index(spark, docs, ref_out, n_shards=4, n_buckets=4)
+    ref = InvertedIndex(spark, ref_out)
+    assert idx.stats["n_docs"] == ref.stats["n_docs"] == 500
+    assert idx.stats["n_postings"] == ref.stats["n_postings"]
+    assert idx.stats["n_terms"] == ref.stats["n_terms"]
 
 
 def test_resume_over_bulk_build_keeps_segments(spark, tmp_path):

@@ -6,9 +6,12 @@ spark-submit --py-files to run at N and 4N executors"):
     spark-submit --py-files dist/searchengine_spark.zip \
         jobs/build_index.py --input ... --output ...
 
-The zip carries the pure-Python package (sources + fixture data files the
-analyzer loads); jobs/*.py stay outside as driver scripts, exactly the
-spark-submit layout.
+The zip carries the pure-Python package sources plus the small text
+resources the analyzer loads (lemma dict, stopwords — read through
+importlib.resources so they resolve from the zip).  The parquet fixture
+corpora under fixtures/data/ are dev/test assets and are excluded — they
+must never ride to every executor of an N/4N-scale job.  jobs/*.py stay
+outside as driver scripts, exactly the spark-submit layout.
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 PKG = ROOT / "searchengine_spark"
 EXCLUDE_SUFFIXES = {".pyc"}
-EXCLUDE_DIRS = {"__pycache__"}
+EXCLUDE_DIRS = {"__pycache__", "data"}  # fixtures/data = dev corpora
 
 
 def build_zip(out: Path) -> int:
