@@ -55,13 +55,16 @@ def extract_title(content: str) -> str:
 
 
 def highlight(text: str, query_lemmas: set[str], analyzer: Analyzer) -> str:
-    """Wrap words whose lemma is in the query set in <b>…</b>."""
-    get = analyzer.lemma_dict.get
+    """Wrap words whose lemma is in the query set in <b>…</b>.
+
+    Lemma lookup goes through ``Analyzer.normal_form`` (per-script
+    dispatch), so an inflected Russian surface form highlights when its
+    normal form matches a query lemma — the reference does the same via
+    morphology (SearchServiceImpl.java:261-284)."""
 
     def repl(m: re.Match) -> str:
         w = m.group(0)
-        lw = w.lower()
-        if get(lw, lw) in query_lemmas:
+        if analyzer.normal_form(w.lower()) in query_lemmas:
             return f"<b>{w}</b>"
         return w
 

@@ -141,3 +141,14 @@ def test_vectorized_matches_scalar(words):
     vec = ru_normal_forms_series(s).tolist()
     want = [ru_normal_form(w) for w in words]
     assert vec == want
+
+
+def test_snippet_highlights_inflected_russian(an):
+    """An inflected surface form highlights when its normal form matches a
+    query lemma (SearchServiceImpl.java:261-284 via morphology)."""
+    from searchengine_spark.textproc.snippets import make_snippet
+
+    content = "Повторное появление леопарда в Осетии. Обычный день без событий."
+    snip = make_snippet(content, {"леопард"}, an)
+    assert "<b>леопарда</b>" in snip
+    assert "Обычный" not in snip  # non-matching sentence not chosen
