@@ -135,3 +135,55 @@ def run_streaming_dedup(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def run_session_windows_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+):
+    """Stream events; append finalized per-user sessions (same shape as
+    events.session_windows) to parquet at ``out_dir``.
+
+    F.session_window is a stateful merging aggregation under the hood:
+    open sessions extend while events arrive within the gap, and a session
+    only reaches the append sink once the watermark passes session_end
+    (last event + gap) — Spark's native gap-merged session operator, the
+    shape a lag()-based gaps-and-islands window cannot stream."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(drop_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window(F.col("ts"), f"{gap_minutes} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -119,3 +119,59 @@ def test_streaming_dedup_first_seen_wins(spark, tmp_path):
 
     kept2 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
     assert kept2 == {1, 3, 5}
+
+
+def test_stream_sessions_match_batch_behind_watermark(spark, tmp_path):
+    """Streamed gap-merged sessions == batch session_windows for sessions
+    fully behind the watermark; a session still within reach of late data
+    stays in state; a second drop extends an open session rather than
+    emitting a fragment."""
+    from searchengine_spark.pipeline.events import session_windows
+    from searchengine_spark.streaming.windows import run_session_windows_stream
+
+    drop_dir = str(tmp_path / "sdrops")
+    out_dir = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+    os.makedirs(drop_dir)
+
+    # user 10: events at 0,5 (one session, ends 5+15=20); user 11: event at
+    # 50 (session ends 65 — NOT finalized: watermark = 60-10 = 50 < 65)
+    p1 = [
+        (1, 0.0, 10, "click", 1.0),
+        (2, 5.0, 10, "view", 2.0),
+        (3, 50.0, 11, "click", 3.0),
+        (4, 60.0, 12, "view", 0.5),  # advances the watermark to 50
+    ]
+    _events_df(spark, p1).coalesce(1).write.mode("append").parquet(drop_dir)
+    run_session_windows_stream(spark, drop_dir, out_dir, ckpt,
+                               gap_minutes=15, watermark="10 minutes")
+    got1 = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch1 = session_windows(_events_df(spark, p1), gap_minutes=15)
+    wm1 = T0 + dt.timedelta(minutes=60 - 10)
+    want1 = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in batch1.filter(F.col("session_end") <= F.lit(wm1)).collect()
+    }
+    assert got1 == want1
+    assert any(u == 10 for (u, *_rest) in got1)  # user 10's session emitted
+    assert not any(u == 11 for (u, *_rest) in got1)  # user 11 still open
+
+    # drop 2: user 11 keeps the session alive at 55 (within the 15-min gap);
+    # a far-future event pushes the watermark past the merged session's end
+    p2 = [
+        (5, 55.0, 11, "view", 1.5),
+        (6, 120.0, 12, "click", 9.0),
+    ]
+    _events_df(spark, p2).coalesce(1).write.mode("append").parquet(drop_dir)
+    run_session_windows_stream(spark, drop_dir, out_dir, ckpt,
+                               gap_minutes=15, watermark="10 minutes")
+    got2 = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    merged = [t for t in got2 if t[0] == 11]
+    assert len(merged) == 1  # ONE merged session (50+55), not two fragments
+    assert merged[0][3] == 2 and merged[0][4] == 4.5
