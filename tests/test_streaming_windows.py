@@ -175,3 +175,40 @@ def test_stream_sessions_match_batch_behind_watermark(spark, tmp_path):
     merged = [t for t in got2 if t[0] == 11]
     assert len(merged) == 1  # ONE merged session (50+55), not two fragments
     assert merged[0][3] == 2 and merged[0][4] == 4.5
+
+
+def test_stream_sliding_matches_batch_behind_watermark(spark, tmp_path):
+    """Streamed overlapping windows == batch sliding_counts for windows
+    fully behind the watermark (n_users approx in the stream — exact at
+    these cardinalities)."""
+    from searchengine_spark.pipeline.events import sliding_counts
+    from searchengine_spark.streaming.windows import run_sliding_counts_stream
+
+    drop_dir = str(tmp_path / "sldrops")
+    out_dir = str(tmp_path / "slout")
+    ckpt = str(tmp_path / "slckpt")
+    os.makedirs(drop_dir)
+
+    rows = [
+        (1, 1.0, 10, "click", 1.0),
+        (2, 4.0, 11, "view", 2.0),
+        (3, 9.0, 10, "click", 0.5),
+        (4, 14.0, 12, "error", 3.0),
+        (5, 31.0, 10, "view", 4.0),  # watermark -> 21
+    ]
+    _events_df(spark, rows).coalesce(1).write.mode("append").parquet(drop_dir)
+    run_sliding_counts_stream(spark, drop_dir, out_dir, ckpt,
+                              width_minutes=10, slide_minutes=5,
+                              watermark="10 minutes")
+    got = {
+        (r.window_start, r.window_end, r.n_events, r.n_users, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    wm = T0 + dt.timedelta(minutes=31 - 10)
+    want = {
+        (r.window_start, r.window_end, r.n_events, r.n_users, r.sum_value)
+        for r in sliding_counts(_events_df(spark, rows), 10, 5)
+        .filter(F.col("window_end") <= F.lit(wm)).collect()
+    }
+    assert got == want
+    assert got  # at least the early windows finalized
