@@ -168,6 +168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk": lambda s, d: similarity.ivf_topk(
             _emb(s, d), PROBE_VEC_IDS, k=5
         ),
+        "q_ivf_topk_refined": lambda s, d: similarity.ivf_topk_refined(
+            _emb(s, d), PROBE_VEC_IDS, k=5
+        ),
         # threshold 0.3: the synthetic embeddings are near-orthogonal, so a
         # production-style 0.9 matches nothing at any sf
         "q_embedding_near_dup": lambda s, d: similarity.embedding_near_dup_pairs(
@@ -233,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ivf_lists": osql.ivf_lists(),
         "q_ivf_lists_refined": osql.ivf_lists_refined(),
         "q_ivf_topk": osql.ivf_topk(PROBE_VEC_IDS, k=5),
+        "q_ivf_topk_refined": osql.ivf_topk_refined(PROBE_VEC_IDS, k=5),
         "q_events_tumbling": osql.tumbling_counts(),
         "q_events_sliding": osql.sliding_counts(),
         "q_events_sessions": osql.session_windows(),

@@ -490,13 +490,12 @@ SELECT vec_id, list_id, list_cosine FROM assign
 """
 
 
-def ivf_topk(probe_ids: list[int], k: int = 5, n_lists: int = 8,
-             nprobe: int = 2) -> str:
-    """Twin of similarity.ivf_topk: probe the nprobe nearest lists per
-    query, exact cosine within them."""
+def _ivf_topk_body(assign_block: str, probe_ids: list[int], k: int,
+                   nprobe: int) -> str:
+    """Shared probe-flow SQL over any (cents, assign) CTE pair."""
     ids = ", ".join(str(i) for i in probe_ids)
     return f"""
-WITH {_IVF_ASSIGN.format(n_lists=n_lists)},
+WITH {assign_block},
 probes AS (SELECT vec_id AS probe_id, embedding AS pvec
            FROM embeddings WHERE vec_id IN ({ids})),
 pl AS (
@@ -525,6 +524,13 @@ SELECT probe_id, vec_id, cosine, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def ivf_topk(probe_ids: list[int], k: int = 5, n_lists: int = 8,
+             nprobe: int = 2) -> str:
+    """Twin of similarity.ivf_topk: probe the nprobe nearest lists per
+    query, exact cosine within them."""
+    return _ivf_topk_body(_IVF_ASSIGN.format(n_lists=n_lists), probe_ids, k, nprobe)
 
 
 def embedding_lsh_buckets(n_planes: int = 8) -> str:
@@ -739,3 +745,45 @@ SELECT vec_id, list_id, list_cosine FROM (
   FROM scored
 ) WHERE rn = 1
 """
+
+
+def _assign_by_cents(cents_name: str, out_name: str) -> str:
+    """assignment CTE: every vector to its nearest centroid in the named
+    cents CTE (cosine desc, list_id asc tiebreak)."""
+    cos = f"""round(
+        list_sum([v.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE for i in generate_series(1, len(v.embedding))])
+        / ( sqrt(list_sum([v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE for i in generate_series(1, len(v.embedding))]))
+          * sqrt(list_sum([c.centroid[i]::DOUBLE * c.centroid[i]::DOUBLE for i in generate_series(1, len(c.centroid))])) ),
+        3)"""
+    return f"""{out_name} AS (
+  SELECT vec_id, list_id, list_cosine FROM (
+    SELECT v.vec_id, c.list_id, {cos} AS list_cosine,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos} DESC, c.list_id ASC) AS rn
+    FROM embeddings v CROSS JOIN {cents_name} c
+  ) WHERE rn = 1
+)"""
+
+
+def _ivf_assign_refined(n_lists: int) -> str:
+    """(cents, assign) CTE pair for the Lloyd-refined partitioning: seed
+    centroids -> seed assignment -> element-wise means -> re-assignment."""
+    return f"""seed_cents AS (SELECT vec_id AS list_id, embedding AS centroid
+          FROM embeddings ORDER BY vec_id ASC LIMIT {n_lists}),
+{_assign_by_cents("seed_cents", "seed_assign")},
+cells AS (
+  SELECT a.list_id, t.u.pos AS pos, round(avg(t.u.val), 6) AS m
+  FROM seed_assign a
+  JOIN embeddings e ON e.vec_id = a.vec_id,
+       unnest([{{'pos': i, 'val': e.embedding[i]::DOUBLE}}
+               for i in generate_series(1, len(e.embedding))]) t(u)
+  GROUP BY 1, 2
+),
+cents AS (SELECT list_id, list(m ORDER BY pos) AS centroid FROM cells GROUP BY list_id),
+{_assign_by_cents("cents", "assign")}"""
+
+
+def ivf_topk_refined(probe_ids: list[int], k: int = 5, n_lists: int = 8,
+                     nprobe: int = 2) -> str:
+    """Twin of similarity.ivf_topk_refined: the shared probe flow over the
+    Lloyd-refined (cents, assign) pair."""
+    return _ivf_topk_body(_ivf_assign_refined(n_lists), probe_ids, k, nprobe)
