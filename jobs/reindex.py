@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""CLI twin of POST /api/indexPage at batch granularity
+(services/IndexingServiceImpl.java:117-207): apply changed/new documents
+to an existing index in place, or remove documents by (repo, path) key.
+
+    # apply a parquet of changed/new corpus rows (repo,path,commit,lang,content)
+    python jobs/reindex.py --index /tmp/idx --changed /data/changed.parquet
+
+    # remove documents (keys parquet with repo, path columns)
+    python jobs/reindex.py --index /tmp/idx --remove /data/victims.parquet
+
+Runs the transactional delta protocol (index/delta.py): partition
+overwrite for affected doc-shards, df term-delta merge, touched-bucket
+segment rebuild — crash-safe via the txn marker.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--changed", help="parquet of corpus-schema changed rows")
+    ap.add_argument("--remove", help="parquet of (repo, path) keys to delete")
+    args = ap.parse_args()
+    if not args.changed and not args.remove:
+        ap.error("need --changed and/or --remove")
+
+    from searchengine_spark.index.delta import reindex_docs, remove_docs
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("reindex")
+    if args.changed:
+        changed = spark.read.parquet(args.changed)
+        remove_keys = (spark.read.parquet(args.remove).select("repo", "path")
+                       if args.remove else None)
+        summary = reindex_docs(spark, args.index, changed,
+                               remove_keys=remove_keys)
+    else:
+        summary = remove_docs(
+            spark, args.index,
+            spark.read.parquet(args.remove).select("repo", "path"))
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
