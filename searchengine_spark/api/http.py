@@ -53,6 +53,10 @@ class SearchEngineService:
         self._build_error: str | None = None
         self._build_lock = threading.Lock()
 
+    # RUNNING manifest records older than this with no live local thread
+    # are treated as a dead build's leftovers (see start_indexing)
+    STALE_RUNNING_SECS = 3600.0
+
     def _index_built(self) -> bool:
         import os
 
@@ -75,6 +79,13 @@ class SearchEngineService:
 
     # -- GET /api/statistics ------------------------------------------------
     def statistics(self) -> dict:
+        if not self._index_built():
+            msg = "index is not built yet — call /api/startIndexing"
+            if self._build_error:
+                # the most common ask on this path: "why did my first build
+                # fail?" — lastError must be reachable pre-build too
+                msg += f"; last build error: {self._build_error}"
+            return {"result": False, "error": msg}
         s = statistics(self._index())
         # StatisticsResponse shape: {result, statistics: {total, detailed, indexing}}
         out = {
@@ -114,13 +125,31 @@ class SearchEngineService:
                 # reference: "Индексация уже запущена" (IndexingServiceImpl.java:48-50)
                 return {"result": False, "error": "indexing already running"}
             if self._index_built():
-                # RUNNING manifest records with no live build thread are the
-                # leftovers of a crashed/cancelled build: flip them FAILED so
-                # the service can restart (the reference flips INDEXING sites
-                # to FAILED on stop, IndexingServiceImpl.java:104-111) —
-                # without this, one cancelled build wedges the service forever
-                InvertedIndex(self.spark, self.index_root).manifest() \
-                    .fail_running("stale RUNNING: no live build thread")
+                # RUNNING manifest records with no live build thread: flip
+                # them FAILED so the service can restart (the reference
+                # flips INDEXING sites to FAILED on stop,
+                # IndexingServiceImpl.java:104-111) — but ONLY when they are
+                # provably dead: this service's own finished/cancelled
+                # thread, or records older than the staleness horizon.  A
+                # recent RUNNING record with no local thread may be another
+                # process building the same index root — refuse, don't race.
+                import time as _time
+
+                man = InvertedIndex(self.spark, self.index_root).manifest()
+                running = [r for r in man.records()
+                           if r.get("status") == RUNNING]
+                if running:
+                    ours_died = self._build_thread is not None
+                    horizon = _time.time() - self.STALE_RUNNING_SECS
+                    all_old = all(
+                        (r.get("started_at") or 0) < horizon for r in running
+                    )
+                    if not (ours_died or all_old):
+                        return {"result": False,
+                                "error": "indexing already running "
+                                         "(another process holds RUNNING "
+                                         "manifest records)"}
+                    man.fail_running("stale RUNNING: no live build thread")
             self._build_error = None
 
             def run() -> None:
@@ -239,7 +268,10 @@ def make_handler(service: SearchEngineService):
             if path == "/api/indexPage":
                 self._dispatch(lambda: service.index_page(q.get("repo"), q.get("path")))
             elif path == "/api/site":
-                n = int(self.headers.get("Content-Length", 0))
+                try:  # malformed Content-Length must not drop the socket
+                    n = int(self.headers.get("Content-Length") or 0)
+                except ValueError:
+                    n = 0
                 try:
                     body = json.loads(self.rfile.read(n) or b"{}")
                 except json.JSONDecodeError:

@@ -178,7 +178,28 @@ def reindex_docs(
 
     _recover(spark, paths, stats)
 
-    analyzed = analyze_docs(changed_docs, n_shards, mode).persist()
+    cached: list = []
+
+    def _persist(df):
+        df = df.persist()
+        cached.append(df)
+        return df
+
+    try:
+        return _reindex_docs_body(
+            spark, paths, stats, n_shards, n_buckets, mode,
+            changed_docs, remove_keys, _persist,
+        )
+    finally:
+        # failures mid-delta must not leak cached partitions in a
+        # long-lived session (HTTP indexPage / streaming foreachBatch)
+        for df in cached:
+            df.unpersist()
+
+
+def _reindex_docs_body(spark, paths, stats, n_shards, n_buckets, mode,
+                       changed_docs, remove_keys, _persist):
+    analyzed = _persist(analyze_docs(changed_docs, n_shards, mode))
 
     old_meta = spark.read.parquet(paths.docs_meta)
     keys = analyzed.select("repo", "path").distinct()
@@ -187,10 +208,9 @@ def reindex_docs(
     # old versions of the same (repo, path) — the teardown set, kept as a
     # DataFrame: every use below is a semi/anti join (broadcast when small,
     # shuffle join for a whole-repo delta — AQE picks)
-    old_docs = (
+    old_docs = _persist(
         old_meta.join(keys, ["repo", "path"], "left_semi")
         .select("doc_id", "shard")
-        .persist()
     )
     old_ids = old_docs.select("doc_id")
 
@@ -206,16 +226,16 @@ def reindex_docs(
     n_replaced = old_docs.join(analyzed.select("doc_id"), "doc_id", "left_anti").count()
 
     postings = spark.read.parquet(paths.postings)
-    removed_postings = postings.join(old_ids, "doc_id", "left_semi").persist()
+    removed_postings = _persist(postings.join(old_ids, "doc_id", "left_semi"))
 
-    new_postings = (
+    new_postings = _persist(
         analyzed.select(
             "doc_id", "shard", F.size("lemmas").cast("long").alias("dl"),
             F.explode("lemmas").alias("term"),
         )
         .groupBy("term", "doc_id", "shard", "dl")
         .agg(F.count(F.lit(1)).cast("int").alias("tf"))
-    ).persist()
+    )
 
     # ---- df_stats term-delta (S6/S9: SiteMapBuilder.java:150-168,
     # IndexingServiceImpl.java:166-181) -----------------------------------
@@ -229,17 +249,18 @@ def reindex_docs(
         .groupBy("term")
         .agg(F.sum("d_df").alias("d_df"), F.sum("d_cf").alias("d_cf"))
         .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
-    ).persist()
+    )
+    delta = _persist(delta)
     touched_buckets = sorted({int(r.bucket) for r in delta.select("bucket").distinct().collect()})
 
     # ======== phase 1: write EVERY __delta_* output from pre-delta state ===
     # coalesce(1): the shard is the parallelism unit (4096 shards at cluster
     # scale); maxRecordsPerFile still splits a pathologically large shard
     # into multiple files within the single writer task
-    new_meta = analyzed.select(
+    new_meta = _persist(analyzed.select(
         "doc_id", "repo", "path", "commit", "lang", "content_sha",
         F.size("lemmas").cast("long").alias("dl"), "shard",
-    ).persist()
+    ))
     post_part_schema = postings.drop("shard").schema
     meta_part_schema = old_meta.drop("shard").schema
     for s in affected_shards:
@@ -321,8 +342,6 @@ def reindex_docs(
     _recompute_stats(spark, paths, stats)
     os.remove(marker)
 
-    analyzed.unpersist(); old_docs.unpersist(); removed_postings.unpersist()
-    new_postings.unpersist(); delta.unpersist(); new_meta.unpersist()
     return {
         "replaced_docs": n_replaced,
         "new_docs": n_new,

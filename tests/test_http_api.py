@@ -172,8 +172,9 @@ def test_endpoints_before_build_return_json(spark, tmp_path):
 
 
 def test_stale_running_manifest_unwedges(spark, tmp_path):
-    """A RUNNING manifest record with no live build thread (crashed or
-    cancelled build) must not block startIndexing forever."""
+    """RUNNING manifest records with no live build thread: a FRESH one may
+    belong to another process (refuse — don't race two writers); one past
+    the staleness horizon is a dead build's leftover (auto-unwedge)."""
     from searchengine_spark.index.build import IndexPaths, build_index
     from searchengine_spark.index.manifest import RUNNING, Manifest
 
@@ -181,12 +182,20 @@ def test_stale_running_manifest_unwedges(spark, tmp_path):
     out_dir = str(tmp_path / "idx_stale")
     build_index(spark, docs, out_dir, n_shards=4, n_buckets=4)
     man = Manifest(IndexPaths(out_dir).manifest)
-    man.start("postings", 99)  # simulate a dead build's leftover
+    rec = man.start("postings", 99)  # no live local thread
 
     svc = SearchEngineService(spark, out_dir, docs=docs,
                               scopes_path=str(tmp_path / "sc2.json"))
     assert svc.indexing_in_progress() is True  # wedged state reproduced
-    assert svc.start_indexing()["result"] is True  # auto-unwedged
+
+    # fresh record, no local thread -> could be a foreign builder: refuse
+    refused = svc.start_indexing()
+    assert refused["result"] is False and "another process" in refused["error"]
+
+    # age the record past the horizon -> dead build: auto-unwedge
+    rec["started_at"] -= svc.STALE_RUNNING_SECS + 60
+    man._write(rec["stage"], rec["part"], rec)
+    assert svc.start_indexing()["result"] is True
     svc._build_thread.join(timeout=300)
     assert svc._build_error is None
     assert not any(r["status"] == RUNNING for r in man.records())

@@ -35,7 +35,9 @@ def build_zip(out: Path) -> int:
                 continue
             if p.suffix in EXCLUDE_SUFFIXES:
                 continue
-            if any(part in EXCLUDE_DIRS for part in p.parts):
+            # match excludes against PACKAGE-relative components only — a
+            # checkout under e.g. /data/... must not empty the zip
+            if any(part in EXCLUDE_DIRS for part in p.relative_to(PKG).parts):
                 continue
             zf.write(p, p.relative_to(ROOT))
             n += 1
