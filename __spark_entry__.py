@@ -143,6 +143,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_jaccard_verified": lambda s, d: dedup.lsh_verified_near_dups(
             _docs(s, d), threshold=0.2
         ),
+        # transitive near-dup grouping: connected components over the
+        # verified pair graph, min-doc-id canonical label per cluster
+        "q_dup_clusters": lambda s, d: dedup.duplicate_clusters(
+            _docs(s, d), threshold=0.2
+        ),
         "q_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "q_simhash_near_pairs": lambda s, d: dedup.simhash_near_pairs(
             _docs(s, d), max_hamming=8
@@ -223,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "q_lsh_candidate_pairs": osql.lsh_candidate_pairs(),
         "q_ngram_jaccard_pairs": osql.ngram_jaccard_pairs(threshold=0.2),
         "q_lsh_jaccard_verified": osql.lsh_verified_near_dups(threshold=0.2),
+        "q_dup_clusters": osql.duplicate_clusters(threshold=0.2),
         "q_simhash": osql.simhash(),
         "q_simhash_near_pairs": osql.simhash_near_pairs(max_hamming=8),
         "q_token_counts": osql.token_counts(),

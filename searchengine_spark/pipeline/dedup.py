@@ -232,3 +232,65 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8, **kw) -> Data
         .select("doc_a", "doc_b", "hamming")
     )
     return finalize(pairs, sh)
+
+
+def duplicate_clusters(documents: DataFrame, threshold: float = 0.2,
+                       n: int = 3, max_iters: int = 25, **kw) -> DataFrame:
+    """(doc_id, cluster_id) for EVERY document: connected components over
+    the near-duplicate graph (edges = ``lsh_verified_near_dups`` pairs at
+    ``threshold``), cluster_id = min doc_id in the component.  Docs with no
+    near-dup are their own singleton cluster.
+
+    This is the "keep one per duplicate cluster" step of a training-data
+    pipeline: group near-dups transitively (A~B, B~C => one cluster even if
+    A~C was never scored), pick the canonical member.
+
+    Execution: iterative min-label propagation — per round, every node
+    takes min(own label, neighbours' labels); converges in <= graph
+    diameter rounds (near-dup components are tiny and dense, so a handful).
+    Each round is one join + agg over the EDGE set only (nodes off the
+    near-dup graph never enter the loop); lineage is cut per round with
+    localCheckpoint, the standard Spark iterative-algorithm hygiene — at
+    10^12 scale this is exactly connected-components-over-an-edge-list,
+    the same shape GraphX/GraphFrames implement.
+    """
+    pairs = lsh_verified_near_dups(documents, n=n, threshold=threshold, **kw) \
+        .select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .groupBy("doc_a").agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select("doc_id",
+                    F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label")))
+                    .alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "doc_id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    all_docs = documents.select(F.col(kw.get("id_col", "doc_id")).alias("doc_id"))
+    return (
+        all_docs.join(labels, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"))
+    )

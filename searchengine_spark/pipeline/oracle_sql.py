@@ -787,3 +787,24 @@ def ivf_topk_refined(probe_ids: list[int], k: int = 5, n_lists: int = 8,
     """Twin of similarity.ivf_topk_refined: the shared probe flow over the
     Lloyd-refined (cents, assign) pair."""
     return _ivf_topk_body(_ivf_assign_refined(n_lists), probe_ids, k, nprobe)
+
+
+def duplicate_clusters(threshold: float = 0.2) -> str:
+    """Twin of dedup.duplicate_clusters: connected components over the
+    near-dup graph via a recursive CTE (min reachable doc_id per node)."""
+    return f"""
+WITH RECURSIVE pairs AS ({lsh_verified_near_dups(threshold)}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels l USING (doc_id)
+"""

@@ -1,0 +1,41 @@
+"""Transitive near-dup clustering: connected components over the verified
+pair graph (the "keep one per duplicate cluster" pipeline step)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline.dedup import duplicate_clusters
+
+
+@pytest.fixture(scope="module")
+def chain_docs(spark):
+    """A near-dup CHAIN a~b~c (a and c share little directly) + singletons:
+    the transitive case pairwise dedup misses."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " one two three four five"),
+        (2, base + " one two three twist1 twist2"),   # close to 1
+        (3, base + " twist1 twist2 twist3 twist4 twist5"),  # close to 2, far from 1
+        (10, "completely different text about spark shuffles and parquet files"),
+        (11, "another unrelated document body with its own vocabulary entirely"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_transitive_chain_collapses_to_one_cluster(spark, chain_docs):
+    out = {r.doc_id: r.cluster_id
+           for r in duplicate_clusters(chain_docs, threshold=0.15).collect()}
+    assert len(out) == 5  # every doc labeled
+    # the chain 1~2~3 collapses to min-id cluster 1, even if (1,3) was
+    # never scored as a pair
+    assert out[1] == out[2] == out[3] == 1
+    # singletons are their own clusters
+    assert out[10] == 10 and out[11] == 11
+
+
+def test_cluster_label_is_component_min(spark, chain_docs):
+    out = duplicate_clusters(chain_docs, threshold=0.15)
+    bad = out.filter(F.col("cluster_id") > F.col("doc_id")).count()
+    assert bad == 0  # labels never exceed member ids (min semantics)
