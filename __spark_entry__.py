@@ -31,6 +31,7 @@ from searchengine_spark.pipeline import (  # noqa: E402
     fulltext,
     multimodal,
     oracle_sql as osql,
+    pq,
     similarity,
     textstats,
 )
@@ -176,6 +177,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk_refined": lambda s, d: similarity.ivf_topk_refined(
             _emb(s, d), PROBE_VEC_IDS, k=5
         ),
+        # product quantization: encoded corpus + asymmetric-distance top-k
+        "q_pq_codes": lambda s, d: pq.pq_codes(_emb(s, d)),
+        "q_pq_adc_topk": lambda s, d: pq.pq_adc_topk(
+            _emb(s, d), PROBE_VEC_IDS, topk=5
+        ),
         # threshold 0.3: the synthetic embeddings are near-orthogonal, so a
         # production-style 0.9 matches nothing at any sf
         "q_embedding_near_dup": lambda s, d: similarity.embedding_near_dup_pairs(
@@ -243,6 +249,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ivf_lists_refined": osql.ivf_lists_refined(),
         "q_ivf_topk": osql.ivf_topk(PROBE_VEC_IDS, k=5),
         "q_ivf_topk_refined": osql.ivf_topk_refined(PROBE_VEC_IDS, k=5),
+        "q_pq_codes": osql.pq_codes(),
+        "q_pq_adc_topk": osql.pq_adc_topk(PROBE_VEC_IDS, topk=5),
         "q_events_tumbling": osql.tumbling_counts(),
         "q_events_sliding": osql.sliding_counts(),
         "q_events_sessions": osql.session_windows(),

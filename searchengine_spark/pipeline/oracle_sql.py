@@ -808,3 +808,91 @@ labels AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY n
 SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN labels l USING (doc_id)
 """
+
+
+def _pq_cb_cte(n_sub: int, k: int, sub_len: int) -> str:
+    """CTE chain producing the PQ codebook (m, code, centroid) + the
+    subvector table sv — twin of pq.pq_codebooks."""
+    l2 = (f"list_sum([ (sv.sub[i] - c.centroid[i]) * (sv.sub[i] - c.centroid[i]) "
+          f"for i in generate_series(1, {sub_len})])")
+    return f"""seeds AS (
+  SELECT embedding, row_number() OVER (ORDER BY vec_id ASC) - 1 AS code
+  FROM embeddings ORDER BY vec_id ASC LIMIT {k}
+),
+seed_cb AS (
+  SELECT t.m AS m, s.code,
+         [s.embedding[i]::DOUBLE for i in generate_series(t.m*{sub_len}+1, t.m*{sub_len}+{sub_len})] AS centroid
+  FROM seeds s, range({n_sub}) t(m)
+),
+sv AS (
+  SELECT e.vec_id, t.m AS m,
+         [e.embedding[i]::DOUBLE for i in generate_series(t.m*{sub_len}+1, t.m*{sub_len}+{sub_len})] AS sub
+  FROM embeddings e, range({n_sub}) t(m)
+),
+svcells AS (
+  -- per-dimension cells straight off the base table (a lateral cannot
+  -- reference a CTE-computed list in DuckDB, so slice here by arithmetic)
+  SELECT e.vec_id, ((p.i - 1) // {sub_len})::INT AS m,
+         ((p.i - 1) % {sub_len} + 1)::INT AS pos, e.embedding[p.i]::DOUBLE AS val
+  FROM embeddings e, range(1, {n_sub} * {sub_len} + 1) p(i)
+),
+assign0 AS (
+  SELECT vec_id, m, code FROM (
+    SELECT sv.vec_id, sv.m, c.code,
+      row_number() OVER (PARTITION BY sv.vec_id, sv.m
+                         ORDER BY {l2} ASC, c.code ASC) AS rn
+    FROM sv JOIN seed_cb c USING (m)
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT a.m, a.code, sc.pos, round(avg(sc.val), 6) AS mv
+  FROM assign0 a JOIN svcells sc ON sc.vec_id = a.vec_id AND sc.m = a.m
+  GROUP BY 1, 2, 3
+),
+means AS (SELECT m, code, list(mv ORDER BY pos) AS mcent FROM cells GROUP BY m, code),
+cb AS (
+  SELECT s.m, s.code, coalesce(mn.mcent, s.centroid) AS centroid
+  FROM seed_cb s LEFT JOIN means mn USING (m, code)
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT sv.vec_id, sv.m, c.code,
+      row_number() OVER (PARTITION BY sv.vec_id, sv.m
+                         ORDER BY {l2} ASC, c.code ASC) AS rn
+    FROM sv JOIN cb c USING (m)
+  ) WHERE rn = 1
+)"""
+
+
+def pq_codes(n_sub: int = 8, k: int = 16, sub_len: int = 8) -> str:
+    """Twin of pq.pq_codes: the encoded corpus (vec_id, m, code)."""
+    return f"WITH {_pq_cb_cte(n_sub, k, sub_len)} SELECT vec_id, m, code FROM codes"
+
+
+def pq_adc_topk(probe_ids: list[int], topk: int = 5, n_sub: int = 8,
+                k: int = 16, sub_len: int = 8) -> str:
+    """Twin of pq.pq_adc_topk: asymmetric-distance top-k per probe."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+WITH {_pq_cb_cte(n_sub, k, sub_len)},
+psv AS (
+  SELECT vec_id AS probe_id, m, sub AS psub FROM sv WHERE vec_id IN ({ids})
+),
+dtab AS (
+  SELECT p.probe_id, c.m, c.code,
+    list_sum([ (p.psub[i] - c.centroid[i]) * (p.psub[i] - c.centroid[i])
+               for i in generate_series(1, {sub_len})]) AS d
+  FROM psv p JOIN cb c USING (m)
+),
+scored AS (
+  SELECT t.probe_id, codes.vec_id, round(sum(t.d), 6) AS adc
+  FROM codes JOIN dtab t USING (m, code)
+  WHERE codes.vec_id <> t.probe_id
+  GROUP BY 1, 2
+)
+SELECT probe_id, vec_id, adc, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adc ASC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {topk}
+"""

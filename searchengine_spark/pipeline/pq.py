@@ -1,0 +1,160 @@
+"""Product quantization: compressed-domain approximate nearest neighbour.
+
+The third ANN family next to LSH (similarity.lsh_*) and IVF
+(similarity.ivf_*): each embedding is split into ``n_sub`` subvectors,
+each subvector quantized to one of ``k`` per-subspace centroids, so a
+64-dim float vector compresses to ``n_sub`` small codes (8 bytes here vs
+256) — at 10^12 scale the encoded corpus is what a query scans.  Queries
+score candidates with asymmetric distance computation (ADC): one tiny
+(n_sub × k) table of probe-to-centroid distances per query, then each
+candidate's approximate distance is a table-lookup sum over its codes —
+no float vector is touched after encoding.
+
+Codebooks are deterministic (seed = subvectors of the k lowest-id
+vectors, then one Lloyd step, means rounded so the DuckDB twin agrees
+across float summation orders — the ivf_centroids_refined convention).
+Plan shapes: codebook build = one corpus pass + a (n_sub × k × dim/n_sub)
+cell aggregation; encoding = broadcast-codebook join, no shuffle of the
+vectors; ADC = broadcast distance tables joined to the (vec_id, m, code)
+table, one hash agg per (probe, vec) pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from searchengine_spark.pipeline._cache import finalize
+
+PQ_M = 8   # subvectors
+PQ_K = 16  # centroids per subspace
+
+
+def _l2(a: Column, b: Column) -> Column:
+    """Squared L2 over two arrays — array-fold order, bit-identical to the
+    oracle's list_sum over the same expression."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dim_of(embeddings: DataFrame, vec_col: str) -> int:
+    return int(embeddings.select(F.size(F.col(vec_col))).first()[0])
+
+
+def _subvectors(embeddings: DataFrame, n_sub: int, sub_len: int,
+                id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, m, sub) — one row per subvector."""
+    entries = [
+        F.struct(F.lit(m).alias("m"),
+                 F.slice(F.col(vec_col), m * sub_len + 1, sub_len).alias("sub"))
+        for m in range(n_sub)
+    ]
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.explode(F.array(*entries)).alias("e"))
+        .select("vec_id", F.col("e.m").alias("m"), F.col("e.sub").alias("sub"))
+    )
+
+
+def _assign(sv: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(vec_id, m, code) — nearest centroid per subvector (L2 asc, code asc
+    tiebreak); codebooks broadcast."""
+    scored = sv.join(F.broadcast(codebooks), "m").withColumn(
+        "d", _l2(F.col("sub"), F.col("centroid"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("code"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+
+
+def pq_codebooks(embeddings: DataFrame, n_sub: int = PQ_M, k: int = PQ_K,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(m, code, centroid array<double>) — seed from the k lowest-id
+    vectors' subvectors, one Lloyd refinement (assign all subvectors,
+    per-cell means rounded to 6); empty cells keep their seed."""
+    dim = _dim_of(embeddings, vec_col)
+    sub_len = dim // n_sub
+    seeds = (
+        embeddings.orderBy(F.col(id_col).asc()).limit(k)
+        .withColumn("code",
+                    F.row_number().over(Window.orderBy(F.col(id_col).asc())) - 1)
+    )
+    seed_cb = (
+        _subvectors(seeds.select(F.col("code").alias(id_col), vec_col),
+                    n_sub, sub_len, id_col, vec_col)
+        .select(F.col("m"), F.col("vec_id").cast("int").alias("code"),
+                F.transform("sub", lambda x: x.cast("double")).alias("centroid"))
+    )
+    sv = _subvectors(embeddings, n_sub, sub_len, id_col, vec_col)
+    assign0 = _assign(sv, seed_cb)
+    cells = (
+        assign0.join(sv, ["vec_id", "m"])
+        .select("m", "code", F.posexplode("sub").alias("pos", "val"))
+        .groupBy("m", "code", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mv"))
+    )
+    means = (
+        cells.groupBy("m", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm"))
+        .select("m", "code",
+                F.transform(F.col("pm"), lambda s: s.getField("mv")).alias("mcent"))
+    )
+    return (
+        seed_cb.withColumnRenamed("centroid", "scent")
+        .join(means, ["m", "code"], "left")
+        .select("m", "code",
+                F.coalesce(F.col("mcent"), F.col("scent")).alias("centroid"))
+    )
+
+
+def pq_codes(embeddings: DataFrame, n_sub: int = PQ_M, k: int = PQ_K,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, m, code) — the encoded corpus (n_sub codes per vector)."""
+    cb = finalize(pq_codebooks(embeddings, n_sub, k, id_col, vec_col))
+    dim = _dim_of(embeddings, vec_col)
+    sv = _subvectors(embeddings, n_sub, dim // n_sub, id_col, vec_col)
+    return _assign(sv, cb)
+
+
+def pq_adc_topk(embeddings: DataFrame, probe_ids: list[int], topk: int = 5,
+                n_sub: int = PQ_M, k: int = PQ_K,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(probe_id, vec_id, adc, rank) — top-k by ascending asymmetric
+    distance: per probe a (n_sub × k) distance table, per candidate a
+    lookup-sum over its codes.  The codes table is the only corpus-sized
+    input; the probe tables broadcast."""
+    cb = finalize(pq_codebooks(embeddings, n_sub, k, id_col, vec_col))
+    dim = _dim_of(embeddings, vec_col)
+    sub_len = dim // n_sub
+    codes = _assign(_subvectors(embeddings, n_sub, sub_len, id_col, vec_col), cb)
+
+    probes = embeddings.filter(F.col(id_col).isin(probe_ids))
+    psv = (
+        _subvectors(probes, n_sub, sub_len, id_col, vec_col)
+        .select(F.col("vec_id").alias("probe_id"), "m",
+                F.col("sub").alias("psub"))
+    )
+    dtab = psv.join(F.broadcast(cb), "m").select(
+        "probe_id", "m", "code", _l2(F.col("psub"), F.col("centroid")).alias("d")
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        # 8-term float sum: merge order floats, so round like the cosine
+        # queries do — both engines agree at 6 decimals
+        .agg(F.round(F.sum("d"), 6).alias("adc"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("probe_id", "vec_id", "adc", "rank")
+    )

@@ -101,3 +101,24 @@ def test_ivf_refined_improves_quantization(spark):
     assert any(
         abs(cents[i][0] - float(seeds[i][0])) > 1e-9 for i in cents
     )
+
+
+def test_pq_codes_shape(spark, planted):
+    from searchengine_spark.pipeline import pq as PQ
+
+    codes = PQ.pq_codes(planted)
+    assert codes.count() == planted.count() * PQ.PQ_M
+    assert codes.agg(F.max("code")).first()[0] < PQ.PQ_K
+    assert codes.agg(F.min("code")).first()[0] >= 0
+
+
+def test_pq_adc_finds_planted_near_dups(spark, planted):
+    """ADC over 8-byte codes still ranks each planted near-copy first for
+    its base vector — the compressed-domain search works."""
+    from searchengine_spark.pipeline import pq as PQ
+
+    probes = [0, 1, 2, 3]
+    got = PQ.pq_adc_topk(planted, probes, topk=3).collect()
+    top1 = {r.probe_id: r.vec_id for r in got if r.rank == 1}
+    hits = sum(1 for p in probes if top1.get(p) == 1000 + p)
+    assert hits >= 3, top1  # PQ is lossy, but near-copies dominate ADC
