@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_scores": lambda s, d: textstats.quality_scores(_docs(s, d)),
         "q_language_id": lambda s, d: textstats.language_id(_docs(s, d)),
         "q_fingerprints": lambda s, d: textstats.fingerprints(_docs(s, d)),
+        # C4/Gopher repetition + published Gopher quality rules
+        "q_repetition_scores": lambda s, d: textstats.repetition_scores(_docs(s, d)),
+        "q_gopher_flags": lambda s, d: textstats.gopher_quality_flags(_docs(s, d)),
         # similarity search suite
         "q_cosine_topk": lambda s, d: similarity.cosine_topk(
             _emb(s, d), PROBE_VEC_IDS, k=5
@@ -242,6 +245,8 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_scores": osql.quality_scores(),
         "q_language_id": osql.language_id(),
         "q_fingerprints": osql.fingerprints(),
+        "q_repetition_scores": osql.repetition_scores(),
+        "q_gopher_flags": osql.gopher_quality_flags(),
         "q_cosine_topk": osql.cosine_topk(PROBE_VEC_IDS, k=5),
         "q_embedding_lsh_buckets": osql.embedding_lsh_buckets(),
         "q_lsh_cosine_topk": osql.lsh_cosine_topk(PROBE_VEC_IDS, k=5),

@@ -896,3 +896,84 @@ SELECT probe_id, vec_id, adc, rank FROM (
   FROM scored
 ) WHERE rank <= {topk}
 """
+
+
+def repetition_scores() -> str:
+    """Twin of textstats.repetition_scores."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                s -> s <> '') AS lines,
+    {_TOKARR} AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+    len(lines)::BIGINT AS n_lines,
+    len(list_distinct(lines))::BIGINT AS n_distinct_lines,
+    CASE WHEN len(toks) >= 2
+         THEN [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)]
+         ELSE []::VARCHAR[] END AS bigrams
+  FROM d
+),
+ex AS (
+  SELECT doc_id, len(bigrams)::BIGINT AS n_bigrams, unnest(bigrams) AS bg
+  FROM base
+),
+counts AS (SELECT doc_id, n_bigrams, bg, count(*) AS c FROM ex GROUP BY 1, 2, 3),
+top AS (SELECT doc_id, any_value(n_bigrams) AS n_bigrams, max(c) AS top_bg
+        FROM counts GROUP BY doc_id)
+SELECT b.doc_id, b.n_lines,
+  round(CASE WHEN b.n_lines > 0
+             THEN 1.0 - b.n_distinct_lines::DOUBLE / b.n_lines
+             ELSE 0.0 END, 4) AS dup_line_ratio,
+  round(coalesce(t.top_bg::DOUBLE / t.n_bigrams, 0.0), 4) AS top_bigram_ratio
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
+def gopher_quality_flags() -> str:
+    """Twin of textstats.gopher_quality_flags (same thresholds)."""
+    markers = ", ".join(f"'{m}'" for m in EN_MARKERS)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    {_TOKARR} AS toks,
+    list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                s -> s <> '') AS lines,
+    ((length(text) - length(replace(text, '#', '')))
+     + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE AS n_symbols
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_words,
+    round(CASE WHEN len(toks) > 0
+               THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+               ELSE 0.0 END, 4) AS mean_word_len,
+    n_symbols / greatest(len(toks), 1)::DOUBLE AS symbol_ratio,
+    len(list_filter(lines, s -> s LIKE '- %' OR s LIKE '* %' OR s LIKE '• %'))
+      / greatest(len(lines), 1)::DOUBLE AS bullet_ratio,
+    len(list_filter(lines, s -> s LIKE '%...'))
+      / greatest(len(lines), 1)::DOUBLE AS ellipsis_ratio,
+    len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+      / greatest(len(toks), 1)::DOUBLE AS alpha_ratio,
+    len(list_intersect(list_distinct(toks), [{markers}]))::INT AS n_markers
+  FROM d
+)
+SELECT doc_id, n_words, mean_word_len,
+  (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+  (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+  (bullet_ratio <= 0.9) AS ok_bullets,
+  (ellipsis_ratio <= 0.3) AS ok_ellipsis,
+  (alpha_ratio >= 0.8) AS ok_alpha_words,
+  (n_markers >= 2) AS ok_stopwords,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+   AND (symbol_ratio <= 0.1) AND (bullet_ratio <= 0.9)
+   AND (ellipsis_ratio <= 0.3) AND (alpha_ratio >= 0.8)
+   AND (n_markers >= 2)) AS gopher_pass
+FROM m
+"""

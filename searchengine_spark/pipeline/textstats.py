@@ -132,3 +132,122 @@ def fingerprints(documents: DataFrame, id_col: str = "doc_id",
         .groupBy("doc_id")
         .agg(F.sum("h").cast("long").alias("fingerprint"))
     )
+
+
+def repetition_scores(documents: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(doc_id, n_lines, dup_line_ratio, top_bigram_ratio) — the C4/Gopher
+    repetition filters: duplicate-line fraction and the share of the
+    document's token 2-grams taken by its single most frequent 2-gram
+    (boilerplate/spam detector).  Line stats are per-row array ops; the
+    bigram mode is one explode + two hash aggs (tf-table shape)."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_distinct_lines"),
+        toks.alias("toks"),
+    ).withColumn(
+        "bigrams",
+        F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    ex = base.select(
+        "doc_id", "n_lines", "n_distinct_lines",
+        F.size("bigrams").cast("long").alias("n_bigrams"),
+        F.explode_outer("bigrams").alias("bg"),
+    )
+    counts = ex.groupBy("doc_id", "n_lines", "n_distinct_lines",
+                        "n_bigrams", "bg").agg(F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy("doc_id", "n_lines", "n_distinct_lines", "n_bigrams").agg(
+        F.max(F.when(F.col("bg").isNotNull(), F.col("c")).otherwise(0)).alias("top_bg")
+    )
+    return agg.select(
+        "doc_id", "n_lines",
+        F.round(
+            F.when(F.col("n_lines") > 0,
+                   1.0 - F.col("n_distinct_lines").cast("double")
+                   / F.col("n_lines")).otherwise(0.0), 4
+        ).alias("dup_line_ratio"),
+        F.round(
+            F.when(F.col("n_bigrams") > 0,
+                   F.col("top_bg").cast("double") / F.col("n_bigrams"))
+            .otherwise(0.0), 4
+        ).alias("top_bigram_ratio"),
+    )
+
+
+def gopher_quality_flags(documents: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, mean_word_len, ok_* flags, gopher_pass) — the
+    published Gopher document-quality rules (Rae et al. 2021, public):
+    50 <= words <= 100k, 3 <= mean word length <= 10, symbol-to-word
+    ratio <= 0.1 (# and ellipsis), <= 90% bullet lines, <= 30% lines
+    ending in an ellipsis, >= 80% words with an alphabetic char, >= 2
+    distinct English stopword markers.  Pure column arithmetic."""
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    txt = F.col(text_col)
+    n_hash = F.length(txt) - F.length(F.regexp_replace(txt, "#", ""))
+    n_ellipsis = (
+        F.length(txt) - F.length(F.regexp_replace(txt, "\\.\\.\\.", ""))
+    ) / 3
+    marker_arr = F.array(*[F.lit(m) for m in EN_MARKERS])
+    d = documents.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        lines.alias("lines"),
+        (n_hash + n_ellipsis).cast("double").alias("n_symbols"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.round(
+            F.when(F.size("toks") > 0,
+                   F.aggregate("toks", F.lit(0).cast("long"),
+                               lambda acc, t: acc + F.length(t)).cast("double")
+                   / F.size("toks")).otherwise(0.0), 4
+        ).alias("mean_word_len"),
+        (F.col("n_symbols") / F.greatest(F.size("toks"), F.lit(1)).cast("double"))
+        .alias("symbol_ratio"),
+        (F.size(F.filter(F.col("lines"),
+                         lambda s: s.startswith("- ") | s.startswith("* ")
+                         | s.startswith("• ")))
+         / F.greatest(F.size("lines"), F.lit(1)).cast("double")).alias("bullet_ratio"),
+        (F.size(F.filter(F.col("lines"), lambda s: s.endswith("...")))
+         / F.greatest(F.size("lines"), F.lit(1)).cast("double")).alias("ellipsis_ratio"),
+        (F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-z]")))
+         / F.greatest(F.size("toks"), F.lit(1)).cast("double")).alias("alpha_ratio"),
+        F.size(F.array_intersect(F.array_distinct("toks"), marker_arr))
+        .alias("n_markers"),
+    )
+    flags = d.select(
+        "doc_id", "n_words", "mean_word_len",
+        ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000)).alias("ok_word_count"),
+        ((F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0))
+        .alias("ok_mean_word_len"),
+        (F.col("symbol_ratio") <= 0.1).alias("ok_symbol_ratio"),
+        (F.col("bullet_ratio") <= 0.9).alias("ok_bullets"),
+        (F.col("ellipsis_ratio") <= 0.3).alias("ok_ellipsis"),
+        (F.col("alpha_ratio") >= 0.8).alias("ok_alpha_words"),
+        (F.col("n_markers") >= 2).alias("ok_stopwords"),
+    )
+    return flags.withColumn(
+        "gopher_pass",
+        F.col("ok_word_count") & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio") & F.col("ok_bullets") & F.col("ok_ellipsis")
+        & F.col("ok_alpha_words") & F.col("ok_stopwords"),
+    )

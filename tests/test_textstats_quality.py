@@ -1,0 +1,46 @@
+"""Repetition + Gopher quality filters on crafted documents."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.pipeline.textstats import (
+    gopher_quality_flags,
+    repetition_scores,
+)
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    natural = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "rests in the shade of a tall tree while the dog watches for a "
+        "long while before they both wander off to find some food and "
+        "water near the old farm house by the river bank in the evening"
+    )
+    rows = [
+        (1, natural),
+        (2, "spam spam spam spam spam spam spam spam spam spam"),  # one bigram
+        (3, "alpha\nalpha\nalpha\nbeta"),  # duplicate lines
+        (4, "- one\n- two\n- three"),  # all bullets
+        (5, "x"),  # tiny
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_scores(spark, crafted):
+    out = {r.doc_id: r for r in repetition_scores(crafted).collect()}
+    assert out[2].top_bigram_ratio == 1.0  # one repeated bigram dominates
+    assert out[3].n_lines == 4
+    assert out[3].dup_line_ratio == 0.5  # 2 distinct of 4 lines
+    assert out[1].top_bigram_ratio < 0.2  # natural text
+    assert out[5].top_bigram_ratio == 0.0  # no bigrams -> 0, not null
+
+
+def test_gopher_flags(spark, crafted):
+    out = {r.doc_id: r for r in gopher_quality_flags(crafted).collect()}
+    assert out[1].gopher_pass  # natural 60-word English text passes
+    assert not out[5].ok_word_count  # tiny doc fails word count
+    assert not out[4].ok_bullets  # 100% bullet lines
+    assert not out[2].ok_stopwords  # no English markers in spam
+    assert out[1].ok_alpha_words and out[1].ok_mean_word_len
