@@ -38,6 +38,8 @@ HEADLINE = [
     "q_wand_distributed_and2",
     "q_dedup_exact",
     "q_lsh_candidate_pairs",
+    "q_lsh_jaccard_verified",
+    "q_dup_clusters",
     "q_simhash",
     "q_simhash_near_pairs",
     "q_token_counts",
@@ -46,7 +48,10 @@ HEADLINE = [
     "q_fingerprints",
     "q_cosine_topk",
     "q_embedding_near_dup",
+    "q_embedding_near_dup_banded",
     "q_ivf_topk",
+    "q_pq_adc_topk",
+    "q_gopher_flags",
     "q_events_tumbling",
     "q_events_sessions",
 ]
