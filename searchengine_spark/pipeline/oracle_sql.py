@@ -209,11 +209,21 @@ FROM e
 """
 
 
-def language_id(threshold: float = 0.05) -> str:
+def language_id(threshold: float = 0.05, cyr_threshold: float = 0.3) -> str:
     return f"""
-SELECT doc_id, marker_ratio,
-       CASE WHEN marker_ratio >= {threshold} THEN 'en' ELSE 'unknown' END AS lang_pred
-FROM ({quality_scores()})
+WITH q AS ({quality_scores()}),
+cyr AS (
+  SELECT doc_id,
+    round(length(regexp_replace(lower(text), '[^а-яё]', '', 'g'))
+          / greatest(length(regexp_replace(lower(text), '[^a-zа-яё]', '', 'g')),
+                     1)::DOUBLE, 4) AS cyrillic_ratio
+  FROM documents
+)
+SELECT q.doc_id, q.marker_ratio, cyr.cyrillic_ratio,
+       CASE WHEN cyr.cyrillic_ratio >= {cyr_threshold} THEN 'ru'
+            WHEN q.marker_ratio >= {threshold} THEN 'en'
+            ELSE 'unknown' END AS lang_pred
+FROM q JOIN cyr USING (doc_id)
 """
 
 

@@ -105,13 +105,30 @@ def quality_scores(documents: DataFrame, id_col: str = "doc_id",
 
 
 def language_id(documents: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text", threshold: float = 0.05) -> DataFrame:
-    """(doc_id, marker_ratio, lang_pred) — stopword-marker heuristic."""
+                text_col: str = "text", threshold: float = 0.05,
+                cyr_threshold: float = 0.3) -> DataFrame:
+    """(doc_id, marker_ratio, cyrillic_ratio, lang_pred) — script ratio +
+    stopword-marker heuristic: Cyrillic-dominant text is 'ru', marker-rich
+    Latin text is 'en', else 'unknown' (the corpus is bilingual)."""
     q = quality_scores(documents, id_col, text_col)
-    return q.select(
+    cyr = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(
+            F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^а-яё]", ""))
+            / F.greatest(
+                F.length(F.regexp_replace(F.lower(F.col(text_col)),
+                                          "[^a-zа-яё]", "")),
+                F.lit(1),
+            ).cast("double"),
+            4,
+        ).alias("cyrillic_ratio"),
+    )
+    return q.join(cyr, "doc_id").select(
         "doc_id",
         "marker_ratio",
-        F.when(F.col("marker_ratio") >= threshold, F.lit("en"))
+        "cyrillic_ratio",
+        F.when(F.col("cyrillic_ratio") >= cyr_threshold, F.lit("ru"))
+        .when(F.col("marker_ratio") >= threshold, F.lit("en"))
         .otherwise(F.lit("unknown"))
         .alias("lang_pred"),
     )

@@ -44,3 +44,16 @@ def test_gopher_flags(spark, crafted):
     assert not out[4].ok_bullets  # 100% bullet lines
     assert not out[2].ok_stopwords  # no English markers in spam
     assert out[1].ok_alpha_words and out[1].ok_mean_word_len
+
+
+def test_language_id_detects_scripts(spark):
+    from searchengine_spark.pipeline.textstats import language_id
+
+    rows = [
+        (1, "the quick brown fox and the lazy dog of the north"),
+        (2, "повторное появление леопарда в осетии позволяет предположить"),
+        (3, "zxqv mklp qrst uvwx"),  # neither markers nor cyrillic
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert out == {1: "en", 2: "ru", 3: "unknown"}
