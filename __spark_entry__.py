@@ -26,12 +26,15 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from searchengine_spark.pipeline import (  # noqa: E402
+    decontam,
     dedup,
     events,
     fulltext,
     multimodal,
     oracle_sql as osql,
+    pii,
     pq,
+    sampling,
     similarity,
     textstats,
 )
@@ -203,6 +206,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (stubbed codecs, real Spark schema/batch path);
         # the fake format's payload is an SQL-reproducible sha256 hex chain,
         # so both queries are fully value-hash gated against DuckDB twins
+        # round-2 pipeline extensions
+        "q_decontam_flags": lambda s, d: decontam.contamination_flags(_docs(s, d)),
+        "q_pii_scan": lambda s, d: pii.pii_scan(_docs(s, d)),
+        "q_pii_redact": lambda s, d: pii.pii_redact_digest(_docs(s, d)),
+        "q_sample_stratified": lambda s, d: sampling.stratified_sample(_docs(s, d)),
+
         "q_media_features": lambda s, d: multimodal.extract_features(
             multimodal.synth_media(_docs(s, d))
         ),
@@ -263,6 +272,10 @@ def oracle_sql() -> dict[str, str]:
         "q_embedding_near_dup_banded": osql.embedding_near_dup_pairs_banded(
             threshold=0.3, n_bands=4, n_bits=4
         ),
+        "q_decontam_flags": osql.contamination_flags(),
+        "q_pii_scan": osql.pii_scan(),
+        "q_pii_redact": osql.pii_redact_digest(),
+        "q_sample_stratified": osql.stratified_sample(),
         "q_media_features": osql.media_features(),
         "q_media_frame_sample": osql.media_frame_sample(every=2),
     }

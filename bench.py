@@ -52,6 +52,10 @@ HEADLINE = [
     "q_ivf_topk",
     "q_pq_adc_topk",
     "q_gopher_flags",
+    "q_decontam_flags",
+    "q_pii_scan",
+    "q_pii_redact",
+    "q_sample_stratified",
     "q_events_tumbling",
     "q_events_sessions",
 ]

@@ -1,0 +1,49 @@
+"""Test-set decontamination: flag training documents sharing n-grams with
+an evaluation split.
+
+The published pipeline shape (GPT-3 appendix C / Llama data prep, public):
+shingle both sides into token n-grams, mark any training document that
+shares at least one n-gram with any eval document.
+
+Scale design: the eval side is a benchmark suite — thousands of documents
+against a 100 TB training corpus — so its distinct-shingle set is tiny and
+is BROADCAST to every executor; the training shingles stream through a
+map-side hash semi-join with no shuffle of the big side.  The per-doc
+aggregation shuffles only the matching (doc_id, shingle) hits, which is the
+contaminated sliver, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from searchengine_spark.pipeline.dedup import shingles
+
+
+def contamination_flags(documents: DataFrame, n: int = 5, eval_mod: int = 50,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(doc_id, n_shared, contaminated) for every TRAINING document.
+
+    The eval split is carved deterministically from the same table
+    (doc_id % eval_mod == 0) so tests and the DuckDB oracle need no second
+    input; production passes a real benchmark table through the same plan.
+    n_shared = distinct n-grams the doc shares with ANY eval doc.
+    """
+    docs = documents.select(F.col(id_col).alias("doc_id"),
+                            F.col(text_col).alias("text"))
+    sh = shingles(docs, n)  # (doc_id, shingle) distinct per doc
+    is_eval = (F.col("doc_id") % eval_mod) == 0
+    eval_shingles = sh.filter(is_eval).select("shingle").distinct()
+    train_shingles = sh.filter(~is_eval)
+    hits = (
+        train_shingles.join(F.broadcast(eval_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    train_docs = docs.filter(~is_eval).select("doc_id")
+    return train_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -987,3 +987,88 @@ SELECT doc_id, n_words, mean_word_len,
    AND (n_markers >= 2)) AS gopher_pass
 FROM m
 """
+
+
+# round-2 pipeline extensions: decontamination, PII, mixture sampling ------
+
+def contamination_flags(n: int = 5, eval_mod: int = 50) -> str:
+    """DuckDB twin of pipeline/decontam.py contamination_flags."""
+    concat = " || ' ' || ".join(f"arr[i+{j}]" for j in range(n))
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKARR} AS arr FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest([{concat} for i in generate_series(1, len(arr) - {n - 1})]) AS shingle
+  FROM d WHERE len(arr) >= {n}
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {eval_mod} = 0),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_shared
+  FROM sh JOIN ev USING (shingle)
+  WHERE doc_id % {eval_mod} <> 0
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(h.n_shared, 0)::BIGINT AS n_shared,
+       coalesce(h.n_shared, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {eval_mod} <> 0) t
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def pii_scan() -> str:
+    """DuckDB twin of pipeline/pii.py pii_scan (RE2 and Java accept the
+    same pattern language by construction — see PII_PATTERNS)."""
+    from searchengine_spark.pipeline.pii import PII_PATTERNS
+
+    cols = ",\n         ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""
+SELECT doc_id, {", ".join("n_" + n for n, _, _ in PII_PATTERNS)},
+       ({total}) > 0 AS has_pii
+FROM (
+  SELECT doc_id,
+         {cols}
+  FROM documents
+)
+"""
+
+
+def pii_redact_digest() -> str:
+    """DuckDB twin of pipeline/pii.py pii_redact_digest (sha256 of the
+    redacted text; 'g' flag because DuckDB replaces first-match by default
+    while Spark replaces all)."""
+    from searchengine_spark.pipeline.pii import PII_PATTERNS
+
+    expr = "text"
+    for _, pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return f"SELECT doc_id, sha256({expr}) AS redacted_sha FROM documents"
+
+
+def stratified_sample(rates: dict[str, float] | None = None,
+                      salt: str = "mix1") -> str:
+    """DuckDB twin of pipeline/sampling.py stratified_sample."""
+    from searchengine_spark.pipeline.sampling import DEFAULT_RATES, SAMPLE_RESOLUTION
+
+    rates = DEFAULT_RATES if rates is None else rates
+    case = ("CASE "
+            + " ".join(f"WHEN lang_pred = '{s}' THEN {float(r)}"
+                       for s, r in rates.items())
+            + " ELSE 0.0 END")
+    u = f"('0x' || substr(md5('{salt}' || ':' || doc_id::VARCHAR), 1, 12))::BIGINT"
+    return f"""
+WITH lang AS ({language_id()}),
+w AS (
+  SELECT doc_id, lang_pred,
+         {u} % {SAMPLE_RESOLUTION} AS u,
+         ({case})::DOUBLE AS rate
+  FROM lang
+)
+SELECT doc_id, lang_pred, round(1.0 / rate, 6) AS weight
+FROM w WHERE u < rate * {SAMPLE_RESOLUTION}
+"""

@@ -1,0 +1,72 @@
+"""PII / secret scanning and redaction for training-data pipelines.
+
+Four published, format-defined patterns (all deliberately regex-language
+portable: no backreferences or lookaround, so Java regex (Spark) and RE2
+(DuckDB) accept the same language and the oracle twin is value-exact):
+
+- email addresses,
+- IPv4 literals,
+- long bare digit runs (phone-number shaped),
+- AWS access key ids (the public ``AKIA...`` format).
+
+``pii_scan`` counts matches per document (pure JVM regexp, codegen'd);
+``pii_redact`` replaces matches with typed placeholder tokens in a fixed
+pattern order so re-running is idempotent and both engines agree
+byte-for-byte (the gate compares sha256 of the redacted text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ordered: redaction applies top to bottom (email first so its digits are
+# gone before the digit-run pass; AWSKEY before nothing it overlaps)
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("aws_key", "AKIA[0-9A-Z]{16}", "<AWSKEY>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\b[0-9]{10,11}\\b", "<PHONE>"),
+]
+
+
+def pii_scan(documents: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """(doc_id, n_email, n_aws_key, n_ipv4, n_phone, has_pii)."""
+    txt = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(txt, F.lit(pat), 0)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    d = documents.select(F.col(id_col).alias("doc_id"), *counts)
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return d.withColumn("has_pii", total > 0)
+
+
+def _redacted_col(txt: Column) -> Column:
+    out = txt
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_redact(documents: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, redacted) — text with every PII match replaced by its
+    placeholder, in the fixed PII_PATTERNS order."""
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        _redacted_col(F.col(text_col)).alias("redacted"),
+    )
+
+
+def pii_redact_digest(documents: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(doc_id, redacted_sha) — gate-friendly shape: sha256 of the redacted
+    text proves byte-exact redaction parity without shipping full text."""
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(_redacted_col(F.col(text_col)).cast("binary"), 256).alias("redacted_sha"),
+    )

@@ -1,0 +1,54 @@
+"""Deterministic stratified mixture sampling for training-data pipelines.
+
+The "data mixing" step: given per-document strata (here the language from
+textstats.language_id), keep each document with a per-stratum rate and carry
+an importance weight = 1/rate so downstream token counts stay unbiased.
+
+Determinism: the keep decision is md5(salt:doc_id) reduced to a uniform
+integer in [0, 1e6) compared against rate*1e6 — a pure column expression,
+identical in Spark / DuckDB / Python, reproducible run-over-run (changing
+the salt draws a fresh sample).  No RNG state, no sort, no shuffle beyond
+language_id's own join: at 100 TB this is a map-only filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from searchengine_spark.pipeline.hashing import md5_long
+from searchengine_spark.pipeline.textstats import language_id
+
+SAMPLE_RESOLUTION = 1_000_000
+
+# default mixture: keep all Russian (scarce), half English, a tenth of
+# unidentified text — the usual scarce-language upweighting shape
+DEFAULT_RATES: dict[str, float] = {"ru": 1.0, "en": 0.5, "unknown": 0.1}
+
+
+def stratified_sample(documents: DataFrame, rates: dict[str, float] | None = None,
+                      salt: str = "mix1", id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, weight) — the sampled documents only.
+
+    weight = 1/rate of the document's stratum (rounded to 6), so
+    sum(weight * anything) estimates the pre-sampling total.
+    """
+    rates = DEFAULT_RATES if rates is None else rates
+    lang = language_id(documents, id_col, text_col).select("doc_id", "lang_pred")
+    u = md5_long(
+        F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string")), 12
+    ) % F.lit(SAMPLE_RESOLUTION)
+
+    rate = F.lit(0.0)
+    for stratum, r in rates.items():
+        rate = F.when(F.col("lang_pred") == stratum, F.lit(float(r))).otherwise(rate)
+    return (
+        lang.withColumn("_u", u)
+        .withColumn("_rate", rate)
+        .filter(F.col("_u") < F.col("_rate") * SAMPLE_RESOLUTION)
+        .select(
+            "doc_id",
+            "lang_pred",
+            F.round(F.lit(1.0) / F.col("_rate"), 6).alias("weight"),
+        )
+    )
