@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from searchengine_spark.pipeline import (  # noqa: E402
+    curation,
     decontam,
     dedup,
     events,
@@ -211,6 +212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scan": lambda s, d: pii.pii_scan(_docs(s, d)),
         "q_pii_redact": lambda s, d: pii.pii_redact_digest(_docs(s, d)),
         "q_sample_stratified": lambda s, d: sampling.stratified_sample(_docs(s, d)),
+        "q_curated_corpus": lambda s, d: curation.curated_corpus(_docs(s, d)),
+        "q_mixture_stats": lambda s, d: curation.corpus_mixture_stats(_docs(s, d)),
 
         "q_media_features": lambda s, d: multimodal.extract_features(
             multimodal.synth_media(_docs(s, d))
@@ -276,6 +279,8 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_scan": osql.pii_scan(),
         "q_pii_redact": osql.pii_redact_digest(),
         "q_sample_stratified": osql.stratified_sample(),
+        "q_curated_corpus": osql.curated_corpus(),
+        "q_mixture_stats": osql.corpus_mixture_stats(),
         "q_media_features": osql.media_features(),
         "q_media_frame_sample": osql.media_frame_sample(every=2),
     }

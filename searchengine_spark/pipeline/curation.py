@@ -1,0 +1,124 @@
+"""End-to-end training-data curation: the composed pipeline a corpus user
+actually runs — quality filter, PII redaction, test-set decontamination,
+and mixture sampling in one plan.
+
+Composition order (each stage published separately in this package):
+
+1. quality gate — the Gopher document rules (textstats.gopher_quality_flags)
+   with one documented adjustment: the English-stopword-marker rule is
+   applied only to documents language_id classifies as 'en' (a marker list
+   for one language must not veto the other strata; Gopher itself used
+   per-language marker lists).
+2. decontamination — drop documents sharing any eval-split n-gram
+   (decontam.contaminated_ids).
+3. PII — REDACTED, not dropped: the output carries pii.redacted_sha_col's
+   sha256 so a sink can verify it stored the scrubbed bytes.
+4. mixture sampling — deterministic salted keep per language stratum with
+   1/rate importance weights (sampling.uniform_col/rate_col).
+
+Scale design — ONE scan of the corpus, not one per stage: every per-row
+signal (Gopher metrics, language ID, token count, redaction digest, the
+sampling decision) is a column expression built from the SAME shared
+builders the oracle-gated stage queries use, so the whole chain is a single
+projection+filter over one pass of `text` inside whole-stage codegen.  The
+only join is a left-anti against the contaminated-id sliver (its probe side
+is a broadcast of the tiny eval shingle set, so nothing but matches
+shuffles).  At 100 TB the plan is: scan, filter, one small anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from searchengine_spark.pipeline.decontam import contaminated_ids
+from searchengine_spark.pipeline.pii import redacted_sha_col
+from searchengine_spark.pipeline.sampling import (
+    DEFAULT_RATES,
+    SAMPLE_RESOLUTION,
+    rate_col,
+    uniform_col,
+)
+from searchengine_spark.pipeline.textstats import (
+    cyrillic_ratio_col,
+    filtered_tokens,
+    gopher_flag_cols,
+    gopher_metric_cols,
+    lang_pred_col,
+    marker_frac_col,
+    symbols_count_col,
+    trimmed_lines,
+)
+
+# every Gopher rule except the EN-marker one, which is language-gated below
+_BASE_FLAGS = ["ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+               "ok_bullets", "ok_ellipsis", "ok_alpha_words"]
+
+
+def curated_corpus(documents: DataFrame, rates: dict[str, float] | None = None,
+                   salt: str = "mix1", n: int = 5, eval_mod: int = 50,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, weight, n_tokens, redacted_sha) — the documents
+    that survive quality + decontamination + sampling, with importance
+    weights and the digest of their PII-scrubbed text."""
+    rates = DEFAULT_RATES if rates is None else rates
+    base = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            filtered_tokens(text_col).alias("toks"),
+            trimmed_lines(text_col).alias("lines"),
+            symbols_count_col(text_col).alias("n_symbols"),
+            cyrillic_ratio_col(text_col).alias("cyrillic_ratio"),
+        )
+        .select(
+            "doc_id", "text", "cyrillic_ratio",
+            F.round(marker_frac_col(), 4).alias("marker_ratio"),
+            *gopher_metric_cols(),
+        )
+        .select(
+            "doc_id", "text", "n_words", "mean_word_len",
+            lang_pred_col().alias("lang_pred"),
+            *gopher_flag_cols(),
+        )
+    )
+    quality_ok = F.lit(True)
+    for c in _BASE_FLAGS:
+        quality_ok = quality_ok & F.col(c)
+    quality_ok = quality_ok & ((F.col("lang_pred") != "en") | F.col("ok_stopwords"))
+    kept = (
+        base
+        .withColumn("_u", uniform_col(salt))
+        .withColumn("_rate", rate_col(rates))
+        .filter(
+            quality_ok
+            & (F.col("doc_id") % eval_mod != 0)          # eval split never trains
+            & (F.col("_u") < F.col("_rate") * SAMPLE_RESOLUTION)
+        )
+    )
+    return (
+        kept.join(contaminated_ids(documents, n, eval_mod, id_col, text_col),
+                  "doc_id", "left_anti")
+        .select(
+            "doc_id", "lang_pred",
+            F.round(F.lit(1.0) / F.col("_rate"), 6).alias("weight"),
+            F.col("n_words").alias("n_tokens"),
+            redacted_sha_col("text").alias("redacted_sha"),
+        )
+    )
+
+
+def corpus_mixture_stats(documents: DataFrame, rates: dict[str, float] | None = None,
+                         salt: str = "mix1", n: int = 5, eval_mod: int = 50,
+                         id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(lang_pred, n_docs_kept, est_docs, est_tokens) per stratum of the
+    curated corpus.  sum(weight) is the Horvitz-Thompson estimate of the
+    pre-sampling document count, sum(weight * n_tokens) of the token count
+    — the numbers a data-mixing plan is steered by.  The default-rate
+    weights are dyadic-exact doubles and the products are integral, so the
+    sums are order-independent and the DuckDB twin matches bit-for-bit."""
+    cur = curated_corpus(documents, rates, salt, n, eval_mod, id_col, text_col)
+    return cur.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("weight").alias("est_docs"),
+        F.sum(F.col("weight") * F.col("n_tokens")).alias("est_tokens"),
+    )

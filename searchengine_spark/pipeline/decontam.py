@@ -20,6 +20,29 @@ from pyspark.sql import DataFrame, functions as F
 from searchengine_spark.pipeline.dedup import shingles
 
 
+def _contamination_hits(documents: DataFrame, n: int, eval_mod: int,
+                        id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, n_shared) for training docs sharing >= 1 eval n-gram."""
+    docs = documents.select(F.col(id_col).alias("doc_id"),
+                            F.col(text_col).alias("text"))
+    sh = shingles(docs, n)  # (doc_id, shingle) distinct per doc
+    is_eval = (F.col("doc_id") % eval_mod) == 0
+    eval_shingles = sh.filter(is_eval).select("shingle").distinct()
+    return (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def contaminated_ids(documents: DataFrame, n: int = 5, eval_mod: int = 50,
+                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id) of contaminated training docs — the anti-join probe used by
+    pipeline/curation.py (only the contaminated sliver leaves the map side)."""
+    return _contamination_hits(documents, n, eval_mod, id_col, text_col).select("doc_id")
+
+
 def contamination_flags(documents: DataFrame, n: int = 5, eval_mod: int = 50,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
@@ -30,17 +53,9 @@ def contamination_flags(documents: DataFrame, n: int = 5, eval_mod: int = 50,
     input; production passes a real benchmark table through the same plan.
     n_shared = distinct n-grams the doc shares with ANY eval doc.
     """
-    docs = documents.select(F.col(id_col).alias("doc_id"),
-                            F.col(text_col).alias("text"))
-    sh = shingles(docs, n)  # (doc_id, shingle) distinct per doc
+    hits = _contamination_hits(documents, n, eval_mod, id_col, text_col)
+    docs = documents.select(F.col(id_col).alias("doc_id"))
     is_eval = (F.col("doc_id") % eval_mod) == 0
-    eval_shingles = sh.filter(is_eval).select("shingle").distinct()
-    train_shingles = sh.filter(~is_eval)
-    hits = (
-        train_shingles.join(F.broadcast(eval_shingles), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
     train_docs = docs.filter(~is_eval).select("doc_id")
     return train_docs.join(hits, "doc_id", "left").select(
         "doc_id",

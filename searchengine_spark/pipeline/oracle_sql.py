@@ -1072,3 +1072,36 @@ w AS (
 SELECT doc_id, lang_pred, round(1.0 / rate, 6) AS weight
 FROM w WHERE u < rate * {SAMPLE_RESOLUTION}
 """
+
+
+def curated_corpus(rates: dict[str, float] | None = None, salt: str = "mix1",
+                   n: int = 5, eval_mod: int = 50) -> str:
+    """DuckDB twin of pipeline/curation.py curated_corpus (CTE-composes the
+    per-stage twins exactly as the Spark plan composes the DataFrames)."""
+    from searchengine_spark.pipeline.curation import _BASE_FLAGS
+
+    base = " AND ".join(_BASE_FLAGS)
+    return f"""
+WITH s AS ({stratified_sample(rates, salt)}),
+g AS ({gopher_quality_flags()}),
+c AS ({contamination_flags(n, eval_mod)}),
+t AS ({token_counts()}),
+r AS ({pii_redact_digest()})
+SELECT s.doc_id, s.lang_pred, s.weight, t.n_tokens, r.redacted_sha
+FROM s JOIN g USING (doc_id) JOIN c USING (doc_id)
+       JOIN t USING (doc_id) JOIN r USING (doc_id)
+WHERE {base} AND (s.lang_pred <> 'en' OR ok_stopwords) AND NOT c.contaminated
+"""
+
+
+def corpus_mixture_stats(rates: dict[str, float] | None = None, salt: str = "mix1",
+                         n: int = 5, eval_mod: int = 50) -> str:
+    """DuckDB twin of pipeline/curation.py corpus_mixture_stats."""
+    return f"""
+WITH cur AS ({curated_corpus(rates, salt, n, eval_mod)})
+SELECT lang_pred,
+       count(*)::BIGINT AS n_docs_kept,
+       sum(weight)::DOUBLE AS est_docs,
+       sum(weight * n_tokens)::DOUBLE AS est_tokens
+FROM cur GROUP BY lang_pred
+"""

@@ -62,11 +62,16 @@ def pii_redact(documents: DataFrame, id_col: str = "doc_id",
     )
 
 
+def redacted_sha_col(text_col: str = "text") -> Column:
+    """sha256 hex of the redacted text (shared with pipeline/curation.py)."""
+    return F.sha2(_redacted_col(F.col(text_col)).cast("binary"), 256)
+
+
 def pii_redact_digest(documents: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """(doc_id, redacted_sha) — gate-friendly shape: sha256 of the redacted
     text proves byte-exact redaction parity without shipping full text."""
     return documents.select(
         F.col(id_col).alias("doc_id"),
-        F.sha2(_redacted_col(F.col(text_col)).cast("binary"), 256).alias("redacted_sha"),
+        redacted_sha_col(text_col).alias("redacted_sha"),
     )

@@ -25,6 +25,21 @@ SAMPLE_RESOLUTION = 1_000_000
 DEFAULT_RATES: dict[str, float] = {"ru": 1.0, "en": 0.5, "unknown": 0.1}
 
 
+def uniform_col(salt: str, id_col: str = "doc_id"):
+    """Deterministic uniform integer in [0, SAMPLE_RESOLUTION) per doc."""
+    return md5_long(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")), 12
+    ) % F.lit(SAMPLE_RESOLUTION)
+
+
+def rate_col(rates: dict[str, float], lang_col: str = "lang_pred"):
+    """Per-row keep rate from the stratum column (0.0 for unlisted strata)."""
+    rate = F.lit(0.0)
+    for stratum, r in rates.items():
+        rate = F.when(F.col(lang_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return rate
+
+
 def stratified_sample(documents: DataFrame, rates: dict[str, float] | None = None,
                       salt: str = "mix1", id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
@@ -35,16 +50,9 @@ def stratified_sample(documents: DataFrame, rates: dict[str, float] | None = Non
     """
     rates = DEFAULT_RATES if rates is None else rates
     lang = language_id(documents, id_col, text_col).select("doc_id", "lang_pred")
-    u = md5_long(
-        F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string")), 12
-    ) % F.lit(SAMPLE_RESOLUTION)
-
-    rate = F.lit(0.0)
-    for stratum, r in rates.items():
-        rate = F.when(F.col("lang_pred") == stratum, F.lit(float(r))).otherwise(rate)
     return (
-        lang.withColumn("_u", u)
-        .withColumn("_rate", rate)
+        lang.withColumn("_u", uniform_col(salt))
+        .withColumn("_rate", rate_col(rates))
         .filter(F.col("_u") < F.col("_rate") * SAMPLE_RESOLUTION)
         .select(
             "doc_id",

@@ -17,6 +17,103 @@ from searchengine_spark.pipeline.hashing import FINGERPRINT_HEX, md5_long
 EN_MARKERS = ["the", "a", "and", "of", "to", "in", "is", "for", "with", "on"]
 
 
+# column-level builders (shared by the per-stage queries below and the
+# single-scan composition in pipeline/curation.py — one definition, so the
+# composed plan cannot drift from the oracle-gated stage plans)
+
+def _marker_arr():
+    return F.array(*[F.lit(m) for m in EN_MARKERS])
+
+
+def filtered_tokens(text_col: str):
+    return F.filter(tokens_col(text_col), lambda t: t != "")
+
+
+def trimmed_lines(text_col: str):
+    return F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def symbols_count_col(text_col: str):
+    """Gopher symbol count: '#' occurrences + '...' occurrences."""
+    txt = F.col(text_col)
+    n_hash = F.length(txt) - F.length(F.regexp_replace(txt, "#", ""))
+    n_ellipsis = (
+        F.length(txt) - F.length(F.regexp_replace(txt, "\\.\\.\\.", ""))
+    ) / 3
+    return (n_hash + n_ellipsis).cast("double")
+
+
+def marker_frac_col(toks_col: str = "toks"):
+    """Unrounded share of tokens that are EN marker words (round to 4 at
+    the consumer, exactly as quality_scores/language_id publish it)."""
+    return (
+        F.size(F.filter(F.col(toks_col), lambda t: F.array_contains(_marker_arr(), t)))
+        / F.greatest(F.size(toks_col), F.lit(1)).cast("double")
+    )
+
+
+def cyrillic_ratio_col(text_col: str):
+    return F.round(
+        F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^а-яё]", ""))
+        / F.greatest(
+            F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-zа-яё]", "")),
+            F.lit(1),
+        ).cast("double"),
+        4,
+    )
+
+
+def lang_pred_col(threshold: float = 0.05, cyr_threshold: float = 0.3,
+                  marker_col: str = "marker_ratio", cyr_col: str = "cyrillic_ratio"):
+    return (
+        F.when(F.col(cyr_col) >= cyr_threshold, F.lit("ru"))
+        .when(F.col(marker_col) >= threshold, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def gopher_metric_cols() -> list:
+    """Over a frame with (toks, lines, n_symbols): the Gopher rule metrics."""
+    return [
+        F.size("toks").cast("long").alias("n_words"),
+        F.round(
+            F.when(F.size("toks") > 0,
+                   F.aggregate("toks", F.lit(0).cast("long"),
+                               lambda acc, t: acc + F.length(t)).cast("double")
+                   / F.size("toks")).otherwise(0.0), 4
+        ).alias("mean_word_len"),
+        (F.col("n_symbols") / F.greatest(F.size("toks"), F.lit(1)).cast("double"))
+        .alias("symbol_ratio"),
+        (F.size(F.filter(F.col("lines"),
+                         lambda s: s.startswith("- ") | s.startswith("* ")
+                         | s.startswith("• ")))
+         / F.greatest(F.size("lines"), F.lit(1)).cast("double")).alias("bullet_ratio"),
+        (F.size(F.filter(F.col("lines"), lambda s: s.endswith("...")))
+         / F.greatest(F.size("lines"), F.lit(1)).cast("double")).alias("ellipsis_ratio"),
+        (F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-z]")))
+         / F.greatest(F.size("toks"), F.lit(1)).cast("double")).alias("alpha_ratio"),
+        F.size(F.array_intersect(F.array_distinct("toks"), _marker_arr()))
+        .alias("n_markers"),
+    ]
+
+
+def gopher_flag_cols() -> list:
+    """Over a frame with the gopher_metric_cols outputs: the pass flags."""
+    return [
+        ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000)).alias("ok_word_count"),
+        ((F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0))
+        .alias("ok_mean_word_len"),
+        (F.col("symbol_ratio") <= 0.1).alias("ok_symbol_ratio"),
+        (F.col("bullet_ratio") <= 0.9).alias("ok_bullets"),
+        (F.col("ellipsis_ratio") <= 0.3).alias("ok_ellipsis"),
+        (F.col("alpha_ratio") >= 0.8).alias("ok_alpha_words"),
+        (F.col("n_markers") >= 2).alias("ok_stopwords"),
+    ]
+
+
 def token_counts(documents: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_distinct, n_chars)."""
@@ -109,28 +206,20 @@ def language_id(documents: DataFrame, id_col: str = "doc_id",
                 cyr_threshold: float = 0.3) -> DataFrame:
     """(doc_id, marker_ratio, cyrillic_ratio, lang_pred) — script ratio +
     stopword-marker heuristic: Cyrillic-dominant text is 'ru', marker-rich
-    Latin text is 'en', else 'unknown' (the corpus is bilingual)."""
-    q = quality_scores(documents, id_col, text_col)
-    cyr = documents.select(
+    Latin text is 'en', else 'unknown' (the corpus is bilingual).  One scan,
+    no join: both ratios are per-row column expressions."""
+    d = documents.select(
         F.col(id_col).alias("doc_id"),
-        F.round(
-            F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^а-яё]", ""))
-            / F.greatest(
-                F.length(F.regexp_replace(F.lower(F.col(text_col)),
-                                          "[^a-zа-яё]", "")),
-                F.lit(1),
-            ).cast("double"),
-            4,
-        ).alias("cyrillic_ratio"),
-    )
-    return q.join(cyr, "doc_id").select(
+        filtered_tokens(text_col).alias("toks"),
+        cyrillic_ratio_col(text_col).alias("cyrillic_ratio"),
+    ).select(
         "doc_id",
-        "marker_ratio",
+        F.round(marker_frac_col(), 4).alias("marker_ratio"),
         "cyrillic_ratio",
-        F.when(F.col("cyrillic_ratio") >= cyr_threshold, F.lit("ru"))
-        .when(F.col("marker_ratio") >= threshold, F.lit("en"))
-        .otherwise(F.lit("unknown"))
-        .alias("lang_pred"),
+    )
+    return d.select(
+        "doc_id", "marker_ratio", "cyrillic_ratio",
+        lang_pred_col(threshold, cyr_threshold).alias("lang_pred"),
     )
 
 
@@ -213,55 +302,13 @@ def gopher_quality_flags(documents: DataFrame, id_col: str = "doc_id",
     ratio <= 0.1 (# and ellipsis), <= 90% bullet lines, <= 30% lines
     ending in an ellipsis, >= 80% words with an alphabetic char, >= 2
     distinct English stopword markers.  Pure column arithmetic."""
-    toks = F.filter(tokens_col(text_col), lambda t: t != "")
-    lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
-        lambda s: s != "",
-    )
-    txt = F.col(text_col)
-    n_hash = F.length(txt) - F.length(F.regexp_replace(txt, "#", ""))
-    n_ellipsis = (
-        F.length(txt) - F.length(F.regexp_replace(txt, "\\.\\.\\.", ""))
-    ) / 3
-    marker_arr = F.array(*[F.lit(m) for m in EN_MARKERS])
     d = documents.select(
         F.col(id_col).alias("doc_id"),
-        toks.alias("toks"),
-        lines.alias("lines"),
-        (n_hash + n_ellipsis).cast("double").alias("n_symbols"),
-    ).select(
-        "doc_id",
-        F.size("toks").cast("long").alias("n_words"),
-        F.round(
-            F.when(F.size("toks") > 0,
-                   F.aggregate("toks", F.lit(0).cast("long"),
-                               lambda acc, t: acc + F.length(t)).cast("double")
-                   / F.size("toks")).otherwise(0.0), 4
-        ).alias("mean_word_len"),
-        (F.col("n_symbols") / F.greatest(F.size("toks"), F.lit(1)).cast("double"))
-        .alias("symbol_ratio"),
-        (F.size(F.filter(F.col("lines"),
-                         lambda s: s.startswith("- ") | s.startswith("* ")
-                         | s.startswith("• ")))
-         / F.greatest(F.size("lines"), F.lit(1)).cast("double")).alias("bullet_ratio"),
-        (F.size(F.filter(F.col("lines"), lambda s: s.endswith("...")))
-         / F.greatest(F.size("lines"), F.lit(1)).cast("double")).alias("ellipsis_ratio"),
-        (F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-z]")))
-         / F.greatest(F.size("toks"), F.lit(1)).cast("double")).alias("alpha_ratio"),
-        F.size(F.array_intersect(F.array_distinct("toks"), marker_arr))
-        .alias("n_markers"),
-    )
-    flags = d.select(
-        "doc_id", "n_words", "mean_word_len",
-        ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000)).alias("ok_word_count"),
-        ((F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0))
-        .alias("ok_mean_word_len"),
-        (F.col("symbol_ratio") <= 0.1).alias("ok_symbol_ratio"),
-        (F.col("bullet_ratio") <= 0.9).alias("ok_bullets"),
-        (F.col("ellipsis_ratio") <= 0.3).alias("ok_ellipsis"),
-        (F.col("alpha_ratio") >= 0.8).alias("ok_alpha_words"),
-        (F.col("n_markers") >= 2).alias("ok_stopwords"),
-    )
+        filtered_tokens(text_col).alias("toks"),
+        trimmed_lines(text_col).alias("lines"),
+        symbols_count_col(text_col).alias("n_symbols"),
+    ).select("doc_id", *gopher_metric_cols())
+    flags = d.select("doc_id", "n_words", "mean_word_len", *gopher_flag_cols())
     return flags.withColumn(
         "gopher_pass",
         F.col("ok_word_count") & F.col("ok_mean_word_len")

@@ -108,3 +108,45 @@ def test_stratified_sample_deterministic_and_salt_sensitive(spark):
     c = sorted(r.doc_id for r in
                stratified_sample(df, rates={"en": 0.5}, salt="mix2").collect())
     assert a != c  # fresh salt -> a different draw
+
+
+# curation composition ----------------------------------------------------
+
+import hashlib
+
+from searchengine_spark.pipeline.curation import curated_corpus, corpus_mixture_stats
+
+MARKERS60 = "the and for with that this from have was were " * 6  # 60 en words
+EVAL5 = "quux corge grault garply waldo"
+KEEP_ALL = {"en": 1.0, "ru": 1.0, "unknown": 1.0}
+
+
+def test_curated_corpus_gates(spark):
+    eval_doc = EVAL5 + " " + " ".join(f"evalterm{i}" for i in range(20))
+    rows = [
+        (50, eval_doc),                          # eval split: excluded from output
+        (1, MARKERS60),                          # clean -> kept
+        (2, MARKERS60 + " " + EVAL5),            # shares eval 5-gram -> dropped
+        (3, "too short to pass the word count"),  # fails Gopher -> dropped
+        (4, MARKERS60 + " mail jane@example.com now"),  # PII -> kept, redacted
+    ]
+    out = {r.doc_id: r for r in
+           curated_corpus(_docs(spark, rows), rates=KEEP_ALL).collect()}
+    assert set(out) == {1, 4}
+    assert out[1].lang_pred == "en" and out[1].weight == 1.0
+    expected = hashlib.sha256(
+        (MARKERS60 + " mail <EMAIL> now").encode()).hexdigest()
+    assert out[4].redacted_sha == expected
+    clean = hashlib.sha256(MARKERS60.encode()).hexdigest()
+    assert out[1].redacted_sha == clean  # no PII -> digest of original bytes
+
+
+def test_mixture_stats_horvitz_thompson(spark):
+    # 40 identical-quality EN docs sampled at 0.5 -> est_docs must equal
+    # kept/0.5 exactly (weights are exact doubles)
+    rows = [(i, MARKERS60 + f" tag{i} filler words here") for i in range(1, 41)]
+    stats = corpus_mixture_stats(
+        _docs(spark, rows), rates={"en": 0.5}).collect()
+    assert len(stats) == 1 and stats[0].lang_pred == "en"
+    assert stats[0].est_docs == stats[0].n_docs_kept * 2.0
+    assert stats[0].est_tokens > 0
