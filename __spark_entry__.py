@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from searchengine_spark.pipeline import (  # noqa: E402
+    asof,
     curation,
     decontam,
     dedup,
@@ -33,6 +34,7 @@ from searchengine_spark.pipeline import (  # noqa: E402
     fulltext,
     multimodal,
     oracle_sql as osql,
+    packing,
     pii,
     pq,
     sampling,
@@ -212,8 +214,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scan": lambda s, d: pii.pii_scan(_docs(s, d)),
         "q_pii_redact": lambda s, d: pii.pii_redact_digest(_docs(s, d)),
         "q_sample_stratified": lambda s, d: sampling.stratified_sample(_docs(s, d)),
+        "q_source_quota": lambda s, d: sampling.source_quota(_docs(s, d)),
+        "q_fixed_size_sample": lambda s, d: sampling.fixed_size_stratified(_docs(s, d)),
         "q_curated_corpus": lambda s, d: curation.curated_corpus(_docs(s, d)),
         "q_mixture_stats": lambda s, d: curation.corpus_mixture_stats(_docs(s, d)),
+        "q_sequence_pack": lambda s, d: packing.sequence_pack(_docs(s, d)),
+        "q_packing_stats": lambda s, d: packing.packing_stats(_docs(s, d)),
+        "q_events_asof": lambda s, d: asof.asof_join(_events(s, d)),
+        "q_funnel_conversion": lambda s, d: asof.funnel_conversion(_events(s, d)),
 
         "q_media_features": lambda s, d: multimodal.extract_features(
             multimodal.synth_media(_docs(s, d))
@@ -279,8 +287,14 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_scan": osql.pii_scan(),
         "q_pii_redact": osql.pii_redact_digest(),
         "q_sample_stratified": osql.stratified_sample(),
+        "q_source_quota": osql.source_quota(),
+        "q_fixed_size_sample": osql.fixed_size_stratified(),
         "q_curated_corpus": osql.curated_corpus(),
         "q_mixture_stats": osql.corpus_mixture_stats(),
+        "q_sequence_pack": osql.sequence_pack(),
+        "q_packing_stats": osql.packing_stats(),
+        "q_events_asof": osql.asof_join(),
+        "q_funnel_conversion": osql.funnel_conversion(),
         "q_media_features": osql.media_features(),
         "q_media_frame_sample": osql.media_frame_sample(every=2),
     }

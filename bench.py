@@ -56,8 +56,11 @@ HEADLINE = [
     "q_pii_scan",
     "q_pii_redact",
     "q_sample_stratified",
+    "q_curated_corpus",
+    "q_sequence_pack",
     "q_events_tumbling",
     "q_events_sessions",
+    "q_events_asof",
 ]
 
 

@@ -1,0 +1,90 @@
+"""As-of (time-travel) join over the ``events`` table — the classic
+operator Spark's join zoo lacks.
+
+For every left-type event, find the latest right-type event by the same
+user at-or-before it: the funnel question ("which click preceded this
+purchase?") and the feature-store point-in-time-correct lookup are both
+this join.  The reference engine has no time axis at all; this is part of
+the analytics surface a telemetry/training pipeline needs.
+
+Scale design — NOT an inequality join.  A naive
+``a JOIN b ON user AND b.ts <= a.ts`` is a per-user cross product (Spark
+plans it as BroadcastNestedLoop or a sort-merge with per-row rescans);
+with hot users it degenerates quadratically.  Instead the two sides are
+UNIONED with a side tag and merge-scanned once: a single shuffle on
+``user_id``, a per-user sort, and a running ``last(right_id, ignorenulls)``
+window carries each right event forward to every later left event.  Cost
+is one shuffle + one sort of |A|+|B| rows — the same shape as Spark's own
+session windows, and exactly what a hand-written merge as-of join does on
+a single node.  Skewed users are still one partition's sort, not a
+quadratic join.
+
+Tie semantics (pinned, and mirrored by the oracle): a right event at
+exactly the left event's timestamp DOES match (at-or-before); among
+right events sharing the match timestamp the highest event_id wins.  The
+union is ordered by (ts, is_left, event_id) so right rows at time T sort
+before left rows at T, and ``last`` over that order implements the rule
+without a join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(events: DataFrame, left_type: str = "purchase",
+              right_type: str = "click") -> DataFrame:
+    """(event_id, ts, user_id, matched, match_event_id, gap_us) — every
+    ``left_type`` event with its latest at-or-before ``right_type`` event
+    by the same user.  ``gap_us`` is the exact microsecond gap (integral,
+    so the oracle hash comparison is exact — no float time arithmetic).
+    Unmatched left events are kept with matched=false and -1 sentinels
+    (NULL-free gate shape, like decontam.contamination_flags)."""
+    tagged = events.filter(F.col("event_type").isin([left_type, right_type])).select(
+        "event_id",
+        "ts",
+        "user_id",
+        (F.col("event_type") == left_type).cast("int").alias("is_left"),
+        F.when(F.col("event_type") == right_type, F.col("event_id")).alias("r_id"),
+        F.when(F.col("event_type") == right_type, F.col("ts")).alias("r_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("match_event_id", F.last("r_id", ignorenulls=True).over(w))
+        .withColumn("match_ts", F.last("r_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_left") == 1)
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            F.col("match_event_id").isNotNull().alias("matched"),
+            F.coalesce(F.col("match_event_id"), F.lit(-1)).alias("match_event_id"),
+            F.coalesce(
+                F.expr("timestampdiff(MICROSECOND, match_ts, ts)"),
+                F.lit(-1),
+            ).alias("gap_us"),
+        )
+    )
+
+
+def funnel_conversion(events: DataFrame, left_type: str = "purchase",
+                      right_type: str = "click",
+                      horizon_minutes: int = 60) -> DataFrame:
+    """(n_left, n_matched, n_within_horizon) — one-row funnel summary over
+    the as-of join: how many left events had ANY prior right event, and how
+    many within ``horizon_minutes``.  Pure aggregation over the merge-scan
+    plan; no second pass over events."""
+    joined = asof_join(events, left_type, right_type)
+    horizon_us = horizon_minutes * 60 * 1_000_000
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_left"),
+        F.sum(F.col("matched").cast("long")).alias("n_matched"),
+        F.sum(
+            F.when(F.col("matched") & (F.col("gap_us") <= horizon_us), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_within_horizon"),
+    )

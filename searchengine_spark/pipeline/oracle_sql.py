@@ -1105,3 +1105,120 @@ SELECT lang_pred,
        sum(weight * n_tokens)::DOUBLE AS est_tokens
 FROM cur GROUP BY lang_pred
 """
+
+
+def sequence_pack(capacity: int = 256, n_streams: int = 8) -> str:
+    """DuckDB twin of pipeline/packing.py sequence_pack."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, (doc_id % {n_streams})::BIGINT AS stream,
+         len({_TOKARR})::BIGINT AS n_tokens
+  FROM documents
+), p AS (
+  SELECT doc_id, stream, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS begin_tok
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, stream, n_tokens, begin_tok,
+       (begin_tok + n_tokens)::BIGINT AS end_tok,
+       (begin_tok // {capacity})::BIGINT AS first_seq,
+       ((begin_tok + n_tokens - 1) // {capacity})::BIGINT AS last_seq
+FROM p
+"""
+
+
+def packing_stats(capacity: int = 256, n_streams: int = 8) -> str:
+    """DuckDB twin of pipeline/packing.py packing_stats."""
+    return f"""
+WITH t AS (
+  SELECT (doc_id % {n_streams})::BIGINT AS stream,
+         len({_TOKARR})::BIGINT AS n_tokens
+  FROM documents
+), s AS (
+  SELECT stream, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens_total
+  FROM t WHERE n_tokens > 0 GROUP BY stream
+)
+SELECT stream, n_docs, n_tokens_total,
+       ((n_tokens_total + {capacity} - 1) // {capacity})::BIGINT AS n_seqs,
+       round(n_tokens_total::DOUBLE /
+             (((n_tokens_total + {capacity} - 1) // {capacity}) * {capacity}), 6)
+       AS fill_ratio
+FROM s
+"""
+
+
+def asof_join(left_type: str = "purchase", right_type: str = "click") -> str:
+    """DuckDB twin of pipeline/asof.py asof_join.  The oracle states the
+    semantics declaratively (inequality join + rank); the engine runs the
+    merge-scan plan — same tie rule: at-or-before, highest event_id wins."""
+    return f"""
+WITH a AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = '{left_type}'
+), b AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = '{right_type}'
+), m AS (
+  SELECT a.event_id, a.ts, a.user_id,
+         b.event_id AS b_id, b.ts AS b_ts,
+         row_number() OVER (PARTITION BY a.event_id
+                            ORDER BY b.ts DESC, b.event_id DESC) AS rn
+  FROM a LEFT JOIN b ON a.user_id = b.user_id AND b.ts <= a.ts
+)
+SELECT event_id, ts, user_id,
+       (b_id IS NOT NULL) AS matched,
+       coalesce(b_id, -1)::BIGINT AS match_event_id,
+       coalesce(epoch_us(ts) - epoch_us(b_ts), -1)::BIGINT AS gap_us
+FROM m WHERE rn = 1
+"""
+
+
+def funnel_conversion(left_type: str = "purchase", right_type: str = "click",
+                      horizon_minutes: int = 60) -> str:
+    """DuckDB twin of pipeline/asof.py funnel_conversion."""
+    horizon_us = horizon_minutes * 60 * 1_000_000
+    return f"""
+WITH j AS ({asof_join(left_type, right_type)})
+SELECT count(*)::BIGINT AS n_left,
+       sum(matched::BIGINT)::BIGINT AS n_matched,
+       sum(CASE WHEN matched AND gap_us <= {horizon_us} THEN 1 ELSE 0 END)::BIGINT
+       AS n_within_horizon
+FROM j
+"""
+
+
+def _uniform_sql(salt: str) -> str:
+    from searchengine_spark.pipeline.sampling import SAMPLE_RESOLUTION
+
+    return (f"('0x' || substr(md5('{salt}' || ':' || doc_id::VARCHAR), 1, 12))"
+            f"::BIGINT % {SAMPLE_RESOLUTION}")
+
+
+def source_quota(max_per_source: int = 15, salt: str = "quota1") -> str:
+    """DuckDB twin of pipeline/sampling.py source_quota."""
+    return f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_uniform_sql(salt)}, doc_id)::BIGINT
+         AS rank_in_source
+  FROM documents
+)
+SELECT doc_id, source, rank_in_source
+FROM r WHERE rank_in_source <= {max_per_source}
+"""
+
+
+def fixed_size_stratified(k_per_stratum: int = 30, salt: str = "fix1") -> str:
+    """DuckDB twin of pipeline/sampling.py fixed_size_stratified."""
+    return f"""
+WITH lang AS ({language_id()}),
+r AS (
+  SELECT doc_id, lang_pred,
+         row_number() OVER (PARTITION BY lang_pred
+                            ORDER BY {_uniform_sql(salt)}, doc_id)::BIGINT
+         AS rank_in_stratum
+  FROM lang
+)
+SELECT doc_id, lang_pred, rank_in_stratum
+FROM r WHERE rank_in_stratum <= {k_per_stratum}
+"""

@@ -1,0 +1,106 @@
+"""Training-sequence packing: concat-and-chunk documents into fixed-capacity
+token sequences (the GPT-style pretraining layout).
+
+A trainer wants contiguous streams of tokens cut into ``capacity``-token
+sequences; the pipeline's job is to assign every document its byte range in
+that stream ahead of time so shuffling/sharding can happen before any
+tokenizer runs.  The reference engine has no analog (it stops at postings);
+this is one of the LLM-data operators this repo adds as first class.
+
+Scale design: one global stream cannot pack in parallel (the offset of doc
+N depends on every doc before it), so the corpus is split into
+``n_streams`` independent packing streams by ``doc_id % n_streams`` — the
+exact trick the index build uses for shards.  Within a stream the running
+offset is a window cumulative sum partitioned by the stream id: Spark
+shuffles once on ``stream`` and each partition packs independently.  At
+100 TB you raise n_streams to O(number of output files) (e.g. 4096);
+per-stream state is a single running long, so the window never spills.
+Token counts reuse the oracle-gated whitespace tokenizer
+(fulltext.tokens_col), NOT a Python tokenizer — counting is pure JVM
+column arithmetic inside whole-stage codegen.
+
+Empty documents (zero tokens) are dropped — they occupy no stream space
+and a [begin, end) range cannot represent them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from searchengine_spark.pipeline.fulltext import tokens_col
+
+
+def _doc_token_counts(documents: DataFrame, n_streams: int,
+                      id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, stream, n_tokens) with empty docs dropped."""
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.pmod(F.col(id_col), F.lit(n_streams)).cast("long").alias("stream"),
+            F.size(toks).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+def sequence_pack(documents: DataFrame, capacity: int = 256, n_streams: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, stream, n_tokens, begin_tok, end_tok, first_seq, last_seq) —
+    each doc's [begin_tok, end_tok) slice of its stream's concatenated token
+    stream, and the first/last ``capacity``-token training sequence it
+    touches (a doc may straddle a sequence boundary; last_seq - first_seq
+    is how many boundaries it crosses).
+
+    Deterministic: stream order is doc_id order, so the layout is a pure
+    function of the corpus — re-runs (and the DuckDB oracle) reproduce it
+    bit-for-bit.
+    """
+    d = _doc_token_counts(documents, n_streams, id_col, text_col)
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn("begin_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "stream",
+            "n_tokens",
+            "begin_tok",
+            (F.col("begin_tok") + F.col("n_tokens")).alias("end_tok"),
+            F.floor(F.col("begin_tok") / capacity).cast("long").alias("first_seq"),
+            F.floor((F.col("begin_tok") + F.col("n_tokens") - 1) / capacity)
+            .cast("long")
+            .alias("last_seq"),
+        )
+    )
+
+
+def packing_stats(documents: DataFrame, capacity: int = 256, n_streams: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(stream, n_docs, n_tokens_total, n_seqs, fill_ratio) — per-stream
+    packing yield.  n_seqs counts ``capacity``-token sequences (the last,
+    ragged one included); fill_ratio is the fraction of emitted sequence
+    slots actually covered by tokens — the number a packing strategy is
+    judged by."""
+    d = _doc_token_counts(documents, n_streams, id_col, text_col)
+    return (
+        d.groupBy("stream")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens_total"),
+        )
+        .select(
+            "stream",
+            "n_docs",
+            "n_tokens_total",
+            F.ceil(F.col("n_tokens_total") / capacity).cast("long").alias("n_seqs"),
+            F.round(
+                F.col("n_tokens_total")
+                / (F.ceil(F.col("n_tokens_total") / capacity) * capacity),
+                6,
+            ).alias("fill_ratio"),
+        )
+    )

@@ -13,7 +13,7 @@ language_id's own join: at 100 TB this is a map-only filter.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from searchengine_spark.pipeline.hashing import md5_long
 from searchengine_spark.pipeline.textstats import language_id
@@ -59,4 +59,54 @@ def stratified_sample(documents: DataFrame, rates: dict[str, float] | None = Non
             "lang_pred",
             F.round(F.lit(1.0) / F.col("_rate"), 6).alias("weight"),
         )
+    )
+
+
+def source_quota(documents: DataFrame, max_per_source: int = 15,
+                 salt: str = "quota1", id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, source, rank_in_source) — per-source document cap, the
+    domain-balancing step of web-corpus curation (no single host may
+    dominate the mixture).  Which docs survive a hot source is decided by
+    the salted hash order, NOT doc_id order — ingestion order is usually
+    correlated with crawl time/quality, so ranking by hash keeps the cap an
+    unbiased uniform draw (changing the salt redraws it).
+
+    Scale: one shuffle keyed by ``source`` + a per-source sort.  A hot
+    domain is one partition's sort (the session-window shape), never a
+    join; with millions of sources AQE balances the skew.  ``text_col`` is
+    never read — pure metadata op."""
+    w = Window.partitionBy("source").orderBy("_u", id_col)
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), "source")
+        .withColumn("_u", uniform_col(salt))
+        .withColumn("rank_in_source", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_source") <= max_per_source)
+        .select("doc_id", "source", "rank_in_source")
+    )
+
+
+def fixed_size_stratified(documents: DataFrame, k_per_stratum: int = 30,
+                          salt: str = "fix1", id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, rank_in_stratum) — exactly min(k, |stratum|)
+    docs per language stratum, a deterministic uniform draw WITHOUT
+    replacement: rank docs inside each stratum by salted hash and keep the
+    top k.  The fixed-size complement to stratified_sample's fixed-rate
+    draw (rate sampling cannot promise an exact evaluation-set size; this
+    cannot promise a rate — pipelines need both).
+
+    Scale: language scoring is the map-only language_id plan; the draw is
+    one shuffle keyed by stratum + a per-stratum sort.  With only a handful
+    of strata each stratum is ONE partition's sort — fine when k and the
+    stratum row counts fit an executor (the usual eval-set case), but for a
+    huge k over few strata prefer stratified_sample's rate draw, which
+    never sorts.  Documented tradeoff, mirrored in SURVEY §2."""
+    lang = language_id(documents, id_col, text_col).select("doc_id", "lang_pred")
+    w = Window.partitionBy("lang_pred").orderBy("_u", "doc_id")
+    return (
+        lang.withColumn("_u", uniform_col(salt))
+        .withColumn("rank_in_stratum", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_stratum") <= k_per_stratum)
+        .select("doc_id", "lang_pred", "rank_in_stratum")
     )

@@ -1,0 +1,138 @@
+"""Semantics tests for sequence packing and the event as-of join, on
+hand-built inputs where the expected answer is computable by eye.
+Oracle parity at corpus scale is covered by the auto-parametrized gate in
+test_entry.py (q_sequence_pack, q_packing_stats, q_events_asof,
+q_funnel_conversion)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from searchengine_spark.pipeline.asof import asof_join, funnel_conversion
+from searchengine_spark.pipeline.packing import packing_stats, sequence_pack
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+# sequence packing --------------------------------------------------------
+
+def test_sequence_pack_offsets_and_straddle(spark):
+    # one stream, capacity 5; token counts 3, 4, 2 -> offsets 0, 3, 7;
+    # doc 1 straddles the seq-0/seq-1 boundary at token 5
+    rows = [(0, "a b c"), (1, "d e f g"), (2, "h i"), (3, "   ")]
+    out = {r.doc_id: r for r in
+           sequence_pack(_docs(spark, rows), capacity=5, n_streams=1).collect()}
+    assert set(out) == {0, 1, 2}  # empty doc 3 dropped
+    assert (out[0].begin_tok, out[0].end_tok) == (0, 3)
+    assert (out[0].first_seq, out[0].last_seq) == (0, 0)
+    assert (out[1].begin_tok, out[1].end_tok) == (3, 7)
+    assert (out[1].first_seq, out[1].last_seq) == (0, 1)  # straddles
+    assert (out[2].begin_tok, out[2].end_tok) == (7, 9)
+    assert (out[2].first_seq, out[2].last_seq) == (1, 1)
+
+
+def test_sequence_pack_streams_independent(spark):
+    # two streams split by doc_id parity; each stream's offsets start at 0
+    rows = [(0, "a b"), (1, "c d e"), (2, "f"), (3, "g h")]
+    out = {r.doc_id: r for r in
+           sequence_pack(_docs(spark, rows), capacity=4, n_streams=2).collect()}
+    assert (out[0].stream, out[0].begin_tok) == (0, 0)
+    assert (out[2].stream, out[2].begin_tok) == (0, 2)
+    assert (out[1].stream, out[1].begin_tok) == (1, 0)
+    assert (out[3].stream, out[3].begin_tok) == (1, 3)
+
+
+def test_packing_stats_fill_ratio(spark):
+    # stream 0: 7 tokens at capacity 5 -> 2 seqs, fill 7/10
+    rows = [(0, "a b c"), (2, "d e f g")]
+    s = packing_stats(_docs(spark, rows), capacity=5, n_streams=2).collect()
+    assert len(s) == 1 and s[0].stream == 0
+    assert (s[0].n_docs, s[0].n_tokens_total, s[0].n_seqs) == (2, 7, 2)
+    assert s[0].fill_ratio == 0.7
+
+
+# as-of join --------------------------------------------------------------
+
+def _ts(s):
+    return datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_join_latest_prior_and_sentinels(spark):
+    rows = [
+        (1, _ts(10), 7, "click"),
+        (2, _ts(20), 7, "click"),
+        (3, _ts(25), 7, "purchase"),   # -> click 2 (latest at-or-before)
+        (4, _ts(5), 8, "purchase"),    # no prior click -> sentinel
+        (5, _ts(30), 8, "click"),
+    ]
+    out = {r.event_id: r for r in asof_join(_events(spark, rows)).collect()}
+    assert set(out) == {3, 4}
+    assert out[3].matched and out[3].match_event_id == 2
+    assert out[3].gap_us == 5_000_000
+    assert not out[4].matched and out[4].match_event_id == -1
+    assert out[4].gap_us == -1
+
+
+def test_asof_join_tie_rules(spark):
+    # a click at exactly the purchase ts matches (at-or-before), and among
+    # same-ts clicks the highest event_id wins
+    rows = [
+        (1, _ts(10), 7, "click"),
+        (2, _ts(10), 7, "click"),
+        (3, _ts(10), 7, "purchase"),
+    ]
+    out = asof_join(_events(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0].match_event_id == 2 and out[0].gap_us == 0
+
+
+def test_funnel_conversion_horizon(spark):
+    rows = [
+        (1, _ts(0), 7, "click"),
+        (2, _ts(30), 7, "purchase"),    # gap 30s, inside 1-minute horizon
+        (3, _ts(0), 8, "click"),
+        (4, datetime(2024, 1, 1, 2, 0, 0), 8, "purchase"),  # 2h, outside
+        (5, _ts(40), 9, "purchase"),    # unmatched
+    ]
+    r = funnel_conversion(_events(spark, rows), horizon_minutes=1).collect()[0]
+    assert (r.n_left, r.n_matched, r.n_within_horizon) == (3, 2, 1)
+
+
+# quota + fixed-size sampling ---------------------------------------------
+
+from searchengine_spark.pipeline.sampling import fixed_size_stratified, source_quota
+
+
+def test_source_quota_caps_and_redraws(spark):
+    rows = [(i, f"text {i}", "hot" if i < 10 else "cold") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = source_quota(df, max_per_source=3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src["hot"]) == 3          # capped
+    assert len(by_src["cold"]) == 2         # under quota: all kept
+    assert {r.rank_in_source for r in by_src["hot"]} == {1, 2, 3}
+    kept_a = {r.doc_id for r in by_src["hot"]}
+    kept_b = {r.doc_id for r in source_quota(df, max_per_source=3, salt="other")
+              .collect() if r.source == "hot"}
+    assert kept_a != kept_b                 # fresh salt -> different survivors
+
+
+def test_fixed_size_stratified_exact_k(spark):
+    en = "the and for with that this from have was were " * 6
+    rows = [(i, en) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = fixed_size_stratified(df, k_per_stratum=5).collect()
+    assert len(out) == 5 and all(r.lang_pred == "en" for r in out)
+    # deterministic re-draw
+    again = fixed_size_stratified(df, k_per_stratum=5).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
