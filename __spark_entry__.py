@@ -37,6 +37,7 @@ from searchengine_spark.pipeline import (  # noqa: E402
     packing,
     pii,
     pq,
+    queryops,
     sampling,
     similarity,
     textstats,
@@ -48,6 +49,10 @@ Q_AND2 = ["merge", "vector"]
 Q_AND3 = ["hash", "stream", "vector"]
 Q_ABSENT = ["vector", "zzznotaterm"]
 Q_PAGE = ["table", "join"]
+Q_PHRASE = ["table", "hash"]
+Q_PREFIX = "s"
+Q_PMI_PROBE = "merge"
+PROBE_DOC_ID = 0
 PROBE_VEC_IDS = [0, 1, 2, 3, 4]
 
 
@@ -222,6 +227,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_packing_stats": lambda s, d: packing.packing_stats(_docs(s, d)),
         "q_events_asof": lambda s, d: asof.asof_join(_events(s, d)),
         "q_funnel_conversion": lambda s, d: asof.funnel_conversion(_events(s, d)),
+        # extended query operators (queryops.py)
+        "q_bm25_or": lambda s, d: queryops.bm25_or_topk(_docs(s, d), Q_AND2, k=20),
+        "q_phrase_match": lambda s, d: queryops.phrase_occurrences(_docs(s, d), Q_PHRASE),
+        "q_more_like_this": lambda s, d: queryops.more_like_this(_docs(s, d), PROBE_DOC_ID, k=10),
+        "q_facet_counts": lambda s, d: queryops.facet_counts(_docs(s, d), Q_AND2),
+        "q_grouped_topk": lambda s, d: queryops.grouped_topk(_docs(s, d), Q_AND2, per_group=3),
+        "q_prefix_search": lambda s, d: queryops.prefix_search(_docs(s, d), Q_PREFIX, k=20),
+        "q_cooccurrence_pmi": lambda s, d: queryops.cooccurrence_pmi(_docs(s, d), Q_PMI_PROBE),
 
         "q_media_features": lambda s, d: multimodal.extract_features(
             multimodal.synth_media(_docs(s, d))
@@ -295,6 +308,13 @@ def oracle_sql() -> dict[str, str]:
         "q_packing_stats": osql.packing_stats(),
         "q_events_asof": osql.asof_join(),
         "q_funnel_conversion": osql.funnel_conversion(),
+        "q_bm25_or": osql.bm25_or_topk(Q_AND2, k=20),
+        "q_phrase_match": osql.phrase_occurrences(Q_PHRASE),
+        "q_more_like_this": osql.more_like_this(PROBE_DOC_ID, k=10),
+        "q_facet_counts": osql.facet_counts(Q_AND2),
+        "q_grouped_topk": osql.grouped_topk(Q_AND2, per_group=3),
+        "q_prefix_search": osql.prefix_search(Q_PREFIX, k=20),
+        "q_cooccurrence_pmi": osql.cooccurrence_pmi(Q_PMI_PROBE),
         "q_media_features": osql.media_features(),
         "q_media_frame_sample": osql.media_frame_sample(every=2),
     }

@@ -58,6 +58,9 @@ HEADLINE = [
     "q_sample_stratified",
     "q_curated_corpus",
     "q_sequence_pack",
+    "q_bm25_or",
+    "q_phrase_match",
+    "q_more_like_this",
     "q_events_tumbling",
     "q_events_sessions",
     "q_events_asof",

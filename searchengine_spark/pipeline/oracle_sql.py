@@ -1222,3 +1222,163 @@ r AS (
 SELECT doc_id, lang_pred, rank_in_stratum
 FROM r WHERE rank_in_stratum <= {k_per_stratum}
 """
+
+
+# --- extended query operators (pipeline/queryops.py) ---
+
+_PTOKS_CTE = """
+ptok0 AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term,
+         generate_subscripts(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), 1) AS pos
+  FROM documents
+),
+ptoks AS (SELECT doc_id, pos::BIGINT AS pos, term FROM ptok0 WHERE term <> '')
+"""
+
+
+def bm25_or_scored(terms: list[str], min_match: int = 1) -> str:
+    """DuckDB twin of queryops.bm25_or_scored (disjunctive BM25)."""
+    tl = _terms_in(terms)
+    return f"""
+WITH {_TOKS_CTE},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY term),
+scored AS (
+  SELECT p.doc_id, count(*)::BIGINT AS nhit,
+         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (p.tf * 2.2)
+              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ) AS score
+  FROM postings p
+  JOIN dfs USING (term)
+  JOIN ds ON p.doc_id = ds.doc_id
+  CROSS JOIN g
+  GROUP BY p.doc_id
+  HAVING count(*) >= {min_match}
+)
+SELECT doc_id, nhit, round(score, 4) AS score FROM scored
+"""
+
+
+def bm25_or_topk(terms: list[str], k: int = 20, min_match: int = 1) -> str:
+    return (
+        f"SELECT doc_id, nhit, score FROM ({bm25_or_scored(terms, min_match)}) "
+        f"ORDER BY score DESC, nhit DESC, doc_id ASC LIMIT {k}"
+    )
+
+
+def phrase_occurrences(phrase: list[str]) -> str:
+    """DuckDB twin of queryops.phrase_occurrences (slot-anchor plan)."""
+    n = len(phrase)
+    slot_selects = " UNION ALL ".join(
+        f"SELECT doc_id, pos - {i} AS anchor, {i} AS slot FROM ptoks "
+        f"WHERE term = '{w}' AND pos - {i} >= 1"
+        for i, w in enumerate(phrase)
+    )
+    return f"""
+WITH {_PTOKS_CTE},
+slots AS ({slot_selects}),
+hits AS (
+  SELECT doc_id, anchor
+  FROM slots GROUP BY doc_id, anchor
+  HAVING count(*) = {n}
+)
+SELECT doc_id, count(*)::BIGINT AS n_occurrences, min(anchor)::BIGINT AS first_pos
+FROM hits GROUP BY doc_id
+"""
+
+
+def more_like_this(probe_doc_id: int, k: int = 10) -> str:
+    """DuckDB twin of queryops.more_like_this (TF-IDF cosine)."""
+    return f"""
+WITH {_TOKS_CTE},
+g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+w AS (
+  SELECT p.term, p.doc_id, p.tf * ln(g.n_docs / dfs.df) AS w
+  FROM postings p
+  JOIN (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term) dfs USING (term)
+  CROSS JOIN g
+),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
+probe AS (SELECT term, w AS pw FROM w WHERE doc_id = {probe_doc_id}),
+pnorm AS (SELECT sqrt(sum(pw * pw)) AS pnorm FROM probe),
+dots AS (
+  SELECT w.doc_id, sum(w.w * probe.pw) AS dot
+  FROM w JOIN probe USING (term)
+  WHERE w.doc_id <> {probe_doc_id}
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id, round(d.dot / (n.norm * pnorm.pnorm), 4) AS cosine
+FROM dots d JOIN norms n USING (doc_id) CROSS JOIN pnorm
+ORDER BY cosine DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def facet_counts(terms: list[str], facet_col: str = "lang") -> str:
+    """DuckDB twin of queryops.facet_counts."""
+    return f"""
+WITH scored AS ({bm25_scored(terms)})
+SELECT d.{facet_col} AS facet, count(*)::BIGINT AS n_docs, max(s.score) AS max_score
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.{facet_col}
+"""
+
+
+def grouped_topk(terms: list[str], per_group: int = 3,
+                 facet_col: str = "lang") -> str:
+    """DuckDB twin of queryops.grouped_topk."""
+    return f"""
+WITH scored AS ({bm25_scored(terms)}),
+r AS (
+  SELECT d.{facet_col} AS facet, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.{facet_col}
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rank
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT facet, rank::BIGINT AS rank, doc_id, score FROM r WHERE rank <= {per_group}
+"""
+
+
+def prefix_search(prefix: str, k: int = 20) -> str:
+    """DuckDB twin of queryops.prefix_search (tf-idf wildcard scoring)."""
+    esc = prefix.replace("'", "''")
+    return f"""
+WITH {_TOKS_CTE},
+g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+matched AS (
+  SELECT term, count(*)::BIGINT AS df FROM postings
+  WHERE term LIKE '{esc}%' GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id, count(DISTINCT p.term)::BIGINT AS nterms,
+         sum(p.tf * ln(g.n_docs / m.df)) AS score
+  FROM postings p JOIN matched m USING (term) CROSS JOIN g
+  GROUP BY p.doc_id
+)
+SELECT doc_id, nterms, round(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def cooccurrence_pmi(probe_term: str, min_co: int = 5, k: int = 50) -> str:
+    """DuckDB twin of queryops.cooccurrence_pmi."""
+    esc = probe_term.replace("'", "''")
+    return f"""
+WITH {_TOKS_CTE},
+g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+probe_docs AS (SELECT doc_id FROM postings WHERE term = '{esc}'),
+df_probe AS (SELECT count(*)::DOUBLE AS df_probe FROM probe_docs),
+co AS (
+  SELECT p.term, count(*)::BIGINT AS n_co
+  FROM postings p JOIN probe_docs USING (doc_id)
+  WHERE p.term <> '{esc}'
+  GROUP BY p.term
+  HAVING count(*) >= {min_co}
+),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term)
+SELECT co.term, co.n_co,
+       round(ln(co.n_co * g.n_docs / (df_probe.df_probe * dfs.df)), 4) AS pmi
+FROM co JOIN dfs USING (term) CROSS JOIN g CROSS JOIN df_probe
+ORDER BY pmi DESC, term ASC LIMIT {k}
+"""

@@ -1,0 +1,287 @@
+"""Extended query operators over the ``(doc_id, text)`` corpus: disjunctive
+BM25, positional phrase match, more-like-this, faceted search, prefix
+expansion, and term co-occurrence/PMI.
+
+These widen the reference's AND-only search surface (SearchServiceImpl.java:
+119-157 computes conjunctive Σtf only) to the operators every full-text
+engine grows next; all are single-scan/single-shuffle DataFrame plans whose
+semantics are reproducible in the DuckDB oracle (pipeline/oracle_sql.py).
+
+Scale notes per operator are on each function; the common rule: the corpus
+is touched once (persisted postings feed every branch), small dimension
+sides are broadcast, and nothing round-trips through the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from searchengine_spark.pipeline._cache import finalize
+from searchengine_spark.pipeline.fulltext import (
+    df_stats,
+    doc_stats,
+    positional_tokens,
+    tf_postings,
+)
+from searchengine_spark.textproc.core import BM25_B, BM25_K1
+
+
+def bm25_or_scored(documents: DataFrame, query_terms: list[str],
+                   min_match: int = 1, k1: float = BM25_K1, b: float = BM25_B,
+                   **kw) -> DataFrame:
+    """(doc_id, nhit, score): disjunctive BM25 — docs matching >= min_match
+    of the query terms, scored over the terms they DO contain.  min_match =
+    len(terms) degenerates to the conjunctive plan; 1 is classic OR.
+
+    Same single-corpus-scan shape as fulltext.bm25_scored (persisted
+    postings feed df/dl/avgdl branches); the only change is the HAVING
+    threshold, so the scale story is identical: one shuffle per hash agg,
+    candidate set pruned to query-term postings before any join.
+    """
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p).persist()
+    n_and_avg = ds.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfs = df_stats(p).filter(F.col("term").isin(query_terms))
+    cand = p.filter(F.col("term").isin(query_terms))
+    scored = (
+        cand.join(F.broadcast(dfs.select("term", "df")), "term")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .withColumn("idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .withColumn(
+            "pscore",
+            F.col("idf") * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nhit"), F.sum("pscore").alias("score"))
+        .filter(F.col("nhit") >= min_match)
+    )
+    return finalize(
+        scored.select("doc_id", "nhit", F.round(F.col("score"), 4).alias("score")),
+        p, ds,
+    )
+
+
+def bm25_or_topk(documents: DataFrame, query_terms: list[str], k: int = 20,
+                 min_match: int = 1, **kw) -> DataFrame:
+    """Top-k disjunctive: ties broken on (score desc, nhit desc, doc_id asc)
+    so more-complete matches rank first at equal score."""
+    return (
+        bm25_or_scored(documents, query_terms, min_match=min_match, **kw)
+        .orderBy(F.desc("score"), F.desc("nhit"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def phrase_occurrences(documents: DataFrame, phrase: list[str],
+                       **kw) -> DataFrame:
+    """(doc_id, n_occurrences, first_pos): exact positional phrase match.
+
+    Slot trick, not an n-way self-join: each token at position p whose term
+    equals phrase[i] contributes an *anchor* candidate (doc, p - i, slot=i);
+    a full occurrence at anchor a is n distinct slots present at a.  One
+    posexplode + one hash agg — a single shuffle on (doc_id, anchor),
+    regardless of phrase length, and repeated terms in the phrase are
+    handled exactly (a token only fills slots whose phrase word matches it).
+
+    At scale: the explode fan-out is len(phrase) per matching token of the
+    phrase vocabulary only (the isin filter prunes before the explode), so
+    the shuffled volume is O(occurrences of phrase words), not O(corpus).
+    """
+    n = len(phrase)
+    # term -> array of slot indices it fills (handles repeated words)
+    slot_map = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in sorted(set(phrase))]),
+        F.array(*[
+            F.array(*[F.lit(i) for i, w in enumerate(phrase) if w == t])
+            for t in sorted(set(phrase))
+        ]),
+    )
+    pt = (
+        positional_tokens(documents, **kw)
+        .filter(F.col("term").isin(list(set(phrase))))
+        .select("doc_id", "pos", F.explode(slot_map[F.col("term")]).alias("slot"))
+        .select("doc_id", (F.col("pos") - F.col("slot")).alias("anchor"), "slot")
+        .filter(F.col("anchor") >= 1)
+    )
+    # (doc, anchor, slot) is unique by construction — slot fixes pos given
+    # anchor — so a plain count equals count(distinct slot) and skips the
+    # dedup expand+exchange countDistinct would plan
+    hits = (
+        pt.groupBy("doc_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("nslots"))
+        .filter(F.col("nslots") == n)
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("anchor").cast("long").alias("first_pos"),
+        )
+    )
+
+
+def more_like_this(documents: DataFrame, probe_doc_id: int, k: int = 10,
+                   **kw) -> DataFrame:
+    """(doc_id, cosine): top-k docs by TF-IDF cosine similarity to the probe
+    document — the "more like this" endpoint.  w(term, doc) = tf * ln(n_docs
+    / df); cosine = dot / (|probe| * |doc|); the probe itself is excluded.
+
+    Scale: the probe vector is one document (broadcast); the corpus-side
+    work is the postings scan + one join on term against the broadcast probe
+    + one hash agg per doc — no all-pairs anything.  Norms come from one
+    extra agg over the persisted postings, so the corpus is tokenized once.
+    """
+    p = tf_postings(documents, **kw).persist()
+    n_docs = p.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    weighted = (
+        p.join(F.broadcast(df_stats(p).select("term", "df")), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term", "doc_id",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    ).persist()
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    probe = weighted.filter(F.col("doc_id") == probe_doc_id).select(
+        "term", F.col("w").alias("pw")
+    )
+    probe_norm = probe.agg(F.sqrt(F.sum(F.col("pw") * F.col("pw"))).alias("pnorm"))
+    out = (
+        weighted.filter(F.col("doc_id") != probe_doc_id)
+        .join(F.broadcast(probe), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("pw")).alias("dot"))
+        .join(norms, "doc_id")
+        .crossJoin(F.broadcast(probe_norm))
+        .select(
+            "doc_id",
+            F.round(F.col("dot") / (F.col("norm") * F.col("pnorm")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return finalize(out, p, weighted)
+
+
+def facet_counts(documents: DataFrame, query_terms: list[str],
+                 facet_col: str = "lang", **kw) -> DataFrame:
+    """(facet, n_docs, max_score): search-result facets — conjunctive match
+    set rolled up by a document attribute (the sidebar counts every search
+    UI shows).  One extra broadcast-friendly join from the scored candidates
+    back to the documents' facet column, then a hash agg keyed by facet —
+    facet cardinality is small by construction, and the candidate set is
+    already term-pruned, so this adds no corpus-sized shuffle."""
+    from searchengine_spark.pipeline.fulltext import bm25_scored
+
+    scored = bm25_scored(documents, query_terms, **kw)
+    facets = documents.select(
+        F.col(kw.get("id_col", "doc_id")).alias("doc_id"),
+        F.col(facet_col).alias("facet"),
+    )
+    return (
+        scored.join(facets, "doc_id")
+        .groupBy("facet")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("score").alias("max_score"),
+        )
+    )
+
+
+def grouped_topk(documents: DataFrame, query_terms: list[str],
+                 per_group: int = 3, facet_col: str = "lang", **kw) -> DataFrame:
+    """(facet, rank, doc_id, score): top-N results within each facet value —
+    diversified results ("best 3 per language").  The ranking window is
+    partitioned by facet, so no global single-partition funnel; each facet's
+    candidates sort independently."""
+    from searchengine_spark.pipeline.fulltext import bm25_scored
+
+    scored = bm25_scored(documents, query_terms, **kw)
+    facets = documents.select(
+        F.col(kw.get("id_col", "doc_id")).alias("doc_id"),
+        F.col(facet_col).alias("facet"),
+    )
+    w = Window.partitionBy("facet").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(facets, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_group)
+        .select("facet", "rank", "doc_id", "score")
+    )
+
+
+def prefix_search(documents: DataFrame, prefix: str, k: int = 20,
+                  **kw) -> DataFrame:
+    """(doc_id, nterms, score): wildcard search ``prefix*`` — expand the
+    prefix against the term dictionary, then score docs by Σ tf·idf over
+    every matched term.  idf = ln(n_docs / df) (no BM25 length norm: the
+    expansion set is unbounded, so per-term saturation would be dominated by
+    expansion width anyway — Σ tf·idf is the standard wildcard scoring).
+
+    Scale: expansion stays distributed — matched terms are a broadcast-side
+    semi-join against postings (the dictionary side after a prefix filter is
+    tiny), never a collected list in the plan.
+    """
+    p = tf_postings(documents, **kw).persist()
+    n_docs = p.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    matched = df_stats(p).filter(F.col("term").startswith(prefix))
+    out = (
+        p.join(F.broadcast(matched.select("term", "df")), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").cast("long").alias("nterms"),
+            F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("score"),
+        )
+        .select("doc_id", "nterms", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return finalize(out, p)
+
+
+def cooccurrence_pmi(documents: DataFrame, probe_term: str, min_co: int = 5,
+                     k: int = 50, **kw) -> DataFrame:
+    """(term, n_co, pmi): terms that co-occur with ``probe_term`` at the
+    document level, ranked by pointwise mutual information
+    pmi = ln(n_co * n_docs / (df_probe * df_term)) — the "related terms"
+    panel / query-expansion signal.
+
+    Scale: docs containing the probe are a broadcast semi-join side (df of
+    one term), the co-count is one hash agg over the pruned postings, and
+    df/n_docs come from the persisted postings — no term-pair self-join of
+    the whole dictionary."""
+    p = tf_postings(documents, **kw).persist()
+    n_docs = p.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    probe_docs = p.filter(F.col("term") == probe_term).select("doc_id")
+    df_probe = probe_docs.agg(F.count(F.lit(1)).cast("double").alias("df_probe"))
+    co = (
+        p.join(F.broadcast(probe_docs), "doc_id")
+        .filter(F.col("term") != probe_term)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= min_co)
+    )
+    out = (
+        co.join(F.broadcast(df_stats(p).select("term", "df")), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(df_probe))
+        .select(
+            "term", "n_co",
+            F.round(
+                F.log(F.col("n_co") * F.col("n_docs")
+                      / (F.col("df_probe") * F.col("df"))),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("term"))
+        .limit(k)
+    )
+    return finalize(out, p)

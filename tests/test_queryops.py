@@ -1,0 +1,141 @@
+"""Semantics tests for the extended query operators (pipeline/queryops.py)
+on hand-built corpora where the expected answer is computable by eye.
+Oracle parity at corpus scale is covered by the auto-parametrized gate in
+test_entry.py (q_bm25_or, q_phrase_match, q_more_like_this, q_facet_counts,
+q_grouped_topk, q_prefix_search, q_cooccurrence_pmi)."""
+
+from __future__ import annotations
+
+import math
+
+from searchengine_spark.pipeline.queryops import (
+    bm25_or_topk,
+    cooccurrence_pmi,
+    facet_counts,
+    grouped_topk,
+    more_like_this,
+    phrase_occurrences,
+    prefix_search,
+)
+
+
+def _docs(spark, rows, schema="doc_id long, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+# disjunctive BM25 --------------------------------------------------------
+
+def test_bm25_or_matches_any_term(spark):
+    rows = [(0, "apple banana"), (1, "apple apple"), (2, "cherry"), (3, "banana")]
+    out = bm25_or_topk(_docs(spark, rows), ["apple", "banana"], k=10).collect()
+    ids = {r.doc_id for r in out}
+    assert ids == {0, 1, 3}           # cherry-only doc excluded
+    byid = {r.doc_id: r for r in out}
+    assert byid[0].nhit == 2 and byid[1].nhit == 1 and byid[3].nhit == 1
+
+
+def test_bm25_or_min_match_gates(spark):
+    rows = [(0, "apple banana"), (1, "apple"), (2, "banana"), (3, "x")]
+    out = bm25_or_topk(_docs(spark, rows), ["apple", "banana"], k=10,
+                       min_match=2).collect()
+    assert [r.doc_id for r in out] == [0]
+
+
+# phrase match ------------------------------------------------------------
+
+def test_phrase_basic_and_counts(spark):
+    rows = [
+        (0, "big red fox big red fox"),   # 2 occurrences, first at pos 1
+        (1, "red big fox"),               # words present, order wrong
+        (2, "big red"),                   # incomplete phrase ("fox" missing)
+        (3, "x big red fox y"),           # 1 occurrence at pos 2
+    ]
+    out = {r.doc_id: r for r in
+           phrase_occurrences(_docs(spark, rows), ["big", "red", "fox"]).collect()}
+    assert set(out) == {0, 3}
+    assert (out[0].n_occurrences, out[0].first_pos) == (2, 1)
+    assert (out[3].n_occurrences, out[3].first_pos) == (1, 2)
+
+
+def test_phrase_repeated_word(spark):
+    # phrase with a repeated word: "a b a" — a single 'a' token must not
+    # satisfy both slot 0 and slot 2 of the same anchor
+    rows = [(0, "a b a"), (1, "a b c"), (2, "x a b a y a b a")]
+    out = {r.doc_id: r for r in
+           phrase_occurrences(_docs(spark, rows), ["a", "b", "a"]).collect()}
+    assert set(out) == {0, 2}
+    assert out[0].n_occurrences == 1
+    # doc 2: anchors at pos 2 and pos 5 ("a b a" twice); the middle overlap
+    # "a y a" is not a match
+    assert out[2].n_occurrences == 2 and out[2].first_pos == 2
+
+
+# more-like-this ----------------------------------------------------------
+
+def test_more_like_this_ranks_identical_doc_first(spark):
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta gamma"),          # identical to probe -> cosine 1
+        (2, "alpha beta delta"),          # shares 2 of 3
+        (3, "epsilon zeta eta"),          # disjoint -> no common weighted term
+    ]
+    out = more_like_this(_docs(spark, rows), probe_doc_id=0, k=10).collect()
+    assert out[0].doc_id == 1 and abs(out[0].cosine - 1.0) < 1e-9
+    ids = [r.doc_id for r in out]
+    assert 0 not in ids                   # probe excluded
+    assert 3 not in ids                   # disjoint doc has no dot product
+
+
+# facets ------------------------------------------------------------------
+
+_FACET_SCHEMA = "doc_id long, text string, lang string"
+
+
+def test_facet_counts_and_grouped_topk(spark):
+    rows = [
+        (0, "merge vector", "py"),
+        (1, "merge vector fast", "py"),
+        (2, "merge vector", "go"),
+        (3, "merge only", "go"),          # fails AND gate
+    ]
+    docs = _docs(spark, rows, _FACET_SCHEMA)
+    fc = {r.facet: r.n_docs for r in
+          facet_counts(docs, ["merge", "vector"]).collect()}
+    assert fc == {"py": 2, "go": 1}
+
+    gt = grouped_topk(docs, ["merge", "vector"], per_group=1).collect()
+    by_facet = {r.facet: r for r in gt}
+    assert set(by_facet) == {"py", "go"}
+    assert all(r.rank == 1 for r in gt)
+    assert by_facet["go"].doc_id == 2
+
+
+# prefix search -----------------------------------------------------------
+
+def test_prefix_search_expands_and_scores(spark):
+    rows = [
+        (0, "star stone star"),   # two 'st' terms, tf 2+1
+        (1, "stone"),
+        (2, "moon sun"),          # 'sun' does not match 'st'
+    ]
+    out = {r.doc_id: r for r in
+           prefix_search(_docs(spark, rows), "st", k=10).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].nterms == 2 and out[1].nterms == 1
+    # idf = ln(3/df): star df=1, stone df=2
+    exp0 = 2 * math.log(3 / 1) + 1 * math.log(3 / 2)
+    assert abs(out[0].score - round(exp0, 4)) < 1e-6
+
+
+# co-occurrence / PMI -----------------------------------------------------
+
+def test_cooccurrence_pmi_values(spark):
+    # probe 'a': docs {0,1}; 'b' co-occurs in both, 'c' in one, 'd' never
+    rows = [(0, "a b c"), (1, "a b"), (2, "b d"), (3, "d")]
+    out = {r.term: r for r in
+           cooccurrence_pmi(_docs(spark, rows), "a", min_co=1, k=10).collect()}
+    assert set(out) == {"b", "c"}
+    # pmi(b) = ln(2*4 / (2*3)) ; pmi(c) = ln(1*4 / (2*1))
+    assert abs(out["b"].pmi - round(math.log(8 / 6), 4)) < 1e-6
+    assert abs(out["c"].pmi - round(math.log(4 / 2), 4)) < 1e-6
+    assert out["c"].pmi > out["b"].pmi   # rarer co-term, higher PMI
