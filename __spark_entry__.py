@@ -52,6 +52,7 @@ Q_PAGE = ["table", "join"]
 Q_PHRASE = ["table", "hash"]
 Q_PREFIX = "s"
 Q_PMI_PROBE = "merge"
+Q_MISSPELLED = "merg"
 PROBE_DOC_ID = 0
 PROBE_VEC_IDS = [0, 1, 2, 3, 4]
 
@@ -235,6 +236,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouped_topk": lambda s, d: queryops.grouped_topk(_docs(s, d), Q_AND2, per_group=3),
         "q_prefix_search": lambda s, d: queryops.prefix_search(_docs(s, d), Q_PREFIX, k=20),
         "q_cooccurrence_pmi": lambda s, d: queryops.cooccurrence_pmi(_docs(s, d), Q_PMI_PROBE),
+        "q_spell_suggest": lambda s, d: queryops.spell_suggest(_docs(s, d), Q_MISSPELLED),
+        "q_chunk_windows": lambda s, d: queryops.chunk_windows(_docs(s, d), size=64, stride=32),
+        "q_keywords_tfidf": lambda s, d: queryops.keywords_tfidf(_docs(s, d), per_doc=5),
+        "q_chunk_dedup": lambda s, d: queryops.chunk_dedup(_docs(s, d), size=64),
+        "q_length_histogram": lambda s, d: queryops.length_histogram(_docs(s, d)),
 
         "q_media_features": lambda s, d: multimodal.extract_features(
             multimodal.synth_media(_docs(s, d))
@@ -315,6 +321,11 @@ def oracle_sql() -> dict[str, str]:
         "q_grouped_topk": osql.grouped_topk(Q_AND2, per_group=3),
         "q_prefix_search": osql.prefix_search(Q_PREFIX, k=20),
         "q_cooccurrence_pmi": osql.cooccurrence_pmi(Q_PMI_PROBE),
+        "q_spell_suggest": osql.spell_suggest(Q_MISSPELLED),
+        "q_chunk_windows": osql.chunk_windows(size=64, stride=32),
+        "q_keywords_tfidf": osql.keywords_tfidf(per_doc=5),
+        "q_chunk_dedup": osql.chunk_dedup(size=64),
+        "q_length_histogram": osql.length_histogram(),
         "q_media_features": osql.media_features(),
         "q_media_frame_sample": osql.media_frame_sample(every=2),
     }

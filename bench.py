@@ -61,6 +61,10 @@ HEADLINE = [
     "q_bm25_or",
     "q_phrase_match",
     "q_more_like_this",
+    "q_keywords_tfidf",
+    "q_chunk_windows",
+    "q_chunk_dedup",
+    "q_length_histogram",
     "q_events_tumbling",
     "q_events_sessions",
     "q_events_asof",

@@ -1382,3 +1382,97 @@ SELECT co.term, co.n_co,
 FROM co JOIN dfs USING (term) CROSS JOIN g CROSS JOIN df_probe
 ORDER BY pmi DESC, term ASC LIMIT {k}
 """
+
+
+def spell_suggest(query_term: str, max_dist: int = 1, k: int = 5) -> str:
+    """DuckDB twin of queryops.spell_suggest."""
+    esc = query_term.replace("'", "''")
+    return f"""
+WITH {_TOKS_CTE},
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+cand AS (
+  SELECT term, df, levenshtein(term, '{esc}')::BIGINT AS dist
+  FROM dfs
+  WHERE abs(length(term) - {len(query_term)}) <= {max_dist}
+)
+SELECT term, df, dist FROM cand WHERE dist <= {max_dist}
+ORDER BY dist ASC, df DESC, term ASC LIMIT {k}
+"""
+
+
+def chunk_windows(size: int = 64, stride: int = 32) -> str:
+    """DuckDB twin of queryops.chunk_windows."""
+    return f"""
+WITH d0 AS (SELECT doc_id, {_TOKARR} AS arr FROM documents),
+d AS (SELECT doc_id, arr, len(arr) AS n FROM d0 WHERE len(arr) > 0),
+c AS (
+  SELECT doc_id, unnest(generate_series(0, ((n - 1) // {stride})::BIGINT)) AS chunk_id, arr
+  FROM d
+)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       (chunk_id * {stride} + 1)::BIGINT AS begin_tok,
+       len(list_slice(arr, chunk_id * {stride} + 1, chunk_id * {stride} + {size}))::BIGINT AS n_tokens,
+       sha256(array_to_string(list_slice(arr, chunk_id * {stride} + 1, chunk_id * {stride} + {size}), ' ')) AS chunk_sha
+FROM c
+"""
+
+
+def chunk_dedup(size: int = 64) -> str:
+    """DuckDB twin of queryops.chunk_dedup (stride = size)."""
+    return f"""
+WITH d0 AS (SELECT doc_id, {_TOKARR} AS arr FROM documents),
+d AS (SELECT doc_id, arr, len(arr) AS n FROM d0 WHERE len(arr) > 0),
+c AS (
+  SELECT doc_id, unnest(generate_series(0, ((n - 1) // {size})::BIGINT)) AS chunk_id, arr
+  FROM d
+),
+chunks AS (
+  SELECT doc_id,
+         sha256(array_to_string(list_slice(arr, chunk_id * {size} + 1, chunk_id * {size} + {size}), ' ')) AS chunk_sha
+  FROM c
+),
+shared AS (
+  SELECT chunk_sha, count(DISTINCT doc_id) AS n_docs_with FROM chunks GROUP BY 1
+)
+SELECT ch.doc_id,
+       count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN s.n_docs_with >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+       round(sum(CASE WHEN s.n_docs_with >= 2 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 4) AS dup_ratio
+FROM chunks ch JOIN shared s USING (chunk_sha)
+GROUP BY ch.doc_id
+"""
+
+
+def length_histogram() -> str:
+    """DuckDB twin of queryops.length_histogram: bucket via bin-string
+    length (integer-exact floor(log2)), matching Spark's conv(n,10,2)."""
+    return f"""
+WITH d0 AS (SELECT lang, len({_TOKARR}) AS n FROM documents),
+d AS (
+  SELECT lang, n, (length(bin(n)) - 1)::BIGINT AS bucket
+  FROM d0 WHERE n > 0
+)
+SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+       min(n)::BIGINT AS min_tokens, max(n)::BIGINT AS max_tokens,
+       sum(n)::BIGINT AS sum_tokens
+FROM d GROUP BY lang, bucket
+"""
+
+
+def keywords_tfidf(per_doc: int = 5) -> str:
+    """DuckDB twin of queryops.keywords_tfidf."""
+    return f"""
+WITH {_TOKS_CTE},
+g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+w AS (
+  SELECT p.doc_id, p.term, round(p.tf * ln(g.n_docs / dfs.df), 4) AS w
+  FROM postings p JOIN dfs USING (term) CROSS JOIN g
+),
+r AS (
+  SELECT doc_id, term, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term ASC) AS rank
+  FROM w WHERE w > 0
+)
+SELECT doc_id, rank::BIGINT AS rank, term, w FROM r WHERE rank <= {per_doc}
+"""

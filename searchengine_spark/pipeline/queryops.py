@@ -285,3 +285,169 @@ def cooccurrence_pmi(documents: DataFrame, probe_term: str, min_co: int = 5,
         .limit(k)
     )
     return finalize(out, p)
+
+
+def spell_suggest(documents: DataFrame, query_term: str, max_dist: int = 1,
+                  k: int = 5, **kw) -> DataFrame:
+    """(term, df, dist): "did you mean" — dictionary terms within edit
+    distance ``max_dist`` of the query term, ranked by (dist asc, df desc).
+    The misspelled term itself (dist 0) ranks first if it exists.
+
+    Scale: the candidate scan is over the TERM DICTIONARY (df_stats), which
+    is orders of magnitude smaller than postings, with a length pre-filter
+    (|len(t) - len(q)| <= max_dist) pruning before the O(len^2) levenshtein
+    — a linear dictionary scan, no shuffle beyond the df agg it reuses.
+    ``levenshtein`` is a JVM built-in with an identical DuckDB twin, so the
+    oracle comparison is exact."""
+    p = tf_postings(documents, **kw)
+    qlen = len(query_term)
+    out = (
+        df_stats(p)
+        .filter(F.abs(F.length("term") - qlen) <= max_dist)
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(query_term)).cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select("term", "df", "dist")
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+    return out
+
+
+def chunk_windows(documents: DataFrame, size: int = 64, stride: int = 32,
+                  **kw) -> DataFrame:
+    """(doc_id, chunk_id, begin_tok, n_tokens, chunk_sha): RAG-style sliding
+    token windows — ``size``-token chunks every ``stride`` tokens, last
+    partial chunk kept; chunk_sha fingerprints the chunk's joined tokens so
+    downstream dedup/embedding jobs can key on content.
+
+    Scale: pure per-row work — tokenize once, slice the token array per
+    window (sequence_length/stride windows per doc), no shuffle at all; the
+    explode fan-out is the chunking ratio (~len/stride), which is the output
+    size, not amplification."""
+    from searchengine_spark.pipeline.fulltext import tokens_col
+
+    toks = F.filter(tokens_col(kw.get("text_col", "text")), lambda t: t != "")
+    id_col = kw.get("id_col", "doc_id")
+    d = documents.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).withColumn("n", F.size("toks")).filter(F.col("n") > 0)
+    # chunk starts: 1, 1+stride, ... while start <= n (1-based slice)
+    d = d.withColumn(
+        "starts",
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.floor((F.col("n") - 1) / F.lit(stride)).cast("long"),
+            F.lit(1).cast("long"),
+        ),
+    )
+    return (
+        d.select(
+            "doc_id", "n", "toks",
+            F.explode("starts").alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("chunk_id") * stride + 1).cast("long").alias("begin_tok"),
+            F.slice(
+                F.col("toks"), (F.col("chunk_id") * stride + 1).cast("int"), size
+            ).alias("chunk"),
+        )
+        .select(
+            "doc_id", "chunk_id", "begin_tok",
+            F.size("chunk").cast("long").alias("n_tokens"),
+            F.sha2(F.concat_ws(" ", "chunk"), 256).alias("chunk_sha"),
+        )
+    )
+
+
+def chunk_dedup(documents: DataFrame, size: int = 64, **kw) -> DataFrame:
+    """(doc_id, n_chunks, n_dup_chunks, dup_ratio): cross-document chunk-
+    level duplication — split every doc into non-overlapping ``size``-token
+    chunks (chunk_windows with stride=size), mark a chunk duplicated when
+    its content sha appears in >= 2 DISTINCT documents, and report the
+    duplicated fraction per doc.  This is the boilerplate/reused-passage
+    detector of a training-data pipeline: doc-level exact dedup misses a
+    README pasted into 500 repos with one changed title line; chunk-level
+    catches it.
+
+    Scale: one hash agg on chunk_sha (the dedup key — same shape as exact
+    doc dedup), one shuffle join back on that key, one per-doc agg.  No
+    self-join, no driver round-trip; chunk fan-out is len/size per doc."""
+    chunks = chunk_windows(documents, size=size, stride=size, **kw).persist()
+    shared = (
+        chunks.groupBy("chunk_sha")
+        .agg(F.countDistinct("doc_id").alias("n_docs_with"))
+    )
+    out = (
+        chunks.join(shared, "chunk_sha")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks").cast("double"), 4),
+        )
+    )
+    return finalize(out, chunks)
+
+
+def length_histogram(documents: DataFrame, **kw) -> DataFrame:
+    """(lang, bucket, n_docs, min_tokens, max_tokens, sum_tokens): exact
+    power-of-two token-length histogram per language — bucket = floor(log2
+    n_tokens), computed INTEGER-exactly via the binary-string length
+    (conv base 10→2) so the Spark and DuckDB sides can never disagree on a
+    boundary doc the way float log2 could.  The planning input for sequence
+    packing: how much of each source fits a context window, where padding
+    waste will concentrate.
+
+    Scale: one narrow per-row projection + one tiny hash agg (langs ×
+    ~40 buckets) — map-side combine collapses it before the shuffle."""
+    from searchengine_spark.pipeline.fulltext import tokens_col
+
+    toks = F.filter(tokens_col(kw.get("text_col", "text")), lambda t: t != "")
+    lang_col = kw.get("lang_col", "lang")
+    d = (
+        documents.select(
+            F.col(lang_col).alias("lang"), F.size(toks).cast("long").alias("n")
+        )
+        .filter(F.col("n") > 0)
+        .withColumn(
+            "bucket",
+            (F.length(F.conv(F.col("n").cast("string"), 10, 2)) - 1).cast("long"),
+        )
+    )
+    return d.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n").alias("min_tokens"),
+        F.max("n").alias("max_tokens"),
+        F.sum("n").alias("sum_tokens"),
+    )
+
+
+def keywords_tfidf(documents: DataFrame, per_doc: int = 5, **kw) -> DataFrame:
+    """(doc_id, rank, term, w): top-N terms per document by tf·idf
+    (idf = ln(n_docs / df)) — per-doc keyword extraction for tagging /
+    related-content features.
+
+    Scale: the ranking window partitions by doc_id — massively parallel,
+    bounded rows per partition (a doc's distinct terms); df/n_docs come from
+    the persisted postings, so one corpus tokenization feeds everything."""
+    p = tf_postings(documents, **kw).persist()
+    n_docs = p.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("w"), F.asc("term")
+    )
+    out = (
+        p.join(F.broadcast(df_stats(p).select("term", "df")), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("w", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4))
+        .filter(F.col("w") > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_doc)
+        .select("doc_id", F.col("rank").cast("long").alias("rank"), "term", "w")
+    )
+    return finalize(out, p)

@@ -10,12 +10,17 @@ import math
 
 from searchengine_spark.pipeline.queryops import (
     bm25_or_topk,
+    chunk_dedup,
+    chunk_windows,
     cooccurrence_pmi,
     facet_counts,
     grouped_topk,
+    keywords_tfidf,
+    length_histogram,
     more_like_this,
     phrase_occurrences,
     prefix_search,
+    spell_suggest,
 )
 
 
@@ -139,3 +144,89 @@ def test_cooccurrence_pmi_values(spark):
     assert abs(out["b"].pmi - round(math.log(8 / 6), 4)) < 1e-6
     assert abs(out["c"].pmi - round(math.log(4 / 2), 4)) < 1e-6
     assert out["c"].pmi > out["b"].pmi   # rarer co-term, higher PMI
+
+
+# spell suggestion ---------------------------------------------------------
+
+def test_spell_suggest_ranks_by_dist_then_df(spark):
+    rows = [(0, "merge merge"), (1, "merge marg"), (2, "merged")]
+    out = spell_suggest(_docs(spark, rows), "merg").collect()
+    # dist 1: merge (df 2, insert e), marg (df 1, sub a); merged is dist 2 -> out
+    assert [(r.term, r.dist) for r in out] == [("merge", 1), ("marg", 1)]
+    assert out[0].df == 2
+
+
+def test_spell_suggest_exact_term_wins(spark):
+    rows = [(0, "merge merg")]
+    out = spell_suggest(_docs(spark, rows), "merg").collect()
+    assert out[0].term == "merg" and out[0].dist == 0
+
+
+# RAG chunk windows ---------------------------------------------------------
+
+def test_chunk_windows_strides_and_partial_tail(spark):
+    text = " ".join(f"t{i}" for i in range(10))     # 10 tokens
+    out = sorted(chunk_windows(_docs(spark, [(0, text)]), size=4, stride=3)
+                 .collect(), key=lambda r: r.chunk_id)
+    # starts at tok 1,4,7,10 -> 4 chunks; sizes 4,4,4,1
+    assert [(r.begin_tok, r.n_tokens) for r in out] == [
+        (1, 4), (4, 4), (7, 4), (10, 1)]
+    assert len({r.chunk_sha for r in out}) == 4
+
+
+def test_chunk_dedup_flags_shared_chunks(spark):
+    shared = " ".join(f"s{i}" for i in range(4))        # 4-token shared chunk
+    uniq_a = " ".join(f"a{i}" for i in range(4))
+    uniq_b = " ".join(f"b{i}" for i in range(4))
+    rows = [(0, f"{shared} {uniq_a}"), (1, f"{shared} {uniq_b}"),
+            (2, uniq_b.replace("b", "c"))]
+    out = {r.doc_id: r for r in
+           chunk_dedup(_docs(spark, rows), size=4).collect()}
+    assert (out[0].n_chunks, out[0].n_dup_chunks) == (2, 1)
+    assert out[0].dup_ratio == 0.5 and out[1].dup_ratio == 0.5
+    assert out[2].n_dup_chunks == 0
+    # within-doc repetition alone is NOT cross-doc duplication
+    solo = chunk_dedup(_docs(spark, [(9, f"{uniq_a} {uniq_a}")]), size=4).collect()
+    assert solo[0].n_dup_chunks == 0
+
+
+def test_length_histogram_exact_log2_buckets(spark):
+    rows = [
+        (0, " ".join(["t"] * 1), "py"),    # bucket 0
+        (1, " ".join(["t"] * 2), "py"),    # bucket 1   (boundary: log2=1.0)
+        (2, " ".join(["t"] * 3), "py"),    # bucket 1
+        (3, " ".join(["t"] * 64), "py"),   # bucket 6   (boundary)
+        (4, " ".join(["t"] * 63), "go"),   # bucket 5
+        (5, "", "go"),                      # empty -> excluded
+    ]
+    out = {(r.lang, r.bucket): r for r in
+           length_histogram(_docs(spark, rows, "doc_id long, text string, lang string"))
+           .collect()}
+    assert set(out) == {("py", 0), ("py", 1), ("py", 6), ("go", 5)}
+    assert out[("py", 1)].n_docs == 2
+    assert (out[("py", 1)].min_tokens, out[("py", 1)].max_tokens) == (2, 3)
+    assert out[("py", 6)].min_tokens == 64
+
+
+def test_chunk_windows_sha_keys_content(spark):
+    rows = [(0, "a b c d"), (1, "a b c d"), (2, "a b c x")]
+    out = chunk_windows(_docs(spark, rows), size=4, stride=4).collect()
+    sha = {r.doc_id: r.chunk_sha for r in out}
+    assert sha[0] == sha[1] != sha[2]
+
+
+# per-doc TF-IDF keywords ----------------------------------------------------
+
+def test_keywords_tfidf_picks_distinctive_terms(spark):
+    rows = [
+        (0, "common rare rare"),      # 'rare' only here, tf 2
+        (1, "common other"),
+        (2, "common thing"),
+    ]
+    out = keywords_tfidf(_docs(spark, rows), per_doc=1).collect()
+    byid = {r.doc_id: r for r in out}
+    assert byid[0].term == "rare" and byid[0].rank == 1
+    # 'common' has df=3 of 3 docs -> idf 0 -> weight 0, filtered out
+    terms = {r.term for r in out}
+    assert "common" not in terms
+    assert abs(byid[0].w - round(2 * math.log(3 / 1), 4)) < 1e-6
