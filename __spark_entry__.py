@@ -237,6 +237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prefix_search": lambda s, d: queryops.prefix_search(_docs(s, d), Q_PREFIX, k=20),
         "q_cooccurrence_pmi": lambda s, d: queryops.cooccurrence_pmi(_docs(s, d), Q_PMI_PROBE),
         "q_spell_suggest": lambda s, d: queryops.spell_suggest(_docs(s, d), Q_MISSPELLED),
+        "q_fuzzy_search": lambda s, d: queryops.fuzzy_search(
+            _docs(s, d), [Q_MISSPELLED, "tabl"], k=20),
         "q_chunk_windows": lambda s, d: queryops.chunk_windows(_docs(s, d), size=64, stride=32),
         "q_keywords_tfidf": lambda s, d: queryops.keywords_tfidf(_docs(s, d), per_doc=5),
         "q_chunk_dedup": lambda s, d: queryops.chunk_dedup(_docs(s, d), size=64),
@@ -322,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "q_prefix_search": osql.prefix_search(Q_PREFIX, k=20),
         "q_cooccurrence_pmi": osql.cooccurrence_pmi(Q_PMI_PROBE),
         "q_spell_suggest": osql.spell_suggest(Q_MISSPELLED),
+        "q_fuzzy_search": osql.fuzzy_search([Q_MISSPELLED, "tabl"], k=20),
         "q_chunk_windows": osql.chunk_windows(size=64, stride=32),
         "q_keywords_tfidf": osql.keywords_tfidf(per_doc=5),
         "q_chunk_dedup": osql.chunk_dedup(size=64),

@@ -61,6 +61,7 @@ HEADLINE = [
     "q_bm25_or",
     "q_phrase_match",
     "q_more_like_this",
+    "q_fuzzy_search",
     "q_keywords_tfidf",
     "q_chunk_windows",
     "q_chunk_dedup",

@@ -1400,6 +1400,48 @@ ORDER BY dist ASC, df DESC, term ASC LIMIT {k}
 """
 
 
+def fuzzy_search(terms: list[str], max_dist: int = 1, expansions: int = 8,
+                 k: int = 20) -> str:
+    """DuckDB twin of queryops.fuzzy_search: per-slot edit-distance
+    expansion (top ``expansions`` by dist asc, df desc, term asc), AND
+    across slots, max-over-expansions BM25 per slot."""
+    slot_selects = " UNION ALL ".join(
+        f"""SELECT {i} AS slot, term, df,
+       levenshtein(term, '{t.replace("'", "''")}')::BIGINT AS dist
+FROM dfs WHERE abs(length(term) - {len(t)}) <= {max_dist}
+  AND levenshtein(term, '{t.replace("'", "''")}') <= {max_dist}"""
+        for i, t in enumerate(terms)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+exp0 AS ({slot_selects}),
+exp AS (
+  SELECT slot, term, df FROM (
+    SELECT slot, term, df,
+           row_number() OVER (PARTITION BY slot ORDER BY dist ASC, df DESC, term ASC) AS r
+    FROM exp0
+  ) WHERE r <= {expansions}
+),
+slot_scores AS (
+  SELECT p.doc_id, e.slot,
+         max( ln(1 + (g.n_docs - e.df + 0.5) / (e.df + 0.5))
+              * (p.tf * 2.2)
+              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ) AS slot_score
+  FROM postings p
+  JOIN exp e USING (term)
+  JOIN ds ON p.doc_id = ds.doc_id
+  CROSS JOIN g
+  GROUP BY p.doc_id, e.slot
+)
+SELECT doc_id, count(*)::BIGINT AS nslots, round(sum(slot_score), 4) AS score
+FROM slot_scores GROUP BY doc_id HAVING count(*) = {len(terms)}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def chunk_windows(size: int = 64, stride: int = 32) -> str:
     """DuckDB twin of queryops.chunk_windows."""
     return f"""

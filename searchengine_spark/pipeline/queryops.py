@@ -313,6 +313,73 @@ def spell_suggest(documents: DataFrame, query_term: str, max_dist: int = 1,
     return out
 
 
+def fuzzy_search(documents: DataFrame, query_terms: list[str],
+                 max_dist: int = 1, expansions: int = 8, k: int = 20,
+                 k1: float = BM25_K1, b: float = BM25_B, **kw) -> DataFrame:
+    """(doc_id, nslots, score): typo-tolerant conjunctive BM25 — each query
+    term expands to the dictionary terms within edit distance ``max_dist``
+    (top ``expansions`` per term by dist asc, df desc); a doc must match
+    EVERY query slot through some expansion (AND gate, the reference's
+    conjunctive contract) and each slot contributes its best-scoring
+    matched expansion (Lucene FuzzyQuery's max-over-rewrites semantics).
+
+    Scale: the expansion set is tiny (slots × expansions) and BROADCAST
+    into the postings join, so the corpus-side plan is identical to plain
+    AND-BM25: candidate postings pruned to expansion terms before any
+    shuffle, one hash agg per (doc, slot), one per-doc agg."""
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p).persist()
+    n_and_avg = ds.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfs = df_stats(p)
+
+    n_slots = len(query_terms)
+    per_slot = []
+    for i, q in enumerate(query_terms):
+        cand = (
+            dfs.filter(F.abs(F.length("term") - len(q)) <= max_dist)
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)).cast("long"))
+            .filter(F.col("dist") <= max_dist)
+            .withColumn("slot", F.lit(i))
+        )
+        per_slot.append(cand)
+    exp = per_slot[0]
+    for c in per_slot[1:]:
+        exp = exp.unionByName(c)
+    rank_w = Window.partitionBy("slot").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    exp = (
+        exp.withColumn("_r", F.row_number().over(rank_w))
+        .filter(F.col("_r") <= expansions)
+        .select("slot", "term", "df")
+    )
+
+    scored = (
+        p.join(F.broadcast(exp), "term")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .withColumn("idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .withColumn(
+            "pscore",
+            F.col("idf") * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))),
+        )
+        .groupBy("doc_id", "slot")
+        .agg(F.max("pscore").alias("slot_score"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nslots"),
+             F.sum("slot_score").alias("score"))
+        .filter(F.col("nslots") == n_slots)
+        .select("doc_id", "nslots", F.round(F.col("score"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return finalize(scored, p, ds)
+
+
 def chunk_windows(documents: DataFrame, size: int = 64, stride: int = 32,
                   **kw) -> DataFrame:
     """(doc_id, chunk_id, begin_tok, n_tokens, chunk_sha): RAG-style sliding

@@ -14,6 +14,7 @@ from searchengine_spark.pipeline.queryops import (
     chunk_windows,
     cooccurrence_pmi,
     facet_counts,
+    fuzzy_search,
     grouped_topk,
     keywords_tfidf,
     length_histogram,
@@ -160,6 +161,33 @@ def test_spell_suggest_exact_term_wins(spark):
     rows = [(0, "merge merg")]
     out = spell_suggest(_docs(spark, rows), "merg").collect()
     assert out[0].term == "merg" and out[0].dist == 0
+
+
+def test_fuzzy_search_and_gate_through_expansions(spark):
+    rows = [
+        (0, "merge table"),        # matches both slots exactly (dist 1 each)
+        (1, "merge chair"),        # slot 'tabl' unmatched -> gated out
+        (2, "merged tables"),      # both dist-2 -> no expansion hit
+        (3, "mergx table"),        # 'mergx' dist 1 of 'merg' -> both slots hit
+    ]
+    out = fuzzy_search(_docs(spark, rows), ["merg", "tabl"]).collect()
+    ids = {r.doc_id for r in out}
+    assert ids == {0, 3}
+    assert all(r.nslots == 2 for r in out)
+
+
+def test_fuzzy_search_max_over_expansions(spark):
+    # doc 0 holds two expansions of the one slot; the slot contributes its
+    # best-scoring expansion only, not the sum.  Both docs have dl=2=avgdl,
+    # tf=1, so pscore = idf exactly (denominator 2.2 cancels k1+1).
+    rows = [(0, "merge merga"), (1, "merge zzzz")]
+    out = {r.doc_id: r for r in
+           fuzzy_search(_docs(spark, rows), ["merg"]).collect()}
+    assert set(out) == {0, 1}
+    idf_merge = math.log(1 + (2 - 2 + 0.5) / 2.5)      # df=2
+    idf_merga = math.log(1 + (2 - 1 + 0.5) / 1.5)      # df=1, rarer
+    assert abs(out[0].score - round(max(idf_merge, idf_merga), 4)) < 1e-6
+    assert abs(out[1].score - round(idf_merge, 4)) < 1e-6
 
 
 # RAG chunk windows ---------------------------------------------------------
