@@ -41,6 +41,7 @@ from searchengine_spark.pipeline import (  # noqa: E402
     sampling,
     similarity,
     textstats,
+    trigram,
 )
 
 # fixed query terms, present at every scale factor of the testdata corpus
@@ -53,6 +54,7 @@ Q_PHRASE = ["table", "hash"]
 Q_PREFIX = "s"
 Q_PMI_PROBE = "merge"
 Q_MISSPELLED = "merg"
+Q_REGEX = "merge [a-z]+ vector"
 PROBE_DOC_ID = 0
 PROBE_VEC_IDS = [0, 1, 2, 3, 4]
 
@@ -244,6 +246,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_dedup": lambda s, d: queryops.chunk_dedup(_docs(s, d), size=64),
         "q_length_histogram": lambda s, d: queryops.length_histogram(_docs(s, d)),
 
+        "q_trigram_df": lambda s, d: trigram.trigram_df(_docs(s, d)),
+        "q_regex_scan": lambda s, d: trigram.regex_search_scan(_docs(s, d), Q_REGEX),
+        "q_regex_indexed": lambda s, d: trigram.regex_search_indexed(_docs(s, d), Q_REGEX),
+        "q_retention_cohorts": lambda s, d: events.retention_cohorts(_events(s, d)),
+        "q_length_quantiles": lambda s, d: textstats.length_quantiles(_docs(s, d)),
+
         "q_media_features": lambda s, d: multimodal.extract_features(
             multimodal.synth_media(_docs(s, d))
         ),
@@ -329,6 +337,11 @@ def oracle_sql() -> dict[str, str]:
         "q_keywords_tfidf": osql.keywords_tfidf(per_doc=5),
         "q_chunk_dedup": osql.chunk_dedup(size=64),
         "q_length_histogram": osql.length_histogram(),
+        "q_trigram_df": osql.trigram_df(),
+        "q_regex_scan": osql.regex_search(Q_REGEX),
+        "q_regex_indexed": osql.regex_search(Q_REGEX),
+        "q_retention_cohorts": osql.retention_cohorts(),
+        "q_length_quantiles": osql.length_quantiles(),
         "q_media_features": osql.media_features(),
         "q_media_frame_sample": osql.media_frame_sample(every=2),
     }

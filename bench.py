@@ -69,6 +69,11 @@ HEADLINE = [
     "q_events_tumbling",
     "q_events_sessions",
     "q_events_asof",
+    "q_trigram_df",
+    "q_regex_scan",
+    "q_regex_indexed",
+    "q_retention_cohorts",
+    "q_length_quantiles",
 ]
 
 

@@ -92,3 +92,34 @@ def session_windows(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """(cohort_day, day_offset, n_users) — classic retention triangle:
+    cohort = calendar day of a user's first event; each (cohort, offset)
+    cell counts the distinct users from that cohort active ``offset``
+    days later.
+
+    Scale shape: the first-event reduction is one hash agg keyed by
+    user_id, and the self-join back to events is on the SAME key — with
+    the events table hash-partitioned (or bucketed) by user_id both
+    sides are co-located, so the only full shuffle is the per-user agg.
+    The final (cohort_day, day_offset) agg has tiny cardinality
+    (days x offsets), map-side combined.  No window functions, no
+    per-user sorting.
+    """
+    first = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("cohort_ts")
+    )
+    return (
+        events.join(first, "user_id")
+        .select(
+            F.to_date("cohort_ts").alias("cohort_day"),
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_ts"))
+            .cast("long")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

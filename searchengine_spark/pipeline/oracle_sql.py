@@ -1518,3 +1518,61 @@ r AS (
 )
 SELECT doc_id, rank::BIGINT AS rank, term, w FROM r WHERE rank <= {per_doc}
 """
+
+
+# --- character-trigram index + regex search (pipeline/trigram.py) ---
+
+_TRIGRAM_CTE = """
+lowdocs AS (SELECT doc_id, lang, lower(text) AS s FROM documents),
+gram0 AS (
+  SELECT doc_id, s,
+         unnest(generate_series(1, greatest(length(s) - 2, 0))) AS i
+  FROM lowdocs
+),
+grams AS (SELECT doc_id, substr(s, CAST(i AS INT), 3) AS trigram FROM gram0)
+"""
+
+
+def trigram_df() -> str:
+    """Twin of trigram.trigram_df — generate_series(1,0) is empty in
+    DuckDB, matching the Spark side's guarded sequence."""
+    return f"""
+WITH {_TRIGRAM_CTE}
+SELECT trigram, count(DISTINCT doc_id)::BIGINT AS df
+FROM grams GROUP BY 1
+"""
+
+
+def regex_search(pattern: str) -> str:
+    """One oracle for both trigram-search plans (scan-gated and
+    posting-intersected): the docs whose lowercased text matches."""
+    esc = pattern.replace("'", "''")
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE regexp_matches(lower(text), '{esc}')
+"""
+
+
+def retention_cohorts() -> str:
+    """Twin of events.retention_cohorts."""
+    return """
+WITH f AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort_ts
+  FROM events GROUP BY 1
+)
+SELECT CAST(f.cohort_ts AS DATE) AS cohort_day,
+       datediff('day', f.cohort_ts, date_trunc('day', e.ts))::BIGINT AS day_offset,
+       count(DISTINCT e.user_id)::BIGINT AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def length_quantiles() -> str:
+    """Twin of textstats.length_quantiles (quantile_cont == Spark's
+    exact percentile: x = (n-1)*p linear interpolation)."""
+    cols = ", ".join(
+        f"round(quantile_cont(n_chars, {p}), 4) AS {name}"
+        for p, name in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.95, "q95")]
+    )
+    return f"SELECT lang, {cols} FROM documents GROUP BY lang"

@@ -315,3 +315,21 @@ def gopher_quality_flags(documents: DataFrame, id_col: str = "doc_id",
         & F.col("ok_symbol_ratio") & F.col("ok_bullets") & F.col("ok_ellipsis")
         & F.col("ok_alpha_words") & F.col("ok_stopwords"),
     )
+
+
+def length_quantiles(docs: DataFrame) -> DataFrame:
+    """(lang, q25, q50, q75, q95) — exact linear-interpolation quantiles
+    of document length per language (Spark ``percentile`` == DuckDB
+    ``quantile_cont``; both use x = (n-1)*p interpolation, so values
+    match to float noise and round(4) makes the hash exact).
+
+    ``percentile`` is the exact aggregate (sorted-group pass); at 100 TB
+    swap in ``percentile_approx`` (t-digest merge, one pass, no per-group
+    sort) — same query shape, documented accuracy trade.
+    """
+    return docs.groupBy("lang").agg(
+        *[
+            F.round(F.expr(f"percentile(n_chars, {p})"), 4).alias(name)
+            for p, name in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.95, "q95")]
+        ]
+    )

@@ -1,0 +1,200 @@
+"""Character-trigram index + trigram-pruned regex search (Zoekt /
+Google Code Search style) over the documents corpus.
+
+The reference's index is word-level (lemma -> page); regex/substring
+search over source code needs a character-level index.  The public
+design (R. Cox, "Regular Expression Matching with a Trigram Index",
+swtch.com/~rsc/regexp/regexp4.html; Zoekt) is: index every character
+trigram of every document, derive the set of trigrams that MUST appear
+in any match of a given regex, intersect those posting lists to get a
+candidate set, and only run the real regex engine over candidates.
+
+Spark-first shape:
+
+- ``trigrams``: one JVM-side ``transform(sequence(...))`` + explode —
+  no Python in the hot path.  At 100 TB this is the standard 3x row
+  amplification every trigram indexer pays; the groupBy behind it is
+  partially aggregated map-side so the shuffle carries (trigram,
+  doc_id) pairs, not raw text.
+- ``trigram_postings`` / ``trigram_df``: plain hash aggregations,
+  analogous to the lemma postings/df_stats tables (SURVEY.md §2.4
+  A1/A2) but at character granularity.  At scale the postings table is
+  written bucketed by ``crc32(trigram)`` exactly like df_stats so a
+  query's required-trigram lookup prunes buckets.
+- ``regex_search_indexed``: AND-intersection of the required trigrams'
+  posting lists (groupBy(doc_id) HAVING count = n — the same
+  set-at-a-time intersection as the BM25 AND gate, J4), then a
+  ``rlike`` verify over only the candidate docs.
+- ``regex_search_scan``: the index-free variant for one-shot queries —
+  a codegen'd ``contains`` pre-filter per required trigram short-
+  circuits the (much more expensive) regex engine on non-candidates.
+  Same result set, no index build.
+
+Both search paths return exactly the docs whose lowercased text
+matches the pattern, so one DuckDB ``regexp_matches`` oracle gates
+both plans (mirrors the q_bm25_* vs q_wand_* twin-plan pattern).
+
+Required-trigram extraction is deliberately conservative: only
+literal runs that must appear in every match contribute trigrams, and
+any construct that makes containment uncertain (alternation,
+backreference) degrades to "no required trigrams" = full verify scan,
+never a wrong answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# regex metacharacters that terminate a literal run
+_CLASS_OPEN = "["
+_GROUP = "()"
+_QUANTIFIERS = "*+?{"
+
+
+def required_trigrams(pattern: str) -> list[str]:
+    """Trigrams guaranteed to occur in any string matching ``pattern``.
+
+    Conservative single-pass extraction over a practical regex subset:
+    literal characters accumulate into runs; ``[...]`` classes, ``.``,
+    groups and escapes break the run; a quantifier makes the preceding
+    atom not-mandatory-exactly-once, so the run's last char is
+    retracted (for ``+`` the char itself is still guaranteed, but its
+    juncture with what follows is not — retracting is still sound and
+    keeps the logic simple).  Top-level alternation means nothing is
+    guaranteed: return [].  Soundness invariant: every returned
+    trigram is a substring of every possible match.
+    """
+    if "|" in pattern:  # top-level or grouped — treat all as unsafe
+        return []
+    runs: list[str] = []
+    cur: list[str] = []
+
+    def flush() -> None:
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\":  # escaped char: class-like (\d) or literal (\.)
+            nxt = pattern[i + 1] if i + 1 < n else ""
+            if nxt.isalnum():  # \d \w \s \b ... — not a literal
+                flush()
+            else:
+                cur.append(nxt)
+            i += 2
+            continue
+        if c == _CLASS_OPEN:
+            flush()
+            j = i + 1
+            if j < n and pattern[j] == "^":
+                j += 1
+            if j < n:  # first char of a class may be a literal ]
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 1
+            i = j + 1
+            continue
+        if c in _QUANTIFIERS:
+            if cur:  # preceding literal atom is no longer mandatory-once
+                cur.pop()
+            flush()
+            if c == "{":
+                while i < n and pattern[i] != "}":
+                    i += 1
+            i += 1
+            continue
+        if c in _GROUP or c in ".^$":
+            flush()
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    flush()
+    seen: set[str] = set()
+    out: list[str] = []
+    for run in runs:
+        for k in range(len(run) - 2):
+            t = run[k : k + 3]
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+    return out
+
+
+def _lowered(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "lang", F.lower(F.col("text")).alias("s"))
+
+
+def trigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, trigram) — every character trigram occurrence.
+
+    ``sequence(1, length-2)`` is guarded (Spark's sequence runs
+    DESCENDING when start > stop, unlike DuckDB's generate_series which
+    yields empty — texts under 3 chars must produce no rows).
+    """
+    t = _lowered(docs)
+    gram_arr = F.when(
+        F.length("s") >= 3,
+        F.expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))"),
+    ).otherwise(F.array().cast("array<string>"))
+    return t.select("doc_id", F.explode(gram_arr).alias("trigram"))
+
+
+def trigram_postings(docs: DataFrame) -> DataFrame:
+    """(trigram, doc_id, tf) — the character-level postings table."""
+    return trigrams(docs).groupBy("trigram", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def trigram_df(docs: DataFrame) -> DataFrame:
+    """(trigram, df) — document frequency per trigram (A2 analog)."""
+    return (
+        trigrams(docs)
+        .groupBy("trigram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+
+
+def regex_search_scan(docs: DataFrame, pattern: str) -> DataFrame:
+    """(doc_id, lang) of docs whose lowercased text matches ``pattern``.
+
+    Index-free: a cheap ``contains`` gate per required trigram
+    (whole-stage-codegen'd instr) runs before the regex engine, so
+    non-candidate rows never reach ``rlike``.  The gate is sound
+    (required trigrams are substrings of every match), so the result
+    equals a bare rlike scan.
+    """
+    t = _lowered(docs)
+    for tri in required_trigrams(pattern):
+        t = t.filter(F.col("s").contains(tri))
+    return t.filter(F.col("s").rlike(pattern)).select("doc_id", "lang")
+
+
+def regex_search_indexed(
+    docs: DataFrame, pattern: str, postings: DataFrame | None = None
+) -> DataFrame:
+    """Same result as ``regex_search_scan`` via posting-list
+    intersection: candidates = docs containing ALL required trigrams
+    (one hash agg, HAVING count = n — J4's set-at-a-time AND), then
+    rlike-verify only those.  ``postings`` defaults to building from
+    ``docs`` (self-contained for the oracle gate); production passes
+    the persisted bucketed table and the corpus scan is skipped for
+    everything but the candidate rows.
+    """
+    req = required_trigrams(pattern)
+    if not req:
+        return regex_search_scan(docs, pattern)
+    if postings is None:
+        postings = trigram_postings(docs)
+    cand = (
+        postings.filter(F.col("trigram").isin(req))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("trigram").alias("n_hit"))
+        .filter(F.col("n_hit") == len(req))
+        .select("doc_id")
+    )
+    t = _lowered(docs).join(cand, "doc_id")
+    return t.filter(F.col("s").rlike(pattern)).select("doc_id", "lang")

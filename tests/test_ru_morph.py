@@ -152,3 +152,31 @@ def test_snippet_highlights_inflected_russian(an):
     snip = make_snippet(content, {"леопард"}, an)
     assert "<b>леопарда</b>" in snip
     assert "Обычный" not in snip  # non-matching sentence not chosen
+
+
+def test_inflected_query_finds_differently_inflected_doc(spark, tmp_path):
+    """End-to-end morphology invariance: a doc indexed with one inflection
+    ("леопарда в Осетии") is found by a query using other inflections
+    ("леопарду в осетию") because both sides normalize through the same
+    lemmatizer (LemmatizationServiceTest.java golden paradigms)."""
+    from searchengine_spark.index.build import InvertedIndex, build_index
+    from searchengine_spark.query.search import search
+
+    rows = [
+        ("org0/ru", "a.txt", "c1", "ru",
+         "Повторное появление леопарда в Осетии позволяет предположить"),
+        ("org0/ru", "b.txt", "c1", "ru", "Обычный день без событий"),
+        ("org0/en", "c.txt", "c1", "en", "merge vector hash stream"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    out = str(tmp_path / "ruidx")
+    build_index(spark, docs, out, n_shards=2, n_buckets=2)
+    idx = InvertedIndex(spark, out)
+    res = search(idx, "леопарду в осетию", docs=docs)
+    assert res["count"] == 1
+    assert res["data"][0]["snippet"].count("<b>") >= 2
+    # without the corpus the match is still found (snippet empty by design)
+    res2 = search(idx, "леопарду в осетию")
+    assert res2["count"] == 1 and res2["data"][0]["snippet"] == ""

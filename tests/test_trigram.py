@@ -1,0 +1,138 @@
+"""Trigram index + regex search (pipeline/trigram.py).
+
+The load-bearing property is SOUNDNESS of required-trigram extraction:
+every returned trigram must be a substring of every possible match of
+the pattern — otherwise the pruned search drops true matches.  We test
+it directly (hand cases + a hypothesis property using re to generate
+matches) and end-to-end (pruned plans == bare rlike scan).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from searchengine_spark.pipeline import trigram
+
+
+class TestRequiredTrigrams:
+    def test_plain_literal(self):
+        assert trigram.required_trigrams("merge") == ["mer", "erg", "rge"]
+
+    def test_dedup_preserves_order(self):
+        assert trigram.required_trigrams("aaaa") == ["aaa"]
+
+    def test_class_breaks_run(self):
+        # "merge [a-z]+ vector": runs "merge " and " vector" (the '+'
+        # retracts nothing from the new run; it follows the class)
+        out = trigram.required_trigrams("merge [a-z]+ vector")
+        assert "mer" in out and "ge " in out
+        assert " ve" in out and "tor" in out
+        # no trigram may span the class gap
+        assert all("[" not in t and "]" not in t for t in out)
+        assert "e v" not in out
+
+    def test_quantifier_retracts_last_char(self):
+        # "abc*" — c is optional: only "ab" certain, too short
+        assert trigram.required_trigrams("abc*") == []
+        # "abcd*e" — d optional: run "abc" survives
+        assert trigram.required_trigrams("abcd*e") == ["abc"]
+
+    def test_plus_is_conservative(self):
+        # "abcd+e": d itself is guaranteed but the d..e juncture is not;
+        # conservative extraction keeps only "abc"
+        assert trigram.required_trigrams("abcd+e") == ["abc"]
+
+    def test_alternation_gives_nothing(self):
+        assert trigram.required_trigrams("merge|vector") == []
+
+    def test_dot_breaks_run(self):
+        assert trigram.required_trigrams("ab.cd") == []
+        assert trigram.required_trigrams("abc.def") == ["abc", "def"]
+
+    def test_escaped_literal_vs_class(self):
+        assert trigram.required_trigrams(r"a\.bc") == ["a.b", ".bc"]
+        assert trigram.required_trigrams(r"ab\dcd") == []
+
+    def test_anchors_break_runs(self):
+        assert trigram.required_trigrams("^abc def$") == ["abc", "bc ", "c d", " de", "def"]
+
+    def test_braces_quantifier(self):
+        assert trigram.required_trigrams("abcd{2,3}e") == ["abc"]
+
+    # property: every extracted trigram occurs in every generated match
+    @settings(max_examples=200, deadline=None)
+    @given(
+        lits=st.lists(
+            st.text(alphabet="abcdefg ", min_size=1, max_size=6), min_size=1, max_size=3
+        ),
+        seps=st.lists(st.sampled_from(["[a-z]+", ".", "x*", "[0-9]", "q?"]), max_size=3),
+        fill=st.text(alphabet="abcdefghij0123456789 ", min_size=1, max_size=4),
+    )
+    def test_soundness_property(self, lits, seps, fill):
+        # build a pattern alternating literal runs and metachar separators
+        parts = []
+        for i, lit in enumerate(lits):
+            parts.append(re.escape(lit).replace("\\ ", " "))
+            if i < len(seps):
+                parts.append(seps[i])
+        pattern = "".join(parts)
+        req = trigram.required_trigrams(pattern)
+        # generate a concrete match by substituting each separator
+        subs = {"[a-z]+": fill.strip("0123456789 ") or "a", ".": "z",
+                "x*": "", "[0-9]": "7", "q?": ""}
+        concrete = []
+        for i, lit in enumerate(lits):
+            concrete.append(lit)
+            if i < len(seps):
+                concrete.append(subs[seps[i]])
+        text = "".join(concrete)
+        if re.search(pattern, text):
+            for t in req:
+                assert t in text, (pattern, req, text)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from searchengine_spark.fixtures.loaders import docs_path
+
+    d = spark.read.parquet(docs_path("t1"))
+    # pipeline/trigram expects the documents-table shape
+    return d.selectExpr("xxhash64(repo, path) AS doc_id", "content AS text", "lang")
+
+
+class TestTrigramSearch:
+    def test_trigram_df_counts(self, spark, docs):
+        rows = {r["trigram"]: r["df"] for r in trigram.trigram_df(docs).collect()}
+        texts = [(r["doc_id"], r["text"].lower()) for r in docs.collect()]
+        # spot-check one trigram against a Python recount
+        some = next(iter(rows))
+        expect = sum(1 for _, s in texts if some in s)
+        assert rows[some] == expect
+
+    def test_short_text_no_rows(self, spark):
+        d = spark.createDataFrame(
+            [(1, "ab", "en"), (2, "abc", "en")], "doc_id long, text string, lang string"
+        )
+        got = {r["trigram"] for r in trigram.trigrams(d).collect()}
+        assert got == {"abc"}
+
+    @pytest.mark.parametrize("pattern", ["merge", "the [a-z]+", "a.c", "zzznope"])
+    def test_pruned_equals_bare_scan(self, spark, docs, pattern):
+        from pyspark.sql import functions as F
+
+        bare = {
+            r["doc_id"]
+            for r in docs.filter(F.lower("text").rlike(pattern)).select("doc_id").collect()
+        }
+        scan = {r["doc_id"] for r in trigram.regex_search_scan(docs, pattern).collect()}
+        idx = {r["doc_id"] for r in trigram.regex_search_indexed(docs, pattern).collect()}
+        assert scan == bare
+        assert idx == bare
+
+    def test_indexed_accepts_prebuilt_postings(self, spark, docs):
+        postings = trigram.trigram_postings(docs)
+        out = trigram.regex_search_indexed(docs, "merge", postings=postings)
+        assert out.count() == trigram.regex_search_scan(docs, "merge").count()
