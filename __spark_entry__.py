@@ -27,9 +27,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from searchengine_spark.pipeline import (  # noqa: E402
     asof,
+    bpe,
     curation,
     decontam,
     dedup,
+    graph,
     events,
     fulltext,
     multimodal,
@@ -246,6 +248,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_dedup": lambda s, d: queryops.chunk_dedup(_docs(s, d), size=64),
         "q_length_histogram": lambda s, d: queryops.length_histogram(_docs(s, d)),
 
+        "q_winnowing": lambda s, d: textstats.winnowing_fingerprints(_docs(s, d)),
+        "q_winnow_shared": lambda s, d: textstats.winnow_shared_spans(_docs(s, d)),
+        "q_unigram_logprob": lambda s, d: textstats.unigram_logprob(_docs(s, d)),
+        "q_epoch_shuffle": lambda s, d: sampling.epoch_shuffle(
+            _docs(s, d), epoch=1, n_files=8
+        ),
+        "q_bpe_pair_counts": lambda s, d: bpe.bpe_pair_counts(_docs(s, d)),
+        "q_textrank": lambda s, d: graph.textrank(_docs(s, d)),
+        "q_dsir_weights": lambda s, d: textstats.dsir_weights(_docs(s, d)),
+        "q_containment_pairs": lambda s, d: dedup.containment_pairs(
+            _docs(s, d), threshold=0.3
+        ),
+        "q_kl_source_drift": lambda s, d: textstats.kl_source_drift(_docs(s, d)),
+        "q_bigram_logprob": lambda s, d: textstats.bigram_logprob(_docs(s, d)),
+
         "q_trigram_df": lambda s, d: trigram.trigram_df(_docs(s, d)),
         "q_regex_scan": lambda s, d: trigram.regex_search_scan(_docs(s, d), Q_REGEX),
         "q_regex_indexed": lambda s, d: trigram.regex_search_indexed(_docs(s, d), Q_REGEX),
@@ -337,6 +354,16 @@ def oracle_sql() -> dict[str, str]:
         "q_keywords_tfidf": osql.keywords_tfidf(per_doc=5),
         "q_chunk_dedup": osql.chunk_dedup(size=64),
         "q_length_histogram": osql.length_histogram(),
+        "q_winnowing": osql.winnowing(),
+        "q_winnow_shared": osql.winnow_shared(),
+        "q_unigram_logprob": osql.unigram_logprob(),
+        "q_epoch_shuffle": osql.epoch_shuffle(epoch=1, n_files=8),
+        "q_bpe_pair_counts": osql.bpe_pair_counts(),
+        "q_textrank": osql.textrank(),
+        "q_dsir_weights": osql.dsir_weights(),
+        "q_containment_pairs": osql.containment_pairs(threshold=0.3),
+        "q_kl_source_drift": osql.kl_source_drift(),
+        "q_bigram_logprob": osql.bigram_logprob(),
         "q_trigram_df": osql.trigram_df(),
         "q_regex_scan": osql.regex_search(Q_REGEX),
         "q_regex_indexed": osql.regex_search(Q_REGEX),

@@ -69,6 +69,16 @@ HEADLINE = [
     "q_events_tumbling",
     "q_events_sessions",
     "q_events_asof",
+    "q_winnowing",
+    "q_winnow_shared",
+    "q_unigram_logprob",
+    "q_epoch_shuffle",
+    "q_bpe_pair_counts",
+    "q_textrank",
+    "q_dsir_weights",
+    "q_containment_pairs",
+    "q_kl_source_drift",
+    "q_bigram_logprob",
     "q_trigram_df",
     "q_regex_scan",
     "q_regex_indexed",

@@ -1,0 +1,158 @@
+"""Distributed BPE tokenizer training (byte-pair-encoding merge learning).
+
+The tokenizer-fitting step of a training-data pipeline: learn the top-N
+BPE merges from the corpus (Sennrich et al. 2016, public) and re-segment
+it, as pure Spark jobs:
+
+- the corpus collapses to a **word-frequency dimension** first (the classic
+  trick: merges depend only on distinct pretokens and their counts, so the
+  working set is vocabulary-sized — Zipf-bounded — not corpus-sized);
+- each merge iteration is ONE hash agg over that dimension (adjacent-pair
+  counts, map-side combined) + ONE map-only column rewrite applying the
+  winning merge (a greedy left-to-right `F.aggregate` fold, JVM-side — no
+  per-row Python anywhere);
+- lineage is cut with localCheckpoint every few iterations so n_merges
+  rounds don't stack into one giant plan (same pattern as
+  dedup.duplicate_clusters).
+
+Only the driver sees the single winning (pair, count) row per iteration —
+O(n_merges) rows total, never data.
+
+Reference tie-in: the reference's lemmatizer is its only token-normalizer
+(services/LemmatizationService.java:27-48); BPE is the subword analog a
+100 TB code corpus needs (SURVEY.md §2 round-2 additions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from searchengine_spark.pipeline.textstats import BPE_PRETOKEN_RE
+
+CHECKPOINT_EVERY = 4
+
+
+def word_counts(documents: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(word, freq) — pretoken frequency dimension (GPT-style pretokenizer
+    classes: letter runs / digit runs / punctuation runs, raw case)."""
+    return (
+        documents.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _chars(col: Column) -> Column:
+    """Split a string into single-character symbols (unicode-safe; Spark's
+    split-on-empty-pattern has trailing-empty quirks, so index explicitly)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)), lambda i: F.substring(col, i, 1)
+    )
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """array<struct<lhs,rhs>> of adjacent symbol pairs (empty if < 2 syms)."""
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("lhs"),
+                F.element_at(syms, i + 1).alias("rhs"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+
+
+def _merge_fold(syms: Column, lhs: str, rhs: str) -> Column:
+    """Apply one merge greedily left-to-right: fold symbols into an
+    accumulator, fusing the last element with the next when they equal
+    (lhs, rhs) — exactly the reference BPE apply order ('aaa' + merge (a,a)
+    -> [aa, a]).  JVM-side catalyst fold, no Python."""
+    fused = F.lit(lhs + rhs)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(lhs))
+            & (x == F.lit(rhs)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(fused)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def pair_counts_from_words(words: DataFrame,
+                           syms_col: str = "syms") -> DataFrame:
+    """(lhs, rhs, cnt) — adjacent-pair counts over the (word, freq, syms)
+    dimension, weighted by word frequency.  One explode + one hash agg."""
+    return (
+        words.select("freq", F.explode(_adjacent_pairs(F.col(syms_col))).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+
+
+def bpe_pair_counts(documents: DataFrame, **kw) -> DataFrame:
+    """(lhs, rhs, cnt) — the FIRST BPE iteration's pair statistics
+    (single-character symbols), the oracle-gated slice of the training
+    loop: corpus -> word dim -> char pairs weighted by word freq."""
+    words = word_counts(documents, **kw).withColumn("syms", _chars(F.col("word")))
+    return pair_counts_from_words(words)
+
+
+def bpe_train(spark: SparkSession, documents: DataFrame, n_merges: int = 16,
+              min_freq: int = 2, **kw) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn up to ``n_merges`` BPE merges; returns (merges, words) where
+    merges is the ordered [(lhs, rhs), ...] list and words the final
+    segmented dimension (word, freq, syms).  Ties on count break
+    lexicographically on (lhs, rhs) so training is deterministic."""
+    words = (
+        word_counts(documents, **kw)
+        .withColumn("syms", _chars(F.col("word")))
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for it in range(n_merges):
+        top = (
+            pair_counts_from_words(words)
+            .orderBy(F.desc("cnt"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].cnt < min_freq:
+            break
+        lhs, rhs = top[0].lhs, top[0].rhs
+        merges.append((lhs, rhs))
+        words = words.withColumn("syms", _merge_fold(F.col("syms"), lhs, rhs))
+        if (it + 1) % CHECKPOINT_EVERY == 0:
+            words = words.localCheckpoint()
+    return merges, words
+
+
+def bpe_vocab(words: DataFrame) -> DataFrame:
+    """(token, freq) — subword vocabulary frequencies of a segmented word
+    dimension (the trainer's final `words`): one explode + hash agg."""
+    return (
+        words.select("freq", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("freq"))
+    )
+
+
+def bpe_encode_words(words: DataFrame,
+                     merges: list[tuple[str, str]]) -> DataFrame:
+    """Segment a (word, ...) frame with an already-learned merge list by
+    replaying merges in rank order (the standard apply rule).  Each merge
+    is a map-only fold; lineage cut periodically."""
+    out = words.withColumn("syms", _chars(F.col("word")))
+    for i, (lhs, rhs) in enumerate(merges):
+        out = out.withColumn("syms", _merge_fold(F.col("syms"), lhs, rhs))
+        if (i + 1) % CHECKPOINT_EVERY == 0:
+            out = out.localCheckpoint()
+    return out

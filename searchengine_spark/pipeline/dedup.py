@@ -147,6 +147,43 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.2
 
 
 
+def containment_pairs(documents: DataFrame, n: int = 3,
+                      threshold: float = 0.5, **kw) -> DataFrame:
+    """(doc_a, doc_b, inter, sz_a, sz_b, cont_a, cont_b) — asymmetric
+    shingle containment (Broder 1997's other resemblance measure):
+    cont_a = |A∩B| / |A| is the fraction of A's shingles also in B, so
+    cont_a ≈ 1 with small Jaccard means A is a SUB-document of B (quoted
+    excerpt, vendored file, boilerplate-wrapped copy) — pairs Jaccard-based
+    near-dup misses because the union is dominated by the larger doc.
+    Pairs kept when either direction >= threshold.
+
+    Scale: same shape as ngram_jaccard_pairs (exact verify path); at 100 TB
+    run it over lsh_candidate_pairs edges instead of the shingle self-join,
+    exactly like lsh_verified_near_dups.
+    """
+    sh = shingles(documents, n, **kw).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_a"))
+    b = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_b"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn("cont_a", F.round(F.col("inter") / F.col("sz_a"), 4))
+        .withColumn("cont_b", F.round(F.col("inter") / F.col("sz_b"), 4))
+        .filter((F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold))
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "cont_a", "cont_b")
+    )
+    return finalize(out, sh)
+
+
 def lsh_verified_near_dups(documents: DataFrame, n: int = 3,
                            threshold: float = 0.2, **kw) -> DataFrame:
     """(doc_a, doc_b, inter, union_size, jaccard) — the production two-stage

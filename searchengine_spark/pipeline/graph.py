@@ -1,0 +1,118 @@
+"""Graph ranking over the corpus: TextRank keyword extraction.
+
+TextRank (Mihalcea & Tarau, EMNLP 2004 — public) runs PageRank over the
+term co-occurrence graph: nodes are terms, edges connect terms that appear
+adjacent in running text, edge weight = co-occurrence count.  The top-ranked
+terms are the corpus's "vocabulary backbone" — the keyword panel a search
+engine shows and the saliency prior a training-data pipeline uses to weight
+n-gram features.
+
+This is the repo's iterative-algorithm showcase: each PageRank step is ONE
+join (ranks x out-edges) + ONE hash agg (sum contributions per destination),
+both map-side combinable; the iteration count is a fixed constant so the
+DuckDB oracle can mirror it with unrolled CTEs and the driver gate checks
+values exactly.
+
+Scale shape (100 TB): the edge list is vocabulary² in the worst case but
+Zipf-bounded in practice and cut by ``min_co``; it is built in one corpus
+scan (per-row adjacent-pair arrays, zero shuffle) + one hash agg.  The
+rank vector is vocabulary-sized, never corpus-sized, so each iteration's
+join is a small-dim x small-dim shuffle (or broadcast once the vocabulary
+fits).  No driver-side state: the loop only chains DataFrame plans, with
+``localCheckpoint`` lineage cuts every few iterations.
+
+Reference tie-in: the reference ranks pages by lemma relevance
+(services/SearchServiceImpl.java:104-150); TextRank is the term-side dual —
+ranking the lemma dictionary itself by graph centrality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from searchengine_spark.pipeline._cache import finalize
+from searchengine_spark.pipeline.fulltext import tokens_col
+
+DAMPING = 0.85
+N_ITER = 4
+CHECKPOINT_EVERY = 8  # lineage cut for long runs; N_ITER=4 never triggers
+
+
+def cooc_edges(documents: DataFrame, min_co: int = 2,
+               text_col: str = "text") -> DataFrame:
+    """(a, b, w) — undirected canonical adjacent-term edges: a < b, w =
+    number of adjacent occurrences corpus-wide, self-loops dropped, edges
+    below ``min_co`` cut.  One per-row array pass + one hash agg."""
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.least(
+                        F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ).alias("a"),
+                    F.greatest(
+                        F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ).alias("b"),
+                ),
+            ),
+            lambda p: p["a"] != p["b"],
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        documents.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .filter(F.col("w") >= min_co)
+    )
+
+
+def textrank(documents: DataFrame, n_iter: int = N_ITER,
+             damping: float = DAMPING, k: int = 50, min_co: int = 2,
+             text_col: str = "text") -> DataFrame:
+    """(term, score) — top-k terms by weighted PageRank over the adjacent
+    co-occurrence graph after ``n_iter`` power iterations from a uniform
+    rank of 1.0 (the TextRank formulation: score = (1-d) + d * Σ incoming
+    contributions; no 1/N normalization, so scores hover around 1).
+
+    Every symmetric edge guarantees each node has in-edges, so no rank mass
+    is silently dropped by the join.  Ties broken by term for determinism.
+    """
+    e = cooc_edges(documents, min_co=min_co, text_col=text_col)
+    sym = e.selectExpr("a AS src", "b AS dst", "w").unionAll(
+        e.selectExpr("b AS src", "a AS dst", "w")
+    )
+    wdeg = sym.groupBy("src").agg(F.sum("w").cast("double").alias("wdeg"))
+    # pre-divide: frac = w / wdeg(src) is iteration-invariant.  Persist it
+    # PRE-PARTITIONED on src: every iteration's join then reuses the cached
+    # exchange and only shuffles the vocabulary-sized rank vector, not the
+    # (much larger) edge list.
+    frac = (
+        sym.join(wdeg, "src")
+        .select("src", "dst", (F.col("w") / F.col("wdeg")).alias("frac"))
+        .repartition("src")
+        .persist()
+    )
+    ranks = wdeg.select(F.col("src").alias("term"), F.lit(1.0).alias("score"))
+    for it in range(n_iter):
+        ranks = (
+            frac.join(ranks.withColumnRenamed("term", "src"), "src")
+            .groupBy("dst")
+            .agg(
+                (F.lit(1.0 - damping)
+                 + F.lit(damping) * F.sum(F.col("score") * F.col("frac"))
+                 ).alias("score")
+            )
+            .withColumnRenamed("dst", "term")
+        )
+        if (it + 1) % CHECKPOINT_EVERY == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    out = (
+        ranks.select("term", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(k)
+    )
+    return finalize(out, frac)

@@ -18,7 +18,7 @@ from searchengine_spark.pipeline.hashing import (
     MINHASH_ROWS,
     NUM_MINHASH,
 )
-from searchengine_spark.pipeline.textstats import EN_MARKERS
+from searchengine_spark.pipeline.textstats import BPE_PRETOKEN_RE, EN_MARKERS
 
 # tokenizer twin of pipeline.fulltext.tokens_col
 _TOKS_CTE = """
@@ -1576,3 +1576,212 @@ def length_quantiles() -> str:
         for p, name in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.95, "q95")]
     )
     return f"SELECT lang, {cols} FROM documents GROUP BY lang"
+
+
+# --- winnowing / unigram LM / epoch shuffle / BPE (textstats.py,
+#     sampling.py, bpe.py — round-2 batch 2) ---
+
+def winnowing(k: int = 4, w: int = 5) -> str:
+    """Twin of textstats.winnowing_fingerprints: k-gram 40-bit hashes,
+    width-w window minima, distinct per doc."""
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKARR} AS arr FROM documents),
+g AS (
+  SELECT doc_id,
+         [array_to_string(arr[i:i+{k - 1}], ' ')
+          for i in generate_series(1, greatest(len(arr) - {k - 1}, 0))] AS grams
+  FROM d
+),
+h AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(x), 1, {FINGERPRINT_HEX}))::BIGINT
+          for x in grams] AS hs
+  FROM g
+),
+m AS (
+  SELECT doc_id,
+         list_distinct([list_min(hs[j:j+{w - 1}])
+                        for j in generate_series(1, greatest(len(hs) - {w - 1}, 0))]) AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps)::BIGINT AS fp FROM m
+"""
+
+
+def winnow_shared(k: int = 4, w: int = 5, min_docs: int = 2) -> str:
+    return f"""
+WITH fps AS ({winnowing(k, w)})
+SELECT fp, count(*)::BIGINT AS n_docs
+FROM fps GROUP BY 1 HAVING count(*) >= {min_docs}
+"""
+
+
+def unigram_logprob() -> str:
+    """Twin of textstats.unigram_logprob (natural log, round 4)."""
+    return f"""
+WITH {_TOKS_CTE},
+model AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT sum(cnt)::DOUBLE AS total FROM model)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(ln(cnt / total)), 4) AS avg_logprob
+FROM toks JOIN model USING (term) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+def epoch_shuffle(epoch: int = 0, n_files: int = 8) -> str:
+    """Twin of sampling.epoch_shuffle (md5_long over 'epoch{e}:doc_id')."""
+    key = f"('0x' || substr(md5('epoch{int(epoch)}:' || doc_id::VARCHAR), 1, 15))::BIGINT"
+    return f"""
+SELECT doc_id, {key} AS shuffle_key,
+       ({key} % {int(n_files)})::INT AS file_id
+FROM documents
+"""
+
+
+def bpe_pair_counts() -> str:
+    """Twin of bpe.bpe_pair_counts: pretoken freq dim -> single-char
+    adjacent pairs weighted by word frequency."""
+    return f"""
+WITH pt AS (
+  SELECT unnest(regexp_extract_all(text, '{BPE_PRETOKEN_RE}')) AS w FROM documents
+),
+wc AS (SELECT w, count(*)::BIGINT AS freq FROM pt GROUP BY 1),
+p AS (
+  SELECT substr(w, CAST(i AS INT), 1) AS lhs,
+         substr(w, CAST(i AS INT) + 1, 1) AS rhs, freq
+  FROM wc, unnest(generate_series(1, len(w) - 1)) AS t(i)
+)
+SELECT lhs, rhs, sum(freq)::BIGINT AS cnt FROM p GROUP BY 1, 2
+"""
+
+
+# --- graph ranking / DSIR (graph.py, textstats.py — round-2 batch 3) ---
+
+def textrank(n_iter: int = 4, damping: float = 0.85, k: int = 50,
+             min_co: int = 2) -> str:
+    """Twin of graph.textrank: adjacent-pair co-occurrence graph, n_iter
+    unrolled weighted-PageRank CTEs (score = (1-d) + d * sum of incoming
+    score * w / wdeg), uniform init 1.0."""
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT es.dst AS term,
+         {1.0 - damping} + {damping} * sum(r{i - 1}.score * es.frac) AS score
+  FROM es JOIN r{i - 1} ON es.src = r{i - 1}.term GROUP BY 1
+)"""
+        )
+    chain = ",\n".join(iters)
+    return f"""
+WITH d AS (SELECT {_TOKARR} AS arr FROM documents),
+pr AS (
+  SELECT least(arr[i], arr[i + 1]) AS a, greatest(arr[i], arr[i + 1]) AS b
+  FROM d, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+  WHERE arr[i] <> arr[i + 1]
+),
+e0 AS (SELECT a, b, count(*)::BIGINT AS w FROM pr GROUP BY 1, 2
+       HAVING count(*) >= {min_co}),
+sym AS (SELECT a AS src, b AS dst, w FROM e0
+        UNION ALL SELECT b AS src, a AS dst, w FROM e0),
+deg AS (SELECT src, sum(w)::DOUBLE AS wdeg FROM sym GROUP BY 1),
+es AS (SELECT s.src, s.dst, s.w / g.wdeg AS frac
+       FROM sym s JOIN deg g USING (src)),
+r0 AS (SELECT src AS term, 1.0::DOUBLE AS score FROM deg),
+{chain}
+SELECT term, round(score, 4) AS score FROM r{n_iter}
+ORDER BY score DESC, term LIMIT {k}
+"""
+
+
+def dsir_weights(target_lang: str = "en") -> str:
+    """Twin of textstats.dsir_weights: Laplace-smoothed target-vs-raw
+    unigram log-likelihood ratio, averaged per document."""
+    return f"""
+WITH tok0 AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+toks AS (SELECT doc_id, lang, term FROM tok0 WHERE term <> ''),
+model AS (
+  SELECT term, count(*)::BIGINT AS cnt_raw,
+         sum(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END)::BIGINT AS cnt_t
+  FROM toks GROUP BY 1
+),
+tot AS (SELECT sum(cnt_raw)::DOUBLE AS tot_raw, sum(cnt_t)::DOUBLE AS tot_t,
+               count(*)::DOUBLE AS vocab FROM model)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(ln((cnt_t + 1) / (tot_t + vocab))
+               - ln((cnt_raw + 1) / (tot_raw + vocab))), 4) AS dsir_logratio
+FROM toks JOIN model USING (term) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+# --- containment / KL drift / bigram LM (dedup.py, textstats.py —
+#     round-2 batch 4) ---
+
+def containment_pairs(threshold: float = 0.5) -> str:
+    """Twin of dedup.containment_pairs: asymmetric shingle containment,
+    either direction >= threshold."""
+    return f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       round(inter / sa.sz::DOUBLE, 4) AS cont_a,
+       round(inter / sb.sz::DOUBLE, 4) AS cont_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / sa.sz::DOUBLE, 4) >= {threshold}
+   OR round(inter / sb.sz::DOUBLE, 4) >= {threshold}
+"""
+
+
+def kl_source_drift() -> str:
+    """Twin of textstats.kl_source_drift (bits, no smoothing needed)."""
+    return """
+WITH tok0 AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+st AS (SELECT source, term, count(*)::BIGINT AS cnt
+       FROM tok0 WHERE term <> '' GROUP BY 1, 2),
+corpus AS (SELECT term, sum(cnt)::BIGINT AS ccnt FROM st GROUP BY 1),
+ctot AS (SELECT sum(ccnt)::DOUBLE AS ctot FROM corpus),
+stot AS (SELECT source, sum(cnt)::DOUBLE AS stot FROM st GROUP BY 1)
+SELECT source, sum(cnt)::BIGINT AS n_tokens,
+       round(sum((cnt / stot) * log2((cnt / stot) / (ccnt / ctot))), 4) AS kl_bits
+FROM st JOIN corpus USING (term) JOIN stot USING (source) CROSS JOIN ctot
+GROUP BY source
+"""
+
+
+def bigram_logprob() -> str:
+    """Twin of textstats.bigram_logprob: add-one conditional bigram
+    log-prob, natural log, denominator = unigram count of prev + vocab."""
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKARR} AS arr FROM documents),
+bg AS (
+  SELECT doc_id, arr[i] AS prev, arr[i + 1] AS cur
+  FROM d, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+),
+bmodel AS (SELECT prev, cur, count(*)::BIGINT AS bcnt FROM bg GROUP BY 1, 2),
+toks AS (SELECT unnest(arr) AS term FROM d),
+umodel AS (SELECT term, count(*)::BIGINT AS ucnt FROM toks GROUP BY 1),
+vocab AS (SELECT count(*)::DOUBLE AS vocab FROM umodel)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(ln((bcnt + 1) / (ucnt + vocab))), 4) AS avg_logprob
+FROM bg
+JOIN bmodel USING (prev, cur)
+JOIN umodel ON umodel.term = bg.prev
+CROSS JOIN vocab
+GROUP BY doc_id
+"""

@@ -110,3 +110,30 @@ def fixed_size_stratified(documents: DataFrame, k_per_stratum: int = 30,
         .filter(F.col("rank_in_stratum") <= k_per_stratum)
         .select("doc_id", "lang_pred", "rank_in_stratum")
     )
+
+
+def epoch_shuffle(documents: DataFrame, epoch: int = 0, n_files: int = 8,
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shuffle_key, file_id) — deterministic global training
+    shuffle: every epoch assigns each document a fresh pseudo-random
+    64-bit key md5(epoch:doc_id); reading the corpus ordered by
+    (file_id, shuffle_key) is that epoch's sample order, reproducible
+    bit-for-bit across reruns and resumable mid-epoch (the order is a
+    pure function of (epoch, doc_id), no RNG state to checkpoint).
+
+    Scale shape: key + file assignment are map-only column expressions.
+    The epoch writer is `repartitionByRange("file_id", "shuffle_key")
+    .sortWithinPartitions(...)` — Spark's distributed total sort (range
+    exchange, per-partition sort) — NEVER a global row_number window,
+    which would serialize 100 TB through one partition.  file_id is the
+    shard seam: trainers stream files in name order and shuffle within
+    a file buffer, the standard two-level shuffle.
+    """
+    key = md5_long(
+        F.concat_ws(":", F.lit(f"epoch{int(epoch)}"), F.col(id_col).cast("string"))
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        key.alias("shuffle_key"),
+        F.pmod(key, F.lit(int(n_files))).cast("int").alias("file_id"),
+    )

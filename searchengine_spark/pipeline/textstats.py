@@ -10,7 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from searchengine_spark.pipeline.fulltext import positional_tokens, tokens_col
+from searchengine_spark.pipeline.fulltext import (
+    positional_tokens,
+    tokenized,
+    tokens_col,
+)
 from searchengine_spark.pipeline.hashing import FINGERPRINT_HEX, md5_long
 
 # words whose presence marks English-ish text (shared with oracle SQL)
@@ -314,6 +318,261 @@ def gopher_quality_flags(documents: DataFrame, id_col: str = "doc_id",
         F.col("ok_word_count") & F.col("ok_mean_word_len")
         & F.col("ok_symbol_ratio") & F.col("ok_bullets") & F.col("ok_ellipsis")
         & F.col("ok_alpha_words") & F.col("ok_stopwords"),
+    )
+
+
+def winnowing_fingerprints(documents: DataFrame, k: int = 4, w: int = 5,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — winnowing document fingerprints (Schleimer/Wilkerson/
+    Aiken, SIGMOD'03 — the MOSS algorithm): hash every k-gram of tokens,
+    slide a window of w consecutive hashes, select the minimum of each
+    window, emit the distinct selected hashes per document.  Guarantees
+    any shared token run of length >= k + w - 1 yields at least one shared
+    fingerprint, so ``fp`` equality finds plagiarised / boilerplate spans.
+
+    Scale shape: gram hashing and window minima are per-row array
+    expressions (zero shuffle, whole-stage codegen); the only shuffle is
+    the final per-doc distinct, keyed by (doc_id, fp) with map-side
+    combine.  Cross-doc span detection is then a hash agg on fp — never a
+    doc x doc self-join.  Docs shorter than k tokens emit no rows (no
+    k-gram exists), matching the SQL twin.
+    """
+    # NB Spark's sequence(1, 0) DESCENDS ([1, 0]); guard short docs with
+    # an explicit when() (same pitfall as trigram.py's guarded explode)
+    toks = filtered_tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(grams, lambda g: md5_long(g, FINGERPRINT_HEX))
+    mins = F.when(
+        F.size(hashes) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(hashes) - (w - 1)),
+            lambda j: F.array_min(F.slice(hashes, j, w)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"), F.array_distinct(mins).alias("fps")
+        )
+        .select("doc_id", F.explode("fps").alias("fp"))
+    )
+
+
+def winnow_shared_spans(documents: DataFrame, k: int = 4, w: int = 5,
+                        min_docs: int = 2, **kw) -> DataFrame:
+    """(fp, n_docs) — winnowing fingerprints appearing in >= min_docs
+    documents: the corpus-wide reused-span (boilerplate / license header /
+    plagiarism) report.  One additional hash agg over the fingerprint
+    stream; at 100 TB the join-back to doc pairs stays banded by fp, the
+    same not-all-pairs shape as the MinHash LSH path (dedup.py)."""
+    return (
+        winnowing_fingerprints(documents, k=k, w=w, **kw)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def unigram_logprob(documents: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) — per-document mean token
+    log-probability under the corpus's own unigram language model
+    (log(tf_corpus / total_tokens), natural log).  The standard cheap
+    LM-quality / domain-typicality score used for importance resampling
+    (DSIR, Xie et al. 2023) and perplexity-style filtering: low
+    avg_logprob = rare-token-heavy (noise, minified blobs), high = stopword
+    soup.  Empty docs emit no rows.
+
+    Scale shape: the model is one hash agg over the token stream
+    (term -> count), then one hash join token-stream x term-counts — both
+    map-side combined; the term dimension is Zipf-bounded (vocabulary, not
+    corpus, cardinality) so at 100 TB the join side is small enough for a
+    broadcast or a bucketed dim.  No per-row Python, no driver state.
+    """
+    toks = tokenized(documents, id_col=id_col, text_col=text_col)
+    model = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(model, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("cnt") / F.col("total"))), 4
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored
+
+
+def dsir_weights(documents: DataFrame, target_lang: str = "en",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 lang_col: str = "lang") -> DataFrame:
+    """(doc_id, n_tokens, dsir_logratio) — DSIR-style importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling", public): per-document mean log-likelihood ratio between a
+    unigram model of the TARGET slice (here lang == target_lang) and the
+    RAW corpus model, Laplace-smoothed over the joint vocabulary:
+
+        w(d) = avg_t [ ln((tf_target(t)+1)/(T_target+V))
+                     - ln((tf_raw(t)+1)/(T_raw+V)) ]
+
+    High w = looks like the target distribution; sampling proportional to
+    exp(w) is importance resampling toward the target domain.  Empty docs
+    emit no rows (same convention as unigram_logprob).
+
+    Scale shape: BOTH models come from ONE hash agg over a single corpus
+    scan (conditional sums per term), so the cost over unigram_logprob is
+    zero extra shuffles; the model join side is vocabulary-sized
+    (Zipf-bounded) — broadcastable at 100 TB.
+    """
+    toks = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(lang_col).alias("lang"),
+            F.explode(tokens_col(text_col)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    model = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_raw"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("cnt_t"),
+    )
+    totals = model.agg(
+        F.sum("cnt_raw").cast("double").alias("tot_raw"),
+        F.sum("cnt_t").cast("double").alias("tot_t"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    return (
+        toks.join(model, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log((F.col("cnt_t") + 1) / (F.col("tot_t") + F.col("vocab")))
+                    - F.log((F.col("cnt_raw") + 1) / (F.col("tot_raw") + F.col("vocab")))
+                ),
+                4,
+            ).alias("dsir_logratio"),
+        )
+    )
+
+
+def kl_source_drift(documents: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    group_col: str = "source") -> DataFrame:
+    """(source, n_tokens, kl_bits) — KL divergence KL(p_source || p_corpus)
+    of each source's term distribution from the whole-corpus distribution,
+    in bits.  The corpus-ops drift monitor: a source whose KL jumps between
+    snapshots changed its content mix (spam influx, format change, new
+    domain) and needs a look before the next training mix is cut.
+
+    No smoothing needed: every term a source emits exists in the corpus
+    distribution (p_corpus > 0 wherever p_source > 0), so the sum is finite
+    by construction.
+
+    Scale shape: one (source, term) hash agg over a single scan; corpus
+    counts are a second agg OVER THE FIRST's output (vocabulary-sized, not
+    corpus-sized); final join is vocab x sources — broadcastable.  Adding
+    sources changes nothing: cardinality is vocab-bounded.
+    """
+    st = (
+        documents.select(
+            F.col(group_col).alias("source"),
+            F.explode(tokens_col(text_col)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    corpus = st.groupBy("term").agg(F.sum("cnt").alias("ccnt"))
+    tot_corpus = corpus.agg(F.sum("ccnt").cast("double").alias("ctot"))
+    tot_src = st.groupBy("source").agg(F.sum("cnt").cast("double").alias("stot"))
+    return (
+        st.join(corpus, "term")
+        .join(tot_src, "source")
+        .crossJoin(F.broadcast(tot_corpus))
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    (F.col("cnt") / F.col("stot"))
+                    * F.log2(
+                        (F.col("cnt") / F.col("stot"))
+                        / (F.col("ccnt") / F.col("ctot"))
+                    )
+                ),
+                4,
+            ).alias("kl_bits"),
+        )
+    )
+
+
+def bigram_logprob(documents: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) — per-document mean conditional
+    bigram log-probability ln P(w_i | w_{i-1}) under the corpus's own
+    bigram model with add-one smoothing over the unigram vocabulary:
+    P = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V).  The next step up from
+    ``unigram_logprob``: sensitive to scrambled/unnatural token ORDER that
+    unigram scoring cannot see (shuffled text keeps its unigram score but
+    craters here).  Docs with < 2 tokens emit no rows.
+
+    Scale shape: the bigram model is one hash agg over per-row adjacent
+    pairs (Zipf-bounded like the vocabulary, though larger); scoring is two
+    dim joins (bigram counts, unigram counts) — the same
+    broadcast-or-bucketed dim pattern as unigram_logprob.
+    """
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("prev"),
+                F.element_at(toks, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bg = (
+        documents.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    )
+    bmodel = bg.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("long").alias("bcnt")
+    )
+    umodel = (
+        tokenized(documents, id_col=id_col, text_col=text_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("ucnt"))
+    )
+    vocab = umodel.agg(F.count(F.lit(1)).cast("double").alias("vocab"))
+    return (
+        bg.join(bmodel, ["prev", "cur"])
+        .join(umodel.withColumnRenamed("term", "prev"), "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log((F.col("bcnt") + 1) / (F.col("ucnt") + F.col("vocab")))
+                ),
+                4,
+            ).alias("avg_logprob"),
+        )
     )
 
 

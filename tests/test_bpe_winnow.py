@@ -1,0 +1,199 @@
+"""Winnowing fingerprints, unigram LM scoring, epoch shuffle, and BPE
+training (pipeline/textstats.py, sampling.py, bpe.py — round-2 batch 2).
+
+BPE's load-bearing property is parity with the published algorithm
+(Sennrich et al. 2016): we pin the Spark trainer against a pure-Python
+reference implementation on crafted corpora, including the greedy
+left-to-right overlap rule ('aaa' + merge (a,a) -> [aa, a]).
+Winnowing's guarantee: token runs of length >= k + w - 1 shared by two
+docs always share at least one selected fingerprint (SIGMOD'03 Thm).
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline import bpe, sampling, textstats
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+# ---------------------------------------------------------------- winnowing
+
+class TestWinnowing:
+    def test_shared_run_shares_fingerprint(self, spark):
+        # k=4, w=5 -> any shared run of >= 8 tokens must share a fingerprint
+        shared = "zero one two three four five six seven"
+        docs = _docs(spark, [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} epsilon"),
+            (3, "totally different words here throughout the document body"),
+        ])
+        fps = textstats.winnowing_fingerprints(docs).collect()
+        by_doc = collections.defaultdict(set)
+        for r in fps:
+            by_doc[r.doc_id].add(r.fp)
+        assert by_doc[1] & by_doc[2], "shared 8-token run must share a fp"
+        assert not (by_doc[1] & by_doc[3])
+        assert not (by_doc[2] & by_doc[3])
+
+    def test_short_doc_emits_nothing(self, spark):
+        docs = _docs(spark, [(1, "one two three")])  # < k=4 tokens
+        assert textstats.winnowing_fingerprints(docs).count() == 0
+
+    def test_fp_count_bounded_by_windows(self, spark):
+        # n tokens -> n-k+1 grams -> n-k-w+2 windows >= #distinct fps >= 1
+        text = " ".join(f"tok{i}" for i in range(20))
+        docs = _docs(spark, [(1, text)])
+        n = textstats.winnowing_fingerprints(docs).count()
+        assert 1 <= n <= 20 - 4 - 5 + 2
+
+    def test_shared_spans_report(self, spark):
+        shared = "zero one two three four five six seven"
+        docs = _docs(spark, [
+            (1, f"{shared} x"), (2, f"{shared} y"), (3, "unrelated " * 10),
+        ])
+        rep = textstats.winnow_shared_spans(docs).collect()
+        assert rep and all(r.n_docs >= 2 for r in rep)
+
+
+# ------------------------------------------------------------- unigram LM
+
+class TestUnigramLogprob:
+    def test_rare_tokens_score_lower(self, spark):
+        rows = [(i, "common words repeated all over again") for i in range(9)]
+        rows.append((99, "zzyzx qwfp vexing unique rarities indeed"))
+        out = {r.doc_id: r.avg_logprob
+               for r in textstats.unigram_logprob(_docs(spark, rows)).collect()}
+        assert out[99] < out[0] < 0
+
+    def test_uniform_corpus_exact_value(self, spark):
+        import math
+        # 2 docs x 2 distinct tokens, every token unique -> p = 1/4 each
+        docs = _docs(spark, [(1, "aa bb"), (2, "cc dd")])
+        out = textstats.unigram_logprob(docs).collect()
+        assert all(r.n_tokens == 2 for r in out)
+        assert all(abs(r.avg_logprob - round(math.log(0.25), 4)) < 1e-9 for r in out)
+
+    def test_empty_doc_emits_no_row(self, spark):
+        docs = _docs(spark, [(1, "real text here"), (2, "...")])
+        ids = {r.doc_id for r in textstats.unigram_logprob(docs).collect()}
+        assert ids == {1}
+
+
+# ----------------------------------------------------------- epoch shuffle
+
+class TestEpochShuffle:
+    def test_deterministic_and_epoch_sensitive(self, spark):
+        docs = _docs(spark, [(i, "x") for i in range(50)])
+        a = {r.doc_id: (r.shuffle_key, r.file_id)
+             for r in sampling.epoch_shuffle(docs, epoch=1).collect()}
+        b = {r.doc_id: (r.shuffle_key, r.file_id)
+             for r in sampling.epoch_shuffle(docs, epoch=1).collect()}
+        c = {r.doc_id: r.shuffle_key
+             for r in sampling.epoch_shuffle(docs, epoch=2).collect()}
+        assert a == b
+        assert any(a[i][0] != c[i] for i in a), "epochs must reshuffle"
+        assert all(0 <= v[1] < 8 for v in a.values())
+        assert all(v[1] == v[0] % 8 for v in a.values())
+
+    def test_order_is_a_real_shuffle(self, spark):
+        docs = _docs(spark, [(i, "x") for i in range(100)])
+        rows = sampling.epoch_shuffle(docs, epoch=0).orderBy("shuffle_key").collect()
+        order = [r.doc_id for r in rows]
+        assert order != sorted(order), "hash order must not be id order"
+        assert sorted(order) == list(range(100))
+
+
+# -------------------------------------------------------------------- BPE
+
+def _ref_bpe(texts: list[str], n_merges: int, min_freq: int = 2):
+    """Pure-Python reference BPE (Sennrich alg. 1) for parity pinning."""
+    import re
+
+    wc = collections.Counter(
+        w for t in texts for w in re.findall(textstats.BPE_PRETOKEN_RE, t)
+    )
+    words = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wc[w]
+        if not pairs:
+            break
+        # max count, ties lexicographic (matches the Spark orderBy)
+        (lhs, rhs), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_freq:
+            break
+        merges.append((lhs, rhs))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges, words, wc
+
+
+class TestBPE:
+    TEXTS = [
+        "the cat sat on the mat",
+        "the cats chatter, the mats scatter",
+        "that cat that sat: chat stats",
+    ]
+
+    def test_pair_counts_match_reference(self, spark):
+        docs = _docs(spark, list(enumerate(self.TEXTS)))
+        got = {(r.lhs, r.rhs): r.cnt
+               for r in bpe.bpe_pair_counts(docs).collect()}
+        _, words, wc = _ref_bpe(self.TEXTS, 0)
+        want = collections.Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                want[(syms[i], syms[i + 1])] += wc[w]
+        assert got == dict(want)
+
+    def test_train_matches_reference(self, spark):
+        docs = _docs(spark, list(enumerate(self.TEXTS)))
+        merges, words = bpe.bpe_train(spark, docs, n_merges=10)
+        ref_merges, ref_words, _ = _ref_bpe(self.TEXTS, 10)
+        assert merges == ref_merges
+        got = {r.word: r.syms for r in words.collect()}
+        assert got == ref_words
+
+    def test_greedy_overlap_rule(self, spark):
+        # 'aaa' with merge (a,a) must segment [aa, a], not [a, aa]
+        docs = _docs(spark, [(1, "aaa aa aaa aa")])
+        merges, words = bpe.bpe_train(spark, docs, n_merges=1)
+        assert merges == [("a", "a")]
+        got = {r.word: r.syms for r in words.collect()}
+        assert got["aaa"] == ["aa", "a"]
+        assert got["aa"] == ["aa"]
+
+    def test_encode_replays_training_segmentation(self, spark):
+        docs = _docs(spark, list(enumerate(self.TEXTS)))
+        merges, words = bpe.bpe_train(spark, docs, n_merges=6)
+        replay = bpe.bpe_encode_words(words.select("word", "freq"), merges)
+        a = {r.word: r.syms for r in words.collect()}
+        b = {r.word: r.syms for r in replay.collect()}
+        assert a == b
+
+    def test_vocab_freqs(self, spark):
+        docs = _docs(spark, [(1, "ab ab ba")])
+        merges, words = bpe.bpe_train(spark, docs, n_merges=1)
+        assert merges == [("a", "b")]  # cnt 2 beats ('b','a') cnt 1
+        vocab = {r.token: r.freq for r in bpe.bpe_vocab(words).collect()}
+        assert vocab == {"ab": 2, "b": 1, "a": 1}

@@ -1,0 +1,142 @@
+"""Behavior tests for TextRank (graph.py) and DSIR importance weights
+(textstats.dsir_weights) on hand-built inputs with by-eye expectations.
+Oracle parity runs via the auto-parametrized gate in test_entry.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from searchengine_spark.pipeline.graph import cooc_edges, textrank
+from searchengine_spark.pipeline.textstats import dsir_weights
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# textrank ----------------------------------------------------------------
+
+def test_cooc_edges_canonical_and_thresholded(spark):
+    docs = _docs(spark, [(1, "a b a b a b"), (2, "a c a c a c"), (3, "x y")])
+    edges = {(r.a, r.b): r.w for r in cooc_edges(docs, min_co=2).collect()}
+    # "a b a b a b": 5 adjacent pairs, all canonicalized to (a, b)
+    assert edges == {("a", "b"): 5, ("a", "c"): 5}  # (x, y) cut by min_co
+
+
+def test_textrank_hand_computed_star_graph(spark):
+    # a--b (w5) and a--c (w5): hub a, leaves b and c.  4 iterations from
+    # 1.0 with d=0.85 give a=1.2196, b=c=0.8902 (hand-unrolled).
+    docs = _docs(spark, [(1, "a b a b a b"), (2, "a c a c a c")])
+    got = {r.term: r.score for r in textrank(docs, min_co=2).collect()}
+    assert got == {"a": 1.2196, "b": 0.8902, "c": 0.8902}
+
+
+def test_textrank_self_loops_and_short_docs_ignored(spark):
+    docs = _docs(spark, [(1, "z z z z"), (2, "q"), (3, ""), (4, "m n m n")])
+    got = textrank(docs, min_co=2).collect()
+    assert {r.term for r in got} == {"m", "n"}  # z-z self-loop dropped
+
+
+def test_textrank_deterministic(spark):
+    docs = _docs(spark, [(i, f"w{i} common w{i} common base") for i in range(20)])
+    a = [(r.term, r.score) for r in textrank(docs, min_co=1, k=10).collect()]
+    b = [(r.term, r.score) for r in textrank(docs, min_co=1, k=10).collect()]
+    assert a == b and len(a) == 10
+    assert all(s > 0 for _, s in a)
+
+
+# dsir --------------------------------------------------------------------
+
+def test_dsir_exact_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha beta", "en"), (2, "alpha gamma gamma", "de")],
+        "doc_id long, text string, lang string",
+    )
+    # model: cnt_t alpha=2 beta=1 gamma=0; cnt_raw alpha=3 beta=1 gamma=2
+    # totals: tot_t=3 tot_raw=6 vocab=3
+    def lr(ct, cr):
+        return math.log((ct + 1) / 6.0) - math.log((cr + 1) / 9.0)
+
+    exp1 = round((2 * lr(2, 3) + lr(1, 1)) / 3, 4)
+    exp2 = round((lr(2, 3) + 2 * lr(0, 2)) / 3, 4)
+    got = {r.doc_id: r for r in dsir_weights(docs).collect()}
+    assert got[1].n_tokens == 3 and got[2].n_tokens == 3
+    assert got[1].dsir_logratio == exp1
+    assert got[2].dsir_logratio == exp2
+    assert got[1].dsir_logratio > got[2].dsir_logratio  # en-like doc wins
+
+
+def test_dsir_empty_doc_omitted(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "", "en"), (3, "???", "de")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.doc_id for r in dsir_weights(docs).collect()}
+    assert got == {1}  # doc 3 tokenizes to nothing ([^a-z0-9] stripped)
+
+
+# containment ---------------------------------------------------------------
+
+def test_containment_subdocument_detected(spark):
+    from searchengine_spark.pipeline.dedup import containment_pairs
+
+    inner = "alpha beta gamma delta epsilon zeta"
+    docs = _docs(spark, [
+        (1, inner),                                     # fully inside doc 2
+        (2, f"intro words here {inner} outro words go"),
+        (3, "totally different content everywhere now"),
+    ])
+    got = {(r.doc_a, r.doc_b): r for r in
+           containment_pairs(docs, threshold=0.9).collect()}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r.cont_a == 1.0          # all of doc 1's shingles are in doc 2
+    assert r.cont_b < 0.5           # doc 2 is much bigger — Jaccard misses this
+
+
+# KL drift -------------------------------------------------------------------
+
+def test_kl_zero_for_identical_distributions(spark):
+    from searchengine_spark.pipeline.textstats import kl_source_drift
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "s1"), (2, "a a b", "s2")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in kl_source_drift(docs).collect()}
+    assert got["s1"].kl_bits == 0.0 and got["s2"].kl_bits == 0.0
+    assert got["s1"].n_tokens == 3
+
+
+def test_kl_skewed_source_positive(spark):
+    from searchengine_spark.pipeline.textstats import kl_source_drift
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "bal"), (2, "z z z z", "skew")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r.kl_bits for r in kl_source_drift(docs).collect()}
+    # skew emits only z (corpus p=0.5): KL = 1*log2(1/0.5) = 1 bit
+    assert got["skew"] == 1.0
+    assert got["bal"] == 1.0  # each of a-d: corpus p=1/8, src p=1/4 -> 1 bit
+
+
+# bigram LM ------------------------------------------------------------------
+
+def test_bigram_logprob_order_sensitivity(spark):
+    from searchengine_spark.pipeline.textstats import bigram_logprob
+
+    base = [(i, "the quick brown fox jumps over the lazy dog") for i in range(1, 9)]
+    docs = _docs(spark, base + [(9, "dog the over quick lazy fox the jumps brown")])
+    got = {r.doc_id: r.avg_logprob for r in bigram_logprob(docs).collect()}
+    # scrambled doc 9 has the same unigram profile but rare bigrams
+    assert got[9] < got[1]
+
+
+def test_bigram_logprob_short_docs_omitted(spark):
+    from searchengine_spark.pipeline.textstats import bigram_logprob
+
+    docs = _docs(spark, [(1, "one"), (2, ""), (3, "two tokens")])
+    got = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    assert set(got) == {3} and got[3].n_bigrams == 1
