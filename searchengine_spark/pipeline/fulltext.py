@@ -30,6 +30,28 @@ def tokens_col(col: str = "text") -> Column:
     )
 
 
+def explode_nonempty(df: DataFrame, arr, alias: str, *keep: str) -> DataFrame:
+    """``explode`` of a computed array WITHOUT the optimizer's inferred
+    ``size(arr) > 0`` pre-filter.
+
+    ``InferFiltersFromGenerate`` plants that filter below the Generate, and
+    predicate pushdown then substitutes the array's full defining expression
+    into it.  For a cheap array that's free; for a nested higher-order
+    expression (winnowing window-minima, adjacent-pair structs) the
+    substituted tree re-evaluates the whole pipeline once per lambda
+    element — O(n²) per row — and is big enough to drop out of whole-stage
+    codegen (measured 95 s -> <1 s on q_winnowing at sf0.01).
+
+    ``explode_outer`` + ``IS NOT NULL`` is row-equivalent for arrays with
+    no null elements (every caller here), and the null filter sits on the
+    Generate's OUTPUT attribute, which cannot be pushed below it.
+    """
+    return (
+        df.select(*keep, F.explode_outer(arr).alias(alias))
+        .filter(F.col(alias).isNotNull())
+    )
+
+
 def tokenized(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, term) — one row per token occurrence, document order lost
     (order-dependent ops use ``positional_tokens``)."""

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from searchengine_spark.pipeline._cache import finalize
-from searchengine_spark.pipeline.fulltext import tokens_col
+from searchengine_spark.pipeline.fulltext import explode_nonempty, tokens_col
 
 DAMPING = 0.85
 N_ITER = 4
@@ -62,7 +62,7 @@ def cooc_edges(documents: DataFrame, min_co: int = 2,
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     return (
-        documents.select(F.explode(pairs).alias("p"))
+        explode_nonempty(documents.select(pairs.alias("pairs")), "pairs", "p")
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from searchengine_spark.pipeline.fulltext import (
+    explode_nonempty,
     positional_tokens,
     tokenized,
     tokens_col,
@@ -339,16 +340,30 @@ def winnowing_fingerprints(documents: DataFrame, k: int = 4, w: int = 5,
     k-gram exists), matching the SQL twin.
     """
     # NB Spark's sequence(1, 0) DESCENDS ([1, 0]); guard short docs with
-    # an explicit when() (same pitfall as trigram.py's guarded explode)
+    # an explicit when() (same pitfall as trigram.py's guarded explode).
+    # Each stage materializes into a named column before the next stage's
+    # lambda touches it: a higher-order-function lambda re-evaluates any
+    # non-attribute expression it closes over ONCE PER ELEMENT (no
+    # subexpression elimination inside codegen'd lambdas), so inlining
+    # `hashes` into the window-min transform would recompute the whole
+    # tokenize+hash pipeline for every window position — O(n²) md5 calls
+    # per document (measured: 95 s -> <1 s at sf0.01 for this query).
     toks = filtered_tokens(text_col)
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    hashes = F.transform(grams, lambda g: md5_long(g, FINGERPRINT_HEX))
+    with_grams = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("grams"),
+    )
+    with_hashes = with_grams.select(
+        "doc_id",
+        F.transform("grams", lambda g: md5_long(g, FINGERPRINT_HEX)).alias("hashes"),
+    )
+    hashes = F.col("hashes")
     mins = F.when(
         F.size(hashes) >= w,
         F.transform(
@@ -356,11 +371,9 @@ def winnowing_fingerprints(documents: DataFrame, k: int = 4, w: int = 5,
             lambda j: F.array_min(F.slice(hashes, j, w)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    return (
-        documents.select(
-            F.col(id_col).alias("doc_id"), F.array_distinct(mins).alias("fps")
-        )
-        .select("doc_id", F.explode("fps").alias("fp"))
+    return explode_nonempty(
+        with_hashes.select("doc_id", F.array_distinct(mins).alias("fps")),
+        "fps", "fp", "doc_id",
     )
 
 
@@ -546,10 +559,10 @@ def bigram_logprob(documents: DataFrame, id_col: str = "doc_id",
             ),
         ),
     ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
-    bg = (
-        documents.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
-        .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
-    )
+    bg = explode_nonempty(
+        documents.select(F.col(id_col).alias("doc_id"), pairs.alias("pairs")),
+        "pairs", "p", "doc_id",
+    ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
     bmodel = bg.groupBy("prev", "cur").agg(
         F.count(F.lit(1)).cast("long").alias("bcnt")
     )
