@@ -43,18 +43,24 @@ def cooc_edges(documents: DataFrame, min_co: int = 2,
     """(a, b, w) — undirected canonical adjacent-term edges: a < b, w =
     number of adjacent occurrences corpus-wide, self-loops dropped, edges
     below ``min_co`` cut.  One per-row array pass + one hash agg."""
+    # materialize toks into a named column BEFORE the per-element lambda:
+    # element_at(<expr>, i) inside a transform lambda re-evaluates the whole
+    # tokenize expression once per element (O(n²) regexp work per row);
+    # element_at(<attribute>, i) is an O(1) array read.
     toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    with_toks = documents.select(toks.alias("toks"))
+    tc = F.col("toks")
     pairs = F.when(
-        F.size(toks) >= 2,
+        F.size(tc) >= 2,
         F.filter(
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
+                F.sequence(F.lit(1), F.size(tc) - 1),
                 lambda i: F.struct(
                     F.least(
-                        F.element_at(toks, i), F.element_at(toks, i + 1)
+                        F.element_at(tc, i), F.element_at(tc, i + 1)
                     ).alias("a"),
                     F.greatest(
-                        F.element_at(toks, i), F.element_at(toks, i + 1)
+                        F.element_at(tc, i), F.element_at(tc, i + 1)
                     ).alias("b"),
                 ),
             ),
@@ -62,7 +68,7 @@ def cooc_edges(documents: DataFrame, min_co: int = 2,
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     return (
-        explode_nonempty(documents.select(pairs.alias("pairs")), "pairs", "p")
+        explode_nonempty(with_toks.select(pairs.alias("pairs")), "pairs", "p")
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
@@ -72,7 +78,7 @@ def cooc_edges(documents: DataFrame, min_co: int = 2,
 
 def textrank(documents: DataFrame, n_iter: int = N_ITER,
              damping: float = DAMPING, k: int = 50, min_co: int = 2,
-             text_col: str = "text") -> DataFrame:
+             text_col: str = "text", broadcast_ranks: bool = True) -> DataFrame:
     """(term, score) — top-k terms by weighted PageRank over the adjacent
     co-occurrence graph after ``n_iter`` power iterations from a uniform
     rank of 1.0 (the TextRank formulation: score = (1-d) + d * Σ incoming
@@ -96,10 +102,24 @@ def textrank(documents: DataFrame, n_iter: int = N_ITER,
         .repartition("src")
         .persist()
     )
-    ranks = wdeg.select(F.col("src").alias("term"), F.lit(1.0).alias("score"))
+    # seed ranks from the CACHED frac, not from wdeg: wdeg's lineage goes
+    # all the way back to the corpus scan, and every iteration's broadcast
+    # of the rank vector would re-execute it (measured: each of the 4
+    # iterations re-ran cooc_edges).  frac is persisted, so ranks' whole
+    # lineage after iteration 0 touches only cached blocks.
+    ranks = frac.select(F.col("src").alias("term")).distinct() \
+        .withColumn("score", F.lit(1.0))
     for it in range(n_iter):
+        # the rank vector is vocabulary-sized (Zipf-bounded), orders of
+        # magnitude smaller than the edge list: broadcast it so each
+        # iteration is a map-side join over the cached pre-partitioned
+        # edges + one hash agg — no edge-list shuffle per iteration.  For
+        # a vocabulary too big to broadcast, pass broadcast_ranks=False:
+        # the join then shuffles only the rank vector onto the edges'
+        # cached src partitioning.
+        r = ranks.withColumnRenamed("term", "src")
         ranks = (
-            frac.join(ranks.withColumnRenamed("term", "src"), "src")
+            frac.join(F.broadcast(r) if broadcast_ranks else r, "src")
             .groupBy("dst")
             .agg(
                 (F.lit(1.0 - damping)

@@ -348,14 +348,17 @@ def winnowing_fingerprints(documents: DataFrame, k: int = 4, w: int = 5,
     # `hashes` into the window-min transform would recompute the whole
     # tokenize+hash pipeline for every window position — O(n²) md5 calls
     # per document (measured: 95 s -> <1 s at sf0.01 for this query).
-    toks = filtered_tokens(text_col)
-    with_grams = documents.select(
-        F.col(id_col).alias("doc_id"),
+    with_toks = documents.select(
+        F.col(id_col).alias("doc_id"), filtered_tokens(text_col).alias("toks")
+    )
+    tc = F.col("toks")
+    with_grams = with_toks.select(
+        "doc_id",
         F.when(
-            F.size(toks) >= k,
+            F.size(tc) >= k,
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+                F.sequence(F.lit(1), F.size(tc) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(tc, i, k)),
             ),
         ).otherwise(F.array().cast("array<string>")).alias("grams"),
     )
@@ -548,19 +551,23 @@ def bigram_logprob(documents: DataFrame, id_col: str = "doc_id",
     dim joins (bigram counts, unigram counts) — the same
     broadcast-or-bucketed dim pattern as unigram_logprob.
     """
-    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    with_toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(tokens_col(text_col), lambda t: t != "").alias("toks"),
+    )
+    tc = F.col("toks")  # attribute, not expression: cheap inside the lambda
     pairs = F.when(
-        F.size(toks) >= 2,
+        F.size(tc) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
+            F.sequence(F.lit(1), F.size(tc) - 1),
             lambda i: F.struct(
-                F.element_at(toks, i).alias("prev"),
-                F.element_at(toks, i + 1).alias("cur"),
+                F.element_at(tc, i).alias("prev"),
+                F.element_at(tc, i + 1).alias("cur"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
     bg = explode_nonempty(
-        documents.select(F.col(id_col).alias("doc_id"), pairs.alias("pairs")),
+        with_toks.select("doc_id", pairs.alias("pairs")),
         "pairs", "p", "doc_id",
     ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
     bmodel = bg.groupBy("prev", "cur").agg(
