@@ -262,6 +262,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q_kl_source_drift": lambda s, d: textstats.kl_source_drift(_docs(s, d)),
         "q_bigram_logprob": lambda s, d: textstats.bigram_logprob(_docs(s, d)),
+        "q_source_overlap": lambda s, d: textstats.source_overlap(_docs(s, d)),
+        "q_proximity_rank": lambda s, d: queryops.proximity_rank(
+            _docs(s, d), Q_AND2[0], Q_AND2[1], k=20
+        ),
+        "q_hybrid_rrf": lambda s, d: queryops.hybrid_rrf(
+            _docs(s, d), _emb(s, d), Q_AND2, PROBE_VEC_IDS[0], k=20
+        ),
 
         "q_trigram_df": lambda s, d: trigram.trigram_df(_docs(s, d)),
         "q_regex_scan": lambda s, d: trigram.regex_search_scan(_docs(s, d), Q_REGEX),
@@ -364,6 +371,9 @@ def oracle_sql() -> dict[str, str]:
         "q_containment_pairs": osql.containment_pairs(threshold=0.3),
         "q_kl_source_drift": osql.kl_source_drift(),
         "q_bigram_logprob": osql.bigram_logprob(),
+        "q_source_overlap": osql.source_overlap(),
+        "q_proximity_rank": osql.proximity_rank(Q_AND2[0], Q_AND2[1], k=20),
+        "q_hybrid_rrf": osql.hybrid_rrf(Q_AND2, PROBE_VEC_IDS[0], k=20),
         "q_trigram_df": osql.trigram_df(),
         "q_regex_scan": osql.regex_search(Q_REGEX),
         "q_regex_indexed": osql.regex_search(Q_REGEX),

@@ -79,6 +79,9 @@ HEADLINE = [
     "q_containment_pairs",
     "q_kl_source_drift",
     "q_bigram_logprob",
+    "q_source_overlap",
+    "q_proximity_rank",
+    "q_hybrid_rrf",
     "q_trigram_df",
     "q_regex_scan",
     "q_regex_indexed",

@@ -1785,3 +1785,60 @@ JOIN umodel ON umodel.term = bg.prev
 CROSS JOIN vocab
 GROUP BY doc_id
 """
+
+
+# --- source overlap / proximity / hybrid RRF (textstats.py, queryops.py —
+#     round-2 batch 5) ---
+
+def source_overlap(k: int = 4, w: int = 5, min_shared: int = 1) -> str:
+    """Twin of textstats.source_overlap: distinct (fp, source), pair join
+    on fp with source_a < source_b."""
+    return f"""
+WITH fps AS ({winnowing(k, w)}),
+fs AS (SELECT DISTINCT f.fp, d.source FROM fps f JOIN documents d USING (doc_id))
+SELECT x.source AS source_a, y.source AS source_b, count(*)::BIGINT AS shared_fps
+FROM fs x JOIN fs y ON x.fp = y.fp AND x.source < y.source
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+"""
+
+
+def proximity_rank(term_a: str, term_b: str, k: int = 20) -> str:
+    """Twin of queryops.proximity_rank: min |pos_a - pos_b| per doc over
+    occurrences of both terms."""
+    return f"""
+WITH {_PTOKS_CTE},
+pa AS (SELECT doc_id, pos AS pos_a FROM ptoks WHERE term = '{term_a}'),
+pb AS (SELECT doc_id, pos AS pos_b FROM ptoks WHERE term = '{term_b}'),
+spans AS (
+  SELECT doc_id, min(abs(pos_a - pos_b))::BIGINT AS minspan
+  FROM pa JOIN pb USING (doc_id) GROUP BY doc_id
+)
+SELECT doc_id, minspan, round(1.0 / (1 + minspan), 6) AS prox_score
+FROM spans ORDER BY minspan ASC, doc_id ASC LIMIT {k}
+"""
+
+
+def hybrid_rrf(terms: list[str], probe_id: int, k: int = 20,
+               k_lex: int = 50, k_sem: int = 50, c: int = 60) -> str:
+    """Twin of queryops.hybrid_rrf: RRF fusion of the bm25_or_topk ranking
+    and the cosine_topk ranking (vec_id aligned with doc_id)."""
+    return f"""
+WITH lex0 AS ({bm25_or_scored(terms, 1)}),
+lex AS (
+  SELECT doc_id, rank_lex FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, nhit DESC, doc_id ASC)::BIGINT AS rank_lex
+    FROM lex0
+  ) WHERE rank_lex <= {k_lex}
+),
+sem0 AS ({cosine_topk([probe_id], k_sem)}),
+sem AS (SELECT vec_id AS doc_id, rank::BIGINT AS rank_sem FROM sem0),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, rank_lex, rank_sem,
+         round(coalesce(1.0 / ({c} + rank_lex), 0)
+             + coalesce(1.0 / ({c} + rank_sem), 0), 6) AS rrf
+  FROM lex FULL OUTER JOIN sem USING (doc_id)
+)
+SELECT doc_id, rank_lex, rank_sem, rrf
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {k}
+"""

@@ -518,3 +518,82 @@ def keywords_tfidf(documents: DataFrame, per_doc: int = 5, **kw) -> DataFrame:
         .select("doc_id", F.col("rank").cast("long").alias("rank"), "term", "w")
     )
     return finalize(out, p)
+
+
+def proximity_rank(documents: DataFrame, term_a: str, term_b: str,
+                   k: int = 20, **kw) -> DataFrame:
+    """(doc_id, minspan, prox_score) — documents containing BOTH terms,
+    ranked by the smallest position gap between any occurrence pair
+    (prox_score = 1 / (1 + minspan); adjacent terms score 0.5).  The
+    proximity signal every ranked-search stack layers over bag-of-words
+    BM25 (reference scores pure Σtf with no positions,
+    SearchServiceImpl.java:153-157 — this is the next operator up).
+
+    Scale shape: one positional tokenization pass filtered to the two
+    query terms BEFORE any join (predicate reaches the scan), then a
+    per-document position join whose fan-out is tf_a × tf_b per doc —
+    bounded by per-doc term frequency, never corpus-sized — and one hash
+    agg.  Top-k via TakeOrderedAndProject.
+    """
+    p = positional_tokens(documents, **kw) \
+        .filter(F.col("term").isin([term_a, term_b])).persist()
+    pa = p.filter(F.col("term") == term_a).select("doc_id", F.col("pos").alias("pos_a"))
+    pb = p.filter(F.col("term") == term_b).select("doc_id", F.col("pos").alias("pos_b"))
+    spans = (
+        pa.join(pb, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.min(F.abs(F.col("pos_a") - F.col("pos_b"))).cast("long").alias("minspan"))
+    )
+    out = (
+        spans.withColumn(
+            "prox_score", F.round(1.0 / (1.0 + F.col("minspan")), 6))
+        .orderBy(F.asc("minspan"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return finalize(out, p)
+
+
+def hybrid_rrf(documents: DataFrame, embeddings: DataFrame,
+               query_terms: list[str], probe_id: int, k: int = 20,
+               k_lex: int = 50, k_sem: int = 50, c: int = 60,
+               **kw) -> DataFrame:
+    """(doc_id, rank_lex, rank_sem, rrf) — hybrid retrieval: reciprocal-rank
+    fusion (Cormack/Clarke/Buettcher, SIGIR'09 — public) of the lexical
+    BM25-OR ranking for ``query_terms`` and the semantic cosine ranking
+    around probe vector ``probe_id`` (vec_id aligned with doc_id).
+    rrf = Σ 1/(c + rank) over the rankings that contain the doc — the
+    modern two-tower search stack's fusion step, built entirely from the
+    engine's existing lexical and ANN operators.
+
+    Scale shape: both branch rankings are top-k bounded (k_lex/k_sem), so
+    the fusion join is a join of two ≤k-row sets — broadcast, trivially.
+    The rank windows are global but run over ALREADY-LIMITED inputs
+    (TakeOrderedAndProject upstream), never over the corpus.
+    """
+    from searchengine_spark.pipeline.similarity import cosine_topk
+
+    lex = bm25_or_topk(documents, query_terms, k=k_lex, **kw)
+    w_lex = Window.orderBy(F.desc("score"), F.desc("nhit"), F.asc("doc_id"))
+    lex = lex.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("rank_lex"))
+    sem = (
+        cosine_topk(embeddings, [probe_id], k=k_sem)
+        .select(F.col("vec_id").alias("doc_id"),
+                F.col("rank").cast("long").alias("rank_sem"))
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (F.lit(c) + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(c) + F.col("rank_sem")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "rank_lex", "rank_sem", "rrf")
+    )

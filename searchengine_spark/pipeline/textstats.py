@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from searchengine_spark.pipeline._cache import finalize
 from searchengine_spark.pipeline.fulltext import (
     explode_nonempty,
     positional_tokens,
@@ -393,6 +394,38 @@ def winnow_shared_spans(documents: DataFrame, k: int = 4, w: int = 5,
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def source_overlap(documents: DataFrame, k: int = 4, w: int = 5,
+                   min_shared: int = 1, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   source_col: str = "source") -> DataFrame:
+    """(source_a, source_b, shared_fps) — cross-source contamination
+    matrix: how many distinct winnowing fingerprints each pair of corpus
+    sources shares.  The corpus-curation view of winnow_shared_spans:
+    a high cell means two crawls/sources carry the same reused spans
+    (mirrors, vendored code, license boilerplate) and should not both be
+    upsampled.
+
+    Scale shape: fingerprints per (fp, source) are distinct-reduced BEFORE
+    the pair join, so the self-join on fp fans out at most
+    n_sources² per fingerprint — source count is a small dimension (tens
+    to thousands), never corpus-sized.  No doc × doc pass anywhere.
+    """
+    fps = winnowing_fingerprints(documents, k=k, w=w, id_col=id_col,
+                                 text_col=text_col)
+    src = documents.select(F.col(id_col).alias("doc_id"),
+                           F.col(source_col).alias("source"))
+    fsrc = fps.join(src, "doc_id").select("fp", "source").distinct().persist()
+    out = (
+        fsrc.select("fp", F.col("source").alias("source_a"))
+        .join(fsrc.select("fp", F.col("source").alias("source_b")), "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    return finalize(out, fsrc)
 
 
 def unigram_logprob(documents: DataFrame, id_col: str = "doc_id",

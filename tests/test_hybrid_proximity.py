@@ -1,0 +1,126 @@
+"""Behavior tests for proximity ranking, hybrid RRF fusion, and the
+cross-source winnowing overlap matrix on hand-built inputs with by-eye
+expectations.  Oracle parity runs via the auto-parametrized gate in
+test_entry.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.pipeline.queryops import hybrid_rrf, proximity_rank
+from searchengine_spark.pipeline.textstats import source_overlap
+
+
+def _docs(spark, rows, schema="doc_id long, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+# proximity_rank -----------------------------------------------------------
+
+def test_proximity_rank_min_gap_and_order(spark):
+    docs = _docs(spark, [
+        (1, "merge x x x vector"),        # gap 4
+        (2, "merge vector"),              # gap 1
+        (3, "vector only here"),          # missing term_a -> excluded
+        (4, "merge z vector merge"),      # gaps |1-3|=2, |4-3|=1 -> 1
+    ])
+    rows = proximity_rank(docs, "merge", "vector", k=10).collect()
+    assert [(r.doc_id, r.minspan) for r in rows] == [(2, 1), (4, 1), (1, 4)]
+    assert rows[0].prox_score == 0.5
+    assert rows[2].prox_score == 0.2
+
+
+def test_proximity_rank_k_limits(spark):
+    docs = _docs(spark, [(i, "a b") for i in range(10)])
+    rows = proximity_rank(docs, "a", "b", k=3).collect()
+    assert [r.doc_id for r in rows] == [0, 1, 2]  # tie -> doc_id asc
+
+
+def test_proximity_rank_same_term_distance_zero_excluded_pairs(spark):
+    # term_a == occurrences of itself is not the contract; both terms must
+    # be present; doc with only repeated term_a matches nothing
+    docs = _docs(spark, [(1, "a a a"), (2, "a c b")])
+    rows = proximity_rank(docs, "a", "b", k=10).collect()
+    assert [(r.doc_id, r.minspan) for r in rows] == [(2, 2)]
+
+
+# hybrid_rrf ----------------------------------------------------------------
+
+def test_hybrid_rrf_hand_computed(spark):
+    docs = _docs(spark, [
+        (1, "merge vector"),
+        (2, "merge merge"),
+        (3, "vector"),
+        (4, "alpha beta"),
+    ])
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.6, 0.8])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = hybrid_rrf(docs, emb, ["merge", "vector"], probe_id=0, k=10).collect()
+    # lex ranking: doc1 (both terms, 1.3097) > doc2 (tf=2, 0.9162) >
+    # doc3 (0.8405); sem ranking around probe 0: vec1 (cos 1) > vec3 (0.6)
+    # > vec2 (0).  rrf with c=60: doc1 = 2/61; doc2 = 1/62 + 1/63 and
+    # doc3 = 1/63 + 1/62 tie at 0.032002 -> doc_id asc breaks it.
+    got = [(r.doc_id, r.rank_lex, r.rank_sem, r.rrf) for r in rows]
+    assert got == [
+        (1, 1, 1, 0.032787),
+        (2, 2, 3, 0.032002),
+        (3, 3, 2, 0.032002),
+    ]
+
+
+def test_hybrid_rrf_one_sided_docs_still_rank(spark):
+    # doc in only the lexical ranking (no embedding row) and vice versa
+    docs = _docs(spark, [(1, "merge"), (9, "nothing")])
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (7, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = hybrid_rrf(docs, emb, ["merge"], probe_id=0, k=10).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].rank_lex == 1 and by_id[1].rank_sem is None
+    assert by_id[7].rank_sem == 1 and by_id[7].rank_lex is None
+    assert by_id[1].rrf == by_id[7].rrf == round(1 / 61, 6)
+
+
+# source_overlap ------------------------------------------------------------
+
+SRC_SCHEMA = "doc_id long, text string, source string"
+
+
+def test_source_overlap_shared_span(spark):
+    shared = "a b c d e f g h"  # 8 tokens = k+w-1 -> exactly one fingerprint
+    docs = _docs(spark, [
+        (1, shared, "src1"),
+        (2, shared, "src2"),
+        (3, "q r s t u v w x", "src3"),
+    ], SRC_SCHEMA)
+    rows = source_overlap(docs).collect()
+    assert [(r.source_a, r.source_b, r.shared_fps) for r in rows] == [
+        ("src1", "src2", 1)
+    ]
+
+
+def test_source_overlap_within_source_not_counted(spark):
+    shared = "a b c d e f g h"
+    docs = _docs(spark, [
+        (1, shared, "src1"),
+        (2, shared, "src1"),  # same source: no pair
+    ], SRC_SCHEMA)
+    assert source_overlap(docs).count() == 0
+
+
+def test_source_overlap_counts_distinct_fps(spark):
+    # two disjoint shared spans between the same source pair -> shared_fps=2
+    span_a = "a b c d e f g h"
+    span_b = "p q r s t u v w"
+    docs = _docs(spark, [
+        (1, span_a, "s1"), (2, span_a, "s2"),
+        (3, span_b, "s1"), (4, span_b, "s2"),
+    ], SRC_SCHEMA)
+    rows = source_overlap(docs).collect()
+    assert [(r.source_a, r.source_b, r.shared_fps) for r in rows] == [
+        ("s1", "s2", 2)
+    ]
