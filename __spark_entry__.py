@@ -28,6 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from searchengine_spark.pipeline import (  # noqa: E402
     asof,
     bpe,
+    codetok,
     curation,
     decontam,
     dedup,
@@ -263,6 +264,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kl_source_drift": lambda s, d: textstats.kl_source_drift(_docs(s, d)),
         "q_bigram_logprob": lambda s, d: textstats.bigram_logprob(_docs(s, d)),
         "q_source_overlap": lambda s, d: textstats.source_overlap(_docs(s, d)),
+        "q_subtoken_df": lambda s, d: codetok.subtoken_df(_docs(s, d)),
+        "q_novelty_scores": lambda s, d: textstats.novelty_scores(_docs(s, d)),
+        "q_mixture_weights": lambda s, d: sampling.mixture_weights(
+            _docs(s, d), alpha=0.5
+        ),
         "q_proximity_rank": lambda s, d: queryops.proximity_rank(
             _docs(s, d), Q_AND2[0], Q_AND2[1], k=20
         ),
@@ -372,6 +378,9 @@ def oracle_sql() -> dict[str, str]:
         "q_kl_source_drift": osql.kl_source_drift(),
         "q_bigram_logprob": osql.bigram_logprob(),
         "q_source_overlap": osql.source_overlap(),
+        "q_subtoken_df": osql.subtoken_df(),
+        "q_novelty_scores": osql.novelty_scores(),
+        "q_mixture_weights": osql.mixture_weights(alpha=0.5),
         "q_proximity_rank": osql.proximity_rank(Q_AND2[0], Q_AND2[1], k=20),
         "q_hybrid_rrf": osql.hybrid_rrf(Q_AND2, PROBE_VEC_IDS[0], k=20),
         "q_trigram_df": osql.trigram_df(),

@@ -82,6 +82,9 @@ HEADLINE = [
     "q_source_overlap",
     "q_proximity_rank",
     "q_hybrid_rrf",
+    "q_subtoken_df",
+    "q_novelty_scores",
+    "q_mixture_weights",
     "q_trigram_df",
     "q_regex_scan",
     "q_regex_indexed",
@@ -151,6 +154,25 @@ def main() -> None:
         "n_docs": n_docs,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
+
+    # --- north-rule scaling evidence, measured by tools/scaling_bench.py
+    # (CPU-pinned local[2] vs local[8] on a 2.56M-doc build, median of 3,
+    # the sandbox's two-cluster-size proxy).  Folded in from SCALING.json
+    # so BENCH_r{N}.json is self-contained without re-running the ~25-min
+    # pinned builds on every bench invocation.
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        extras["scaling_efficiency_n_to_4n"] = sc["scaling_efficiency_2_8"]
+        extras["scaling_docs_per_sec_n2"] = sc["build_local2"]["docs_per_sec"]
+        extras["scaling_docs_per_sec_n8"] = sc["build_local8"]["docs_per_sec"]
+        extras["scaling_docs_per_sec_n32"] = sc["build_local32"]["docs_per_sec"]
+        extras["scaling_source"] = (
+            "tools/scaling_bench.py: taskset-pinned local[2] vs local[8], "
+            f"{sc['replicas']}x-replicated {sc['sf_dir']} corpus, median of 3"
+        )
 
     # --- indexed serving path: SegmentSearcher (direct Arrow reads) p50/p99
     # over the t2 fixture index + 70 fixture queries — the serving-latency

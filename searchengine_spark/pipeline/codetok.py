@@ -1,0 +1,86 @@
+"""Code-aware tokenization: identifier extraction + subtoken splitting.
+
+Source-code search engines (Zoekt, Sourcegraph, OpenGrok — public designs)
+index identifiers both whole and split at camelCase / PascalCase /
+snake_case / digit boundaries, so a query for ``parse`` finds
+``parseHeader``, ``HTTP_PARSER`` and ``parse2``.  The reference indexes
+natural-language lemmas only (services/LemmatizationService.java:27-48);
+this module is the code-payload analog the north rule's source-code corpus
+needs (BASELINE.json input_hint: lang/content columns of code files).
+
+All JVM-side built-ins: one regexp_extract_all per row for the raw
+identifiers, a fixed regexp_replace chain per identifier for the boundary
+split (runs on the lambda-bound element — O(ident length), never re-runs
+the extraction), one explode + hash agg for the dimension.  SQL-twin
+reproducible (DuckDB regexp_replace with 'g').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from searchengine_spark.pipeline.fulltext import explode_nonempty
+
+IDENT_RE = "[A-Za-z_][A-Za-z0-9_]*"
+
+# boundary-split rules, applied in order (Spark $1/$2 backrefs; the DuckDB
+# twin uses \\1/\\2 — keep oracle_sql.subtoken_split_sql in sync):
+#   snake_case       foo_bar   -> foo bar
+#   lower/digit→Upper fooBar   -> foo Bar
+#   acronym→Word     HTTPServer -> HTTP Server
+#   letter→digit     utf8       -> utf 8
+#   digit→letter     2fa        -> 2 fa
+_SPLIT_RULES = [
+    ("_+", " "),
+    ("([a-z0-9])([A-Z])", "$1 $2"),
+    ("([A-Z]+)([A-Z][a-z])", "$1 $2"),
+    ("([A-Za-z])([0-9])", "$1 $2"),
+    ("([0-9])([A-Za-z])", "$1 $2"),
+]
+
+
+def split_subtokens(ident: Column) -> Column:
+    """array<string> of lowercase subtokens for one identifier column."""
+    s = ident
+    for pat, rep in _SPLIT_RULES:
+        s = F.regexp_replace(s, pat, rep)
+    return F.filter(F.split(F.lower(F.trim(s)), " +"), lambda t: t != "")
+
+
+def code_identifiers(documents: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, ident) — one row per identifier OCCURRENCE (case kept)."""
+    arr = F.regexp_extract_all(F.col(text_col), F.lit(IDENT_RE), 0)
+    return explode_nonempty(
+        documents.select(F.col(id_col).alias("doc_id"), arr.alias("idents")),
+        "idents", "ident", "doc_id",
+    )
+
+
+def identifier_subtokens(documents: DataFrame, **kw) -> DataFrame:
+    """(doc_id, subtoken) — one row per subtoken occurrence."""
+    ids = code_identifiers(documents, **kw)
+    return explode_nonempty(
+        ids.select("doc_id", split_subtokens(F.col("ident")).alias("subs")),
+        "subs", "subtoken", "doc_id",
+    )
+
+
+def subtoken_df(documents: DataFrame, **kw) -> DataFrame:
+    """(subtoken, df, cf) — document frequency + collection frequency of
+    split subtokens: the code-search lemma dimension (S6/A2 analog over
+    identifiers instead of lemmas).
+
+    Scale shape: per-row regexp work + ONE hash agg with map-side combine;
+    the subtoken dimension is vocabulary-sized.  Same shape as
+    fulltext.df_stats, so the same bucket-partitioned layout applies when
+    persisted as an index table.
+    """
+    return (
+        identifier_subtokens(documents, **kw)
+        .groupBy("subtoken")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count(F.lit(1)).cast("long").alias("cf"),
+        )
+    )

@@ -1842,3 +1842,60 @@ fused AS (
 SELECT doc_id, rank_lex, rank_sem, rrf
 FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {k}
 """
+
+
+# --- code subtokens / novelty / mixture weights (codetok.py, textstats.py,
+#     sampling.py — round-2 batch 6) ---
+
+def subtoken_df() -> str:
+    """Twin of codetok.subtoken_df: identifier extraction + the same
+    boundary-split regexp_replace chain (DuckDB \\1 backrefs), lowercased,
+    df/cf per subtoken."""
+    split = "ident"
+    for pat, rep in [
+        ("_+", " "),
+        ("([a-z0-9])([A-Z])", "\\1 \\2"),
+        ("([A-Z]+)([A-Z][a-z])", "\\1 \\2"),
+        ("([A-Za-z])([0-9])", "\\1 \\2"),
+        ("([0-9])([A-Za-z])", "\\1 \\2"),
+    ]:
+        split = f"regexp_replace({split}, '{pat}', '{rep}', 'g')"
+    return f"""
+WITH ids AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*')) AS ident
+  FROM documents
+),
+subs AS (
+  SELECT doc_id, unnest(list_filter(
+      string_split_regex(lower(trim({split})), ' +'), x -> x <> '')) AS subtoken
+  FROM ids
+)
+SELECT subtoken, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM subs GROUP BY 1
+"""
+
+
+def novelty_scores(n: int = 3) -> str:
+    """Twin of textstats.novelty_scores over the shared shingle CTE."""
+    return f"""
+WITH {_SHINGLE_CTE},
+sdf AS (SELECT shingle, count(*)::BIGINT AS sdf FROM sh GROUP BY 1)
+SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       round(avg(CASE WHEN sdf = 1 THEN 1.0 ELSE 0.0 END), 4) AS novel_frac
+FROM sh JOIN sdf USING (shingle)
+GROUP BY doc_id
+"""
+
+
+def mixture_weights(alpha: float = 0.5) -> str:
+    """Twin of sampling.mixture_weights (n^alpha renormalized)."""
+    return f"""
+WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+p AS (SELECT source, n_docs, pow(n_docs::DOUBLE, {float(alpha)}) AS npow FROM c),
+t AS (SELECT sum(n_docs)::DOUBLE AS total, sum(npow) AS z FROM p)
+SELECT source, n_docs,
+       round(n_docs / total, 6) AS p_raw,
+       round(npow / z, 6) AS p_alpha,
+       round((npow / z) / (n_docs / total), 4) AS boost
+FROM p CROSS JOIN t
+"""

@@ -137,3 +137,36 @@ def epoch_shuffle(documents: DataFrame, epoch: int = 0, n_files: int = 8,
         key.alias("shuffle_key"),
         F.pmod(key, F.lit(int(n_files))).cast("int").alias("file_id"),
     )
+
+
+def mixture_weights(documents: DataFrame, alpha: float = 0.5,
+                    source_col: str = "source") -> DataFrame:
+    """(source, n_docs, p_raw, p_alpha, boost) — temperature-scaled
+    mixture weights: p_alpha ∝ n_docs^alpha renormalized (the multilingual
+    /multi-source upsampling rule from the XLM-R / mT5 lineage, public).
+    alpha < 1 flattens the mixture — small sources get boost > 1, the
+    head source gets boost < 1; alpha = 1 is proportional, alpha = 0
+    uniform.  ``boost = p_alpha / p_raw`` is the per-source repeat factor
+    a sampler applies on top of natural frequency.
+
+    Scale shape: ONE hash agg to the source dimension (small), then a
+    broadcast scalar join — nothing corpus-sized past the first agg.
+    """
+    counts = documents.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    powed = counts.withColumn(
+        "npow", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))))
+    tot = powed.agg(
+        F.sum("n_docs").cast("double").alias("total"),
+        F.sum("npow").alias("z"),
+    )
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs",
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("p_raw"),
+            F.round(F.col("npow") / F.col("z"), 6).alias("p_alpha"),
+            F.round((F.col("npow") / F.col("z"))
+                    / (F.col("n_docs") / F.col("total")), 4).alias("boost"),
+        )
+    )

@@ -396,6 +396,33 @@ def winnow_shared_spans(documents: DataFrame, k: int = 4, w: int = 5,
     )
 
 
+def novelty_scores(documents: DataFrame, n: int = 3, **kw) -> DataFrame:
+    """(doc_id, n_shingles, novel_frac) — the share of a document's
+    distinct n-token shingles that appear in NO other document.  Low
+    novelty = templated/boilerplate-heavy text (memorization risk when
+    upsampled); the per-document dual of winnow_shared_spans' corpus view.
+
+    Scale shape: distinct shingles per doc (one explode + distinct), the
+    shingle-df dimension as one hash agg, then a join back keyed on the
+    shingle — all map-side combinable; no doc × doc pass.  Docs shorter
+    than n tokens emit no rows (no shingle exists), matching the SQL twin.
+    """
+    from searchengine_spark.pipeline.dedup import shingles
+
+    sh = shingles(documents, n=n, **kw).persist()
+    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("sdf"))
+    out = (
+        sh.join(sdf, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.round(F.avg((F.col("sdf") == 1).cast("double")), 4)
+            .alias("novel_frac"),
+        )
+    )
+    return finalize(out, sh)
+
+
 def source_overlap(documents: DataFrame, k: int = 4, w: int = 5,
                    min_shared: int = 1, id_col: str = "doc_id",
                    text_col: str = "text",

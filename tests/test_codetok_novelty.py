@@ -1,0 +1,108 @@
+"""Behavior tests for code-identifier subtoken splitting, n-gram novelty
+scoring, and temperature-scaled mixture weights on hand-built inputs.
+Oracle parity runs via the auto-parametrized gate in test_entry.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from searchengine_spark.pipeline.codetok import (
+    code_identifiers,
+    identifier_subtokens,
+    subtoken_df,
+)
+from searchengine_spark.pipeline.sampling import mixture_weights
+from searchengine_spark.pipeline.textstats import novelty_scores
+
+
+def _docs(spark, rows, schema="doc_id long, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+# codetok -------------------------------------------------------------------
+
+def test_identifier_extraction_keeps_case_and_occurrences(spark):
+    docs = _docs(spark, [(1, "getHTTPResponse x = getHTTPResponse(2);")])
+    idents = [r.ident for r in code_identifiers(docs).collect()]
+    assert idents.count("getHTTPResponse") == 2
+    assert "x" in idents
+    assert "2" not in idents  # identifiers must start with letter/_
+
+
+def test_subtoken_split_boundaries(spark):
+    cases = {
+        "camelCase": ["camel", "case"],
+        "PascalCase": ["pascal", "case"],
+        "snake_case": ["snake", "case"],
+        "HTTPServer": ["http", "server"],
+        "utf8Decode": ["utf", "8", "decode"],
+        "__dunder__": ["dunder"],
+        "getHTTPResponse2": ["get", "http", "response", "2"],
+    }
+    docs = _docs(spark, [(i, t) for i, t in enumerate(cases)])
+    got = {}
+    for r in identifier_subtokens(docs).collect():
+        got.setdefault(r.doc_id, []).append(r.subtoken)
+    for i, (ident, want) in enumerate(cases.items()):
+        assert got[i] == want, (ident, got[i])
+
+
+def test_subtoken_df_counts(spark):
+    docs = _docs(spark, [
+        (1, "parseHeader parse_footer"),
+        (2, "reparse parse"),
+    ])
+    rows = {r.subtoken: (r.df, r.cf) for r in subtoken_df(docs).collect()}
+    assert rows["parse"] == (2, 3)   # doc1 x2 (parseHeader, parse_footer), doc2 x1
+    assert rows["header"] == (1, 1)
+    assert rows["reparse"] == (1, 1)  # no split inside a plain lowercase word
+
+
+# novelty ---------------------------------------------------------------------
+
+def test_novelty_all_unique_vs_fully_shared(spark):
+    docs = _docs(spark, [
+        (1, "a b c d e"),       # shingles unique to doc1? shared with doc2 below
+        (2, "a b c d e"),       # identical -> all shingles shared
+        (3, "p q r s t"),       # disjoint -> fully novel
+    ])
+    got = {r.doc_id: (r.n_shingles, r.novel_frac) for r in novelty_scores(docs).collect()}
+    assert got[1] == (3, 0.0) and got[2] == (3, 0.0)
+    assert got[3] == (3, 1.0)
+
+
+def test_novelty_partial_overlap(spark):
+    docs = _docs(spark, [
+        (1, "a b c x y z"),   # shingles: abc bcx cxy xyz -> abc shared
+        (2, "a b c"),         # single shingle abc
+    ])
+    got = {r.doc_id: r.novel_frac for r in novelty_scores(docs).collect()}
+    assert got[1] == 0.75 and got[2] == 0.0
+
+
+def test_novelty_short_docs_emit_no_rows(spark):
+    docs = _docs(spark, [(1, "a b"), (2, "")])
+    assert novelty_scores(docs).count() == 0
+
+
+# mixture weights ---------------------------------------------------------------
+
+SRC = "doc_id long, text string, source string"
+
+
+def test_mixture_weights_alpha_half(spark):
+    # 16 docs in s1, 1 doc in s2: sqrt weights 4:1
+    rows = [(i, "x", "s1") for i in range(16)] + [(99, "x", "s2")]
+    got = {r.source: r for r in mixture_weights(_docs(spark, rows, SRC), alpha=0.5).collect()}
+    assert got["s1"].n_docs == 16 and got["s2"].n_docs == 1
+    assert got["s1"].p_alpha == 0.8 and got["s2"].p_alpha == 0.2
+    assert math.isclose(got["s2"].boost, round(0.2 / (1 / 17), 4))
+    assert got["s2"].boost > 1 > got["s1"].boost
+
+
+def test_mixture_weights_alpha_one_is_proportional(spark):
+    rows = [(i, "x", "s1") for i in range(3)] + [(9, "x", "s2")]
+    got = {r.source: r for r in mixture_weights(_docs(spark, rows, SRC), alpha=1.0).collect()}
+    for r in got.values():
+        assert r.p_alpha == r.p_raw and r.boost == 1.0

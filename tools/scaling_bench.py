@@ -209,6 +209,11 @@ def main() -> None:
         "sf_dir": args.sf_dir, "replicas": args.replicas,
     }
     print(json.dumps(result))
+    # machine-readable twin of the BASELINE.md block: bench.py folds these
+    # numbers into its extras so BENCH_r{N}.json carries the north-rule
+    # scaling evidence without re-running the 25-min pinned builds
+    scaling_json = Path(__file__).resolve().parent.parent / "SCALING.json"
+    scaling_json.write_text(json.dumps(result, indent=1))
 
     block = f"""{MARK_BEGIN}
 ## Measured (tools/scaling_bench.py — two-parallelism cluster-size proxy)
