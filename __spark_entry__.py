@@ -30,6 +30,7 @@ from searchengine_spark.pipeline import (  # noqa: E402
     bpe,
     codetok,
     curation,
+    examplegen,
     decontam,
     dedup,
     graph,
@@ -265,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_logprob": lambda s, d: textstats.bigram_logprob(_docs(s, d)),
         "q_source_overlap": lambda s, d: textstats.source_overlap(_docs(s, d)),
         "q_subtoken_df": lambda s, d: codetok.subtoken_df(_docs(s, d)),
+        "q_span_corruption": lambda s, d: examplegen.span_corruption(_docs(s, d)),
         "q_novelty_scores": lambda s, d: textstats.novelty_scores(_docs(s, d)),
         "q_mixture_weights": lambda s, d: sampling.mixture_weights(
             _docs(s, d), alpha=0.5
@@ -379,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bigram_logprob": osql.bigram_logprob(),
         "q_source_overlap": osql.source_overlap(),
         "q_subtoken_df": osql.subtoken_df(),
+        "q_span_corruption": osql.span_corruption(),
         "q_novelty_scores": osql.novelty_scores(),
         "q_mixture_weights": osql.mixture_weights(alpha=0.5),
         "q_proximity_rank": osql.proximity_rank(Q_AND2[0], Q_AND2[1], k=20),

@@ -85,6 +85,7 @@ HEADLINE = [
     "q_subtoken_df",
     "q_novelty_scores",
     "q_mixture_weights",
+    "q_span_corruption",
     "q_trigram_df",
     "q_regex_scan",
     "q_regex_indexed",

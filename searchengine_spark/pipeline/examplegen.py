@@ -1,0 +1,147 @@
+"""Training-example generation: T5-style span corruption, deterministic.
+
+The last stage of an LLM data pipeline turns curated documents into
+training pairs.  Span corruption (Raffel et al., JMLR 2020 — the T5
+denoising objective, public) masks contiguous token spans with numbered
+sentinels and emits (input with sentinels, target of masked spans):
+
+    tokens:  the quick brown fox jumps over
+    input:   the <extra_id_0> fox jumps <extra_id_1>
+    target:  <extra_id_0> quick brown <extra_id_1> over
+
+Determinism: instead of an RNG, each aligned ``span_len`` token block is
+masked iff ``md5(doc_id:block) % 100 < pct`` — a pure function of
+(doc_id, block), so re-runs, resumed jobs and the DuckDB oracle produce
+byte-identical examples (the same property epoch_shuffle relies on; RNG
+state is the classic non-resumable pipeline bug).
+
+Scale shape: everything is per-row array expressions over the token
+array — zero shuffle, no UDF.  Token and masked-block arrays are
+materialized into named columns before any lambda touches them (the
+lambda-closure re-evaluation pitfall, see fulltext.explode_nonempty).
+Output hashes (input_sha/target_sha) make the driver gate value-exact
+without shipping the full strings through the comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from searchengine_spark.pipeline.fulltext import tokens_col
+from searchengine_spark.pipeline.hashing import md5_long
+
+SPAN_LEN = 2     # tokens per masked span (aligned blocks)
+MASK_PCT = 15    # % of blocks masked
+
+
+def span_corruption(documents: DataFrame, span_len: int = SPAN_LEN,
+                    pct: int = MASK_PCT, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, n_spans, n_masked_tokens, input_sha, target_sha).
+
+    Empty docs emit no rows; docs where no block is selected are kept as
+    uncorrupted examples (n_spans = 0, empty target) — the trainer's mix
+    needs them and dropping them would bias the length distribution.
+    """
+    L = int(span_len)
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).filter(F.size("toks") > 0)
+
+    tc = F.col("toks")
+    n = F.size(tc)
+    n_blocks = F.ceil(n / F.lit(float(L))).cast("int")
+    doc_id_s = F.col("doc_id").cast("string")
+    blocks = F.sequence(F.lit(0), n_blocks - 1)
+    masked = F.filter(
+        blocks,
+        lambda b: md5_long(
+            F.concat_ws(":", doc_id_s, b.cast("string"))
+        ) % 100 < pct,
+    )
+    with_masked = base.select("doc_id", "toks", masked.alias("masked"))
+
+    mc = F.col("masked")  # attribute: cheap inside the per-position lambdas
+    blk = lambda i: F.floor((i - 1) / L).cast("int")  # noqa: E731
+    sent_k = lambda b: F.size(F.filter(mc, lambda x: x < b))  # noqa: E731
+
+    # input: per position — keep the token, open a sentinel at a masked
+    # block's first position, drop the block's other positions
+    pieces = F.transform(
+        F.sequence(F.lit(1), F.size(tc)),
+        lambda i: F.when(
+            ~F.array_contains(mc, blk(i)), F.element_at(tc, i)
+        ).when(
+            (i - 1) % L == 0,
+            F.concat(F.lit("<extra_id_"), sent_k(blk(i)).cast("string"), F.lit(">")),
+        ),
+    )
+    input_text = F.concat_ws(" ", F.filter(pieces, lambda p: p.isNotNull()))
+
+    # target: sentinel + the masked span's tokens, in block order
+    target_text = F.concat_ws(" ", F.transform(
+        mc,
+        lambda b: F.concat(
+            F.lit("<extra_id_"), sent_k(b).cast("string"), F.lit("> "),
+            F.concat_ws(" ", F.slice(tc, (b * L + 1).cast("int"), L)),
+        ),
+    ))
+
+    n_masked = F.aggregate(
+        mc, F.lit(0),
+        lambda acc, b: acc + F.least(F.lit(L), F.size(tc) - b * L),
+    )
+
+    return with_masked.select(
+        "doc_id",
+        F.size(mc).cast("long").alias("n_spans"),
+        n_masked.cast("long").alias("n_masked_tokens"),
+        F.sha2(input_text.cast("binary"), 256).alias("input_sha"),
+        F.sha2(target_text.cast("binary"), 256).alias("target_sha"),
+    )
+
+
+def span_corruption_texts(documents: DataFrame, span_len: int = SPAN_LEN,
+                          pct: int = MASK_PCT, **kw) -> DataFrame:
+    """(doc_id, input_text, target_text) — the actual training pair
+    payloads (the sha query above is the gate twin; this is what a
+    trainer-facing writer persists)."""
+    L = int(span_len)
+    toks = F.filter(tokens_col(kw.get("text_col", "text")), lambda t: t != "")
+    base = documents.select(
+        F.col(kw.get("id_col", "doc_id")).alias("doc_id"), toks.alias("toks")
+    ).filter(F.size("toks") > 0)
+    tc = F.col("toks")
+    n_blocks = F.ceil(F.size(tc) / F.lit(float(L))).cast("int")
+    masked = F.filter(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda b: md5_long(
+            F.concat_ws(":", F.col("doc_id").cast("string"), b.cast("string"))
+        ) % 100 < pct,
+    )
+    with_masked = base.select("doc_id", "toks", masked.alias("masked"))
+    mc = F.col("masked")
+    blk = lambda i: F.floor((i - 1) / L).cast("int")  # noqa: E731
+    sent_k = lambda b: F.size(F.filter(mc, lambda x: x < b))  # noqa: E731
+    pieces = F.transform(
+        F.sequence(F.lit(1), F.size(tc)),
+        lambda i: F.when(
+            ~F.array_contains(mc, blk(i)), F.element_at(tc, i)
+        ).when(
+            (i - 1) % L == 0,
+            F.concat(F.lit("<extra_id_"), sent_k(blk(i)).cast("string"), F.lit(">")),
+        ),
+    )
+    target_text = F.concat_ws(" ", F.transform(
+        mc,
+        lambda b: F.concat(
+            F.lit("<extra_id_"), sent_k(b).cast("string"), F.lit("> "),
+            F.concat_ws(" ", F.slice(tc, (b * L + 1).cast("int"), L)),
+        ),
+    ))
+    return with_masked.select(
+        "doc_id",
+        F.concat_ws(" ", F.filter(pieces, lambda p: p.isNotNull())).alias("input_text"),
+        target_text.alias("target_text"),
+    )

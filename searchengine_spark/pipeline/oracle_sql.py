@@ -1899,3 +1899,38 @@ SELECT source, n_docs,
        round((npow / z) / (n_docs / total), 4) AS boost
 FROM p CROSS JOIN t
 """
+
+
+def span_corruption(span_len: int = 2, pct: int = 15) -> str:
+    """Twin of examplegen.span_corruption: md5(doc_id:block)-selected
+    aligned blocks, sentinel-numbered input/target, sha256 payloads."""
+    L = int(span_len)
+    blk = f"CAST(floor((i - 1) / {L}) AS BIGINT)"
+    return f"""
+WITH d0 AS (SELECT doc_id, {_TOKARR} AS arr FROM documents),
+d AS (SELECT doc_id, arr, len(arr) AS n FROM d0 WHERE len(arr) > 0),
+m AS (
+  SELECT doc_id, arr, n,
+         [b for b in generate_series(0, CAST(ceil(n / {L}.0) AS INT) - 1)
+          if ('0x' || substr(md5(doc_id::VARCHAR || ':' || b::VARCHAR), 1, 15))::BIGINT % 100 < {pct}] AS masked
+  FROM d
+),
+pieces AS (
+  SELECT doc_id, masked, n,
+    list_filter([CASE
+        WHEN NOT list_contains(masked, {blk}) THEN arr[i]
+        WHEN (i - 1) % {L} = 0 THEN '<extra_id_' || len(list_filter(masked, x -> x < {blk}))::VARCHAR || '>'
+        ELSE NULL END
+      for i in generate_series(1, n)], p -> p IS NOT NULL) AS inparts,
+    ['<extra_id_' || len(list_filter(masked, x -> x < b))::VARCHAR || '> '
+       || array_to_string(arr[b * {L} + 1 : b * {L} + {L}], ' ')
+      for b in masked] AS tparts
+  FROM m
+)
+SELECT doc_id,
+       len(masked)::BIGINT AS n_spans,
+       coalesce(list_sum([least({L}, n - b * {L}) for b in masked]), 0)::BIGINT AS n_masked_tokens,
+       sha256(coalesce(array_to_string(inparts, ' '), '')) AS input_sha,
+       sha256(coalesce(array_to_string(tparts, ' '), '')) AS target_sha
+FROM pieces
+"""

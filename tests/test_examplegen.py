@@ -1,0 +1,82 @@
+"""Behavior tests for the deterministic T5-style span-corruption example
+generator.  Oracle parity runs via the auto-parametrized gate in
+test_entry.py (q_span_corruption).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from searchengine_spark.pipeline.examplegen import (
+    span_corruption,
+    span_corruption_texts,
+)
+from searchengine_spark.pipeline.hashing import md5_long_py
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _masked_blocks(doc_id: int, n_tokens: int, L: int = 2, pct: int = 15):
+    nb = -(-n_tokens // L)
+    return [b for b in range(nb) if md5_long_py(f"{doc_id}:{b}") % 100 < pct]
+
+
+def _expected(doc_id: int, tokens: list[str], L: int = 2, pct: int = 15):
+    masked = _masked_blocks(doc_id, len(tokens), L, pct)
+    pieces, tparts = [], []
+    for i, t in enumerate(tokens):
+        b = i // L
+        if b not in masked:
+            pieces.append(t)
+        elif i % L == 0:
+            pieces.append(f"<extra_id_{masked.index(b)}>")
+    for k, b in enumerate(masked):
+        span = tokens[b * L:(b + 1) * L]
+        tparts.append(f"<extra_id_{k}> " + " ".join(span))
+    return masked, " ".join(pieces), " ".join(tparts)
+
+
+def test_span_corruption_matches_python_reference(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(1 + (i * 7) % 23)))
+            for i in range(60)]
+    got = {r.doc_id: r for r in span_corruption(_docs(spark, rows)).collect()}
+    for doc_id, text in rows:
+        toks = text.split()
+        masked, inp, tgt = _expected(doc_id, toks)
+        g = got[doc_id]
+        assert g.n_spans == len(masked)
+        assert g.n_masked_tokens == sum(
+            min(2, len(toks) - b * 2) for b in masked)
+        assert g.input_sha == hashlib.sha256(inp.encode()).hexdigest()
+        assert g.target_sha == hashlib.sha256(tgt.encode()).hexdigest()
+
+
+def test_span_corruption_texts_sentinel_layout(spark):
+    # find a doc_id whose first block is masked for a 6-token doc
+    did = next(i for i in range(1000) if 0 in _masked_blocks(i, 6))
+    toks = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = span_corruption_texts(_docs(spark, [(did, " ".join(toks))])).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    masked, inp, tgt = _expected(did, toks)
+    assert r.input_text == inp and r.target_text == tgt
+    assert r.input_text.startswith("<extra_id_0>")
+    assert "<extra_id_0> alpha beta" in r.target_text
+
+
+def test_span_corruption_deterministic_and_empty_doc_dropped(spark):
+    docs = _docs(spark, [(1, "a b c d"), (2, "")])
+    a = sorted(span_corruption(docs).collect())
+    b = sorted(span_corruption(docs).collect())
+    assert a == b
+    assert {r.doc_id for r in a} == {1}
+
+
+def test_span_corruption_unmasked_doc_kept(spark):
+    did = next(i for i in range(1000) if not _masked_blocks(i, 4))
+    rows = span_corruption(_docs(spark, [(did, "a b c d")])).collect()
+    assert rows[0].n_spans == 0
+    assert rows[0].target_sha == hashlib.sha256(b"").hexdigest()
+    assert rows[0].input_sha == hashlib.sha256(b"a b c d").hexdigest()
