@@ -238,3 +238,82 @@ def run_sliding_counts_stream(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+TIMED_DOCUMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def run_trending_terms_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    minutes: int = 5,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+):
+    """Stream timestamped (doc_id, ts, text) drops; append finalized
+    per-window term counts to parquet — the trending-vocabulary feed a
+    search frontend's "rising queries/topics" panel reads.
+
+    Append mode means a (window, term) row is emitted exactly once, after
+    the watermark passes the window end — so the sink is immutable and a
+    downstream ranker can cache it.  Ranking itself happens at read time
+    (``trending_topk``): a stream can't rank a window before the window is
+    final, and baking k into the sink would throw away the long tail the
+    next consumer may want.  Tokenization is the same JVM-side expression
+    as the batch path (fulltext.tokens_col), so stream == batch on the
+    same drops, testable.
+    """
+    from searchengine_spark.pipeline.fulltext import tokens_col
+
+    stream = (
+        spark.readStream.schema(TIMED_DOCUMENTS_SCHEMA)
+        .format("parquet").load(drop_dir)
+    )
+    terms = (
+        stream.select("ts", F.explode(tokens_col("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    agg = (
+        terms.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), f"{minutes} minutes").alias("w"), "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "term",
+            "n",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def trending_topk(spark: SparkSession, out_dir: str, k: int = 10) -> DataFrame:
+    """(window_start, window_end, rank, term, n) — top-k terms per
+    finalized window from the trending sink (per-window ranking window:
+    bounded rows per partition, massively parallel)."""
+    from pyspark.sql import Window
+
+    sink = spark.read.parquet(out_dir)
+    w = Window.partitionBy("window_start", "window_end").orderBy(
+        F.desc("n"), F.asc("term"))
+    return (
+        sink.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "window_end", "rank", "term", "n")
+    )

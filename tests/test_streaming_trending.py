@@ -1,0 +1,99 @@
+"""Trending-terms stream: finalized per-window term counts must equal the
+batch tokenize+window twin on the same drops, and the append sink must only
+carry windows behind the watermark."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline.fulltext import tokens_col
+from searchengine_spark.streaming.windows import (
+    run_trending_terms_stream,
+    trending_topk,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _docs_df(spark, rows):
+    """rows: (doc_id, minutes_after_T0, text)"""
+    data = [(i, T0 + dt.timedelta(minutes=m), t) for i, m, t in rows]
+    return spark.createDataFrame(data, "doc_id long, ts timestamp, text string")
+
+
+def _batch_counts(spark, rows, minutes=5):
+    df = _docs_df(spark, rows)
+    return (
+        df.select("ts", F.explode(tokens_col("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "term", "n")
+    )
+
+
+def test_trending_stream_matches_batch_and_ranks(spark, tmp_path):
+    drop_dir = str(tmp_path / "tdrops")
+    out_dir = str(tmp_path / "tout")
+    ckpt = str(tmp_path / "tckpt")
+    os.makedirs(drop_dir)
+
+    # window [0,5): spark x3, merge x2, scan x1; window [5,10): scan x2.
+    # the 47-min straggler pushes the watermark to 37 so both finalize.
+    p1 = [
+        (1, 1.0, "spark spark merge"),
+        (2, 3.0, "spark merge scan"),
+        (3, 7.0, "scan scan"),
+        (4, 47.0, "late straggler"),
+    ]
+    _docs_df(spark, p1).coalesce(1).write.mode("append").parquet(drop_dir)
+    run_trending_terms_stream(spark, drop_dir, out_dir, ckpt, minutes=5,
+                              watermark="10 minutes")
+
+    sink = spark.read.parquet(out_dir)
+    got = {(r.window_start, r.term): r.n for r in sink.collect()}
+    w0 = T0
+    w1 = T0 + dt.timedelta(minutes=5)
+    assert got[(w0, "spark")] == 3 and got[(w0, "merge")] == 2
+    assert got[(w0, "scan")] == 1 and got[(w1, "scan")] == 2
+    # the 45-50 window holds the straggler and is NOT final yet
+    assert all(ws < T0 + dt.timedelta(minutes=40) for ws, _ in got)
+
+    # finalized windows == batch twin restricted to the same windows
+    batch = {
+        (r.window_start, r.term): r.n
+        for r in _batch_counts(spark, p1).collect()
+        if r.window_start < T0 + dt.timedelta(minutes=40)
+    }
+    assert got == batch
+
+    top = trending_topk(spark, out_dir, k=2).collect()
+    w0_top = [(r.rank, r.term, r.n) for r in top if r.window_start == w0]
+    assert w0_top == [(1, "spark", 3), (2, "merge", 2)]
+
+
+def test_trending_stream_incremental_drop_emits_only_new_windows(spark, tmp_path):
+    drop_dir = str(tmp_path / "t2drops")
+    out_dir = str(tmp_path / "t2out")
+    ckpt = str(tmp_path / "t2ckpt")
+    os.makedirs(drop_dir)
+
+    _docs_df(spark, [(1, 1.0, "alpha alpha"), (2, 21.0, "beta")]) \
+        .coalesce(1).write.mode("append").parquet(drop_dir)
+    run_trending_terms_stream(spark, drop_dir, out_dir, ckpt, minutes=5,
+                              watermark="10 minutes")
+    first = {(r.window_start, r.term) for r in spark.read.parquet(out_dir).collect()}
+    assert (T0, "alpha") in first
+    assert all(ws < T0 + dt.timedelta(minutes=15) for ws, _ in first)
+
+    # second drop advances the watermark; the 20-25 window finalizes once
+    _docs_df(spark, [(3, 61.0, "gamma")]).coalesce(1) \
+        .write.mode("append").parquet(drop_dir)
+    run_trending_terms_stream(spark, drop_dir, out_dir, ckpt, minutes=5,
+                              watermark="10 minutes")
+    rows = spark.read.parquet(out_dir).collect()
+    beta = [r for r in rows if r.term == "beta"]
+    assert len(beta) == 1 and beta[0].n == 1
