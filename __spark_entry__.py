@@ -271,6 +271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_weights": lambda s, d: sampling.mixture_weights(
             _docs(s, d), alpha=0.5
         ),
+        "q_mixture_expand": lambda s, d: sampling.mixture_expand(
+            _docs(s, d), alpha=0.5
+        ),
+        "q_train_val_split": lambda s, d: sampling.train_val_split(_docs(s, d)),
         "q_proximity_rank": lambda s, d: queryops.proximity_rank(
             _docs(s, d), Q_AND2[0], Q_AND2[1], k=20
         ),
@@ -384,6 +388,8 @@ def oracle_sql() -> dict[str, str]:
         "q_span_corruption": osql.span_corruption(),
         "q_novelty_scores": osql.novelty_scores(),
         "q_mixture_weights": osql.mixture_weights(alpha=0.5),
+        "q_mixture_expand": osql.mixture_expand(alpha=0.5),
+        "q_train_val_split": osql.train_val_split(),
         "q_proximity_rank": osql.proximity_rank(Q_AND2[0], Q_AND2[1], k=20),
         "q_hybrid_rrf": osql.hybrid_rrf(Q_AND2, PROBE_VEC_IDS[0], k=20),
         "q_trigram_df": osql.trigram_df(),

@@ -85,6 +85,8 @@ HEADLINE = [
     "q_subtoken_df",
     "q_novelty_scores",
     "q_mixture_weights",
+    "q_mixture_expand",
+    "q_train_val_split",
     "q_span_corruption",
     "q_trigram_df",
     "q_regex_scan",

@@ -17,6 +17,7 @@ from searchengine_spark.pipeline.hashing import (
     MINHASH_P,
     MINHASH_ROWS,
     NUM_MINHASH,
+    md5_long_sql,
 )
 from searchengine_spark.pipeline.textstats import BPE_PRETOKEN_RE, EN_MARKERS
 
@@ -1933,4 +1934,29 @@ SELECT doc_id,
        sha256(coalesce(array_to_string(inparts, ' '), '')) AS input_sha,
        sha256(coalesce(array_to_string(tparts, ' '), '')) AS target_sha
 FROM pieces
+"""
+
+
+def mixture_expand(alpha: float = 0.5, salt: str = "mix") -> str:
+    """Twin of sampling.mixture_expand (floor(boost) + md5-fraction coin)."""
+    key = f"'{salt}:' || doc_id::VARCHAR"
+    u = f"(({md5_long_sql(key)}) % 1000000) / 1000000.0"
+    return f"""
+WITH w AS (
+  SELECT source, boost FROM ({mixture_weights(alpha)})
+)
+SELECT d.doc_id, d.source,
+       (floor(w.boost) + CASE WHEN {u} < w.boost - floor(w.boost) THEN 1 ELSE 0 END)::BIGINT AS n_copies
+FROM documents d JOIN w USING (source)
+"""
+
+
+def train_val_split(val_pct: int = 5, salt: str = "split") -> str:
+    """Twin of sampling.train_val_split."""
+    key = f"'{salt}:' || doc_id::VARCHAR"
+    h = f"({md5_long_sql(key)}) % 100"
+    return f"""
+SELECT doc_id,
+       CASE WHEN {h} < {int(val_pct)} THEN 'val' ELSE 'train' END AS split
+FROM documents
 """

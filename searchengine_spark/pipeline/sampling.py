@@ -170,3 +170,49 @@ def mixture_weights(documents: DataFrame, alpha: float = 0.5,
                     / (F.col("n_docs") / F.col("total")), 4).alias("boost"),
         )
     )
+
+
+def mixture_expand(documents: DataFrame, alpha: float = 0.5,
+                   source_col: str = "source", salt: str = "mix",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, source, n_copies) — turn mixture_weights' per-source boost
+    into a concrete per-document repeat plan: every doc gets
+    floor(boost) copies plus one more with probability frac(boost),
+    decided by md5(salt:doc_id) — deterministic, so E[copies] = boost per
+    source exactly in expectation and the realized plan is reproducible
+    and resumable (no RNG state).  A writer materializes the epoch by
+    exploding sequence(1, n_copies); docs with n_copies = 0 are dropped
+    from the epoch (boost < 1 downsamples the head source).
+
+    Scale shape: the boost table is source-dimension-sized -> broadcast
+    join onto the corpus; the copy decision is a map-only expression.
+    """
+    w = mixture_weights(documents, alpha=alpha, source_col=source_col) \
+        .select("source", "boost")
+    u = (md5_long(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+         % 1_000_000) / 1_000_000.0
+    return (
+        documents.select(F.col(id_col).alias("doc_id"),
+                         F.col(source_col).alias("source"))
+        .join(F.broadcast(w), "source")
+        .select(
+            "doc_id", "source",
+            (F.floor("boost")
+             + F.when(u < F.col("boost") - F.floor("boost"), 1).otherwise(0)
+             ).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def train_val_split(documents: DataFrame, val_pct: int = 5,
+                    salt: str = "split", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, split) — deterministic held-out split: 'val' iff
+    md5(salt:doc_id) % 100 < val_pct, else 'train'.  Content-independent
+    (id-keyed) so near-duplicate leakage between splits is handled by the
+    dedup stage BEFORE splitting, and re-keying the salt draws a fresh
+    split without touching data.  Map-only, zero shuffle."""
+    h = md5_long(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))) % 100
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(h < val_pct, F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )

@@ -106,3 +106,36 @@ def test_mixture_weights_alpha_one_is_proportional(spark):
     got = {r.source: r for r in mixture_weights(_docs(spark, rows, SRC), alpha=1.0).collect()}
     for r in got.values():
         assert r.p_alpha == r.p_raw and r.boost == 1.0
+
+
+# mixture expand + split ---------------------------------------------------
+
+def test_mixture_expand_expectation_and_determinism(spark):
+    from searchengine_spark.pipeline.sampling import mixture_expand
+    rows = [(i, "x", "s1") for i in range(64)] + [(1000 + i, "x", "s2") for i in range(4)]
+    df = _docs(spark, rows, SRC)
+    got = mixture_expand(df, alpha=0.5).collect()
+    again = mixture_expand(df, alpha=0.5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r.n_copies)
+    # boost(s2) = p_alpha/p_raw = (2/10)/(4/68) = 3.4 -> copies in {3, 4}
+    assert set(by_src["s2"]) <= {3, 4}
+    # boost(s1) = (8/10)/(64/68) = 0.85 -> copies in {0, 1}
+    assert set(by_src["s1"]) <= {0, 1}
+    # realized mean within the deterministic coin's reach of the boost
+    assert 0.5 <= sum(by_src["s1"]) / 64 <= 1.0
+
+
+def test_train_val_split_deterministic_and_salted(spark):
+    from searchengine_spark.pipeline.sampling import train_val_split
+    docs = _docs(spark, [(i, "x") for i in range(200)])
+    a = {r.doc_id: r.split for r in train_val_split(docs, val_pct=10).collect()}
+    b = {r.doc_id: r.split for r in train_val_split(docs, val_pct=10).collect()}
+    assert a == b
+    n_val = sum(1 for v in a.values() if v == "val")
+    assert 5 <= n_val <= 40  # ~10% of 200, md5-binomial spread
+    c = {r.doc_id: r.split for r in
+         train_val_split(docs, val_pct=10, salt="other").collect()}
+    assert c != a  # re-salting draws a fresh split
