@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: end-to-end training-data curation.
+
+Runs the full corpus-to-training-set pipeline as ONE driver program:
+
+    1. exact dedup           keep-MIN over content sha256
+    2. quality + decontam +
+       PII + mixture gate    curation.curated_corpus (single corpus scan)
+    3. train/val split       sampling.train_val_split (md5-deterministic)
+    4. epoch-shuffled write  sampling.epoch_shuffle keys ->
+                             repartitionByRange + sortWithinPartitions
+                             (distributed total order, no global window)
+
+and writes ``<output>/train`` / ``<output>/val`` parquet plus
+``<output>/report.json`` with per-stage counts — the lineage record a
+100 TB curation run needs for an audit trail.
+
+Cluster usage:
+
+    spark-submit --py-files dist/searchengine_spark.zip jobs/curate.py \
+        --input <documents path or table> --output /data/curated --epoch 0
+
+Local sandbox usage:
+
+    python jobs/curate.py --input /root/testdata/sf0.001/documents.parquet \
+        --output /tmp/curated
+
+Every stage is individually oracle-gated in __spark_entry__ (q_dedup_exact,
+q_curated_corpus, q_train_val_split, q_epoch_shuffle); this job is their
+production composition.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def run(spark, input_ref: str, output: str, epoch: int = 0, val_pct: int = 5,
+        n_files: int = 8, salt: str = "mix1") -> dict:
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.catalog import read_table
+    from searchengine_spark.pipeline.curation import curated_corpus
+    from searchengine_spark.pipeline.dedup import exact_duplicates
+    from searchengine_spark.pipeline.sampling import epoch_shuffle, train_val_split
+
+    docs = read_table(spark, input_ref)
+    n_input = docs.count()
+
+    # 1. exact dedup: keep the cluster representative only
+    keep = exact_duplicates(docs).filter(F.col("doc_id") == F.col("keep_doc_id")) \
+        .select("doc_id")
+    docs = docs.join(keep, "doc_id", "left_semi").persist()
+    n_deduped = docs.count()
+
+    # 2. composed quality / decontam / PII / mixture gate (one corpus scan)
+    kept = curated_corpus(docs, salt=salt).persist()
+    n_curated = kept.count()
+
+    # 3 + 4. split, key by the epoch shuffle, write in shuffled total order
+    full = kept.join(docs.select("doc_id", "text"), "doc_id") \
+        .join(train_val_split(docs, val_pct=val_pct), "doc_id")
+    shuffled = full.join(
+        epoch_shuffle(docs, epoch=epoch, n_files=n_files), "doc_id")
+
+    out = Path(output)
+    counts = {}
+    for split in ("train", "val"):
+        part = (
+            shuffled.filter(F.col("split") == split)
+            .repartitionByRange(n_files, "file_id", "shuffle_key")
+            .sortWithinPartitions("file_id", "shuffle_key")
+            .select("doc_id", "lang_pred", "weight", "n_tokens",
+                    "redacted_sha", "text", "file_id", "shuffle_key")
+        )
+        part.write.mode("overwrite").parquet(str(out / split))
+        counts[split] = spark.read.parquet(str(out / split)).count()
+
+    report = {
+        "input_docs": n_input,
+        "after_exact_dedup": n_deduped,
+        "after_quality_decontam_mixture": n_curated,
+        "train_docs": counts["train"],
+        "val_docs": counts["val"],
+        "epoch": epoch,
+        "n_files": n_files,
+        "val_pct": val_pct,
+        "salt": salt,
+    }
+    (out / "report.json").write_text(json.dumps(report, indent=1))
+    kept.unpersist()
+    docs.unpersist()
+    return report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet path or table")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--epoch", type=int, default=0)
+    ap.add_argument("--val-pct", type=int, default=5)
+    ap.add_argument("--n-files", type=int, default=8,
+                    help="epoch shard files per split")
+    ap.add_argument("--salt", default="mix1")
+    args = ap.parse_args()
+
+    from searchengine_spark.session import get_spark
+
+    report = run(get_spark("curate"), args.input, args.output,
+                 epoch=args.epoch, val_pct=args.val_pct,
+                 n_files=args.n_files, salt=args.salt)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""End-to-end curation job: dedup -> quality/decontam/PII/mixture ->
+split -> epoch-shuffled write, report counts consistent, output readable
+in the epoch's deterministic order."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from jobs.curate import run
+from searchengine_spark.pipeline.sampling import train_val_split
+
+
+def test_curate_job_end_to_end(spark, tmp_path):
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant an exact duplicate pair to exercise the dedup stage
+    dup = src.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang",
+        "source", "n_chars")
+    inp = str(tmp_path / "in.parquet")
+    src.unionByName(dup).write.parquet(inp)
+
+    out = tmp_path / "curated"
+    report = run(spark, inp, str(out), epoch=1, val_pct=5, n_files=4)
+
+    assert report["input_docs"] == 501
+    assert report["after_exact_dedup"] == 500          # planted dup removed
+    assert 0 < report["after_quality_decontam_mixture"] < 500
+    assert (report["train_docs"] + report["val_docs"]
+            == report["after_quality_decontam_mixture"])
+    assert json.loads((out / "report.json").read_text()) == report
+
+    train = spark.read.parquet(str(out / "train"))
+    assert set(train.columns) == {"doc_id", "lang_pred", "weight", "n_tokens",
+                                  "redacted_sha", "text", "file_id",
+                                  "shuffle_key"}
+    # every surviving doc respects the deterministic split
+    split = {r.doc_id: r.split for r in train_val_split(src, val_pct=5).collect()}
+    for r in train.select("doc_id").collect():
+        assert split[r.doc_id] == "train"
+    # no duplicate ids and all weights positive
+    assert train.count() == train.select("doc_id").distinct().count()
+    assert train.filter(F.col("weight") <= 0).count() == 0
