@@ -182,19 +182,28 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
             datas = [bytes(d) for d in pdf["data"]]
             nfs = _parse_headers(datas)[:, 3].astype("int64")
             ids = pdf["doc_id"].astype("int64").to_numpy()
-            doc_ids, frames, shas = [], [], []
-            for did, nf, data in zip(ids, nfs, datas):
-                body = data[HEADER:]
-                step = max(1, len(body) // max(int(nf), 1))
-                for f_i in range(0, int(nf), every):
-                    doc_ids.append(int(did))
-                    frames.append(f_i)
-                    shas.append(
-                        hashlib.sha256(body[f_i * step:(f_i + 1) * step]).hexdigest()
-                    )
+            # vectorized explode: each doc contributes ceil(nf/every)
+            # sampled frame indices; row->doc mapping via np.repeat and
+            # the per-doc frame index via a global arange minus each
+            # row's cumulative offset (the standard ragged-explode trick)
+            counts = (nfs + every - 1) // every
+            doc_rows = np.repeat(np.arange(len(ids)), counts)
+            offsets = np.repeat(np.cumsum(counts) - counts, counts)
+            frames = (np.arange(len(doc_rows)) - offsets) * every
+            body_lens = np.fromiter(
+                (len(d) - HEADER for d in datas), dtype="int64", count=len(datas))
+            steps = np.maximum(1, body_lens // np.maximum(nfs, 1))
+            starts = frames * steps[doc_rows]
+            ends = starts + steps[doc_rows]
+            # the hash itself is per-payload by nature (one digest per
+            # sampled frame slice) — the only remaining per-row work
+            shas = [
+                hashlib.sha256(datas[r][HEADER + s:HEADER + e]).hexdigest()
+                for r, s, e in zip(doc_rows, starts, ends)
+            ]
             yield pd.DataFrame(
-                {"doc_id": pd.array(doc_ids, dtype="int64"),
-                 "frame": pd.array(frames, dtype="int32"),
+                {"doc_id": ids[doc_rows],
+                 "frame": frames.astype("int32"),
                  "frame_sha": shas},
                 columns=cols,
             )
