@@ -107,6 +107,12 @@ def _decode_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_segments(segs)
 
 
+def _bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.index.segments import bucket_stats
+
+    return bucket_stats(_decode_segments(spark, sf_dir), n_buckets=16)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -150,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wand_and_gate_empty": lambda s, d: _wand(s, d, Q_ABSENT),
         "q_wand_distributed_and2": lambda s, d: _wand_dist(s, d, Q_AND2),
         "q_segments_decode": _decode_segments,
+        "q_index_bucket_stats": _bucket_stats,
         # dedup suite
         "q_dedup_exact": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
         "q_minhash_signatures": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
@@ -317,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "q_wand_and_gate_empty": osql.bm25_topk(Q_ABSENT, k=20),
         "q_wand_distributed_and2": osql.bm25_topk(Q_AND2, k=20),
         "q_segments_decode": osql.postings_with_dl(),
+        "q_index_bucket_stats": osql.index_bucket_stats(n_buckets=16),
         "q_dedup_exact": osql.exact_duplicates(),
         "q_minhash_signatures": osql.minhash_signatures(),
         "q_lsh_candidate_pairs": osql.lsh_candidate_pairs(),

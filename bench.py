@@ -88,6 +88,7 @@ HEADLINE = [
     "q_mixture_expand",
     "q_train_val_split",
     "q_span_corruption",
+    "q_index_bucket_stats",
     "q_trigram_df",
     "q_regex_scan",
     "q_regex_indexed",

@@ -222,3 +222,25 @@ def decode_segments(segments: DataFrame) -> DataFrame:
                    else pd.DataFrame(columns=["term", "doc_id", "tf", "dl"]))
 
     return segments.mapInPandas(gen, DECODED_SCHEMA)
+
+
+def bucket_stats(decoded: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, n_terms, n_postings, sum_tf) — per-term-bucket index
+    observability: the skew/occupancy report an operator reads before
+    choosing compaction fan-in or re-bucketing (a hot bucket here means a
+    hot partition at query time).  One hash agg over the decoded postings;
+    at scale this runs over the postings table directly (same schema), no
+    decode needed."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.index.build import bucket_col
+
+    return (
+        decoded.withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+        .groupBy("bucket")
+        .agg(
+            F.countDistinct("term").cast("long").alias("n_terms"),
+            F.count(F.lit(1)).cast("long").alias("n_postings"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+        )
+    )

@@ -1960,3 +1960,17 @@ SELECT doc_id,
        CASE WHEN {h} < {int(val_pct)} THEN 'val' ELSE 'train' END AS split
 FROM documents
 """
+
+
+def index_bucket_stats(n_buckets: int = 16) -> str:
+    """Twin of index.segments.bucket_stats over the recomputed postings
+    (bucket = md5-based bucket_col twin, index/build.py:53-56)."""
+    bucket = f"(({md5_long_sql('term')}) % {int(n_buckets)})::INT"
+    return f"""
+WITH {_TOKS_CTE}
+SELECT {bucket} AS bucket,
+       count(DISTINCT term)::BIGINT AS n_terms,
+       count(*)::BIGINT AS n_postings,
+       sum(tf)::BIGINT AS sum_tf
+FROM postings GROUP BY 1
+"""
