@@ -68,7 +68,9 @@ def run(spark, input_ref: str, output: str, epoch: int = 0, val_pct: int = 5,
     shuffled = full.join(
         epoch_shuffle(docs, epoch=epoch, n_files=n_files), "doc_id")
 
-    out = Path(output)
+    # plain string joins + Hadoop FS writes so URI outputs
+    # (s3://..., hdfs://...) work unmangled on a real cluster
+    out = output.rstrip("/")
     counts = {}
     for split in ("train", "val"):
         part = (
@@ -78,8 +80,8 @@ def run(spark, input_ref: str, output: str, epoch: int = 0, val_pct: int = 5,
             .select("doc_id", "lang_pred", "weight", "n_tokens",
                     "redacted_sha", "text", "file_id", "shuffle_key")
         )
-        part.write.mode("overwrite").parquet(str(out / split))
-        counts[split] = spark.read.parquet(str(out / split)).count()
+        part.write.mode("overwrite").parquet(f"{out}/{split}")
+        counts[split] = spark.read.parquet(f"{out}/{split}").count()
 
     report = {
         "input_docs": n_input,
@@ -92,10 +94,24 @@ def run(spark, input_ref: str, output: str, epoch: int = 0, val_pct: int = 5,
         "val_pct": val_pct,
         "salt": salt,
     }
-    (out / "report.json").write_text(json.dumps(report, indent=1))
+    _write_text_hadoop(spark, f"{out}/report.json", json.dumps(report, indent=1))
     kept.unpersist()
     docs.unpersist()
     return report
+
+
+def _write_text_hadoop(spark, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FS API so the report
+    lands next to the parquet output on ANY filesystem the cluster can
+    reach (s3a://, hdfs://, file:/) — not just the driver's local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(text, "utf-8"))
+    finally:
+        stream.close()
 
 
 def main() -> None:

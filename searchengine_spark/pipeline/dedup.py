@@ -27,6 +27,7 @@ from searchengine_spark.pipeline.hashing import (
     NUM_MINHASH,
     md5_long,
     minhash_perm,
+    simhash_band_layout,
 )
 
 
@@ -238,20 +239,52 @@ def simhash(documents: DataFrame, bits: int = 60, id_col: str = "doc_id",
     return sums.select("doc_id", acc.alias("simhash"))
 
 
-def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8,
+                       n_bands: int | None = None, bits: int = 60,
+                       **kw) -> DataFrame:
     """(doc_a, doc_b, hamming) — SimHash pairs within a Hamming radius.
 
-    Blocked by 4 x 15-bit bands (a pair within Hamming<=3 shares >= 1 exact
-    band; wider radii still prune massively) to avoid the O(n^2) cross join.
+    Banded blocking avoids the O(n^2) cross join.  By default the band
+    count is derived from the radius: ``n_bands = max_hamming + 1``, so
+    by pigeonhole ANY pair within the radius has at least one band with
+    zero differing bits — recall is exact, matching the operator's name
+    (round-2 fix: the old fixed 4 x 15-bit scheme only guaranteed
+    Hamming<=3 while defaulting max_hamming=8).  Pass ``n_bands=4``
+    explicitly for the wider-band HEURISTIC blocking (narrower buckets,
+    fewer candidates, recall guaranteed only to Hamming<=3).
+
+    Scale note: exact-recall banding is only efficient when
+    radius << bits — at 60 bits / radius 8 each band is 6-7 bits (128
+    buckets), fine when chained with the Hamming verify but coarse on
+    its own; a production 100 TB run at wide radii uses more simhash
+    bits or Manku-style permuted tables so per-band keys stay wide.
     """
-    sh = simhash(documents, **kw).persist()  # band self-join: 2 branches
+    sh = simhash(documents, bits=bits, **kw).persist()  # band self-join: 2 branches
+    return finalize(
+        near_pairs_from_simhash(sh, max_hamming=max_hamming,
+                                n_bands=n_bands, bits=bits),
+        sh,
+    )
+
+
+def near_pairs_from_simhash(sh: DataFrame, max_hamming: int = 8,
+                            n_bands: int | None = None,
+                            bits: int = 60) -> DataFrame:
+    """Band-blocked near-pair generation over a prebuilt
+    (doc_id, simhash) table — the verify-on-candidates half of
+    ``simhash_near_pairs``, split out so recall can be tested on
+    planted simhash values."""
+    if n_bands is None:
+        n_bands = max_hamming + 1  # pigeonhole: exact recall
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("key"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("key"),
             )
-            for b in range(4)
+            for b, (off, w) in enumerate(simhash_band_layout(bits, n_bands))
         ]
     )
     bb = sh.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
@@ -268,7 +301,7 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8, **kw) -> Data
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
-    return finalize(pairs, sh)
+    return pairs
 
 
 def duplicate_clusters(documents: DataFrame, threshold: float = 0.2,

@@ -57,6 +57,22 @@ def minhash_perm_sql(i: int, base_expr: str) -> str:
 SIMHASH_BITS = 60  # md5_long width
 
 
+def simhash_band_layout(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """(bit_offset, width) per band, splitting ``bits`` bits into
+    ``n_bands`` contiguous bands as evenly as possible (the first
+    ``bits % n_bands`` bands are one bit wider).  Shared by the Spark
+    plan (dedup.near_pairs_from_simhash) and the DuckDB twin so the
+    blocking can never drift.  With ``n_bands = radius + 1`` recall
+    within the Hamming radius is exact by pigeonhole."""
+    base, rem = divmod(bits, n_bands)
+    layout, off = [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < rem else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
 # fingerprint ------------------------------------------------------------
 
 FINGERPRINT_HEX = 10  # 40-bit per-position hashes; sums stay far below 2^63

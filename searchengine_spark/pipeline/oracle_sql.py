@@ -18,6 +18,7 @@ from searchengine_spark.pipeline.hashing import (
     MINHASH_ROWS,
     NUM_MINHASH,
     md5_long_sql,
+    simhash_band_layout,
 )
 from searchengine_spark.pipeline.textstats import BPE_PRETOKEN_RE, EN_MARKERS
 
@@ -361,12 +362,17 @@ SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}
 """
 
 
-def simhash_near_pairs(max_hamming: int = 8, bits: int = 60) -> str:
-    """Twin of dedup.simhash_near_pairs: 4 x 15-bit band blocking over the
-    simhash, exact Hamming verify via xor bit_count."""
+def simhash_near_pairs(max_hamming: int = 8, bits: int = 60,
+                       n_bands: int | None = None) -> str:
+    """Twin of dedup.simhash_near_pairs: radius-derived band blocking
+    (n_bands = max_hamming + 1, layout from hashing.simhash_band_layout —
+    the same function the Spark plan uses), exact Hamming verify via xor
+    bit_count."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
     bands = ", ".join(
-        f"({{'band': {b}, 'key': (simhash >> {b * 15}) & {(1 << 15) - 1}}})"
-        for b in range(4)
+        f"({{'band': {b}, 'key': (simhash >> {off}) & {(1 << w) - 1}}})"
+        for b, (off, w) in enumerate(simhash_band_layout(bits, n_bands))
     )
     return f"""
 WITH sh AS ({simhash(bits)}),

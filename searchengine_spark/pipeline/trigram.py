@@ -47,7 +47,6 @@ from pyspark.sql import DataFrame, functions as F
 
 # regex metacharacters that terminate a literal run
 _CLASS_OPEN = "["
-_GROUP = "()"
 _QUANTIFIERS = "*+?{"
 
 
@@ -60,14 +59,19 @@ def required_trigrams(pattern: str) -> list[str]:
     atom not-mandatory-exactly-once, so the run's last char is
     retracted (for ``+`` the char itself is still guaranteed, but its
     juncture with what follows is not — retracting is still sound and
-    keeps the logic simple).  Top-level alternation means nothing is
-    guaranteed: return [].  Soundness invariant: every returned
-    trigram is a substring of every possible match.
+    keeps the logic simple).  A quantifier following ``)`` makes the
+    whole group optional, so every run the group contributed is
+    discarded (tracked via a ``(``-mark stack, nesting-safe).
+    ``(?...)`` constructs (non-capturing, lookaround) degrade to [].
+    Top-level alternation means nothing is guaranteed: return [].
+    Soundness invariant: every returned trigram is a substring of
+    every possible match.
     """
     if "|" in pattern:  # top-level or grouped — treat all as unsafe
         return []
     runs: list[str] = []
     cur: list[str] = []
+    group_marks: list[int] = []  # len(runs) snapshot at each '('
 
     def flush() -> None:
         if cur:
@@ -105,7 +109,27 @@ def required_trigrams(pattern: str) -> list[str]:
                     i += 1
             i += 1
             continue
-        if c in _GROUP or c in ".^$":
+        if c == "(":
+            flush()
+            if i + 1 < n and pattern[i + 1] == "?":
+                # (?:...), (?=...), (?!...), (?<...) — content may be
+                # non-consuming or otherwise tricky; degrade to full scan.
+                return []
+            group_marks.append(len(runs))
+            i += 1
+            continue
+        if c == ")":
+            flush()
+            mark = group_marks.pop() if group_marks else 0
+            nxt = pattern[i + 1] if i + 1 < n else ""
+            if nxt in _QUANTIFIERS:
+                # quantified group: its content is not mandatory-once
+                # (for '+' it is present but dropping stays sound), so
+                # discard every run the group contributed.
+                del runs[mark:]
+            i += 1
+            continue
+        if c in ".^$":
             flush()
             i += 1
             continue

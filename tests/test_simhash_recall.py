@@ -1,0 +1,84 @@
+"""SimHash banding recall (round-2 VERDICT item 1).
+
+The 4 x 15-bit banding only guarantees a shared band for Hamming <= 3;
+the operator's default radius is 8.  The fix derives n_bands =
+max_hamming + 1 so pigeonhole guarantees exact recall.  These tests
+plant simhash values whose differing bits straddle all four 15-bit
+bands — the exact pairs the old scheme silently missed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.pipeline.dedup import near_pairs_from_simhash
+from searchengine_spark.pipeline.hashing import simhash_band_layout
+
+
+def _planted(bits_set: list[int]) -> int:
+    v = 0
+    for b in bits_set:
+        v |= 1 << b
+    return v
+
+
+class TestBandLayout:
+    def test_layout_covers_all_bits_contiguously(self):
+        for bits, n_bands in [(60, 9), (60, 4), (64, 9), (60, 7)]:
+            layout = simhash_band_layout(bits, n_bands)
+            assert len(layout) == n_bands
+            off = 0
+            for o, w in layout:
+                assert o == off and w >= 1
+                off += w
+            assert off == bits
+
+    def test_default_bands_for_radius_8(self):
+        # 9 bands over 60 bits: six 7-bit + three 6-bit
+        widths = [w for _, w in simhash_band_layout(60, 9)]
+        assert sorted(widths) == [6, 6, 6, 7, 7, 7, 7, 7, 7]
+
+
+# 6 differing bits, spread so EVERY 15-bit band (0-14, 15-29, 30-44,
+# 45-59) contains at least one — the 4-band scheme has no clean band.
+_STRADDLE_6 = [2, 10, 17, 25, 32, 47]
+# 8 differing bits, two per 15-bit band — Hamming == default radius.
+_STRADDLE_8 = [2, 10, 17, 25, 32, 40, 47, 55]
+
+
+class TestPlantedRecall:
+    @pytest.fixture()
+    def planted(self, spark):
+        def make(bits_set):
+            return spark.createDataFrame(
+                [(1, 0), (2, _planted(bits_set))],
+                "doc_id long, simhash long",
+            )
+        return make
+
+    @pytest.mark.parametrize("bits_set", [_STRADDLE_6, _STRADDLE_8],
+                             ids=["hamming6", "hamming8"])
+    def test_default_banding_finds_straddling_pair(self, planted, bits_set):
+        rows = near_pairs_from_simhash(planted(bits_set), max_hamming=8).collect()
+        assert len(rows) == 1
+        assert (rows[0]["doc_a"], rows[0]["doc_b"]) == (1, 2)
+        assert rows[0]["hamming"] == len(bits_set)
+
+    @pytest.mark.parametrize("bits_set", [_STRADDLE_6, _STRADDLE_8],
+                             ids=["hamming6", "hamming8"])
+    def test_legacy_4band_heuristic_misses_it(self, planted, bits_set):
+        # documents the old behavior: explicitly-requested 4-band
+        # blocking drops pairs whose diff bits straddle all bands
+        rows = near_pairs_from_simhash(
+            planted(bits_set), max_hamming=8, n_bands=4
+        ).collect()
+        assert rows == []
+
+    def test_beyond_radius_still_excluded(self, planted, spark):
+        # 9 differing bits > radius 8: the verify filter must drop the
+        # pair even when a band happens to match
+        df = spark.createDataFrame(
+            [(1, 0), (2, _planted([2, 10, 17, 25, 32, 40, 47, 55, 58]))],
+            "doc_id long, simhash long",
+        )
+        assert near_pairs_from_simhash(df, max_hamming=8).collect() == []

@@ -62,13 +62,43 @@ class TestRequiredTrigrams:
     def test_braces_quantifier(self):
         assert trigram.required_trigrams("abcd{2,3}e") == ["abc"]
 
+    def test_quantified_group_drops_group_runs(self):
+        # the starred group's content may be absent entirely: only
+        # "xyz" is guaranteed (the round-2 soundness hole)
+        assert trigram.required_trigrams("(abcd)*xyz") == ["xyz"]
+        assert trigram.required_trigrams("(abcd)?xyz") == ["xyz"]
+        assert trigram.required_trigrams("(abcd){0,2}xyz") == ["xyz"]
+        # '+' guarantees the content but we stay conservative
+        assert trigram.required_trigrams("(abcd)+xyz") == ["xyz"]
+
+    def test_unquantified_group_keeps_runs(self):
+        assert trigram.required_trigrams("(abcd)xyz") == ["abc", "bcd", "xyz"]
+
+    def test_nested_quantified_group(self):
+        # inner (abc)* dropped, outer group's own "defg" kept
+        assert trigram.required_trigrams("((abc)*defg)xyz") == ["def", "efg", "xyz"]
+        # outer group quantified: everything inside goes
+        assert trigram.required_trigrams("((abc)defg)?xyz") == ["xyz"]
+
+    def test_noncapturing_and_lookaround_degrade(self):
+        # '(?' constructs degrade to full scan — ':' must never leak
+        # into a literal run
+        assert trigram.required_trigrams("(?:abcd)xyz") == []
+        assert trigram.required_trigrams("abc(?=def)") == []
+
     # property: every extracted trigram occurs in every generated match
     @settings(max_examples=200, deadline=None)
     @given(
         lits=st.lists(
             st.text(alphabet="abcdefg ", min_size=1, max_size=6), min_size=1, max_size=3
         ),
-        seps=st.lists(st.sampled_from(["[a-z]+", ".", "x*", "[0-9]", "q?"]), max_size=3),
+        seps=st.lists(
+            st.sampled_from(
+                ["[a-z]+", ".", "x*", "[0-9]", "q?",
+                 "(ab)*", "(cd)?", "(ef){0,2}", "(gh)+"]
+            ),
+            max_size=3,
+        ),
         fill=st.text(alphabet="abcdefghij0123456789 ", min_size=1, max_size=4),
     )
     def test_soundness_property(self, lits, seps, fill):
@@ -82,7 +112,8 @@ class TestRequiredTrigrams:
         req = trigram.required_trigrams(pattern)
         # generate a concrete match by substituting each separator
         subs = {"[a-z]+": fill.strip("0123456789 ") or "a", ".": "z",
-                "x*": "", "[0-9]": "7", "q?": ""}
+                "x*": "", "[0-9]": "7", "q?": "",
+                "(ab)*": "", "(cd)?": "", "(ef){0,2}": "ef", "(gh)+": "gh"}
         concrete = []
         for i, lit in enumerate(lits):
             concrete.append(lit)
