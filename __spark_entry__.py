@@ -301,6 +301,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_frame_sample": lambda s, d: multimodal.sample_frames(
             multimodal.synth_media(_docs(s, d))
         ),
+
+        # round 3: ANN recall gates — pin recall@k of each ANN family
+        # against the exact cosine baseline so tuning can't silently
+        # degrade retrieval quality
+        "q_lsh_recall": lambda s, d: similarity.lsh_recall(
+            _emb(s, d), PROBE_VEC_IDS, k=5
+        ),
+        "q_ivf_recall": lambda s, d: similarity.ivf_recall(
+            _emb(s, d), PROBE_VEC_IDS, k=5
+        ),
+        "q_pq_recall": lambda s, d: similarity.pq_recall(
+            _emb(s, d), PROBE_VEC_IDS, k=5
+        ),
     }
 
 
@@ -407,4 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "q_length_quantiles": osql.length_quantiles(),
         "q_media_features": osql.media_features(),
         "q_media_frame_sample": osql.media_frame_sample(every=2),
+        "q_lsh_recall": osql.lsh_recall(PROBE_VEC_IDS, k=5),
+        "q_ivf_recall": osql.ivf_recall(PROBE_VEC_IDS, k=5),
+        "q_pq_recall": osql.pq_recall(PROBE_VEC_IDS, k=5),
     }

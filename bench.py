@@ -101,6 +101,23 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _warm_median3(fn) -> float:
+    """One untimed warm run + median of 3 timed runs.
+
+    Build timings recorded from a single cold run conflate JVM codegen
+    warmup with throughput (observed 10.1 -> 4.4 -> 3.7 s across a warm
+    triple), which made round-over-round BENCH comparisons show phantom
+    2-3x regressions.  Same discipline as tools/scaling_bench.py.
+    """
+    fn()  # warm: codegen caches, Python workers, page cache
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        fn()
+        samples.append(time.time() - t0)
+    return sorted(samples)[1]
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from searchengine_spark.session import get_spark
@@ -144,13 +161,15 @@ def main() -> None:
         )
     )
     n_docs = docs.count()
-    tmp = tempfile.mkdtemp(prefix="benchidx_")
-    try:
-        t0 = time.time()
-        build_index(spark, docs, tmp, mode="code")
-        build_s = time.time() - t0
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _build_once() -> None:
+        tmp = tempfile.mkdtemp(prefix="benchidx_")
+        try:
+            build_index(spark, docs, tmp, mode="code")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    build_s = _warm_median3(_build_once)
     timings["index_build"] = round(build_s, 3)
 
     extras = {
@@ -188,10 +207,13 @@ def main() -> None:
 
     t2tmp = tempfile.mkdtemp(prefix="bench_t2idx_")
     try:
-        t0 = time.time()
-        build_index(spark, spark.read.parquet(docs_path("t2")), t2tmp,
-                    n_shards=8, n_buckets=16)
-        timings["t2_index_build"] = round(time.time() - t0, 3)
+        t2docs = spark.read.parquet(docs_path("t2"))
+
+        def _t2_build_once() -> None:
+            shutil.rmtree(t2tmp, ignore_errors=True)
+            build_index(spark, t2docs, t2tmp, n_shards=8, n_buckets=16)
+
+        timings["t2_index_build"] = round(_warm_median3(_t2_build_once), 3)
         searcher = SegmentSearcher(None, t2tmp)  # io="arrow": no Spark jobs
         an = Analyzer(lemma_dict=load_lemma_dict(), stopwords=load_stopwords())
         qterms = [sorted(an.lemma_set(q["query"])) for q in load_queries()]

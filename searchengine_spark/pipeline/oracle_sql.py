@@ -1980,3 +1980,33 @@ SELECT {bucket} AS bucket,
        sum(tf)::BIGINT AS sum_tf
 FROM postings GROUP BY 1
 """
+
+
+def _recall_sql(exact_sql: str, ann_sql: str) -> str:
+    """Twin of similarity.ann_recall: per-probe |ann ∩ exact| / |exact|
+    over two nested top-k queries (DuckDB allows WITH inside a CTE)."""
+    return f"""
+WITH exact AS ({exact_sql}),
+ann AS ({ann_sql}),
+hits AS (
+  SELECT a.probe_id, count(*)::BIGINT AS n_hits
+  FROM ann a JOIN exact e ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+  GROUP BY 1
+),
+base AS (SELECT probe_id, count(*)::BIGINT AS n_exact FROM exact GROUP BY 1)
+SELECT base.probe_id, coalesce(n_hits, 0)::BIGINT AS n_hits, n_exact,
+       round(coalesce(n_hits, 0) / n_exact::DOUBLE, 3) AS recall
+FROM base LEFT JOIN hits USING (probe_id)
+"""
+
+
+def lsh_recall(probe_ids: list[int], k: int = 5) -> str:
+    return _recall_sql(cosine_topk(probe_ids, k), lsh_cosine_topk(probe_ids, k))
+
+
+def ivf_recall(probe_ids: list[int], k: int = 5) -> str:
+    return _recall_sql(cosine_topk(probe_ids, k), ivf_topk(probe_ids, k))
+
+
+def pq_recall(probe_ids: list[int], k: int = 5) -> str:
+    return _recall_sql(cosine_topk(probe_ids, k), pq_adc_topk(probe_ids, topk=k))

@@ -122,3 +122,37 @@ def test_pq_adc_finds_planted_near_dups(spark, planted):
     top1 = {r.probe_id: r.vec_id for r in got if r.rank == 1}
     hits = sum(1 for p in probes if top1.get(p) == 1000 + p)
     assert hits >= 3, top1  # PQ is lossy, but near-copies dominate ADC
+
+
+class TestAnnRecallGates:
+    """ann_recall combinator semantics on the planted corpus (the gated
+    q_{lsh,ivf,pq}_recall queries run the same composition on testdata)."""
+
+    def test_recall_of_exact_against_itself_is_one(self, spark, planted):
+        probes = [0, 1, 2]
+        exact = S.cosine_topk(planted, probes, k=5)
+        out = {r.probe_id: r for r in S.ann_recall(exact, exact).collect()}
+        assert set(out) == set(probes)
+        assert all(r.recall == 1.0 and r.n_hits == r.n_exact == 5
+                   for r in out.values())
+
+    def test_disjoint_ann_scores_zero(self, spark, planted):
+        probes = [0, 1]
+        exact = S.cosine_topk(planted, probes, k=5)
+        # shift vec_ids out of range: zero overlap, rows still emitted
+        fake = exact.withColumn("vec_id", F.col("vec_id") + F.lit(10**9))
+        out = {r.probe_id: r for r in S.ann_recall(exact, fake).collect()}
+        assert set(out) == set(probes)
+        assert all(r.recall == 0.0 and r.n_hits == 0 for r in out.values())
+
+    def test_planted_dup_is_found_by_every_family(self, spark, planted):
+        # probe 0's nearest neighbour is its planted near-copy 1000;
+        # each ANN family must keep recall@5 well above zero here
+        from searchengine_spark.pipeline.pq import pq_adc_topk  # noqa: F401
+
+        for fam in (S.lsh_recall, S.ivf_recall, S.pq_recall):
+            out = {r.probe_id: r.recall
+                   for r in fam(planted, [0, 1, 2], k=5).collect()}
+            assert set(out) == {0, 1, 2}
+            assert all(0.0 <= v <= 1.0 for v in out.values())
+            assert max(out.values()) > 0.0, fam.__name__
