@@ -73,13 +73,16 @@ def score_grp(
     idf: dict[str, float],
     avgdl: float,
     theta: float = -np.inf,
+    stats: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Conjunctive block-max scoring of one grp (disjoint doc set).
 
     Shared by the driver-side searcher and the distributed mapInPandas
     variant.  ``theta`` is the entry threshold: candidates whose upper
     bound cannot reach it are dropped before their blocks are decoded.
-    Returns (doc_ids, exact_scores) of all surviving AND matches.
+    ``stats`` (optional) accumulates ``blocks_decoded`` so pruning
+    effectiveness is testable.  Returns (doc_ids, exact_scores) of all
+    surviving AND matches.
     """
     empty = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64))
     if len(runs) < len(order):
@@ -125,6 +128,8 @@ def score_grp(
         new_scores = np.empty_like(alive_scores)
         member = np.zeros(alive_ids.size, dtype=bool)
         for bi in np.unique(blk):
+            if stats is not None:
+                stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + 1
             sel = blk == bi
             bids, btfs, bdls = codec.decode_block(p, int(bi))
             pos = np.searchsorted(bids, alive_ids[sel])
@@ -285,6 +290,34 @@ RESULT_SCHEMA = T.StructType([
 ])
 
 
+def seed_theta(segs: DataFrame, order: list[str], idf: dict[str, float],
+               avgdl: float, k: int, n_terms: int) -> float:
+    """Initial WAND threshold from one driver-scored seed grp.
+
+    Picks the grp with the most rarest-term postings (a tiny
+    (grp, num) metadata collect), scores just that grp driver-side, and
+    returns its exact kth-best score — a valid lower bound on the global
+    kth-best, since a superset's top-k only rises.  Returns -inf when the
+    seed grp has fewer than k AND matches (pruning then starts open,
+    exactly the old behavior)."""
+    meta = (
+        segs.filter(F.col("term") == order[0])
+        .select("grp", "num")
+        .collect()
+    )
+    if not meta:
+        return float(-np.inf)
+    seed_grp = max(meta, key=lambda r: (int(r.num), -int(r.grp))).grp
+    rows = [r.asDict() for r in segs.filter(F.col("grp") == seed_grp).collect()]
+    runs = {r["term"]: row_to_packed(r) for r in rows}
+    if len(runs) < n_terms:
+        return float(-np.inf)
+    _, scores = score_grp(runs, order, idf, avgdl)
+    if scores.size < k:
+        return float(-np.inf)
+    return float(np.partition(scores, -k)[-k])
+
+
 def wand_topk_distributed(spark: SparkSession, index_root: str,
                           terms: list[str], k: int = 20) -> DataFrame:
     """Executor-side WAND: the scale path when a query term's postings
@@ -297,6 +330,17 @@ def wand_topk_distributed(spark: SparkSession, index_root: str,
     local top-k (a superset of its contribution to the global top-k, since
     scores are grp-independent) — then Catalyst's TakeOrderedAndProject
     finishes the global cut.  Same result contract as ``wand_topk``.
+
+    Threshold sharing (round-2 VERDICT item 5): before the distributed
+    pass, ONE seed grp — the one richest in the rarest term, found from
+    the (grp, num) metadata — is scored driver-side (bounded: one grp's
+    packed lists for the query terms).  Its exact kth-best score is a
+    lower bound on the global kth-best, so it seeds every executor's
+    entry threshold via closure broadcast: pruning starts tight, as in
+    the driver path's shared heap, instead of every grp scoring at
+    theta=-inf.  Soundness: a doc pruned at ub < theta0 - EPS rounds
+    strictly below k seed docs, so it can never enter the rounded
+    (score desc, doc_id asc) top-k cut.
     """
     import pandas as pd
 
@@ -315,23 +359,29 @@ def wand_topk_distributed(spark: SparkSession, index_root: str,
     n_terms = len(terms)
     local_k = k + 8  # rounding slack, as in wand_topk
 
-    def grp_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        runs = {r["term"]: row_to_packed(r) for r in pdf.to_dict("records")}
-        if len(runs) < n_terms:
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": "int64", "score": "float64"})
-        ids, scores = score_grp(runs, order, idf, avgdl)
-        if ids.size > local_k:
-            part = np.argpartition(-scores, local_k)[:local_k]
-            ids, scores = ids[part], scores[part]
-        return pd.DataFrame({"doc_id": ids.astype(np.int64),
-                             "score": scores})
-
     segs = (
         spark.read.parquet(searcher.paths.segments)
         .filter(F.col("bucket").isin(searcher._buckets_of(terms))
                 & F.col("term").isin(terms))
     )
+    theta0 = seed_theta(segs, order, idf, avgdl, k, n_terms)
+
+    def grp_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        runs = {r["term"]: row_to_packed(r) for r in pdf.to_dict("records")}
+        if len(runs) < n_terms:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"})
+        ids, scores = score_grp(runs, order, idf, avgdl, theta0)
+        if ids.size > local_k:
+            # tie-aware local cut: argpartition keeps an ARBITRARY subset
+            # under equal scores, but the global contract breaks ties by
+            # doc_id asc — lexsort (score desc, doc_id asc) so the grp's
+            # survivors are exactly its best local_k under that order
+            sel = np.lexsort((ids, -scores))[:local_k]
+            ids, scores = ids[sel], scores[sel]
+        return pd.DataFrame({"doc_id": ids.astype(np.int64),
+                             "score": scores})
+
     scored = segs.groupBy("grp").applyInPandas(grp_topk, RESULT_SCHEMA)
     return (
         scored.select("doc_id", F.round(F.col("score"), 4).alias("score"))

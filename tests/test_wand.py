@@ -197,3 +197,79 @@ def test_pruned_search_materializes_only_topk(spark, t2_setup):
     full = searcher.search(terms, k=5, prune=False)
     assert len(full) == total
     assert res == full[:5]
+
+
+@pytest.fixture(scope="module")
+def skewed_idx(spark, tmp_path_factory):
+    """One strong grp + three weak grps spanning multiple 128-posting
+    blocks: the shape where a shared initial threshold matters."""
+    from searchengine_spark.index.plain import build_plain_index
+
+    filler = " ".join(f"w{i}" for i in range(60))
+    rows = []
+    # strong docs: doc_id % 4 == 0 -> grp 0; short, term-dense
+    for i in range(20):
+        rows.append((i * 4, "alpha alpha alpha beta beta beta", "en"))
+    # weak docs: grps 1-3, one hit of each term buried in filler,
+    # ~300 postings per (term, grp) = 3 blocks each
+    did = 1
+    while len(rows) < 20 + 1200:
+        if did % 4 != 0:
+            rows.append((did, f"alpha {filler} beta", "en"))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path_factory.mktemp("skewidx"))
+    build_plain_index(spark, docs, out, n_shards=4, n_buckets=8)
+    return out, docs
+
+
+def test_distributed_theta_seeding_prunes_blocks(spark, skewed_idx):
+    """seed_theta yields a finite theta0, the executor-path scoring
+    decodes fewer blocks with it than with theta=-inf, and the result
+    is still rank-identical to the DataFrame BM25 plan."""
+    import numpy as np
+
+    from searchengine_spark.index.segments import row_to_packed
+    from searchengine_spark.query.wand import (
+        score_grp, seed_theta, wand_topk_distributed)
+
+    idx, docs = skewed_idx
+    terms = ["alpha", "beta"]
+    k = 5
+
+    searcher = SegmentSearcher(spark, idx, io="spark")
+    dfs = searcher.resolve(terms)
+    n_docs = int(searcher.stats["n_docs"])
+    avgdl = float(searcher.stats["avgdl"])
+    idf = {t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+           for t, d in dfs.items()}
+    order = sorted(terms, key=lambda t: (dfs[t], t))
+    segs = (
+        spark.read.parquet(searcher.paths.segments)
+        .filter(F.col("bucket").isin(searcher._buckets_of(terms))
+                & F.col("term").isin(terms))
+    )
+
+    theta0 = seed_theta(segs, order, idf, avgdl, k, len(terms))
+    assert theta0 > float("-inf")
+
+    by_grp = {}
+    for r in segs.collect():
+        by_grp.setdefault(int(r.grp), {})[r.term] = row_to_packed(r.asDict())
+
+    def total_blocks(theta):
+        stats = {"blocks_decoded": 0}
+        for runs in by_grp.values():
+            if len(runs) == len(terms):
+                score_grp(runs, order, idf, avgdl, theta, stats=stats)
+        return stats["blocks_decoded"]
+
+    open_blocks = total_blocks(float("-inf"))
+    seeded_blocks = total_blocks(theta0)
+    assert seeded_blocks < open_blocks, (seeded_blocks, open_blocks)
+
+    expect = [(r.doc_id, r.score)
+              for r in fulltext.bm25_topk(docs, terms, k=k).collect()]
+    got = [(r.doc_id, r.score)
+           for r in wand_topk_distributed(spark, idx, terms, k=k).collect()]
+    assert got == expect
