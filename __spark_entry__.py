@@ -314,6 +314,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_recall": lambda s, d: similarity.pq_recall(
             _emb(s, d), PROBE_VEC_IDS, k=5
         ),
+        # real-container decode: stdlib struct parse of synthesized
+        # WAV/BMP files, value-hash gated via the sha-chain twin
+        "q_media_decode_real": lambda s, d: multimodal.decode_real_features(
+            multimodal.synth_container_media(_docs(s, d))
+        ),
     }
 
 
@@ -423,4 +428,5 @@ def oracle_sql() -> dict[str, str]:
         "q_lsh_recall": osql.lsh_recall(PROBE_VEC_IDS, k=5),
         "q_ivf_recall": osql.ivf_recall(PROBE_VEC_IDS, k=5),
         "q_pq_recall": osql.pq_recall(PROBE_VEC_IDS, k=5),
+        "q_media_decode_real": osql.media_decode_real(),
     }

@@ -2010,3 +2010,40 @@ def ivf_recall(probe_ids: list[int], k: int = 5) -> str:
 
 def pq_recall(probe_ids: list[int], k: int = 5) -> str:
     return _recall_sql(cosine_topk(probe_ids, k), pq_adc_topk(probe_ids, topk=k))
+
+
+def media_decode_real() -> str:
+    """Twin of multimodal.decode_real_features over synth_container_media:
+    recompute every header field from the generation formulas
+    (wav_params / bmp_params) and the data-section sha from the doc-keyed
+    hex chain — engine == oracle proves the stdlib struct parser
+    round-trips the real WAV/BMP headers."""
+    from searchengine_spark.pipeline.multimodal import CHAIN_BLOCKS
+
+    return f"""
+WITH chain AS (
+  SELECT d.doc_id,
+         string_agg(sha256(d.doc_id::VARCHAR || ':' || i::VARCHAR), '' ORDER BY i) AS hex_chain
+  FROM documents d, range({CHAIN_BLOCKS}) t(i) GROUP BY d.doc_id
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS container,
+         (4 + 4 * (length(coalesce(text,'')) % 2))::INT AS bw,
+         (2 + ('0x' || substr(md5(coalesce(text,'')), 1, 8))::BIGINT % 3)::INT AS bh,
+         (1 + (doc_id // 2) % 2)::INT AS wch,
+         (8000 + 4000 * (doc_id % 3))::INT AS wrate,
+         (32 + doc_id % 64)::BIGINT AS wns
+  FROM documents
+)
+SELECT m.doc_id, m.container,
+       CASE WHEN m.container = 'bmp' THEN m.bw END AS width,
+       CASE WHEN m.container = 'bmp' THEN m.bh END AS height,
+       CASE WHEN m.container = 'wav' THEN m.wch END AS channels,
+       CASE WHEN m.container = 'wav' THEN m.wrate END AS sample_rate,
+       CASE WHEN m.container = 'wav' THEN m.wns END AS n_samples,
+       sha256(substr(c.hex_chain, 1,
+         CASE WHEN m.container = 'wav' THEN (m.wns * m.wch)::INT
+              ELSE m.bw * 3 * m.bh END)) AS data_sha
+FROM m JOIN chain c USING (doc_id)
+"""

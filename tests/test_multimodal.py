@@ -62,3 +62,74 @@ def test_frame_sampling_video_only(media):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         MM.decode_real(b"\x00", "image")
+
+
+class TestRealContainers:
+    """decode_real on genuine WAV/BMP containers (round-2 VERDICT 7)."""
+
+    def test_wav_parses_with_stdlib_wave(self):
+        # an independent parser (stdlib wave) agrees with ours
+        import io
+        import wave
+
+        from searchengine_spark.pipeline import multimodal as M
+
+        for doc_id in (0, 2, 4, 96, 124):
+            data = M.wav_bytes(doc_id)
+            ch, rate, ns = M.wav_params(doc_id)
+            with wave.open(io.BytesIO(data)) as w:
+                assert w.getnchannels() == ch
+                assert w.getframerate() == rate
+                assert w.getnframes() == ns
+                assert w.getsampwidth() == 1
+            d = M.decode_real(data, "wav")
+            assert (d["channels"], d["sample_rate"], d["n_samples"]) == (ch, rate, ns)
+            assert d["data"] == M.payload_chain(doc_id)[: ns * ch].encode()
+
+    def test_bmp_roundtrip(self):
+        from searchengine_spark.pipeline import multimodal as M
+
+        for doc_id, text in ((1, "abc"), (3, "abcd"), (77, "x" * 31)):
+            data = M.bmp_bytes(doc_id, text)
+            w, h = M.bmp_params(doc_id, text)
+            d = M.decode_real(data, "bmp")
+            assert (d["width"], d["height"], d["bpp"]) == (w, h, 24)
+            assert d["data"] == M.payload_chain(doc_id)[: w * 3 * h].encode()
+            # rows stay 4-byte aligned so data needs no padding
+            assert (w * 3) % 4 == 0
+
+    def test_codec_formats_still_raise(self):
+        from searchengine_spark.pipeline import multimodal as M
+
+        with pytest.raises(NotImplementedError):
+            M.decode_real(b"\x89PNG....", "png")
+        with pytest.raises(NotImplementedError):
+            M.decode_real(b"....", "video")
+
+    def test_corrupt_container_rejected(self):
+        from searchengine_spark.pipeline import multimodal as M
+
+        with pytest.raises(ValueError):
+            M.decode_real(b"JUNKJUNKJUNKJUNK", "wav")
+        with pytest.raises(ValueError):
+            M.decode_real(b"XX" + b"\x00" * 52, "bmp")
+
+    def test_decode_real_features_dataframe(self, spark):
+        from searchengine_spark.pipeline import multimodal as M
+
+        docs = spark.createDataFrame(
+            [(i, f"text body {i} {'y' * (i % 5)}") for i in range(12)],
+            "doc_id long, text string",
+        )
+        out = M.decode_real_features(M.synth_container_media(docs)).collect()
+        assert len(out) == 12
+        for r in out:
+            if r.doc_id % 2 == 0:
+                assert r.container == "wav"
+                assert r.width is None and r.height is None
+                assert r.channels in (1, 2) and r.sample_rate in (8000, 12000, 16000)
+            else:
+                assert r.container == "bmp"
+                assert r.channels is None and r.n_samples is None
+                assert r.width in (4, 8) and 2 <= r.height <= 4
+            assert len(r.data_sha) == 64
