@@ -59,6 +59,9 @@ Q_PREFIX = "s"
 Q_PMI_PROBE = "merge"
 Q_MISSPELLED = "merg"
 Q_REGEX = "merge [a-z]+ vector"
+# quantified group: exercises the round-3 required_trigrams soundness fix
+# end-to-end (only "vector" may be required; "(merge )" is optional)
+Q_REGEX_GROUP = "(merge )?vector"
 PROBE_DOC_ID = 0
 PROBE_VEC_IDS = [0, 1, 2, 3, 4]
 
@@ -319,6 +322,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode_real": lambda s, d: multimodal.decode_real_features(
             multimodal.synth_container_media(_docs(s, d))
         ),
+        # theta-seeded executor-side WAND at three terms
+        "q_wand_distributed_and3": lambda s, d: _wand_dist(s, d, Q_AND3),
+        # quantified-group regex through the trigram-pruned index path
+        "q_regex_indexed_group": lambda s, d: trigram.regex_search_indexed(
+            _docs(s, d), Q_REGEX_GROUP
+        ),
     }
 
 
@@ -429,4 +438,6 @@ def oracle_sql() -> dict[str, str]:
         "q_ivf_recall": osql.ivf_recall(PROBE_VEC_IDS, k=5),
         "q_pq_recall": osql.pq_recall(PROBE_VEC_IDS, k=5),
         "q_media_decode_real": osql.media_decode_real(),
+        "q_wand_distributed_and3": osql.bm25_topk(Q_AND3, k=20),
+        "q_regex_indexed_group": osql.regex_search(Q_REGEX_GROUP),
     }

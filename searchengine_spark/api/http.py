@@ -250,7 +250,24 @@ def make_handler(service: SearchEngineService):
 
         def do_GET(self):
             path, q = self._params()
-            if path == "/api/search":
+            if path in ("/", "/index.html"):
+                # the reference's dashboard surface
+                # (controllers/DefaultController.java:7, templates/index.html):
+                # one static page over the same JSON API, read through
+                # importlib.resources so it works from the --py-files zip
+                from importlib import resources
+
+                page = (
+                    resources.files("searchengine_spark.api")
+                    .joinpath("dashboard.html")
+                    .read_bytes()
+                )
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(page)))
+                self.end_headers()
+                self.wfile.write(page)
+            elif path == "/api/search":
                 self._dispatch(lambda: service.search(
                     q.get("query", ""), q.get("site"),
                     self._int(q, "offset", 0), self._int(q, "limit", 20)))

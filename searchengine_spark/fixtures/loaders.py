@@ -37,6 +37,20 @@ def load_lemma_dict() -> dict[str, str]:
 
 
 @lru_cache(maxsize=1)
+def load_morph_goldens() -> list[tuple[str, str, str]]:
+    """(lang, inflected, lemma) golden pairs from public grammar sources
+    (declension/conjugation tables + the reference's
+    LemmatizationServiceTest.java cases) — the morphology contract both
+    the scalar engine and the vectorized oracle twin must satisfy."""
+    out = []
+    for line in _read_text("morph_goldens.tsv").splitlines():
+        if line.strip():
+            lang, word, lemma = line.split("\t")
+            out.append((lang, word, lemma))
+    return out
+
+
+@lru_cache(maxsize=1)
 def load_stopwords() -> frozenset[str]:
     """English stopword file ∪ Russian particles — the reference filters
     both (stopwords play its English filter role; RU_PARTICLES mirrors the

@@ -96,18 +96,27 @@ class Analyzer:
         """Per-script dispatch like the reference (Cyrillic ->
         RussianLuceneMorphology, Latin -> EnglishLuceneMorphology,
         LemmatizationService.java:72-84): Cyrillic tokens go through the
-        rule/paradigm engine in ``ru_morph``, Latin through the dictionary."""
+        rule/paradigm engine in ``ru_morph``; Latin tokens through the
+        explicit dictionary first, then the EN rules engine in
+        ``en_morph`` (plural/past/gerund normalization)."""
         from searchengine_spark.textproc.ru_morph import CYRILLIC, ru_normal_form
 
         if CYRILLIC.search(tok):
             return ru_normal_form(tok)
-        return self.lemma_dict.get(tok, tok)
+        hit = self.lemma_dict.get(tok)
+        if hit is not None:
+            return hit
+        from searchengine_spark.textproc.en_morph import en_normal_form
+
+        return en_normal_form(tok)
 
     def lemmas(self, text: str) -> list[str]:
         """Lemma stream in document order (blank/stopword-filtered)."""
         sw = self.stopwords
         out = []
         for tok in self.tokens(text):
+            if tok in sw:  # surface stopword ("are") even when its
+                continue   # lemma ("be") is not in the list
             base = self.normal_form(tok)
             if base in sw:
                 continue

@@ -1,0 +1,219 @@
+"""English normal-form fallback (reference P3/P4 parity, Latin script).
+
+The reference lemmatizes Latin-script tokens with Lucene's English
+dictionary morphology (``EnglishLuceneMorphology``,
+services/LemmatizationService.java:24,72-84).  This module approximates
+that observable behavior from public English grammar knowledge as the
+same deterministic shape the Russian side uses (textproc/ru_morph.py):
+an irregular-forms exceptions table (strong verbs, irregular plurals)
+plus an ordered suffix-rule engine (plural -ies/-es/-s, gerund -ing,
+past -ed with consonant-doubling undo and silent-e restoration).
+
+A rules engine cannot match a full dictionary morphology on every word;
+it is exact on the golden suite (fixtures/morph_goldens.tsv) and on
+regular inflection, and EN_EXCEPTIONS is the extension point.  The
+Analyzer consults the explicit ``lemma_dict`` first, so any corpus can
+still pin exact dictionary behavior per word.
+
+Scalar + pandas-vectorized twins, pinned identical by a property test —
+the engine/oracle rank-identity requirement (same contract as
+ru_normal_form / ru_normal_forms_series).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# Irregular verbs (infinitive as normal form) and plurals — the forms a
+# suffix engine cannot derive.  Public grammar lists; high-frequency set.
+EN_EXCEPTIONS: dict[str, str] = {
+    # be / auxiliaries
+    "is": "be", "are": "be", "am": "be", "was": "be", "were": "be",
+    "been": "be", "being": "be",
+    "has": "have", "had": "have", "having": "have",
+    "does": "do", "did": "do", "done": "do", "doing": "do",
+    # strong / irregular verbs
+    "went": "go", "gone": "go", "goes": "go", "going": "go",
+    "said": "say", "made": "make", "got": "get", "gotten": "get",
+    "took": "take", "taken": "take", "came": "come", "become": "become",
+    "became": "become", "saw": "see", "seen": "see", "knew": "know",
+    "known": "know", "gave": "give", "given": "give", "found": "find",
+    "thought": "think", "told": "tell", "felt": "feel", "left": "leave",
+    "kept": "keep", "held": "hold", "brought": "bring", "began": "begin",
+    "begun": "begin", "wrote": "write", "written": "write",
+    "stood": "stand", "understood": "understand", "heard": "hear",
+    "meant": "mean", "met": "meet", "ran": "run", "paid": "pay",
+    "sat": "sit", "spoke": "speak", "spoken": "speak", "led": "lead",
+    "grew": "grow", "grown": "grow", "lost": "lose", "fell": "fall",
+    "fallen": "fall", "sent": "send", "built": "build", "spent": "spend",
+    "drew": "draw", "drawn": "draw", "broke": "break", "broken": "break",
+    "rose": "rise", "risen": "rise", "drove": "drive", "driven": "drive",
+    "bought": "buy", "wore": "wear", "worn": "wear", "chose": "choose",
+    "chosen": "choose", "ate": "eat", "eaten": "eat", "caught": "catch",
+    "taught": "teach", "sold": "sell", "won": "win", "sought": "seek",
+    "fought": "fight", "threw": "throw", "thrown": "throw",
+    "showed": "show", "shown": "show", "put": "put", "set": "set",
+    "ordering": "order", "read": "read",
+    # -ie verbs whose gerund rewrites the stem
+    "dying": "die", "lying": "lie", "tying": "tie",
+    # gerunds/pasts the doubling/e-restore heuristics misread
+    "falling": "fall", "telling": "tell", "selling": "sell",
+    "calling": "call", "filling": "fill", "rolling": "roll",
+    "killing": "kill", "spelling": "spell", "pulling": "pull",
+    "passing": "pass", "passed": "pass", "missing": "miss",
+    "missed": "miss", "added": "add", "adding": "add",
+    "opening": "open", "opened": "open", "listening": "listen",
+    "listened": "listen", "happening": "happen", "happened": "happen",
+    "visiting": "visit", "visited": "visit", "editing": "edit",
+    "edited": "edit", "limiting": "limit", "limited": "limit",
+    "offering": "offer", "offered": "offer", "entering": "enter",
+    "entered": "enter", "developing": "develop", "developed": "develop",
+    "delivering": "deliver", "delivered": "deliver",
+    "gathering": "gather", "gathered": "gather",
+    "covering": "cover", "covered": "cover",
+    "considering": "consider", "considered": "consider",
+    "remembering": "remember", "remembered": "remember",
+    # irregular plurals
+    "men": "man", "women": "woman", "children": "child", "feet": "foot",
+    "teeth": "tooth", "mice": "mouse", "geese": "goose",
+    "lives": "life", "leaves": "leaf", "knives": "knife",
+    "wives": "wife", "shelves": "shelf", "wolves": "wolf",
+    "halves": "half", "selves": "self", "indices": "index",
+    "matrices": "matrix", "vertices": "vertex", "analyses": "analysis",
+    "criteria": "criterion", "phenomena": "phenomenon",
+    # -s words that are not plurals
+    "series": "series", "species": "species", "news": "news",
+    "this": "this", "his": "his", "its": "its", "us": "us",
+    "shoes": "shoe", "axes": "axis",
+    # short/irregular forms the length guards or heuristics miss
+    "used": "use", "using": "use", "uses": "use",
+    "agreed": "agree", "freed": "free",
+    "created": "create", "creating": "create", "creates": "create",
+    "changed": "change", "changing": "change", "changes": "change",
+    "increased": "increase", "increasing": "increase",
+    "during": "during", "evening": "evening", "morning": "morning",
+    "nothing": "nothing", "something": "something",
+    "anything": "anything", "everything": "everything",
+}
+
+_VOWELS = frozenset("aeiou")
+# letters whose doubling before -ing/-ed marks a short-vowel stem
+# (running -> run); l/s/z excluded — their doubles are usually lexical
+# (falling, passing, buzzing) and live in EN_EXCEPTIONS instead
+_DOUBLES = frozenset("bdgkmnprt")
+
+
+def _undouble_or_e(stem: str) -> str:
+    """Post-fix a stem after stripping -ing/-ed: undo consonant doubling
+    (stopp -> stop) or restore a silent e after a C-V-C tail
+    (mak -> make, us -> use)."""
+    if (len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] in _DOUBLES):
+        return stem[:-1]
+    if (
+        len(stem) >= 2
+        and stem[-1] not in _VOWELS and stem[-1] not in "wxy"
+        and stem[-2] in _VOWELS
+        and (len(stem) == 2 or stem[-3] not in _VOWELS)
+    ):
+        return stem + "e"
+    return stem
+
+
+def en_normal_form(word: str) -> str:
+    """Scalar English normal form (EnglishLuceneMorphology analog)."""
+    exc = EN_EXCEPTIONS.get(word)
+    if exc is not None:
+        return exc
+    n = len(word)
+    # plurals / 3sg present
+    if word.endswith("ies") and n >= 5:
+        return word[:-3] + "y"
+    if word.endswith(("sses", "shes", "ches", "xes", "oes")) and n >= 5:
+        return word[:-2]
+    if word.endswith("s") and not word.endswith(("ss", "us", "is")) and n >= 4:
+        return word[:-1]
+    # past tense
+    if word.endswith("ied") and n >= 5:
+        return word[:-3] + "y"
+    if word.endswith("ed") and n >= 5:
+        stem = word[:-2]
+        if stem[-1] in _VOWELS:
+            # -eed/-oed/... are usually base forms (need, speed);
+            # agreed/freed-style lemmas live in EN_EXCEPTIONS
+            return word
+        return _undouble_or_e(stem)
+    # gerund
+    if word.endswith("ing") and n >= 6:
+        stem = word[:-3]
+        if stem[-1] in _VOWELS or not any(c in _VOWELS for c in stem):
+            return word  # "seeing"-like vowel stem / "string"-like false suffix
+        return _undouble_or_e(stem)
+    return word
+
+
+def en_normal_forms_series(s: pd.Series) -> pd.Series:
+    """Vectorized twin of ``en_normal_form`` for the Arrow UDF batch path.
+    Same contract as ru_normal_forms_series: fresh RangeIndex, values in
+    input order, callers assign positionally."""
+    s = s.reset_index(drop=True)
+    out = s.map(EN_EXCEPTIONS)
+    done = out.notna()
+    out = out.where(done, s)
+    n = s.str.len()
+
+    def apply(mask: pd.Series, values: pd.Series) -> None:
+        nonlocal done
+        mask = mask & ~done
+        if mask.any():
+            out.loc[mask] = values[mask]
+            done = done | mask
+
+    apply(s.str.endswith("ies") & (n >= 5), s.str[:-3] + "y")
+    apply(
+        (s.str.endswith("sses") | s.str.endswith("shes")
+         | s.str.endswith("ches") | s.str.endswith("xes")
+         | s.str.endswith("oes")) & (n >= 5),
+        s.str[:-2],
+    )
+    apply(
+        s.str.endswith("s") & ~s.str.endswith("ss") & ~s.str.endswith("us")
+        & ~s.str.endswith("is") & (n >= 4),
+        s.str[:-1],
+    )
+    apply(s.str.endswith("ied") & (n >= 5), s.str[:-3] + "y")
+
+    def fix_series(stems: pd.Series) -> pd.Series:
+        """Vectorized _undouble_or_e."""
+        ln = stems.str.len()
+        last, prev = stems.str[-1], stems.str[-2].fillna("")
+        third = stems.str[-3].fillna("")
+        dbl = (ln >= 3) & (last == prev) & last.isin(_DOUBLES)
+        eres = (
+            (ln >= 2)
+            & ~last.isin(_VOWELS) & ~last.isin(list("wxy"))
+            & prev.isin(_VOWELS)
+            & ((ln == 2) | ~third.isin(_VOWELS))
+        )
+        res = stems.copy()
+        res[dbl] = stems[dbl].str[:-1]
+        res[eres & ~dbl] = stems[eres & ~dbl] + "e"
+        return res
+
+    ed = s.str.endswith("ed") & (n >= 5) & ~done
+    if ed.any():
+        stems = s[ed].str[:-2]
+        vowel_stop = stems.str[-1].isin(_VOWELS)
+        vals = fix_series(stems)
+        vals[vowel_stop] = s[ed][vowel_stop]
+        out.loc[ed] = vals
+        done = done | ed
+
+    ing = s.str.endswith("ing") & (n >= 6) & ~done
+    if ing.any():
+        stems = s[ing].str[:-3]
+        stop = stems.str[-1].isin(_VOWELS) | ~stems.str.contains("[aeiou]")
+        vals = fix_series(stems)
+        vals[stop] = s[ing][stop]
+        out.loc[ing] = vals
+    return out

@@ -75,6 +75,11 @@ RU_EXCEPTIONS: dict[str, str] = {
     "систему": "система", "системой": "система",
     "книга": "книга", "книги": "книга", "книге": "книга",
     "книгу": "книга", "книгой": "книга",
+    # feminine -ания nouns the deverbal -ание family would swallow
+    # (компании would otherwise become "компание")
+    "компания": "компания", "компании": "компания", "компанию": "компания",
+    "компанией": "компания", "компаниях": "компания", "компаниям": "компания",
+    "кампания": "кампания", "кампании": "кампания", "кампанию": "кампания",
     # suppletive / irregular plurals
     "данные": "данные", "данных": "данные", "данным": "данные",
     "данными": "данные",
@@ -82,6 +87,34 @@ RU_EXCEPTIONS: dict[str, str] = {
     "человек": "человек", "человека": "человек", "человеку": "человек",
     "дети": "ребенок", "детей": "ребенок", "ребенок": "ребенок",
 }
+
+_HUSHER_VELAR = frozenset("гкхжчшщ")  # spelling rule: ы -> и after these
+
+
+def _fem_a_paradigm(stem: str) -> dict[str, str]:
+    """First-declension feminine paradigm (public declension table):
+    every singular case form + the plural dat/ins/loc map to the
+    nominative in -а.  The gen-sg/nom-pl form obeys the ы/и spelling
+    rule.  The bare-stem gen-pl is deliberately excluded (ambiguous with
+    masculine nominatives)."""
+    nom = stem + "а"
+    gen = stem + ("и" if stem[-1] in _HUSHER_VELAR else "ы")
+    forms = [nom, gen, stem + "е", stem + "у", stem + "ой", stem + "ою",
+             stem + "ам", stem + "ами", stem + "ах"]
+    return {f: nom for f in forms}
+
+
+# ~30 high-frequency feminine -а stems the bare-vowel strip would
+# otherwise truncate to a pseudo-masculine (вода -> вод).  Generated
+# paradigms keep the table small and the case coverage total.
+_FEM_A_STEMS = (
+    "вод работ систем книг групп машин программ стран школ дорог рук ног "
+    "голов задач карт форм строк таблиц баз проблем команд минут "
+    "собак кошк игр цен газет комнат квартир"
+).split()
+for _stem in _FEM_A_STEMS:
+    RU_EXCEPTIONS.update(_fem_a_paradigm(_stem))
+del _stem
 
 _ADJ = "__ADJ__"        # replacement is stem-aware ый/ий
 _ADJ_SOFT = "__ADJS__"  # soft adjective form: apply only after C-stems, -> ий
@@ -123,6 +156,22 @@ RU_RULES: list[tuple[str, str, int]] = [
     ("его", _ADJ_SOFT, 3), ("ему", _ADJ_SOFT, 3), ("ими", _ADJ_SOFT, 3),
     ("их", _ADJ_SOFT, 3), ("им", _ADJ_SOFT, 3), ("юю", _ADJ_SOFT, 3),
     ("яя", _ADJ_SOFT, 3), ("ее", _ADJ_SOFT, 3), ("ие", _ADJ_SOFT, 3),
+    # productive verb conjugations -> infinitive (only suffixes with no
+    # common noun collisions; bare -ал/-ит/-ят past/present forms are
+    # deliberately absent — they swallow nouns like журнал/визит/ребят)
+    ("ируется", "ироваться", 2), ("ируются", "ироваться", 2),
+    ("ировался", "ироваться", 2), ("ировалась", "ироваться", 2),
+    ("ировались", "ироваться", 2),
+    ("ировала", "ировать", 2), ("ировали", "ировать", 2),
+    ("ировало", "ировать", 2), ("ировал", "ировать", 2),
+    ("ается", "аться", 2), ("аются", "аться", 2),
+    ("ался", "аться", 2), ("алась", "аться", 2), ("ались", "аться", 2),
+    ("ился", "иться", 2), ("илась", "иться", 2), ("ились", "иться", 2),
+    ("ует", "овать", 2), ("уют", "овать", 2),
+    ("ает", "ать", 2), ("ают", "ать", 2),
+    ("яет", "ять", 2), ("яют", "ять", 2),
+    ("еет", "еть", 2), ("еют", "еть", 2),
+    ("аешь", "ать", 2), ("аете", "ать", 2), ("ишь", "ить", 2),
     # bare case endings (masc/neuter nouns: леопарда -> леопард); stem must
     # end in a consonant so vowel-stem words are left alone
     ("ами", "", 3), ("ями", "", 3), ("ах", "", 3), ("ях", "", 3),

@@ -199,3 +199,21 @@ def test_stale_running_manifest_unwedges(spark, tmp_path):
     svc._build_thread.join(timeout=300)
     assert svc._build_error is None
     assert not any(r["status"] == RUNNING for r in man.records())
+
+
+def test_dashboard_page_served(api):
+    """GET / returns the HTML dashboard (reference's
+    templates/index.html surface) and it drives /api/statistics."""
+    import urllib.request
+
+    with urllib.request.urlopen(api + "/") as r:
+        assert r.status == 200
+        assert r.headers.get("Content-Type", "").startswith("text/html")
+        page = r.read().decode()
+    # the three reference tabs + the API it calls on load
+    for needle in ("Statistics", "Management", "Search", "/api/statistics",
+                   "/api/search", "/api/startIndexing"):
+        assert needle in page
+    # the API endpoint behind the page's first fetch really answers
+    with urllib.request.urlopen(api + "/api/statistics") as r:
+        assert r.status == 200

@@ -180,3 +180,49 @@ def test_inflected_query_finds_differently_inflected_doc(spark, tmp_path):
     # without the corpus the match is still found (snippet empty by design)
     res2 = search(idx, "леопарду в осетию")
     assert res2["count"] == 1 and res2["data"][0]["snippet"] == ""
+
+
+class TestGoldenSuiteFile:
+    """fixtures/morph_goldens.tsv: one file, consumed by the scalar engine
+    AND the vectorized oracle twin (round-2 VERDICT item 4) — rank
+    identity needs both paths to produce the same lemma for every golden."""
+
+    def test_all_goldens_scalar(self):
+        from searchengine_spark.fixtures.loaders import load_morph_goldens
+        from searchengine_spark.textproc.en_morph import en_normal_form
+        from searchengine_spark.textproc.ru_morph import ru_normal_form
+
+        goldens = load_morph_goldens()
+        assert len(goldens) >= 200
+        bad = []
+        for lang, word, lemma in goldens:
+            fn = ru_normal_form if lang == "ru" else en_normal_form
+            if fn(word) != lemma:
+                bad.append((lang, word, fn(word), lemma))
+        assert not bad, bad
+
+    def test_all_goldens_vectorized_twin(self):
+        import pandas as pd
+
+        from searchengine_spark.fixtures.loaders import load_morph_goldens
+        from searchengine_spark.textproc.en_morph import en_normal_forms_series
+        from searchengine_spark.textproc.ru_morph import ru_normal_forms_series
+
+        goldens = load_morph_goldens()
+        for lang, series_fn in (("ru", ru_normal_forms_series),
+                                ("en", en_normal_forms_series)):
+            pairs = [(w, l) for g, w, l in goldens if g == lang]
+            got = series_fn(pd.Series([w for w, _ in pairs]))
+            bad = [(w, g, l) for (w, l), g in zip(pairs, got) if g != l]
+            assert not bad, (lang, bad)
+
+    def test_analyzer_end_to_end_inflection_match(self, spark):
+        """An inflected EN query finds docs indexed with other
+        inflections, mirroring the RU леопарду test."""
+        from searchengine_spark.textproc.core import Analyzer
+
+        an = Analyzer()
+        indexed = an.lemma_set("the cats were running and stopped")
+        query = an.lemma_set("cat runs stopping")
+        assert {"cat", "run"} <= indexed
+        assert {"cat", "run"} <= query
