@@ -22,6 +22,8 @@ ru_normal_form / ru_normal_forms_series).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 
@@ -120,6 +122,7 @@ def _undouble_or_e(stem: str) -> str:
     return stem
 
 
+@lru_cache(maxsize=1 << 17)
 def en_normal_form(word: str) -> str:
     """Scalar English normal form (EnglishLuceneMorphology analog)."""
     exc = EN_EXCEPTIONS.get(word)

@@ -25,6 +25,7 @@ term identity — the rank-identity requirement.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -188,6 +189,7 @@ def _strip_ok(stem: str) -> bool:
     return bool(stem) and stem[-1] not in _VOWELS and stem[-1] not in "ьъ"
 
 
+@lru_cache(maxsize=1 << 17)
 def ru_normal_form(word: str) -> str:
     """Scalar normal form (LemmatizationService.getNormalForms analog)."""
     exc = RU_EXCEPTIONS.get(word)

@@ -46,25 +46,30 @@ def analyze_batch(
     flat = flat[~flat.isin(stopwords)]
     if len(flat) == 0:
         return pd.Series([[] for _ in range(len(s))], index=s.index)
-    mapped = flat.map(lemma_dict)
-    dict_hit = mapped.notna().to_numpy()
-    mapped = mapped.fillna(flat)
+    # Normalize UNIQUE tokens once, then map the stream through the
+    # result: token streams repeat heavily (t2 fixture: 6.7M occurrences
+    # of ~30k distinct tokens), so the per-token morphology work
+    # collapses by orders of magnitude.
+    uniq = pd.Series(flat.unique())
+    norm = uniq.map(lemma_dict)
+    dict_hit = norm.notna().to_numpy()
+    norm = norm.fillna(uniq)
     # Per-script dispatch (reference: LemmatizationService.java:72-84):
     # Cyrillic tokens go to the vectorized RU paradigm engine; Latin
     # tokens the explicit dictionary missed fall back to the vectorized
-    # EN rules engine.  Positional assignment: the exploded Series has
-    # duplicate row labels, so label-aligned .loc would fail/misalign.
-    is_ru = flat.str.contains("[а-яё]", regex=True).to_numpy()
+    # EN rules engine.
+    is_ru = uniq.str.contains("[а-яё]", regex=True).to_numpy()
     ru_pos = np.flatnonzero(is_ru)
     if ru_pos.size:
         from searchengine_spark.textproc.ru_morph import ru_normal_forms_series
 
-        mapped.iloc[ru_pos] = ru_normal_forms_series(flat.iloc[ru_pos]).to_numpy()
+        norm.iloc[ru_pos] = ru_normal_forms_series(uniq.iloc[ru_pos]).to_numpy()
     en_pos = np.flatnonzero(~is_ru & ~dict_hit)
     if en_pos.size:
         from searchengine_spark.textproc.en_morph import en_normal_forms_series
 
-        mapped.iloc[en_pos] = en_normal_forms_series(flat.iloc[en_pos]).to_numpy()
+        norm.iloc[en_pos] = en_normal_forms_series(uniq.iloc[en_pos]).to_numpy()
+    mapped = flat.map(dict(zip(uniq.to_numpy(), norm.to_numpy())))
     mapped = mapped[~mapped.isin(stopwords)]
     regrouped = mapped.groupby(level=0, sort=False).agg(list)
     return regrouped.reindex(s.index).apply(lambda v: v if isinstance(v, list) else [])
