@@ -328,6 +328,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_regex_indexed_group": lambda s, d: trigram.regex_search_indexed(
             _docs(s, d), Q_REGEX_GROUP
         ),
+        # per-language tokenizer fertility (bytes per BPE pre-token)
+        "q_tokenizer_fertility": lambda s, d: textstats.tokenizer_fertility(
+            _docs(s, d)
+        ),
+        # contrastive-training hard negatives + embedding-quality purity
+        "q_hard_negatives": lambda s, d: similarity.hard_negatives(
+            _emb(s, d), PROBE_VEC_IDS, k=5
+        ),
+        "q_knn_label_purity": lambda s, d: similarity.knn_label_purity(
+            _emb(s, d), PROBE_VEC_IDS, k=5
+        ),
+        # per-source keep-one report over transitive near-dup clusters
+        "q_dedup_survivors": lambda s, d: dedup.dedup_survivors(
+            _docs(s, d), threshold=0.2
+        ),
     }
 
 
@@ -440,4 +455,8 @@ def oracle_sql() -> dict[str, str]:
         "q_media_decode_real": osql.media_decode_real(),
         "q_wand_distributed_and3": osql.bm25_topk(Q_AND3, k=20),
         "q_regex_indexed_group": osql.regex_search(Q_REGEX_GROUP),
+        "q_tokenizer_fertility": osql.tokenizer_fertility(),
+        "q_hard_negatives": osql.hard_negatives(PROBE_VEC_IDS, k=5),
+        "q_knn_label_purity": osql.knn_label_purity(PROBE_VEC_IDS, k=5),
+        "q_dedup_survivors": osql.dedup_survivors(threshold=0.2),
     }

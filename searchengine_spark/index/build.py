@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from searchengine_spark.fixtures.loaders import load_lemma_dict, load_stopwords
 from searchengine_spark.index.manifest import Manifest
 from searchengine_spark.index.segments import pack_segments
-from searchengine_spark.textproc.udfs import make_analyze_udf, with_doc_id
+from searchengine_spark.textproc.udfs import make_analyze_counts_udf, with_doc_id
 
 DEFAULT_SHARDS = 8
 DEFAULT_BUCKETS = 16
@@ -68,12 +68,21 @@ class IndexPaths:
 
 
 def analyze_docs(docs: DataFrame, n_shards: int, mode: str = "compat") -> DataFrame:
-    """corpus -> (doc_id, shard, repo, path, commit, lang, content_sha, lemmas).
+    """corpus -> (doc_id, shard, repo, path, commit, lang, content_sha,
+    tf_map, dl).
 
     Derives doc_id (md5-60bit), range shard, the per-row content sha256
-    invariant (BASELINE.json input_hint) and the lemma array in one pass.
+    invariant (BASELINE.json input_hint) and the per-doc {lemma: tf} map
+    in one pass.  The UDF returns the TF map rather than the lemma array
+    (round-3 change): the TF aggregation happens in Python where the
+    token stream already lives, so the Arrow return, the persisted cache
+    and the downstream explode all carry one row per DISTINCT (doc,
+    lemma) instead of one per occurrence — ~(avg dl / distinct terms)x
+    less memory traffic, and the postings table needs no further
+    aggregation.  dl = sum of the map's values == the lemma-occurrence
+    count the BM25 length normalizer needs.
     """
-    udf = make_analyze_udf(load_lemma_dict(), load_stopwords(), mode)
+    udf = make_analyze_counts_udf(load_lemma_dict(), load_stopwords(), mode)
     base = docs.dropDuplicates(["repo", "path", "commit"])
     base = with_doc_id(base, n_shards)
     return base.select(
@@ -84,23 +93,23 @@ def analyze_docs(docs: DataFrame, n_shards: int, mode: str = "compat") -> DataFr
         "commit",
         "lang",
         F.sha2(F.col("content").cast("binary"), 256).alias("content_sha"),
-        udf(F.col("content")).alias("lemmas"),
+        udf(F.col("content")).alias("tf_map"),
+    ).withColumn(
+        "dl",
+        F.aggregate(F.map_values("tf_map"), F.lit(0).cast("long"),
+                    lambda acc, x: acc + x),
     )
 
 
 def _postings_of(analyzed: DataFrame) -> DataFrame:
-    # dl rides along as a group key (functionally dependent on doc_id — no
-    # extra cardinality): denormalizing it into the postings table lets the
-    # segment pack and WAND scoring skip the postings⋈docs_meta join, one
-    # full shuffle of the largest table, for +8 bytes/posting row
-    return (
-        analyzed.select(
-            "doc_id", "shard", F.size("lemmas").cast("long").alias("dl"),
-            F.explode("lemmas").alias("term"),
-        )
-        .groupBy("term", "doc_id", "shard", "dl")
-        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
-    )
+    # dl rides along denormalized (functionally dependent on doc_id — no
+    # extra cardinality): the segment pack and WAND scoring skip the
+    # postings⋈docs_meta join, one full shuffle of the largest table, for
+    # +8 bytes/posting row.  Map keys are unique per doc, so exploding
+    # tf_map IS the postings table — no groupBy/shuffle at all.
+    return analyzed.select(
+        "doc_id", "shard", "dl", F.explode("tf_map").alias("term", "tf")
+    ).select("term", "doc_id", "shard", "dl", F.col("tf").cast("int").alias("tf"))
 
 
 def _write_df_stats(postings: DataFrame, paths: IndexPaths, n_buckets: int) -> None:
@@ -244,7 +253,7 @@ def _build_bulk(spark, docs, paths, n_shards, n_buckets, mode,
     obs_meta = Observation("docs_meta")
     docs_meta = analyzed.select(
         "doc_id", "repo", "path", "commit", "lang", "content_sha",
-        F.size("lemmas").cast("long").alias("dl"), "shard",
+        "dl", "shard",
     ).observe(obs_meta, F.count(F.lit(1)).alias("n_docs"),
               F.sum("dl").alias("sum_dl"))
     (docs_meta.repartition(n_shards, "shard")
@@ -332,18 +341,16 @@ def _build_resumable(spark, docs, paths, n_shards, n_buckets, mode,
                 obs_d = Observation(f"docs-{s}")
                 (part.select(
                     "doc_id", "repo", "path", "commit", "lang", "content_sha",
-                    F.size("lemmas").cast("long").alias("dl"),
+                    "dl",
                 ).observe(obs_d, F.count(F.lit(1)).alias("n"))
                  .coalesce(1)
                  .write.mode("overwrite").parquet(f"{paths.docs_meta}/shard={s}"))
                 obs_p = Observation(f"post-{s}")
                 shard_post = (
                     part.select(
-                        "doc_id", F.size("lemmas").cast("long").alias("dl"),
-                        F.explode("lemmas").alias("term"),
+                        "doc_id", "dl", F.explode("tf_map").alias("term", "tf")
                     )
-                    .groupBy("term", "doc_id", "dl")
-                    .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+                    .select("term", "doc_id", "dl", F.col("tf").cast("int").alias("tf"))
                     .observe(obs_p, F.count(F.lit(1)).alias("n"),
                              F.approx_count_distinct("term").alias("t"))
                 )

@@ -230,11 +230,9 @@ def _reindex_docs_body(spark, paths, stats, n_shards, n_buckets, mode,
 
     new_postings = _persist(
         analyzed.select(
-            "doc_id", "shard", F.size("lemmas").cast("long").alias("dl"),
-            F.explode("lemmas").alias("term"),
-        )
-        .groupBy("term", "doc_id", "shard", "dl")
-        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+            "doc_id", "shard", "dl", F.explode("tf_map").alias("term", "tf")
+        ).select("term", "doc_id", "shard", "dl",
+                 F.col("tf").cast("int").alias("tf"))
     )
 
     # ---- df_stats term-delta (S6/S9: SiteMapBuilder.java:150-168,
@@ -259,7 +257,7 @@ def _reindex_docs_body(spark, paths, stats, n_shards, n_buckets, mode,
     # into multiple files within the single writer task
     new_meta = _persist(analyzed.select(
         "doc_id", "repo", "path", "commit", "lang", "content_sha",
-        F.size("lemmas").cast("long").alias("dl"), "shard",
+        "dl", "shard",
     ))
     post_part_schema = postings.drop("shard").schema
     meta_part_schema = old_meta.drop("shard").schema

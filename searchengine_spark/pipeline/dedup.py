@@ -364,3 +364,30 @@ def duplicate_clusters(documents: DataFrame, threshold: float = 0.2,
         .select("doc_id",
                 F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"))
     )
+
+
+def dedup_survivors(documents: DataFrame, threshold: float = 0.2,
+                    n: int = 3, source_col: str = "source",
+                    **kw) -> DataFrame:
+    """(source, n_docs, n_survivors, survivor_pct) — the end-to-end
+    near-dup removal report: transitive clusters (``duplicate_clusters``)
+    collapsed to one keep-MIN representative each, aggregated per source.
+    The number a 100 TB curation run actually publishes ("dedup removed
+    X% of source Y").  cluster_id IS the component's min doc_id, so a
+    survivor is simply doc_id == cluster_id — no extra window."""
+    clusters = duplicate_clusters(documents, threshold=threshold, n=n, **kw)
+    j = documents.select("doc_id", F.col(source_col).alias("source")).join(
+        clusters, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("doc_id") == F.col("cluster_id")).cast("long"))
+            .alias("n_survivors"),
+        )
+        .select(
+            "source", "n_docs", "n_survivors",
+            F.round(F.col("n_survivors") / F.col("n_docs"), 4)
+            .alias("survivor_pct"),
+        )
+    )

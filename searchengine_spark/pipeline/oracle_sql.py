@@ -2047,3 +2047,68 @@ SELECT m.doc_id, m.container,
               ELSE m.bw * 3 * m.bh END)) AS data_sha
 FROM m JOIN chain c USING (doc_id)
 """
+
+
+def tokenizer_fertility() -> str:
+    """Twin of textstats.tokenizer_fertility (per-lang bytes/pre-token)."""
+    pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+    return f"""
+WITH d AS (
+  SELECT lang, strlen(text)::BIGINT AS nb,
+         len(regexp_extract_all(text, '{pat}'))::BIGINT AS nt
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(nb)::BIGINT AS total_bytes,
+       sum(nt)::BIGINT AS total_pretokens,
+       round(sum(nb) / greatest(sum(nt), 1)::DOUBLE, 4) AS bytes_per_token
+FROM d GROUP BY lang
+"""
+
+
+def hard_negatives(probe_ids: list[int], k: int = 5) -> str:
+    """Twin of similarity.hard_negatives: exact cosine top-k restricted to
+    candidates whose label differs from the probe's."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec, label AS plabel
+                FROM embeddings WHERE vec_id IN ({ids})),
+cand AS (SELECT vec_id, embedding AS cvec, label FROM embeddings),
+scored AS (
+  SELECT probe_id, vec_id, label, {_COS}
+  FROM cand CROSS JOIN probes
+  WHERE vec_id <> probe_id AND label <> plabel
+)
+SELECT probe_id, vec_id, label, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def knn_label_purity(probe_ids: list[int], k: int = 5) -> str:
+    """Twin of similarity.knn_label_purity over the exact cosine top-k."""
+    return f"""
+WITH topk AS ({cosine_topk(probe_ids, k)}),
+l AS (SELECT vec_id, label FROM embeddings)
+SELECT t.probe_id,
+       sum(CASE WHEN cl.label = pl.label THEN 1 ELSE 0 END)::BIGINT AS n_same,
+       round(sum(CASE WHEN cl.label = pl.label THEN 1 ELSE 0 END) / count(*)::DOUBLE, 3) AS purity
+FROM topk t
+JOIN l cl ON cl.vec_id = t.vec_id
+JOIN l pl ON pl.vec_id = t.probe_id
+GROUP BY t.probe_id
+"""
+
+
+def dedup_survivors(threshold: float = 0.2) -> str:
+    """Twin of dedup.dedup_survivors: per-source keep-one report over the
+    transitive duplicate clusters (cluster_id == component min doc_id)."""
+    return f"""
+WITH dc AS ({duplicate_clusters(threshold)}),
+j AS (SELECT d.source, dc.doc_id, dc.cluster_id
+      FROM dc JOIN documents d USING (doc_id))
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)::BIGINT AS n_survivors,
+       round(sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) / count(*)::DOUBLE, 4) AS survivor_pct
+FROM j GROUP BY source
+"""

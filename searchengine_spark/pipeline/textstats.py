@@ -672,3 +672,34 @@ def length_quantiles(docs: DataFrame) -> DataFrame:
             for p, name in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.95, "q95")]
         ]
     )
+
+
+def tokenizer_fertility(documents: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        lang_col: str = "lang") -> DataFrame:
+    """(lang, n_docs, total_bytes, total_pretokens, bytes_per_token) —
+    per-language tokenizer fertility: how many bytes one BPE-ish
+    pre-token covers.  The standard tokenizer-efficiency dashboard for a
+    multilingual training mix (low bytes/token = the tokenizer fragments
+    that language).  One JVM-side regex per row + one tiny hash agg to
+    the language dimension — scales as a single corpus pass."""
+    d = documents.select(
+        F.col(lang_col).alias("lang"),
+        F.octet_length(F.col(text_col)).cast("long").alias("nb"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0))
+        .cast("long").alias("nt"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nb").alias("total_bytes"),
+            F.sum("nt").alias("total_pretokens"),
+        )
+        .select(
+            "lang", "n_docs", "total_bytes", "total_pretokens",
+            F.round(
+                F.col("total_bytes") / F.greatest(F.col("total_pretokens"), F.lit(1)), 4
+            ).alias("bytes_per_token"),
+        )
+    )

@@ -20,17 +20,15 @@ from searchengine_spark.textproc.core import _CAMEL, _CODE_STRIP, _COMPAT_STRIP
 _STRIP_PATTERNS = {"compat": _COMPAT_STRIP, "code": _CODE_STRIP}
 
 
-def analyze_batch(
+def _flat_lemmas(
     s: pd.Series,
     lemma_dict: dict[str, str],
     stopwords: frozenset[str],
     mode: str = "compat",
 ) -> pd.Series:
-    """content Series -> Series of lemma lists, fully vectorized.
-
-    Must stay semantics-identical to ``core.Analyzer.lemmas`` — enforced by
-    tests/test_tokenizer.py property checks.
-    """
+    """content Series -> flat Series of lemmas, indexed by the source row
+    label (duplicate labels = multiple lemmas per doc).  The shared core
+    of analyze_batch / analyze_batch_counts."""
     s = s.fillna("")
     if mode == "code":
         s = s.str.replace(_CAMEL, " ", regex=True)
@@ -45,7 +43,7 @@ def analyze_batch(
     # is dropped even though its lemma "be" is not in the list)
     flat = flat[~flat.isin(stopwords)]
     if len(flat) == 0:
-        return pd.Series([[] for _ in range(len(s))], index=s.index)
+        return flat.astype(object)
     # Normalize UNIQUE tokens once, then map the stream through the
     # result: token streams repeat heavily (t2 fixture: 6.7M occurrences
     # of ~30k distinct tokens), so the per-token morphology work
@@ -70,9 +68,51 @@ def analyze_batch(
 
         norm.iloc[en_pos] = en_normal_forms_series(uniq.iloc[en_pos]).to_numpy()
     mapped = flat.map(dict(zip(uniq.to_numpy(), norm.to_numpy())))
-    mapped = mapped[~mapped.isin(stopwords)]
+    return mapped[~mapped.isin(stopwords)]
+
+
+def analyze_batch(
+    s: pd.Series,
+    lemma_dict: dict[str, str],
+    stopwords: frozenset[str],
+    mode: str = "compat",
+) -> pd.Series:
+    """content Series -> Series of lemma lists, fully vectorized.
+
+    Must stay semantics-identical to ``core.Analyzer.lemmas`` — enforced by
+    tests/test_tokenizer.py property checks.
+    """
+    mapped = _flat_lemmas(s, lemma_dict, stopwords, mode)
+    if len(mapped) == 0:
+        return pd.Series([[] for _ in range(len(s))], index=s.index)
     regrouped = mapped.groupby(level=0, sort=False).agg(list)
     return regrouped.reindex(s.index).apply(lambda v: v if isinstance(v, list) else [])
+
+
+def analyze_batch_counts(
+    s: pd.Series,
+    lemma_dict: dict[str, str],
+    stopwords: frozenset[str],
+    mode: str = "compat",
+) -> pd.Series:
+    """content Series -> Series of {lemma: tf} dicts — ``analyze_batch``
+    pre-aggregated per document.
+
+    This is the index-build shape: the per-doc TF map is what the
+    postings aggregation needs, and producing it HERE — where the token
+    stream already lives — shrinks the Arrow return (and everything
+    downstream: cache, explode, shuffle) from one row per token
+    OCCURRENCE to one per distinct (doc, lemma).  Exactly
+    Counter(analyze_batch(s)[i]) per row, pinned by tests."""
+    mapped = _flat_lemmas(s, lemma_dict, stopwords, mode)
+    if len(mapped) == 0:
+        return pd.Series([{} for _ in range(len(s))], index=s.index)
+    counts = mapped.groupby([mapped.index, mapped.to_numpy()]).size()
+    per_doc = {
+        idx: dict(zip(g.index.get_level_values(1), g.to_numpy()))
+        for idx, g in counts.groupby(level=0, sort=False)
+    }
+    return pd.Series([per_doc.get(i, {}) for i in s.index], index=s.index)
 
 
 def make_analyze_udf(lemma_dict: dict[str, str], stopwords: frozenset[str],
@@ -85,6 +125,19 @@ def make_analyze_udf(lemma_dict: dict[str, str], stopwords: frozenset[str],
             yield analyze_batch(s, lemma_dict, stopwords, mode)
 
     return analyze
+
+
+def make_analyze_counts_udf(lemma_dict: dict[str, str],
+                            stopwords: frozenset[str],
+                            mode: str = "compat"):
+    """Scalar pandas UDF: content -> map<string,int> of lemma TFs."""
+
+    @F.pandas_udf(T.MapType(T.StringType(), T.IntegerType()))
+    def analyze_counts(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield analyze_batch_counts(s, lemma_dict, stopwords, mode)
+
+    return analyze_counts
 
 
 def doc_id_col(repo: str = "repo", path: str = "path", commit: str = "commit"):

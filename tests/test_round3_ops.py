@@ -1,0 +1,103 @@
+"""Round-3 breadth operators: tokenizer fertility, hard-negative mining,
+kNN label purity, per-source dedup survivor report."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline import similarity as S
+from searchengine_spark.pipeline.dedup import dedup_survivors
+from searchengine_spark.pipeline.textstats import tokenizer_fertility
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    """Two well-separated label clusters + one cross-label near point:
+    ground truth for hard negatives and purity."""
+    rng = np.random.default_rng(3)
+    dim = 16
+    a_center = rng.normal(size=dim)
+    b_center = rng.normal(size=dim)
+    rows = []
+    for i in range(20):
+        rows.append((i, [float(x) for x in a_center + rng.normal(scale=0.05, size=dim)], 0))
+    for i in range(20, 40):
+        rows.append((i, [float(x) for x in b_center + rng.normal(scale=0.05, size=dim)], 1))
+    # vec 99: label 1 but planted right next to probe 0's own vector —
+    # the hardest negative for probe 0, guaranteed inside its global top-5
+    probe0 = np.array(rows[0][1])
+    rows.append((99, [float(x) for x in probe0 + rng.normal(scale=0.002, size=dim)], 1))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+class TestHardNegatives:
+    def test_negatives_exclude_own_label(self, spark, labeled):
+        out = S.hard_negatives(labeled, [0, 1], k=5).collect()
+        assert len(out) == 10
+        assert all(r.label == 1 for r in out)  # probes 0/1 have label 0
+
+    def test_planted_cross_label_point_is_top_negative(self, spark, labeled):
+        out = S.hard_negatives(labeled, [0], k=3).collect()
+        assert out[0].vec_id == 99 and out[0].rank == 1
+
+    def test_rank_is_among_negatives_not_global(self, spark, labeled):
+        # global top-5 of probe 0 is all same-label; negatives must still
+        # return a full k, ranked 1..k
+        out = S.hard_negatives(labeled, [0], k=5).collect()
+        assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+
+
+class TestKnnLabelPurity:
+    def test_clustered_probes_are_pure(self, spark, labeled):
+        out = {r.probe_id: r for r in
+               S.knn_label_purity(labeled, [5, 25], k=5).collect()}
+        # probe 5 (label 0): neighbours are cluster A -> purity 1.0
+        assert out[5].purity == 1.0 and out[5].n_same == 5
+        assert out[25].purity == 1.0
+
+    def test_cross_label_point_dilutes_purity(self, spark, labeled):
+        # probe 0's neighbourhood contains vec 99 (label 1)
+        out = {r.probe_id: r for r in
+               S.knn_label_purity(labeled, [0], k=5).collect()}
+        assert out[0].n_same <= 4 and out[0].purity < 1.0
+
+
+class TestTokenizerFertility:
+    def test_hand_computed(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "ab cd", "en"), (2, "x1!", "en"), (3, "hello", "fr")],
+            "doc_id long, text string, lang string",
+        )
+        out = {r.lang: r for r in tokenizer_fertility(docs).collect()}
+        # en: bytes 5+3=8; pretokens: [ab, cd] + [x, 1, !] = 5
+        assert out["en"].n_docs == 2
+        assert out["en"].total_bytes == 8
+        assert out["en"].total_pretokens == 5
+        assert out["en"].bytes_per_token == 1.6
+        assert out["fr"].bytes_per_token == 5.0
+
+    def test_empty_text_guard(self, spark):
+        docs = spark.createDataFrame([(1, "", "en")],
+                                     "doc_id long, text string, lang string")
+        r = tokenizer_fertility(docs).collect()[0]
+        assert r.total_pretokens == 0 and r.bytes_per_token == 0.0
+
+
+class TestDedupSurvivors:
+    def test_per_source_keep_one(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (1, base + " one two three four five", "web"),
+            (2, base + " one two three four five!", "web"),   # near-dup of 1
+            (3, "totally different text about spark shuffles here", "web"),
+            (10, "another unrelated corpus document body entirely", "books"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r.source: r for r in
+               dedup_survivors(docs, threshold=0.15).collect()}
+        assert out["web"].n_docs == 3
+        assert out["web"].n_survivors == 2  # 1 survives for {1,2}; 3 is singleton
+        assert out["web"].survivor_pct == round(2 / 3, 4)
+        assert out["books"].n_survivors == 1 and out["books"].survivor_pct == 1.0

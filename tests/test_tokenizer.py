@@ -148,3 +148,31 @@ def test_content_sha_spark_parity(spark):
     got = [r.s for r in df.select(
         F.sha2(F.col("content").cast("binary"), 256).alias("s")).collect()]
     assert got == [hashlib.sha256(t.encode()).hexdigest() for t in texts]
+
+
+def test_analyze_batch_counts_equals_counter_of_lists(analyzer):
+    """analyze_batch_counts (the index-build TF-map shape) must equal
+    Counter(analyze_batch) row by row — the round-3 pre-aggregation
+    cannot change what gets indexed."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from searchengine_spark.textproc.udfs import analyze_batch, analyze_batch_counts
+
+    contents = [
+        "The cats were running and stopped",
+        "Повторное появление леопарда в Осетии",
+        "",
+        None,
+        "merge merge merge vector the and for",
+        "camelCaseToken snake_case_token x1y2",
+    ]
+    s = pd.Series(contents)
+    for mode in ("compat", "code"):
+        lists = analyze_batch(s, analyzer.lemma_dict, analyzer.stopwords, mode)
+        maps = analyze_batch_counts(s, analyzer.lemma_dict, analyzer.stopwords, mode)
+        for i in range(len(s)):
+            assert dict(Counter(lists.iloc[i])) == {
+                k: int(v) for k, v in maps.iloc[i].items()
+            }, (mode, i)
