@@ -343,6 +343,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_survivors": lambda s, d: dedup.dedup_survivors(
             _docs(s, d), threshold=0.2
         ),
+        # corpus rank-frequency law + vocabulary-growth curve
+        "q_zipf_fit": lambda s, d: textstats.zipf_fit(_docs(s, d)),
+        "q_heaps_law": lambda s, d: textstats.heaps_law(_docs(s, d)),
+        # embedding-space class geometry: prototypes, nearest-centroid
+        # confusion, centroid silhouette
+        "q_label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
+        "q_centroid_confusion": lambda s, d: similarity.nearest_centroid_confusion(
+            _emb(s, d)
+        ),
+        "q_silhouette": lambda s, d: similarity.silhouette_by_label(_emb(s, d)),
+        # diversity-aware retrieval: greedy MMR over the exact-cosine pool
+        "q_mmr_rerank": lambda s, d: similarity.mmr_rerank(
+            _emb(s, d), PROBE_VEC_IDS, k=5, pool=10
+        ),
+        # k-step ordered funnel (min-ts chaining) + ingest-volume anomaly z
+        "q_funnel_steps": lambda s, d: events.funnel(_events(s, d)),
+        "q_daily_anomalies": lambda s, d: events.daily_anomalies(_events(s, d)),
     }
 
 
@@ -459,4 +476,12 @@ def oracle_sql() -> dict[str, str]:
         "q_hard_negatives": osql.hard_negatives(PROBE_VEC_IDS, k=5),
         "q_knn_label_purity": osql.knn_label_purity(PROBE_VEC_IDS, k=5),
         "q_dedup_survivors": osql.dedup_survivors(threshold=0.2),
+        "q_zipf_fit": osql.zipf_fit(),
+        "q_heaps_law": osql.heaps_law(),
+        "q_label_centroids": osql.label_centroids(),
+        "q_centroid_confusion": osql.nearest_centroid_confusion(),
+        "q_silhouette": osql.silhouette_by_label(),
+        "q_mmr_rerank": osql.mmr_rerank(PROBE_VEC_IDS, k=5, pool=10),
+        "q_funnel_steps": osql.funnel(),
+        "q_daily_anomalies": osql.daily_anomalies(),
     }

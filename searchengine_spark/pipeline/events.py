@@ -123,3 +123,72 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def funnel(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
+    """(step, event_type, n_users, conversion_pct) — ordered-funnel
+    analysis: a user reaches step i when an event of that type exists
+    STRICTLY AFTER their earliest completion of step i-1 (the standard
+    product-analytics funnel semantics — min-ts chaining, not mere
+    presence).  conversion_pct is relative to step 1.
+
+    Scale shape: one filtered min-ts hash agg per step plus a user-dim
+    equi-join per transition — k small fixed (the step list), every join
+    keyed on user_id, no windows over the raw event stream, ONE action
+    (the per-step counts union inside the plan, never driver-side)."""
+    steps = steps or ["view", "click", "purchase"]
+    reached = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id").agg(F.min("ts").alias("t"))
+    )
+    tagged = [reached.select(F.lit(1).alias("step"),
+                             F.lit(steps[0]).alias("event_type"), "user_id")]
+    for i, s in enumerate(steps[1:], start=2):
+        reached = (
+            events.filter(F.col("event_type") == s)
+            .join(reached.select("user_id", F.col("t").alias("prev_t")), "user_id")
+            .filter(F.col("ts") > F.col("prev_t"))
+            .groupBy("user_id").agg(F.min("ts").alias("t"))
+        )
+        tagged.append(reached.select(F.lit(i).alias("step"),
+                                     F.lit(s).alias("event_type"), "user_id"))
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    per = u.groupBy("step", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"))
+    base = per.filter(F.col("step") == 1).select(
+        F.greatest(F.col("n_users"), F.lit(1)).alias("base_n"))
+    return (
+        per.crossJoin(F.broadcast(base))
+        .select("step", "event_type", "n_users",
+                F.round(F.col("n_users") / F.col("base_n"), 4)
+                .alias("conversion_pct"))
+    )
+
+
+def daily_anomalies(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
+    """(day, event_type, n, z, is_anomaly) — daily event volumes scored
+    against each type's own mean/stddev (sample) across days: the
+    bread-and-butter ingest-monitoring query (a scraper outage or a bot
+    flood shows up as |z| > threshold).  Two hash aggs — day×type
+    cardinality, never event cardinality — plus a broadcast of the
+    type-level moments."""
+    daily = (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    moments = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd"))
+    return (
+        daily.join(F.broadcast(moments), "event_type")
+        .select(
+            "day", "event_type", "n",
+            F.round(
+                F.when(F.col("sd") > 0, (F.col("n") - F.col("mu")) / F.col("sd"))
+                .otherwise(F.lit(0.0)), 3).alias("z"),
+        )
+        .withColumn("is_anomaly", F.abs(F.col("z")) > z_threshold)
+    )

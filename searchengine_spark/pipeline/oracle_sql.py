@@ -2112,3 +2112,196 @@ SELECT source, count(*)::BIGINT AS n_docs,
        round(sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) / count(*)::DOUBLE, 4) AS survivor_pct
 FROM j GROUP BY source
 """
+
+
+# positional long-form of the embeddings table (twin of
+# similarity._positional): parallel unnests align element-by-element
+_EMB_POSITIONAL = """
+e AS (
+  SELECT vec_id, label,
+         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+)
+"""
+
+# twin of similarity._centroid_dists: squared L2 to every label centroid,
+# rounded 6 BEFORE any argmin so both engines rank identical values
+_EMB_CENTROID_D2 = f"""
+{_EMB_POSITIONAL},
+cent AS (SELECT label AS clabel, pos, avg(val) AS c FROM e GROUP BY 1, 2),
+d AS (
+  SELECT e.vec_id, e.label, cent.clabel,
+         round(sum((e.val - cent.c) * (e.val - cent.c)), 6) AS d2
+  FROM e JOIN cent USING (pos)
+  GROUP BY 1, 2, 3
+)
+"""
+
+
+def label_centroids() -> str:
+    """Twin of similarity.label_centroids (per-label mean, long form)."""
+    return f"""
+WITH {_EMB_POSITIONAL}
+SELECT label, pos, round(avg(val), 6) AS c FROM e GROUP BY 1, 2
+"""
+
+
+def nearest_centroid_confusion() -> str:
+    """Twin of similarity.nearest_centroid_confusion."""
+    return f"""
+WITH {_EMB_CENTROID_D2},
+pred AS (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, clabel ASC) AS rn
+  FROM d
+)
+SELECT label, clabel AS pred_label, count(*)::BIGINT AS n
+FROM pred WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+def silhouette_by_label() -> str:
+    """Twin of similarity.silhouette_by_label (centroid-based silhouette)."""
+    return f"""
+WITH {_EMB_CENTROID_D2},
+own AS (SELECT vec_id, label, sqrt(d2) AS a FROM d WHERE label = clabel),
+oth AS (SELECT vec_id, sqrt(min(d2)) AS b FROM d WHERE label <> clabel GROUP BY 1)
+SELECT label, count(*)::BIGINT AS n_vecs,
+       round(avg(CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+                      ELSE 0 END), 3) AS avg_silhouette
+FROM own JOIN oth USING (vec_id) GROUP BY 1
+"""
+
+
+def zipf_fit(top_n: int = 100) -> str:
+    """Twin of textstats.zipf_fit (rank-frequency OLS + top-N coverage).
+    DuckDB log() is base-10 — ln() here to match Spark's F.log."""
+    return f"""
+WITH {_TOKS_CTE},
+tc AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+ranked AS (
+  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+  FROM tc
+)
+SELECT count(*)::BIGINT AS n_terms,
+       sum(cnt)::BIGINT AS total_tokens,
+       round(regr_slope(ln(cnt), ln(rank)), 4) AS zipf_slope,
+       round(regr_intercept(ln(cnt), ln(rank)), 4) AS zipf_intercept,
+       round(sum(CASE WHEN rank <= {top_n} THEN cnt ELSE 0 END)
+             / sum(cnt)::DOUBLE, 4) AS top_coverage
+FROM ranked
+"""
+
+
+def heaps_law(n_buckets: int = 10) -> str:
+    """Twin of textstats.heaps_law (cumulative vocab growth over doc-order
+    prefixes; vocab via first-seen bucket, no per-prefix rescan)."""
+    return f"""
+WITH {_TOKS_CTE},
+db AS (SELECT doc_id, ntile({n_buckets}) OVER (ORDER BY doc_id) AS bucket
+       FROM documents),
+per_doc AS (SELECT doc_id, count(*)::BIGINT AS ntok FROM toks GROUP BY 1),
+bt AS (
+  SELECT b.bucket, count(*)::BIGINT AS docs_b,
+         sum(coalesce(ntok, 0))::BIGINT AS toks_b
+  FROM db b LEFT JOIN per_doc USING (doc_id) GROUP BY 1
+),
+fs AS (SELECT term, min(bucket) AS fb
+       FROM toks t JOIN db b USING (doc_id) GROUP BY 1),
+vb AS (SELECT fb AS bucket, count(*)::BIGINT AS vocab_b FROM fs GROUP BY 1)
+SELECT bt.bucket,
+       (sum(docs_b) OVER w)::BIGINT AS docs_cum,
+       (sum(toks_b) OVER w)::BIGINT AS tokens_cum,
+       (sum(coalesce(vocab_b, 0)) OVER w)::BIGINT AS vocab_cum
+FROM bt LEFT JOIN vb USING (bucket)
+WINDOW w AS (ORDER BY bt.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def mmr_rerank(probe_ids: list[int], k: int = 5, pool: int = 10,
+               lam: float = 0.7) -> str:
+    """Twin of similarity.mmr_rerank: greedy MMR as a recursive CTE with a
+    LATERAL argmax step.  Float literals are emitted via repr() so the
+    penalty weight is bit-identical to the Python UDF's ``1 - lam``."""
+    w_rel, w_pen = repr(float(lam)), repr(1.0 - float(lam))
+    return f"""
+WITH RECURSIVE
+topm AS ({cosine_topk(probe_ids, pool)}),
+pair AS (
+  SELECT probe_id, i, j, {_COS.replace("AS cosine", "AS s")} FROM (
+    SELECT a.probe_id, a.vec_id AS i, b.vec_id AS j,
+           ei.embedding AS pvec, ej.embedding AS cvec
+    FROM topm a JOIN topm b ON a.probe_id = b.probe_id AND a.vec_id <> b.vec_id
+    JOIN embeddings ei ON ei.vec_id = a.vec_id
+    JOIN embeddings ej ON ej.vec_id = b.vec_id
+  ) t0
+),
+mmr AS (
+  SELECT probe_id, 1 AS rank, [vec_id] AS picked, vec_id
+  FROM topm WHERE rank = 1
+  UNION ALL
+  SELECT m.probe_id, m.rank + 1, list_append(m.picked, x.vec_id), x.vec_id
+  FROM mmr m JOIN LATERAL (
+    SELECT t.vec_id
+    FROM topm t
+    WHERE t.probe_id = m.probe_id AND NOT list_contains(m.picked, t.vec_id)
+    ORDER BY {w_rel} * t.cosine - {w_pen} * (
+        SELECT max(p.s) FROM pair p
+        WHERE p.probe_id = m.probe_id AND p.i = t.vec_id
+          AND list_contains(m.picked, p.j)) DESC,
+      t.vec_id ASC
+    LIMIT 1
+  ) x ON true
+  WHERE m.rank < {k}
+)
+SELECT probe_id, vec_id, rank::INT AS rank FROM mmr
+"""
+
+
+def funnel(steps: list[str] | None = None) -> str:
+    """Twin of events.funnel: min-ts-chained ordered funnel."""
+    steps = steps or ["view", "click", "purchase"]
+    ctes = [
+        f"s1 AS (SELECT user_id, min(ts) AS t FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY 1)"
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            f"JOIN s{i - 1} p USING (user_id) "
+            f"WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY 1)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS step, '{s}' AS event_type, "
+        f"count(*)::BIGINT AS n_users FROM s{i}"
+        for i, s in enumerate(steps, start=1)
+    )
+    return f"""
+WITH {', '.join(ctes)},
+per AS ({unions})
+SELECT step, event_type, n_users,
+       round(n_users / (SELECT greatest(count(*), 1) FROM s1)::DOUBLE, 4)
+       AS conversion_pct
+FROM per
+"""
+
+
+def daily_anomalies(z_threshold: float = 2.0) -> str:
+    """Twin of events.daily_anomalies (is_anomaly derived from the
+    ROUNDED z, exactly as the Spark plan publishes it)."""
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts)::DATE AS day, event_type,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+      FROM daily GROUP BY 1),
+z AS (
+  SELECT day, event_type, n,
+         round(CASE WHEN sd > 0 THEN (n - mu) / sd ELSE 0 END, 3) AS z
+  FROM daily JOIN m USING (event_type)
+)
+SELECT day, event_type, n, z, abs(z) > {z_threshold} AS is_anomaly FROM z
+"""

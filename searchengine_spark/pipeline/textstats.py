@@ -8,7 +8,7 @@ document fingerprinting.  These extend the reference's analysis surface
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from searchengine_spark.pipeline._cache import finalize
 from searchengine_spark.pipeline.fulltext import (
@@ -701,5 +701,82 @@ def tokenizer_fertility(documents: DataFrame, id_col: str = "doc_id",
             F.round(
                 F.col("total_bytes") / F.greatest(F.col("total_pretokens"), F.lit(1)), 4
             ).alias("bytes_per_token"),
+        )
+    )
+
+
+def zipf_fit(documents: DataFrame, top_n: int = 100,
+             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(n_terms, total_tokens, zipf_slope, zipf_intercept, top_coverage) —
+    the corpus's rank-frequency law: OLS fit of ln(freq) ~ ln(rank) over
+    the full vocabulary plus the share of the token stream covered by the
+    ``top_n`` most frequent terms.  The standard one-look corpus health
+    dashboard (natural text sits near slope -1; slope >> -1 flags
+    boilerplate/template floods, heavy top-N coverage flags stopword soup).
+
+    Scale shape: one hash agg token-stream -> (term, cnt), then a rank
+    window over the VOCABULARY dimension only (Zipf-bounded — millions of
+    rows at 100 TB, never corpus cardinality), then a scalar regression
+    agg.  Same vocab-dim-window contract as textrank/bpe.
+    """
+    counts = (
+        tokenized(documents, id_col=id_col, text_col=text_col)
+        .groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.round(F.regr_slope(F.log("cnt"), F.log("rank")), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(F.log("cnt"), F.log("rank")), 4)
+        .alias("zipf_intercept"),
+        F.round(
+            F.sum(F.when(F.col("rank") <= top_n, F.col("cnt")).otherwise(0))
+            / F.sum("cnt"), 4
+        ).alias("top_coverage"),
+    )
+
+
+def heaps_law(documents: DataFrame, n_buckets: int = 10,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(bucket, docs_cum, tokens_cum, vocab_cum) — vocabulary growth along
+    the corpus in doc_id order: after each of ``n_buckets`` equal-size doc
+    prefixes, how many cumulative tokens have been seen and how large the
+    cumulative vocabulary is.  Heaps'-law curve (V ~ k·N^b): sublinear
+    growth is healthy text; linear growth flags id/hash-like token floods.
+
+    Scale shape: vocab_cum needs NO per-prefix rescan — first_seen =
+    min(bucket) per term (one hash agg), then the cumulative counts are a
+    window over ``n_buckets`` rows.  The ntile doc-order bucketing is a
+    sort of the doc DIMENSION (ids, not text); at 100 TB you would derive
+    the same cutoffs from approx quantiles of doc_id instead.
+    """
+    db = documents.select(F.col(id_col).alias("doc_id")).withColumn(
+        "bucket", F.ntile(n_buckets).over(Window.orderBy("doc_id")))
+    toks = tokenized(documents, id_col=id_col, text_col=text_col)
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ntok"))
+    bt = (
+        db.join(per_doc, "doc_id", "left")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs_b"),
+             F.sum(F.coalesce(F.col("ntok"), F.lit(0))).cast("long")
+             .alias("toks_b"))
+    )
+    first_seen = (
+        toks.join(db, "doc_id")
+        .groupBy("term").agg(F.min("bucket").alias("fb"))
+        .groupBy("fb").agg(F.count(F.lit(1)).cast("long").alias("vocab_b"))
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        bt.join(first_seen, bt.bucket == first_seen.fb, "left")
+        .select("bucket", "docs_b", "toks_b",
+                F.coalesce(F.col("vocab_b"), F.lit(0)).alias("vocab_b"))
+        .select(
+            "bucket",
+            F.sum("docs_b").over(wc).cast("long").alias("docs_cum"),
+            F.sum("toks_b").over(wc).cast("long").alias("tokens_cum"),
+            F.sum("vocab_b").over(wc).cast("long").alias("vocab_cum"),
         )
     )

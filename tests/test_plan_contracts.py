@@ -1,0 +1,110 @@
+"""Plan-shape contracts: lock the scale-critical physical-plan properties
+the 100 TB design depends on (predicate pushdown to the parquet scan,
+broadcast joins where claimed, no cartesian products, no re-aggregation
+after the TF-map analyzer boundary, top-k as TakeOrderedAndProject).
+
+These are string assertions over `df.explain(...)` output — cheap, no
+data execution — so a refactor that silently degrades a plan (e.g. a
+filter that stops reaching the scan, a broadcast that falls back to
+sort-merge) fails CI instead of surfacing as a 100x slowdown in
+production."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from searchengine_spark.catalog import read_corpus
+from searchengine_spark.fixtures.loaders import docs_path
+from searchengine_spark.pipeline import dedup, fulltext, similarity
+from searchengine_spark.pipeline.dedup import exact_duplicates
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.read.parquet(docs_path("t1"))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+class TestScanContracts:
+    def test_scope_filters_reach_the_parquet_scan(self, spark):
+        df = read_corpus(spark, docs_path("t1"),
+                         repos=["org0/repo0"], langs=["python"])
+        p = plan_str(df)
+        assert "PushedFilters" in p
+        # both scope predicates must be pushed, not post-scan filters only
+        pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+        assert any("repo" in ln for ln in pushed), pushed
+        assert any("lang" in ln for ln in pushed), pushed
+
+    def test_projection_prunes_columns(self, spark, docs):
+        df = docs.select("doc_id", "lang")
+        p = plan_str(df)
+        read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+        assert read_schema and "text" not in read_schema[0], read_schema
+
+
+class TestJoinContracts:
+    def test_cosine_topk_broadcasts_probes_no_sort_merge(self, emb):
+        p = plan_str(similarity.cosine_topk(emb, [0, 1], k=5))
+        assert "BroadcastNestedLoopJoin" in p and "BuildRight" in p
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+
+    def test_bm25_topk_is_take_ordered_not_global_sort(self, docs):
+        df = fulltext.bm25_topk(docs, ["merge", "vector"], k=20)
+        p = plan_str(df)
+        assert "TakeOrderedAndProject" in p
+
+    def test_exact_dedup_has_no_self_join(self, docs):
+        p = plan_str(exact_duplicates(docs))
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    def test_lsh_candidates_join_is_banded_equi_join(self, docs):
+        # the near-dup candidate join must be a hash/sort equi-join on the
+        # (band, bucket) key — never a nested-loop over doc pairs
+        p = plan_str(dedup.lsh_candidate_pairs(docs))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+
+class TestAnalyzerBoundaryContracts:
+    def test_postings_need_no_reaggregation_after_tf_map_udf(self, spark, corpus):
+        # round-3 contract: the analyzer UDF returns {lemma: tf} maps, so
+        # the postings projection is explode-only — NO HashAggregate
+        # anywhere between the Arrow boundary and the postings rows
+        from searchengine_spark.index.build import analyze_docs, _postings_of
+        df = _postings_of(analyze_docs(corpus, n_shards=4))
+        p = plan_str(df)
+        assert "ArrowEvalPython" in p or "EvalPython" in p
+        assert "HashAggregate" not in p, "TF re-aggregation crept back in"
+
+    def test_tokenizer_fertility_is_single_scan_single_agg(self, docs):
+        import re
+
+        from searchengine_spark.pipeline.textstats import tokenizer_fertility
+        p = plan_str(tokenizer_fertility(docs))
+        # formatted explain prints each node in the tree AND in the detail
+        # section — count distinct scan node ids, not raw substring hits
+        scans = re.findall(r"^\(\d+\) Scan parquet", p, re.M)
+        assert len(scans) == 1, scans
+        assert "Exchange" in p  # one shuffle to the lang dimension is expected
+        assert "SortMergeJoin" not in p

@@ -101,3 +101,186 @@ class TestDedupSurvivors:
         assert out["web"].n_survivors == 2  # 1 survives for {1,2}; 3 is singleton
         assert out["web"].survivor_pct == round(2 / 3, 4)
         assert out["books"].n_survivors == 1 and out["books"].survivor_pct == 1.0
+
+
+class TestZipfFit:
+    def test_hand_computed(self, spark):
+        import math
+        docs = spark.createDataFrame(
+            [(1, "aa aa aa aa bb bb cc"), (2, "aa bb")],
+            "doc_id long, text string",
+        )
+        from searchengine_spark.pipeline.textstats import zipf_fit
+        r = zipf_fit(docs, top_n=2).collect()[0]
+        # counts: aa=5, bb=3, cc=1 -> ranks 1,2,3
+        assert r.n_terms == 3 and r.total_tokens == 9
+        assert r.top_coverage == round(8 / 9, 4)
+        xs = [math.log(k) for k in (1, 2, 3)]
+        ys = [math.log(c) for c in (5, 3, 1)]
+        mx, my = sum(xs) / 3, sum(ys) / 3
+        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs)
+        assert r.zipf_slope == round(slope, 4)
+        assert r.zipf_intercept == round(my - slope * mx, 4)
+
+
+class TestHeapsLaw:
+    def test_cumulative_vocab(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x y"), (2, "x z"), (3, "x q r"), (4, "")],
+            "doc_id long, text string",
+        )
+        from searchengine_spark.pipeline.textstats import heaps_law
+        out = {r.bucket: r for r in heaps_law(docs, n_buckets=2).collect()}
+        # bucket 1 = docs 1,2: tokens 4, vocab {x,y,z}=3
+        assert out[1].docs_cum == 2 and out[1].tokens_cum == 4
+        assert out[1].vocab_cum == 3
+        # bucket 2 adds docs 3 (q,r new) and 4 (empty)
+        assert out[2].docs_cum == 4 and out[2].tokens_cum == 7
+        assert out[2].vocab_cum == 5
+
+    def test_vocab_growth_monotone_nondecreasing(self, spark, labeled):
+        # reuse module spark; synthetic docs with repeated vocab
+        docs = spark.createDataFrame(
+            [(i, "alpha beta " + ("gamma" if i % 3 == 0 else "delta"))
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+        from searchengine_spark.pipeline.textstats import heaps_law
+        rows = sorted(heaps_law(docs, n_buckets=5).collect(),
+                      key=lambda r: r.bucket)
+        assert [r.docs_cum for r in rows] == [6, 12, 18, 24, 30]
+        vocab = [r.vocab_cum for r in rows]
+        assert vocab == sorted(vocab) and vocab[-1] == 4
+
+
+class TestCentroidGeometry:
+    def test_centroids_hand_computed(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [0.0, 2.0], 0), (2, [2.0, 0.0], 0), (3, [10.0, 10.0], 1)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {(r.label, r.pos): r.c
+               for r in S.label_centroids(emb).collect()}
+        assert out[(0, 0)] == 1.0 and out[(0, 1)] == 1.0
+        assert out[(1, 0)] == 10.0
+
+    def test_confusion_diagonal_for_separated_clusters(self, spark, labeled):
+        out = S.nearest_centroid_confusion(labeled).collect()
+        by = {(r.label, r.pred_label): r.n for r in out}
+        # all label-0 vectors sit in cluster A -> predicted 0
+        assert by[(0, 0)] == 20
+        # vec 99 (label 1, planted inside cluster A) is the only off-diagonal
+        assert by[(1, 0)] == 1 and by[(1, 1)] == 20
+
+    def test_silhouette_high_for_separated_clusters(self, spark, labeled):
+        out = {r.label: r for r in S.silhouette_by_label(labeled).collect()}
+        assert out[0].n_vecs == 20 and out[0].avg_silhouette > 0.8
+        # label 1 contains the planted cross-cluster point -> lower mean
+        assert out[1].n_vecs == 21
+        assert out[1].avg_silhouette < out[0].avg_silhouette
+
+
+class TestMmrRerank:
+    @pytest.fixture(scope="class")
+    def redundant(self, spark):
+        # probe 0; c1/c2 nearly identical and most-relevant; c3 relevant but
+        # diverse; c4 orthogonal filler
+        rows = [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.9, 0.10, 0.0], 0),
+            (2, [0.9, 0.11, 0.0], 0),
+            (3, [0.6, 0.0, 0.5], 0),
+            (4, [0.0, 0.0, 1.0], 0),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+
+    def test_lambda_one_is_plain_topk(self, spark, redundant):
+        got = sorted(S.mmr_rerank(redundant, [0], k=3, pool=4, lam=1.0).collect(),
+                     key=lambda r: r.rank)
+        plain = sorted(S.cosine_topk(redundant, [0], k=3).collect(),
+                       key=lambda r: r.rank)
+        assert [r.vec_id for r in got] == [r.vec_id for r in plain]
+
+    def test_redundant_candidate_demoted(self, spark, redundant):
+        got = sorted(S.mmr_rerank(redundant, [0], k=3, pool=4, lam=0.5).collect(),
+                     key=lambda r: r.rank)
+        ids = [r.vec_id for r in got]
+        # step1 = top-1 (vec 1); step2 must skip near-duplicate vec 2
+        assert ids[0] == 1 and ids[1] == 3 and ids[2] == 2
+
+    def test_k_rows_per_probe(self, spark, labeled):
+        out = S.mmr_rerank(labeled, [0, 25], k=5, pool=10).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r.probe_id, []).append(r.rank)
+        assert sorted(per) == [0, 25]
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
+
+
+class TestFunnel:
+    def test_ordered_chaining(self, spark):
+        from datetime import datetime as dt
+
+        from searchengine_spark.pipeline.events import funnel
+        rows = [
+            # user 1: full ordered funnel
+            (1, dt(2024, 1, 1, 10), "view"),
+            (1, dt(2024, 1, 1, 11), "click"),
+            (1, dt(2024, 1, 1, 12), "purchase"),
+            # user 2: clicked BEFORE viewing -> stops at step 1
+            (2, dt(2024, 1, 1, 9), "click"),
+            (2, dt(2024, 1, 1, 10), "view"),
+            # user 3: view+click only
+            (3, dt(2024, 1, 1, 10), "view"),
+            (3, dt(2024, 1, 1, 10, 30), "click"),
+            # user 4: purchase only -> never enters
+            (4, dt(2024, 1, 1, 8), "purchase"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string")
+        out = {r.step: r for r in funnel(ev).collect()}
+        assert out[1].n_users == 3            # users 1,2,3 viewed
+        assert out[2].n_users == 2            # users 1,3 clicked after view
+        assert out[3].n_users == 1            # user 1 purchased after click
+        assert out[3].conversion_pct == round(1 / 3, 4)
+
+    def test_strictly_after_excludes_same_instant(self, spark):
+        from datetime import datetime as dt
+
+        from searchengine_spark.pipeline.events import funnel
+        ev = spark.createDataFrame(
+            [(1, dt(2024, 1, 1, 10), "view"), (1, dt(2024, 1, 1, 10), "click")],
+            "user_id long, ts timestamp, event_type string")
+        out = {r.step: r for r in funnel(ev, ["view", "click"]).collect()}
+        assert out[1].n_users == 1 and 2 not in out
+
+
+class TestDailyAnomalies:
+    def test_z_scores_flag_spike(self, spark):
+        from datetime import datetime as dt
+
+        from searchengine_spark.pipeline.events import daily_anomalies
+        rows = []
+        # 9 quiet days of 10 views, one 100-view spike
+        for d in range(1, 10):
+            rows += [(i + d * 1000, dt(2024, 1, d, 12), "view") for i in range(10)]
+        rows += [(i + 99000, dt(2024, 1, 10, 12), "view") for i in range(100)]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string")
+        out = sorted(daily_anomalies(ev).collect(), key=lambda r: str(r.day))
+        flags = [r.is_anomaly for r in out]
+        assert flags == [False] * 9 + [True]
+        assert out[-1].z > 2.0 and out[0].z < 0
+
+    def test_constant_volume_no_flags(self, spark):
+        from datetime import datetime as dt
+
+        from searchengine_spark.pipeline.events import daily_anomalies
+        ev = spark.createDataFrame(
+            [(d * 10 + i, dt(2024, 1, d, 12), "click")
+             for d in range(1, 6) for i in range(7)],
+            "event_id long, ts timestamp, event_type string")
+        out = daily_anomalies(ev).collect()
+        assert all(r.z == 0.0 and not r.is_anomaly for r in out)
