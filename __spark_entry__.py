@@ -28,6 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from searchengine_spark.pipeline import (  # noqa: E402
     asof,
     bpe,
+    codestats,
     codetok,
     curation,
     examplegen,
@@ -360,6 +361,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k-step ordered funnel (min-ts chaining) + ingest-volume anomaly z
         "q_funnel_steps": lambda s, d: events.funnel(_events(s, d)),
         "q_daily_anomalies": lambda s, d: events.daily_anomalies(_events(s, d)),
+        # behavioral-sequence bigram model over per-user event streams
+        "q_event_transitions": lambda s, d: events.transition_matrix(_events(s, d)),
+        # per-language length distribution (exact interpolated percentiles)
+        "q_length_percentiles": lambda s, d: textstats.length_percentiles(_docs(s, d)),
+        # sub-document boilerplate: non-overlapping 8-token block dedup
+        "q_passage_dup_stats": lambda s, d: dedup.passage_dup_stats(_docs(s, d)),
+        "q_top_dup_passages": lambda s, d: dedup.top_dup_passages(_docs(s, d)),
+        # code-corpus hygiene: license mix, secrets/imports/comments,
+        # identifier-casing census, dependency popularity
+        # (corpus ∪ CODE_FIXTURE on both engines — the word-salad corpus
+        # alone has no code constructs, which would make these vacuous)
+        "q_license_mix": lambda s, d: codestats.license_mix(
+            codestats.with_code_fixture(_docs(s, d))),
+        "q_code_hygiene": lambda s, d: codestats.code_hygiene(
+            codestats.with_code_fixture(_docs(s, d))),
+        "q_ident_styles": lambda s, d: codestats.ident_styles(
+            codestats.with_code_fixture(_docs(s, d))),
+        "q_top_imports": lambda s, d: codestats.top_imports(
+            codestats.with_code_fixture(_docs(s, d))),
+        # mixture planning + diversity + dispersion dashboards
+        "q_token_budget_plan": lambda s, d: textstats.token_budget_plan(_docs(s, d)),
+        "q_distinct_ngrams": lambda s, d: textstats.distinct_ngrams(_docs(s, d)),
+        "q_term_dispersion": lambda s, d: textstats.term_dispersion(_docs(s, d)),
     }
 
 
@@ -484,4 +508,15 @@ def oracle_sql() -> dict[str, str]:
         "q_mmr_rerank": osql.mmr_rerank(PROBE_VEC_IDS, k=5, pool=10),
         "q_funnel_steps": osql.funnel(),
         "q_daily_anomalies": osql.daily_anomalies(),
+        "q_event_transitions": osql.transition_matrix(),
+        "q_length_percentiles": osql.length_percentiles(),
+        "q_passage_dup_stats": osql.passage_dup_stats(),
+        "q_top_dup_passages": osql.top_dup_passages(),
+        "q_license_mix": osql.license_mix(),
+        "q_code_hygiene": osql.code_hygiene(),
+        "q_ident_styles": osql.ident_styles(),
+        "q_top_imports": osql.top_imports(),
+        "q_token_budget_plan": osql.token_budget_plan(),
+        "q_distinct_ngrams": osql.distinct_ngrams(),
+        "q_term_dispersion": osql.term_dispersion(),
     }

@@ -94,6 +94,13 @@ HEADLINE = [
     "q_regex_indexed",
     "q_retention_cohorts",
     "q_length_quantiles",
+    # round-3 additions
+    "q_zipf_fit",
+    "q_label_centroids",
+    "q_mmr_rerank",
+    "q_event_transitions",
+    "q_passage_dup_stats",
+    "q_code_hygiene",
 ]
 
 

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Corpus health report: one spark-submit-able job that runs the
+corpus-level dashboards (Zipf fit, Heaps' growth, length percentiles,
+distinct-n diversity, term dispersion, license mix, code hygiene,
+identifier styles, passage-dup boilerplate share) over a documents
+parquet and prints ONE JSON object (optionally also written to a file).
+
+    python jobs/corpus_report.py --input /data/documents.parquet \
+        [--output /reports/health.json] [--sections zipf,hygiene,...]
+
+Every section is a single declarative DataFrame plan from
+pipeline/textstats.py / codestats.py / dedup.py — the job just collects
+their (tiny, dimension-sized) outputs; nothing corpus-sized reaches the
+driver.  Output paths may be URIs (s3a://, hdfs://): the report is
+written through the Hadoop FS API, same as jobs/curate.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SECTIONS = [
+    "zipf", "heaps", "lengths", "diversity", "dispersion",
+    "licenses", "hygiene", "idents", "passages",
+]
+
+
+def _rows(df) -> list[dict]:
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+def build_report(spark, input_path: str, sections: list[str]) -> dict:
+    from searchengine_spark.pipeline import codestats, dedup, textstats
+
+    docs = spark.read.parquet(input_path)
+    report: dict = {"input": input_path, "n_docs": docs.count()}
+    if "zipf" in sections:
+        report["zipf"] = _rows(textstats.zipf_fit(docs))[0]
+    if "heaps" in sections:
+        report["heaps"] = _rows(textstats.heaps_law(docs))
+    if "lengths" in sections:
+        report["length_percentiles"] = _rows(textstats.length_percentiles(docs))
+    if "diversity" in sections:
+        report["distinct_ngrams"] = _rows(textstats.distinct_ngrams(docs))
+    if "dispersion" in sections:
+        report["term_dispersion"] = _rows(textstats.term_dispersion(docs, limit=25))
+    if "licenses" in sections:
+        report["license_mix"] = _rows(codestats.license_mix(docs))
+    if "hygiene" in sections:
+        report["code_hygiene"] = _rows(codestats.code_hygiene(docs))
+    if "idents" in sections:
+        report["ident_styles"] = _rows(codestats.ident_styles(docs))
+    if "passages" in sections:
+        stats = dedup.passage_dup_stats(docs)
+        from pyspark.sql import functions as F
+
+        agg = stats.agg(
+            F.count(F.lit(1)).alias("n_docs_with_blocks"),
+            F.sum("n_blocks").alias("n_blocks"),
+            F.sum("n_dup_blocks").alias("n_dup_blocks"),
+        ).first()
+        nb = agg.n_blocks or 0
+        report["passage_dup"] = {
+            "n_docs_with_blocks": agg.n_docs_with_blocks,
+            "n_blocks": int(nb),
+            "n_dup_blocks": int(agg.n_dup_blocks or 0),
+            "dup_block_ratio": round((agg.n_dup_blocks or 0) / nb, 4) if nb else 0.0,
+        }
+    return report
+
+
+def _write_hadoop(spark, path: str, payload: str) -> None:
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    out = fs.create(p, True)
+    out.write(payload.encode("utf-8"))
+    out.close()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", default=None,
+                    help="optional report path (local or URI)")
+    ap.add_argument("--sections", default=",".join(SECTIONS),
+                    help=f"comma list from: {','.join(SECTIONS)}")
+    args = ap.parse_args()
+
+    from searchengine_spark.session import get_spark
+
+    sections = [s.strip() for s in args.sections.split(",") if s.strip()]
+    unknown = [s for s in sections if s not in SECTIONS]
+    if unknown:
+        raise SystemExit(f"unknown sections: {unknown}")
+    spark = get_spark("corpus-report")
+    report = build_report(spark, args.input, sections)
+    payload = json.dumps(report, ensure_ascii=False, default=str)
+    print(payload)
+    if args.output:
+        _write_hadoop(spark, args.output, payload)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

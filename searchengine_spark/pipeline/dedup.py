@@ -391,3 +391,74 @@ def dedup_survivors(documents: DataFrame, threshold: float = 0.2,
             .alias("survivor_pct"),
         )
     )
+
+
+def passage_blocks(documents: DataFrame, k: int = 8, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, blk_sha) — non-overlapping k-token passage blocks, keyed
+    by md5 of the joined block text (the Rabin-block trick from CCNet-
+    style repetition removal: stride == k bounds the stream to
+    corpus_tokens/k rows, and hashing keeps the shuffle key 32 bytes no
+    matter how long the passage is)."""
+    ws = F.split(F.col(text_col), " ")
+    nb = F.floor(F.size(ws) / F.lit(k)).cast("int")
+    d = documents.select(
+        F.col(id_col).alias("doc_id"), ws.alias("ws"),
+        F.when(nb > 0, F.sequence(F.lit(0), nb - 1))
+        .otherwise(F.array().cast("array<int>")).alias("bs"),
+    )
+    return d.select(
+        "doc_id",
+        F.explode("bs").alias("b"), F.col("ws"),
+    ).select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(F.col("ws"), F.col("b") * k + 1, k), " "))
+        .alias("blk_sha"),
+    )
+
+
+def passage_dup_stats(documents: DataFrame, k: int = 8,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(doc_id, n_blocks, n_dup_blocks, dup_ratio) — per-document share
+    of k-token passage blocks that also occur in at least one OTHER
+    document: the boilerplate/template-flood detector that document-level
+    dedup misses (navigation chrome, license banners, generated headers).
+
+    Scale shape: block stream -> (blk_sha, n_docs) hash agg (block-
+    vocabulary sized), broadcast-free equi-join back on blk_sha, per-doc
+    hash agg.  Every join key is a 32-char digest; nothing is pairwise."""
+    blocks = passage_blocks(documents, k, id_col, text_col)
+    freq = blocks.groupBy("blk_sha").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        blocks.join(freq, "blk_sha")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum((F.col("nd") > 1).cast("long")).cast("long")
+            .alias("n_dup_blocks"),
+        )
+        .withColumn("dup_ratio",
+                    F.round(F.col("n_dup_blocks") / F.col("n_blocks"), 4))
+    )
+    return per_doc
+
+
+def top_dup_passages(documents: DataFrame, k: int = 8, min_docs: int = 2,
+                     limit: int = 100, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(blk_sha, n_docs, n_occurrences) — the most-replicated k-token
+    passages (by distinct docs, ties by digest asc): what you grep for
+    before writing a boilerplate-strip rule."""
+    return (
+        passage_blocks(documents, k, id_col, text_col)
+        .groupBy("blk_sha")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("blk_sha"))
+        .limit(limit)
+    )

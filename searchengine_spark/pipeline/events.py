@@ -192,3 +192,32 @@ def daily_anomalies(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
         )
         .withColumn("is_anomaly", F.abs(F.col("z")) > z_threshold)
     )
+
+
+def transition_matrix(events: DataFrame) -> DataFrame:
+    """(prev_type, next_type, n, p) — first-order Markov transitions over
+    each user's time-ordered event stream: how often event type A is
+    immediately followed by B within the same user, with p normalized per
+    prev_type row.  The standard behavioral-sequence summary (and the
+    bigram model a next-event predictor trains on).
+
+    Scale shape: ONE shuffle to user_id for the lag window (ties broken
+    by event_id so both engines order identically), then a hash agg to
+    the type×type dimension (tiny) and a broadcast of the per-prev
+    totals.  Never a self-join of the event stream."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("prev_type"), "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select("prev_type", "next_type", "n",
+                F.round(F.col("n") / F.col("tot"), 4).alias("p"))
+    )

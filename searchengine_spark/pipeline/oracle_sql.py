@@ -2305,3 +2305,264 @@ z AS (
 )
 SELECT day, event_type, n, z, abs(z) > {z_threshold} AS is_anomaly FROM z
 """
+
+
+def transition_matrix() -> str:
+    """Twin of events.transition_matrix (lead over user streams, ties by
+    event_id so both engines order identically)."""
+    return """
+WITH p AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS next_type
+  FROM events
+),
+c AS (SELECT prev_type, next_type, count(*)::BIGINT AS n
+      FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT prev_type, sum(n) AS tot FROM c GROUP BY 1)
+SELECT prev_type, next_type, n, round(n / tot::DOUBLE, 4) AS p
+FROM c JOIN t USING (prev_type)
+"""
+
+
+def length_percentiles() -> str:
+    """Twin of textstats.length_percentiles: quantile_cont is the same
+    linear-interpolation definition as Spark's exact percentile()."""
+    return """
+SELECT lang, n_docs,
+       round(q[1], 2) AS p25, round(q[2], 2) AS p50, round(q[3], 2) AS p75,
+       round(q[4], 2) AS p90, round(q[5], 2) AS p99
+FROM (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+         quantile_cont(n_chars::DOUBLE, [0.25, 0.50, 0.75, 0.90, 0.99]) AS q
+  FROM documents GROUP BY lang
+)
+"""
+
+
+def _passage_blocks_cte(k: int) -> str:
+    return f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+blocks AS (
+  SELECT doc_id,
+         md5(list_aggregate(ws[(b * {k} + 1):(b * {k} + {k})],
+                            'string_agg', ' ')) AS blk_sha
+  FROM toks, unnest(generate_series(0, (len(ws) // {k} - 1)::BIGINT)) AS t(b)
+)
+"""
+
+
+def passage_dup_stats(k: int = 8) -> str:
+    """Twin of dedup.passage_dup_stats (non-overlapping k-token blocks,
+    md5-keyed; docs with < k tokens produce no blocks and no row)."""
+    return f"""
+WITH {_passage_blocks_cte(k)},
+freq AS (SELECT blk_sha, count(DISTINCT doc_id) AS nd FROM blocks GROUP BY 1)
+SELECT doc_id, count(*)::BIGINT AS n_blocks,
+       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_blocks,
+       round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 4)
+       AS dup_ratio
+FROM blocks JOIN freq USING (blk_sha)
+GROUP BY doc_id
+"""
+
+
+def top_dup_passages(k: int = 8, min_docs: int = 2, limit: int = 100) -> str:
+    """Twin of dedup.top_dup_passages."""
+    return f"""
+WITH {_passage_blocks_cte(k)}
+SELECT blk_sha, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occurrences
+FROM blocks GROUP BY 1
+HAVING count(DISTINCT doc_id) >= {min_docs}
+ORDER BY n_docs DESC, n_occurrences DESC, blk_sha ASC
+LIMIT {limit}
+"""
+
+
+def _q(pat: str) -> str:
+    """Escape a shared regex for embedding in a single-quoted SQL literal."""
+    return pat.replace("'", "''")
+
+
+def _code_docs() -> str:
+    """documents ∪ codestats.CODE_FIXTURE as an inline derived table —
+    the same literal rows codestats.with_code_fixture unions on the
+    Spark side, so the codestats gates exercise every pattern on real
+    matches instead of passing vacuously on the word-salad corpus."""
+    from searchengine_spark.pipeline.codestats import CODE_FIXTURE
+
+    rows = ", ".join(
+        f"({i}, '{_q(t)}', '{lang}', 'code_fixture', {len(t)})"
+        for i, lang, t in CODE_FIXTURE
+    )
+    return (
+        "(SELECT doc_id, text, lang, source, n_chars FROM documents "
+        f"UNION ALL SELECT * FROM (VALUES {rows}) "
+        "_fx(doc_id, text, lang, source, n_chars))"
+    )
+
+
+def license_mix() -> str:
+    """Twin of codestats.license_mix (same LICENSE_PATTERNS, same
+    first-match priority via CASE order)."""
+    from searchengine_spark.pipeline.codestats import LICENSE_PATTERNS
+
+    whens = " ".join(
+        f"WHEN regexp_matches(text, '{_q(pat)}') THEN '{name}'"
+        for name, pat in LICENSE_PATTERNS
+    )
+    return f"""
+SELECT lang, CASE {whens} ELSE 'none' END AS license,
+       count(*)::BIGINT AS n_docs
+FROM {_code_docs()} documents GROUP BY 1, 2
+"""
+
+
+def code_hygiene() -> str:
+    """Twin of codestats.code_hygiene (imports SECRET/IMPORT/COMMENT
+    patterns from the engine module so the twins cannot drift)."""
+    from searchengine_spark.pipeline.codestats import (
+        COMMENT_LINE_RE,
+        IMPORT_PATTERNS,
+        SECRET_PATTERNS,
+    )
+
+    sec = " + ".join(
+        f"len(regexp_extract_all(text, '{_q(p)}'))" for _, p in SECRET_PATTERNS
+    )
+    imp = " + ".join(
+        f"len(regexp_extract_all(text, '{_q(p)}', 1))" for _, p in IMPORT_PATTERNS
+    )
+    return f"""
+WITH d AS (
+  SELECT lang,
+         ({sec})::BIGINT AS sec,
+         ({imp})::BIGINT AS imp,
+         len(regexp_extract_all(text, '{_q(COMMENT_LINE_RE)}'))::BIGINT AS cmt,
+         len(string_split(text, chr(10)))::BIGINT AS nl
+  FROM {_code_docs()} documents
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN sec > 0 THEN 1 ELSE 0 END)::BIGINT AS n_secret_docs,
+       sum(sec)::BIGINT AS n_secret_hits,
+       sum(imp)::BIGINT AS n_import_refs,
+       sum(cmt)::BIGINT AS n_comment_lines,
+       sum(nl)::BIGINT AS n_lines,
+       round(sum(cmt) / greatest(sum(nl), 1)::DOUBLE, 4) AS comment_ratio
+FROM d GROUP BY 1
+"""
+
+
+def top_imports(limit: int = 50) -> str:
+    """Twin of codestats.top_imports."""
+    from searchengine_spark.pipeline.codestats import IMPORT_PATTERNS
+
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, unnest(regexp_extract_all(text, '{_q(p)}', 1)) AS module "
+        f"FROM {_code_docs()} documents"
+        for _, p in IMPORT_PATTERNS
+    )
+    return f"""
+WITH refs AS ({unions})
+SELECT module, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_refs
+FROM refs GROUP BY 1
+ORDER BY n_refs DESC, module ASC
+LIMIT {limit}
+"""
+
+
+def ident_styles() -> str:
+    """Twin of codestats.ident_styles (the CASE ladder is exactly the
+    strict-greater fold the Spark side applies, so ties resolve to the
+    earlier IDENT_PATTERNS entry on both engines)."""
+    from searchengine_spark.pipeline.codestats import IDENT_PATTERNS
+
+    cols = ",\n         ".join(
+        f"sum(len(regexp_extract_all(text, '{_q(p)}')))::BIGINT AS n_{name}"
+        for name, p in IDENT_PATTERNS
+    )
+    names = [name for name, _ in IDENT_PATTERNS]
+    return f"""
+WITH agg AS (
+  SELECT lang,
+         {cols}
+  FROM {_code_docs()} documents GROUP BY lang
+)
+SELECT lang, {', '.join('n_' + n for n in names)},
+       CASE
+         WHEN n_{names[3]} > greatest(n_{names[0]}, n_{names[1]}, n_{names[2]})
+           THEN '{names[3]}'
+         WHEN n_{names[2]} > greatest(n_{names[0]}, n_{names[1]})
+           THEN '{names[2]}'
+         WHEN n_{names[1]} > n_{names[0]} THEN '{names[1]}'
+         ELSE '{names[0]}'
+       END AS dominant
+FROM agg
+"""
+
+
+def token_budget_plan(n_deciles: int = 10) -> str:
+    """Twin of textstats.token_budget_plan (reuses the quality twin as a
+    CTE; ntile ordered by (quality, doc_id) is deterministic on both)."""
+    return f"""
+WITH q AS ({quality_scores()}),
+j AS (SELECT q.doc_id, q.n_tokens, q.quality, d.lang
+      FROM q JOIN documents d USING (doc_id)),
+t AS (SELECT lang, n_tokens,
+             ntile({n_deciles}) OVER (PARTITION BY lang
+                                      ORDER BY quality, doc_id) AS decile
+      FROM j),
+per AS (
+  SELECT lang, decile, count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS total_tokens
+  FROM t GROUP BY 1, 2
+)
+SELECT lang, decile, n_docs, total_tokens,
+       round(total_tokens
+             / greatest((SELECT sum(total_tokens) FROM per), 1)::DOUBLE, 4)
+       AS token_share
+FROM per
+"""
+
+
+def _ngram_cte(n: int) -> str:
+    """(lang, gram) occurrences of n-token grams (NOT distinct)."""
+    if n == 1:
+        return f"SELECT lang, unnest({_TOKARR}) AS gram FROM documents"
+    return f"""
+SELECT lang, array_to_string(arr[i:i + {n - 1}], ' ') AS gram
+FROM (SELECT lang, {_TOKARR} AS arr FROM documents) s,
+     unnest(generate_series(1, greatest(len(arr) - {n - 1}, 0))) AS t(i)
+"""
+
+
+def distinct_ngrams(max_n: int = 3) -> str:
+    """Twin of textstats.distinct_ngrams."""
+    parts = []
+    for n in range(1, max_n + 1):
+        parts.append(f"""
+SELECT lang, {n} AS n, count(*)::BIGINT AS total_grams,
+       count(DISTINCT gram)::BIGINT AS distinct_grams,
+       round(count(DISTINCT gram) / greatest(count(*), 1)::DOUBLE, 4)
+       AS distinct_ratio
+FROM ({_ngram_cte(n)}) g{n} GROUP BY 1
+""")
+    return " UNION ALL ".join(parts)
+
+
+def term_dispersion(limit: int = 100) -> str:
+    """Twin of textstats.term_dispersion."""
+    return f"""
+WITH {_TOKS_CTE}
+SELECT term, sum(tf)::BIGINT AS tf_total, count(*)::BIGINT AS df,
+       max(tf)::BIGINT AS tf_max,
+       round(sum(tf) / count(*)::DOUBLE, 4) AS burstiness,
+       round(count(*)
+             / greatest((SELECT count(*) FROM documents), 1)::DOUBLE, 4)
+       AS doc_share
+FROM postings GROUP BY term
+ORDER BY tf_total DESC, term ASC
+LIMIT {limit}
+"""

@@ -780,3 +780,138 @@ def heaps_law(documents: DataFrame, n_buckets: int = 10,
             F.sum("vocab_b").over(wc).cast("long").alias("vocab_cum"),
         )
     )
+
+
+def length_percentiles(documents: DataFrame,
+                       lang_col: str = "lang",
+                       len_col: str = "n_chars") -> DataFrame:
+    """(lang, n_docs, p25, p50, p75, p90, p99) — exact length
+    distribution per language (linear-interpolated percentiles, the same
+    definition DuckDB's quantile_cont uses, so the twin is value-exact
+    after rounding).  Cutting a length curriculum or a truncation budget
+    starts from exactly this table.
+
+    Scale shape: exact percentile is a sort-based agg per group — fine
+    while the group count is small (languages); at 100 TB swap in
+    percentile_approx with a pinned accuracy, same shape."""
+    pcts = [0.25, 0.50, 0.75, 0.90, 0.99]
+    names = ["p25", "p50", "p75", "p90", "p99"]
+    arr = "array(" + ", ".join(str(p) for p in pcts) + ")"
+    d = documents.select(F.col(lang_col).alias("lang"),
+                         F.col(len_col).cast("double").alias("x"))
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(f"percentile(x, {arr})").alias("q"),
+    )
+    return agg.select(
+        "lang", "n_docs",
+        *[F.round(F.col("q")[i], 2).alias(nm) for i, nm in enumerate(names)],
+    )
+
+
+def token_budget_plan(documents: DataFrame, n_deciles: int = 10,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      lang_col: str = "lang") -> DataFrame:
+    """(lang, decile, n_docs, total_tokens, token_share) — the mixture
+    planner's input table: corpus tokens bucketed by language and
+    within-language quality decile (decile 10 = best).  Deciding "train
+    on the top 6 deciles of each language, reweight zh 2x" starts from
+    exactly this table.
+
+    Scale shape: quality + token counts in one scan (quality_scores),
+    one join back to the lang dim, an ntile window per language (at
+    100 TB replace with approx-quantile cutoffs — same output contract),
+    and a lang×decile hash agg; token_share divides by a 1-row scalar
+    broadcast, never a global window."""
+    qs = quality_scores(documents, id_col=id_col, text_col=text_col)
+    langs = documents.select(F.col(id_col).alias("doc_id"),
+                             F.col(lang_col).alias("lang"))
+    j = qs.join(langs, "doc_id")
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    per = (
+        j.withColumn("decile", F.ntile(n_deciles).over(w))
+        .groupBy("lang", "decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("total_tokens"))
+    )
+    total = per.agg(F.sum("total_tokens").alias("grand")).select(
+        F.greatest(F.col("grand"), F.lit(1)).alias("grand"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select("lang", "decile", "n_docs", "total_tokens",
+                F.round(F.col("total_tokens") / F.col("grand"), 4)
+                .alias("token_share"))
+    )
+
+
+def _ngram_stream(documents: DataFrame, n: int, text_col: str,
+                  lang_col: str) -> DataFrame:
+    """(lang, gram) — every n-token gram occurrence (NOT distinct)."""
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    d = (documents.select(F.col(lang_col).alias("lang"), toks.alias("toks"))
+         .filter(F.size("toks") >= n))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]),
+    )
+    return d.select("lang", F.explode(grams).alias("gram"))
+
+
+def distinct_ngrams(documents: DataFrame, max_n: int = 3,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    lang_col: str = "lang") -> DataFrame:
+    """(lang, n, total_grams, distinct_grams, distinct_ratio) — the
+    distinct-n diversity metric per language (the corpus-level twin of
+    self-BLEU: low distinct-2/3 ratios flag template floods and decoding
+    loops in synthetic data).  One gram-stream hash agg per n, unioned
+    inside the plan — gram streams are corpus-token sized, aggregated
+    to the gram vocabulary before anything else."""
+    parts = []
+    for n in range(1, max_n + 1):
+        g = _ngram_stream(documents, n, text_col, lang_col)
+        parts.append(
+            g.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("total_grams"),
+                 F.countDistinct("gram").cast("long").alias("distinct_grams"))
+            .select("lang", F.lit(n).alias("n"), "total_grams",
+                    "distinct_grams",
+                    F.round(F.col("distinct_grams")
+                            / F.greatest(F.col("total_grams"), F.lit(1)), 4)
+                    .alias("distinct_ratio"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def term_dispersion(documents: DataFrame, limit: int = 100,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(term, tf_total, df, tf_max, burstiness, doc_share) — dispersion
+    profile of the heaviest terms: burstiness = mean tf in the documents
+    that contain the term (Church & Gale's burstiness), doc_share = df
+    over the corpus size.  High-tf/low-df terms are boilerplate magnets;
+    the table feeds stopword and boilerplate-strip rules.
+
+    Scale shape: postings hash agg -> term-dim agg -> top-k; the only
+    ordering is TakeOrderedAndProject over the vocabulary dimension."""
+    postings = (
+        tokenized(documents, id_col=id_col, text_col=text_col)
+        .groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = documents.select(
+        F.greatest(F.count(F.lit(1)), F.lit(1)).alias("n_all"))
+    return (
+        postings.groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("tf_total"),
+             F.count(F.lit(1)).cast("long").alias("df"),
+             F.max("tf").cast("long").alias("tf_max"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("term", "tf_total", "df", "tf_max",
+                F.round(F.col("tf_total") / F.col("df"), 4).alias("burstiness"),
+                F.round(F.col("df") / F.col("n_all"), 4).alias("doc_share"))
+        .orderBy(F.desc("tf_total"), F.asc("term"))
+        .limit(limit)
+    )
