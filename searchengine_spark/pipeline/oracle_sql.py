@@ -2505,15 +2505,31 @@ FROM agg
 
 def token_budget_plan(n_deciles: int = 10) -> str:
     """Twin of textstats.token_budget_plan (reuses the quality twin as a
-    CTE; ntile ordered by (quality, doc_id) is deterministic on both)."""
+    CTE; the discrete cutoff rule cum*n >= i*tot is integer arithmetic
+    over the same 4dp-rounded quality values, so both engines agree
+    bit-for-bit — no interpolated quantiles)."""
+    n = n_deciles
+    cut_cols = ", ".join(
+        f"min(CASE WHEN cum * {n} >= {i} * tot THEN quality END) AS c{i}"
+        for i in range(1, n)
+    )
+    decile_expr = " + ".join(
+        f"CASE WHEN quality > c{i} THEN 1 ELSE 0 END" for i in range(1, n)
+    )
     return f"""
 WITH q AS ({quality_scores()}),
-j AS (SELECT q.doc_id, q.n_tokens, q.quality, d.lang
+j AS (SELECT q.n_tokens, q.quality, d.lang
       FROM q JOIN documents d USING (doc_id)),
-t AS (SELECT lang, n_tokens,
-             ntile({n_deciles}) OVER (PARTITION BY lang
-                                      ORDER BY quality, doc_id) AS decile
-      FROM j),
+hist AS (SELECT lang, quality, count(*)::BIGINT AS cnt
+         FROM j GROUP BY 1, 2),
+cum AS (SELECT lang, quality, cnt,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY quality) AS cum,
+               sum(cnt) OVER (PARTITION BY lang) AS tot
+        FROM hist),
+cuts AS (SELECT lang, {cut_cols} FROM cum GROUP BY lang),
+t AS (SELECT j.lang, j.n_tokens,
+             (1 + {decile_expr})::INT AS decile
+      FROM j JOIN cuts USING (lang)),
 per AS (
   SELECT lang, decile, count(*)::BIGINT AS n_docs,
          sum(n_tokens)::BIGINT AS total_tokens

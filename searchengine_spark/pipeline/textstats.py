@@ -818,18 +818,43 @@ def token_budget_plan(documents: DataFrame, n_deciles: int = 10,
     on the top 6 deciles of each language, reweight zh 2x" starts from
     exactly this table.
 
+    Decile rule (discrete quantiles, no interpolation): per language,
+    cutoff c_i is the smallest quality value whose cumulative doc count
+    reaches i/n of the language (cum*n >= i*tot in integer arithmetic,
+    so the Spark plan and the DuckDB twin agree bit-for-bit), and a
+    document lands in decile 1 + #{i : quality > c_i} — equal-quality
+    documents always share a decile.
+
     Scale shape: quality + token counts in one scan (quality_scores),
-    one join back to the lang dim, an ntile window per language (at
-    100 TB replace with approx-quantile cutoffs — same output contract),
-    and a lang×decile hash agg; token_share divides by a 1-row scalar
-    broadcast, never a global window."""
+    one join back to the lang dim, then the cutoffs come from a
+    (lang, quality) HISTOGRAM — quality is rounded to 4dp so the
+    histogram is <=10^4 rows per language no matter the corpus size;
+    the only window runs over that histogram, never over documents
+    (an ntile per language would funnel a whole language through one
+    sorting task at 100 TB).  Assignment is a broadcast join + array
+    filter; token_share divides by a 1-row scalar broadcast."""
     qs = quality_scores(documents, id_col=id_col, text_col=text_col)
     langs = documents.select(F.col(id_col).alias("doc_id"),
                              F.col(lang_col).alias("lang"))
-    j = qs.join(langs, "doc_id")
-    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    j = qs.join(langs, "doc_id").select("lang", "quality", "n_tokens")
+    hist = j.groupBy("lang", "quality").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    hw = Window.partitionBy("lang").orderBy("quality")
+    cum = hist.withColumn("cum", F.sum("cnt").over(hw)).join(
+        hist.groupBy("lang").agg(F.sum("cnt").cast("long").alias("tot")),
+        "lang")
+    cuts = cum.groupBy("lang").agg(
+        F.array(*[
+            F.min(F.when(F.col("cum") * n_deciles >= i * F.col("tot"),
+                         F.col("quality")))
+            for i in range(1, n_deciles)
+        ]).alias("cuts"))
     per = (
-        j.withColumn("decile", F.ntile(n_deciles).over(w))
+        j.join(F.broadcast(cuts), "lang")
+        .withColumn(
+            "decile",
+            (F.lit(1) + F.size(F.filter(
+                "cuts", lambda c: c < F.col("quality")))).cast("int"))
         .groupBy("lang", "decile")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
              F.sum("n_tokens").cast("long").alias("total_tokens"))

@@ -209,8 +209,21 @@ class TestMixtureAndDiversity:
         rows = textstats.token_budget_plan(mini, n_deciles=2).collect()
         assert abs(sum(r.token_share for r in rows) - 1.0) < 5e-4
         assert sum(r.total_tokens for r in rows) == 13
+        # docs 1 and 2 tie at the top quality and the tie straddles the
+        # median cutoff: equal-quality docs always share a decile, and a
+        # decile holds docs STRICTLY above its cutoff, so all of en
+        # collapses into decile 1
         en = {r.decile: r for r in rows if r.lang == "en"}
-        assert len(en) == 2 and all(r.n_docs >= 1 for r in en.values())
+        assert set(en) == {1} and en[1].n_docs == 3
+
+    def test_token_budget_plan_distinct_qualities_split(self, spark):
+        rows = [(i, "word " * i, "en") for i in range(1, 5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = {r.decile: r.n_docs
+               for r in textstats.token_budget_plan(df, n_deciles=2).collect()}
+        # four distinct qualities -> median cutoff = 2nd value; docs 1-2
+        # land in decile 1, docs 3-4 strictly above it in decile 2
+        assert got == {1: 2, 2: 2}
 
     def test_distinct_ngrams_hand_counts(self, mini):
         got = {(r.lang, r.n): (r.total_grams, r.distinct_grams)
