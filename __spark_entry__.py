@@ -380,6 +380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             codestats.with_code_fixture(_docs(s, d))),
         "q_top_imports": lambda s, d: codestats.top_imports(
             codestats.with_code_fixture(_docs(s, d))),
+        # SemDeDup: within-IVF-list cosine prune + per-cluster summary
+        "q_semantic_dedup": lambda s, d: similarity.semantic_dedup(_emb(s, d), threshold=0.3),
+        "q_semantic_dedup_stats": lambda s, d: similarity.semantic_dedup_stats(_emb(s, d), threshold=0.3),
         # mixture planning + diversity + dispersion dashboards
         "q_token_budget_plan": lambda s, d: textstats.token_budget_plan(_docs(s, d)),
         "q_distinct_ngrams": lambda s, d: textstats.distinct_ngrams(_docs(s, d)),
@@ -516,6 +519,8 @@ def oracle_sql() -> dict[str, str]:
         "q_code_hygiene": osql.code_hygiene(),
         "q_ident_styles": osql.ident_styles(),
         "q_top_imports": osql.top_imports(),
+        "q_semantic_dedup": osql.semantic_dedup(threshold=0.3),
+        "q_semantic_dedup_stats": osql.semantic_dedup_stats(threshold=0.3),
         "q_token_budget_plan": osql.token_budget_plan(),
         "q_distinct_ngrams": osql.distinct_ngrams(),
         "q_term_dispersion": osql.term_dispersion(),

@@ -2582,3 +2582,42 @@ FROM postings GROUP BY term
 ORDER BY tf_total DESC, term ASC
 LIMIT {limit}
 """
+
+
+def semantic_dedup(n_lists: int = 8, threshold: float = 0.9) -> str:
+    """Twin of similarity.semantic_dedup (reuses the IVF assignment
+    block; per-list pair join + keep-min-id prune rule, cosine rounded
+    to 3 before the threshold so both engines agree)."""
+    return f"""
+WITH {_IVF_ASSIGN.format(n_lists=n_lists)},
+av AS (SELECT a.vec_id, a.list_id, e.embedding
+       FROM assign a JOIN embeddings e USING (vec_id)),
+pairs AS (
+  SELECT y.vec_id AS vec_id, x.vec_id AS dup_of, x.list_id,
+         round(
+           list_sum([x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE for i in generate_series(1, len(x.embedding))])
+           / ( sqrt(list_sum([x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE for i in generate_series(1, len(x.embedding))]))
+             * sqrt(list_sum([y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE for i in generate_series(1, len(y.embedding))])) ),
+           3) AS cos
+  FROM av x JOIN av y ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+)
+SELECT vec_id, min(dup_of)::BIGINT AS dup_of, list_id,
+       arg_min(cos, dup_of) AS cos
+FROM pairs WHERE cos >= {threshold}
+GROUP BY vec_id, list_id
+"""
+
+
+def semantic_dedup_stats(n_lists: int = 8, threshold: float = 0.9) -> str:
+    """Twin of similarity.semantic_dedup_stats."""
+    return f"""
+WITH pruned AS ({semantic_dedup(n_lists, threshold)}),
+lists AS ({ivf_lists(n_lists)}),
+per AS (SELECT list_id, count(*)::BIGINT AS n_vecs FROM lists GROUP BY 1),
+pr AS (SELECT list_id, count(*)::BIGINT AS n_pruned FROM pruned GROUP BY 1)
+SELECT per.list_id, per.n_vecs,
+       coalesce(pr.n_pruned, 0)::BIGINT AS n_pruned,
+       round((per.n_vecs - coalesce(pr.n_pruned, 0)) / per.n_vecs::DOUBLE, 4)
+       AS keep_ratio
+FROM per LEFT JOIN pr USING (list_id)
+"""

@@ -156,3 +156,52 @@ class TestAnnRecallGates:
             assert set(out) == {0, 1, 2}
             assert all(0.0 <= v <= 1.0 for v in out.values())
             assert max(out.values()) > 0.0, fam.__name__
+
+
+class TestSemanticDedup:
+    """SemDeDup: within-IVF-list cosine pruning (similarity.semantic_dedup)."""
+
+    def test_planted_dups_pruned_with_keep_min(self, spark, planted):
+        pruned = {r.vec_id: r for r in S.semantic_dedup(
+            planted, n_lists=4, threshold=0.99).collect()}
+        lists = {r.vec_id: r.list_id for r in S.ivf_lists(
+            planted, n_lists=4).collect()}
+        # every planted copy that shares a list with its source is pruned,
+        # with dup_of = the source (the smallest near-identical id)
+        same_list = [j for j in range(60) if lists[j] == lists[1000 + j]]
+        assert same_list, "fixture degenerate: no dup landed with its source"
+        for j in same_list:
+            assert 1000 + j in pruned
+            assert pruned[1000 + j].dup_of == j
+            assert pruned[1000 + j].cos >= 0.99
+        # sources themselves are never pruned by their own copies (keep-min)
+        for j in range(60):
+            if j in pruned:
+                assert pruned[j].dup_of < j  # only a genuine smaller near-dup
+
+    def test_cross_list_pairs_are_missed_by_design(self, spark, planted):
+        pruned = {r.vec_id for r in S.semantic_dedup(
+            planted, n_lists=4, threshold=0.99).collect()}
+        lists = {r.vec_id: r.list_id for r in S.ivf_lists(
+            planted, n_lists=4).collect()}
+        cross_pruned = {1000 + j: j for j in range(60)
+                        if lists[j] != lists[1000 + j]}
+        # the documented recall tradeoff: a copy split from its source is
+        # never pruned BY that source — if it is pruned at all, the
+        # witness must be some other vector sharing its list
+        dup_of = {r.vec_id: r.dup_of for r in S.semantic_dedup(
+            planted, n_lists=4, threshold=0.99).collect()}
+        for v, src in cross_pruned.items():
+            if v in pruned:
+                assert dup_of[v] != src
+                assert lists[dup_of[v]] == lists[v]
+
+    def test_stats_reconcile_with_prune_list(self, spark, planted):
+        stats = S.semantic_dedup_stats(planted, n_lists=4, threshold=0.99)
+        rows = stats.collect()
+        n_pruned_total = sum(r.n_pruned for r in rows)
+        assert n_pruned_total == S.semantic_dedup(
+            planted, n_lists=4, threshold=0.99).count()
+        assert sum(r.n_vecs for r in rows) == 260
+        for r in rows:
+            assert abs(r.keep_ratio - round((r.n_vecs - r.n_pruned) / r.n_vecs, 4)) < 1e-9
