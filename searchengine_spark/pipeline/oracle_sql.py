@@ -2196,11 +2196,15 @@ FROM ranked
 
 def heaps_law(n_buckets: int = 10) -> str:
     """Twin of textstats.heaps_law (cumulative vocab growth over doc-order
-    prefixes; vocab via first-seen bucket, no per-prefix rescan)."""
+    prefixes; equal-width doc_id range buckets in integer arithmetic —
+    same zero-sort rule as the Spark plan; vocab via first-seen bucket,
+    no per-prefix rescan)."""
     return f"""
 WITH {_TOKS_CTE},
-db AS (SELECT doc_id, ntile({n_buckets}) OVER (ORDER BY doc_id) AS bucket
-       FROM documents),
+mm AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+db AS (SELECT doc_id,
+              (1 + (doc_id - lo) * {n_buckets} // (hi - lo + 1))::INT AS bucket
+       FROM documents, mm),
 per_doc AS (SELECT doc_id, count(*)::BIGINT AS ntok FROM toks GROUP BY 1),
 bt AS (
   SELECT b.bucket, count(*)::BIGINT AS docs_b,

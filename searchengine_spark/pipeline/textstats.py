@@ -748,12 +748,24 @@ def heaps_law(documents: DataFrame, n_buckets: int = 10,
 
     Scale shape: vocab_cum needs NO per-prefix rescan — first_seen =
     min(bucket) per term (one hash agg), then the cumulative counts are a
-    window over ``n_buckets`` rows.  The ntile doc-order bucketing is a
-    sort of the doc DIMENSION (ids, not text); at 100 TB you would derive
-    the same cutoffs from approx quantiles of doc_id instead.
+    window over ``n_buckets`` rows.  Buckets are equal-width doc_id
+    RANGES from a broadcast min/max scalar (integer arithmetic, so the
+    DuckDB twin agrees bit-for-bit): zero sort, unlike an ntile window
+    whose global doc-order sort funnels the whole corpus through one
+    task.  With dense ids range buckets == count buckets; with sparse
+    ids they stay valid prefix cutpoints for the growth curve.
     """
-    db = documents.select(F.col(id_col).alias("doc_id")).withColumn(
-        "bucket", F.ntile(n_buckets).over(Window.orderBy("doc_id")))
+    mm = documents.agg(F.min(id_col).cast("long").alias("lo"),
+                       F.max(id_col).cast("long").alias("hi"))
+    db = (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .crossJoin(F.broadcast(mm))
+        .withColumn(
+            "bucket",
+            F.expr(f"cast(1 + (doc_id - lo) * {n_buckets} "
+                   "div (hi - lo + 1) as int)"))
+        .select("doc_id", "bucket")
+    )
     toks = tokenized(documents, id_col=id_col, text_col=text_col)
     per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ntok"))
     bt = (
