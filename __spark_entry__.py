@@ -380,6 +380,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             codestats.with_code_fixture(_docs(s, d))),
         "q_top_imports": lambda s, d: codestats.top_imports(
             codestats.with_code_fixture(_docs(s, d))),
+        # Zoekt/ctags-style symbol surface: definition sites, the symbol
+        # dimension, and prefix go-to-symbol lookup
+        "q_symbol_defs": lambda s, d: codestats.symbol_defs(
+            codestats.with_code_fixture(_docs(s, d))),
+        "q_symbol_index": lambda s, d: codestats.symbol_index(
+            codestats.with_code_fixture(_docs(s, d))),
+        "q_symbol_lookup": lambda s, d: codestats.symbol_lookup(
+            codestats.with_code_fixture(_docs(s, d)), prefix="parse"),
         # SemDeDup: within-IVF-list cosine prune + per-cluster summary
         "q_semantic_dedup": lambda s, d: similarity.semantic_dedup(_emb(s, d), threshold=0.3),
         "q_semantic_dedup_stats": lambda s, d: similarity.semantic_dedup_stats(_emb(s, d), threshold=0.3),
@@ -519,6 +527,9 @@ def oracle_sql() -> dict[str, str]:
         "q_code_hygiene": osql.code_hygiene(),
         "q_ident_styles": osql.ident_styles(),
         "q_top_imports": osql.top_imports(),
+        "q_symbol_defs": osql.symbol_defs(),
+        "q_symbol_index": osql.symbol_index(),
+        "q_symbol_lookup": osql.symbol_lookup("parse"),
         "q_semantic_dedup": osql.semantic_dedup(threshold=0.3),
         "q_semantic_dedup_stats": osql.semantic_dedup_stats(threshold=0.3),
         "q_token_budget_plan": osql.token_budget_plan(),

@@ -111,6 +111,12 @@ CODE_FIXTURE: list[tuple[int, str, str]] = [  # (doc_id, lang, text)
      "-- nightly rollup job\n"
      "-- aggregates the DAILY_TOTALS table\n"
      "SELECT MAX_VALUE, ROW_COUNT FROM DAILY_TOTALS;\n"),
+    (-9, "py",
+     "# geometry helpers\n"
+     "class ShapeKind:\n"
+     "    pass\n"
+     "def area_of(shape_kind):\n"
+     "    return 0\n"),
 ]
 
 CODE_FIXTURE_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -277,3 +283,64 @@ def ident_styles(documents: DataFrame, id_col: str = "doc_id",
         dominant = F.when(c > best, F.lit(name)).otherwise(dominant)
         best = F.when(c > best, c).otherwise(best)
     return agg.withColumn("dominant", dominant)
+
+
+# (kind, line-anchored pattern, group 1 = the defined symbol) — the
+# grep-able definition conventions Zoekt/ctags-style symbol search keys
+# on; deliberately language-lexical, not parsed (the 100 TB path cannot
+# afford per-file ASTs and the reference surface is regex search)
+SYMBOL_PATTERNS: list[tuple[str, str]] = [
+    ("function", "(?m)^[ \\t]*(?:def|function|func|fn)[ \\t]+([A-Za-z_]\\w*)"),
+    ("type", "(?m)^[ \\t]*(?:class|struct|interface|trait|enum)[ \\t]+([A-Za-z_]\\w*)"),
+    ("binding", "(?m)^[ \\t]*(?:const|let|var)[ \\t]+([A-Za-z_]\\w*)"),
+    ("c_function",
+     "(?m)^[ \\t]*(?:int|long|float|double|void|bool|char)[ \\t]+([A-Za-z_]\\w*)[ \\t]*\\("),
+]
+
+
+def symbol_defs(documents: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, kind, symbol) — every symbol DEFINITION site by the
+    SYMBOL_PATTERNS conventions (one row per definition occurrence).
+    One corpus scan per convention unioned in-plan; per-row JVM regex,
+    output bounded by definition count, never token count."""
+    txt = F.col(text_col)
+    parts = [
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(kind).alias("kind"),
+            F.explode(F.regexp_extract_all(txt, F.lit(pat), 1)).alias("symbol"),
+        )
+        for kind, pat in SYMBOL_PATTERNS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def symbol_index(documents: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(symbol, kind, n_docs, n_defs) — the symbol dimension: how many
+    documents define each symbol and how often (re-definitions flag
+    vendored copies).  Symbol-registry sized, never corpus sized."""
+    return (
+        symbol_defs(documents, id_col, text_col)
+        .groupBy("symbol", "kind")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"),
+             F.count(F.lit(1)).cast("long").alias("n_defs"))
+    )
+
+
+def symbol_lookup(documents: DataFrame, prefix: str, limit: int = 20,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(symbol, kind, n_docs, n_defs) — prefix symbol search over the
+    index (the editor's go-to-symbol box), ranked by definition count
+    then name.  The prefix filter lands on the aggregated symbol dim;
+    at serving scale you'd persist symbol_index and range-scan it."""
+    return (
+        symbol_index(documents, id_col, text_col)
+        .filter(F.col("symbol").startswith(prefix))
+        .orderBy(F.desc("n_defs"), F.asc("symbol"), F.asc("kind"))
+        .limit(limit)
+    )

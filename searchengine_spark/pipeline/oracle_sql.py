@@ -2625,3 +2625,40 @@ SELECT per.list_id, per.n_vecs,
        AS keep_ratio
 FROM per LEFT JOIN pr USING (list_id)
 """
+
+
+def _symbol_defs_cte() -> str:
+    """(doc_id, kind, symbol) over documents ∪ CODE_FIXTURE."""
+    from searchengine_spark.pipeline.codestats import SYMBOL_PATTERNS
+
+    return " UNION ALL ".join(
+        f"SELECT doc_id, '{kind}' AS kind, "
+        f"unnest(regexp_extract_all(text, '{_q(pat)}', 1)) AS symbol "
+        f"FROM {_code_docs()} documents"
+        for kind, pat in SYMBOL_PATTERNS
+    )
+
+
+def symbol_defs() -> str:
+    """Twin of codestats.symbol_defs."""
+    return f"SELECT * FROM ({_symbol_defs_cte()})"
+
+
+def symbol_index() -> str:
+    """Twin of codestats.symbol_index."""
+    return f"""
+WITH defs AS ({_symbol_defs_cte()})
+SELECT symbol, kind, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_defs
+FROM defs GROUP BY 1, 2
+"""
+
+
+def symbol_lookup(prefix: str, limit: int = 20) -> str:
+    """Twin of codestats.symbol_lookup."""
+    return f"""
+WITH idx AS ({symbol_index()})
+SELECT * FROM idx WHERE starts_with(symbol, '{_q(prefix)}')
+ORDER BY n_defs DESC, symbol ASC, kind ASC
+LIMIT {limit}
+"""

@@ -262,3 +262,47 @@ class TestCorpusReportJob:
         mix = {(r["lang"], r["license"]): r["n_docs"] for r in rep["license_mix"]}
         assert mix[("python", "mit")] == 1
         assert "code_hygiene" in rep
+
+
+class TestSymbols:
+    @pytest.fixture(scope="class")
+    def sym_docs(self, spark):
+        rows = [
+            (1, "def alpha(x):\n    return x\nclass Beta:\n    pass\n", "py"),
+            (2, "function alphaFn(y) { return y }\nconst gamma = 1\n"
+                "let delta = 2\n", "js"),
+            (3, "int main(int argc) { return 0; }\n"
+                "struct Point { int x; };\n"
+                "void alpha(void) {}\n", "c"),
+            (4, "plain prose, mentions def inside a sentence but not at "
+                "line start with a name", "en"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_symbol_defs_kinds_and_sites(self, sym_docs):
+        got = {(r.doc_id, r.kind, r.symbol)
+               for r in codestats.symbol_defs(sym_docs).collect()}
+        assert (1, "function", "alpha") in got
+        assert (1, "type", "Beta") in got
+        assert (2, "function", "alphaFn") in got
+        assert (2, "binding", "gamma") in got
+        assert (2, "binding", "delta") in got
+        assert (3, "c_function", "main") in got
+        assert (3, "c_function", "alpha") in got
+        assert (3, "type", "Point") in got
+        assert not any(d == 4 for d, _, _ in got)
+
+    def test_symbol_index_counts_docs_and_defs(self, sym_docs):
+        idx = {(r.symbol, r.kind): (r.n_docs, r.n_defs)
+               for r in codestats.symbol_index(sym_docs).collect()}
+        # 'alpha' defined as py function (doc 1) and C function (doc 3):
+        # separate kinds, separate rows
+        assert idx[("alpha", "function")] == (1, 1)
+        assert idx[("alpha", "c_function")] == (1, 1)
+
+    def test_symbol_lookup_prefix_ranked(self, sym_docs):
+        rows = codestats.symbol_lookup(sym_docs, prefix="alpha").collect()
+        assert [r.symbol for r in rows] == ["alpha", "alpha", "alphaFn"]
+        assert all(r.symbol.startswith("alpha") for r in rows)
+        # ties (n_defs=1) break by symbol asc then kind asc
+        assert [r.kind for r in rows[:2]] == ["c_function", "function"]
