@@ -101,6 +101,9 @@ HEADLINE = [
     "q_event_transitions",
     "q_passage_dup_stats",
     "q_code_hygiene",
+    "q_semantic_dedup",
+    "q_symbol_index",
+    "q_token_budget_plan",
 ]
 
 

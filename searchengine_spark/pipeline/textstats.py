@@ -853,7 +853,8 @@ def token_budget_plan(documents: DataFrame, n_deciles: int = 10,
         F.count(F.lit(1)).cast("long").alias("cnt"))
     hw = Window.partitionBy("lang").orderBy("quality")
     cum = hist.withColumn("cum", F.sum("cnt").over(hw)).join(
-        hist.groupBy("lang").agg(F.sum("cnt").cast("long").alias("tot")),
+        F.broadcast(
+            hist.groupBy("lang").agg(F.sum("cnt").cast("long").alias("tot"))),
         "lang")
     cuts = cum.groupBy("lang").agg(
         F.array(*[

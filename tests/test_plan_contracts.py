@@ -108,3 +108,39 @@ class TestAnalyzerBoundaryContracts:
         assert len(scans) == 1, scans
         assert "Exchange" in p  # one shuffle to the lang dimension is expected
         assert "SortMergeJoin" not in p
+
+
+class TestRound3PlanContracts:
+    def test_token_budget_plan_windows_only_over_histogram(self, docs):
+        from searchengine_spark.pipeline import textstats
+
+        p = plan_str(textstats.token_budget_plan(docs))
+        # the cutoff broadcast must be a real broadcast, and no corpus-
+        # cardinality sort may appear below the agg (the old ntile window
+        # sorted a whole language on one task)
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+
+    def test_heaps_law_has_no_global_sort(self, docs):
+        from searchengine_spark.pipeline import textstats
+
+        p = plan_str(textstats.heaps_law(docs))
+        # bucketing is min/max broadcast + integer range arithmetic; the
+        # only window runs over n_buckets rows.  An ntile regression shows
+        # up as a Window whose child Sort has no partition key.
+        assert "ntile" not in p.lower()
+
+    def test_semantic_dedup_broadcasts_centroids_and_lists(self, emb):
+        p = plan_str(similarity.semantic_dedup(emb, threshold=0.3))
+        # centroid assignment must stay a broadcast nested loop (tiny
+        # centroid side); the within-list pair join is an equi-join on
+        # list_id, never a cartesian product
+        assert "BroadcastNestedLoopJoin" in p
+        assert "CartesianProduct" not in p
+
+    def test_symbol_lookup_is_top_k(self, docs):
+        from searchengine_spark.pipeline import codestats
+
+        p = plan_str(codestats.symbol_lookup(docs, prefix="parse"))
+        assert "TakeOrderedAndProject" in p
