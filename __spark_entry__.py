@@ -363,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_daily_anomalies": lambda s, d: events.daily_anomalies(_events(s, d)),
         # behavioral-sequence bigram model over per-user event streams
         "q_event_transitions": lambda s, d: events.transition_matrix(_events(s, d)),
+        # interval-join attribution (batch twin of the stream-stream join)
+        "q_click_attribution": lambda s, d: events.click_attribution(_events(s, d)),
         # per-language length distribution (exact interpolated percentiles)
         "q_length_percentiles": lambda s, d: textstats.length_percentiles(_docs(s, d)),
         # sub-document boilerplate: non-overlapping 8-token block dedup
@@ -520,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
         "q_funnel_steps": osql.funnel(),
         "q_daily_anomalies": osql.daily_anomalies(),
         "q_event_transitions": osql.transition_matrix(),
+        "q_click_attribution": osql.click_attribution(),
         "q_length_percentiles": osql.length_percentiles(),
         "q_passage_dup_stats": osql.passage_dup_stats(),
         "q_top_dup_passages": osql.top_dup_passages(),

@@ -221,3 +221,38 @@ def transition_matrix(events: DataFrame) -> DataFrame:
         .select("prev_type", "next_type", "n",
                 F.round(F.col("n") / F.col("tot"), 4).alias("p"))
     )
+
+
+def click_attribution(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
+    """(click_id, user_id, click_ts, view_id, view_ts, lag_seconds) —
+    interval-join attribution: every 'click' paired with EVERY 'view' by
+    the same user in the preceding ``gap_minutes`` (all-touch; last-touch
+    is this plus a max_by(view_ts) group — and pure as-of lives in
+    pipeline/asof.py).  The batch twin of
+    streaming/joins.run_attribution_stream, so stream==batch tests can
+    assert identical pairs from the same drops.
+
+    Scale shape: one equi-join keyed user_id with the time-range
+    predicate evaluated inside the join — the stream shards by user and
+    time naturally; no cross join, no window over the event stream."""
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+    return (
+        c.join(v, "user_id")
+        .filter((F.col("view_ts") <= F.col("click_ts"))
+                & (F.col("view_ts") >= F.col("click_ts") - gap))
+        .select(
+            "click_id", "user_id", "click_ts", "view_id", "view_ts",
+            (F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts"))
+            .cast("long").alias("lag_seconds"),
+        )
+    )

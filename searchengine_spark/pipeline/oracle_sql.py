@@ -2662,3 +2662,17 @@ SELECT * FROM idx WHERE starts_with(symbol, '{_q(prefix)}')
 ORDER BY n_defs DESC, symbol ASC, kind ASC
 LIMIT {limit}
 """
+
+
+def click_attribution(gap_minutes: int = 10) -> str:
+    """Twin of events.click_attribution (interval join, inclusive ends)."""
+    return f"""
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       v.event_id AS view_id, v.ts AS view_ts,
+       date_diff('second', v.ts, c.ts)::BIGINT AS lag_seconds
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id
+ AND v.ts <= c.ts
+ AND v.ts >= c.ts - INTERVAL {int(gap_minutes)} MINUTES
+"""

@@ -1,0 +1,85 @@
+"""Stream-stream interval join: view -> click attribution.
+
+The third Structured Streaming shape next to windows.py's watermarked
+aggregations and stateful dedup: two filtered projections of one event
+stream joined on user_id with a time-range condition.  Spark keeps each
+side's rows in the state store only while the other side's watermark
+can still produce a match — the time bounds on the join condition are
+what lets it evict state, so they are mandatory, not an optimization.
+
+Batch twin: pipeline/events.click_attribution — same pair semantics, so
+tests drop the same files through both paths and assert identical rows.
+
+At cluster scale this runs continuously: both sides shard by user_id
+(the join key), state is bounded by gap x event rate per user, and the
+sink sees each attributed pair exactly once (append mode, inner join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+
+from searchengine_spark.streaming.windows import EVENTS_SCHEMA
+
+
+def run_attribution_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 10,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+):
+    """Stream events from ``drop_dir``; append every (click, view) pair
+    where the view by the same user happened within ``gap_minutes``
+    before the click (inclusive ends — pipeline/events.click_attribution
+    semantics) to parquet at ``out_dir``."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(drop_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = (
+        clicks.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") <= F.col("click_ts"))
+            & (F.col("view_ts")
+               >= F.col("click_ts") - F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")),
+            "inner",
+        )
+        .select(
+            "click_id", "user_id", "click_ts", "view_id", "view_ts",
+            (F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts"))
+            .cast("long").alias("lag_seconds"),
+        )
+    )
+    writer = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

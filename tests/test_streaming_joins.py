@@ -1,0 +1,78 @@
+"""Stream-stream interval join (view -> click attribution): streamed
+pairs must equal the batch twin on the same drops, across micro-batches
+and with out-of-window views excluded."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from searchengine_spark.pipeline.events import click_attribution
+from searchengine_spark.streaming.joins import run_attribution_stream
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events_df(spark, rows):
+    """rows: (event_id, minutes_after_T0, user_id, event_type)"""
+    data = [
+        (eid, T0 + dt.timedelta(minutes=m), uid, et, 0.0, "{}")
+        for eid, m, uid, et in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _pairs(df):
+    return {
+        (r.click_id, r.user_id, r.view_id, r.lag_seconds)
+        for r in df.collect()
+    }
+
+
+def test_stream_attribution_matches_batch(spark, tmp_path):
+    drop_dir = str(tmp_path / "jdrops")
+    out_dir = str(tmp_path / "jout")
+    ckpt = str(tmp_path / "jckpt")
+    os.makedirs(drop_dir)
+
+    rows = [
+        # user 10: view at 0 and 8 -> click at 9 attributes to BOTH
+        (1, 0.0, 10, "view"),
+        (2, 8.0, 10, "view"),
+        (3, 9.0, 10, "click"),
+        # user 11: view at 0, click at 25 -> outside the 10-min gap
+        (4, 0.0, 11, "view"),
+        (5, 25.0, 11, "click"),
+        # user 12: click BEFORE its view -> never attributed
+        (6, 5.0, 12, "click"),
+        (7, 6.0, 12, "view"),
+        # watermark mover
+        (8, 60.0, 99, "error"),
+    ]
+    _events_df(spark, rows).coalesce(1).write.mode("append").parquet(drop_dir)
+    run_attribution_stream(spark, drop_dir, out_dir, ckpt, gap_minutes=10,
+                           watermark="10 minutes")
+
+    got = _pairs(spark.read.parquet(out_dir))
+    expect = _pairs(click_attribution(_events_df(spark, rows), gap_minutes=10))
+    assert got == expect
+    assert (3, 10, 1, 540) in got and (3, 10, 2, 60) in got
+    assert not any(c == 5 or c == 6 for c, _, _, _ in got)
+
+    # second drop: a new click for user 10 within range of view 2 only
+    # (view 1 is now 19 min old) — incremental batch emits exactly it
+    rows2 = [(9, 14.0, 10, "click"), (10, 90.0, 99, "error")]
+    _events_df(spark, rows2).coalesce(1).write.mode("append").parquet(drop_dir)
+    run_attribution_stream(spark, drop_dir, out_dir, ckpt, gap_minutes=10,
+                           watermark="10 minutes")
+
+    got2 = _pairs(spark.read.parquet(out_dir))
+    all_rows = rows + rows2
+    expect2 = _pairs(click_attribution(_events_df(spark, all_rows),
+                                       gap_minutes=10))
+    assert got2 == expect2
+    assert (9, 10, 2, 360) in got2 and (9, 10, 1, 840) not in got2
