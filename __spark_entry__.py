@@ -65,6 +65,10 @@ Q_REGEX = "merge [a-z]+ vector"
 Q_REGEX_GROUP = "(merge )?vector"
 PROBE_DOC_ID = 0
 PROBE_VEC_IDS = [0, 1, 2, 3, 4]
+# fixed merge list for the BPE apply gate: single-char merges plus
+# chained multi-char merges ((h,as) consumes (a,s)'s output, (ta,b)
+# consumes (t,a)'s) so the greedy fold is exercised, not just lookup
+BPE_MERGES = [("a", "s"), ("h", "as"), ("t", "a"), ("ta", "b")]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,6 +272,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), epoch=1, n_files=8
         ),
         "q_bpe_pair_counts": lambda s, d: bpe.bpe_pair_counts(_docs(s, d)),
+        # BPE APPLY half: replay a fixed merge list over the word dim
+        # (multi-char chained merges exercise the greedy fold end-to-end)
+        "q_bpe_encoded": lambda s, d: bpe.bpe_encoded_flat(
+            _docs(s, d), BPE_MERGES),
         "q_textrank": lambda s, d: graph.textrank(_docs(s, d)),
         "q_dsir_weights": lambda s, d: textstats.dsir_weights(_docs(s, d)),
         "q_containment_pairs": lambda s, d: dedup.containment_pairs(
@@ -482,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
         "q_unigram_logprob": osql.unigram_logprob(),
         "q_epoch_shuffle": osql.epoch_shuffle(epoch=1, n_files=8),
         "q_bpe_pair_counts": osql.bpe_pair_counts(),
+        "q_bpe_encoded": osql.bpe_encoded_flat(BPE_MERGES),
         "q_textrank": osql.textrank(),
         "q_dsir_weights": osql.dsir_weights(),
         "q_containment_pairs": osql.containment_pairs(threshold=0.3),

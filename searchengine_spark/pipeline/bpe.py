@@ -156,3 +156,18 @@ def bpe_encode_words(words: DataFrame,
         if (i + 1) % CHECKPOINT_EVERY == 0:
             out = out.localCheckpoint()
     return out
+
+
+def bpe_encoded_flat(documents: DataFrame,
+                     merges: list[tuple[str, str]],
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(word, freq, encoded) — the corpus pretoken dimension segmented by
+    an already-learned merge list, with the symbol sequence joined on
+    US (0x1f) for exact cross-engine comparison.  This is the APPLY half
+    of BPE (bpe_train learns the merges); at serving scale the merge list
+    is a broadcast constant and this is a map-only pass over the word
+    dim, never the token stream."""
+    w = word_counts(documents, id_col=id_col, text_col=text_col)
+    return bpe_encode_words(w, merges).select(
+        "word", "freq", F.concat_ws("\x1f", "syms").alias("encoded"))

@@ -2676,3 +2676,40 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
  AND v.ts <= c.ts
  AND v.ts >= c.ts - INTERVAL {int(gap_minutes)} MINUTES
 """
+
+
+def bpe_encoded_flat(merges: list[tuple[str, str]]) -> str:
+    """Twin of bpe.bpe_encoded_flat: the greedy left-to-right merge fold
+    replayed as ONE recursive CTE — state (word, midx, rem, acc) consumes
+    one symbol per recursion step; when rem empties the state advances to
+    the next merge with rem := acc.  Bit-identical to Spark's
+    F.aggregate fold in bpe._merge_fold."""
+    rows = ", ".join(
+        f"({i + 1}, '{_q(l)}', '{_q(r)}')" for i, (l, r) in enumerate(merges))
+    k = len(merges)
+    return f"""
+WITH RECURSIVE
+pt AS (SELECT unnest(regexp_extract_all(text, '{BPE_PRETOKEN_RE}')) AS w
+       FROM documents),
+wc AS (SELECT w AS word, count(*)::BIGINT AS freq FROM pt GROUP BY 1),
+m(midx, lhs, rhs) AS (SELECT * FROM (VALUES {rows})),
+step(word, freq, midx, rem, acc) AS (
+  SELECT word, freq, 1,
+         [substr(word, CAST(i AS INT), 1) for i in generate_series(1, len(word))],
+         []::VARCHAR[]
+  FROM wc
+  UNION ALL
+  SELECT word, freq,
+         CASE WHEN len(rem) = 0 THEN step.midx + 1 ELSE step.midx END,
+         CASE WHEN len(rem) = 0 THEN acc
+              ELSE list_slice(rem, 2, len(rem)) END,
+         CASE WHEN len(rem) = 0 THEN []::VARCHAR[]
+              WHEN len(acc) > 0 AND acc[-1] = m.lhs AND rem[1] = m.rhs
+                THEN list_append(list_slice(acc, 1, len(acc) - 1), m.lhs || m.rhs)
+              ELSE list_append(acc, rem[1]) END
+  FROM step JOIN m ON m.midx = step.midx
+  WHERE step.midx <= {k}
+)
+SELECT word, freq, array_to_string(rem, chr(31)) AS encoded
+FROM step WHERE midx = {k + 1}
+"""

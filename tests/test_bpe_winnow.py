@@ -197,3 +197,23 @@ class TestBPE:
         assert merges == [("a", "b")]  # cnt 2 beats ('b','a') cnt 1
         vocab = {r.token: r.freq for r in bpe.bpe_vocab(words).collect()}
         assert vocab == {"ab": 2, "b": 1, "a": 1}
+
+
+class TestBpeEncodedFlat:
+    def test_chained_merges_and_greedy_runs(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "hash table taaa", "en")],
+            "doc_id long, text string, lang string")
+        merges = [("a", "s"), ("h", "as"), ("t", "a"), ("ta", "b"),
+                  ("a", "a")]
+        got = {r.word: r.encoded.split("\x1f")
+               for r in __import__("searchengine_spark.pipeline.bpe",
+                                   fromlist=["bpe"]).bpe_encoded_flat(
+                   docs, merges).collect()}
+        # (a,s) then (h,as): hash -> [h, as, h] -> [has, h]
+        assert got["hash"] == ["has", "h"]
+        # (t,a) then (ta,b): table -> [ta,b,l,e] -> [tab, l, e]
+        assert got["table"] == ["tab", "l", "e"]
+        # greedy left-to-right on runs: taaa -> (t,a) [ta,a,a]
+        # -> (a,a) fuses the REMAINING pair once: [ta, aa]
+        assert got["taaa"] == ["ta", "aa"]
