@@ -182,6 +182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_clusters": lambda s, d: dedup.duplicate_clusters(
             _docs(s, d), threshold=0.2
         ),
+        # translated-boilerplate detector: literal overlap across langs
+        "q_cross_lang_shingles": lambda s, d: dedup.cross_lang_shared_shingles(
+            _docs(s, d)),
         "q_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "q_simhash_near_pairs": lambda s, d: dedup.simhash_near_pairs(
             _docs(s, d), max_hamming=8
@@ -491,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
         "q_epoch_shuffle": osql.epoch_shuffle(epoch=1, n_files=8),
         "q_bpe_pair_counts": osql.bpe_pair_counts(),
         "q_bpe_encoded": osql.bpe_encoded_flat(BPE_MERGES),
+        "q_cross_lang_shingles": osql.cross_lang_shared_shingles(),
         "q_textrank": osql.textrank(),
         "q_dsir_weights": osql.dsir_weights(),
         "q_containment_pairs": osql.containment_pairs(threshold=0.3),

@@ -462,3 +462,43 @@ def top_dup_passages(documents: DataFrame, k: int = 8, min_docs: int = 2,
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("blk_sha"))
         .limit(limit)
     )
+
+
+def cross_lang_shared_shingles(documents: DataFrame, min_shared: int = 3,
+                               max_df: int = 50, limit: int = 100,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               lang_col: str = "lang") -> DataFrame:
+    """(doc_a, lang_a, doc_b, lang_b, n_shared) — pairs of DIFFERENT-
+    language documents sharing >= min_shared 3-token shingles, ranked by
+    overlap: the translated-boilerplate / copied-template detector (a
+    high literal overlap across language labels flags mislabeled or
+    machine-translated near-copies that same-language dedup never
+    compares).
+
+    Scale shape: join through the shingle DIMENSION (equi-join), with
+    shingles hotter than ``max_df`` docs dropped first — the standard
+    frequency cap that bounds the pair fan-out per shingle at max_df²
+    and removes exactly the boilerplate n-grams that would dominate the
+    signal anyway.  lang_a < lang_b keeps pairs canonical and cross-
+    language by construction.  Like containment_pairs, this is the
+    verify-path shape: at 100 TB chain it behind LSH candidates."""
+    sh = shingles(documents, 3, id_col, text_col)
+    langs = documents.select(F.col(id_col).alias("doc_id"),
+                             F.col(lang_col).alias("lang"))
+    sl = sh.join(langs, "doc_id")
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    cold = sl.join(df.filter(F.col("df") <= max_df), "shingle")
+    a = cold.select("shingle", F.col("doc_id").alias("doc_a"),
+                    F.col("lang").alias("lang_a"))
+    b = cold.select("shingle", F.col("doc_id").alias("doc_b"),
+                    F.col("lang").alias("lang_b"))
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("doc_a", "lang_a", "doc_b", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(limit)
+    )

@@ -2713,3 +2713,24 @@ step(word, freq, midx, rem, acc) AS (
 SELECT word, freq, array_to_string(rem, chr(31)) AS encoded
 FROM step WHERE midx = {k + 1}
 """
+
+
+def cross_lang_shared_shingles(min_shared: int = 3, max_df: int = 50,
+                               limit: int = 100) -> str:
+    """Twin of dedup.cross_lang_shared_shingles."""
+    return f"""
+WITH {_SHINGLE_CTE},
+sl AS (SELECT sh.doc_id, sh.shingle, d2.lang
+       FROM sh JOIN documents d2 USING (doc_id)),
+sdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+cold AS (SELECT sl.* FROM sl JOIN sdf USING (shingle)
+         WHERE sdf.df <= {max_df})
+SELECT a.doc_id AS doc_a, a.lang AS lang_a,
+       b.doc_id AS doc_b, b.lang AS lang_b,
+       count(*)::BIGINT AS n_shared
+FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.lang < b.lang
+GROUP BY 1, 2, 3, 4
+HAVING count(*) >= {min_shared}
+ORDER BY n_shared DESC, doc_a ASC, doc_b ASC
+LIMIT {limit}
+"""

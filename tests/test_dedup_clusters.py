@@ -39,3 +39,31 @@ def test_cluster_label_is_component_min(spark, chain_docs):
     out = duplicate_clusters(chain_docs, threshold=0.15)
     bad = out.filter(F.col("cluster_id") > F.col("doc_id")).count()
     assert bad == 0  # labels never exceed member ids (min semantics)
+
+
+class TestCrossLangSharedShingles:
+    def test_planted_cross_lang_copy(self, spark):
+        from searchengine_spark.pipeline.dedup import cross_lang_shared_shingles
+
+        body = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (1, body, "en"),
+            (2, body, "zh"),                        # cross-lang copy
+            (3, body, "en"),                        # same-lang copy: excluded
+            (4, "one two three four five six", "es"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = {(r.doc_a, r.lang_a, r.doc_b, r.lang_b): r.n_shared
+               for r in cross_lang_shared_shingles(docs, min_shared=2).collect()}
+        # 6 tokens -> 4 distinct 3-shingles shared
+        assert got == {(1, "en", 2, "zh"): 4, (3, "en", 2, "zh"): 4}
+
+    def test_hot_shingles_capped_by_max_df(self, spark):
+        from searchengine_spark.pipeline.dedup import cross_lang_shared_shingles
+
+        body = "alpha beta gamma delta"
+        rows = [(i, body, "en" if i % 2 else "zh") for i in range(10)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        # every shingle appears in 10 docs > max_df=5 -> all dropped
+        assert cross_lang_shared_shingles(docs, min_shared=1, max_df=5).count() == 0
+        assert cross_lang_shared_shingles(docs, min_shared=1, max_df=10).count() > 0
