@@ -402,8 +402,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_symbol_lookup": lambda s, d: codestats.symbol_lookup(
             codestats.with_code_fixture(_docs(s, d)), prefix="parse"),
         # SemDeDup: within-IVF-list cosine prune + per-cluster summary
-        "q_semantic_dedup": lambda s, d: similarity.semantic_dedup(_emb(s, d), threshold=0.3),
-        "q_semantic_dedup_stats": lambda s, d: similarity.semantic_dedup_stats(_emb(s, d), threshold=0.3),
+        "q_semantic_dedup": lambda s, d: similarity.semantic_dedup(
+            _emb(s, d), n_lists=16, threshold=0.3),
+        "q_semantic_dedup_stats": lambda s, d: similarity.semantic_dedup_stats(
+            _emb(s, d), n_lists=16, threshold=0.3),
         # mixture planning + diversity + dispersion dashboards
         "q_token_budget_plan": lambda s, d: textstats.token_budget_plan(_docs(s, d)),
         "q_distinct_ngrams": lambda s, d: textstats.distinct_ngrams(_docs(s, d)),
@@ -546,8 +548,8 @@ def oracle_sql() -> dict[str, str]:
         "q_symbol_defs": osql.symbol_defs(),
         "q_symbol_index": osql.symbol_index(),
         "q_symbol_lookup": osql.symbol_lookup("parse"),
-        "q_semantic_dedup": osql.semantic_dedup(threshold=0.3),
-        "q_semantic_dedup_stats": osql.semantic_dedup_stats(threshold=0.3),
+        "q_semantic_dedup": osql.semantic_dedup(n_lists=16, threshold=0.3),
+        "q_semantic_dedup_stats": osql.semantic_dedup_stats(n_lists=16, threshold=0.3),
         "q_token_budget_plan": osql.token_budget_plan(),
         "q_distinct_ngrams": osql.distinct_ngrams(),
         "q_term_dispersion": osql.term_dispersion(),
