@@ -796,24 +796,30 @@ def heaps_law(documents: DataFrame, n_buckets: int = 10,
 
 def length_percentiles(documents: DataFrame,
                        lang_col: str = "lang",
-                       len_col: str = "n_chars") -> DataFrame:
-    """(lang, n_docs, p25, p50, p75, p90, p99) — exact length
-    distribution per language (linear-interpolated percentiles, the same
-    definition DuckDB's quantile_cont uses, so the twin is value-exact
-    after rounding).  Cutting a length curriculum or a truncation budget
-    starts from exactly this table.
+                       len_col: str = "n_chars",
+                       exact: bool = True,
+                       accuracy: int = 10000) -> DataFrame:
+    """(lang, n_docs, p25, p50, p75, p90, p99) — length distribution per
+    language.  Cutting a length curriculum or a truncation budget starts
+    from exactly this table.
 
-    Scale shape: exact percentile is a sort-based agg per group — fine
-    while the group count is small (languages); at 100 TB swap in
-    percentile_approx with a pinned accuracy, same shape."""
+    exact=True (the gate path) uses linear-interpolated ``percentile`` —
+    the same definition as DuckDB's quantile_cont, so the twin is
+    value-exact after rounding; it buffers each group's values on its
+    reducer.  exact=False is the 100 TB path: ``percentile_approx``
+    (KLL/GK sketch) with pinned ``accuracy`` — a true map-side-combined
+    agg with bounded memory, identical output shape, values within
+    1/accuracy rank error of exact (pinned by a tolerance test)."""
     pcts = [0.25, 0.50, 0.75, 0.90, 0.99]
     names = ["p25", "p50", "p75", "p90", "p99"]
     arr = "array(" + ", ".join(str(p) for p in pcts) + ")"
+    fn = (f"percentile(x, {arr})" if exact
+          else f"percentile_approx(x, {arr}, {int(accuracy)})")
     d = documents.select(F.col(lang_col).alias("lang"),
                          F.col(len_col).cast("double").alias("x"))
     agg = d.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.expr(f"percentile(x, {arr})").alias("q"),
+        F.expr(fn).alias("q"),
     )
     return agg.select(
         "lang", "n_docs",

@@ -306,3 +306,20 @@ class TestSymbols:
         assert all(r.symbol.startswith("alpha") for r in rows)
         # ties (n_defs=1) break by symbol asc then kind asc
         assert [r.kind for r in rows[:2]] == ["c_function", "function"]
+
+
+class TestApproxPercentilePath:
+    def test_approx_tracks_exact_at_scale_path(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        exact = {r.lang: r for r in textstats.length_percentiles(docs).collect()}
+        approx = {r.lang: r
+                  for r in textstats.length_percentiles(docs, exact=False).collect()}
+        assert set(exact) == set(approx)
+        for lang, e in exact.items():
+            a = approx[lang]
+            assert a.n_docs == e.n_docs
+            for p in ("p25", "p50", "p75", "p90", "p99"):
+                # sketch rank error at accuracy=10000 on ~100-doc groups
+                # is sub-one-rank: values must sit within the observed
+                # neighbor gap (generous 5% relative bound)
+                assert abs(getattr(a, p) - getattr(e, p)) <= 0.05 * getattr(e, p)
