@@ -56,6 +56,9 @@ Q_AND3 = ["hash", "stream", "vector"]
 Q_ABSENT = ["vector", "zzznotaterm"]
 Q_PAGE = ["table", "join"]
 Q_PHRASE = ["table", "hash"]
+# repeated-word phrase (occurs at every testdata scale factor): exercises
+# the slot logic where one term fills two slots of the same anchor
+Q_PHRASE_REPEAT = ["window", "agg", "window"]
 Q_PREFIX = "s"
 Q_PMI_PROBE = "merge"
 Q_MISSPELLED = "merg"
@@ -123,6 +126,42 @@ def _bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# positional index per sf_dir, built once per process (shared by the
+# decode-parity, phrase, and proximity gates)
+_POS_IDX: dict[str, str] = {}
+
+
+def _pos_index(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _POS_IDX:
+        import tempfile
+
+        from searchengine_spark.index.positional import build_positional_index
+
+        out = tempfile.mkdtemp(prefix="posidx_")
+        build_positional_index(spark, _docs(spark, sf_dir), out)
+        _POS_IDX[sf_dir] = out
+    return _POS_IDX[sf_dir]
+
+
+def _decode_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.index.positional import PosIndexPaths, decode_positional
+
+    segs = spark.read.parquet(PosIndexPaths(_pos_index(spark, sf_dir)).segments)
+    return decode_positional(segs)
+
+
+def _pos_phrase(spark: SparkSession, sf_dir: str, phrase: list[str]) -> DataFrame:
+    from searchengine_spark.index.positional import phrase_occurrences_indexed
+
+    return phrase_occurrences_indexed(spark, _pos_index(spark, sf_dir), phrase)
+
+
+def _pos_near(spark: SparkSession, sf_dir: str, a: str, b: str, w: int) -> DataFrame:
+    from searchengine_spark.index.positional import near_pairs_indexed
+
+    return near_pairs_indexed(spark, _pos_index(spark, sf_dir), a, b, w)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -410,6 +449,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget_plan": lambda s, d: textstats.token_budget_plan(_docs(s, d)),
         "q_distinct_ngrams": lambda s, d: textstats.distinct_ngrams(_docs(s, d)),
         "q_term_dispersion": lambda s, d: textstats.term_dispersion(_docs(s, d)),
+        # positional index (index/positional.py): lossless decode parity,
+        # index-side phrase (same oracle contract as the corpus-scan
+        # q_phrase_match), repeated-word phrase, and proximity search
+        "q_positional_decode": _decode_positional,
+        "q_phrase_indexed": lambda s, d: _pos_phrase(s, d, Q_PHRASE),
+        "q_phrase_indexed_repeat": lambda s, d: _pos_phrase(s, d, Q_PHRASE_REPEAT),
+        "q_near_indexed": lambda s, d: _pos_near(s, d, Q_AND2[0], Q_AND2[1], 8),
     }
 
 
@@ -553,4 +599,8 @@ def oracle_sql() -> dict[str, str]:
         "q_token_budget_plan": osql.token_budget_plan(),
         "q_distinct_ngrams": osql.distinct_ngrams(),
         "q_term_dispersion": osql.term_dispersion(),
+        "q_positional_decode": osql.positional_decode(),
+        "q_phrase_indexed": osql.phrase_occurrences(Q_PHRASE),
+        "q_phrase_indexed_repeat": osql.phrase_occurrences(Q_PHRASE_REPEAT),
+        "q_near_indexed": osql.near_pairs(Q_AND2[0], Q_AND2[1], 8),
     }

@@ -1,0 +1,344 @@
+"""Positional posting-list segments + index-side phrase / proximity search.
+
+The reference's ``index`` table stores only (page, lemma, rank=tf)
+(model/Index.java:12-30), so it cannot answer phrase or proximity queries
+from the index, and the repo's DataFrame phrase operator
+(pipeline/queryops.py ``phrase_occurrences``) re-tokenizes the corpus per
+query.  This module adds the classic positional inverted index: per
+(term, doc) the ordered token positions, packed per (doc-shard x
+term-bucket) cell into three varbyte streams —
+
+- ``ids_vb``  — delta-encoded sorted doc ids (first absolute), exactly as
+  segments.py's tf segments;
+- ``cnts_vb`` — positions-per-doc counts (= tf), which double as the
+  per-doc segmentation of the position stream;
+- ``pos_vb``  — per-doc position lists, delta-encoded within a doc with
+  the doc's first position absolute, concatenated in doc order.
+
+Query evaluation never touches the corpus: phrase/proximity decode only
+the query terms' segment rows, bucket-pruned at the parquet scan (the
+bucket is a pure function of the term, computed driver-side for the
+pushed ``bucket IN (...)`` predicate) and shard-parallel — a doc's
+postings for *all* terms share a ``grp`` because the shard is a pure
+function of doc_id, the same invariant segments.py relies on for
+conjunctive evaluation, so no shuffle is needed between decode and
+intersection.
+
+At 10^12-doc scale the positional streams dominate index size (~1-2
+bytes per token occurrence); they live in their own table so tf-only
+queries (BM25 / WAND over segments.py's index) never read them — the
+same reason Lucene separates the .doc postings file from .pos.
+
+All kernels are NumPy-vectorized inside Arrow batches; the phrase and
+proximity matchers are segmented-array algorithms (dense doc remap +
+keyed searchsorted), no per-doc Python loops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from searchengine_spark.index import codec
+from searchengine_spark.index.build import bucket_col
+from searchengine_spark.pipeline import fulltext
+
+POS_SEGMENT_SCHEMA = T.StructType([
+    T.StructField("bucket", T.IntegerType()),
+    T.StructField("term", T.StringType()),
+    T.StructField("grp", T.IntegerType()),
+    T.StructField("num", T.LongType()),      # distinct docs in this run
+    T.StructField("npos", T.LongType()),     # total position entries
+    T.StructField("ids_vb", T.BinaryType()),
+    T.StructField("cnts_vb", T.BinaryType()),
+    T.StructField("pos_vb", T.BinaryType()),
+])
+
+PHRASE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_occurrences", T.LongType()),
+    T.StructField("first_pos", T.LongType()),
+])
+
+NEAR_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_pairs", T.LongType()),
+])
+
+
+# --- codec layer -----------------------------------------------------------
+
+def pack_positional(doc_ids: np.ndarray, positions: np.ndarray) -> dict:
+    """Pack one term's (doc_id, pos) occurrences, pre-sorted by (doc, pos).
+
+    Returns the binary-column dict minus term/bucket/grp.
+    """
+    ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    pos = np.ascontiguousarray(positions, dtype=np.uint64)
+    newdoc = np.r_[True, ids[1:] != ids[:-1]]
+    udocs = ids[newdoc]
+    starts = np.flatnonzero(newdoc)
+    counts = np.diff(np.r_[starts, ids.size]).astype(np.uint64)
+    deltas = pos.copy()
+    same = ~newdoc
+    deltas[same] = pos[same] - pos[np.flatnonzero(same) - 1]
+    return {
+        "num": int(udocs.size),
+        "npos": int(pos.size),
+        "ids_vb": codec.vb_encode(codec.delta_encode(udocs)),
+        "cnts_vb": codec.vb_encode(counts),
+        "pos_vb": codec.vb_encode(deltas),
+    }
+
+
+def unpack_positional(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of pack_positional -> (udocs, counts, positions_flat).
+
+    ``positions_flat`` is the concatenated per-doc ascending position
+    lists, reconstructed with one segmented cumsum (no per-doc loop).
+    """
+    g = (lambda k: row[k]) if isinstance(row, dict) else (lambda k: getattr(row, k))
+    num, npos = int(g("num")), int(g("npos"))
+    udocs = codec.delta_decode(codec.vb_decode(bytes(g("ids_vb")), 0, num))
+    counts = codec.vb_decode(bytes(g("cnts_vb")), 0, num)
+    deltas = codec.vb_decode(bytes(g("pos_vb")), 0, npos)
+    cs = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.r_[0, np.cumsum(counts.astype(np.int64))[:-1]]
+    # subtract each segment's preceding running total to reset the cumsum
+    base = np.zeros(udocs.size, dtype=np.uint64)
+    if udocs.size > 1:
+        base[1:] = cs[starts[1:] - 1]
+    positions = cs - np.repeat(base, counts.astype(np.int64))
+    return udocs, counts, positions
+
+
+# --- build -----------------------------------------------------------------
+
+def make_pos_pack_fn():
+    """applyInPandas fn: positional tokens of one (shard, bucket) cell ->
+    one packed row per term.  Vectorized: one lexsort, then slice-pack."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in POS_SEGMENT_SCHEMA.fields])
+        bucket = int(pdf["bucket"].iloc[0])
+        grp = int(pdf["shard"].iloc[0])
+        order = np.lexsort(
+            (pdf["pos"].to_numpy(), pdf["doc_id"].to_numpy(), pdf["term"].to_numpy())
+        )
+        terms = pdf["term"].to_numpy()[order]
+        ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
+        pos = pdf["pos"].to_numpy()[order].astype(np.uint64)
+        bounds = np.flatnonzero(np.r_[True, terms[1:] != terms[:-1], True])
+        rows = []
+        for i in range(bounds.size - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            d = pack_positional(ids[lo:hi], pos[lo:hi])
+            d.update(term=str(terms[lo]), bucket=bucket, grp=grp)
+            rows.append(d)
+        return pd.DataFrame(rows)[[f.name for f in POS_SEGMENT_SCHEMA.fields]]
+
+    return pack
+
+
+class PosIndexPaths:
+    def __init__(self, root: str):
+        self.root = root
+        self.segments = os.path.join(root, "pos_segments")
+        self.meta = os.path.join(root, "pos_meta.json")
+
+
+def build_positional_index(
+    spark: SparkSession,
+    documents: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    n_buckets: int = 16,
+) -> PosIndexPaths:
+    """Positional tokens -> packed per-cell segments, written
+    ``partitionBy(bucket)`` so a query-term lookup prunes to its bucket's
+    files.  One shuffle total (the groupBy(shard, bucket)); hot terms are
+    skew-bounded by the doc-id shard exactly as in segments.py phase 1."""
+    paths = PosIndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    pw = (
+        fulltext.positional_tokens(documents)
+        .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
+        .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+    )
+    segs = pw.groupBy("shard", "bucket").applyInPandas(
+        make_pos_pack_fn(), POS_SEGMENT_SCHEMA
+    )
+    (segs.repartition(n_buckets, "bucket")
+         .write.mode("overwrite").partitionBy("bucket").parquet(paths.segments))
+    with open(paths.meta, "w") as f:
+        json.dump({"n_shards": n_shards, "n_buckets": n_buckets}, f)
+    return paths
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side twin of index.build.bucket_col (md5 hex prefix mod n) —
+    used to compute the pushed ``bucket IN (...)`` pruning predicate."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
+
+
+def _read_terms(spark: SparkSession, index_dir: str, terms: list[str]) -> DataFrame:
+    paths = PosIndexPaths(index_dir)
+    with open(paths.meta) as f:
+        n_buckets = json.load(f)["n_buckets"]
+    buckets = sorted({term_bucket(t, n_buckets) for t in set(terms)})
+    return (
+        spark.read.parquet(paths.segments)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(sorted(set(terms))))
+    )
+
+
+# --- decode (losslessness gate) -------------------------------------------
+
+def decode_positional(segments: DataFrame) -> DataFrame:
+    """Positional segments -> exploded (doc_id, pos, term) via mapInPandas.
+
+    The losslessness proof: this must equal ``fulltext.positional_tokens``
+    over the corpus the segments were packed from (driver-gated against
+    the oracle's positional-token CTE)."""
+
+    def gen(it):
+        for pdf in it:
+            frames = []
+            for r in pdf.to_dict("records"):
+                udocs, counts, positions = unpack_positional(r)
+                frames.append(pd.DataFrame({
+                    "doc_id": np.repeat(udocs, counts.astype(np.int64)).astype(np.int64),
+                    "pos": positions.astype(np.int64),
+                    "term": np.repeat(r["term"], positions.size),
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    out = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("term", T.StringType()),
+    ])
+    return segments.mapInPandas(gen, out)
+
+
+# --- phrase query ----------------------------------------------------------
+
+def _decode_grp_terms(pdf: pd.DataFrame) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """One grp's segment rows -> {term: (doc_per_occurrence, pos)} arrays."""
+    data: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for r in pdf.to_dict("records"):
+        udocs, counts, positions = unpack_positional(r)
+        docs = np.repeat(udocs.astype(np.int64), counts.astype(np.int64))
+        data[r["term"]] = (docs, positions.astype(np.int64))
+    return data
+
+
+def phrase_occurrences_indexed(
+    spark: SparkSession, index_dir: str, phrase: list[str]
+) -> DataFrame:
+    """(doc_id, n_occurrences, first_pos): exact phrase match evaluated
+    FROM the positional index — same contract (and oracle twin) as the
+    corpus-scan ``queryops.phrase_occurrences``.
+
+    Per grp: decode each phrase term's (doc, pos) arrays, remap docs to
+    dense local indices (overflow-safe keys at any doc-id width), then
+    slot-intersect: slot i contributes keys {local_doc * K + (pos - i)};
+    an anchor surviving every slot's key set is one occurrence.  The grp
+    is a doc shard, so results union across grps without a merge step.
+    Work is O(occurrences of phrase terms), never O(corpus).
+    """
+    n = len(phrase)
+    segs = _read_terms(spark, index_dir, phrase)
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "n_occurrences": pd.Series(dtype="int64"),
+                              "first_pos": pd.Series(dtype="int64")})
+        data = _decode_grp_terms(pdf)
+        if any(t not in data for t in phrase):
+            return empty
+        all_docs = np.unique(np.concatenate([data[t][0] for t in set(phrase)]))
+        max_pos = max(int(data[t][1].max()) for t in set(phrase))
+        k = np.int64(max_pos + 2)
+        slot_keys = []
+        for i, t in enumerate(phrase):
+            docs, pos = data[t]
+            anchor = pos - i
+            m = anchor >= 1
+            local = np.searchsorted(all_docs, docs[m]).astype(np.int64)
+            slot_keys.append(local * k + anchor[m])
+        inter = reduce(np.intersect1d, slot_keys)
+        if inter.size == 0:
+            return empty
+        docs = all_docs[(inter // k).astype(np.int64)]
+        anchors = inter % k
+        newdoc = np.r_[True, docs[1:] != docs[:-1]]
+        starts = np.flatnonzero(newdoc)
+        occ = np.diff(np.r_[starts, docs.size])
+        first = np.minimum.reduceat(anchors, starts)
+        return pd.DataFrame({
+            "doc_id": docs[newdoc],
+            "n_occurrences": occ.astype(np.int64),
+            "first_pos": first.astype(np.int64),
+        })
+
+    return segs.groupBy("grp").applyInPandas(match, PHRASE_SCHEMA)
+
+
+def near_pairs_indexed(
+    spark: SparkSession, index_dir: str, term_a: str, term_b: str, window: int
+) -> DataFrame:
+    """(doc_id, n_pairs): per doc, the number of (pos_a, pos_b) occurrence
+    pairs with |pos_a - pos_b| <= window — proximity search from the
+    positional index (``term_a`` and ``term_b`` must differ).
+
+    Fully vectorized via keyed searchsorted: both sides' occurrences map
+    to keys local_doc * K + pos with K > max_pos + window, so a window
+    around a key can never bleed into a neighboring doc; the per-a count
+    is then one pair of searchsorted calls over b's sorted keys.
+    """
+    if term_a == term_b:
+        raise ValueError("near_pairs_indexed needs two distinct terms")
+    segs = _read_terms(spark, index_dir, [term_a, term_b])
+    w = int(window)
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "n_pairs": pd.Series(dtype="int64")})
+        data = _decode_grp_terms(pdf)
+        if term_a not in data or term_b not in data:
+            return empty
+        docs_a, pos_a = data[term_a]
+        docs_b, pos_b = data[term_b]
+        all_docs = np.unique(np.concatenate([docs_a, docs_b]))
+        max_pos = int(max(pos_a.max(), pos_b.max()))
+        k = np.int64(max_pos + w + 2)
+        key_a = np.searchsorted(all_docs, docs_a).astype(np.int64) * k + pos_a
+        key_b = np.searchsorted(all_docs, docs_b).astype(np.int64) * k + pos_b
+        key_b.sort()
+        cnt = (np.searchsorted(key_b, key_a + w, side="right")
+               - np.searchsorted(key_b, key_a - w, side="left"))
+        m = cnt > 0
+        if not m.any():
+            return empty
+        docs = docs_a[m]
+        order = np.argsort(docs, kind="stable")
+        docs, cnt = docs[order], cnt[m][order]
+        newdoc = np.r_[True, docs[1:] != docs[:-1]]
+        starts = np.flatnonzero(newdoc)
+        per_doc = np.add.reduceat(cnt, starts)
+        return pd.DataFrame({
+            "doc_id": docs[newdoc].astype(np.int64),
+            "n_pairs": per_doc.astype(np.int64),
+        })
+
+    return segs.groupBy("grp").applyInPandas(match, NEAR_SCHEMA)

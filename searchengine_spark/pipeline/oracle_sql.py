@@ -1296,6 +1296,27 @@ FROM hits GROUP BY doc_id
 """
 
 
+def positional_decode() -> str:
+    """DuckDB twin of index.positional.decode_positional: the positional
+    segments must decode back to exactly the corpus's positional tokens."""
+    return f"""
+WITH {_PTOKS_CTE}
+SELECT doc_id, pos, term FROM ptoks
+"""
+
+
+def near_pairs(term_a: str, term_b: str, window: int) -> str:
+    """DuckDB twin of index.positional.near_pairs_indexed (proximity)."""
+    return f"""
+WITH {_PTOKS_CTE}
+SELECT a.doc_id AS doc_id, count(*)::BIGINT AS n_pairs
+FROM ptoks a JOIN ptoks b ON a.doc_id = b.doc_id
+WHERE a.term = '{term_a}' AND b.term = '{term_b}'
+  AND abs(a.pos - b.pos) <= {int(window)}
+GROUP BY a.doc_id
+"""
+
+
 def more_like_this(probe_doc_id: int, k: int = 10) -> str:
     """DuckDB twin of queryops.more_like_this (TF-IDF cosine)."""
     return f"""

@@ -1,0 +1,154 @@
+"""Positional index: codec round-trip fuzz, decode parity, and
+index-side phrase/proximity equivalence vs the corpus-scan operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from searchengine_spark.index.positional import (
+    build_positional_index,
+    decode_positional,
+    near_pairs_indexed,
+    pack_positional,
+    phrase_occurrences_indexed,
+    PosIndexPaths,
+    term_bucket,
+    unpack_positional,
+)
+
+
+# --- codec round-trip -------------------------------------------------------
+
+@st.composite
+def _occurrences(draw):
+    """Sorted (doc_id, pos) occurrence arrays: random docs, each with a
+    random strictly-increasing position list."""
+    n_docs = draw(st.integers(1, 12))
+    doc_ids = sorted(draw(st.sets(st.integers(0, 2**40), min_size=n_docs,
+                                  max_size=n_docs)))
+    docs, poss = [], []
+    for d in doc_ids:
+        k = draw(st.integers(1, 20))
+        pos = sorted(draw(st.sets(st.integers(1, 10_000), min_size=k, max_size=k)))
+        docs.extend([d] * k)
+        poss.extend(pos)
+    return np.array(docs, dtype=np.uint64), np.array(poss, dtype=np.uint64)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_occurrences())
+def test_pack_roundtrip(occ):
+    docs, poss = occ
+    packed = pack_positional(docs, poss)
+    udocs, counts, positions = unpack_positional(packed)
+    assert np.array_equal(np.repeat(udocs, counts.astype(np.int64)), docs)
+    assert np.array_equal(positions, poss)
+    assert packed["num"] == np.unique(docs).size
+    assert packed["npos"] == poss.size
+
+
+def test_pack_single_doc_single_pos():
+    packed = pack_positional(np.array([7], dtype=np.uint64),
+                             np.array([3], dtype=np.uint64))
+    udocs, counts, positions = unpack_positional(packed)
+    assert list(udocs) == [7] and list(counts) == [1] and list(positions) == [3]
+
+
+def test_term_bucket_matches_sql_twin(spark):
+    """Driver-side md5 bucket must equal index.build.bucket_col."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.index.build import bucket_col
+
+    terms = ["merge", "vector", "window", "agg", "table", "hash", "a", "0"]
+    df = spark.createDataFrame([(t,) for t in terms], ["term"])
+    rows = df.select("term", bucket_col(F.col("term"), 16).alias("b")).collect()
+    for r in rows:
+        assert term_bucket(r.term, 16) == r.b
+
+
+# --- index build + query equivalence ----------------------------------------
+
+@pytest.fixture(scope="module")
+def pos_corpus(spark):
+    rows = [
+        (0, "big data window agg window agg window close"),
+        (1, "window agg window"),
+        (2, "agg window agg"),              # phrase absent (wrong order)
+        (3, "merge the vector now merge it vector"),
+        (4, "merge alone"),
+        (5, ""),                            # empty doc
+        (6, "window agg window agg window"),  # overlapping occurrences
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, pos_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("posidx"))
+    build_positional_index(spark, pos_corpus, out, n_shards=4, n_buckets=8)
+    return out
+
+
+def test_decode_parity(spark, pos_corpus, pos_index):
+    from searchengine_spark.pipeline.fulltext import positional_tokens
+
+    expect = {(r.doc_id, r.pos, r.term)
+              for r in positional_tokens(pos_corpus).collect()}
+    segs = spark.read.parquet(PosIndexPaths(pos_index).segments)
+    got = {(r.doc_id, r.pos, r.term) for r in decode_positional(segs).collect()}
+    assert got == expect and len(got) > 0
+
+
+def _phrase_both(spark, pos_corpus, pos_index, phrase):
+    from searchengine_spark.pipeline.queryops import phrase_occurrences
+
+    scan = {(r.doc_id, r.n_occurrences, r.first_pos)
+            for r in phrase_occurrences(pos_corpus, phrase).collect()}
+    idx = {(r.doc_id, r.n_occurrences, r.first_pos)
+           for r in phrase_occurrences_indexed(spark, pos_index, phrase).collect()}
+    return scan, idx
+
+
+def test_phrase_indexed_equals_scan(spark, pos_corpus, pos_index):
+    scan, idx = _phrase_both(spark, pos_corpus, pos_index, ["window", "agg"])
+    assert idx == scan and len(idx) >= 3
+
+
+def test_phrase_repeated_word(spark, pos_corpus, pos_index):
+    """Repeated-word phrase, incl. overlapping occurrences (doc 6 has
+    'window agg window agg window' = 2 overlapping matches)."""
+    scan, idx = _phrase_both(spark, pos_corpus, pos_index,
+                             ["window", "agg", "window"])
+    assert idx == scan
+    by_doc = {d: (n, f) for d, n, f in idx}
+    assert by_doc[6] == (2, 1)
+    assert 2 not in by_doc  # wrong-order doc must not match
+    assert by_doc[1] == (1, 1)
+
+
+def test_phrase_absent_term_is_empty(spark, pos_corpus, pos_index):
+    _, idx = _phrase_both(spark, pos_corpus, pos_index, ["window", "zzznope"])
+    assert idx == set()
+
+
+def test_near_pairs(spark, pos_corpus, pos_index):
+    got = {(r.doc_id, r.n_pairs)
+           for r in near_pairs_indexed(spark, pos_index, "merge", "vector", 3).collect()}
+    # doc 3: merge@1,vector@3 (d=2 ok), merge@5? -> 'merge the vector now
+    # merge it vector': merge@1, vector@3, merge@5, vector@7.
+    # pairs within 3: (1,3)=2, (5,3)=2, (5,7)=2 -> 3 pairs
+    assert got == {(3, 3)}
+
+
+def test_near_pairs_window_widens(spark, pos_index):
+    got = {(r.doc_id, r.n_pairs)
+           for r in near_pairs_indexed(spark, pos_index, "merge", "vector", 6).collect()}
+    assert got == {(3, 4)}  # adds (1,7)=6
+
+
+def test_near_pairs_same_term_rejected(spark, pos_index):
+    with pytest.raises(ValueError):
+        near_pairs_indexed(spark, pos_index, "merge", "merge", 3)
