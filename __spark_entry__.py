@@ -164,6 +164,12 @@ def _pos_near(spark: SparkSession, sf_dir: str, a: str, b: str, w: int) -> DataF
     return near_pairs_indexed(spark, _pos_index(spark, sf_dir), a, b, w)
 
 
+def _pos_slop(spark: SparkSession, sf_dir: str, a: str, b: str, w: int) -> DataFrame:
+    from searchengine_spark.index.positional import sloppy_phrase_indexed
+
+    return sloppy_phrase_indexed(spark, _pos_index(spark, sf_dir), a, b, w)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-20 conjunctive search on sf0.001."""
     return fulltext.bm25_topk(_docs(spark, "/root/testdata/sf0.001"), Q_AND2, k=20)
@@ -456,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_indexed": lambda s, d: _pos_phrase(s, d, Q_PHRASE),
         "q_phrase_indexed_repeat": lambda s, d: _pos_phrase(s, d, Q_PHRASE_REPEAT),
         "q_near_indexed": lambda s, d: _pos_near(s, d, Q_AND2[0], Q_AND2[1], 8),
+        "q_sloppy_phrase": lambda s, d: _pos_slop(s, d, Q_PAGE[0], Q_PAGE[1], 6),
     }
 
 
@@ -603,4 +610,5 @@ def oracle_sql() -> dict[str, str]:
         "q_phrase_indexed": osql.phrase_occurrences(Q_PHRASE),
         "q_phrase_indexed_repeat": osql.phrase_occurrences(Q_PHRASE_REPEAT),
         "q_near_indexed": osql.near_pairs(Q_AND2[0], Q_AND2[1], 8),
+        "q_sloppy_phrase": osql.sloppy_phrase(Q_PAGE[0], Q_PAGE[1], 6),
     }

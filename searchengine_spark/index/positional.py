@@ -294,6 +294,61 @@ def phrase_occurrences_indexed(
     return segs.groupBy("grp").applyInPandas(match, PHRASE_SCHEMA)
 
 
+def sloppy_phrase_indexed(
+    spark: SparkSession, index_dir: str, term_a: str, term_b: str, slop: int
+) -> DataFrame:
+    """(doc_id, n_pairs, min_gap): ordered sloppy phrase — occurrences of
+    ``term_a`` followed by ``term_b`` within ``slop`` positions (gap 1 =
+    adjacent; Lucene PhraseQuery-with-slop's ordered half).  Same keyed
+    one-sided searchsorted shape as near_pairs_indexed.
+    """
+    if term_a == term_b:
+        raise ValueError("sloppy_phrase_indexed needs two distinct terms")
+    segs = _read_terms(spark, index_dir, [term_a, term_b])
+    w = int(slop)
+    out = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_pairs", T.LongType()),
+        T.StructField("min_gap", T.LongType()),
+    ])
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "n_pairs": pd.Series(dtype="int64"),
+                              "min_gap": pd.Series(dtype="int64")})
+        data = _decode_grp_terms(pdf)
+        if term_a not in data or term_b not in data:
+            return empty
+        docs_a, pos_a = data[term_a]
+        docs_b, pos_b = data[term_b]
+        all_docs = np.unique(np.concatenate([docs_a, docs_b]))
+        max_pos = int(max(pos_a.max(), pos_b.max()))
+        k = np.int64(max_pos + w + 2)
+        key_a = np.searchsorted(all_docs, docs_a).astype(np.int64) * k + pos_a
+        key_b = np.searchsorted(all_docs, docs_b).astype(np.int64) * k + pos_b
+        key_b.sort()
+        lo = np.searchsorted(key_b, key_a + 1, side="left")
+        hi = np.searchsorted(key_b, key_a + w, side="right")
+        cnt = hi - lo
+        m = cnt > 0
+        if not m.any():
+            return empty
+        # nearest following b per surviving a = the smallest gap at that a
+        gap = key_b[lo[m]] - key_a[m]
+        docs = docs_a[m]
+        order = np.argsort(docs, kind="stable")
+        docs, cntm, gap = docs[order], cnt[m][order], gap[order]
+        newdoc = np.r_[True, docs[1:] != docs[:-1]]
+        starts = np.flatnonzero(newdoc)
+        return pd.DataFrame({
+            "doc_id": docs[newdoc].astype(np.int64),
+            "n_pairs": np.add.reduceat(cntm, starts).astype(np.int64),
+            "min_gap": np.minimum.reduceat(gap, starts).astype(np.int64),
+        })
+
+    return segs.groupBy("grp").applyInPandas(match, out)
+
+
 def near_pairs_indexed(
     spark: SparkSession, index_dir: str, term_a: str, term_b: str, window: int
 ) -> DataFrame:

@@ -1317,6 +1317,19 @@ GROUP BY a.doc_id
 """
 
 
+def sloppy_phrase(term_a: str, term_b: str, slop: int) -> str:
+    """DuckDB twin of index.positional.sloppy_phrase_indexed (ordered)."""
+    return f"""
+WITH {_PTOKS_CTE}
+SELECT a.doc_id AS doc_id, count(*)::BIGINT AS n_pairs,
+       min(b.pos - a.pos)::BIGINT AS min_gap
+FROM ptoks a JOIN ptoks b ON a.doc_id = b.doc_id
+WHERE a.term = '{term_a}' AND b.term = '{term_b}'
+  AND b.pos - a.pos BETWEEN 1 AND {int(slop)}
+GROUP BY a.doc_id
+"""
+
+
 def more_like_this(probe_doc_id: int, k: int = 10) -> str:
     """DuckDB twin of queryops.more_like_this (TF-IDF cosine)."""
     return f"""

@@ -152,3 +152,17 @@ def test_near_pairs_window_widens(spark, pos_index):
 def test_near_pairs_same_term_rejected(spark, pos_index):
     with pytest.raises(ValueError):
         near_pairs_indexed(spark, pos_index, "merge", "merge", 3)
+
+
+def test_sloppy_phrase_ordered_only(spark, pos_index):
+    from searchengine_spark.index.positional import sloppy_phrase_indexed
+
+    # doc 3 'merge the vector now merge it vector': merge@1,5 vector@3,7
+    # ordered pairs with gap<=2: (1,3), (5,7) -> 2 pairs, min_gap 2
+    got = {(r.doc_id, r.n_pairs, r.min_gap)
+           for r in sloppy_phrase_indexed(spark, pos_index, "merge", "vector", 2).collect()}
+    assert got == {(3, 2, 2)}
+    # reversed order must NOT match (vector before merge, gap<=2: (3,5)=2)
+    rev = {(r.doc_id, r.n_pairs, r.min_gap)
+           for r in sloppy_phrase_indexed(spark, pos_index, "vector", "merge", 2).collect()}
+    assert rev == {(3, 1, 2)}
