@@ -118,6 +118,13 @@ def _decode_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_segments(segs)
 
 
+def _index_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.index.segments import index_size_stats
+
+    segs = spark.read.parquet(f"{_plain_index(spark, sf_dir)}/segments")
+    return index_size_stats(segs)
+
+
 def _bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.index.segments import bucket_stats
 
@@ -463,6 +470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_indexed_repeat": lambda s, d: _pos_phrase(s, d, Q_PHRASE_REPEAT),
         "q_near_indexed": lambda s, d: _pos_near(s, d, Q_AND2[0], Q_AND2[1], 8),
         "q_sloppy_phrase": lambda s, d: _pos_slop(s, d, Q_PAGE[0], Q_PAGE[1], 6),
+        # physical-encoding gate: compressed stream byte counts per bucket,
+        # reproduced analytically (varbyte length arithmetic) by the oracle
+        "q_index_size_stats": _index_size_stats,
     }
 
 
@@ -611,4 +621,5 @@ def oracle_sql() -> dict[str, str]:
         "q_phrase_indexed_repeat": osql.phrase_occurrences(Q_PHRASE_REPEAT),
         "q_near_indexed": osql.near_pairs(Q_AND2[0], Q_AND2[1], 8),
         "q_sloppy_phrase": osql.sloppy_phrase(Q_PAGE[0], Q_PAGE[1], 6),
+        "q_index_size_stats": osql.index_size_stats(n_buckets=16),
     }

@@ -2016,6 +2016,40 @@ FROM postings GROUP BY 1
 """
 
 
+def _vb_len_sql(col: str) -> str:
+    """Varbyte encoded length of a non-negative BIGINT: one byte per 7-bit
+    group — an exact integer CASE ladder (no float log, no boundary risk)."""
+    return (f"(CASE WHEN {col} < 128 THEN 1 WHEN {col} < 16384 THEN 2 "
+            f"WHEN {col} < 2097152 THEN 3 WHEN {col} < 268435456 THEN 4 "
+            f"WHEN {col} < 34359738368 THEN 5 WHEN {col} < 4398046511104 THEN 6 "
+            f"WHEN {col} < 562949953421312 THEN 7 "
+            f"WHEN {col} < 72057594037927936 THEN 8 ELSE 9 END)")
+
+
+def index_size_stats(n_buckets: int = 16) -> str:
+    """Twin of index.segments.index_size_stats: recompute every varbyte
+    stream's byte length analytically — doc-id deltas per term in doc
+    order (first absolute), tf and dl absolute — and sum per bucket."""
+    bucket = f"(({md5_long_sql('term')}) % {int(n_buckets)})::INT"
+    return f"""
+WITH {_TOKS_CTE},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+d AS (
+  SELECT term, tf, ds.dl,
+         coalesce(p.doc_id - lag(p.doc_id) OVER (PARTITION BY term ORDER BY p.doc_id),
+                  p.doc_id) AS dval
+  FROM postings p JOIN ds ON p.doc_id = ds.doc_id
+)
+SELECT {bucket} AS bucket,
+       count(*)::BIGINT AS n_postings,
+       sum({_vb_len_sql('dval')})::BIGINT AS ids_bytes,
+       sum({_vb_len_sql('tf')})::BIGINT AS tfs_bytes,
+       sum({_vb_len_sql('dl')})::BIGINT AS dls_bytes,
+       (count(*) * 24)::BIGINT AS raw_bytes
+FROM d GROUP BY 1
+"""
+
+
 def _recall_sql(exact_sql: str, ann_sql: str) -> str:
     """Twin of similarity.ann_recall: per-probe |ann ∩ exact| / |exact|
     over two nested top-k queries (DuckDB allows WITH inside a CTE)."""
