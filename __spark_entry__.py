@@ -310,6 +310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_more_like_this": lambda s, d: queryops.more_like_this(_docs(s, d), PROBE_DOC_ID, k=10),
         "q_facet_counts": lambda s, d: queryops.facet_counts(_docs(s, d), Q_AND2),
         "q_grouped_topk": lambda s, d: queryops.grouped_topk(_docs(s, d), Q_AND2, per_group=3),
+        "q_bm25_not": lambda s, d: queryops.bm25_not_topk(_docs(s, d), Q_AND2, Q_SINGLE, k=20),
+        "q_collapse_topk": lambda s, d: queryops.collapse_topk(_docs(s, d), Q_AND2, k=10, per_source=2),
         "q_prefix_search": lambda s, d: queryops.prefix_search(_docs(s, d), Q_PREFIX, k=20),
         "q_cooccurrence_pmi": lambda s, d: queryops.cooccurrence_pmi(_docs(s, d), Q_PMI_PROBE),
         "q_spell_suggest": lambda s, d: queryops.spell_suggest(_docs(s, d), Q_MISSPELLED),
@@ -426,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_daily_anomalies": lambda s, d: events.daily_anomalies(_events(s, d)),
         # behavioral-sequence bigram model over per-user event streams
         "q_event_transitions": lambda s, d: events.transition_matrix(_events(s, d)),
+        "q_trending_decay": lambda s, d: events.trending_decay(_events(s, d), half_life_minutes=60),
         # interval-join attribution (batch twin of the stream-stream join)
         "q_click_attribution": lambda s, d: events.click_attribution(_events(s, d)),
         # per-language length distribution (exact interpolated percentiles)
@@ -545,6 +548,8 @@ def oracle_sql() -> dict[str, str]:
         "q_more_like_this": osql.more_like_this(PROBE_DOC_ID, k=10),
         "q_facet_counts": osql.facet_counts(Q_AND2),
         "q_grouped_topk": osql.grouped_topk(Q_AND2, per_group=3),
+        "q_bm25_not": osql.bm25_not_topk(Q_AND2, Q_SINGLE, k=20),
+        "q_collapse_topk": osql.collapse_topk(Q_AND2, k=10, per_source=2),
         "q_prefix_search": osql.prefix_search(Q_PREFIX, k=20),
         "q_cooccurrence_pmi": osql.cooccurrence_pmi(Q_PMI_PROBE),
         "q_spell_suggest": osql.spell_suggest(Q_MISSPELLED),
@@ -600,6 +605,7 @@ def oracle_sql() -> dict[str, str]:
         "q_funnel_steps": osql.funnel(),
         "q_daily_anomalies": osql.daily_anomalies(),
         "q_event_transitions": osql.transition_matrix(),
+        "q_trending_decay": osql.trending_decay(half_life_minutes=60),
         "q_click_attribution": osql.click_attribution(),
         "q_length_percentiles": osql.length_percentiles(),
         "q_passage_dup_stats": osql.passage_dup_stats(),

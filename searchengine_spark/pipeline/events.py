@@ -194,6 +194,42 @@ def daily_anomalies(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
     )
 
 
+def trending_decay(events: DataFrame, half_life_minutes: int = 60) -> DataFrame:
+    """(event_type, n_events, decayed) — exponentially time-decayed
+    activity score per event type: each event contributes
+    ``2^(-(t_max - ts) / half_life)``, so a burst in the last half-life
+    outweighs a steady trickle from hours ago.  The standard "trending
+    now" ranking signal (Reddit/HN-style hot scores are the same decay
+    with a different base).
+
+    One scalar max-ts agg broadcast into a single event-cardinality
+    projection + one hash agg — no windows, no per-event state, so the
+    plan is the same at 10^12 events.  Ages are computed in exact
+    integer microseconds (``unix_micros`` / ``epoch_us``) on both
+    engines; ``pow`` is the only float step and feeds a 4dp-rounded sum.
+    """
+    hl_us = float(half_life_minutes) * 60e6
+    tmax = events.agg(F.max("ts").alias("tmax"))
+    return (
+        events.crossJoin(F.broadcast(tmax))
+        .withColumn(
+            "w",
+            F.pow(
+                F.lit(0.5),
+                (
+                    F.unix_micros(F.col("tmax").cast("timestamp"))
+                    - F.unix_micros(F.col("ts").cast("timestamp"))
+                ).cast("double") / F.lit(hl_us),
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("w"), 4).alias("decayed"),
+        )
+    )
+
+
 def transition_matrix(events: DataFrame) -> DataFrame:
     """(prev_type, next_type, n, p) — first-order Markov transitions over
     each user's time-ordered event stream: how often event type A is

@@ -2802,3 +2802,50 @@ HAVING count(*) >= {min_shared}
 ORDER BY n_shared DESC, doc_a ASC, doc_b ASC
 LIMIT {limit}
 """
+
+
+def bm25_not_topk(must_terms: list[str], not_terms: list[str],
+                  k: int = 20) -> str:
+    """DuckDB twin of queryops.bm25_not_topk (MUST + MUST_NOT)."""
+    nl = _terms_in(not_terms)
+    return f"""
+WITH scored AS ({bm25_scored(must_terms)}),
+excl AS (
+  SELECT DISTINCT doc_id FROM ({tf_postings()}) WHERE term IN ({nl})
+)
+SELECT s.doc_id, s.score FROM scored s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM excl)
+ORDER BY s.score DESC, s.doc_id ASC LIMIT {k}
+"""
+
+
+def collapse_topk(terms: list[str], k: int = 10, per_source: int = 2,
+                  collapse_col: str = "source") -> str:
+    """DuckDB twin of queryops.collapse_topk (field collapsing)."""
+    return f"""
+WITH scored AS ({bm25_scored(terms)}),
+r AS (
+  SELECT s.doc_id, d.{collapse_col} AS src, s.score,
+         row_number() OVER (PARTITION BY d.{collapse_col}
+                            ORDER BY s.score DESC, s.doc_id ASC) AS src_rank
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, src, src_rank::INT AS src_rank, score FROM r
+WHERE src_rank <= {per_source}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def trending_decay(half_life_minutes: int = 60) -> str:
+    """DuckDB twin of events.trending_decay (exact integer-microsecond
+    ages; pow + 4dp-rounded sum is the only float step, same as Spark)."""
+    hl_us = float(half_life_minutes) * 60e6
+    return f"""
+WITH tmax AS (SELECT max(ts) AS tmax FROM events)
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(pow(0.5, (epoch_us(tmax.tmax) - epoch_us(e.ts))::DOUBLE
+                          / {hl_us})), 4) AS decayed
+FROM events e CROSS JOIN tmax
+GROUP BY event_type
+"""

@@ -77,6 +77,72 @@ def bm25_or_topk(documents: DataFrame, query_terms: list[str], k: int = 20,
     )
 
 
+def bm25_not_topk(documents: DataFrame, must_terms: list[str],
+                  not_terms: list[str], k: int = 20, **kw) -> DataFrame:
+    """(doc_id, score): conjunctive BM25 with exclusion — Lucene's
+    MUST + MUST_NOT clause combination (BooleanQuery), the one boolean
+    the reference's AND-only search (SearchServiceImpl.java:92-117)
+    cannot express.  Docs containing ANY excluded term are removed by a
+    left-anti join on the union of the not-terms' postings; per Lucene
+    semantics MUST_NOT never contributes to the score, so the scored
+    side is exactly the conjunctive plan over ``must_terms``.
+
+    Scale: the anti side is postings pruned to the not-terms before the
+    join (O(df(not_terms)) rows, never the corpus); the join keys on
+    doc_id so AQE picks broadcast when the exclusion set is small and
+    shuffled-hash when a stopword-like term makes it wide.  One extra
+    shuffle over the plain AND plan, nothing pairwise.
+    """
+    from searchengine_spark.pipeline.fulltext import bm25_scored
+
+    scored = bm25_scored(documents, must_terms, **kw)
+    excluded = (
+        tf_postings(documents, **kw)
+        .filter(F.col("term").isin(not_terms))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        scored.join(excluded, "doc_id", "left_anti")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def collapse_topk(documents: DataFrame, query_terms: list[str], k: int = 10,
+                  per_source: int = 2, collapse_col: str = "source",
+                  **kw) -> DataFrame:
+    """(doc_id, src, src_rank, score): global top-k with at most
+    ``per_source`` results per collapse-field value — Lucene/Solr field
+    collapsing / the one-result-per-domain rule of web search.  Differs
+    from ``grouped_topk`` (per-facet top-N panels): here the cap feeds a
+    single GLOBAL ranking, so a dominant source cannot monopolize page 1.
+
+    Plan: score once, rank within each source (window partitioned by the
+    collapse key — no global single-partition funnel), keep ranks <=
+    per_source, then a TakeOrderedAndProject global cut to k.  The only
+    full-width window is per-source, whose partitions are the collapse
+    key's natural skew — at web scale that key is a domain, bounded by
+    per-domain document counts.
+    """
+    from searchengine_spark.pipeline.fulltext import bm25_scored
+
+    scored = bm25_scored(documents, query_terms, **kw)
+    src = documents.select(
+        F.col(kw.get("id_col", "doc_id")).alias("doc_id"),
+        F.col(collapse_col).alias("src"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(src, "doc_id")
+        .withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= per_source)
+        .select("doc_id", "src", "src_rank", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def phrase_occurrences(documents: DataFrame, phrase: list[str],
                        **kw) -> DataFrame:
     """(doc_id, n_occurrences, first_pos): exact positional phrase match.

@@ -258,3 +258,79 @@ def test_keywords_tfidf_picks_distinctive_terms(spark):
     terms = {r.term for r in out}
     assert "common" not in terms
     assert abs(byid[0].w - round(2 * math.log(3 / 1), 4)) < 1e-6
+
+
+# boolean NOT (MUST + MUST_NOT) -------------------------------------------
+
+def test_bm25_not_excludes_docs_with_forbidden_term(spark):
+    rows = [
+        (0, "apple banana"),            # match
+        (1, "apple banana cherry"),     # excluded: contains cherry
+        (2, "apple banana"),            # match
+        (3, "apple"),                   # fails AND gate
+        (4, "cherry"),                  # fails AND gate AND excluded
+    ]
+    from searchengine_spark.pipeline.queryops import bm25_not_topk
+    out = bm25_not_topk(_docs(spark, rows), ["apple", "banana"], ["cherry"], k=10).collect()
+    assert {r.doc_id for r in out} == {0, 2}
+
+
+def test_bm25_not_score_ignores_not_terms(spark):
+    # exclusion must not change the surviving docs' scores: compare with
+    # the plain AND query over the same corpus
+    from searchengine_spark.pipeline.fulltext import bm25_topk
+    from searchengine_spark.pipeline.queryops import bm25_not_topk
+    rows = [(0, "apple banana x"), (1, "apple banana cherry"), (2, "apple zebra")]
+    d = _docs(spark, rows)
+    not_out = {r.doc_id: r.score
+               for r in bm25_not_topk(d, ["apple", "banana"], ["cherry"], k=10).collect()}
+    and_out = {r.doc_id: r.score for r in bm25_topk(d, ["apple", "banana"], k=10).collect()}
+    assert set(not_out) == {0}
+    assert not_out[0] == and_out[0]
+
+
+def test_bm25_not_empty_not_list_equals_and(spark):
+    from searchengine_spark.pipeline.fulltext import bm25_topk
+    from searchengine_spark.pipeline.queryops import bm25_not_topk
+    rows = [(0, "apple banana"), (1, "apple banana banana")]
+    d = _docs(spark, rows)
+    a = [(r.doc_id, r.score) for r in bm25_not_topk(d, ["apple"], [], k=10).collect()]
+    b = [(r.doc_id, r.score) for r in bm25_topk(d, ["apple"], k=10).collect()]
+    assert a == b
+
+
+# field collapsing ---------------------------------------------------------
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_collapse_topk_caps_per_source(spark):
+    # source A dominates the ranking with 4 docs; cap 2 lets the B doc in
+    rows = [
+        (0, "apple apple apple apple", "A"),
+        (1, "apple apple apple", "A"),
+        (2, "apple apple", "A"),
+        (3, "apple", "A"),
+        (4, "apple filler filler filler", "B"),
+    ]
+    from searchengine_spark.pipeline.queryops import collapse_topk
+    out = collapse_topk(_src_docs(spark, rows), ["apple"], k=3, per_source=2).collect()
+    srcs = [r.src for r in out]
+    assert srcs.count("A") == 2 and srcs.count("B") == 1
+    assert all(r.src_rank <= 2 for r in out)
+
+
+def test_collapse_topk_global_order_preserved(spark):
+    rows = [
+        (0, "apple apple apple", "A"),
+        (1, "apple apple", "B"),
+        (2, "apple", "C"),
+    ]
+    from searchengine_spark.pipeline.queryops import collapse_topk
+    out = collapse_topk(_src_docs(spark, rows), ["apple"], k=3, per_source=1).collect()
+    assert [r.doc_id for r in out] == sorted(
+        [r.doc_id for r in out],
+        key=lambda i: next(-x.score for x in out if x.doc_id == i),
+    )
+    assert len(out) == 3 and all(r.src_rank == 1 for r in out)

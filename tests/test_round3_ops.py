@@ -284,3 +284,36 @@ class TestDailyAnomalies:
             "event_id long, ts timestamp, event_type string")
         out = daily_anomalies(ev).collect()
         assert all(r.z == 0.0 and not r.is_anomaly for r in out)
+
+
+class TestTrendingDecay:
+    def test_hand_computed_decay(self, spark):
+        from datetime import datetime as dt
+
+        from searchengine_spark.pipeline.events import trending_decay
+        # t_max = 12:00; ages 0, 60, 120 min at half-life 60 -> 1, 0.5, 0.25
+        ev = spark.createDataFrame(
+            [
+                (0, dt(2024, 1, 1, 10, 0), "view"),
+                (1, dt(2024, 1, 1, 11, 0), "view"),
+                (2, dt(2024, 1, 1, 12, 0), "view"),
+                (3, dt(2024, 1, 1, 12, 0), "click"),
+            ],
+            "event_id long, ts timestamp, event_type string")
+        out = {r.event_type: r for r in trending_decay(ev, 60).collect()}
+        assert out["view"].n_events == 3
+        assert out["view"].decayed == 1.75   # 1 + 0.5 + 0.25
+        assert out["click"].decayed == 1.0   # the t_max event itself
+
+    def test_recent_burst_outranks_old_steady(self, spark):
+        from datetime import datetime as dt
+
+        from searchengine_spark.pipeline.events import trending_decay
+        rows = [(i, dt(2024, 1, 1, 0, 0), "steady") for i in range(50)]
+        rows += [(100 + i, dt(2024, 1, 1, 23, 59), "burst") for i in range(5)]
+        rows.append((999, dt(2024, 1, 2, 0, 0), "burst"))
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string")
+        out = {r.event_type: r.decayed for r in trending_decay(ev, 60).collect()}
+        assert out["burst"] > out["steady"]      # 50 day-old events decay away
+        assert out["steady"] < 0.001
