@@ -419,6 +419,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d)
         ),
         "q_silhouette": lambda s, d: similarity.silhouette_by_label(_emb(s, d)),
+        # embedding compression / geometry (round-3): JL projection,
+        # distributed covariance, PCA by deterministic power iteration
+        "q_random_projection": lambda s, d: similarity.random_projection(_emb(s, d)),
+        "q_embedding_covariance": lambda s, d: similarity.embedding_covariance(_emb(s, d)),
+        "q_pca_components": lambda s, d: similarity.pca_components(_emb(s, d)),
+        "q_pca_projection": lambda s, d: similarity.pca_projection(_emb(s, d)),
         # diversity-aware retrieval: greedy MMR over the exact-cosine pool
         "q_mmr_rerank": lambda s, d: similarity.mmr_rerank(
             _emb(s, d), PROBE_VEC_IDS, k=5, pool=10
@@ -601,6 +607,10 @@ def oracle_sql() -> dict[str, str]:
         "q_label_centroids": osql.label_centroids(),
         "q_centroid_confusion": osql.nearest_centroid_confusion(),
         "q_silhouette": osql.silhouette_by_label(),
+        "q_random_projection": osql.random_projection(),
+        "q_embedding_covariance": osql.embedding_covariance(),
+        "q_pca_components": osql.pca_components(),
+        "q_pca_projection": osql.pca_projection(),
         "q_mmr_rerank": osql.mmr_rerank(PROBE_VEC_IDS, k=5, pool=10),
         "q_funnel_steps": osql.funnel(),
         "q_daily_anomalies": osql.daily_anomalies(),

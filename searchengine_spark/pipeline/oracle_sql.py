@@ -2849,3 +2849,89 @@ SELECT event_type,
 FROM events e CROSS JOIN tmax
 GROUP BY event_type
 """
+
+
+_EMB_LONG = """
+SELECT vec_id, t.i - 1 AS i, embedding[t.i]::DOUBLE AS x
+FROM embeddings, generate_series(1, {dim}) t(i)
+"""
+
+
+def random_projection(out_dim: int = 16, dim: int = 64) -> str:
+    """DuckDB twin of similarity.random_projection — the ±1 matrix is the
+    same (i*31 + j*17) % 7 < 3 integer rule, so the matmul is reproduced
+    as a sign-CASE sum over the long-form embedding."""
+    e = _EMB_LONG.format(dim=dim)
+    return f"""
+WITH e AS ({e}),
+js AS (SELECT j FROM range({out_dim}) t(j))
+SELECT e.vec_id, js.j::INT AS j,
+       round(sum(e.x * CASE WHEN (e.i * 31 + js.j * 17) % 7 < 3
+                            THEN 1.0 ELSE -1.0 END) / sqrt({out_dim}.0),
+             4) AS value
+FROM e CROSS JOIN js
+GROUP BY e.vec_id, js.j
+"""
+
+
+def embedding_covariance(dim: int = 64) -> str:
+    """DuckDB twin of similarity.embedding_covariance (upper triangle)."""
+    e = _EMB_LONG.format(dim=dim)
+    return f"""
+WITH e AS ({e}),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxx
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+),
+sums AS (SELECT i, sum(x) AS sx FROM e GROUP BY i),
+nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings)
+SELECT p.i::INT AS i, p.j::INT AS j,
+       round(p.sxx / nn.n - (sa.sx / nn.n) * (sb.sx / nn.n), 6) AS cov
+FROM pairs p JOIN sums sa ON sa.i = p.i JOIN sums sb ON sb.i = p.j
+CROSS JOIN nn
+"""
+
+
+def pca_components(dim: int = 64, iters: int = 12) -> str:
+    """DuckDB twin of similarity.pca_components: the driver-side power
+    iteration unrolled into ``iters`` chained matvec+normalize CTE pairs
+    (the textrank unrolled-CTE pattern) over the 6dp-rounded covariance,
+    so both engines iterate on bit-identical inputs from the same fixed
+    v0 = 1/sqrt(dim)."""
+    parts = [
+        # MATERIALIZED: DuckDB inlines plain CTEs per reference, so the
+        # unrolled chain would otherwise re-expand the covariance scan
+        # once per iteration (and run out of file handles on the view)
+        f"cov AS MATERIALIZED ({embedding_covariance(dim)})",
+        "covfull AS MATERIALIZED (SELECT i, j, cov FROM cov"
+        " UNION ALL SELECT j AS i, i AS j, cov FROM cov WHERE i < j)",
+        f"v0 AS (SELECT i, 1.0/sqrt({dim}.0) AS v FROM range({dim}) t(i))",
+    ]
+    prev = "v0"
+    for t in range(1, iters + 1):
+        # each stage MATERIALIZED too: v{t} references w{t} twice (matvec
+        # + norm scalar subquery), so plain-CTE inlining would double the
+        # expression tree per iteration — 2^iters plan blowup
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT c.i AS i, sum(c.cov * p.v) AS w"
+            f" FROM covfull c JOIN {prev} p ON c.j = p.i GROUP BY c.i)")
+        parts.append(
+            f"v{t} AS MATERIALIZED (SELECT i, w /"
+            f" sqrt((SELECT sum(w*w) FROM w{t})) AS v FROM w{t})")
+        prev = f"v{t}"
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT i::INT AS i, round(v, 4) AS loading FROM {prev}")
+
+
+def pca_projection(dim: int = 64, iters: int = 12) -> str:
+    """DuckDB twin of similarity.pca_projection: recompute the loading
+    vector with the unrolled chain, then one long-form dot per vec."""
+    e = _EMB_LONG.format(dim=dim)
+    return f"""
+WITH comps AS ({pca_components(dim, iters)}),
+e AS ({e})
+SELECT e.vec_id, round(sum(e.x * c.loading), 4) AS proj
+FROM e JOIN comps c ON c.i = e.i
+GROUP BY e.vec_id
+"""

@@ -317,3 +317,85 @@ class TestTrendingDecay:
         out = {r.event_type: r.decayed for r in trending_decay(ev, 60).collect()}
         assert out["burst"] > out["steady"]      # 50 day-old events decay away
         assert out["steady"] < 0.001
+
+
+class TestRandomProjection:
+    def test_distance_preservation_trend(self, spark, labeled):
+        # JL: same-cluster pairs stay closer than cross-cluster pairs
+        # after projection (labeled fixture is 16-dim; project to 8)
+        import numpy as np
+
+        from searchengine_spark.pipeline.similarity import random_projection
+        out = random_projection(labeled, out_dim=8, dim=16).collect()
+        vecs = {}
+        for r in out:
+            vecs.setdefault(r.vec_id, [0.0] * 8)[r.j] = r.value
+        a, b = np.array(vecs[0]), np.array(vecs[1])      # same cluster
+        c = np.array(vecs[25])                           # other cluster
+        assert np.linalg.norm(a - b) < np.linalg.norm(a - c)
+
+    def test_matches_manual_matmul(self, spark, labeled):
+        import numpy as np
+
+        from searchengine_spark.pipeline.similarity import (
+            _sign_matrix, random_projection)
+        row = labeled.filter("vec_id = 5").collect()[0]
+        expected = np.round(
+            np.array(row.embedding, dtype=np.float64) @ _sign_matrix(16, 8)
+            / np.sqrt(8.0), 4)
+        got = {r.j: r.value
+               for r in random_projection(labeled, out_dim=8, dim=16)
+               .filter("vec_id = 5").collect()}
+        assert [got[j] for j in range(8)] == list(expected)
+
+
+class TestCovariancePca:
+    def test_covariance_matches_numpy(self, spark):
+        import numpy as np
+
+        from searchengine_spark.pipeline.similarity import embedding_covariance
+        rng = np.random.default_rng(11)
+        X = rng.normal(size=(40, 4))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(40)],
+            "vec_id long, embedding array<float>")
+        got = {(r.i, r.j): r.cov
+               for r in embedding_covariance(df, dim=4).collect()}
+        C = np.cov(X.astype(np.float32).astype(np.float64), rowvar=False, bias=True)
+        for i in range(4):
+            for j in range(i, 4):
+                assert abs(got[(i, j)] - C[i, j]) < 1e-5
+
+    def test_pca_finds_planted_dominant_direction(self, spark):
+        # variance concentrated on axis 2 -> loading vector ~ +/- e_2
+        import numpy as np
+
+        from searchengine_spark.pipeline.similarity import pca_components
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(60):
+            v = rng.normal(scale=0.01, size=6)
+            v[2] += rng.normal(scale=2.0)
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r.i: r.loading for r in pca_components(df, dim=6).collect()}
+        assert abs(abs(out[2]) - 1.0) < 0.01
+        assert all(abs(out[i]) < 0.1 for i in range(6) if i != 2)
+
+    def test_projection_recovers_planted_coordinate(self, spark):
+        import numpy as np
+
+        from searchengine_spark.pipeline.similarity import pca_projection
+        rng = np.random.default_rng(9)
+        planted = [float(x) for x in rng.normal(scale=3.0, size=30)]
+        rows = []
+        for i in range(30):
+            v = rng.normal(scale=0.01, size=6)
+            v[4] += planted[i]
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r.vec_id: r.proj for r in pca_projection(df, dim=6).collect()}
+        projs = np.array([out[i] for i in range(30)])
+        sign = np.sign(np.dot(projs, planted))
+        corr = np.corrcoef(sign * projs, planted)[0, 1]
+        assert corr > 0.999
