@@ -104,6 +104,11 @@ HEADLINE = [
     "q_semantic_dedup",
     "q_symbol_index",
     "q_token_budget_plan",
+    "q_bm25_not",
+    "q_collapse_topk",
+    "q_trending_decay",
+    "q_random_projection",
+    "q_pca_projection",
 ]
 
 
