@@ -28,6 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from searchengine_spark.pipeline import (  # noqa: E402
     asof,
     bpe,
+    classifier,
     codestats,
     codetok,
     curation,
@@ -312,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouped_topk": lambda s, d: queryops.grouped_topk(_docs(s, d), Q_AND2, per_group=3),
         "q_bm25_not": lambda s, d: queryops.bm25_not_topk(_docs(s, d), Q_AND2, Q_SINGLE, k=20),
         "q_collapse_topk": lambda s, d: queryops.collapse_topk(_docs(s, d), Q_AND2, k=10, per_source=2),
+        "q_rocchio": lambda s, d: queryops.rocchio_search(_docs(s, d), Q_AND2, fb_docs=5, fb_terms=3, beta=0.5, k=20),
         "q_prefix_search": lambda s, d: queryops.prefix_search(_docs(s, d), Q_PREFIX, k=20),
         "q_cooccurrence_pmi": lambda s, d: queryops.cooccurrence_pmi(_docs(s, d), Q_PMI_PROBE),
         "q_spell_suggest": lambda s, d: queryops.spell_suggest(_docs(s, d), Q_MISSPELLED),
@@ -425,6 +427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_covariance": lambda s, d: similarity.embedding_covariance(_emb(s, d)),
         "q_pca_components": lambda s, d: similarity.pca_components(_emb(s, d)),
         "q_pca_projection": lambda s, d: similarity.pca_projection(_emb(s, d)),
+        # distributed logistic regression (rule-distillation classifier)
+        "q_logreg_weights": lambda s, d: classifier.quality_logreg_weights(_docs(s, d)),
+        "q_logreg_scores": lambda s, d: classifier.quality_logreg_scores(_docs(s, d)),
         # diversity-aware retrieval: greedy MMR over the exact-cosine pool
         "q_mmr_rerank": lambda s, d: similarity.mmr_rerank(
             _emb(s, d), PROBE_VEC_IDS, k=5, pool=10
@@ -556,6 +561,7 @@ def oracle_sql() -> dict[str, str]:
         "q_grouped_topk": osql.grouped_topk(Q_AND2, per_group=3),
         "q_bm25_not": osql.bm25_not_topk(Q_AND2, Q_SINGLE, k=20),
         "q_collapse_topk": osql.collapse_topk(Q_AND2, k=10, per_source=2),
+        "q_rocchio": osql.rocchio_search(Q_AND2, fb_docs=5, fb_terms=3, beta=0.5, k=20),
         "q_prefix_search": osql.prefix_search(Q_PREFIX, k=20),
         "q_cooccurrence_pmi": osql.cooccurrence_pmi(Q_PMI_PROBE),
         "q_spell_suggest": osql.spell_suggest(Q_MISSPELLED),
@@ -611,6 +617,8 @@ def oracle_sql() -> dict[str, str]:
         "q_embedding_covariance": osql.embedding_covariance(),
         "q_pca_components": osql.pca_components(),
         "q_pca_projection": osql.pca_projection(),
+        "q_logreg_weights": osql.quality_logreg_weights(),
+        "q_logreg_scores": osql.quality_logreg_scores(),
         "q_mmr_rerank": osql.mmr_rerank(PROBE_VEC_IDS, k=5, pool=10),
         "q_funnel_steps": osql.funnel(),
         "q_daily_anomalies": osql.daily_anomalies(),

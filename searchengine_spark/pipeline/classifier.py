@@ -1,0 +1,136 @@
+"""Distributed logistic-regression document classifier (batch gradient
+descent as Spark aggregations).
+
+Large-scale curation pipelines gate documents with tiny linear/fastText-
+style classifiers (quality, language, domain) because they are the only
+models cheap enough to score 10^12 documents.  This module trains one
+end-to-end INSIDE the engine: features are the deterministic
+``textstats.quality_scores`` columns, the label is a column predicate
+(default ``quality >= 0.6`` — distilling the hand rule into a smooth
+calibrated score, the standard silver-label pattern; ``lang:<code>``
+labels by language instead), and training is ``iters`` batch
+gradient-descent steps where each step is ONE hash aggregation:
+
+    grad_j = avg((sigmoid(x.w) - y) * x_j)        (one pass, d outputs)
+    w      = round(w - lr * grad, 8)              (driver, d scalars)
+
+Scale shape: the feature table (d+1 doubles per doc) is materialized
+once and persisted; each GD step is a map-side-combined avg over it —
+no shuffles beyond the agg, no Python in the loop (sigmoid is a JVM
+expression), and the model crossing the driver is d scalars per step,
+the same bounded-model seam as IVF centroids and PCA.  Weights are
+rounded to 8dp after every step so the engine and the DuckDB oracle
+(which unrolls the same steps as chained MATERIALIZED CTEs,
+pipeline/oracle_sql.py quality_logreg_*) iterate on bit-identical
+state.
+
+The reference has no ML surface; this extends SURVEY.md §2's
+training-data operators (gopher/C4 rule filters) with the learned-filter
+step that follows them in production pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from searchengine_spark.pipeline.textstats import quality_scores
+
+# feature names in fixed order; index = weight subscript everywhere
+FEATURES = ["bias", "tok_sat", "atl_sat", "alnum_ratio", "marker_ratio",
+            "quality"]
+# 40 steps at lr=4 reaches ~0.9 agreement with the silver rule on the
+# testdata corpus (10/1.0 stays at the base rate); each step is a ~d-value
+# agg, so the cost is 40 small jobs over the persisted feature table
+DEFAULT_ITERS = 40
+DEFAULT_LR = 4.0
+
+
+def feature_frame(documents: DataFrame, label: str = "rule:0.6",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, y, bias, tok_sat, atl_sat, alnum_ratio, marker_ratio,
+    quality) — the design matrix.  All features come from the 4dp-rounded
+    ``quality_scores`` columns (already oracle-gated by q_quality_scores),
+    saturated into [0, 1] with exact arithmetic, so both engines see
+    bit-identical inputs.
+
+    ``label``: ``"rule:<t>"`` labels y = quality >= t — the production
+    distillation pattern (heuristic rules produce silver labels, the
+    classifier smooths them into a calibrated score); ``"lang:<code>"``
+    labels by the language column instead."""
+    q = quality_scores(documents, id_col=id_col)
+    kind, _, arg = label.partition(":")
+    if kind == "rule":
+        ycol = F.when(F.col("quality") >= float(arg), 1.0).otherwise(0.0)
+        labeled = q.select("doc_id", ycol.alias("y"))
+    elif kind == "lang":
+        labeled = documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.when(F.col("lang") == arg, 1.0).otherwise(0.0).alias("y"),
+        )
+    else:
+        raise ValueError(f"unknown label spec {label!r}")
+    return q.join(labeled, "doc_id").select(
+        "doc_id",
+        "y",
+        F.lit(1.0).alias("bias"),
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)).alias("tok_sat"),
+        F.least(F.col("avg_token_len") / 10.0, F.lit(1.0)).alias("atl_sat"),
+        F.col("alnum_ratio"),
+        F.col("marker_ratio"),
+        F.col("quality"),
+    )
+
+
+def _z(w: list[float]) -> Column:
+    z = F.lit(0.0)
+    for j, name in enumerate(FEATURES):
+        z = z + F.lit(w[j]) * F.col(name)
+    return z
+
+
+def _sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def train_weights(documents: DataFrame, iters: int = DEFAULT_ITERS,
+                  lr: float = DEFAULT_LR,
+                  label: str = "rule:0.6") -> list[float]:
+    """Run ``iters`` GD steps; returns the final 8dp-rounded weights."""
+    feats = feature_frame(documents, label=label).persist()
+    w = [0.0] * len(FEATURES)
+    try:
+        for _ in range(iters):
+            err = _sigmoid(_z(w)) - F.col("y")
+            row = feats.agg(*[
+                F.avg(err * F.col(name)).alias(name) for name in FEATURES
+            ]).collect()[0]
+            w = [round(w[j] - lr * row[name], 8)
+                 for j, name in enumerate(FEATURES)]
+    finally:
+        feats.unpersist()
+    return w
+
+
+def quality_logreg_weights(documents: DataFrame, iters: int = DEFAULT_ITERS,
+                           lr: float = DEFAULT_LR,
+                           label: str = "rule:0.6") -> DataFrame:
+    """(j, feature, weight) — the trained model, one row per feature."""
+    w = train_weights(documents, iters=iters, lr=lr, label=label)
+    spark = documents.sparkSession
+    rows = [(j, name, float(w[j])) for j, name in enumerate(FEATURES)]
+    out = spark.createDataFrame(rows, "j int, feature string, weight double")
+    return out.select("j", "feature", F.round("weight", 6).alias("weight"))
+
+
+def quality_logreg_scores(documents: DataFrame, iters: int = DEFAULT_ITERS,
+                          lr: float = DEFAULT_LR,
+                          label: str = "rule:0.6") -> DataFrame:
+    """(doc_id, p, pred) — every document scored by the trained model:
+    p = sigmoid(x.w) (4dp), pred = p >= 0.5.  Map-only over the feature
+    frame with the d-scalar model inlined as literals."""
+    w = train_weights(documents, iters=iters, lr=lr, label=label)
+    feats = feature_frame(documents, label=label)
+    p = F.round(_sigmoid(_z(w)), 4)
+    return feats.select(
+        "doc_id", p.alias("p"), (p >= 0.5).alias("pred"),
+    )

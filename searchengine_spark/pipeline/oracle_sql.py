@@ -2935,3 +2935,116 @@ SELECT e.vec_id, round(sum(e.x * c.loading), 4) AS proj
 FROM e JOIN comps c ON c.i = e.i
 GROUP BY e.vec_id
 """
+
+
+_LOGREG_FEATURES = ["bias", "tok_sat", "atl_sat", "alnum_ratio",
+                    "marker_ratio", "quality"]
+
+
+def _logreg_chain(iters: int, lr: float, label: str) -> tuple[str, str]:
+    """Shared CTE chain for the logistic-regression twins: the feature
+    frame + ``iters`` unrolled (gradient, weight-update) CTE pairs over
+    8dp-rounded weight state — bit-identical to classifier.train_weights.
+    Returns (WITH-clause body, final weight CTE name)."""
+    nf = len(_LOGREG_FEATURES)
+    kind, _, arg = label.partition(":")
+    if kind == "rule":
+        y_case = f"CASE WHEN q.quality >= {float(arg)} THEN 1.0 ELSE 0.0 END"
+    elif kind == "lang":
+        y_case = f"CASE WHEN d.lang = '{arg}' THEN 1.0 ELSE 0.0 END"
+    else:
+        raise ValueError(f"unknown label spec {label!r}")
+    z = " + ".join(f"w.w{j} * f.{name}"
+                   for j, name in enumerate(_LOGREG_FEATURES))
+    parts = [
+        f"""feats AS MATERIALIZED (
+  SELECT q.doc_id,
+         {y_case} AS y,
+         1.0 AS bias,
+         least(q.n_tokens / 100.0, 1.0) AS tok_sat,
+         least(q.avg_token_len / 10.0, 1.0) AS atl_sat,
+         q.alnum_ratio, q.marker_ratio, q.quality
+  FROM ({quality_scores()}) q JOIN documents d USING (doc_id)
+)""",
+        "wt0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(nf)) + ")",
+    ]
+    prev = "wt0"
+    for t in range(1, iters + 1):
+        grads = ", ".join(
+            f"avg((1.0/(1.0+exp(-({z}))) - f.y) * f.{name}) AS g{j}"
+            for j, name in enumerate(_LOGREG_FEATURES))
+        parts.append(
+            f"g{t} AS MATERIALIZED (SELECT {grads}"
+            f" FROM feats f CROSS JOIN {prev} w)")
+        ws = ", ".join(f"round(w.w{j} - {lr} * g.g{j}, 8) AS w{j}"
+                       for j in range(nf))
+        parts.append(f"wt{t} AS (SELECT {ws} FROM {prev} w CROSS JOIN g{t} g)")
+        prev = f"wt{t}"
+    return ",\n".join(parts), prev
+
+
+def quality_logreg_weights(iters: int = 40, lr: float = 4.0,
+                           label: str = "rule:0.6") -> str:
+    """DuckDB twin of classifier.quality_logreg_weights."""
+    body, wfinal = _logreg_chain(iters, lr, label)
+    rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, '{name}' AS feature, round(w{j}, 6) AS weight"
+        f" FROM {wfinal}"
+        for j, name in enumerate(_LOGREG_FEATURES))
+    return f"WITH {body}\n{rows}"
+
+
+def quality_logreg_scores(iters: int = 40, lr: float = 4.0,
+                          label: str = "rule:0.6") -> str:
+    """DuckDB twin of classifier.quality_logreg_scores."""
+    body, wfinal = _logreg_chain(iters, lr, label)
+    z = " + ".join(f"w.w{j} * f.{name}"
+                   for j, name in enumerate(_LOGREG_FEATURES))
+    return f"""WITH {body}
+SELECT f.doc_id,
+       round(1.0/(1.0+exp(-({z}))), 4) AS p,
+       round(1.0/(1.0+exp(-({z}))), 4) >= 0.5 AS pred
+FROM feats f CROSS JOIN {wfinal} w
+"""
+
+
+def rocchio_search(terms: list[str], fb_docs: int = 5, fb_terms: int = 3,
+                   beta: float = 0.5, k: int = 20) -> str:
+    """DuckDB twin of queryops.rocchio_search (pseudo-relevance feedback);
+    postings MATERIALIZED because three phases reuse them."""
+    tl = _terms_in(terms)
+    orig_vals = ", ".join(f"('{t}', 1.0)" for t in terms)
+    scored_tpl = """
+  SELECT p.doc_id, count(*)::BIGINT AS nhit,
+         round(sum( t.w * ln(1 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * 2.2)
+              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ), 4) AS score
+  FROM postings p JOIN {dim} t USING (term) JOIN dfs_all d USING (term)
+  JOIN ds ON p.doc_id = ds.doc_id
+  CROSS JOIN g
+  GROUP BY p.doc_id
+"""
+    return f"""
+WITH {_TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")},
+ds AS MATERIALIZED (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS MATERIALIZED (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+dfs_all AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+orig AS (SELECT * FROM (VALUES {orig_vals}) t(term, w)),
+scored0 AS ({scored_tpl.format(dim="orig")}),
+seed AS (SELECT doc_id FROM scored0
+         ORDER BY score DESC, nhit DESC, doc_id ASC LIMIT {fb_docs}),
+expansion AS (
+  SELECT p.term,
+         round(sum(p.tf * ln(g.n_docs / d.df)), 6) AS sel_w
+  FROM postings p JOIN seed USING (doc_id)
+  JOIN dfs_all d USING (term) CROSS JOIN g
+  WHERE p.term NOT IN ({tl})
+  GROUP BY p.term
+  ORDER BY sel_w DESC, term ASC LIMIT {fb_terms}
+),
+terms_dim AS (SELECT term, w FROM orig
+              UNION ALL SELECT term, {beta} AS w FROM expansion),
+final AS ({scored_tpl.format(dim="terms_dim")})
+SELECT doc_id, score FROM final ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""

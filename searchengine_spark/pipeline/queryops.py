@@ -663,3 +663,86 @@ def hybrid_rrf(documents: DataFrame, embeddings: DataFrame,
         .limit(k)
         .select("doc_id", "rank_lex", "rank_sem", "rrf")
     )
+
+
+def rocchio_search(documents: DataFrame, query_terms: list[str],
+                   fb_docs: int = 5, fb_terms: int = 3, beta: float = 0.5,
+                   k: int = 20, k1: float = BM25_K1, b: float = BM25_B,
+                   **kw) -> DataFrame:
+    """(doc_id, score): BM25 with pseudo-relevance feedback (Rocchio).
+
+    Classic query expansion: (1) run the user's query (disjunctive BM25),
+    (2) treat the top ``fb_docs`` results as pseudo-relevant and pick the
+    ``fb_terms`` terms with the largest summed tf·idf mass in them
+    (excluding the original terms), (3) re-score with the expanded query,
+    expansion terms down-weighted by ``beta``.  Recovers docs phrased
+    with related vocabulary the literal query misses — the standard
+    recall lever between plain BM25 and embedding retrieval.
+
+    One corpus tokenization feeds all three phases (persisted postings);
+    the seed and expansion sets are in-plan ``limit`` results (never
+    collected), broadcast into the final scoring join.  Selection
+    tie-breaks are pinned (seed: score desc, nhit desc, doc_id asc;
+    expansion: 6dp weight desc, term asc) so the DuckDB twin follows the
+    exact same path.
+    """
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p).persist()
+    n_and_avg = ds.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfs_all = df_stats(p).persist()
+
+    def _scored(terms_dim: DataFrame) -> DataFrame:
+        """Σ w_t · bm25_t(doc) over the weighted term dimension."""
+        return (
+            p.join(F.broadcast(terms_dim), "term")
+            .join(F.broadcast(dfs_all.join(terms_dim, "term")
+                              .select("term", "df")).alias("dfs"), "term")
+            .join(ds.select("doc_id", "dl"), "doc_id")
+            .crossJoin(F.broadcast(n_and_avg))
+            .withColumn("idf", F.log(
+                1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+            .withColumn(
+                "pscore",
+                F.col("w") * F.col("idf") * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("nhit"),
+                F.round(F.sum("pscore"), 4).alias("score"),
+            )
+        )
+
+    spark = documents.sparkSession
+    orig_dim = spark.createDataFrame(
+        [(t, 1.0) for t in query_terms], "term string, w double")
+
+    seed = (
+        _scored(orig_dim)
+        .orderBy(F.desc("score"), F.desc("nhit"), F.asc("doc_id"))
+        .limit(fb_docs)
+        .select("doc_id")
+    )
+    expansion = (
+        p.join(F.broadcast(seed), "doc_id")
+        .filter(~F.col("term").isin(query_terms))
+        .join(dfs_all, "term")
+        .crossJoin(F.broadcast(n_and_avg.select("n_docs")))
+        .groupBy("term")
+        .agg(F.round(
+            F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))), 6
+        ).alias("sel_w"))
+        .orderBy(F.desc("sel_w"), F.asc("term"))
+        .limit(fb_terms)
+        .select("term", F.lit(float(beta)).alias("w"))
+    )
+    out = (
+        _scored(orig_dim.unionByName(expansion))
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return finalize(out, p, ds, dfs_all)

@@ -1,0 +1,84 @@
+"""Distributed logistic regression (pipeline/classifier.py): GD mechanics
+on hand-built corpora; oracle parity at corpus scale is the
+q_logreg_weights / q_logreg_scores gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.pipeline.classifier import (
+    FEATURES,
+    feature_frame,
+    quality_logreg_scores,
+    quality_logreg_weights,
+    train_weights,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 20 long natural-ish docs (high quality) + 20 junk docs (low quality)
+    rows = []
+    for i in range(20):
+        rows.append((i, "the quick brown fox jumps over the lazy dog "
+                        "and then runs far away to the old forest " * 3, "en"))
+    for i in range(20, 40):
+        rows.append((i, "@@ ## !! %% " * 2, "en"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_feature_frame_shape_and_labels(spark, corpus):
+    f = feature_frame(corpus, label="rule:0.6")
+    assert set(f.columns) == {"doc_id", "y"} | set(FEATURES)
+    ys = {r.doc_id: r.y for r in f.collect()}
+    assert all(ys[i] == 1.0 for i in range(20))
+    assert all(ys[i] == 0.0 for i in range(20, 40))
+    bias = f.select("bias").distinct().collect()
+    assert len(bias) == 1 and bias[0].bias == 1.0
+
+
+def test_training_reduces_log_loss(spark, corpus):
+    import math
+
+    f = feature_frame(corpus, label="rule:0.6").collect()
+
+    def loss(w):
+        tot = 0.0
+        for r in f:
+            z = sum(w[j] * r[name] for j, name in enumerate(FEATURES))
+            p = 1.0 / (1.0 + math.exp(-z))
+            p = min(max(p, 1e-12), 1 - 1e-12)
+            tot += -(r.y * math.log(p) + (1 - r.y) * math.log(1 - p))
+        return tot / len(f)
+
+    w0 = [0.0] * len(FEATURES)
+    w = train_weights(corpus, iters=30, lr=4.0)
+    assert loss(w) < loss(w0) * 0.5
+
+
+def test_separable_corpus_is_classified(spark, corpus):
+    out = {r.doc_id: r for r in
+           quality_logreg_scores(corpus, iters=30, lr=4.0).collect()}
+    assert all(out[i].pred for i in range(20))
+    assert all(not out[i].pred for i in range(20, 40))
+    # probabilities are calibrated to the right side of 0.5
+    assert min(out[i].p for i in range(20)) > 0.5
+    assert max(out[i].p for i in range(20, 40)) < 0.5
+
+
+def test_weights_frame_is_deterministic(spark, corpus):
+    a = [(r.j, r.feature, r.weight)
+         for r in quality_logreg_weights(corpus, iters=5, lr=1.0).collect()]
+    b = [(r.j, r.feature, r.weight)
+         for r in quality_logreg_weights(corpus, iters=5, lr=1.0).collect()]
+    assert a == b
+    assert [x[1] for x in sorted(a)] == FEATURES
+
+
+def test_lang_label_mode(spark):
+    rows = [(0, "hello world and the rest", "en"),
+            (1, "bonjour le monde entier", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    ys = {r.doc_id: r.y
+          for r in feature_frame(df, label="lang:en").collect()}
+    assert ys == {0: 1.0, 1: 0.0}

@@ -334,3 +334,41 @@ def test_collapse_topk_global_order_preserved(spark):
         key=lambda i: next(-x.score for x in out if x.doc_id == i),
     )
     assert len(out) == 3 and all(r.src_rank == 1 for r in out)
+
+
+# Rocchio pseudo-relevance feedback ----------------------------------------
+
+def test_rocchio_expansion_recovers_related_doc(spark):
+    # "cat" query; feedback docs pair cat with "feline"; doc 4 mentions
+    # only feline -> invisible to plain BM25, recovered by expansion
+    rows = [
+        (0, "cat feline feline feline whiskers"),
+        (1, "cat feline feline feline purr"),
+        (2, "cat toy"),
+        (3, "dog bone"),
+        (4, "feline shelter adoption"),
+    ]
+    from searchengine_spark.pipeline.fulltext import bm25_topk
+    from searchengine_spark.pipeline.queryops import rocchio_search
+    d = _docs(spark, rows)
+    plain = {r.doc_id for r in bm25_topk(d, ["cat"], k=10).collect()}
+    assert 4 not in plain
+    fed = {r.doc_id for r in
+           rocchio_search(d, ["cat"], fb_docs=3, fb_terms=2, k=10).collect()}
+    assert 4 in fed
+    assert 3 not in fed            # unrelated doc still excluded
+
+
+def test_rocchio_beta_zero_matches_plain_ranking(spark):
+    rows = [(0, "apple banana"), (1, "apple apple"), (2, "banana kiwi"),
+            (3, "unrelated words here")]
+    from searchengine_spark.pipeline.queryops import bm25_or_topk, rocchio_search
+    d = _docs(spark, rows)
+    # beta=0: expansion terms carry zero weight -> same scores as plain OR
+    fed = {r.doc_id: r.score
+           for r in rocchio_search(d, ["apple", "banana"], fb_docs=2,
+                                   fb_terms=2, beta=0.0, k=10).collect()}
+    plain = {r.doc_id: r.score
+             for r in bm25_or_topk(d, ["apple", "banana"], k=10).collect()}
+    for doc, score in plain.items():
+        assert fed[doc] == score
