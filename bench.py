@@ -109,6 +109,8 @@ HEADLINE = [
     "q_trending_decay",
     "q_random_projection",
     "q_pca_projection",
+    "q_rocchio",
+    "q_logreg_scores",
 ]
 
 
