@@ -144,3 +144,71 @@ class TestRound3PlanContracts:
 
         p = plan_str(codestats.symbol_lookup(docs, prefix="parse"))
         assert "TakeOrderedAndProject" in p
+
+
+class TestRound3BreadthPlanContracts:
+    def test_bm25_not_anti_join_no_cartesian(self, docs):
+        from searchengine_spark.pipeline import queryops
+
+        p = plan_str(queryops.bm25_not_topk(docs, ["merge", "vector"], ["dup"]))
+        assert "CartesianProduct" not in p
+        assert "TakeOrderedAndProject" in p
+
+    def test_collapse_topk_window_is_source_partitioned(self, docs):
+        from searchengine_spark.pipeline import queryops
+
+        p = plan_str(queryops.collapse_topk(docs, ["merge", "vector"]))
+        # the rank window must be partitioned (per-source), not a global
+        # single-partition funnel; final cut is TakeOrderedAndProject
+        assert "TakeOrderedAndProject" in p
+        assert "CartesianProduct" not in p
+
+    def test_random_projection_has_no_shuffle(self, emb):
+        from searchengine_spark.pipeline import similarity
+
+        p = plan_str(similarity.random_projection(emb))
+        # one Arrow matmul over the scan: no Exchange anywhere
+        assert "Exchange" not in p
+        assert "ArrowEvalPython" in p or "MapInPandas" in p or "EvalPython" in p
+
+    def test_covariance_shuffles_partials_not_rows(self, emb):
+        import re
+
+        from searchengine_spark.pipeline import similarity
+
+        p = plan_str(similarity.embedding_covariance(emb))
+        # finalize() localCheckpoints the 2080-row result, so the public
+        # plan is a checkpoint scan; assert the checkpoint happened (no
+        # parquet scan survives) — the 4x-scan regression would surface
+        # parquet scans here
+        scans = re.findall(r"Scan parquet", p)
+        assert not scans, scans
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    def test_pca_projection_is_map_only(self, emb):
+        from searchengine_spark.pipeline import similarity
+
+        p = plan_str(similarity.pca_projection(emb, dim=64))
+        # broadcast-literal loading vector -> a single projection over the
+        # scan; any Exchange means the dot product started shuffling
+        assert "Exchange" not in p
+
+    def test_logreg_scores_single_scan_no_python_in_sigmoid(self, docs):
+        import re
+
+        from searchengine_spark.pipeline import classifier
+
+        # iters=1 keeps the test fast; the scoring plan shape is identical
+        p = plan_str(classifier.quality_logreg_scores(docs, iters=1))
+        scans = re.findall(r"^\(\d+\) Scan parquet", p, re.M)
+        assert len(scans) <= 2, scans  # features + label join on quality
+        # sigmoid must be a JVM expression, not a Python UDF
+        assert "BatchEvalPython" not in p
+
+    def test_trending_decay_single_agg_broadcast_scalar(self, spark):
+        from searchengine_spark.pipeline import events
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        p = plan_str(events.trending_decay(ev))
+        assert "BroadcastNestedLoopJoin" in p  # 1-row t_max scalar
+        assert "SortMergeJoin" not in p
