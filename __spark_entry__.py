@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_not": lambda s, d: queryops.bm25_not_topk(_docs(s, d), Q_AND2, Q_SINGLE, k=20),
         "q_collapse_topk": lambda s, d: queryops.collapse_topk(_docs(s, d), Q_AND2, k=10, per_source=2),
         "q_rocchio": lambda s, d: queryops.rocchio_search(_docs(s, d), Q_AND2, fb_docs=5, fb_terms=3, beta=0.5, k=20),
+        "q_bm25f": lambda s, d: queryops.bm25f_topk(_docs(s, d), Q_AND2, title_len=8, w_title=2.0, k=20),
         "q_prefix_search": lambda s, d: queryops.prefix_search(_docs(s, d), Q_PREFIX, k=20),
         "q_cooccurrence_pmi": lambda s, d: queryops.cooccurrence_pmi(_docs(s, d), Q_PMI_PROBE),
         "q_spell_suggest": lambda s, d: queryops.spell_suggest(_docs(s, d), Q_MISSPELLED),
@@ -562,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bm25_not": osql.bm25_not_topk(Q_AND2, Q_SINGLE, k=20),
         "q_collapse_topk": osql.collapse_topk(Q_AND2, k=10, per_source=2),
         "q_rocchio": osql.rocchio_search(Q_AND2, fb_docs=5, fb_terms=3, beta=0.5, k=20),
+        "q_bm25f": osql.bm25f_topk(Q_AND2, title_len=8, w_title=2.0, k=20),
         "q_prefix_search": osql.prefix_search(Q_PREFIX, k=20),
         "q_cooccurrence_pmi": osql.cooccurrence_pmi(Q_PMI_PROBE),
         "q_spell_suggest": osql.spell_suggest(Q_MISSPELLED),

@@ -3048,3 +3048,37 @@ terms_dim AS (SELECT term, w FROM orig
 final AS ({scored_tpl.format(dim="terms_dim")})
 SELECT doc_id, score FROM final ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
+
+
+def bm25f_topk(terms: list[str], title_len: int = 8, w_title: float = 2.0,
+               w_body: float = 1.0, k: int = 20) -> str:
+    """DuckDB twin of queryops.bm25f_topk (simple BM25F, positional
+    title field)."""
+    tl = _terms_in(terms)
+    return f"""
+WITH {_PTOKS_CTE},
+wt AS MATERIALIZED (
+  SELECT doc_id, term,
+         CASE WHEN pos <= {title_len} THEN {float(w_title)}
+              ELSE {float(w_body)} END AS w
+  FROM ptoks
+),
+wdl AS MATERIALIZED (SELECT doc_id, sum(w) AS wdl FROM wt GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, sum(wdl) / count(*) AS avgdl FROM wdl),
+dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        FROM wt WHERE term IN ({tl}) GROUP BY term),
+wtf AS (SELECT doc_id, term, sum(w) AS wtf
+        FROM wt WHERE term IN ({tl}) GROUP BY doc_id, term),
+scored AS (
+  SELECT f.doc_id, count(*) AS nhit,
+         round(sum( ln(1 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * (f.wtf * 2.2)
+              / (f.wtf + 1.2 * (1 - 0.75 + 0.75 * (l.wdl / g.avgdl))) ), 4) AS score
+  FROM wtf f JOIN dfs d USING (term)
+  JOIN wdl l ON f.doc_id = l.doc_id
+  CROSS JOIN g
+  GROUP BY f.doc_id
+  HAVING count(*) = {len(terms)}
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""

@@ -372,3 +372,40 @@ def test_rocchio_beta_zero_matches_plain_ranking(spark):
              for r in bm25_or_topk(d, ["apple", "banana"], k=10).collect()}
     for doc, score in plain.items():
         assert fed[doc] == score
+
+
+# BM25F field weighting ------------------------------------------------------
+
+def test_bm25f_title_hit_outranks_body_hit(spark):
+    # same tf everywhere; doc 0 has "apple" inside the 3-token title
+    # window, doc 1 only in the body -> title weight must rank 0 first
+    rows = [
+        (0, "apple intro words body body body body filler filler filler"),
+        (1, "intro words three body apple body body filler filler filler"),
+    ]
+    from searchengine_spark.pipeline.queryops import bm25f_topk
+    out = bm25f_topk(_docs(spark, rows), ["apple"], title_len=3,
+                     w_title=2.0, k=10).collect()
+    assert [r.doc_id for r in out] == [0, 1]
+    assert out[0].score > out[1].score
+
+
+def test_bm25f_flat_weights_match_plain_bm25(spark):
+    from searchengine_spark.pipeline.fulltext import bm25_topk
+    from searchengine_spark.pipeline.queryops import bm25f_topk
+    rows = [(0, "apple banana cherry apple"), (1, "apple date elderberry"),
+            (2, "banana banana apple")]
+    d = _docs(spark, rows)
+    flat = {r.doc_id: r.score
+            for r in bm25f_topk(d, ["apple"], w_title=1.0, w_body=1.0,
+                                k=10).collect()}
+    plain = {r.doc_id: r.score for r in bm25_topk(d, ["apple"], k=10).collect()}
+    assert flat == plain
+
+
+def test_bm25f_and_gate_requires_all_terms(spark):
+    rows = [(0, "apple banana rest of the document here"),
+            (1, "apple only document text")]
+    from searchengine_spark.pipeline.queryops import bm25f_topk
+    out = bm25f_topk(_docs(spark, rows), ["apple", "banana"], k=10).collect()
+    assert {r.doc_id for r in out} == {0}
