@@ -73,6 +73,15 @@ PROBE_VEC_IDS = [0, 1, 2, 3, 4]
 # chained multi-char merges ((h,as) consumes (a,s)'s output, (ta,b)
 # consumes (t,a)'s) so the greedy fold is exercised, not just lookup
 BPE_MERGES = [("a", "s"), ("h", "as"), ("t", "a"), ("ta", "b")]
+# registered percolator queries: conjunctive term sets incl. an
+# unsatisfiable one (absent term) and a single-term route
+STORED_QUERIES = [
+    (0, Q_AND2),
+    (1, Q_AND3),
+    (2, Q_SINGLE),
+    (3, ["vector"]),
+    (4, ["merge", "zzznotaterm"]),
+]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,6 +324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collapse_topk": lambda s, d: queryops.collapse_topk(_docs(s, d), Q_AND2, k=10, per_source=2),
         "q_rocchio": lambda s, d: queryops.rocchio_search(_docs(s, d), Q_AND2, fb_docs=5, fb_terms=3, beta=0.5, k=20),
         "q_bm25f": lambda s, d: queryops.bm25f_topk(_docs(s, d), Q_AND2, title_len=8, w_title=2.0, k=20),
+        "q_percolate": lambda s, d: queryops.percolate(_docs(s, d), STORED_QUERIES),
+        "q_dirichlet_ql": lambda s, d: queryops.dirichlet_ql_topk(_docs(s, d), Q_AND2, mu=2000.0, k=20),
         "q_prefix_search": lambda s, d: queryops.prefix_search(_docs(s, d), Q_PREFIX, k=20),
         "q_cooccurrence_pmi": lambda s, d: queryops.cooccurrence_pmi(_docs(s, d), Q_PMI_PROBE),
         "q_spell_suggest": lambda s, d: queryops.spell_suggest(_docs(s, d), Q_MISSPELLED),
@@ -564,6 +575,8 @@ def oracle_sql() -> dict[str, str]:
         "q_collapse_topk": osql.collapse_topk(Q_AND2, k=10, per_source=2),
         "q_rocchio": osql.rocchio_search(Q_AND2, fb_docs=5, fb_terms=3, beta=0.5, k=20),
         "q_bm25f": osql.bm25f_topk(Q_AND2, title_len=8, w_title=2.0, k=20),
+        "q_percolate": osql.percolate(STORED_QUERIES),
+        "q_dirichlet_ql": osql.dirichlet_ql_topk(Q_AND2, mu=2000.0, k=20),
         "q_prefix_search": osql.prefix_search(Q_PREFIX, k=20),
         "q_cooccurrence_pmi": osql.cooccurrence_pmi(Q_PMI_PROBE),
         "q_spell_suggest": osql.spell_suggest(Q_MISSPELLED),

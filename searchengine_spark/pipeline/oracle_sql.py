@@ -3082,3 +3082,48 @@ scored AS (
 )
 SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
+
+
+def percolate(stored_queries: list[tuple[int, list[str]]]) -> str:
+    """DuckDB twin of queryops.percolate (stored-query matching)."""
+    qvals = ", ".join(f"({qid}, '{t}')"
+                      for qid, terms in stored_queries for t in set(terms))
+    svals = ", ".join(f"({qid}, {len(set(terms))})"
+                      for qid, terms in stored_queries)
+    return f"""
+WITH {_TOKS_CTE},
+qdim AS (SELECT * FROM (VALUES {qvals}) t(query_id, term)),
+qsizes AS (SELECT * FROM (VALUES {svals}) t(query_id, n_terms)),
+hits AS (
+  SELECT q.query_id, p.doc_id, count(*)::INT AS n_hit
+  FROM postings p JOIN qdim q USING (term)
+  GROUP BY q.query_id, p.doc_id
+)
+SELECT h.query_id::INT AS query_id, h.doc_id
+FROM hits h JOIN qsizes s USING (query_id)
+WHERE h.n_hit = s.n_terms
+"""
+
+
+def dirichlet_ql_topk(terms: list[str], mu: float = 2000.0,
+                      k: int = 20) -> str:
+    """DuckDB twin of queryops.dirichlet_ql_topk."""
+    tl = _terms_in(terms)
+    nq = float(len(terms))
+    return f"""
+WITH {_TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+coll AS (SELECT sum(tf)::DOUBLE AS c_tokens FROM postings),
+cfs AS (SELECT term, sum(tf)::DOUBLE AS cf FROM postings
+        WHERE term IN ({tl}) GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round( sum(ln(1 + p.tf / ({mu} * c.cf / coll.c_tokens)))
+                + {nq} * ln({mu} / (ds.dl + {mu})), 4) AS score
+  FROM postings p JOIN cfs c USING (term)
+  JOIN ds ON p.doc_id = ds.doc_id
+  CROSS JOIN coll
+  GROUP BY p.doc_id, ds.dl
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""

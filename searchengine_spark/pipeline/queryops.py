@@ -799,3 +799,90 @@ def bm25f_topk(documents: DataFrame, query_terms: list[str],
         .limit(k)
     )
     return finalize(scored, wtoks)
+
+
+def percolate(documents: DataFrame,
+              stored_queries: list[tuple[int, list[str]]],
+              **kw) -> DataFrame:
+    """(query_id, doc_id): stored-query matching — the Elasticsearch
+    percolator / Lucene Monitor pattern reversed from search: queries are
+    REGISTERED (alerting rules, routing filters, saved searches) and each
+    incoming document reports which conjunctive queries it satisfies.
+    This is the ingest-time half of an alerting pipeline; the reference
+    only has the forward direction.
+
+    Plan: the registry is a tiny (query_id, term) dimension — broadcast
+    into the doc-term postings, then one hash agg with HAVING count =
+    |query| (J4's set-at-a-time AND, per stored query).  Cost is
+    O(postings of registered terms), independent of registry product;
+    at 10^6 stored queries the dimension is still MBs and the plan shape
+    is unchanged (Lucene Monitor's presearcher optimization maps to a
+    term-bucketed registry join).
+    """
+    spark = documents.sparkSession
+    qdim = spark.createDataFrame(
+        [(qid, t) for qid, terms in stored_queries for t in set(terms)],
+        "query_id int, term string")
+    qsizes = spark.createDataFrame(
+        [(qid, len(set(terms))) for qid, terms in stored_queries],
+        "query_id int, n_terms int")
+    doc_terms = tf_postings(documents, **kw).select("doc_id", "term")
+    return (
+        doc_terms.join(F.broadcast(qdim), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hit"))
+        .join(F.broadcast(qsizes), "query_id")
+        .filter(F.col("n_hit") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+
+
+def dirichlet_ql_topk(documents: DataFrame, query_terms: list[str],
+                      mu: float = 2000.0, k: int = 20, **kw) -> DataFrame:
+    """(doc_id, score): Dirichlet-smoothed query-likelihood ranking
+    (Zhai & Lafferty '01; Indri/Galago's default scorer) — the other
+    classic ranking family next to BM25:
+
+        score(d) = Σ_{t∈q, tf>0} ln(1 + tf / (μ·cf_t/|C|))
+                   + |q| · ln(μ / (dl + μ))
+
+    (the rank-equivalent matched-terms decomposition, so docs are scored
+    from their posting rows only).  Candidates = docs matching ≥1 query
+    term, same single-scan plan shape as bm25_or_scored: persisted
+    postings feed cf/|C|/dl branches, scalar stats broadcast.
+    """
+    import math
+
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p).persist()
+    coll = p.agg(F.sum("tf").cast("double").alias("c_tokens"))
+    cfs = (
+        p.filter(F.col("term").isin(query_terms))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("double").alias("cf"))
+    )
+    cand = p.filter(F.col("term").isin(query_terms))
+    nq = float(len(query_terms))
+    scored = (
+        cand.join(F.broadcast(cfs), "term")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(coll))
+        .withColumn(
+            "pscore",
+            F.log(1.0 + F.col("tf") / (F.lit(mu) * F.col("cf") / F.col("c_tokens"))),
+        )
+        .groupBy("doc_id", "dl")
+        .agg(F.sum("pscore").alias("matched"))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("matched")
+                + F.lit(nq) * F.log(F.lit(mu) / (F.col("dl") + F.lit(mu))),
+                4,
+            ),
+        )
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return finalize(scored, p, ds)

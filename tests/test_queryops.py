@@ -409,3 +409,51 @@ def test_bm25f_and_gate_requires_all_terms(spark):
     from searchengine_spark.pipeline.queryops import bm25f_topk
     out = bm25f_topk(_docs(spark, rows), ["apple", "banana"], k=10).collect()
     assert {r.doc_id for r in out} == {0}
+
+
+# percolator ----------------------------------------------------------------
+
+def test_percolate_routes_docs_to_matching_queries(spark):
+    rows = [(0, "alert disk full"), (1, "disk ok"), (2, "alert cpu hot")]
+    from searchengine_spark.pipeline.queryops import percolate
+    stored = [(10, ["alert", "disk"]), (11, ["alert"]), (12, ["missing", "alert"])]
+    out = {(r.query_id, r.doc_id)
+           for r in percolate(_docs(spark, rows), stored).collect()}
+    assert out == {(10, 0), (11, 0), (11, 2)}
+
+
+def test_percolate_duplicate_terms_in_query_counted_once(spark):
+    rows = [(0, "alpha beta")]
+    from searchengine_spark.pipeline.queryops import percolate
+    out = percolate(_docs(spark, rows), [(1, ["alpha", "alpha", "beta"])]).collect()
+    assert [(r.query_id, r.doc_id) for r in out] == [(1, 0)]
+
+
+# Dirichlet query likelihood --------------------------------------------------
+
+def test_dirichlet_ql_prefers_higher_tf_same_length(spark):
+    rows = [
+        (0, "apple apple apple filler"),
+        (1, "apple filler filler filler"),
+        (2, "other words here now"),
+    ]
+    from searchengine_spark.pipeline.queryops import dirichlet_ql_topk
+    out = dirichlet_ql_topk(_docs(spark, rows), ["apple"], k=10).collect()
+    assert [r.doc_id for r in out][:2] == [0, 1]
+    assert 2 not in {r.doc_id for r in out}
+
+
+def test_dirichlet_ql_hand_computed(spark):
+    import math
+
+    rows = [(0, "a a b"), (1, "a c d")]
+    from searchengine_spark.pipeline.queryops import dirichlet_ql_topk
+    mu = 10.0
+    out = {r.doc_id: r.score
+           for r in dirichlet_ql_topk(_docs(spark, rows), ["a"], mu=mu,
+                                      k=10).collect()}
+    c_tokens, cf_a = 6.0, 3.0
+    exp0 = math.log(1 + 2 / (mu * cf_a / c_tokens)) + math.log(mu / (3 + mu))
+    exp1 = math.log(1 + 1 / (mu * cf_a / c_tokens)) + math.log(mu / (3 + mu))
+    assert abs(out[0] - round(exp0, 4)) < 1e-6
+    assert abs(out[1] - round(exp1, 4)) < 1e-6
