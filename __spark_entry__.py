@@ -84,6 +84,14 @@ STORED_QUERIES = [
 ]
 
 
+QUERY_LANG = 'merge vector -dup "table hash" stream OR batch'
+
+
+def _run_query_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.query.parser import run_query
+    return run_query(_docs(spark, sf_dir), QUERY_LANG, k=20)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -326,6 +334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25f": lambda s, d: queryops.bm25f_topk(_docs(s, d), Q_AND2, title_len=8, w_title=2.0, k=20),
         "q_percolate": lambda s, d: queryops.percolate(_docs(s, d), STORED_QUERIES),
         "q_dirichlet_ql": lambda s, d: queryops.dirichlet_ql_topk(_docs(s, d), Q_AND2, mu=2000.0, k=20),
+        # boolean query language (parser + composed executor)
+        "q_query_language": lambda s, d: _run_query_lang(s, d),
         "q_prefix_search": lambda s, d: queryops.prefix_search(_docs(s, d), Q_PREFIX, k=20),
         "q_cooccurrence_pmi": lambda s, d: queryops.cooccurrence_pmi(_docs(s, d), Q_PMI_PROBE),
         "q_spell_suggest": lambda s, d: queryops.spell_suggest(_docs(s, d), Q_MISSPELLED),
@@ -577,6 +587,9 @@ def oracle_sql() -> dict[str, str]:
         "q_bm25f": osql.bm25f_topk(Q_AND2, title_len=8, w_title=2.0, k=20),
         "q_percolate": osql.percolate(STORED_QUERIES),
         "q_dirichlet_ql": osql.dirichlet_ql_topk(Q_AND2, mu=2000.0, k=20),
+        "q_query_language": osql.query_language(
+            ["merge", "vector"], ["dup"], [["table", "hash"]],
+            [["stream", "batch"]], k=20),
         "q_prefix_search": osql.prefix_search(Q_PREFIX, k=20),
         "q_cooccurrence_pmi": osql.cooccurrence_pmi(Q_PMI_PROBE),
         "q_spell_suggest": osql.spell_suggest(Q_MISSPELLED),

@@ -111,6 +111,9 @@ HEADLINE = [
     "q_pca_projection",
     "q_rocchio",
     "q_logreg_scores",
+    "q_bm25f",
+    "q_percolate",
+    "q_dirichlet_ql",
 ]
 
 

@@ -3127,3 +3127,55 @@ scored AS (
 )
 SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
+
+
+def query_language(must: list[str], must_not: list[str],
+                   phrases: list[list[str]], or_groups: list[list[str]],
+                   k: int = 20) -> str:
+    """DuckDB twin of query.parser.run_query for a fixed parsed query:
+    disjunctive BM25 over all positive terms + MUST / OR-group / phrase
+    semi-joins + NOT anti-join."""
+    positive = list(dict.fromkeys(
+        must + [t for g in or_groups for t in g]
+        + [t for ph in phrases for t in ph]))
+    pl = _terms_in(positive)
+    conds = []
+    if must:
+        ml = _terms_in(must)
+        conds.append(
+            f"s.doc_id IN (SELECT doc_id FROM postings WHERE term IN ({ml})"
+            f" GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(must))})")
+    for g_ in or_groups:
+        gl = _terms_in(g_)
+        conds.append(
+            f"s.doc_id IN (SELECT DISTINCT doc_id FROM postings"
+            f" WHERE term IN ({gl}))")
+    for ph in phrases:
+        conds.append(
+            f"s.doc_id IN (SELECT doc_id FROM ({phrase_occurrences(ph)}) t)")
+    if must_not:
+        nl = _terms_in(must_not)
+        conds.append(
+            f"s.doc_id NOT IN (SELECT DISTINCT doc_id FROM postings"
+            f" WHERE term IN ({nl}))")
+    where = ("WHERE " + "\n  AND ".join(conds)) if conds else ""
+    return f"""
+WITH {_TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({pl}) GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (p.tf * 2.2)
+              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ), 4) AS score
+  FROM postings p
+  JOIN dfs USING (term)
+  JOIN ds ON p.doc_id = ds.doc_id
+  CROSS JOIN g
+  GROUP BY p.doc_id
+)
+SELECT s.doc_id, s.score FROM scored s
+{where}
+ORDER BY s.score DESC, s.doc_id ASC LIMIT {k}
+"""

@@ -1,0 +1,155 @@
+"""Boolean query language: parser + DataFrame executor.
+
+The reference accepts a bag of words and ANDs the lemmas
+(`services/SearchServiceImpl.java:35-43`); every production engine
+instead exposes a small query language.  This module parses the
+Lucene-ish subset
+
+    merge vector            bare terms: MUST (implicit AND, the
+                            reference's semantics)
+    -dup                    MUST_NOT (exclusion)
+    "table hash"            exact positional phrase: MUST
+    stream OR batch         a disjunction group: at least one member
+
+into a ``ParsedQuery`` and executes it by COMPOSING the already
+oracle-gated operator plans:
+
+- ranking: disjunctive BM25 over every positive term (MUST terms score
+  like the conjunctive plan since all are present; OR-group members add
+  their partial scores when present — Lucene's SHOULD contribution);
+- gates: MUST terms via the HAVING-count AND gate, each OR group via a
+  semi-join on the union of its members' postings, phrases via a
+  semi-join on ``phrase_occurrences``, exclusions via one anti-join on
+  the union of the NOT terms' postings.
+
+Everything stays one corpus tokenization (the persisted postings table
+feeds ranking and every gate); group/phrase/NOT sides are candidate
+sets, never collected.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from searchengine_spark.pipeline._cache import finalize
+from searchengine_spark.pipeline.fulltext import doc_stats, df_stats, tf_postings
+from searchengine_spark.pipeline.queryops import phrase_occurrences
+from searchengine_spark.textproc.core import BM25_B, BM25_K1
+
+_TOKEN_RE = re.compile(r'"[^"]*"|\S+')
+
+
+@dataclass
+class ParsedQuery:
+    must: list[str] = field(default_factory=list)
+    must_not: list[str] = field(default_factory=list)
+    phrases: list[list[str]] = field(default_factory=list)
+    or_groups: list[list[str]] = field(default_factory=list)
+
+
+def _words(s: str) -> list[str]:
+    return [w for w in re.split(r"[^a-z0-9]+", s.lower()) if w]
+
+
+def parse_query(q: str) -> ParsedQuery:
+    """Single pass over whitespace tokens; ``a OR b OR c`` folds the
+    neighbouring tokens into one group (OR binds tighter than the
+    implicit AND, as in Lucene's simple syntax)."""
+    raw = _TOKEN_RE.findall(q)
+    out = ParsedQuery()
+    i = 0
+    while i < len(raw):
+        tok = raw[i]
+        if tok == "OR":                   # dangling OR: ignore
+            i += 1
+            continue
+        # collect an OR chain starting at this token (the operator must be
+        # uppercase OR, as in Lucene's simple syntax — 'or' is a term)
+        if tok[0] != '"' and not tok.startswith("-") \
+                and i + 1 < len(raw) and raw[i + 1] == "OR":
+            group = _words(tok)
+            j = i + 1
+            while j < len(raw) and raw[j] == "OR" and j + 1 < len(raw):
+                group += _words(raw[j + 1])
+                j += 2
+            out.or_groups.append(group)
+            i = j
+            continue
+        if tok.startswith('"'):
+            words = _words(tok.strip('"'))
+            if len(words) == 1:
+                out.must.append(words[0])
+            elif words:
+                out.phrases.append(words)
+        elif tok.startswith("-") and len(tok) > 1:
+            out.must_not += _words(tok[1:])
+        else:
+            out.must += _words(tok)
+        i += 1
+    return out
+
+
+def run_query(documents: DataFrame, q: str | ParsedQuery, k: int = 20,
+              k1: float = BM25_K1, b: float = BM25_B, **kw) -> DataFrame:
+    """(doc_id, score): execute a parsed boolean query, ranked by the
+    disjunctive BM25 score over all positive terms."""
+    pq = parse_query(q) if isinstance(q, str) else q
+    positive = list(dict.fromkeys(
+        pq.must + [t for g in pq.or_groups for t in g]
+        + [t for ph in pq.phrases for t in ph]))
+    if not positive:
+        spark = documents.sparkSession
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p).persist()
+    n_and_avg = ds.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfs = df_stats(p).filter(F.col("term").isin(positive))
+    cand = p.filter(F.col("term").isin(positive))
+    scored = (
+        cand.join(F.broadcast(dfs.select("term", "df")), "term")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .withColumn("idf", F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .withColumn(
+            "pscore",
+            F.col("idf") * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("pscore"), 4).alias("score"))
+    )
+
+    # MUST gate: one agg over the must terms' postings
+    if pq.must:
+        must_ok = (
+            p.filter(F.col("term").isin(pq.must))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("n"))
+            .filter(F.col("n") == len(set(pq.must)))
+            .select("doc_id")
+        )
+        scored = scored.join(must_ok, "doc_id", "left_semi")
+    # each OR group: semi-join on the union of member postings
+    for grp in pq.or_groups:
+        grp_docs = p.filter(F.col("term").isin(grp)).select("doc_id").distinct()
+        scored = scored.join(grp_docs, "doc_id", "left_semi")
+    # phrases: positional semi-join
+    for ph in pq.phrases:
+        ph_docs = phrase_occurrences(documents, ph, **kw).select("doc_id")
+        scored = scored.join(ph_docs, "doc_id", "left_semi")
+    # exclusions: one anti-join on the union of NOT postings
+    if pq.must_not:
+        excl = p.filter(F.col("term").isin(pq.must_not)) \
+            .select("doc_id").distinct()
+        scored = scored.join(excl, "doc_id", "left_anti")
+
+    out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return finalize(out, p, ds)

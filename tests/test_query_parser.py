@@ -1,0 +1,85 @@
+"""Boolean query language (query/parser.py): grammar cases + end-to-end
+execution semantics on hand corpora.  Corpus-scale oracle parity is the
+q_query_language gate."""
+
+from __future__ import annotations
+
+from searchengine_spark.query.parser import ParsedQuery, parse_query, run_query
+
+
+class TestParser:
+    def test_bare_terms_are_must(self):
+        pq = parse_query("merge vector")
+        assert pq.must == ["merge", "vector"]
+        assert not pq.must_not and not pq.phrases and not pq.or_groups
+
+    def test_exclusion(self):
+        pq = parse_query("merge -dup -Noise")
+        assert pq.must == ["merge"] and pq.must_not == ["dup", "noise"]
+
+    def test_phrase(self):
+        pq = parse_query('"table hash" merge')
+        assert pq.phrases == [["table", "hash"]] and pq.must == ["merge"]
+
+    def test_single_word_phrase_is_plain_term(self):
+        assert parse_query('"merge"').must == ["merge"]
+
+    def test_or_chain(self):
+        pq = parse_query("stream OR batch OR micro merge")
+        assert pq.or_groups == [["stream", "batch", "micro"]]
+        assert pq.must == ["merge"]
+
+    def test_or_is_case_sensitive_keyword(self):
+        # lowercase 'or' is a term, not the operator
+        pq = parse_query("stream or batch")
+        assert pq.must == ["stream", "or", "batch"]
+
+    def test_dangling_or_ignored(self):
+        pq = parse_query("merge OR")
+        assert pq.must == ["merge"] or pq.or_groups == [["merge"]]
+
+    def test_mixed_full_query(self):
+        pq = parse_query('merge vector -dup "table hash" stream OR batch')
+        assert pq == ParsedQuery(
+            must=["merge", "vector"], must_not=["dup"],
+            phrases=[["table", "hash"]], or_groups=[["stream", "batch"]])
+
+    def test_punctuation_normalized(self):
+        pq = parse_query("Merge, VECTOR!")
+        assert pq.must == ["merge", "vector"]
+
+
+class TestExecutor:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_all_clause_kinds_gate_correctly(self, spark):
+        rows = [
+            (0, "merge vector table hash stream x"),   # satisfies all
+            (1, "merge vector table hash stream dup"), # excluded by -dup
+            (2, "merge vector hash table stream"),     # phrase order wrong
+            (3, "merge vector table hash y z"),        # no stream/batch
+            (4, "merge table hash batch"),             # missing must 'vector'
+            (5, "merge vector table hash batch"),      # satisfies all (batch)
+        ]
+        d = self._docs(spark, rows)
+        out = run_query(d, 'merge vector -dup "table hash" stream OR batch', k=10)
+        assert {r.doc_id for r in out.collect()} == {0, 5}
+
+    def test_empty_query_returns_empty(self, spark):
+        d = self._docs(spark, [(0, "anything")])
+        assert run_query(d, "- OR").count() == 0
+
+    def test_pure_or_query_scores_any_match(self, spark):
+        rows = [(0, "alpha x"), (1, "beta y"), (2, "gamma z")]
+        d = self._docs(spark, rows)
+        out = {r.doc_id for r in run_query(d, "alpha OR beta", k=10).collect()}
+        assert out == {0, 1}
+
+    def test_must_only_matches_conjunctive_bm25(self, spark):
+        from searchengine_spark.pipeline.fulltext import bm25_topk
+        rows = [(0, "apple banana x"), (1, "apple y"), (2, "banana apple apple")]
+        d = self._docs(spark, rows)
+        a = [(r.doc_id, r.score) for r in run_query(d, "apple banana", k=10).collect()]
+        b = [(r.doc_id, r.score) for r in bm25_topk(d, ["apple", "banana"], k=10).collect()]
+        assert a == b
