@@ -87,7 +87,22 @@ RU_EXCEPTIONS: dict[str, str] = {
     "люди": "человек", "людей": "человек", "людям": "человек",
     "человек": "человек", "человека": "человек", "человеку": "человек",
     "дети": "ребенок", "детей": "ребенок", "ребенок": "ребенок",
+    # homographs the productive -ость rule would misfold
+    "прости": "простить", "простит": "простить",
 }
+
+# Generated irregular paradigms (mobile vowels, soft-sign nouns, neuter
+# -о/-е, -мя, -ья plurals, -анин, pronouns, numerals, irregular verbs)
+# from public declension/conjugation tables — round-3 breadth closure of
+# the "irregulars outside RU_EXCEPTIONS diverge" gap.  Hand-written
+# entries above win on conflict; particle surface forms are never
+# shadowed (guard below + tests/test_ru_morph.py invariants).
+from searchengine_spark.textproc.ru_paradigms import IRREGULAR_FORMS
+
+for _form, _lemma in IRREGULAR_FORMS.items():
+    if _form not in RU_PARTICLES:
+        RU_EXCEPTIONS.setdefault(_form, _lemma)
+del _form, _lemma
 
 _HUSHER_VELAR = frozenset("гкхжчшщ")  # spelling rule: ы -> и after these
 
@@ -147,6 +162,19 @@ RU_RULES: list[tuple[str, str, int]] = [
     # -ия feminine nouns (осетия, информация): declension -> nominative
     ("иями", "ия", 2), ("иях", "ия", 2), ("иям", "ия", 2),
     ("ией", "ия", 2), ("ию", "ия", 2), ("ии", "ия", 2), ("ия", "ия", 2),
+    # productive third-declension -ость family (возможность, скорость,
+    # новость, гость ...): declension -> nominative in -ость.  Anchored
+    # on -ост- so the -сти infinitives (нести, провести, расти) fall
+    # through untouched; covers the whole abstract -ость family in one
+    # stroke.  Known homograph: "прости" (imperative) — pinned in
+    # RU_EXCEPTIONS.
+    ("остью", "ость", 1), ("остями", "ость", 1), ("остях", "ость", 1),
+    ("остям", "ость", 1), ("остей", "ость", 1), ("ости", "ость", 1),
+    # -сти/-зти infinitives (нести, провести, везти): identity rules so
+    # the bare -и strip below can't truncate them to "нест"/"везт".
+    # Oblique -сть feminines outside the exceptions table (страсти)
+    # stay unfolded — the lesser divergence vs mangling every verb.
+    ("сти", "сти", 1), ("зти", "зти", 1),
     # full adjectives -> masculine nominative.  Hard forms always apply
     # (ый, or ий after velars/hushers: хорошая -> хороший); soft forms
     # only after stems that actually take them (velars/hushers/н), so
