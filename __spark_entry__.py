@@ -46,6 +46,7 @@ from searchengine_spark.pipeline import (  # noqa: E402
     queryops,
     sampling,
     similarity,
+    sketches,
     textstats,
     trigram,
 )
@@ -69,6 +70,11 @@ Q_REGEX = "merge [a-z]+ vector"
 Q_REGEX_GROUP = "(merge )?vector"
 PROBE_DOC_ID = 0
 PROBE_VEC_IDS = [0, 1, 2, 3, 4]
+# count-min heavy-hitter floor: every fixture-vocab term clears it at
+# sf>=0.01 (counts ~900); proves the estimate>=exact thresholding shape
+CMS_THRESHOLD = 200
+# SynonymQuery gate: one multi-member group + one singleton (degenerate)
+SYNONYM_GROUPS = [["merge", "join"], ["vector"]]
 # fixed merge list for the BPE apply gate: single-char merges plus
 # chained multi-char merges ((h,as) consumes (a,s)'s output, (ta,b)
 # consumes (t,a)'s) so the greedy fold is exercised, not just lookup
@@ -509,6 +515,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # physical-encoding gate: compressed stream byte counts per bucket,
         # reproduced analytically (varbyte length arithmetic) by the oracle
         "q_index_size_stats": _index_size_stats,
+        # streaming sketches (pipeline/sketches.py): HLL distinct-count
+        # registers + estimate, count-min heavy hitters — the
+        # constant-state statistics layer for 10^12-file corpora
+        "q_hll_distinct": lambda s, d: sketches.hll_distinct_terms(_docs(s, d)),
+        "q_cms_heavy_hitters": lambda s, d: sketches.cms_heavy_hitters(
+            _docs(s, d), threshold=CMS_THRESHOLD
+        ),
+        # int8 scalar quantization (the 4th ANN compression family next
+        # to LSH/IVF/PQ): codes, asymmetric top-k, recall vs exact
+        "q_sq8_codes": lambda s, d: similarity.sq8_codes(_emb(s, d)),
+        "q_sq8_topk": lambda s, d: similarity.sq8_topk(
+            _emb(s, d), PROBE_VEC_IDS, k=5
+        ),
+        "q_sq8_recall": lambda s, d: similarity.sq8_recall(
+            _emb(s, d), PROBE_VEC_IDS, k=5
+        ),
+        # SynonymQuery semantics: per-group tf-sum/df-any BM25
+        "q_synonym_bm25": lambda s, d: queryops.synonym_bm25_topk(
+            _docs(s, d), SYNONYM_GROUPS, k=20
+        ),
     }
 
 
@@ -674,4 +700,10 @@ def oracle_sql() -> dict[str, str]:
         "q_near_indexed": osql.near_pairs(Q_AND2[0], Q_AND2[1], 8),
         "q_sloppy_phrase": osql.sloppy_phrase(Q_PAGE[0], Q_PAGE[1], 6),
         "q_index_size_stats": osql.index_size_stats(n_buckets=16),
+        "q_hll_distinct": osql.hll_distinct_terms(),
+        "q_cms_heavy_hitters": osql.cms_heavy_hitters(threshold=CMS_THRESHOLD),
+        "q_sq8_codes": osql.sq8_codes(),
+        "q_sq8_topk": osql.sq8_topk(PROBE_VEC_IDS, k=5),
+        "q_sq8_recall": osql.sq8_recall(PROBE_VEC_IDS, k=5),
+        "q_synonym_bm25": osql.synonym_bm25_topk(SYNONYM_GROUPS, k=20),
     }

@@ -114,6 +114,10 @@ HEADLINE = [
     "q_bm25f",
     "q_percolate",
     "q_dirichlet_ql",
+    "q_hll_distinct",
+    "q_cms_heavy_hitters",
+    "q_sq8_topk",
+    "q_synonym_bm25",
 ]
 
 

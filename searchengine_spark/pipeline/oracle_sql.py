@@ -3179,3 +3179,178 @@ SELECT s.doc_id, s.score FROM scored s
 {where}
 ORDER BY s.score DESC, s.doc_id ASC LIMIT {k}
 """
+
+
+# --- sketches (HyperLogLog + count-min) ------------------------------------
+
+_TOKL_CTE = """
+tokl0 AS (
+  SELECT lang,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+tokl AS (SELECT lang AS grp, term FROM tokl0 WHERE term <> '')
+"""
+
+
+def hll_distinct_terms() -> str:
+    """Twin of sketches.hll_distinct_terms: identical md5-based register
+    index / 30-bit rank word / alpha_64 estimate + linear-counting
+    correction.  4096 = m^2 is a power of two, so 0.709 * 4096 is the
+    same double in both engines."""
+    h = md5_long_sql("term")
+    return f"""
+WITH {_TOKL_CTE},
+hh AS (SELECT grp, {h} AS h FROM tokl),
+rr AS (
+  SELECT grp, h % 64 AS register,
+         CASE WHEN (h >> 6) % 1073741824 = 0 THEN 31
+              ELSE 30 - CAST(floor(log2((h >> 6) % 1073741824)) AS INT)
+         END AS rho
+  FROM hh
+),
+regs AS (SELECT grp, register, max(rho) AS max_rho FROM rr GROUP BY 1, 2),
+agg AS (
+  SELECT grp, sum(power(2.0, -max_rho)) AS zp, count(*)::DOUBLE AS np
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT grp,
+         CASE WHEN (0.709 * 64 * 64) / (zp + (64 - np)) <= 160.0 AND (64 - np) > 0
+              THEN CAST(round(64 * ln(64 / (64 - np))) AS BIGINT)
+              ELSE CAST(round((0.709 * 64 * 64) / (zp + (64 - np))) AS BIGINT)
+         END AS hll_estimate
+  FROM agg
+),
+ex AS (SELECT grp, count(DISTINCT term)::BIGINT AS n_exact FROM tokl GROUP BY 1)
+SELECT ex.grp, ex.n_exact, est.hll_estimate FROM ex JOIN est USING (grp)
+"""
+
+
+def cms_heavy_hitters(threshold: int = 200) -> str:
+    """Twin of sketches.cms_heavy_hitters: 4x256 counter matrix, estimate
+    = min over the four row counters, thresholded on the estimate."""
+    buckets = {
+        i: md5_long_sql(f"'cms{i}:' || term") + " % 256" for i in range(4)
+    }
+    counter_ctes = ",\n".join(
+        f"c{i} AS (SELECT {buckets[i]} AS bucket, count(*)::BIGINT AS cnt"
+        f" FROM toks GROUP BY 1)"
+        for i in range(4)
+    )
+    probe_cols = ",\n         ".join(
+        f"{buckets[i]} AS b{i}" for i in range(4)
+    )
+    joins = "\n".join(
+        f"JOIN c{i} ON v.b{i} = c{i}.bucket" for i in range(4)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+vocab AS (
+  SELECT term, count(*)::BIGINT AS n_exact,
+         {probe_cols}
+  FROM toks GROUP BY term
+),
+{counter_ctes}
+SELECT term, n_exact,
+       least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) AS cms_estimate
+FROM vocab v
+{joins}
+WHERE least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) >= {threshold}
+ORDER BY cms_estimate DESC, term ASC
+"""
+
+
+# --- int8 scalar quantization ----------------------------------------------
+
+_SQ8_DIMS_CTE = """
+dims AS (
+  SELECT vec_id, CAST(i AS INT) AS dim, embedding[CAST(i AS INT)]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+),
+bounds AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM dims GROUP BY dim)
+"""
+
+
+def sq8_codes() -> str:
+    """Twin of similarity.sq8_codes: per-dim min/max, 255-level rounding,
+    identical (x - lo) * 255 / (hi - lo) expression order."""
+    return f"""
+WITH {_SQ8_DIMS_CTE}
+SELECT d.vec_id, d.dim,
+       CASE WHEN b.hi = b.lo THEN 0
+            ELSE CAST(round((d.x - b.lo) * 255 / (b.hi - b.lo)) AS INT)
+       END AS code
+FROM dims d JOIN bounds b USING (dim)
+"""
+
+
+def sq8_topk(probe_ids: list[int], k: int = 5) -> str:
+    """Twin of similarity.sq8_topk: raw probe x dequantized candidate
+    (asymmetric), array-native comprehension so the double summation
+    order matches Spark's in-order fold."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+WITH {_SQ8_DIMS_CTE},
+b AS (SELECT list(lo ORDER BY dim) AS lo_arr, list(hi ORDER BY dim) AS hi_arr FROM bounds),
+cd AS (
+  SELECT vec_id,
+         [ CASE WHEN b.hi_arr[i] = b.lo_arr[i] THEN 0.0 * b.lo_arr[i] + b.lo_arr[i]
+                ELSE CAST(round((embedding[i]::DOUBLE - b.lo_arr[i]) * 255 / (b.hi_arr[i] - b.lo_arr[i])) AS INT)
+                     * (b.hi_arr[i] - b.lo_arr[i]) / 255 + b.lo_arr[i]
+           END
+           for i in generate_series(1, len(embedding)) ] AS cvec
+  FROM embeddings CROSS JOIN b
+),
+probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT probe_id, vec_id, {_COS}
+  FROM cd CROSS JOIN probes WHERE vec_id <> probe_id
+)
+SELECT probe_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def sq8_recall(probe_ids: list[int], k: int = 5) -> str:
+    return _recall_sql(cosine_topk(probe_ids, k), sq8_topk(probe_ids, k))
+
+
+# --- synonym-group BM25 ------------------------------------------------------
+
+
+def synonym_bm25_topk(query_groups: list[list[str]], k: int = 20) -> str:
+    """Twin of queryops.synonym_bm25_topk: SynonymQuery semantics — group
+    tf = sum of member tfs, group df = docs matching any member, BM25
+    over group stats, conjunctive across groups."""
+    all_terms = _terms_in([t for g in query_groups for t in g])
+    gid_case = "CASE " + " ".join(
+        f"WHEN term IN ({_terms_in(g)}) THEN {i}"
+        for i, g in enumerate(query_groups)
+    ) + " END"
+    return f"""
+WITH {_TOKS_CTE},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+gt AS (
+  SELECT {gid_case} AS gid, doc_id, sum(tf)::BIGINT AS tf
+  FROM postings WHERE term IN ({all_terms}) GROUP BY 1, 2
+),
+gdf AS (SELECT gid, count(*)::BIGINT AS df FROM gt GROUP BY 1),
+scored AS (
+  SELECT gt.doc_id, count(*)::BIGINT AS nhit,
+         sum( ln(1 + (g.n_docs - gdf.df + 0.5) / (gdf.df + 0.5))
+              * (gt.tf * 2.2)
+              / (gt.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ) AS score
+  FROM gt
+  JOIN gdf USING (gid)
+  JOIN ds ON gt.doc_id = ds.doc_id
+  CROSS JOIN g
+  GROUP BY gt.doc_id
+  HAVING count(*) = {len(query_groups)}
+)
+SELECT doc_id, nhit, round(score, 4) AS score FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {k}
+"""

@@ -886,3 +886,63 @@ def dirichlet_ql_topk(documents: DataFrame, query_terms: list[str],
         .limit(k)
     )
     return finalize(scored, p, ds)
+
+
+def synonym_bm25_topk(documents: DataFrame, query_groups: list[list[str]],
+                      k: int = 20, k1: float = BM25_K1, b: float = BM25_B,
+                      **kw) -> DataFrame:
+    """(doc_id, nhit, score) top-k where each query position is a SET of
+    synonym surface forms scored as ONE pseudo-term (Lucene SynonymQuery
+    semantics, SynonymQuery.java in the public Lucene tree): group
+    tf = sum of member tfs in the doc, group df = count of docs matching
+    ANY member, BM25 over the group stats, conjunctive across groups.
+    Without this, expanding a query with synonyms inflates the score of
+    docs that repeat one popular member — the group-level df keeps the
+    idf honest.
+
+    Plan shape is bm25_scored's with one extra map-side-combinable hash
+    agg collapsing member terms to groups before scoring; the group
+    mapping is a CASE expression (groups are query-sized), so no join is
+    added and the corpus is still scanned once."""
+    if not query_groups:
+        raise ValueError("query_groups must be non-empty")
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p).persist()
+    n_and_avg = ds.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    all_terms = [t for g in query_groups for t in g]
+    gid = F.lit(None).cast("int")
+    for i, g in enumerate(query_groups):
+        gid = F.when(F.col("term").isin(g), F.lit(i)).otherwise(gid)
+    gtf = (
+        p.filter(F.col("term").isin(all_terms))
+        .withColumn("gid", gid)
+        .groupBy("gid", "doc_id")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    gdf = gtf.groupBy("gid").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        gtf.join(F.broadcast(gdf), "gid")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "pscore",
+            F.col("idf") * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nhit"),
+             F.sum("pscore").alias("score"))
+        .filter(F.col("nhit") == len(query_groups))
+    )
+    out = finalize(
+        scored.select("doc_id", "nhit", F.round(F.col("score"), 4).alias("score")),
+        p, ds,
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,186 @@
+"""Deterministic streaming sketches: HyperLogLog distinct counts and a
+count-min frequency sketch — the approximate-statistics layer a 100 TB
+index build needs where exact answers don't fit.
+
+The reference's statistics endpoint counts lemmas exactly
+(services/StatisticsServiceImpl.java via lemma-table row counts); at
+10^12 files an exact `countDistinct` shuffles the whole vocabulary.
+Both sketches below collapse that to constant-size state:
+
+- **HyperLogLog** (Flajolet et al. 2007, public algorithm): one pass,
+  ``m = 2^p`` registers per group, each a ``max`` — fully map-side
+  combinable, shuffle carries ≤ m rows per group no matter the input
+  size.  Standard error 1.04/sqrt(m) (~13% at p=6; production raises p,
+  the math is identical).
+- **count-min** (Cormode & Muthukrishnan 2005): d×w counter matrix of
+  additive counts (map-side combinable hash agg); point estimates are
+  the min over d counters and NEVER underestimate — the property the
+  pytest pins.
+
+Everything hashes through the md5-based ``hashing.md5_long`` so the
+DuckDB oracle twins replicate register indices and ranks bit-for-bit —
+Spark's xxhash64 is not reproducible outside the JVM.  The rank word is
+truncated to 30 bits so ``floor(log2(w))`` is exact in IEEE doubles in
+both engines (log2 is exact at powers of two and monotone in between).
+
+Gate design: each sketch query also carries the EXACT statistic next to
+the estimate, so the driver's value-hash proves the sketch math (both
+engines derive identical registers/counters) while the pytest asserts
+the accuracy contract (HLL within 5σ, CMS estimate ≥ exact).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from searchengine_spark.pipeline.fulltext import explode_nonempty, tokens_col
+from searchengine_spark.pipeline.hashing import md5_long
+
+HLL_P = 6                 # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.709         # published alpha_m for m = 64
+HLL_W_BITS = 30           # rank word width (floor(log2) exact in doubles)
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _terms(documents: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    return explode_nonempty(
+        documents.withColumnRenamed(id_col, "doc_id"), toks, "term",
+        "doc_id", "lang",
+    )
+
+
+def _hll_rank_cols():
+    """(register, rho) columns from a 60-bit md5 hash of ``term``."""
+    h = md5_long(F.col("term"))
+    reg = (h % F.lit(HLL_M)).alias("register")
+    w = F.shiftright(h, HLL_P) % F.lit(1 << HLL_W_BITS)
+    rho = (
+        F.when(w == 0, F.lit(HLL_W_BITS + 1))
+        .otherwise(F.lit(HLL_W_BITS) - F.floor(F.log2(w)))
+        .cast("int")
+        .alias("rho")
+    )
+    return reg, rho
+
+
+def hll_registers(documents: DataFrame, group_col: str = "lang",
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(group, register, max_rho) — the sketch state itself: ≤ m rows per
+    group, built by one map-side-combinable max aggregation over the raw
+    token stream (no distinct, no vocabulary shuffle)."""
+    reg, rho = _hll_rank_cols()
+    t = _terms(documents, id_col, text_col).select(
+        F.col(group_col).alias("grp"), reg, rho
+    )
+    return t.groupBy("grp", "register").agg(F.max("rho").alias("max_rho"))
+
+
+def hll_estimate_col(z_present, n_present):
+    """HLL estimate from sum(2^-max_rho) over present registers + the
+    count of present registers (absent registers contribute 2^0 = 1).
+    Includes the standard small-range (linear counting) correction."""
+    m = float(HLL_M)
+    zeros = F.lit(m) - n_present
+    z = z_present + zeros  # absent registers: 2^-0 = 1 each
+    e_raw = F.lit(HLL_ALPHA * m * m) / z
+    return F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(m) * F.log(F.lit(m) / zeros),
+    ).otherwise(e_raw)
+
+
+def hll_distinct_terms(documents: DataFrame, group_col: str = "lang",
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(grp, n_exact, hll_estimate) — per-group distinct-term count, both
+    the exact value (verification column; production omits it) and the
+    64-register HLL estimate.  The sketch path's shuffle is ≤ 64 rows per
+    group; the exact path shuffles the vocabulary and exists only so the
+    gate can diff the full computation against DuckDB."""
+    regs = hll_registers(documents, group_col, id_col, text_col)
+    est = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("z_present"),
+        F.count(F.lit(1)).cast("double").alias("n_present"),
+    ).select(
+        "grp",
+        F.round(hll_estimate_col(F.col("z_present"), F.col("n_present")))
+        .cast("long").alias("hll_estimate"),
+    )
+    exact = (
+        _terms(documents, id_col, text_col)
+        .select(F.col(group_col).alias("grp"), "term")
+        .groupBy("grp")
+        .agg(F.countDistinct("term").alias("n_exact"))
+    )
+    return exact.join(est, "grp").select("grp", "n_exact", "hll_estimate")
+
+
+def cms_counters(documents: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(row, bucket, cnt) — the d×w count-min matrix as d·w rows (1024 at
+    the defaults: broadcastable sketch state, additive/mergeable across
+    partitions and corpus shards)."""
+    t = _terms(documents, id_col, text_col)
+    per_row = [
+        t.select(
+            F.lit(i).alias("row"),
+            (md5_long(F.concat(F.lit(f"cms{i}:"), F.col("term")))
+             % F.lit(CMS_WIDTH)).alias("bucket"),
+        )
+        for i in range(CMS_DEPTH)
+    ]
+    u = per_row[0]
+    for other in per_row[1:]:
+        u = u.unionAll(other)
+    return u.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_heavy_hitters(documents: DataFrame, threshold: int = 200,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(term, n_exact, cms_estimate) for terms whose count-min estimate
+    reaches ``threshold``, sorted desc.  Estimate = min over the d
+    counters each term hashes to; CMS guarantees estimate >= exact, so
+    thresholding the estimate never loses a true heavy hitter.  The
+    probe stream here is the distinct vocabulary (vocab-bounded); the
+    counter matrix joins in broadcast-sized (d·w rows)."""
+    counters = cms_counters(documents, id_col, text_col)
+    vocab = (
+        _terms(documents, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    probes = vocab.select(
+        "term", "n_exact",
+        *[
+            (md5_long(F.concat(F.lit(f"cms{i}:"), F.col("term")))
+             % F.lit(CMS_WIDTH)).alias(f"b{i}")
+            for i in range(CMS_DEPTH)
+        ],
+    )
+    est = probes
+    for i in range(CMS_DEPTH):
+        c_i = counters.filter(F.col("row") == i).select(
+            F.col("bucket").alias(f"b{i}"), F.col("cnt").alias(f"c{i}")
+        )
+        est = est.join(F.broadcast(c_i), f"b{i}")
+    return (
+        est.select(
+            "term", "n_exact",
+            F.least(*[F.col(f"c{i}") for i in range(CMS_DEPTH)])
+            .alias("cms_estimate"),
+        )
+        .filter(F.col("cms_estimate") >= threshold)
+        .orderBy(F.desc("cms_estimate"), F.asc("term"))
+    )
+
+
+def hll_error_bound(sigma: float = 5.0) -> float:
+    """Relative error bound: sigma * 1.04 / sqrt(m)."""
+    return sigma * 1.04 / math.sqrt(HLL_M)

@@ -1,0 +1,153 @@
+"""Round-3 operator tests: streaming sketches (HLL / count-min), int8
+scalar quantization, and synonym-group BM25 — accuracy contracts the
+DuckDB gate can't express (it proves Spark==oracle, not that the sketch
+is a good estimate) plus the plan shapes the 100 TB design relies on."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline import queryops, similarity, sketches
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+class TestHLL:
+    def test_estimate_within_bound(self, docs):
+        rows = sketches.hll_distinct_terms(docs).collect()
+        assert rows, "no groups"
+        bound = sketches.hll_error_bound(sigma=5.0)
+        for r in rows:
+            assert r.n_exact > 0
+            rel = abs(r.hll_estimate - r.n_exact) / r.n_exact
+            assert rel <= bound, (r.grp, r.n_exact, r.hll_estimate, rel)
+
+    def test_register_state_is_bounded(self, docs):
+        regs = sketches.hll_registers(docs)
+        per_group = regs.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+        assert per_group.filter(F.col("n") > sketches.HLL_M).count() == 0
+
+    def test_registers_are_union_mergeable(self, docs, spark):
+        """Sketch merge = element-wise max: registers built over the whole
+        corpus must equal the max-merge of per-half registers — the
+        property that lets 1000 executors build partial sketches and
+        merge 64 numbers instead of shuffling the vocabulary."""
+        whole = {
+            (r.grp, r.register): r.max_rho
+            for r in sketches.hll_registers(docs).collect()
+        }
+        half_a = docs.filter(F.col("doc_id") % 2 == 0)
+        half_b = docs.filter(F.col("doc_id") % 2 == 1)
+        merged: dict = {}
+        for half in (half_a, half_b):
+            for r in sketches.hll_registers(half).collect():
+                key = (r.grp, r.register)
+                merged[key] = max(merged.get(key, 0), r.max_rho)
+        assert merged == whole
+
+
+class TestCMS:
+    def test_never_underestimates(self, docs):
+        rows = sketches.cms_heavy_hitters(docs, threshold=1).collect()
+        assert rows
+        for r in rows:
+            assert r.cms_estimate >= r.n_exact, (r.term, r.n_exact, r.cms_estimate)
+
+    def test_counter_matrix_is_bounded(self, docs):
+        c = sketches.cms_counters(docs)
+        assert c.count() <= sketches.CMS_DEPTH * sketches.CMS_WIDTH
+        # each row's counters sum to the total token count (additivity)
+        totals = c.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+        assert len({t.s for t in totals}) == 1
+
+    def test_thresholding_keeps_all_true_heavy_hitters(self, docs):
+        thr = 5
+        est = {r.term for r in
+               sketches.cms_heavy_hitters(docs, threshold=thr).collect()}
+        exact_heavy = {
+            r.term
+            for r in sketches._terms(docs, "doc_id", "text")
+            .groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= thr).collect()
+        }
+        assert exact_heavy <= est  # overestimates never drop a true hitter
+
+
+class TestSQ8:
+    def test_codes_in_range(self, emb):
+        c = similarity.sq8_codes(emb)
+        assert c.filter((F.col("code") < 0) | (F.col("code") > 255)).count() == 0
+
+    def test_recall_is_high(self, emb):
+        """255 levels/dim loses almost nothing on cosine top-k."""
+        rows = similarity.sq8_recall(emb, [0, 1, 2, 3, 4], k=5).collect()
+        assert rows
+        mean_recall = sum(r.recall for r in rows) / len(rows)
+        assert mean_recall >= 0.8, [(r.probe_id, r.recall) for r in rows]
+
+    def test_topk_plan_broadcasts_and_avoids_extra_shuffle(self, emb):
+        import re
+
+        p = plan_str(similarity.sq8_topk(emb, [0, 1], k=5))
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+        assert "CartesianProduct" not in p
+        # exactly 3 corpus passes: bounds agg, candidate scan, probe scan
+        # (formatted mode prints every node twice: tree + detail section)
+        scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", p))
+        assert len(scan_ids) <= 3, sorted(scan_ids)
+
+
+class TestSynonymBM25:
+    def test_group_df_not_member_df(self, docs):
+        """A doc matching either member must score via the GROUP df: the
+        top-k over [merge|join] must contain docs that have only one of
+        the two members."""
+        out = queryops.synonym_bm25_topk(docs, [["merge", "join"]], k=50)
+        got = {r.doc_id for r in out.collect()}
+        toks = sketches._terms(docs, "doc_id", "text")
+        only_merge = {
+            r.doc_id
+            for r in toks.groupBy("doc_id")
+            .agg(F.collect_set("term").alias("ts")).collect()
+            if "merge" in r.ts and "join" not in r.ts
+        }
+        assert got & only_merge, "docs with only one member never scored"
+
+    def test_conjunctive_across_groups(self, docs):
+        """Every result doc matches ALL groups (AND across positions)."""
+        groups = [["merge", "join"], ["vector"]]
+        out = queryops.synonym_bm25_topk(docs, groups, k=1000).collect()
+        assert out
+        toks = sketches._terms(docs, "doc_id", "text")
+        by_doc = {
+            r.doc_id: set(r.ts)
+            for r in toks.groupBy("doc_id")
+            .agg(F.collect_set("term").alias("ts")).collect()
+        }
+        for r in out:
+            ts = by_doc[r.doc_id]
+            for g in groups:
+                assert ts & set(g), (r.doc_id, g)
+
+    def test_empty_groups_rejected(self, docs):
+        with pytest.raises(ValueError):
+            queryops.synonym_bm25_topk(docs, [], k=5)
