@@ -535,6 +535,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_synonym_bm25": lambda s, d: queryops.synonym_bm25_topk(
             _docs(s, d), SYNONYM_GROUPS, k=20
         ),
+        # suffix-array-free exact substring dedup (Lee et al. 2022):
+        # maximal duplicated token spans via k-gram anchors + island merge
+        "q_dup_spans": lambda s, d: dedup.dup_spans(_docs(s, d), k=8),
     }
 
 
@@ -706,4 +709,5 @@ def oracle_sql() -> dict[str, str]:
         "q_sq8_topk": osql.sq8_topk(PROBE_VEC_IDS, k=5),
         "q_sq8_recall": osql.sq8_recall(PROBE_VEC_IDS, k=5),
         "q_synonym_bm25": osql.synonym_bm25_topk(SYNONYM_GROUPS, k=20),
+        "q_dup_spans": osql.dup_spans(k=8),
     }

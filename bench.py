@@ -118,6 +118,7 @@ HEADLINE = [
     "q_cms_heavy_hitters",
     "q_sq8_topk",
     "q_synonym_bm25",
+    "q_dup_spans",
 ]
 
 

@@ -502,3 +502,64 @@ def cross_lang_shared_shingles(documents: DataFrame, min_shared: int = 3,
         .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(limit)
     )
+
+
+def dup_gram_positions(documents: DataFrame, k: int = 8,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, pos) of every OVERLAPPING k-token gram (0-based token
+    position) whose gram text occurs in >= 2 distinct docs.
+
+    The distributed reformulation of suffix-array substring dedup (Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): a duplicated span of length >= k tokens is exactly a run
+    of consecutive duplicated k-gram anchors, so k-gram hashing + the
+    island merge in ``dup_spans`` finds the same spans the suffix array
+    finds, with only hash aggs and an equi-join — no global suffix sort.
+    Stream size is corpus_tokens rows (stride 1), each keyed by a
+    32-byte md5 — the standard amplification every substring-dedup pass
+    pays; the gram dimension is a map-side-combined hash agg."""
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    d = documents.select(
+        F.col(id_col).alias("doc_id"), ws.alias("ws"),
+        F.when(n >= k, F.sequence(F.lit(0), n - k))
+        .otherwise(F.array().cast("array<int>")).alias("ps"),
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode("ps").alias("pos"), F.col("ws"),
+    ).select(
+        "doc_id", "pos",
+        F.md5(F.array_join(F.slice(F.col("ws"), F.col("pos") + 1, k), " "))
+        .alias("gram_sha"),
+    )
+    dup = (
+        grams.groupBy("gram_sha")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram_sha")
+    )
+    return grams.join(dup, "gram_sha").select("doc_id", "pos")
+
+
+def dup_spans(documents: DataFrame, k: int = 8, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(doc_id, span_start, span_len) — MAXIMAL duplicated token spans:
+    runs of consecutive duplicated k-gram anchors merged gaps-and-islands
+    style (pos - row_number is constant within a run).  span_len is in
+    tokens (last anchor + k - first anchor).  The only window is
+    per-document over that doc's duplicated anchors — bounded by doc
+    length, never corpus-wide."""
+    anchors = dup_gram_positions(documents, k, id_col, text_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = anchors.withColumn(
+        "isl", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "isl")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len"))
+        .select("doc_id", F.col("span_start").cast("long").alias("span_start"),
+                "span_len")
+    )

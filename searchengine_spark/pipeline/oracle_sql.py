@@ -3354,3 +3354,28 @@ scored AS (
 SELECT doc_id, nhit, round(score, 4) AS score FROM scored
 ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {k}
 """
+
+
+def dup_spans(k: int = 8) -> str:
+    """Twin of dedup.dup_spans: overlapping k-gram anchors occurring in
+    >= 2 docs, merged gaps-and-islands (pos - row_number constant within
+    a run) into maximal duplicated token spans."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT doc_id, CAST(p AS INT) AS pos,
+         md5(list_aggregate(ws[(CAST(p AS INT) + 1):(CAST(p AS INT) + {k})],
+                            'string_agg', ' ')) AS gram_sha
+  FROM toks, unnest(generate_series(0, (len(ws) - {k})::BIGINT)) AS t(p)
+),
+dup AS (SELECT gram_sha FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+anchors AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram_sha)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM anchors
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) - min(pos) + {k})::BIGINT AS span_len
+FROM isl GROUP BY doc_id, g
+"""

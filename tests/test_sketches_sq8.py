@@ -151,3 +151,51 @@ class TestSynonymBM25:
     def test_empty_groups_rejected(self, docs):
         with pytest.raises(ValueError):
             queryops.synonym_bm25_topk(docs, [], k=5)
+
+
+class TestDupSpans:
+    """Suffix-array-free exact substring dedup (Lee et al. 2022 shape):
+    k-gram anchors + island merge must recover exactly the planted
+    maximal shared spans."""
+
+    @pytest.fixture(scope="class")
+    def planted(self, spark):
+        shared = " ".join(f"s{i}" for i in range(12))     # 12-token copy
+        uniq_a = " ".join(f"a{i}" for i in range(6))
+        uniq_b = " ".join(f"b{i}" for i in range(9))
+        short = " ".join(f"t{i}" for i in range(5))       # < k, never a span
+        return spark.createDataFrame(
+            [
+                (1, f"{uniq_a} {shared} {uniq_a.replace('a', 'c')}"),
+                (2, f"{uniq_b} {shared}"),
+                (3, f"{short} {short.replace('t', 'u')}"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_recovers_maximal_planted_span(self, planted):
+        from searchengine_spark.pipeline.dedup import dup_spans
+
+        rows = {(r.doc_id, r.span_start, r.span_len)
+                for r in dup_spans(planted, k=8).collect()}
+        # doc 1: shared block at token 6, doc 2: at token 9 — both len 12
+        assert rows == {(1, 6, 12), (2, 9, 12)}
+
+    def test_no_spans_below_k(self, planted):
+        from searchengine_spark.pipeline.dedup import dup_spans
+
+        # with k larger than the shared block nothing is anchored
+        assert dup_spans(planted, k=13).count() == 0
+
+    def test_window_is_per_document(self, planted):
+        """The only sort is the per-doc island window — partitioned by
+        doc_id, never a global Sort over all anchors."""
+        import re
+
+        from searchengine_spark.pipeline.dedup import dup_spans
+
+        p = plan_str(dup_spans(planted, k=8))
+        # every Sort in the plan must be a local (partition-keyed) window
+        # sort, not a global ordering
+        for m in re.finditer(r"Sort \[(.*?)\]", p):
+            assert "doc_id" in m.group(1)
