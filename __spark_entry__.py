@@ -75,6 +75,9 @@ PROBE_VEC_IDS = [0, 1, 2, 3, 4]
 CMS_THRESHOLD = 200
 # SynonymQuery gate: one multi-member group + one singleton (degenerate)
 SYNONYM_GROUPS = [["merge", "join"], ["vector"]]
+# bloom gate probes: two present terms + one absent (exercises both the
+# true-bucket hit and the all-buckets-false / false-positive surface)
+BLOOM_PROBES = ["merge", "vector", "zzznotaterm"]
 # fixed merge list for the BPE apply gate: single-char merges plus
 # chained multi-char merges ((h,as) consumes (a,s)'s output, (ta,b)
 # consumes (t,a)'s) so the greedy fold is exercised, not just lookup
@@ -538,6 +541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # suffix-array-free exact substring dedup (Lee et al. 2022):
         # maximal duplicated token spans via k-gram anchors + island merge
         "q_dup_spans": lambda s, d: dedup.dup_spans(_docs(s, d), k=8),
+        # Bloom-filter bucket pruning (zero false negatives by
+        # construction; probes include present + absent terms)
+        "q_bloom_prune": lambda s, d: sketches.bloom_prune(
+            _docs(s, d), BLOOM_PROBES
+        ),
     }
 
 
@@ -710,4 +718,5 @@ def oracle_sql() -> dict[str, str]:
         "q_sq8_recall": osql.sq8_recall(PROBE_VEC_IDS, k=5),
         "q_synonym_bm25": osql.synonym_bm25_topk(SYNONYM_GROUPS, k=20),
         "q_dup_spans": osql.dup_spans(k=8),
+        "q_bloom_prune": osql.bloom_prune(BLOOM_PROBES),
     }

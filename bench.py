@@ -119,6 +119,7 @@ HEADLINE = [
     "q_sq8_topk",
     "q_synonym_bm25",
     "q_dup_spans",
+    "q_bloom_prune",
 ]
 
 

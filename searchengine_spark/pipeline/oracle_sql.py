@@ -3379,3 +3379,47 @@ SELECT doc_id, min(pos)::BIGINT AS span_start,
        (max(pos) - min(pos) + {k})::BIGINT AS span_len
 FROM isl GROUP BY doc_id, g
 """
+
+
+def bloom_prune(probe_terms: list[str], n_buckets: int = 16) -> str:
+    """Twin of sketches.bloom_prune: identical md5 bit positions and
+    bucket assignment (bucket_col twin), full probe x bucket grid."""
+    h = md5_long_sql("term")
+    probes = ", ".join("'" + t.replace("'", "''") + "'" for t in probe_terms)
+    pos = [
+        "(" + md5_long_sql(f"'bloom{i}:' || term") + " % 1024)"
+        for i in range(3)
+    ]
+    pos_arr = "[" + ", ".join(pos) + "]"
+    return f"""
+WITH {_TOKS_CTE},
+vocab AS (SELECT DISTINCT term FROM toks),
+vb AS (SELECT term, ({h} % {n_buckets})::INT AS bucket FROM vocab),
+bloom AS (
+  SELECT DISTINCT bucket, unnest({pos_arr}) AS bit FROM vb
+),
+probes AS (SELECT unnest([{probes}]) AS term),
+grid AS (
+  SELECT term, CAST(b AS INT) AS bucket
+  FROM probes, unnest(generate_series(0, {n_buckets - 1})) AS t(b)
+),
+need AS (
+  SELECT DISTINCT term, bucket, bit FROM (
+    SELECT term, bucket, unnest({pos_arr}) AS bit FROM grid
+  )
+),
+nn AS (SELECT term, bucket, count(*)::BIGINT AS n_need FROM need GROUP BY 1, 2),
+hits AS (
+  SELECT n.term, n.bucket, count(*)::BIGINT AS n_hit
+  FROM need n JOIN bloom b ON n.bucket = b.bucket AND n.bit = b.bit
+  GROUP BY 1, 2
+),
+present AS (SELECT term, ({h} % {n_buckets})::INT AS tbucket
+            FROM vocab WHERE term IN ({probes}))
+SELECT nn.term, nn.bucket,
+       coalesce(h.n_hit, 0) = nn.n_need AS might_contain,
+       (p.tbucket IS NOT NULL AND p.tbucket = nn.bucket) AS actually_contains
+FROM nn
+LEFT JOIN hits h ON nn.term = h.term AND nn.bucket = h.bucket
+LEFT JOIN present p ON nn.term = p.term
+"""

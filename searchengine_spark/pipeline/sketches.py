@@ -184,3 +184,92 @@ def cms_heavy_hitters(documents: DataFrame, threshold: int = 200,
 def hll_error_bound(sigma: float = 5.0) -> float:
     """Relative error bound: sigma * 1.04 / sqrt(m)."""
     return sigma * 1.04 / math.sqrt(HLL_M)
+
+
+# --- Bloom-filter bucket pruning -------------------------------------------
+#
+# A per-bucket term-membership Bloom filter over the segment store's
+# md5 bucket layout (index/build.py bucket_col): a query term whose k
+# bloom bits are not all set in a bucket CANNOT be in that bucket, so
+# the read path skips the bucket without opening postings.  Zero false
+# negatives by construction (the property the pytest pins); false
+# positives only cost a wasted bucket read.  At 10^12 files the bloom
+# table is n_buckets x BLOOM_BITS bits — kilobytes of driver/executor
+# state guarding terabytes of postings.
+
+BLOOM_BITS = 1024
+BLOOM_K = 3
+
+
+def _bloom_pos(term_col, i: int):
+    return md5_long(F.concat(F.lit(f"bloom{i}:"), term_col)) % F.lit(BLOOM_BITS)
+
+
+def bucket_bloom_bits(documents: DataFrame, n_buckets: int = 16,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(bucket, bit) — the set bit positions of each bucket's Bloom
+    filter, built from the distinct vocabulary (vocab-bounded agg)."""
+    from searchengine_spark.index.build import bucket_col
+
+    vocab = (
+        _terms(documents, id_col, text_col)
+        .select("term").distinct()
+        .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+    )
+    bits = vocab.select(
+        "bucket",
+        F.explode(F.array(*[_bloom_pos(F.col("term"), i)
+                            for i in range(BLOOM_K)])).alias("bit"),
+    )
+    return bits.distinct()
+
+
+def bloom_prune(documents: DataFrame, probe_terms: list[str],
+                n_buckets: int = 16, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(term, bucket, might_contain, actually_contains) over the full
+    probe-term x bucket grid: ``might_contain`` is the Bloom answer (all
+    k bits set), ``actually_contains`` the ground truth (the term's md5
+    bucket, and the term exists in the corpus).  might_contain >=
+    actually_contains row-wise — the no-false-negative pruning
+    contract."""
+    from searchengine_spark.index.build import bucket_col
+
+    spark = documents.sparkSession
+    blooms = bucket_bloom_bits(documents, n_buckets, id_col, text_col)
+    probes = spark.createDataFrame([(t,) for t in probe_terms],
+                                   "term string")
+    grid = probes.crossJoin(
+        spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    )
+    need = grid.select(
+        "term", "bucket",
+        F.explode(F.array(*[_bloom_pos(F.col("term"), i)
+                            for i in range(BLOOM_K)])).alias("bit"),
+    ).distinct()  # duplicate bit positions for one term collapse, like a real bitset
+    per_pair_need = need.groupBy("term", "bucket").agg(
+        F.count(F.lit(1)).alias("n_need")
+    )
+    hits = (
+        need.join(F.broadcast(blooms), ["bucket", "bit"])
+        .groupBy("term", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    present = (
+        _terms(documents, id_col, text_col)
+        .select("term").distinct()
+        .filter(F.col("term").isin(probe_terms))
+        .withColumn("tbucket", bucket_col(F.col("term"), n_buckets))
+    )
+    return (
+        per_pair_need.join(hits, ["term", "bucket"], "left")
+        .join(present, "term", "left")
+        .select(
+            "term", "bucket",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) == F.col("n_need"))
+            .alias("might_contain"),
+            (F.col("tbucket").isNotNull()
+             & (F.col("tbucket") == F.col("bucket"))).alias("actually_contains"),
+        )
+    )

@@ -199,3 +199,32 @@ class TestDupSpans:
         # sort, not a global ordering
         for m in re.finditer(r"Sort \[(.*?)\]", p):
             assert "doc_id" in m.group(1)
+
+
+class TestBloomPrune:
+    def test_no_false_negatives(self, docs):
+        """The pruning contract: wherever the term truly lives, the Bloom
+        filter must say might_contain — row-wise might >= actual."""
+        out = sketches.bloom_prune(
+            docs, ["merge", "vector", "table", "zzznotaterm"]
+        ).collect()
+        assert out
+        bad = [r for r in out if r.actually_contains and not r.might_contain]
+        assert not bad, bad
+
+    def test_absent_term_actually_nowhere(self, docs):
+        out = sketches.bloom_prune(docs, ["zzznotaterm"]).collect()
+        assert len(out) == 16
+        assert not any(r.actually_contains for r in out)
+
+    def test_pruning_actually_prunes(self, docs):
+        """A present term must be bloom-negative in MOST buckets (the
+        whole point): with a ~31-term vocab over 16 buckets x 1024 bits
+        the filter is sparse, so false positives are rare."""
+        out = sketches.bloom_prune(docs, ["merge"]).collect()
+        pruned = sum(1 for r in out if not r.might_contain)
+        assert pruned >= 8, [(r.bucket, r.might_contain) for r in out]
+
+    def test_bloom_state_is_bounded(self, docs):
+        bits = sketches.bucket_bloom_bits(docs)
+        assert bits.count() <= 16 * sketches.BLOOM_BITS
