@@ -138,6 +138,18 @@ def _wand_dist(spark: SparkSession, sf_dir: str, terms: list[str], k: int = 20) 
     return wand_topk_distributed(spark, _plain_index(spark, sf_dir), terms, k=k)
 
 
+def _maxscore(spark: SparkSession, sf_dir: str, terms: list[str], k: int = 20) -> DataFrame:
+    from searchengine_spark.query.maxscore import maxscore_topk
+
+    return maxscore_topk(spark, _plain_index(spark, sf_dir), terms, k=k)
+
+
+def _maxscore_dist(spark: SparkSession, sf_dir: str, terms: list[str], k: int = 20) -> DataFrame:
+    from searchengine_spark.query.maxscore import maxscore_topk_distributed
+
+    return maxscore_topk_distributed(spark, _plain_index(spark, sf_dir), terms, k=k)
+
+
 def _decode_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.index.segments import decode_segments
 
@@ -546,6 +558,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_prune": lambda s, d: sketches.bloom_prune(
             _docs(s, d), BLOOM_PROBES
         ),
+        # MaxScore disjunctive top-k over the segment index (Turtle &
+        # Flood 1995) — the OR twin of the WAND gates; q_maxscore_partial
+        # exercises the absent-term drop path (OR keeps going where the
+        # conjunctive gate empties)
+        "q_maxscore_or": lambda s, d: _maxscore(s, d, Q_AND3),
+        "q_maxscore_partial": lambda s, d: _maxscore(s, d, Q_ABSENT),
+        "q_maxscore_distributed": lambda s, d: _maxscore_dist(s, d, Q_AND2),
     }
 
 
@@ -719,4 +738,7 @@ def oracle_sql() -> dict[str, str]:
         "q_synonym_bm25": osql.synonym_bm25_topk(SYNONYM_GROUPS, k=20),
         "q_dup_spans": osql.dup_spans(k=8),
         "q_bloom_prune": osql.bloom_prune(BLOOM_PROBES),
+        "q_maxscore_or": osql.maxscore_or_topk(Q_AND3, k=20),
+        "q_maxscore_partial": osql.maxscore_or_topk(Q_ABSENT, k=20),
+        "q_maxscore_distributed": osql.maxscore_or_topk(Q_AND2, k=20),
     }

@@ -120,6 +120,8 @@ HEADLINE = [
     "q_synonym_bm25",
     "q_dup_spans",
     "q_bloom_prune",
+    "q_maxscore_or",
+    "q_maxscore_distributed",
 ]
 
 

@@ -1275,6 +1275,16 @@ def bm25_or_topk(terms: list[str], k: int = 20, min_match: int = 1) -> str:
     )
 
 
+def maxscore_or_topk(terms: list[str], k: int = 20) -> str:
+    """Twin of query/maxscore.py's disjunctive top-k: same scored set as
+    bm25_or_scored (OR, min_match=1), projected to (doc_id, score) with the
+    searcher's (score desc, doc_id asc) tie order."""
+    return (
+        f"SELECT doc_id, score FROM ({bm25_or_scored(terms, 1)}) "
+        f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    )
+
+
 def phrase_occurrences(phrase: list[str]) -> str:
     """DuckDB twin of queryops.phrase_occurrences (slot-anchor plan)."""
     n = len(phrase)

@@ -1,0 +1,282 @@
+"""MaxScore disjunctive top-k over packed posting segments.
+
+WAND (query/wand.py) covers the reference's conjunctive search
+(services/SearchServiceImpl.java:96-131 — every query term must match).
+Disjunctive ranked retrieval (any-term match, the OR semantics of
+pipeline/queryops.bm25_or_topk) needs the other classic dynamic-pruning
+algorithm: **MaxScore** (Turtle & Flood, "Query evaluation: strategies
+and optimizations", IP&M 1995), the default disjunctive pruner in Lucene
+(``WANDScorer``'s sibling ``MaxScoreBulkScorer``).
+
+The invariant: order terms by score upper bound ascending; any prefix of
+terms whose upper bounds sum below the current threshold θ is
+**non-essential** — a document matching only non-essential terms cannot
+enter the top-k, so candidates are generated from the remaining
+**essential** terms' postings only, and non-essential terms are merely
+*probed* (block-skip lookups) to complete survivors' scores.  With Zipfian
+vocabularies the highest-df (longest) posting lists have the lowest upper
+bounds, so the essential set quickly shrinks to the rare terms — the bulk
+of the index is never decoded.
+
+Execution shape mirrors wand.py exactly: bucket-pruned segment reads, a
+grp (disjoint doc-shard) at a time, exact float64 BM25 on the stored
+(tf, dl), an O(k) driver heap whose θ tightens across grps — plus a
+``mapInPandas``-distributed variant seeded with a driver-scored grp's
+kth-best score for when postings outgrow the driver.  Scores match the
+DataFrame/DuckDB disjunctive oracle bit-for-bit modulo summation order;
+pruning carries the same EPS guard so the round-to-4 comparison can never
+be flipped by a boundary prune.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from searchengine_spark.index import codec
+from searchengine_spark.index.segments import row_to_packed
+from searchengine_spark.query.wand import (
+    EPS,
+    RESULT_SCHEMA,
+    SegmentSearcher,
+    _impact,
+)
+
+
+def _term_ub(p: codec.PackedList, idf_t: float, avgdl: float) -> float:
+    """Score upper bound of one term within one grp: idf * best block
+    impact, derived from the packed (max tf, min dl) metadata with the
+    current avgdl — stays valid across delta reindexes, like wand's."""
+    return idf_t * float(_impact(p.btf, p.bdl, avgdl).max())
+
+
+def score_grp_or(
+    runs: dict[str, codec.PackedList],
+    idf: dict[str, float],
+    avgdl: float,
+    theta: float = -np.inf,
+    stats: dict | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """MaxScore scoring of one grp (disjoint doc set), OR semantics.
+
+    Returns (doc_ids, exact_scores) containing every doc in the grp whose
+    disjunctive BM25 score can reach ``theta - EPS`` (all docs when theta
+    is -inf).  ``stats`` accumulates ``blocks_decoded`` / ``postings_decoded``
+    so pruning effectiveness is testable.
+    """
+    empty = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64))
+    terms = [t for t in runs if t in idf]
+    if not terms:
+        return empty
+    ub = {t: _term_ub(runs[t], idf[t], avgdl) for t in terms}
+    # upper-bound-ascending order; ties by term for determinism
+    order = sorted(terms, key=lambda t: (ub[t], t))
+    # largest prefix whose summed bounds stay below theta = non-essential
+    pre = 0.0
+    j = 0
+    while j < len(order) and pre + ub[order[j]] < theta - EPS:
+        pre += ub[order[j]]
+        j += 1
+    essential = order[j:]
+    if not essential:
+        return empty  # even all terms together cannot reach theta
+    non_essential = order[:j]
+
+    # candidates = union of essential postings, with exact partial scores
+    id_chunks: list[np.ndarray] = []
+    sc_chunks: list[np.ndarray] = []
+    for t in essential:
+        ids_t, tfs_t, dls_t = codec.unpack_all(runs[t])
+        if stats is not None:
+            stats["postings_decoded"] = (
+                stats.get("postings_decoded", 0) + int(ids_t.size)
+            )
+        id_chunks.append(ids_t)
+        sc_chunks.append(idf[t] * _impact(tfs_t, dls_t, avgdl))
+    all_ids = np.concatenate(id_chunks)
+    all_sc = np.concatenate(sc_chunks)
+    ids, inv = np.unique(all_ids, return_inverse=True)
+    partial = np.zeros(ids.size, dtype=np.float64)
+    np.add.at(partial, inv, all_sc)
+
+    # probe non-essential terms in upper-bound-DESCENDING order: each probe
+    # either adds the term's real contribution or retires its bound, so the
+    # candidate bound (partial + rem) tightens fastest
+    rem = pre  # summed bounds of all unprobed non-essential terms
+    for t in reversed(non_essential):
+        if ids.size == 0:
+            return empty
+        keep = partial + rem >= theta - EPS
+        ids = ids[keep]
+        partial = partial[keep]
+        if ids.size == 0:
+            return empty
+        p = runs[t]
+        # block lookup by skip pointer; candidates past the last block
+        # simply don't match this term (bound drops by ub[t], no decode)
+        blk = np.searchsorted(p.last, ids, side="left")
+        in_range = np.flatnonzero(blk < p.last.size)
+        blk = blk[in_range]
+        if in_range.size:
+            # block-level refinement: candidates whose bound dies even with
+            # this term's BLOCK max (tighter than ub[t]) are still alive
+            # only through rem - ub[t]; they skip the decode
+            blk_ub = idf[t] * _impact(p.btf, p.bdl, avgdl)
+            worth = (
+                partial[in_range] + blk_ub[blk] + (rem - ub[t])
+                >= theta - EPS
+            )
+            in_range = in_range[worth]
+            blk = blk[worth]
+        for bi in np.unique(blk):
+            if stats is not None:
+                stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + 1
+            sel = blk == bi
+            bids, btfs, bdls = codec.decode_block(p, int(bi))
+            cand = ids[in_range[sel]]
+            pos = np.searchsorted(bids, cand)
+            ok = (pos < bids.size) & (
+                bids[np.minimum(pos, bids.size - 1)] == cand
+            )
+            hit = in_range[sel][ok]
+            bimp = idf[t] * _impact(btfs, bdls, avgdl)
+            partial[hit] += bimp[np.minimum(pos, bids.size - 1)[ok]]
+        rem -= ub[t]
+    keep = partial >= theta - EPS
+    return ids[keep], partial[keep]
+
+
+class MaxScoreSearcher(SegmentSearcher):
+    """Disjunctive ranked search over a segment index directory.
+
+    Shares SegmentSearcher's bucket-pruned Arrow/Spark segment reads and
+    stats; only the per-grp scoring kernel and the absent-term handling
+    differ (OR: absent terms drop out instead of gating the query empty).
+    """
+
+    def search_or(self, terms: list[str], k: int = 20,
+                  prune: bool = True,
+                  stats: dict | None = None) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score) under disjunctive BM25, ordered by
+        (-score, doc_id).  ``prune=False`` scores and returns every
+        matching doc (tests / offline dumps)."""
+        terms = sorted(set(terms))
+        if not terms or k <= 0:
+            return []
+        dfs = self.resolve(terms)
+        present = sorted(dfs)
+        if not present:
+            return []
+        n_docs = int(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"])
+        idf = {
+            t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+            for t, d in dfs.items()
+        }
+        by_grp: dict[int, dict[str, codec.PackedList]] = {}
+        for r in self._segment_rows(present):
+            by_grp.setdefault(int(r["grp"]), {})[r["term"]] = row_to_packed(r)
+
+        heap: list[tuple[float, int]] = []
+        results: list[tuple[int, float]] = []
+        for grp in sorted(by_grp):
+            theta = heap[0][0] if (prune and len(heap) >= k) else -np.inf
+            ids, scores = score_grp_or(
+                by_grp[grp], idf, avgdl, theta, stats=stats
+            )
+            for d, s in zip(ids.tolist(), scores.tolist()):
+                item = (float(s), -int(d))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+                if not prune:
+                    results.append((int(d), float(s)))
+        if prune:
+            results = [(-nd, s) for s, nd in heap]
+        results.sort(key=lambda ds_: (-ds_[1], ds_[0]))
+        return results
+
+
+def maxscore_topk(spark: SparkSession, index_root: str, terms: list[str],
+                  k: int = 20) -> DataFrame:
+    """DataFrame-shaped MaxScore result matching the disjunctive oracle's
+    contract: (doc_id, score rounded to 4), ordered (score desc, doc_id
+    asc), limit k — the OR twin of wand.wand_topk."""
+    searcher = MaxScoreSearcher(spark, index_root)
+    rows = searcher.search_or(terms, k=k + 8)  # rounding slack
+    df = spark.createDataFrame(rows or [], schema=RESULT_SCHEMA)
+    return (
+        df.select("doc_id", F.round(F.col("score"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def seed_theta_or(segs: DataFrame, idf: dict[str, float], avgdl: float,
+                  k: int) -> float:
+    """Initial threshold for distributed MaxScore: score ONE seed grp
+    driver-side at theta=-inf and take its exact kth-best score — a valid
+    lower bound on the global kth-best.  The seed is the grp richest in
+    the highest-df (commonest) query term: the most matching docs, hence
+    the best chance of k candidates."""
+    common = max(idf, key=lambda t: (-idf[t], t))  # lowest idf = highest df
+    meta = segs.filter(F.col("term") == common).select("grp", "num").collect()
+    if not meta:
+        return float(-np.inf)
+    seed_grp = max(meta, key=lambda r: (int(r.num), -int(r.grp))).grp
+    rows = [r.asDict() for r in segs.filter(F.col("grp") == seed_grp).collect()]
+    runs = {r["term"]: row_to_packed(r) for r in rows}
+    _, scores = score_grp_or(runs, idf, avgdl)
+    if scores.size < k:
+        return float(-np.inf)
+    return float(np.partition(scores, -k)[-k])
+
+
+def maxscore_topk_distributed(spark: SparkSession, index_root: str,
+                              terms: list[str], k: int = 20) -> DataFrame:
+    """Executor-side MaxScore: the scale path when a common term's
+    postings outgrow the driver.  Same shape as wand_topk_distributed —
+    bucket-pruned distributed segment scan, per-grp ``applyInPandas``
+    scoring seeded with a shared initial threshold, tie-aware local top-k
+    cut, TakeOrderedAndProject global cut."""
+    import pandas as pd
+
+    searcher = SegmentSearcher(spark, index_root, io="spark")
+    terms = sorted(set(terms))
+    if not terms:
+        return spark.createDataFrame([], schema=RESULT_SCHEMA)
+    dfs = searcher.resolve(terms)
+    if not dfs:
+        return spark.createDataFrame([], schema=RESULT_SCHEMA)
+    n_docs = int(searcher.stats["n_docs"])
+    avgdl = float(searcher.stats["avgdl"])
+    idf = {t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+           for t, d in dfs.items()}
+    present = sorted(dfs)
+    local_k = k + 8
+
+    segs = (
+        spark.read.parquet(searcher.paths.segments)
+        .filter(F.col("bucket").isin(searcher._buckets_of(present))
+                & F.col("term").isin(present))
+    )
+    theta0 = seed_theta_or(segs, idf, avgdl, k)
+
+    def grp_topk(pdf) -> "pd.DataFrame":
+        runs = {r["term"]: row_to_packed(r) for r in pdf.to_dict("records")}
+        ids, scores = score_grp_or(runs, idf, avgdl, theta0)
+        if ids.size > local_k:
+            sel = np.lexsort((ids, -scores))[:local_k]
+            ids, scores = ids[sel], scores[sel]
+        return pd.DataFrame({"doc_id": ids.astype(np.int64),
+                             "score": scores})
+
+    scored = segs.groupBy("grp").applyInPandas(grp_topk, RESULT_SCHEMA)
+    return (
+        scored.select("doc_id", F.round(F.col("score"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,124 @@
+"""MaxScore disjunctive top-k: rank identity vs the DataFrame OR-BM25
+plan, pruning effectiveness, and distributed-path parity."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.pipeline import queryops
+from searchengine_spark.query.maxscore import (
+    MaxScoreSearcher,
+    maxscore_topk,
+    maxscore_topk_distributed,
+)
+
+SF = "/root/testdata/sf0.001/documents.parquet"
+
+TERMSETS = [
+    ["dup"],
+    ["merge", "vector"],
+    ["hash", "stream", "vector"],
+    ["vector", "zzznotaterm"],  # absent term drops out under OR
+    ["zzznotaterm"],            # nothing present -> empty
+]
+
+
+@pytest.fixture(scope="module")
+def plain_idx(spark, tmp_path_factory):
+    from searchengine_spark.index.plain import build_plain_index
+
+    out = str(tmp_path_factory.mktemp("msidx"))
+    docs = spark.read.parquet(SF)
+    build_plain_index(spark, docs, out, n_shards=4, n_buckets=8)
+    return out
+
+
+def _expect_or(spark, terms, k=20):
+    docs = spark.read.parquet(SF)
+    rows = queryops.bm25_or_topk(docs, terms, k=k).collect()
+    # project to the searcher's contract: (doc_id, score), tie by doc_id
+    out = sorted(
+        [(r.doc_id, r.score) for r in rows], key=lambda t: (-t[1], t[0])
+    )
+    return out
+
+
+@pytest.mark.parametrize(
+    "terms", TERMSETS, ids=["1term", "or2", "or3", "partial", "allabsent"]
+)
+def test_maxscore_matches_dataframe_or(spark, plain_idx, terms):
+    got = [(r.doc_id, r.score)
+           for r in maxscore_topk(spark, plain_idx, terms, k=20).collect()]
+    assert got == _expect_or(spark, terms, k=20)
+
+
+def test_maxscore_distributed_matches_driver(spark, plain_idx):
+    terms = ["merge", "vector"]
+    a = [(r.doc_id, r.score)
+         for r in maxscore_topk(spark, plain_idx, terms, k=20).collect()]
+    b = [(r.doc_id, r.score)
+         for r in maxscore_topk_distributed(spark, plain_idx, terms, k=20).collect()]
+    assert a == b
+
+
+def test_prune_equals_noprune_topk(spark, plain_idx):
+    s = MaxScoreSearcher(spark, plain_idx)
+    terms = ["hash", "stream", "vector"]
+    pruned = s.search_or(terms, k=15, prune=True)
+    full = s.search_or(terms, k=15, prune=False)[:15]
+    assert pruned == full
+
+
+def test_pruning_skips_decodes(spark, plain_idx):
+    """A threshold just above the cheapest term's upper bound must make
+    that term non-essential: its postings are probed, never decoded in
+    full, so postings_decoded drops strictly (the essential-set
+    invariant), while every returned score stays exact."""
+    import numpy as np
+
+    from searchengine_spark.index.segments import row_to_packed
+    from searchengine_spark.query.maxscore import _term_ub, score_grp_or
+
+    s = MaxScoreSearcher(spark, plain_idx)
+    terms = sorted(["merge", "vector", "table"])
+    dfs = s.resolve(terms)
+    n_docs = int(s.stats["n_docs"])
+    avgdl = float(s.stats["avgdl"])
+    idf = {t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+           for t, d in dfs.items()}
+    by_grp: dict[int, dict] = {}
+    for r in s._segment_rows(terms):
+        by_grp.setdefault(int(r["grp"]), {})[r["term"]] = row_to_packed(r)
+    grp = max(by_grp, key=lambda g: len(by_grp[g]))
+    runs = by_grp[grp]
+    assert len(runs) >= 2
+    ubs = sorted(_term_ub(p, idf[t], avgdl) for t, p in runs.items())
+    theta = ubs[0] + 1e-3  # cheapest term alone cannot reach this
+
+    full_stats: dict = {}
+    ids_f, sc_f = score_grp_or(runs, idf, avgdl, stats=full_stats)
+    pruned_stats: dict = {}
+    ids_p, sc_p = score_grp_or(runs, idf, avgdl, theta, stats=pruned_stats)
+    assert (
+        pruned_stats.get("postings_decoded", 0)
+        < full_stats.get("postings_decoded", 0)
+    )
+    # survivors' scores are exact: equal to the exhaustive pass's
+    exact = dict(zip(ids_f.tolist(), sc_f.tolist()))
+    for d, sc in zip(ids_p.tolist(), sc_p.tolist()):
+        assert abs(exact[d] - sc) < 1e-9
+    # completeness: every doc at/above theta survived the pruned pass
+    want = {d for d, sc in exact.items() if sc >= theta}
+    assert want <= set(ids_p.tolist())
+
+
+def test_all_matches_when_unpruned(spark, plain_idx):
+    """prune=False returns every OR match (the full scored set)."""
+    s = MaxScoreSearcher(spark, plain_idx)
+    terms = ["merge", "vector"]
+    full = s.search_or(terms, k=10**9, prune=False)
+    expect = _expect_or(spark, terms, k=10**9)
+    assert len(full) == len(expect)
+    got_ids = sorted(d for d, _ in full)
+    want_ids = sorted(d for d, _ in expect)
+    assert got_ids == want_ids
