@@ -117,9 +117,17 @@ def make_pack_fn():
 def make_compact_fn(fanin: int):
     """applyInPandas fn for phase 2: all partial rows of one bucket.
 
-    Groups each term's runs into ceil(n_runs / fanin) merged segments;
-    decode + repack is NumPy-vectorized, memory bounded by fanin runs.
-    Merged rows are re-numbered grp = 0..n_groups-1 per term.
+    Merges each term's per-shard runs into segments of at most ``fanin``
+    runs, keyed by ``merged grp = original shard // fanin``.  The merged
+    grp id must stay a *pure function of the doc shard* — NOT the term's
+    run ordinal — because conjunctive evaluation (wand.score_grp, the
+    distributed AND count) decomposes per grp and requires a doc's
+    postings for ALL terms to share one grp.  Ordinal chunking would
+    misalign grps whenever a term is absent from some shard (rare terms
+    always are), silently dropping AND matches; shard-keyed chunking keeps
+    alignment for any fanin, and a term's merged grps may simply be
+    sparse.  Decode + repack is NumPy-vectorized, memory bounded by fanin
+    runs.
     """
 
     def compact(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -129,11 +137,17 @@ def make_compact_fn(fanin: int):
         for term, tg in pdf.sort_values(["term", "grp"]).groupby("term", sort=False):
             bucket = int(tg["bucket"].iloc[0])
             recs = tg.to_dict("records")
-            for gi in range(0, len(recs), fanin):
-                chunk = recs[gi : gi + fanin]
-                if len(chunk) == 1 and gi == 0 and len(recs) <= fanin:
+            i = 0
+            while i < len(recs):
+                mg = int(recs[i]["grp"]) // fanin
+                j = i
+                while j < len(recs) and int(recs[j]["grp"]) // fanin == mg:
+                    j += 1
+                chunk = recs[i:j]
+                i = j
+                if len(chunk) == 1:
                     r = dict(chunk[0])
-                    r["grp"] = 0
+                    r["grp"] = mg
                     out.append(r)
                     continue
                 parts = [codec.unpack_all(row_to_packed(r)) for r in chunk]
@@ -141,7 +155,7 @@ def make_compact_fn(fanin: int):
                 tfs = np.concatenate([p[1] for p in parts])
                 dls = np.concatenate([p[2] for p in parts])
                 p = codec.pack_postings(ids, tfs, dls)
-                out.append(packed_to_row(str(term), bucket, gi // fanin, p))
+                out.append(packed_to_row(str(term), bucket, mg, p))
         return pd.DataFrame(out)
 
     return compact

@@ -131,3 +131,36 @@ def test_index_size_stats_accounts_every_byte(spark, t1_index, t1_segments):
     # 2.2x on tiny t1 (deltas are large when df is small); the ratio only
     # improves with corpus size as per-term posting lists densify
     assert total_comp < total_raw / 2
+
+
+def test_bounded_fanin_keeps_grp_alignment(spark, tmp_path):
+    """Regression: merged grp ids must be keyed by original doc shard
+    (shard // fanin), not the term's run ordinal.  Ordinal chunking
+    misaligned grps whenever a term was absent from some shard — a rare
+    term co-occurring with a common one in a late shard silently dropped
+    out of conjunctive results (doc 900 here)."""
+    from searchengine_spark.index.plain import build_plain_index
+    from searchengine_spark.pipeline import fulltext
+    from searchengine_spark.query.wand import (
+        SegmentSearcher, wand_topk, wand_topk_distributed)
+
+    rows = []
+    for i in range(1000):
+        t = "common filler word" + (" rare" if i in (0, 900) else "")
+        rows.append((i, t, "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    terms = ["rare", "common"]
+    expect = [(r.doc_id, r.score)
+              for r in fulltext.bm25_topk(docs, terms, k=20).collect()]
+    assert len(expect) == 2
+    for fanin in (3, 1):
+        out = str(tmp_path / f"fanin{fanin}")
+        build_plain_index(spark, docs, out, n_shards=8, n_buckets=8,
+                          compact_fanin=fanin)
+        got = [(r.doc_id, r.score)
+               for r in wand_topk(spark, out, terms, k=20).collect()]
+        assert got == expect, f"driver WAND lost matches at fanin={fanin}"
+        gotd = [(r.doc_id, r.score)
+                for r in wand_topk_distributed(spark, out, terms, k=20).collect()]
+        assert gotd == expect, f"distributed WAND lost matches at fanin={fanin}"
+        assert SegmentSearcher(spark, out).count(terms) == 2
