@@ -565,6 +565,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_maxscore_or": lambda s, d: _maxscore(s, d, Q_AND3),
         "q_maxscore_partial": lambda s, d: _maxscore(s, d, Q_ABSENT),
         "q_maxscore_distributed": lambda s, d: _maxscore_dist(s, d, Q_AND2),
+        # query-performance prediction: KL(result LM || collection LM)
+        # over the BM25 top-10 (Cronen-Townsend et al., SIGIR 2002)
+        "q_clarity_score": lambda s, d: queryops.clarity_score(
+            _docs(s, d), Q_AND2, k=10
+        ),
+        # passage-level retrieval: BM25 where the unit is a 32-token
+        # non-overlapping window (RAG / long-doc granularity)
+        "q_passage_bm25": lambda s, d: queryops.passage_bm25_topk(
+            _docs(s, d), Q_AND2, passage_len=32, k=20
+        ),
+        # cluster canonicalization: quality-ranked representative per
+        # near-dup component (longest text, then min doc_id)
+        "q_canonical_docs": lambda s, d: dedup.canonical_docs(
+            _docs(s, d), threshold=0.2
+        ),
+        # source-scoped templated-line detection + per-doc boilerplate share
+        "q_boilerplate_lines": lambda s, d: textstats.boilerplate_lines(
+            _docs(s, d), min_len=12, min_docs=3
+        ),
+        "q_boilerplate_stats": lambda s, d: textstats.boilerplate_stats(
+            _docs(s, d), min_len=12, min_docs=3
+        ),
+        # block-unit template detector for line-less corpora (the testdata
+        # docs are single-line; the line variant is exercised on newline
+        # corpora in tests/test_boilerplate.py)
+        "q_templated_blocks": lambda s, d: dedup.templated_blocks(
+            _docs(s, d), k=8, min_docs=2
+        ),
+        "q_templated_block_stats": lambda s, d: dedup.templated_block_stats(
+            _docs(s, d), k=8, min_docs=2
+        ),
     }
 
 
@@ -741,4 +772,11 @@ def oracle_sql() -> dict[str, str]:
         "q_maxscore_or": osql.maxscore_or_topk(Q_AND3, k=20),
         "q_maxscore_partial": osql.maxscore_or_topk(Q_ABSENT, k=20),
         "q_maxscore_distributed": osql.maxscore_or_topk(Q_AND2, k=20),
+        "q_clarity_score": osql.clarity_score(Q_AND2, k=10),
+        "q_passage_bm25": osql.passage_bm25_topk(Q_AND2, passage_len=32, k=20),
+        "q_canonical_docs": osql.canonical_docs(threshold=0.2),
+        "q_boilerplate_lines": osql.boilerplate_lines(min_len=12, min_docs=3),
+        "q_boilerplate_stats": osql.boilerplate_stats(min_len=12, min_docs=3),
+        "q_templated_blocks": osql.templated_blocks(k=8, min_docs=2),
+        "q_templated_block_stats": osql.templated_block_stats(k=8, min_docs=2),
     }

@@ -563,3 +563,107 @@ def dup_spans(documents: DataFrame, k: int = 8, id_col: str = "doc_id",
         .select("doc_id", F.col("span_start").cast("long").alias("span_start"),
                 "span_len")
     )
+
+
+def canonical_docs(documents: DataFrame, threshold: float = 0.2,
+                   n: int = 3, text_col: str = "text", **kw) -> DataFrame:
+    """(doc_id, cluster_id, canon_doc_id, is_canon) — cluster
+    canonicalization: every document mapped to the representative its
+    near-dup cluster keeps.  ``duplicate_clusters`` labels components;
+    this picks the member worth keeping by QUALITY — longest text first
+    (near-dup clusters typically hold truncated/stripped variants of one
+    original), doc_id ascending as the deterministic tiebreak — rather
+    than the arbitrary min-id the reference's duplicate cleanup uses
+    (keep-MIN, SURVEY.md §2 J8).  Training-data pipelines materialize
+    exactly this mapping: filter is_canon for the kept corpus, join the
+    full table to re-attribute signals from dropped near-dups onto their
+    canonical form.
+
+    Scale shape: ONE window over (cluster_id) ordered by (len desc,
+    doc_id) — partitioned by cluster so no global sort, and the winner is
+    read back with an unbounded first_value over the same partition, so
+    there is no canon-side join (the cluster dimension is corpus-sized:
+    singletons are their own cluster, so a broadcast would not survive
+    scale).  Cluster partitions are near-dup-component sized (tiny), so
+    no skew.  Everything upstream is the banded LSH + bounded-verify +
+    label-propagation stack, never all-pairs.
+    """
+    clusters = duplicate_clusters(documents, threshold=threshold, n=n, **kw)
+    sized = clusters.join(
+        documents.select("doc_id", F.length(text_col).alias("_len")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("_len"), F.asc("doc_id"))
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        sized.withColumn("canon_doc_id", F.first("doc_id").over(wall))
+        .select(
+            "doc_id", "cluster_id", "canon_doc_id",
+            (F.col("doc_id") == F.col("canon_doc_id")).alias("is_canon"),
+        )
+    )
+
+
+def _source_blocks(documents: DataFrame, k: int, id_col: str,
+                   text_col: str, source_col: str) -> DataFrame:
+    """(source, doc_id, blk_sha) — passage_blocks carrying the source key."""
+    return passage_blocks(documents, k, id_col, text_col).join(
+        documents.select(F.col(id_col).alias("doc_id"),
+                         F.col(source_col).alias("source")),
+        "doc_id",
+    )
+
+
+def templated_blocks(documents: DataFrame, k: int = 8, min_docs: int = 2,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     source_col: str = "source") -> DataFrame:
+    """(source, blk_sha, n_docs, n_occurrences) — source-scoped templated
+    passages: non-overlapping k-token blocks recurring across >= min_docs
+    distinct documents of the SAME source.  The template detector for
+    corpora without line structure (single-line/minified text, prose):
+    same role as textstats.boilerplate_lines but with the block, not the
+    line, as the repetition unit — generated headers, per-site nav chrome,
+    shared disclaimers.
+
+    Scale shape: the block stream is corpus_tokens/k rows with 32-byte
+    keys; one hash agg keyed (source, blk_sha), map-side combined; hot
+    global blocks never concentrate because the key is source-salted.
+    """
+    occ = _source_blocks(documents, k, id_col, text_col, source_col)
+    return (
+        occ.groupBy("source", "blk_sha")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def templated_block_stats(documents: DataFrame, k: int = 8,
+                          min_docs: int = 2, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          source_col: str = "source") -> DataFrame:
+    """(doc_id, n_blocks, n_templated, templated_frac) — per-document share
+    of blocks that are source-templated per ``templated_blocks``.  Docs
+    shorter than k tokens emit no row (no blocks).  The per-doc signal a
+    curation pass thresholds on before training-data export.
+
+    Scale shape: block stream aggregated once per (source, blk_sha),
+    equi-joined back on the same key, one per-doc hash agg — identical to
+    passage_dup_stats with a source-salted key.
+    """
+    occ = _source_blocks(documents, k, id_col, text_col, source_col).persist()
+    freq = occ.groupBy("source", "blk_sha").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    out = (
+        occ.join(freq, ["source", "blk_sha"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum((F.col("nd") >= min_docs).cast("long")).cast("long")
+            .alias("n_templated"),
+        )
+        .withColumn("templated_frac",
+                    F.round(F.col("n_templated") / F.col("n_blocks"), 4))
+    )
+    return finalize(out, occ)

@@ -3433,3 +3433,170 @@ FROM nn
 LEFT JOIN hits h ON nn.term = h.term AND nn.bucket = h.bucket
 LEFT JOIN present p ON nn.term = p.term
 """
+
+
+def clarity_score(terms: list[str], k: int = 10) -> str:
+    """Twin of queryops.clarity_score: KL(topk-result LM || collection LM)
+    over the BM25 conjunctive top-k (uniform doc mixture, unsmoothed)."""
+    tl = _terms_in(terms)
+    return f"""
+WITH {_TOKS_CTE},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY 1),
+sc AS (
+  SELECT p.doc_id,
+         round(sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (p.tf * 2.2)
+              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ), 4) AS score
+  FROM postings p
+  JOIN dfs USING (term)
+  JOIN ds ON p.doc_id = ds.doc_id
+  CROSS JOIN g
+  GROUP BY p.doc_id
+  HAVING count(*) = {len(terms)}
+),
+topk AS (SELECT doc_id FROM sc ORDER BY score DESC, doc_id ASC LIMIT {int(k)}),
+ku AS (SELECT count(*)::BIGINT AS k_used FROM topk),
+qm AS (
+  SELECT p.term, sum(p.tf::DOUBLE / ds.dl) AS pq_sum
+  FROM postings p JOIN topk USING (doc_id) JOIN ds ON p.doc_id = ds.doc_id
+  GROUP BY 1
+),
+cs AS (SELECT term, sum(tf)::BIGINT AS cf FROM postings GROUP BY 1),
+tot AS (SELECT sum(cf)::DOUBLE AS total FROM cs)
+SELECT max(ku.k_used)::BIGINT AS k_used, count(*)::BIGINT AS n_terms,
+       round(sum((qm.pq_sum / ku.k_used)
+                 * ln((qm.pq_sum / ku.k_used) / (cs.cf / tot.total))), 4) AS clarity
+FROM qm CROSS JOIN ku JOIN cs USING (term) CROSS JOIN tot
+"""
+
+
+def passage_bm25_topk(terms: list[str], passage_len: int = 32,
+                      k: int = 20) -> str:
+    """Twin of queryops.passage_bm25_topk: conjunctive BM25 over
+    non-overlapping passage_len-token windows (1-based positions)."""
+    tl = _terms_in(terms)
+    return f"""
+WITH {_PTOKS_CTE},
+pp AS (SELECT doc_id, ((pos - 1) // {int(passage_len)})::BIGINT AS passage_id,
+              term, count(*)::BIGINT AS tf
+       FROM ptoks GROUP BY 1, 2, 3),
+pds AS (SELECT doc_id, passage_id, sum(tf)::BIGINT AS dl FROM pp GROUP BY 1, 2),
+g AS (SELECT count(*)::DOUBLE AS n_psg, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM pds),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM pp WHERE term IN ({tl}) GROUP BY 1),
+sc AS (
+  SELECT p.doc_id, p.passage_id,
+         sum( ln(1 + (g.n_psg - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (p.tf * 2.2)
+              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (pds.dl / g.avgdl))) ) AS score
+  FROM pp p
+  JOIN dfs USING (term)
+  JOIN pds ON p.doc_id = pds.doc_id AND p.passage_id = pds.passage_id
+  CROSS JOIN g
+  GROUP BY 1, 2
+  HAVING count(*) = {len(terms)}
+)
+SELECT doc_id, passage_id, round(score, 4) AS score FROM sc
+ORDER BY round(score, 4) DESC, doc_id ASC, passage_id ASC LIMIT {int(k)}
+"""
+
+
+def canonical_docs(threshold: float = 0.2) -> str:
+    """Twin of dedup.canonical_docs: quality-ranked cluster representative
+    (longest text, then min doc_id) over duplicate_clusters' components."""
+    return f"""
+WITH dc AS ({duplicate_clusters(threshold)}),
+sized AS (
+  SELECT dc.doc_id, dc.cluster_id, length(d.text)::BIGINT AS _len
+  FROM dc JOIN documents d USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       first_value(doc_id) OVER (
+         PARTITION BY cluster_id ORDER BY _len DESC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS canon_doc_id,
+       doc_id = first_value(doc_id) OVER (
+         PARTITION BY cluster_id ORDER BY _len DESC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS is_canon
+FROM sized
+"""
+
+
+_BOILER_OCC = """
+occ AS (
+  SELECT source, doc_id, md5(line) AS line_sha
+  FROM (
+    SELECT source, doc_id,
+           trim(unnest(string_split(text, chr(10)))) AS line
+    FROM documents
+  )
+  WHERE line <> '' AND length(line) >= {min_len}
+)
+"""
+
+
+def boilerplate_lines(min_len: int = 12, min_docs: int = 3) -> str:
+    """Twin of textstats.boilerplate_lines: source-scoped templated lines
+    (trimmed, >= min_len chars, in >= min_docs distinct docs)."""
+    return f"""
+WITH {_BOILER_OCC.format(min_len=int(min_len))}
+SELECT source, line_sha, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occurrences
+FROM occ GROUP BY 1, 2
+HAVING count(DISTINCT doc_id) >= {int(min_docs)}
+"""
+
+
+def boilerplate_stats(min_len: int = 12, min_docs: int = 3) -> str:
+    """Twin of textstats.boilerplate_stats: per-doc templated-line share."""
+    return f"""
+WITH {_BOILER_OCC.format(min_len=int(min_len))},
+freq AS (SELECT source, line_sha, count(DISTINCT doc_id) AS nd
+         FROM occ GROUP BY 1, 2)
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN nd >= {int(min_docs)} THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+       round(sum(CASE WHEN nd >= {int(min_docs)} THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 4) AS boiler_frac
+FROM occ JOIN freq USING (source, line_sha)
+GROUP BY doc_id
+"""
+
+
+_SRC_BLOCKS = """
+toksb AS (SELECT source, doc_id, string_split(text, ' ') AS ws FROM documents),
+sblocks AS (
+  SELECT source, doc_id,
+         md5(list_aggregate(ws[(b * {k} + 1):(b * {k} + {k})],
+                            'string_agg', ' ')) AS blk_sha
+  FROM toksb, unnest(generate_series(0, (len(ws) // {k} - 1)::BIGINT)) AS t(b)
+)
+"""
+
+
+def templated_blocks(k: int = 8, min_docs: int = 2) -> str:
+    """Twin of dedup.templated_blocks: source-scoped recurring k-token
+    blocks."""
+    return f"""
+WITH {_SRC_BLOCKS.format(k=int(k))}
+SELECT source, blk_sha, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occurrences
+FROM sblocks GROUP BY 1, 2
+HAVING count(DISTINCT doc_id) >= {int(min_docs)}
+"""
+
+
+def templated_block_stats(k: int = 8, min_docs: int = 2) -> str:
+    """Twin of dedup.templated_block_stats."""
+    return f"""
+WITH {_SRC_BLOCKS.format(k=int(k))},
+freqb AS (SELECT source, blk_sha, count(DISTINCT doc_id) AS nd
+          FROM sblocks GROUP BY 1, 2)
+SELECT doc_id, count(*)::BIGINT AS n_blocks,
+       sum(CASE WHEN nd >= {int(min_docs)} THEN 1 ELSE 0 END)::BIGINT AS n_templated,
+       round(sum(CASE WHEN nd >= {int(min_docs)} THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 4) AS templated_frac
+FROM sblocks JOIN freqb USING (source, blk_sha)
+GROUP BY doc_id
+"""

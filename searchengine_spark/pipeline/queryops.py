@@ -946,3 +946,153 @@ def synonym_bm25_topk(documents: DataFrame, query_groups: list[list[str]],
         p, ds,
     )
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def clarity_score(documents: DataFrame, query_terms: list[str], k: int = 10,
+                  **kw) -> DataFrame:
+    """One row (k_used, n_terms, clarity): query-clarity score (Cronen-
+    Townsend, Zhou & Croft, "Predicting Query Performance", SIGIR 2002) —
+    the KL divergence between the language model of the query's top-k
+    result set and the collection model:
+
+        clarity = sum_w P(w|q) * ln(P(w|q) / P(w|C))
+
+    with P(w|q) = (1/k) * sum_{d in topk} tf(w,d)/dl(d)  (uniform doc
+    weights over the BM25 conjunctive top-k, unsmoothed — both models are
+    proper distributions so the KL is finite and >= 0) and
+    P(w|C) = cf(w)/total_tokens.  High clarity = the result set's
+    vocabulary is focused vs the corpus (an unambiguous query); clarity
+    near 0 = the results look like random corpus text.  The standard
+    cheap query-performance predictor a search engine runs next to the
+    reference's plain ranked search (SearchServiceImpl.java:119-157).
+
+    Scale shape: top-k ids are a k-row broadcast; the result-set model is
+    one hash agg over k docs' postings; the collection model is the
+    vocab-bounded df_stats dim (term -> cf) joined only against the <= k
+    docs' vocabulary.  One corpus scan (persisted postings feed both
+    sides), no driver loop.
+    """
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p)
+    topk = (
+        bm25_on_postings_topk(p, ds, query_terms, k=k)
+        .select("doc_id")
+    )
+    # P(w|q): uniform mixture of the top-k docs' MLE models
+    qmodel = (
+        p.join(F.broadcast(topk), "doc_id")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .groupBy("term")
+        .agg(F.sum(F.col("tf") / F.col("dl")).alias("pq_sum"))
+    )
+    k_used = topk.agg(F.count(F.lit(1)).alias("k_used"))
+    # P(w|C): corpus unigram model over the same tokenization
+    cstats = p.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cstats.agg(F.sum("cf").cast("double").alias("total"))
+    out = (
+        qmodel.crossJoin(F.broadcast(k_used))
+        .withColumn("pq", F.col("pq_sum") / F.col("k_used"))
+        .join(cstats, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("pc", F.col("cf") / F.col("total"))
+        .agg(
+            F.max("k_used").cast("long").alias("k_used"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.round(F.sum(F.col("pq") * F.log(F.col("pq") / F.col("pc"))), 4)
+            .alias("clarity"),
+        )
+    )
+    return finalize(out, p)
+
+
+def bm25_on_postings_topk(p: DataFrame, ds: DataFrame,
+                          query_terms: list[str], k: int = 20,
+                          k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """Conjunctive BM25 top-k over ALREADY-built postings/doc-stats
+    DataFrames (same math as fulltext.bm25_topk, shared here so composite
+    operators like clarity_score reuse one persisted postings pass
+    instead of re-scanning the corpus)."""
+    n_and_avg = ds.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfs = df_stats(p).filter(F.col("term").isin(query_terms))
+    scored = (
+        p.filter(F.col("term").isin(query_terms))
+        .join(F.broadcast(dfs.select("term", "df")), "term")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .withColumn("idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .withColumn(
+            "pscore",
+            F.col("idf") * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nhit"), F.sum("pscore").alias("score"))
+        .filter(F.col("nhit") == len(query_terms))
+    )
+    return (
+        scored.select("doc_id", F.round(F.col("score"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def passage_bm25_topk(documents: DataFrame, query_terms: list[str],
+                      passage_len: int = 32, k: int = 20,
+                      k1: float = BM25_K1, b: float = BM25_B,
+                      **kw) -> DataFrame:
+    """(doc_id, passage_id, score) — passage-level conjunctive BM25: each
+    document is split into non-overlapping ``passage_len``-token windows
+    (passage_id = (pos-1) // passage_len over 1-based token positions, so
+    the tail passage may be short) and each passage is ranked as its own
+    retrieval unit.  The retrieval granularity RAG pipelines and long-doc
+    engines (passage retrieval, Liu & Croft 2002; MS MARCO passage task)
+    use instead of whole-document scoring; df here is passage-frequency
+    and avgdl the mean passage length, i.e. plain BM25 over the passage
+    corpus.
+
+    Scale shape: identical to document BM25 with doc_id replaced by the
+    composite (doc_id, passage_id) key — the posexplode is the same 1:N
+    token amplification tf_postings already pays, and every agg stays a
+    map-side-combined hash agg.  No extra corpus scan vs document BM25.
+    """
+    ptoks = positional_tokens(documents, **kw).withColumn(
+        "passage_id", ((F.col("pos") - 1) / passage_len).cast("long")
+    )
+    p = (
+        ptoks.groupBy("doc_id", "passage_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
+    )
+    ds = p.groupBy("doc_id", "passage_id").agg(F.sum("tf").cast("long").alias("dl"))
+    n_and_avg = ds.agg(
+        F.count(F.lit(1)).cast("double").alias("n_psg"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfs = (
+        p.filter(F.col("term").isin(query_terms))
+        .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    scored = (
+        p.filter(F.col("term").isin(query_terms))
+        .join(F.broadcast(dfs), "term")
+        .join(ds, ["doc_id", "passage_id"])
+        .crossJoin(F.broadcast(n_and_avg))
+        .withColumn("idf", F.log(1.0 + (F.col("n_psg") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .withColumn(
+            "pscore",
+            F.col("idf") * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))),
+        )
+        .groupBy("doc_id", "passage_id")
+        .agg(F.count(F.lit(1)).alias("nhit"), F.sum("pscore").alias("score"))
+        .filter(F.col("nhit") == len(query_terms))
+    )
+    return finalize(
+        scored.select(
+            "doc_id", "passage_id", F.round(F.col("score"), 4).alias("score")
+        ).orderBy(F.desc("score"), F.asc("doc_id"), F.asc("passage_id")).limit(k),
+        p,
+    )

@@ -959,3 +959,80 @@ def term_dispersion(documents: DataFrame, limit: int = 100,
         .orderBy(F.desc("tf_total"), F.asc("term"))
         .limit(limit)
     )
+
+
+def _boiler_lines(documents: DataFrame, min_len: int,
+                  id_col: str, text_col: str, source_col: str) -> DataFrame:
+    """(source, doc_id, line_sha) — one row per qualifying line occurrence:
+    trimmed non-empty lines of at least ``min_len`` chars, md5-keyed so the
+    join/agg keys are fixed-width digests, not raw text."""
+    return (
+        documents.select(
+            F.col(source_col).alias("source"),
+            F.col(id_col).alias("doc_id"),
+            F.explode(trimmed_lines(text_col)).alias("line"),
+        )
+        .filter(F.length("line") >= min_len)
+        .select("source", "doc_id", F.md5(F.col("line")).alias("line_sha"))
+    )
+
+
+def boilerplate_lines(documents: DataFrame, min_len: int = 12,
+                      min_docs: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      source_col: str = "source") -> DataFrame:
+    """(source, line_sha, n_docs, n_occurrences) — templated lines: trimmed
+    lines of >= ``min_len`` chars that occur in >= ``min_docs`` distinct
+    documents of the SAME source.  The source-scoped line-frequency table
+    boilerplate removers (navigation chrome, license headers, generated
+    banners) are built on — document-level and even passage-level dedup
+    miss these because the surrounding text differs.
+
+    Scale shape: one explode + one hash agg keyed (source, line_sha) —
+    both map-side combined; the agg dimension is the per-source distinct-
+    line vocabulary, never pairwise.  Scoping by source keeps the hot keys
+    bounded: a globally common line ("#include <stdio.h>") never
+    concentrates onto one reducer because its key is salted by source.
+    """
+    occ = _boiler_lines(documents, min_len, id_col, text_col, source_col)
+    return (
+        occ.groupBy("source", "line_sha")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_stats(documents: DataFrame, min_len: int = 12,
+                      min_docs: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      source_col: str = "source") -> DataFrame:
+    """(doc_id, n_lines, n_boiler, boiler_frac) — per-document boilerplate
+    share: of the document's qualifying lines (trimmed, >= min_len chars),
+    how many are source-templated per ``boilerplate_lines``.  The per-doc
+    flag a curation pipeline thresholds on (C4 drops pages dominated by
+    boilerplate) or uses to strip lines before tokenization.
+
+    Scale shape: the occurrence stream is aggregated per (source,
+    line_sha) once, equi-joined back on the same key (no broadcast — the
+    line dim is corpus-vocabulary sized), then one per-doc hash agg.  Same
+    three-op shape as dedup.passage_dup_stats.
+    """
+    occ = _boiler_lines(documents, min_len, id_col, text_col, source_col)
+    occ = occ.persist()
+    freq = occ.groupBy("source", "line_sha").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    out = (
+        occ.join(freq, ["source", "line_sha"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum((F.col("nd") >= min_docs).cast("long")).cast("long")
+            .alias("n_boiler"),
+        )
+        .withColumn("boiler_frac",
+                    F.round(F.col("n_boiler") / F.col("n_lines"), 4))
+    )
+    return finalize(out, occ)
