@@ -44,6 +44,7 @@ from searchengine_spark.pipeline import (  # noqa: E402
     pii,
     pq,
     queryops,
+    rankeval,
     sampling,
     similarity,
     sketches,
@@ -596,6 +597,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_templated_block_stats": lambda s, d: dedup.templated_block_stats(
             _docs(s, d), k=8, min_docs=2
         ),
+        # ranking-evaluation loop: corpus-derived qrels -> batch BM25 runs
+        # -> P@k / recall@k / MRR / NDCG@k (TREC conventions)
+        "q_synthetic_qrels": lambda s, d: rankeval.synthetic_qrels(_docs(s, d)),
+        "q_bm25_runs": lambda s, d: rankeval.bm25_runs(_docs(s, d), k=10),
+        "q_bm25_eval": lambda s, d: rankeval.bm25_eval(_docs(s, d), k=10),
+        # CORI resource selection (Callan et al. 1995): shard/query routing
+        "q_cori_selection": lambda s, d: rankeval.cori_source_scores(
+            _docs(s, d), Q_AND2
+        ),
+        # learning-to-rank feature export over the evaluation query batch
+        "q_ltr_features": lambda s, d: rankeval.ltr_features(_docs(s, d)),
     }
 
 
@@ -779,4 +791,9 @@ def oracle_sql() -> dict[str, str]:
         "q_boilerplate_stats": osql.boilerplate_stats(min_len=12, min_docs=3),
         "q_templated_blocks": osql.templated_blocks(k=8, min_docs=2),
         "q_templated_block_stats": osql.templated_block_stats(k=8, min_docs=2),
+        "q_synthetic_qrels": osql.synthetic_qrels(rankeval.EVAL_QUERIES),
+        "q_bm25_runs": osql.bm25_runs(rankeval.EVAL_QUERIES, k=10),
+        "q_bm25_eval": osql.bm25_eval(rankeval.EVAL_QUERIES, k=10),
+        "q_cori_selection": osql.cori_source_scores(Q_AND2),
+        "q_ltr_features": osql.ltr_features(rankeval.EVAL_QUERIES),
     }

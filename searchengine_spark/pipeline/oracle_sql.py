@@ -3600,3 +3600,165 @@ SELECT doc_id, count(*)::BIGINT AS n_blocks,
 FROM sblocks JOIN freqb USING (source, blk_sha)
 GROUP BY doc_id
 """
+
+
+# --- ranking evaluation / resource selection (pipeline/rankeval.py) ---
+
+def _qdim_values(queries: list[tuple[int, list[str]]]) -> str:
+    rows = ", ".join(
+        f"({int(qid)}, '{t.replace(chr(39), chr(39) * 2)}', {len(terms)})"
+        for qid, terms in queries for t in terms
+    )
+    return f"qdim AS (SELECT * FROM (VALUES {rows}) AS q(qid, term, n_terms))"
+
+
+def _qrels_cte() -> str:
+    return """
+qrels AS (
+  SELECT qid, doc_id,
+         CASE WHEN min(tf) >= 2 THEN 2 ELSE 1 END::INT AS rel
+  FROM postings JOIN qdim USING (term)
+  GROUP BY qid, doc_id
+  HAVING count(*) = max(n_terms)
+)
+"""
+
+
+def synthetic_qrels(queries: list[tuple[int, list[str]]]) -> str:
+    """Twin of rankeval.synthetic_qrels."""
+    return (
+        f"WITH {_TOKS_CTE}, {_qdim_values(queries)}, {_qrels_cte()} "
+        "SELECT qid, doc_id, rel FROM qrels"
+    )
+
+
+def _runs_cte(queries: list[tuple[int, list[str]]], k: int) -> str:
+    all_terms = sorted({t for _, terms in queries for t in terms})
+    tl = _terms_in(all_terms)
+    return f"""
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY 1),
+sc AS (
+  SELECT q.qid, p.doc_id,
+         round(sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (p.tf * 2.2)
+              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ), 4) AS score
+  FROM postings p
+  JOIN qdim q USING (term)
+  JOIN dfs USING (term)
+  JOIN ds ON p.doc_id = ds.doc_id
+  CROSS JOIN g
+  GROUP BY q.qid, p.doc_id
+  HAVING count(*) = max(q.n_terms)
+),
+run AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+         score
+  FROM sc
+  QUALIFY rank <= {int(k)}
+)
+"""
+
+
+def bm25_runs(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    """Twin of rankeval.bm25_runs."""
+    return (
+        f"WITH {_TOKS_CTE}, {_qdim_values(queries)}, {_runs_cte(queries, k)} "
+        "SELECT qid, doc_id, rank, score FROM run"
+    )
+
+
+def bm25_eval(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    """Twin of rankeval.bm25_eval: P@k / recall@k / MRR / NDCG@k of the
+    BM25 runs against the synthetic qrels."""
+    return f"""
+WITH {_TOKS_CTE}, {_qdim_values(queries)}, {_qrels_cte()}, {_runs_cte(queries, k)},
+hits AS (
+  SELECT r.qid, r.rank, coalesce(qr.rel, 0) AS rel
+  FROM run r LEFT JOIN qrels qr USING (qid, doc_id)
+),
+perq AS (
+  SELECT qid,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) / {int(k)}::DOUBLE AS p_at_k,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_rel_ret,
+         max(CASE WHEN rel > 0 THEN 1.0 / rank END) AS mrr0,
+         sum((pow(2.0, rel) - 1) / log2(rank + 1.0)) AS dcg
+  FROM hits GROUP BY 1
+),
+ideal AS (
+  SELECT qid, sum((pow(2.0, rel) - 1) / log2(irank + 1.0)) AS idcg
+  FROM (
+    SELECT qid, rel, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id ASC) AS irank
+    FROM qrels
+  ) WHERE irank <= {int(k)} GROUP BY 1
+),
+tot AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY 1)
+SELECT t.qid, t.n_rel,
+       round(coalesce(p.p_at_k, 0), 4) AS p_at_k,
+       round(coalesce(p.n_rel_ret, 0) / t.n_rel::DOUBLE, 4) AS recall_at_k,
+       round(coalesce(p.mrr0, 0), 4) AS mrr,
+       round(coalesce(p.dcg, 0) / i.idcg, 4) AS ndcg
+FROM tot t JOIN ideal i USING (qid) LEFT JOIN perq p USING (qid)
+"""
+
+
+def cori_source_scores(terms: list[str], b: float = 0.4, tc: float = 50.0,
+                       ts: float = 150.0) -> str:
+    """Twin of rankeval.cori_source_scores."""
+    tl = _terms_in(terms)
+    n = len(terms)
+    return f"""
+WITH {_TOKS_CTE},
+st AS (
+  SELECT d.source, p.term, count(*)::BIGINT AS df
+  FROM postings p JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+),
+cw AS (SELECT source, count(*)::BIGINT AS cw FROM st GROUP BY 1),
+gsrc AS (SELECT count(*)::DOUBLE AS n_sources, avg(cw) AS avg_cw FROM cw),
+qst AS (SELECT * FROM st WHERE term IN ({tl})),
+cf AS (SELECT term, count(*)::DOUBLE AS cf FROM qst GROUP BY 1),
+belief AS (
+  SELECT s.source,
+         sum({b} + (1 - {b})
+             * (s.df / (s.df + {tc} + {ts} * (cw.cw / g.avg_cw)))
+             * (ln((g.n_sources + 0.5) / cf.cf) / ln(g.n_sources + 1.0))) AS p_sum,
+         count(*) AS n_present
+  FROM qst s JOIN cf USING (term) JOIN cw USING (source) CROSS JOIN gsrc g
+  GROUP BY 1
+)
+SELECT cw.source,
+       round((coalesce(bl.p_sum, 0)
+              + ({n} - coalesce(bl.n_present, 0)) * {b}) / {n}, 4) AS score
+FROM cw LEFT JOIN belief bl USING (source)
+"""
+
+
+def ltr_features(queries: list[tuple[int, list[str]]]) -> str:
+    """Twin of rankeval.ltr_features."""
+    all_terms = sorted({t for _, terms in queries for t in terms})
+    tl = _terms_in(all_terms)
+    return f"""
+WITH {_TOKS_CTE}, {_qdim_values(queries)},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY 1)
+SELECT q.qid, p.doc_id,
+       count(*)::BIGINT AS n_matched,
+       sum(p.tf)::BIGINT AS sum_tf,
+       min(p.tf)::BIGINT AS min_tf,
+       max(ds.dl)::BIGINT AS dl,
+       round(sum(ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))), 4) AS idf_sum,
+       round(sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+            * (p.tf * 2.2)
+            / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ), 4) AS bm25
+FROM postings p
+JOIN qdim q USING (term)
+JOIN dfs USING (term)
+JOIN ds ON p.doc_id = ds.doc_id
+CROSS JOIN g
+GROUP BY q.qid, p.doc_id
+"""

@@ -1,0 +1,105 @@
+"""Ranking evaluation, CORI source selection, LTR features: planted
+corpora with hand-computable metrics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline import rankeval
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """6 docs: 1 and 2 contain both 'alpha beta' (doc 1 twice each -> rel 2,
+    doc 2 once each -> rel 1); 3 has only alpha; 4-5 noise."""
+    rows = [
+        (1, "alpha beta alpha beta filler words here", "en", "s1"),
+        (2, "alpha beta other unrelated filler words", "en", "s1"),
+        (3, "alpha only appears in this document text", "en", "s2"),
+        (4, "completely unrelated noise text content here", "en", "s2"),
+        (5, "more filler noise with nothing relevant at", "en", "s3"),
+        (6, "beta beta beta but never the other term", "en", "s3"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+Q = [(1, ["alpha", "beta"])]
+
+
+class TestQrelsAndRuns:
+    def test_qrels_grades(self, spark, corpus):
+        qr = {r.doc_id: r.rel for r in
+              rankeval.synthetic_qrels(corpus, Q).collect()}
+        assert qr == {1: 2, 2: 1}
+
+    def test_runs_are_conjunctive_and_ranked(self, spark, corpus):
+        run = rankeval.bm25_runs(corpus, Q, k=10).collect()
+        assert {r.doc_id for r in run} == {1, 2}
+        by_rank = sorted(run, key=lambda r: r.rank)
+        assert by_rank[0].doc_id == 1  # higher tf -> higher BM25
+        assert [r.rank for r in by_rank] == [1, 2]
+
+
+class TestEvalMetrics:
+    def test_perfect_ranking_metrics(self, spark, corpus):
+        m = rankeval.bm25_eval(corpus, Q, k=10).collect()
+        assert len(m) == 1
+        r = m[0]
+        assert r.n_rel == 2
+        assert r.p_at_k == round(2 / 10, 4)
+        assert r.recall_at_k == 1.0
+        assert r.mrr == 1.0
+        # run order (1:rel2, 2:rel1) IS the ideal order -> ndcg exactly 1
+        assert r.ndcg == 1.0
+
+    def test_inverted_ranking_ndcg(self, spark, corpus):
+        # hand-built run with the two relevant docs swapped
+        run = corpus.sparkSession.createDataFrame(
+            [(1, 2, 1, 9.0), (1, 1, 2, 8.0)],
+            "qid int, doc_id long, rank long, score double")
+        qrels = rankeval.synthetic_qrels(corpus, Q)
+        r = rankeval.eval_rankings(run, qrels, k=10).collect()[0]
+        dcg = (2 ** 1 - 1) / math.log2(2) + (2 ** 2 - 1) / math.log2(3)
+        idcg = (2 ** 2 - 1) / math.log2(2) + (2 ** 1 - 1) / math.log2(3)
+        assert r.ndcg == round(dcg / idcg, 4)
+        assert r.mrr == 1.0  # rank-1 doc is still relevant (rel 1)
+
+    def test_no_relevant_retrieved(self, spark, corpus):
+        run = corpus.sparkSession.createDataFrame(
+            [(1, 4, 1, 9.0), (1, 5, 2, 8.0)],
+            "qid int, doc_id long, rank long, score double")
+        qrels = rankeval.synthetic_qrels(corpus, Q)
+        r = rankeval.eval_rankings(run, qrels, k=10).collect()[0]
+        assert r.p_at_k == 0.0 and r.recall_at_k == 0.0
+        assert r.mrr == 0.0 and r.ndcg == 0.0
+
+
+class TestCori:
+    def test_source_with_both_terms_wins(self, spark, corpus):
+        out = rankeval.cori_source_scores(corpus, ["alpha", "beta"]).collect()
+        scores = {r.source: r.score for r in out}
+        assert len(scores) == 3
+        # s1 holds both terms in 2 docs; s2 only alpha; s3 only beta
+        assert scores["s1"] > scores["s2"]
+        assert scores["s1"] > scores["s3"]
+
+    def test_absent_terms_fall_back_to_prior(self, spark, corpus):
+        out = rankeval.cori_source_scores(corpus, ["zzznotaterm"]).collect()
+        # no source contains the term: everyone scores the belief prior b
+        assert all(r.score == 0.4 for r in out)
+
+
+class TestLtrFeatures:
+    def test_feature_row_per_candidate(self, spark, corpus):
+        rows = {(r.qid, r.doc_id): r for r in
+                rankeval.ltr_features(corpus, Q).collect()}
+        # candidates = docs matching >= 1 term: 1, 2, 3, 6
+        assert set(rows) == {(1, 1), (1, 2), (1, 3), (1, 6)}
+        assert rows[(1, 1)].n_matched == 2 and rows[(1, 1)].sum_tf == 4
+        assert rows[(1, 3)].n_matched == 1
+        assert rows[(1, 6)].sum_tf == 3  # beta x3
+        assert rows[(1, 1)].dl == 7
