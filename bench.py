@@ -122,6 +122,13 @@ HEADLINE = [
     "q_bloom_prune",
     "q_maxscore_or",
     "q_maxscore_distributed",
+    "q_clarity_score",
+    "q_passage_bm25",
+    "q_canonical_docs",
+    "q_templated_block_stats",
+    "q_bm25_eval",
+    "q_cori_selection",
+    "q_ltr_features",
 ]
 
 
