@@ -45,6 +45,7 @@ from searchengine_spark.pipeline import (  # noqa: E402
     pq,
     queryops,
     rankeval,
+    reorder,
     sampling,
     similarity,
     sketches,
@@ -608,6 +609,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # learning-to-rank feature export over the evaluation query batch
         "q_ltr_features": lambda s, d: rankeval.ltr_features(_docs(s, d)),
+        # clustered doc-id assignment (Silvestri '07 / Lucene index sorting)
+        # via the two-pass distributed rank, + analytic compression report
+        "q_docid_remap": lambda s, d: reorder.docid_remap(_docs(s, d)),
+        "q_remap_compression": lambda s, d: reorder.remap_compression_stats(
+            _docs(s, d)
+        ),
     }
 
 
@@ -796,4 +803,6 @@ def oracle_sql() -> dict[str, str]:
         "q_bm25_eval": osql.bm25_eval(rankeval.EVAL_QUERIES, k=10),
         "q_cori_selection": osql.cori_source_scores(Q_AND2),
         "q_ltr_features": osql.ltr_features(rankeval.EVAL_QUERIES),
+        "q_docid_remap": osql.docid_remap(),
+        "q_remap_compression": osql.remap_compression_stats(),
     }

@@ -129,6 +129,8 @@ HEADLINE = [
     "q_bm25_eval",
     "q_cori_selection",
     "q_ltr_features",
+    "q_docid_remap",
+    "q_remap_compression",
 ]
 
 

@@ -3762,3 +3762,48 @@ JOIN ds ON p.doc_id = ds.doc_id
 CROSS JOIN g
 GROUP BY q.qid, p.doc_id
 """
+
+
+def docid_remap() -> str:
+    """Twin of reorder.docid_remap: contiguous 0-based rank over the total
+    (source, simhash, doc_id) order — the distributed two-pass rank is a
+    plain row_number here."""
+    return f"""
+WITH sh AS ({simhash()})
+SELECT d.doc_id,
+       (row_number() OVER (ORDER BY d.source, sh.simhash, d.doc_id) - 1)::BIGINT
+       AS new_id
+FROM documents d JOIN sh ON d.doc_id = sh.doc_id
+"""
+
+
+def remap_compression_stats() -> str:
+    """Twin of reorder.remap_compression_stats: doc-id varbyte stream bytes
+    per term delta chain, original vs remapped ids."""
+    return f"""
+WITH {_TOKS_CTE},
+sh AS ({simhash()}),
+rmap AS (
+  SELECT d.doc_id,
+         (row_number() OVER (ORDER BY d.source, sh.simhash, d.doc_id) - 1)::BIGINT
+         AS new_id
+  FROM documents d JOIN sh ON d.doc_id = sh.doc_id
+),
+od AS (
+  SELECT coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+                  doc_id) AS dval
+  FROM postings
+),
+nd AS (
+  SELECT coalesce(new_id - lag(new_id) OVER (PARTITION BY term ORDER BY new_id),
+                  new_id) AS dval
+  FROM postings JOIN rmap USING (doc_id)
+),
+ob AS (SELECT count(*)::BIGINT AS n_postings,
+              sum({_vb_len_sql('dval')})::BIGINT AS ids_bytes_orig FROM od),
+nb AS (SELECT sum({_vb_len_sql('dval')})::BIGINT AS ids_bytes_remap FROM nd)
+SELECT n_postings, ids_bytes_orig, ids_bytes_remap,
+       round((ids_bytes_orig - ids_bytes_remap) / ids_bytes_orig::DOUBLE * 100, 4)
+       AS savings_pct
+FROM ob CROSS JOIN nb
+"""

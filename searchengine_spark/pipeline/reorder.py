@@ -1,0 +1,156 @@
+"""Doc-id reordering for posting-list compression (clustered id assignment).
+
+Delta+varbyte posting lists (index/codec.py) compress best when documents
+sharing terms receive NEARBY ids: their shared terms' doc-id gaps shrink,
+so the 7-bit-group encoding spends fewer bytes per posting.  The public
+technique (Silvestri 2007 "Sorting out the document identifier assignment
+problem"; Lucene index sorting; Zoekt's repo-ordered shards) is to assign
+ids by a clustering key instead of arrival order — here (source, simhash,
+doc_id): same-source docs become contiguous, near-duplicate/templated docs
+(adjacent simhashes) cluster inside each source, and doc_id breaks ties so
+the order is total and deterministic.
+
+``docid_remap`` computes a contiguous global rank WITHOUT a global sort to
+one partition — the two-pass distributed ranking pattern (RDD
+zipWithIndex's DataFrame analog):
+
+1. ``repartitionByRange`` on the sort key + ``sortWithinPartitions`` —
+   Spark's range shuffle, each partition holds a contiguous key range;
+2. per-partition local ranks from a running counter inside ONE
+   ``mapInPandas`` pass (Arrow batches arrive in partition sort order);
+3. per-partition row counts — a #partitions-row aggregate — turned into
+   prefix-sum offsets and broadcast-joined back: rank = offset + local.
+
+Because the sort key is total (doc_id tiebreak), the resulting rank is
+independent of where the sampled range boundaries fall, so the output is
+deterministic and the DuckDB twin is a plain row_number().
+
+``remap_compression_stats`` then measures the effect ANALYTICALLY with the
+same integer varbyte-length ladder as the index_size_stats oracle: total
+doc-id-stream bytes per term under the original vs remapped ids, one
+corpus-level row.  At 100 TB this report is what justifies rewriting an
+index in sorted order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from searchengine_spark.pipeline._cache import finalize
+from searchengine_spark.pipeline.dedup import simhash
+from searchengine_spark.pipeline.fulltext import tf_postings
+
+# integer varbyte length ladder — mirrors oracle_sql._vb_len_sql exactly
+_VB_BOUNDS = [128, 16384, 2097152, 268435456, 34359738368,
+              4398046511104, 562949953421312, 72057594037927936]
+
+
+def vb_len_col(col):
+    """Encoded varbyte length of a non-negative long column: one byte per
+    7-bit group, as an exact integer CASE ladder (no float log)."""
+    expr = F.lit(9)
+    for n_bytes in range(len(_VB_BOUNDS), 0, -1):
+        expr = F.when(col < F.lit(_VB_BOUNDS[n_bytes - 1]), F.lit(n_bytes)) \
+            .otherwise(expr)
+    return expr
+
+
+_RANK_SCHEMA = "doc_id long, pid int, local_rank long"
+
+
+def _local_rank_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Running counter over a partition's Arrow batches (arrive in the
+    partition's sort order after sortWithinPartitions)."""
+    seen = 0
+    for pdf in it:
+        n = len(pdf)
+        out = pd.DataFrame({
+            "doc_id": pdf["doc_id"].to_numpy(),
+            "pid": pdf["pid"].to_numpy(),
+            "local_rank": range(seen, seen + n),
+        })
+        seen += n
+        yield out
+
+
+def docid_remap(documents: DataFrame, n_parts: int | None = None,
+                id_col: str = "doc_id", text_col: str = "text",
+                source_col: str = "source") -> DataFrame:
+    """(doc_id, new_id) — contiguous 0-based ids in (source, simhash,
+    doc_id) order, computed with the two-pass distributed rank above.
+    new_id is a permutation of 0..n-1 regardless of range-boundary
+    sampling because the sort key is total."""
+    spark = documents.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keyed = (
+        documents.select(F.col(id_col).alias("doc_id"),
+                         F.col(source_col).alias("source"))
+        .join(simhash(documents, id_col=id_col, text_col=text_col), "doc_id")
+    )
+    ranked_local = (
+        keyed.repartitionByRange(n_parts, "source", "simhash", "doc_id")
+        .sortWithinPartitions("source", "simhash", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .select("doc_id", "pid")
+        .mapInPandas(_local_rank_fn, schema=_RANK_SCHEMA)
+    )
+    ranked_local = ranked_local.persist()
+    # pass 2: #partitions-row count table -> exclusive prefix offsets
+    counts = ranked_local.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("offset"))
+    out = (
+        ranked_local.join(F.broadcast(offsets), "pid")
+        .select("doc_id",
+                (F.col("offset") + F.col("local_rank")).cast("long")
+                .alias("new_id"))
+    )
+    return finalize(out, ranked_local)
+
+
+def remap_compression_stats(documents: DataFrame, **kw) -> DataFrame:
+    """One row (n_postings, ids_bytes_orig, ids_bytes_remap, savings_pct):
+    total doc-id varbyte stream bytes across all terms' delta chains under
+    the original vs the remapped id assignment.  savings_pct > 0 means the
+    clustered order compresses better (it does whenever sources/templates
+    share vocabulary).  Analytic (no index build needed): the same
+    per-term lag-delta + 7-bit ladder the index_size_stats gate already
+    proves equal to the physical encoding.
+    """
+    p = tf_postings(documents, **kw).persist()
+    remap = docid_remap(documents, **{k: v for k, v in kw.items()
+                                      if k in ("id_col", "text_col", "source_col")})
+    w_old = Window.partitionBy("term").orderBy("doc_id")
+    old_b = (
+        p.withColumn(
+            "dval",
+            F.coalesce(F.col("doc_id") - F.lag("doc_id").over(w_old),
+                       F.col("doc_id")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_postings"),
+             F.sum(vb_len_col(F.col("dval"))).cast("long").alias("ids_bytes_orig"))
+    )
+    w_new = Window.partitionBy("term").orderBy("new_id")
+    new_b = (
+        p.join(remap, "doc_id")
+        .withColumn(
+            "dval",
+            F.coalesce(F.col("new_id") - F.lag("new_id").over(w_new),
+                       F.col("new_id")))
+        .agg(F.sum(vb_len_col(F.col("dval"))).cast("long")
+             .alias("ids_bytes_remap"))
+    )
+    out = (
+        old_b.crossJoin(F.broadcast(new_b))
+        .select(
+            "n_postings", "ids_bytes_orig", "ids_bytes_remap",
+            F.round((F.col("ids_bytes_orig") - F.col("ids_bytes_remap"))
+                    / F.col("ids_bytes_orig") * 100.0, 4)
+            .alias("savings_pct"),
+        )
+    )
+    return finalize(out, p)

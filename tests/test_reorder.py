@@ -1,0 +1,64 @@
+"""Doc-id reordering: contiguous deterministic rank, permutation property,
+and a planted corpus where clustered ids provably shrink the varbyte
+doc-id stream."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline import reorder
+
+
+@pytest.fixture(scope="module")
+def sparse_interleaved(spark):
+    """3 sources with EXCLUSIVE vocabularies, doc ids sparse (i*997) and
+    round-robin interleaved by source: under original ids every term's
+    posting gaps are ~3*997 (2 varbytes); after (source, simhash) ordering
+    each source's docs are contiguous, gaps collapse to 1 (1 varbyte)."""
+    rows = []
+    for i in range(90):
+        src = f"s{i % 3}"
+        words = " ".join(f"{src}tok{j}" for j in range(8))
+        rows.append((i * 997, words, "en", src))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+class TestDocidRemap:
+    def test_new_ids_are_a_contiguous_permutation(self, spark, sparse_interleaved):
+        out = reorder.docid_remap(sparse_interleaved).collect()
+        assert sorted(r.new_id for r in out) == list(range(90))
+        assert len({r.doc_id for r in out}) == 90
+
+    def test_rank_is_partition_count_invariant(self, spark, sparse_interleaved):
+        a = {(r.doc_id, r.new_id)
+             for r in reorder.docid_remap(sparse_interleaved, n_parts=2).collect()}
+        b = {(r.doc_id, r.new_id)
+             for r in reorder.docid_remap(sparse_interleaved, n_parts=7).collect()}
+        assert a == b  # total order makes boundaries irrelevant
+
+    def test_sources_become_contiguous(self, spark, sparse_interleaved):
+        remap = reorder.docid_remap(sparse_interleaved)
+        joined = remap.join(
+            sparse_interleaved.select("doc_id", "source"), "doc_id").collect()
+        by_src = {}
+        for r in joined:
+            by_src.setdefault(r.source, []).append(r.new_id)
+        for src, ids in by_src.items():
+            ids.sort()
+            assert ids == list(range(ids[0], ids[0] + len(ids))), src
+
+    def test_remap_shrinks_id_stream(self, spark, sparse_interleaved):
+        r = reorder.remap_compression_stats(sparse_interleaved).collect()[0]
+        # original gaps ~2991 -> 2 bytes each; remapped gaps 1 -> 1 byte
+        assert r.ids_bytes_remap < r.ids_bytes_orig
+        assert r.savings_pct > 30.0
+
+    def test_dense_ids_already_optimal(self, spark):
+        rows = [(i, "shared words common to all docs", "en", "s")
+                for i in range(50)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string")
+        r = reorder.remap_compression_stats(docs).collect()[0]
+        assert r.savings_pct == 0.0  # deltas already single-byte
