@@ -30,9 +30,30 @@ def build_plain_index(
     n_shards: int = 8,
     n_buckets: int = 16,
     compact_fanin: int | None = None,
+    remap_ids: bool = False,
 ) -> IndexPaths:
+    """``remap_ids=True`` builds the index over CLUSTERED internal ids
+    (pipeline.reorder.docid_remap: contiguous rank by (source, simhash,
+    doc_id)) so same-source/templated docs share nearby ids and the
+    delta+varbyte doc-id streams shrink (Lucene index-sorting analog).
+    The internal->original mapping is written to ``<out>/id_map`` parquet
+    (new_id, doc_id); searchers then return internal ids which callers
+    translate back with one join (see tests/test_reorder.py parity test).
+    Requires a ``source`` column."""
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+
+    if remap_ids:
+        from searchengine_spark.pipeline.reorder import docid_remap
+
+        m = docid_remap(documents)
+        m.select(F.col("new_id"), F.col("doc_id").alias("orig_doc_id")) \
+            .write.mode("overwrite").parquet(os.path.join(out_dir, "id_map"))
+        documents = (
+            documents.join(m, "doc_id")
+            .drop("doc_id")
+            .withColumnRenamed("new_id", "doc_id")
+        )
 
     # persist the tokenized postings: every downstream product (doc_stats,
     # df_stats, stats aggregates, packed segments) derives from p, so one
@@ -78,6 +99,7 @@ def build_plain_index(
         "n_shards": n_shards,
         "n_buckets": n_buckets,
         "mode": "sql",
+        "remapped_ids": bool(remap_ids),
     }
     with open(paths.stats, "w") as f:
         json.dump(stats, f, indent=1)

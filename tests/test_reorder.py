@@ -62,3 +62,38 @@ class TestDocidRemap:
             rows, "doc_id long, text string, lang string, source string")
         r = reorder.remap_compression_stats(docs).collect()[0]
         assert r.savings_pct == 0.0  # deltas already single-byte
+
+
+class TestRemappedIndexBuild:
+    def test_remapped_index_shrinks_and_matches(self, spark, sparse_interleaved,
+                                                tmp_path):
+        """End-to-end: build_plain_index(remap_ids=True) produces smaller
+        doc-id streams AND rank-identical search results after translating
+        internal ids back through id_map."""
+        from searchengine_spark.index.plain import build_plain_index
+        from searchengine_spark.index.segments import index_size_stats
+        from searchengine_spark.query.wand import wand_topk
+
+        # give every source one shared query term so search spans sources
+        docs = sparse_interleaved.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" sharedterm")))
+        base, remapped = str(tmp_path / "base"), str(tmp_path / "remap")
+        build_plain_index(spark, docs, base, n_shards=4, n_buckets=8)
+        build_plain_index(spark, docs, remapped, n_shards=4, n_buckets=8,
+                          remap_ids=True)
+
+        def ids_bytes(root):
+            segs = spark.read.parquet(f"{root}/segments")
+            return index_size_stats(segs).agg(
+                F.sum("ids_bytes")).collect()[0][0]
+
+        assert ids_bytes(remapped) < ids_bytes(base)
+
+        expect = [(r.doc_id, r.score)
+                  for r in wand_topk(spark, base, ["s0tok3"], k=5).collect()]
+        id_map = spark.read.parquet(f"{remapped}/id_map")
+        got_raw = wand_topk(spark, remapped, ["s0tok3"], k=5) \
+            .withColumnRenamed("doc_id", "new_id").join(id_map, "new_id")
+        got = [(r.orig_doc_id, r.score) for r in
+               got_raw.select("orig_doc_id", "score").collect()]
+        assert sorted(got) == sorted(expect)
