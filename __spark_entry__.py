@@ -615,6 +615,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_remap_compression": lambda s, d: reorder.remap_compression_stats(
             _docs(s, d)
         ),
+        # keyset (search_after) pagination: fixed mid-ranking cursor
+        "q_search_after": lambda s, d: queryops.search_after(
+            _docs(s, d), Q_AND2, cursor_score=3.0, cursor_doc_id=-1, limit=10
+        ),
+        # metadata-sliced BM25 (slice statistics, scan-pushed predicates)
+        "q_filtered_bm25": lambda s, d: queryops.filtered_bm25_topk(
+            _docs(s, d), Q_AND2, langs=["en", "de"], k=20
+        ),
+        # leading-wildcard (*suffix) dictionary expansion
+        "q_suffix_search": lambda s, d: queryops.suffix_search(
+            _docs(s, d), "er", k=20
+        ),
+        # MinHash estimator audit vs exact Jaccard on candidate edges
+        "q_minhash_estimate": lambda s, d: dedup.minhash_jaccard_estimate(
+            _docs(s, d)
+        ),
     }
 
 
@@ -805,4 +821,12 @@ def oracle_sql() -> dict[str, str]:
         "q_ltr_features": osql.ltr_features(rankeval.EVAL_QUERIES),
         "q_docid_remap": osql.docid_remap(),
         "q_remap_compression": osql.remap_compression_stats(),
+        "q_search_after": osql.search_after(
+            Q_AND2, cursor_score=3.0, cursor_doc_id=-1, limit=10
+        ),
+        "q_filtered_bm25": osql.filtered_bm25_topk(
+            Q_AND2, langs=["en", "de"], k=20
+        ),
+        "q_suffix_search": osql.suffix_search("er", k=20),
+        "q_minhash_estimate": osql.minhash_jaccard_estimate(),
     }

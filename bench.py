@@ -131,6 +131,9 @@ HEADLINE = [
     "q_ltr_features",
     "q_docid_remap",
     "q_remap_compression",
+    "q_search_after",
+    "q_filtered_bm25",
+    "q_minhash_estimate",
 ]
 
 

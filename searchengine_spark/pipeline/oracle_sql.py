@@ -3807,3 +3807,123 @@ SELECT n_postings, ids_bytes_orig, ids_bytes_remap,
        AS savings_pct
 FROM ob CROSS JOIN nb
 """
+
+
+def search_after(terms: list[str], cursor_score: float | None = None,
+                 cursor_doc_id: int | None = None, limit: int = 10) -> str:
+    """Twin of queryops.search_after (keyset pagination on the published
+    4-decimal score)."""
+    where = ""
+    if cursor_score is not None:
+        where = (f"WHERE score < {float(cursor_score)} OR "
+                 f"(score = {float(cursor_score)} AND doc_id > {int(cursor_doc_id)})")
+    return (
+        f"SELECT doc_id, score FROM ({bm25_scored(terms)}) {where} "
+        f"ORDER BY score DESC, doc_id ASC LIMIT {int(limit)}"
+    )
+
+
+def filtered_bm25_topk(terms: list[str], langs: list[str] | None = None,
+                       sources: list[str] | None = None, k: int = 20) -> str:
+    """Twin of queryops.filtered_bm25_topk: BM25 over a metadata slice —
+    df/avgdl/n_docs are the SLICE's statistics."""
+    preds = []
+    if langs is not None:
+        preds.append(f"lang IN ({_terms_in(langs)})")
+    if sources is not None:
+        preds.append(f"source IN ({_terms_in(sources)})")
+    where = ("WHERE " + " AND ".join(preds)) if preds else ""
+    tl = _terms_in(terms)
+    return f"""
+WITH docs_f AS (SELECT * FROM documents {where}),
+tok0 AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM docs_f
+),
+toks AS (SELECT doc_id, term FROM tok0 WHERE term <> ''),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (p.tf * 2.2)
+              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ), 4) AS score
+  FROM postings p
+  JOIN dfs USING (term)
+  JOIN ds ON p.doc_id = ds.doc_id
+  CROSS JOIN g
+  GROUP BY p.doc_id
+  HAVING count(*) = {len(terms)}
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
+"""
+
+
+def suffix_search(suffix: str, k: int = 20) -> str:
+    """Twin of queryops.suffix_search (leading-wildcard tf-idf scoring)."""
+    esc = suffix.replace("'", "''")
+    return f"""
+WITH {_TOKS_CTE},
+g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+matched AS (
+  SELECT term, count(*)::BIGINT AS df FROM postings
+  WHERE term LIKE '%{esc}' GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id, count(DISTINCT p.term)::BIGINT AS nterms,
+         sum(p.tf * ln(g.n_docs / m.df)) AS score
+  FROM postings p JOIN matched m USING (term) CROSS JOIN g
+  GROUP BY p.doc_id
+)
+SELECT doc_id, nterms, round(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def minhash_jaccard_estimate() -> str:
+    """Twin of dedup.minhash_jaccard_estimate: signature-agreement Jaccard
+    estimator vs exact shingle Jaccard on the LSH candidate pairs."""
+    agree = " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_MINHASH)
+    )
+    return f"""
+WITH cand AS ({lsh_candidate_pairs()}),
+sigs2 AS ({minhash_signatures()}),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(({agree}) / {NUM_MINHASH}.0, 4) AS est_jaccard
+  FROM cand c
+  JOIN sigs2 sa ON c.doc_a = sa.doc_id
+  JOIN sigs2 sb ON c.doc_b = sb.doc_id
+),
+shd AS (SELECT doc_id, {_TOKARR} AS arr FROM documents),
+shx0 AS (
+  SELECT doc_id,
+         unnest([arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                 for i in generate_series(1, len(arr) - 2)]) AS shingle
+  FROM shd WHERE len(arr) >= 3
+),
+shx AS (SELECT DISTINCT doc_id, shingle FROM shx0),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shx GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT i.doc_a, i.doc_b,
+         round(i.inter / (za.sz + zb.sz - i.inter)::DOUBLE, 4) AS jaccard
+  FROM inter i
+  JOIN sizes za ON i.doc_a = za.doc_id
+  JOIN sizes zb ON i.doc_b = zb.doc_id
+)
+SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       coalesce(x.jaccard, 0.0) AS jaccard,
+       round(abs(e.est_jaccard - coalesce(x.jaccard, 0.0)), 4) AS abs_err
+FROM est e LEFT JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+"""

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from searchengine_spark.pipeline._cache import finalize
 from searchengine_spark.pipeline.fulltext import (
+    bm25_scored,
     df_stats,
     doc_stats,
     positional_tokens,
@@ -1096,3 +1097,87 @@ def passage_bm25_topk(documents: DataFrame, query_terms: list[str],
         ).orderBy(F.desc("score"), F.asc("doc_id"), F.asc("passage_id")).limit(k),
         p,
     )
+
+
+def search_after(documents: DataFrame, query_terms: list[str],
+                 cursor_score: float | None = None,
+                 cursor_doc_id: int | None = None,
+                 limit: int = 10, **kw) -> DataFrame:
+    """(doc_id, score) — keyset (cursor) pagination over the conjunctive
+    BM25 ranking: the page strictly AFTER position (cursor_score,
+    cursor_doc_id) in (score desc, doc_id asc) order; None cursor = first
+    page.  Lucene's searchAfter / ES search_after: offset pagination costs
+    O(offset + limit) rows through the final top-k heap on EVERY page —
+    page 10,000 of a 10^12-doc ranking materializes 10,000·limit rows —
+    while the cursor predicate prunes everything at or before the cursor
+    BEFORE the cut, so every page costs the same O(limit).
+
+    The cursor compares the 4-decimal published score (what the client
+    saw), so paging is stable across retries and executors.
+    """
+    scored = bm25_scored(documents, query_terms, **kw)
+    if cursor_score is not None:
+        after = (F.col("score") < F.lit(cursor_score)) | (
+            (F.col("score") == F.lit(cursor_score))
+            & (F.col("doc_id") > F.lit(cursor_doc_id))
+        )
+        scored = scored.filter(after)
+    return (
+        scored.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(limit)
+    )
+
+
+def filtered_bm25_topk(documents: DataFrame, query_terms: list[str],
+                       langs: list[str] | None = None,
+                       sources: list[str] | None = None,
+                       k: int = 20, **kw) -> DataFrame:
+    """(doc_id, score) — conjunctive BM25 over a METADATA SLICE of the
+    corpus: lang/source predicates applied to the documents relation
+    BEFORE tokenization, so Catalyst pushes them into the parquet scan
+    (PushedFilters) and the index statistics (df, avgdl, n_docs) are those
+    of the slice — "search within collection X" semantics, not post-filter
+    of global ranking (scores differ: a term rare globally may be common
+    inside the slice).
+
+    At 100 TB this is the partition-pruning search path: a corpus
+    partitioned by (lang, source) never reads the excluded partitions.
+    """
+    d = documents
+    if langs is not None:
+        d = d.filter(F.col("lang").isin(langs))
+    if sources is not None:
+        d = d.filter(F.col("source").isin(sources))
+    from searchengine_spark.pipeline.fulltext import bm25_topk
+
+    return bm25_topk(d, query_terms, k=k, **kw)
+
+
+def suffix_search(documents: DataFrame, suffix: str, k: int = 20,
+                  **kw) -> DataFrame:
+    """(doc_id, nterms, score) — leading-wildcard search ``*suffix``: the
+    term dictionary is filtered on endswith and the matched set scores
+    docs by Σ tf·idf, exactly mirroring ``prefix_search``.  Lucene solves
+    the same query with a ReverseStringFilter field (store reverse(term),
+    probe reverse(suffix) as a prefix) so the dictionary probe stays a
+    range scan; here the dictionary is a vocabulary-bounded dimension
+    either way, and the reversed-dim variant is a storage-layout swap,
+    not a plan change.
+    """
+    p = tf_postings(documents, **kw).persist()
+    n_docs = p.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    matched = df_stats(p).filter(F.col("term").endswith(suffix))
+    out = (
+        p.join(F.broadcast(matched.select("term", "df")), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").cast("long").alias("nterms"),
+            F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("score"),
+        )
+        .select("doc_id", "nterms", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return finalize(out, p)

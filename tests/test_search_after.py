@@ -1,0 +1,102 @@
+"""Keyset pagination, metadata-sliced BM25, suffix search, and the MinHash
+estimator audit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline import dedup, fulltext, queryops
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(30):
+        lang = "en" if i % 2 == 0 else "de"
+        extra = "merge " * (1 + i % 5)
+        rows.append((i, f"{extra}vector common filler tail{i} runner jumper",
+                     lang, f"s{i % 3}"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+class TestSearchAfter:
+    def test_pages_tile_the_offset_ranking(self, spark, corpus):
+        """Iterating with search_after reproduces the full ranking page by
+        page, identical to one big top-k."""
+        full = queryops.search_after(corpus, ["merge", "vector"],
+                                     limit=1000).collect()
+        pages, cursor = [], None
+        while True:
+            page = queryops.search_after(
+                corpus, ["merge", "vector"],
+                cursor_score=None if cursor is None else cursor[0],
+                cursor_doc_id=None if cursor is None else cursor[1],
+                limit=7).collect()
+            if not page:
+                break
+            pages.extend(page)
+            cursor = (page[-1].score, page[-1].doc_id)
+        assert [(r.doc_id, r.score) for r in pages] == \
+            [(r.doc_id, r.score) for r in full]
+
+    def test_cursor_excludes_at_or_before(self, spark, corpus):
+        first = queryops.search_after(corpus, ["merge", "vector"], limit=5).collect()
+        cur = first[2]
+        rest = queryops.search_after(
+            corpus, ["merge", "vector"],
+            cursor_score=cur.score, cursor_doc_id=cur.doc_id, limit=100).collect()
+        seen = {r.doc_id for r in rest}
+        for r in first[:3]:
+            assert r.doc_id not in seen
+
+
+class TestFilteredBm25:
+    def test_slice_statistics_not_post_filter(self, spark, corpus):
+        sliced = {r.doc_id: r.score for r in queryops.filtered_bm25_topk(
+            corpus, ["merge", "vector"], langs=["en"], k=100).collect()}
+        assert sliced and all(d % 2 == 0 for d in sliced)
+        # same docs post-filtered from the GLOBAL ranking score differently
+        # (df/avgdl/n_docs are the slice's, not the corpus's)
+        global_scores = {r.doc_id: r.score for r in fulltext.bm25_topk(
+            corpus, ["merge", "vector"], k=100).collect()}
+        assert any(abs(sliced[d] - global_scores[d]) > 1e-6 for d in sliced)
+
+    def test_source_slice(self, spark, corpus):
+        out = queryops.filtered_bm25_topk(
+            corpus, ["merge", "vector"], sources=["s0"], k=100).collect()
+        assert out and all(r.doc_id % 3 == 0 for r in out)
+
+
+class TestSuffixSearch:
+    def test_matches_terms_by_suffix(self, spark, corpus):
+        # 'runner', 'jumper' and 'filler' end in 'er' and occur in every doc
+        out = queryops.suffix_search(corpus, "er", k=100).collect()
+        assert len(out) == 30
+        assert all(r.nterms == 3 for r in out)
+        narrow = queryops.suffix_search(corpus, "per", k=100).collect()
+        assert all(r.nterms == 1 for r in narrow)  # only 'jumper'
+
+    def test_no_match_is_empty(self, spark, corpus):
+        assert queryops.suffix_search(corpus, "zzz", k=10).collect() == []
+
+
+class TestMinhashEstimate:
+    def test_identical_docs_estimate_one(self, spark):
+        text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = spark.createDataFrame(
+            [(1, text, "en", "s"), (2, text, "en", "s"),
+             (3, "totally different words everywhere here now okay then", "en", "s")],
+            "doc_id long, text string, lang string, source string")
+        out = {(r.doc_a, r.doc_b): r for r in
+               dedup.minhash_jaccard_estimate(docs).collect()}
+        assert (1, 2) in out
+        r = out[(1, 2)]
+        assert r.est_jaccard == 1.0 and r.jaccard == 1.0 and r.abs_err == 0.0
+
+    def test_estimator_error_is_bounded_on_corpus(self, spark, corpus):
+        rows = dedup.minhash_jaccard_estimate(corpus).collect()
+        assert rows  # templated corpus produces candidates
+        # 16 permutations: granularity 1/16; allow generous slack
+        assert all(r.abs_err <= 0.5 for r in rows)
