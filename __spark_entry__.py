@@ -631,6 +631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_estimate": lambda s, d: dedup.minhash_jaccard_estimate(
             _docs(s, d)
         ),
+        # source-level PageRank over the shared-span overlap graph
+        "q_source_pagerank": lambda s, d: graph.source_pagerank(_docs(s, d)),
     }
 
 
@@ -829,4 +831,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_suffix_search": osql.suffix_search("er", k=20),
         "q_minhash_estimate": osql.minhash_jaccard_estimate(),
+        "q_source_pagerank": osql.source_pagerank(),
     }

@@ -136,3 +136,58 @@ def textrank(documents: DataFrame, n_iter: int = N_ITER,
         .limit(k)
     )
     return finalize(out, frac)
+
+
+def source_pagerank(documents: DataFrame, n_iter: int = N_ITER,
+                    damping: float = DAMPING, k: int = 4, w: int = 5,
+                    min_shared: int = 1,
+                    source_col: str = "source") -> DataFrame:
+    """(source, score) — weighted PageRank over the SOURCE overlap graph:
+    nodes are corpus sources, edge weight = shared distinct winnowing
+    fingerprints (textstats.source_overlap).  The source-level dual of
+    TextRank: a source central in this graph carries spans that many other
+    sources also carry (mirror hubs, vendored-code upstreams, boilerplate
+    origins) — the curation signal for DOWN-weighting before mixture
+    sampling, and the dedup-ordering prior (dedup against hubs first).
+    Sources with no shared span stay out of the graph (no edges, no rank),
+    matching textrank's isolated-node handling.
+
+    Scale shape: the node set is the source dimension (tens to thousands),
+    so after the one corpus-scan fingerprint pass every iteration is a
+    broadcast join over a dim×dim edge list — strictly cheaper than
+    textrank's vocabulary graph.  Same (1-d) + d·Σ formulation so the
+    unrolled-CTE oracle pattern carries over unchanged.
+    """
+    from searchengine_spark.pipeline.textstats import source_overlap
+
+    e = source_overlap(documents, k=k, w=w, min_shared=min_shared,
+                       source_col=source_col)
+    sym = e.selectExpr("source_a AS src", "source_b AS dst",
+                       "shared_fps AS w").unionAll(
+        e.selectExpr("source_b AS src", "source_a AS dst", "shared_fps AS w")
+    )
+    wdeg = sym.groupBy("src").agg(F.sum("w").cast("double").alias("wdeg"))
+    frac = (
+        sym.join(wdeg, "src")
+        .select("src", "dst", (F.col("w") / F.col("wdeg")).alias("frac"))
+        .persist()
+    )
+    ranks = frac.select(F.col("src").alias("source")).distinct() \
+        .withColumn("score", F.lit(1.0))
+    for _ in range(n_iter):
+        r = ranks.withColumnRenamed("source", "src")
+        ranks = (
+            frac.join(F.broadcast(r), "src")
+            .groupBy("dst")
+            .agg(
+                (F.lit(1.0 - damping)
+                 + F.lit(damping) * F.sum(F.col("score") * F.col("frac"))
+                 ).alias("score")
+            )
+            .withColumnRenamed("dst", "source")
+        )
+    out = (
+        ranks.select("source", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("source"))
+    )
+    return finalize(out, frac)

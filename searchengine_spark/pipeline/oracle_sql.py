@@ -3927,3 +3927,31 @@ SELECT e.doc_a, e.doc_b, e.est_jaccard,
        round(abs(e.est_jaccard - coalesce(x.jaccard, 0.0)), 4) AS abs_err
 FROM est e LEFT JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
 """
+
+
+def source_pagerank(n_iter: int = 4, damping: float = 0.85, k: int = 4,
+                    w: int = 5, min_shared: int = 1) -> str:
+    """Twin of graph.source_pagerank: unrolled weighted-PageRank CTEs over
+    the source_overlap edge list."""
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(
+            f"""sr{i} AS (
+  SELECT es.dst AS source,
+         {1.0 - damping} + {damping} * sum(sr{i - 1}.score * es.frac) AS score
+  FROM es JOIN sr{i - 1} ON es.src = sr{i - 1}.source GROUP BY 1
+)"""
+        )
+    chain = ",\n".join(iters)
+    return f"""
+WITH ov AS ({source_overlap(k, w, min_shared)}),
+sym AS (SELECT source_a AS src, source_b AS dst, shared_fps AS w FROM ov
+        UNION ALL SELECT source_b AS src, source_a AS dst, shared_fps AS w FROM ov),
+deg AS (SELECT src, sum(w)::DOUBLE AS wdeg FROM sym GROUP BY 1),
+es AS (SELECT s.src, s.dst, s.w / g.wdeg AS frac
+       FROM sym s JOIN deg g USING (src)),
+sr0 AS (SELECT src AS source, 1.0::DOUBLE AS score FROM deg),
+{chain}
+SELECT source, round(score, 4) AS score FROM sr{n_iter}
+ORDER BY score DESC, source
+"""

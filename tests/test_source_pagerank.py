@@ -1,0 +1,47 @@
+"""Source-level PageRank over the shared-span overlap graph: hand-built
+hub-and-spoke corpus with a verifiable centrality ordering."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.pipeline.graph import source_pagerank
+from searchengine_spark.pipeline.textstats import source_overlap
+
+SPANS = {
+    "s1": "alpha bridge copper delta engine fabric garden harbor input jacket",
+    "s2": "kernel ladder magnet needle outlet pillar quartz ribbon saddle tunnel",
+    "s3": "umbrella violet walnut xenon yonder zephyr anchor beacon candle dagger",
+}
+
+
+@pytest.fixture(scope="module")
+def hub_corpus(spark):
+    """'hub' shares a DIFFERENT span with each of s1/s2/s3; the spokes share
+    nothing with each other (disjoint vocab); 'lone' overlaps nobody."""
+    rows, did = [], 0
+    for s, span in SPANS.items():
+        rows.append((did, f"{span} {s}private {s}filler {s}words {s}here",
+                     "en", s)); did += 1
+        rows.append((did, f"{span} hubnote{did} hubpad hubextra hubmore hubend",
+                     "en", "hub")); did += 1
+    rows.append((did, "isolated text with zero overlap anywhere else okay",
+                 "en", "lone"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+class TestSourcePagerank:
+    def test_graph_is_a_star(self, spark, hub_corpus):
+        edges = {(r.source_a, r.source_b)
+                 for r in source_overlap(hub_corpus).collect()}
+        assert edges == {("hub", "s1"), ("hub", "s2"), ("hub", "s3")}
+
+    def test_hub_ranks_first_and_lone_absent(self, spark, hub_corpus):
+        out = source_pagerank(hub_corpus).collect()
+        srcs = [r.source for r in out]
+        assert "lone" not in srcs  # no edges -> out of the graph
+        assert srcs[0] == "hub"    # every spoke points all its mass at hub
+        assert set(srcs) == {"hub", "s1", "s2", "s3"}
+        scores = {r.source: r.score for r in out}
+        assert all(scores["hub"] > scores[s] for s in ("s1", "s2", "s3"))
