@@ -1,0 +1,39 @@
+#!/usr/bin/env python
+"""Segment-compaction maintenance pass (Lucene forceMerge analog): merge
+each term's posting-segment runs down by --fanin with a crash-safe
+directory swap, then print the before/after row counts and an fsck report.
+
+    python jobs/compact.py --index /tmp/idx --fanin 4
+    python jobs/compact.py --index /tmp/idx --fanin 4 --skip-fsck
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--fanin", type=int, required=True)
+    ap.add_argument("--skip-fsck", action="store_true")
+    args = ap.parse_args()
+
+    from searchengine_spark.index.maintenance import compact_index, fsck
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("compact")
+    report = compact_index(spark, args.index, fanin=args.fanin)
+    if not args.skip_fsck:
+        report["fsck"] = fsck(spark, args.index)
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

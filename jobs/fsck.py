@@ -1,0 +1,35 @@
+#!/usr/bin/env python
+"""Index integrity check: re-derive corpus invariants from the segment
+bytes (decode -> recount) and diff against stats.json / df_stats /
+docs_meta.  Exit code 1 if any check fails.
+
+    python jobs/fsck.py --index /tmp/idx
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    args = ap.parse_args()
+
+    from searchengine_spark.index.maintenance import fsck
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("fsck")
+    report = fsck(spark, args.index)
+    print(json.dumps(report))
+    spark.stop()
+    sys.exit(0 if report["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Index maintenance: post-hoc segment compaction and integrity checking.
+
+``compact_index`` re-merges an existing index's posting segments to a
+coarser fan-in WITHOUT re-tokenizing the corpus — the maintenance pass a
+long-lived index runs after many delta reindexes / streaming ingests have
+left it with more segment rows per term than the serving path wants to
+probe.  Lucene's forceMerge / tiered-merge-policy analog, expressed as one
+``groupBy(bucket).applyInPandas`` over the segment table: merge memory is
+bounded by ``fanin`` runs exactly like the build-time phase-2 compact, and
+because ``make_compact_fn`` keys merged grps by ``original grp // fanin``
+(a pure function of the doc shard), repeated compactions COMPOSE —
+grp values stay aligned across terms at every level, so conjunctive
+(AND / WAND / MaxScore) evaluation stays exact after any number of passes.
+
+The swap is crash-safe without a coordinator: the new segment table is
+fully written to ``segments.tmp`` first, the live directory is moved to
+``segments.bak``, tmp is renamed in, and bak is removed.  ``_recover``
+(called on entry) rolls an interrupted swap forward or back from whichever
+directories survive, mirroring the txn-marker discipline in index/delta.py.
+
+``fsck`` is the integrity checker: it re-derives every corpus-level
+invariant from the segment bytes themselves (decode -> recount) and diffs
+against stats.json, df_stats and docs_meta — the "trust but verify" gate
+an operator runs after a compaction, migration, or suspicious crash.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from searchengine_spark.index.build import IndexPaths
+from searchengine_spark.index.segments import (
+    SEGMENT_SCHEMA,
+    decode_segments,
+    make_compact_fn,
+)
+
+
+def _recover(paths: IndexPaths) -> None:
+    """Roll an interrupted compaction swap forward/back.  States:
+    - segments + tmp            -> crash before swap: drop tmp (retry later)
+    - bak + tmp (no segments)   -> crash mid-swap: finish it (tmp is complete)
+    - bak + segments            -> crash after rename: drop bak
+    - bak only                  -> crash between mv-out and mv-in of a run
+                                   whose tmp was already renamed: restore bak
+    """
+    seg, tmp, bak = paths.segments, paths.segments + ".tmp", paths.segments + ".bak"
+    if os.path.isdir(seg):
+        for d in (tmp, bak):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        return
+    if os.path.isdir(tmp):  # tmp complete (written before any mv), promote
+        os.rename(tmp, seg)
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
+    elif os.path.isdir(bak):
+        os.rename(bak, seg)
+
+
+def compact_index(spark: SparkSession, index_root: str, fanin: int,
+                  n_out_partitions: int | None = None) -> dict:
+    """Merge each term's segment runs down by ``fanin`` (grp //= fanin),
+    atomically replacing the segment table.  Returns {"rows_before",
+    "rows_after", "fanin"}.  fanin <= 1 is rejected (no-op)."""
+    if fanin <= 1:
+        raise ValueError("compaction fanin must be > 1")
+    paths = IndexPaths(index_root)
+    _recover(paths)
+    segs = spark.read.parquet(paths.segments)
+    rows_before = segs.count()
+    n_buckets = None
+    if os.path.isfile(paths.stats):
+        with open(paths.stats) as f:
+            n_buckets = json.load(f).get("n_buckets")
+    compacted = segs.groupBy("bucket").applyInPandas(
+        make_compact_fn(fanin), SEGMENT_SCHEMA)
+    tmp = paths.segments + ".tmp"
+    writer = compacted
+    if n_buckets:
+        writer = compacted.repartition(int(n_buckets), "bucket")
+    writer.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    bak = paths.segments + ".bak"
+    os.rename(paths.segments, bak)
+    os.rename(tmp, paths.segments)
+    shutil.rmtree(bak)
+    return {"rows_before": int(rows_before), "rows_after": int(rows_after),
+            "fanin": int(fanin)}
+
+
+def fsck(spark: SparkSession, index_root: str) -> dict:
+    """Re-derive the index's corpus-level invariants from the segment
+    BYTES (decode -> recount) and diff them against stats.json, df_stats
+    and docs_meta.  Returns {"ok": bool, "checks": {name: {"ok", "expect",
+    "got"}}} — every check is a distributed aggregate; nothing corpus-sized
+    reaches the driver."""
+    paths = IndexPaths(index_root)
+    with open(paths.stats) as f:
+        stats = json.load(f)
+    decoded = decode_segments(spark.read.parquet(paths.segments)).persist()
+    checks: dict[str, dict] = {}
+
+    def check(name, expect, got):
+        checks[name] = {"ok": expect == got, "expect": expect, "got": got}
+
+    g = decoded.agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.countDistinct("term").alias("n_terms"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    ).collect()[0]
+    check("n_postings", int(stats["n_postings"]), int(g.n_postings))
+    check("n_terms", int(stats["n_terms"]), int(g.n_terms))
+    check("n_docs", int(stats["n_docs"]), int(g.n_docs))
+
+    # df_stats table == recount from decoded segments (anti-join both ways)
+    recount = decoded.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    df_tbl = spark.read.parquet(paths.df_stats).select("term", "df", "cf")
+    mismatches = (
+        df_tbl.join(recount, "term", "full")
+        .filter(
+            (df_tbl["df"].isNull()) | (recount["df"].isNull())
+            | (df_tbl["df"] != recount["df"]) | (df_tbl["cf"] != recount["cf"])
+        )
+        .count()
+    )
+    check("df_stats_consistent", 0, int(mismatches))
+
+    # docs_meta dl == per-doc sum(tf) from the segments
+    dl_seg = decoded.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    meta = spark.read.parquet(paths.docs_meta).select("doc_id", "dl")
+    dl_bad = (
+        meta.join(dl_seg, "doc_id", "full")
+        .filter((meta["dl"].isNull()) | (dl_seg["dl"].isNull())
+                | (meta["dl"] != dl_seg["dl"]))
+        .count()
+    )
+    check("docs_meta_dl_consistent", 0, int(dl_bad))
+
+    sum_dl = decoded.agg(F.sum("tf")).collect()[0][0]
+    check("sum_dl", int(stats["sum_dl"]), int(sum_dl or 0))
+    decoded.unpersist()
+    return {"ok": all(c["ok"] for c in checks.values()), "checks": checks}

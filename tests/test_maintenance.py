@@ -1,0 +1,105 @@
+"""Post-hoc segment compaction (crash-safe swap) + fsck integrity checks."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.index.maintenance import _recover, compact_index, fsck
+from searchengine_spark.index.plain import build_plain_index
+from searchengine_spark.query.wand import wand_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(400):
+        t = "common filler words here" + (" rare" if i in (0, 350) else "")
+        rows.append((i, t + f" tail{i % 7}", "en", f"s{i % 4}"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+@pytest.fixture()
+def idx(spark, docs, tmp_path):
+    out = str(tmp_path / "idx")
+    # fanin=2 over 8 shards -> 4 runs per common term: room to compact
+    build_plain_index(spark, docs, out, n_shards=8, n_buckets=8,
+                      compact_fanin=2)
+    return out
+
+
+class TestCompaction:
+    def test_compact_reduces_rows_and_preserves_search(self, spark, docs, idx):
+        expect = [(r.doc_id, r.score) for r in
+                  wand_topk(spark, idx, ["rare", "common"], k=10).collect()]
+        assert len(expect) == 2
+        rep = compact_index(spark, idx, fanin=2)
+        assert rep["rows_after"] < rep["rows_before"]
+        got = [(r.doc_id, r.score) for r in
+               wand_topk(spark, idx, ["rare", "common"], k=10).collect()]
+        assert got == expect
+        # compactions COMPOSE: a second pass stays aligned too
+        rep2 = compact_index(spark, idx, fanin=2)
+        assert rep2["rows_after"] <= rep2["rows_before"]
+        got2 = [(r.doc_id, r.score) for r in
+                wand_topk(spark, idx, ["rare", "common"], k=10).collect()]
+        assert got2 == expect
+        assert fsck(spark, idx)["ok"]
+
+    def test_fanin_one_rejected(self, spark, idx):
+        with pytest.raises(ValueError):
+            compact_index(spark, idx, fanin=1)
+
+    def test_recover_promotes_complete_tmp(self, spark, idx):
+        """Crash between mv(segments->bak) and mv(tmp->segments): recovery
+        must promote the complete tmp."""
+        seg = os.path.join(idx, "segments")
+        shutil.copytree(seg, seg + ".tmp")
+        os.rename(seg, seg + ".bak")
+        from searchengine_spark.index.build import IndexPaths
+        _recover(IndexPaths(idx))
+        assert os.path.isdir(seg)
+        assert not os.path.isdir(seg + ".tmp") and not os.path.isdir(seg + ".bak")
+        assert fsck(spark, idx)["ok"]
+
+    def test_recover_restores_bak_when_tmp_lost(self, spark, idx):
+        seg = os.path.join(idx, "segments")
+        os.rename(seg, seg + ".bak")
+        from searchengine_spark.index.build import IndexPaths
+        _recover(IndexPaths(idx))
+        assert os.path.isdir(seg)
+        assert fsck(spark, idx)["ok"]
+
+
+class TestFsck:
+    def test_clean_index_passes(self, spark, idx):
+        rep = fsck(spark, idx)
+        assert rep["ok"], rep
+
+    def test_detects_stats_drift(self, spark, idx):
+        st = os.path.join(idx, "stats.json")
+        with open(st) as f:
+            stats = json.load(f)
+        stats["n_postings"] += 1
+        with open(st, "w") as f:
+            json.dump(stats, f)
+        rep = fsck(spark, idx)
+        assert not rep["ok"]
+        assert not rep["checks"]["n_postings"]["ok"]
+
+    def test_detects_df_stats_corruption(self, spark, idx):
+        df_dir = os.path.join(idx, "df_stats")
+        dfb = spark.read.parquet(df_dir)
+        broken = dfb.withColumn(
+            "df", F.when(F.col("term") == "rare", F.col("df") + 1)
+            .otherwise(F.col("df")))
+        broken.write.mode("overwrite").parquet(df_dir + ".new")
+        shutil.rmtree(df_dir)
+        os.rename(df_dir + ".new", df_dir)
+        rep = fsck(spark, idx)
+        assert not rep["checks"]["df_stats_consistent"]["ok"]
