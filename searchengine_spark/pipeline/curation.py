@@ -122,3 +122,67 @@ def corpus_mixture_stats(documents: DataFrame, rates: dict[str, float] | None = 
         F.sum("weight").alias("est_docs"),
         F.sum(F.col("weight") * F.col("n_tokens")).alias("est_tokens"),
     )
+
+
+def curate_against(documents: DataFrame, eval_shingles: DataFrame,
+                   rates: dict[str, float] | None = None, salt: str = "mix1",
+                   n: int = 5, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """``curated_corpus`` with the decontamination side EXTERNAL: drop
+    documents sharing any n-gram with the provided ``eval_shingles``
+    (one `shingle` column — a frozen benchmark suite) instead of carving
+    an eval split out of the same table.  Every retained signal is
+    row-local (quality flags, language id, salted sampling coin, redaction
+    digest) and the only join is a broadcast anti-probe against the static
+    shingle dim, so the output for a document does not depend on WHICH
+    batch it arrives in — the property the streaming twin
+    (streaming/curation.py) relies on for stream == batch equality.
+    """
+    from searchengine_spark.pipeline.dedup import shingles
+
+    rates = DEFAULT_RATES if rates is None else rates
+    base = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            filtered_tokens(text_col).alias("toks"),
+            trimmed_lines(text_col).alias("lines"),
+            symbols_count_col(text_col).alias("n_symbols"),
+            cyrillic_ratio_col(text_col).alias("cyrillic_ratio"),
+        )
+        .select(
+            "doc_id", "text", "cyrillic_ratio",
+            F.round(marker_frac_col(), 4).alias("marker_ratio"),
+            *gopher_metric_cols(),
+        )
+        .select(
+            "doc_id", "text", "n_words", "mean_word_len",
+            lang_pred_col().alias("lang_pred"),
+            *gopher_flag_cols(),
+        )
+    )
+    quality_ok = F.lit(True)
+    for c in _BASE_FLAGS:
+        quality_ok = quality_ok & F.col(c)
+    quality_ok = quality_ok & ((F.col("lang_pred") != "en") | F.col("ok_stopwords"))
+    kept = (
+        base
+        .withColumn("_u", uniform_col(salt))
+        .withColumn("_rate", rate_col(rates))
+        .filter(quality_ok & (F.col("_u") < F.col("_rate") * SAMPLE_RESOLUTION))
+    )
+    contaminated = (
+        shingles(documents.select(F.col(id_col).alias("doc_id"),
+                                  F.col(text_col).alias("text")), n)
+        .join(F.broadcast(eval_shingles.select("shingle")), "shingle")
+        .select("doc_id").distinct()
+    )
+    return (
+        kept.join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id", "lang_pred",
+            F.round(F.lit(1.0) / F.col("_rate"), 6).alias("weight"),
+            F.col("n_words").alias("n_tokens"),
+            redacted_sha_col("text").alias("redacted_sha"),
+        )
+    )

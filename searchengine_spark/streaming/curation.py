@@ -1,0 +1,80 @@
+"""Structured Streaming curation: a continuous document feed filtered
+through the full quality + decontamination + mixture-sampling chain.
+
+The batch pipeline (pipeline/curation.py) runs once over a frozen corpus;
+at ingest time the same gate has to run on documents AS THEY ARRIVE (crawl
+drops, CDC off the corpus table) so downstream training shards are always
+current.  Shape:
+
+    readStream(documents schema) -> foreachBatch(curate_against) -> append
+
+foreachBatch is correct (vs a stateful streaming agg) because every
+curation signal is row-local and the decontamination probe is a STATIC
+broadcast dimension (the frozen eval suite's n-gram set, materialized once
+before the stream starts): a document's verdict never depends on which
+micro-batch carried it, so the parquet sink equals the batch pipeline over
+the union of all drops — pinned by the stream==batch test.  The checkpoint
+gives exactly-once file tracking; re-runs over the same checkpoint process
+only new drops.
+
+At 100 TB feed rates the per-batch plan is the batch plan: one codegen'd
+projection+filter pass and one broadcast anti-join — no shuffle of the
+stream side, no state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+])
+
+
+def run_curation_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    eval_docs: DataFrame,
+    rates: dict[str, float] | None = None,
+    salt: str = "mix1",
+    n: int = 5,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Stream parquet document drops through ``curate_against`` into an
+    append-only curated parquet sink.  ``eval_docs`` is the frozen
+    benchmark table (doc_id, text); its shingle dim is computed and
+    persisted ONCE here, then broadcast into every micro-batch."""
+    from searchengine_spark.pipeline.curation import curate_against
+    from searchengine_spark.pipeline.dedup import shingles
+
+    eval_sh = (
+        shingles(eval_docs.select("doc_id", "text"), n)
+        .select("shingle").distinct().persist()
+    )
+    eval_sh.count()  # materialize before the stream starts
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (curate_against(batch_df, eval_sh, rates=rates, salt=salt, n=n)
+         .write.mode("append").parquet(out_dir))
+
+    reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(drop_dir)
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

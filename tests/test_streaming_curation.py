@@ -1,0 +1,87 @@
+"""Streaming curation: stream over parquet drops == batch curate_against
+on the union, including cross-batch decontamination against the static
+eval suite, plus incremental checkpoint behavior."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline.curation import curate_against
+from searchengine_spark.pipeline.dedup import shingles
+from searchengine_spark.streaming.curation import run_curation_stream
+
+GOOD = ("the quick brown fox jumps over the lazy dog while many other "
+        "plain english words continue the sentence with more and more "
+        "ordinary prose that any filter should keep because it is long "
+        "enough and has normal words in every position of the line here "
+        "and it keeps going with further simple sentences so the word "
+        "count clears the gopher minimum comfortably for every variant")
+EVAL_SPAN = "benchmark heldout passage tokens alpha beta gamma delta"
+
+
+def _doc(i, text):
+    return (i, text, "en", f"s{i % 2}")
+
+
+DOCS_DDL = "doc_id long, text string, lang string, source string"
+
+
+@pytest.fixture(scope="module")
+def eval_docs(spark):
+    return spark.createDataFrame(
+        [(1000, f"{EVAL_SPAN} plus surrounding benchmark context words")],
+        "doc_id long, text string")
+
+
+def test_stream_equals_batch(spark, tmp_path, eval_docs):
+    drop_dir = str(tmp_path / "drops"); os.makedirs(drop_dir)
+    out = str(tmp_path / "curated"); ckpt = str(tmp_path / "ckpt")
+
+    d1 = [_doc(1, GOOD), _doc(2, "tooshort"),
+          _doc(3, GOOD + " " + EVAL_SPAN)]          # contaminated
+    d2 = [_doc(4, GOOD + " extra tail content words everywhere okay fine"),
+          _doc(5, GOOD.upper())]
+    spark.createDataFrame(d1, DOCS_DDL).coalesce(1) \
+        .write.mode("append").parquet(drop_dir)
+    spark.createDataFrame(d2, DOCS_DDL).coalesce(1) \
+        .write.mode("append").parquet(drop_dir)
+
+    run_curation_stream(spark, drop_dir, out, ckpt, eval_docs,
+                        rates={"en": 1.0}, available_now=True)
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+
+    union = spark.createDataFrame(d1 + d2, DOCS_DDL)
+    eval_sh = shingles(eval_docs, 5).select("shingle").distinct()
+    want = {r.doc_id: r for r in
+            curate_against(union, eval_sh, rates={"en": 1.0}).collect()}
+
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].weight == want[k].weight
+        assert got[k].redacted_sha == want[k].redacted_sha
+    assert 3 not in got          # eval-span doc decontaminated out
+    assert 2 not in got          # quality-gated
+    assert 1 in got
+
+
+def test_checkpoint_processes_only_new_drops(spark, tmp_path, eval_docs):
+    drop_dir = str(tmp_path / "drops"); os.makedirs(drop_dir)
+    out = str(tmp_path / "curated"); ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame([_doc(1, GOOD)], DOCS_DDL).coalesce(1) \
+        .write.mode("append").parquet(drop_dir)
+    run_curation_stream(spark, drop_dir, out, ckpt, eval_docs,
+                        rates={"en": 1.0}, available_now=True)
+    n1 = spark.read.parquet(out).count()
+
+    spark.createDataFrame(
+        [_doc(10, GOOD + " brand new arrival with plenty of words")],
+        DOCS_DDL).coalesce(1).write.mode("append").parquet(drop_dir)
+    run_curation_stream(spark, drop_dir, out, ckpt, eval_docs,
+                        rates={"en": 1.0}, available_now=True)
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r.doc_id for r in rows)
+    assert len(rows) == n1 + 1 and ids == [1, 10]  # no reprocessing of doc 1
