@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Ranking-evaluation CLI: run the BM25 retrieval loop over a documents
+table and print per-query P@k / recall@k / MRR / NDCG@k against the
+corpus-derived synthetic qrels (pipeline/rankeval.py).
+
+    python jobs/eval.py --input /root/testdata/sf0.01/documents.parquet
+    python jobs/eval.py --input docs.parquet \
+        --queries "1:merge,vector;2:dup" --k 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_queries(spec: str) -> list[tuple[int, list[str]]]:
+    out = []
+    for part in spec.split(";"):
+        qid, terms = part.split(":", 1)
+        out.append((int(qid), [t for t in terms.split(",") if t]))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--queries", default=None,
+                    help='"qid:t1,t2;qid:t1" (default: built-in eval set)')
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    from searchengine_spark.pipeline import rankeval
+    from searchengine_spark.session import get_spark
+
+    queries = (parse_queries(args.queries) if args.queries
+               else rankeval.EVAL_QUERIES)
+    spark = get_spark("eval")
+    docs = spark.read.parquet(args.input)
+    rows = rankeval.bm25_eval(docs, queries, k=args.k).collect()
+    qmap = dict(queries)
+    print(json.dumps({
+        "k": args.k,
+        "per_query": [
+            {"qid": r.qid, "terms": qmap[r.qid], "n_rel": r.n_rel,
+             "p_at_k": r.p_at_k, "recall_at_k": r.recall_at_k,
+             "mrr": r.mrr, "ndcg": r.ndcg}
+            for r in sorted(rows, key=lambda r: r.qid)
+        ],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
