@@ -44,6 +44,7 @@ from searchengine_spark.pipeline import (  # noqa: E402
     pii,
     pq,
     queryops,
+    health,
     rankeval,
     reorder,
     sampling,
@@ -633,6 +634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # source-level PageRank over the shared-span overlap graph
         "q_source_pagerank": lambda s, d: graph.source_pagerank(_docs(s, d)),
+        # pre-build observability + explicit partitioning plan
+        "q_corpus_health": lambda s, d: health.corpus_health(_docs(s, d)),
+        "q_capacity_plan": lambda s, d: health.capacity_plan(_docs(s, d)),
     }
 
 
@@ -832,4 +836,9 @@ def oracle_sql() -> dict[str, str]:
         "q_suffix_search": osql.suffix_search("er", k=20),
         "q_minhash_estimate": osql.minhash_jaccard_estimate(),
         "q_source_pagerank": osql.source_pagerank(),
+        "q_corpus_health": osql.corpus_health(),
+        "q_capacity_plan": osql.capacity_plan(
+            health.TARGET_SHARD_TOKENS, health.TARGET_BUCKET_TERMS,
+            health.BYTES_PER_POSTING_EST
+        ),
     }

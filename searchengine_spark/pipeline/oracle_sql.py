@@ -3955,3 +3955,65 @@ sr0 AS (SELECT src AS source, 1.0::DOUBLE AS score FROM deg),
 SELECT source, round(score, 4) AS score FROM sr{n_iter}
 ORDER BY score DESC, source
 """
+
+
+def _pow2_ceil_sql(col: str) -> str:
+    """Exact next-power-of-two CASE ladder (twin of health.pow2_ceil)."""
+    branches = " ".join(
+        f"WHEN {col} <= {1 << k} THEN {1 << k}" for k in range(0, 41)
+    )
+    return f"(CASE {branches} ELSE {1 << 40} END)::BIGINT"
+
+
+def corpus_health() -> str:
+    """Twin of health.corpus_health."""
+    return f"""
+WITH {_TOKS_CTE},
+base AS (
+  SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+         count(DISTINCT term)::BIGINT AS n_terms,
+         count(*)::BIGINT AS n_postings,
+         sum(tf)::BIGINT AS sum_tf
+  FROM postings
+),
+shas AS (
+  SELECT sha256(text) AS text_sha, count(*)::BIGINT AS n
+  FROM documents GROUP BY 1
+),
+dups AS (SELECT sum(n - 1)::BIGINT AS n_dups, sum(n)::BIGINT AS n_total FROM shas),
+lc AS (SELECT lang, count(*)::BIGINT AS c FROM documents GROUP BY 1),
+lt AS (SELECT sum(c)::DOUBLE AS tot FROM lc),
+lang AS (
+  SELECT count(*)::BIGINT AS n_langs,
+         -sum((c / lt.tot) * log2(c / lt.tot)) AS h
+  FROM lc CROSS JOIN lt
+)
+SELECT n_docs, n_terms, n_postings, sum_tf,
+       round(sum_tf / n_docs::DOUBLE, 4) AS avg_dl,
+       round(n_dups / n_total::DOUBLE * 100, 4) AS dup_doc_pct,
+       n_langs, round(h, 4) AS lang_entropy_bits
+FROM base CROSS JOIN dups CROSS JOIN lang
+"""
+
+
+def capacity_plan(target_shard_tokens: int, target_bucket_terms: int,
+                  bytes_per_posting: int) -> str:
+    """Twin of health.capacity_plan (identical integer ladders)."""
+    sh = f"greatest(ceil(sum_tf / {float(target_shard_tokens)}), 1)"
+    bu = f"greatest(ceil(n_terms / {float(target_bucket_terms)}), 1)"
+    return f"""
+WITH {_TOKS_CTE},
+stats AS (
+  SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+         count(DISTINCT term)::BIGINT AS n_terms,
+         count(*)::BIGINT AS n_postings,
+         sum(tf)::BIGINT AS sum_tf
+  FROM postings
+)
+SELECT n_docs, sum_tf, n_terms,
+       {_pow2_ceil_sql(sh)} AS rec_n_shards,
+       {_pow2_ceil_sql(bu)} AS rec_n_buckets,
+       (n_postings * {int(bytes_per_posting)})::BIGINT AS est_index_bytes,
+       ceil(n_docs / {_pow2_ceil_sql(sh)}::DOUBLE)::BIGINT AS max_cell_postings_est
+FROM stats
+"""

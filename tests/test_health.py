@@ -1,0 +1,58 @@
+"""Corpus health report + capacity planner: hand-computable values and
+the power-of-two ladder's boundary exactness."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from searchengine_spark.pipeline import health
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "alpha beta gamma", "en", "s"),
+        (2, "alpha beta gamma", "en", "s"),      # exact dup of 1
+        (3, "delta epsilon words here", "de", "s"),
+        (4, "unique text content four", "en", "s"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+class TestCorpusHealth:
+    def test_values(self, spark, docs):
+        r = health.corpus_health(docs).collect()[0]
+        assert r.n_docs == 4
+        assert r.dup_doc_pct == 25.0  # 1 of 4 docs is a non-keeper dup
+        assert r.n_langs == 2
+        # entropy of {en: 3/4, de: 1/4}
+        h = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+        assert r.lang_entropy_bits == round(h, 4)
+        assert r.sum_tf == 3 + 3 + 4 + 4 and r.avg_dl == round(14 / 4, 4)
+
+
+class TestCapacityPlan:
+    def test_small_corpus_minimal_plan(self, spark, docs):
+        r = health.capacity_plan(docs).collect()[0]
+        assert r.rec_n_shards == 1 and r.rec_n_buckets == 1
+        assert r.est_index_bytes == r.n_docs * 0 + 4 * 14  # 14 postings x 4B
+
+    def test_shards_scale_with_tokens(self, spark, docs):
+        # tiny targets force the ladder: 14 tokens / 3 -> ceil 5 -> pow2 8
+        r = health.capacity_plan(docs, target_shard_tokens=3,
+                                 target_bucket_terms=4).collect()[0]
+        assert r.rec_n_shards == 8
+        # 11 distinct terms / 4 -> ceil 3 -> pow2 4
+        assert r.rec_n_buckets == 4
+        assert r.max_cell_postings_est == math.ceil(4 / 8)
+
+    def test_pow2_boundary_exact(self, spark, docs):
+        # exactly 14 tokens: target 14 -> ceil 1 -> 1 (not bumped to 2)
+        r = health.capacity_plan(docs, target_shard_tokens=14).collect()[0]
+        assert r.rec_n_shards == 1
+        # target 7 -> ceil 2 -> exactly 2
+        r2 = health.capacity_plan(docs, target_shard_tokens=7).collect()[0]
+        assert r2.rec_n_shards == 2
