@@ -636,6 +636,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_pagerank": lambda s, d: graph.source_pagerank(_docs(s, d)),
         # pre-build observability + explicit partitioning plan
         "q_corpus_health": lambda s, d: health.corpus_health(_docs(s, d)),
+        # multi-probe LSH ANN (Lv et al. '07): Hamming-1 bucket expansion
+        "q_lsh_multiprobe_topk": lambda s, d: similarity.lsh_cosine_topk_multiprobe(
+            _emb(s, d), PROBE_VEC_IDS, k=5
+        ),
+        "q_lsh_multiprobe_recall": lambda s, d: similarity.lsh_multiprobe_recall(
+            _emb(s, d), PROBE_VEC_IDS, k=5
+        ),
         "q_capacity_plan": lambda s, d: health.capacity_plan(_docs(s, d)),
     }
 
@@ -837,6 +844,8 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_estimate": osql.minhash_jaccard_estimate(),
         "q_source_pagerank": osql.source_pagerank(),
         "q_corpus_health": osql.corpus_health(),
+        "q_lsh_multiprobe_topk": osql.lsh_multiprobe_topk(PROBE_VEC_IDS, k=5),
+        "q_lsh_multiprobe_recall": osql.lsh_multiprobe_recall(PROBE_VEC_IDS, k=5),
         "q_capacity_plan": osql.capacity_plan(
             health.TARGET_SHARD_TOKENS, health.TARGET_BUCKET_TERMS,
             health.BYTES_PER_POSTING_EST

@@ -4017,3 +4017,35 @@ SELECT n_docs, sum_tf, n_terms,
        ceil(n_docs / {_pow2_ceil_sql(sh)}::DOUBLE)::BIGINT AS max_cell_postings_est
 FROM stats
 """
+
+
+def lsh_multiprobe_topk(probe_ids: list[int], k: int = 5,
+                        n_planes: int = 8) -> str:
+    """Twin of similarity.lsh_cosine_topk_multiprobe: probe side exploded
+    to its own bucket + every Hamming-1 neighbor code."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    flips = ", ".join(f"xor(bucket, {1 << j})" for j in range(n_planes))
+    return f"""
+WITH b AS ({embedding_lsh_buckets(n_planes)}),
+emb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN b USING (vec_id)),
+base AS (SELECT vec_id AS probe_id, embedding AS pvec, bucket
+         FROM emb WHERE vec_id IN ({ids})),
+probes AS (
+  SELECT probe_id, pvec, unnest([bucket, {flips}]) AS pbucket FROM base
+),
+cand AS (SELECT vec_id, embedding AS cvec, bucket FROM emb),
+scored AS (
+  SELECT probe_id, vec_id, {_COS}
+  FROM cand JOIN probes ON cand.bucket = probes.pbucket
+  WHERE vec_id <> probe_id
+)
+SELECT probe_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def lsh_multiprobe_recall(probe_ids: list[int], k: int = 5) -> str:
+    return _recall_sql(cosine_topk(probe_ids, k),
+                       lsh_multiprobe_topk(probe_ids, k))

@@ -1,0 +1,83 @@
+"""Multi-probe LSH: recall dominates single-probe and recovers planted
+across-one-hyperplane neighbors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+PROBES = [0, 1, 2, 3, 4]
+
+
+class TestMultiprobe:
+    def test_recall_dominates_single_probe(self, spark, emb):
+        single = S.ann_recall(
+            S.cosine_topk(emb, PROBES, k=5),
+            S.lsh_cosine_topk(emb, PROBES, k=5),
+        ).collect()
+        multi = {r.probe_id: r.recall
+                 for r in S.lsh_multiprobe_recall(emb, PROBES, k=5).collect()}
+        assert all(multi[r.probe_id] >= r.recall for r in single)
+        assert sum(multi.values()) > sum(r.recall for r in single)
+
+    def test_own_bucket_results_are_superset_base(self, spark, emb):
+        """Every single-probe result must also appear in the multi-probe
+        candidate set (bucket list includes the probe's own bucket)."""
+        sp = {(r.probe_id, r.vec_id)
+              for r in S.lsh_cosine_topk(emb, PROBES, k=5).collect()}
+        mp_all = {(r.probe_id, r.vec_id)
+                  for r in S.lsh_cosine_topk_multiprobe(emb, PROBES, k=50).collect()}
+        assert sp <= mp_all
+
+    def test_recovers_one_plane_flip_neighbor(self, spark):
+        """Planted vector whose code differs from the probe's in EXACTLY one
+        plane bit: invisible to single-probe, found by multi-probe.  The
+        plant is constructed in pure Python with the same integer sign rule
+        (similarity.hyperplane_sign), then verified through the Spark path."""
+        def sgn(i, p):
+            return 1.0 if (i * 31 + p * 17) % 7 < 3 else -1.0
+
+        def code(v):
+            bits = 0
+            for p in range(8):
+                if sum(v[i] * sgn(i, p) for i in range(len(v))) > 0:
+                    bits |= 1 << p
+            return bits
+
+        import numpy as np
+
+        # the 8x16 sign matrix; solve S v = t for chosen per-plane dots so
+        # base and planted differ in EXACTLY plane 0's sign
+        # NB plane 7's sign row equals plane 0's (the p*17 % 7 rule has
+        # period 7), so those two bits can only flip together — flip plane
+        # 3, whose row is unique, for the single-bit plant
+        Smat = np.array([[sgn(i, p) for i in range(16)] for p in range(8)])
+        t_base = np.full(8, 5.0)
+        t_plant = t_base.copy(); t_plant[3] = -5.0
+        base = np.linalg.lstsq(Smat, t_base, rcond=None)[0].tolist()
+        planted = np.linalg.lstsq(Smat, t_plant, rcond=None)[0].tolist()
+        assert np.allclose(Smat @ np.array(base), t_base)
+        assert np.allclose(Smat @ np.array(planted), t_plant)
+        b0 = code(base)
+        x = code(planted) ^ b0
+        assert x and (x & (x - 1)) == 0, "construction must flip one plane"
+        # confirm the Spark bucket codes agree with the Python construction
+        codes = {r.vec_id: r.bucket for r in S.lsh_buckets(
+            spark.createDataFrame([(0, base), (99, planted)],
+                                  "vec_id long, embedding array<float>")
+        ).collect()}
+        assert codes[0] == b0 and bin(codes[99] ^ b0).count("1") == 1
+        emb2 = spark.createDataFrame(
+            [(0, base), (99, planted)], "vec_id long, embedding array<float>")
+        single = S.lsh_cosine_topk(emb2, [0], k=5).collect()
+        multi = S.lsh_cosine_topk_multiprobe(emb2, [0], k=5).collect()
+        assert all(r.vec_id != 99 for r in single)
+        assert any(r.vec_id == 99 for r in multi)
