@@ -636,6 +636,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_pagerank": lambda s, d: graph.source_pagerank(_docs(s, d)),
         # pre-build observability + explicit partitioning plan
         "q_corpus_health": lambda s, d: health.corpus_health(_docs(s, d)),
+        # phrase-precision boost over conjunctive BM25 recall
+        "q_phrase_boosted": lambda s, d: queryops.phrase_boosted_topk(
+            _docs(s, d), Q_PHRASE, boost=2.0, k=20
+        ),
+        # federated broker: CORI routing -> slice-statistics BM25
+        "q_routed_search": lambda s, d: queryops.routed_search(
+            _docs(s, d), Q_AND2, n_sources=3, k=20
+        ),
         # multi-probe LSH ANN (Lv et al. '07): Hamming-1 bucket expansion
         "q_lsh_multiprobe_topk": lambda s, d: similarity.lsh_cosine_topk_multiprobe(
             _emb(s, d), PROBE_VEC_IDS, k=5
@@ -844,6 +852,8 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_estimate": osql.minhash_jaccard_estimate(),
         "q_source_pagerank": osql.source_pagerank(),
         "q_corpus_health": osql.corpus_health(),
+        "q_phrase_boosted": osql.phrase_boosted_topk(Q_PHRASE, boost=2.0, k=20),
+        "q_routed_search": osql.routed_search(Q_AND2, n_sources=3, k=20),
         "q_lsh_multiprobe_topk": osql.lsh_multiprobe_topk(PROBE_VEC_IDS, k=5),
         "q_lsh_multiprobe_recall": osql.lsh_multiprobe_recall(PROBE_VEC_IDS, k=5),
         "q_capacity_plan": osql.capacity_plan(

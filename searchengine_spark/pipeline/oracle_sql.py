@@ -4049,3 +4049,54 @@ SELECT probe_id, vec_id, cosine, rank FROM (
 def lsh_multiprobe_recall(probe_ids: list[int], k: int = 5) -> str:
     return _recall_sql(cosine_topk(probe_ids, k),
                        lsh_multiprobe_topk(probe_ids, k))
+
+
+def phrase_boosted_topk(terms: list[str], boost: float = 2.0,
+                        k: int = 20) -> str:
+    """Twin of queryops.phrase_boosted_topk: BM25 + boost*ln(1+phrase
+    occurrences)."""
+    return f"""
+WITH sc AS ({bm25_scored(terms)}),
+ph AS ({phrase_occurrences(terms)})
+SELECT sc.doc_id,
+       coalesce(ph.n_occurrences, 0)::BIGINT AS n_phrase,
+       round(sc.score
+             + {float(boost)} * ln(1 + coalesce(ph.n_occurrences, 0)), 4)
+       AS score
+FROM sc LEFT JOIN ph USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
+"""
+
+
+def routed_search(terms: list[str], n_sources: int = 2, k: int = 20) -> str:
+    """Twin of queryops.routed_search: CORI top-n_sources -> slice-statistics
+    BM25 over the selected sources only."""
+    tl = _terms_in(terms)
+    return f"""
+WITH cori AS ({cori_source_scores(terms)}),
+top_s AS (SELECT source FROM cori ORDER BY score DESC, source ASC LIMIT {int(n_sources)}),
+docs_r AS (SELECT * FROM documents WHERE source IN (SELECT source FROM top_s)),
+rtok0 AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM docs_r
+),
+rtoks AS (SELECT doc_id, term FROM rtok0 WHERE term <> ''),
+rpostings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM rtoks GROUP BY 1, 2),
+rds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM rpostings GROUP BY doc_id),
+rg AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM rds),
+rdfs AS (SELECT term, count(*)::BIGINT AS df FROM rpostings WHERE term IN ({tl}) GROUP BY term),
+rscored AS (
+  SELECT p.doc_id,
+         round(sum( ln(1 + (rg.n_docs - rdfs.df + 0.5) / (rdfs.df + 0.5))
+              * (p.tf * 2.2)
+              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (rds.dl / rg.avgdl))) ), 4) AS score
+  FROM rpostings p
+  JOIN rdfs USING (term)
+  JOIN rds ON p.doc_id = rds.doc_id
+  CROSS JOIN rg
+  GROUP BY p.doc_id
+  HAVING count(*) = {len(terms)}
+)
+SELECT doc_id, score FROM rscored ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
+"""

@@ -1181,3 +1181,64 @@ def suffix_search(documents: DataFrame, suffix: str, k: int = 20,
         .limit(k)
     )
     return finalize(out, p)
+
+
+def phrase_boosted_topk(documents: DataFrame, query_terms: list[str],
+                        boost: float = 2.0, k: int = 20, **kw) -> DataFrame:
+    """(doc_id, n_phrase, score) — conjunctive BM25 with an exact-phrase
+    boost: docs containing the query AS A PHRASE (terms adjacent, in
+    order) get ``boost * ln(1 + n_occurrences)`` added to their BM25
+    score.  Lucene's classic `"query"~boost` / ES match_phrase-should
+    composition: pure-AND recall with phrase-precision ranking on top.
+
+    Plan: the BM25 branch and the slot-anchor phrase branch each make one
+    pass over the same persisted postings-shaped inputs; the merge is a
+    left join on doc_id bounded by the conjunctive candidate set.
+    """
+    scored = bm25_scored(documents, query_terms, **kw)
+    ph = phrase_occurrences(documents, query_terms, **kw) \
+        .select("doc_id", F.col("n_occurrences").alias("n_phrase"))
+    out = (
+        scored.join(ph, "doc_id", "left")
+        .withColumn("n_phrase",
+                    F.coalesce(F.col("n_phrase"), F.lit(0)).cast("long"))
+        .select(
+            "doc_id", "n_phrase",
+            F.round(
+                F.col("score")
+                + F.lit(float(boost)) * F.log(F.lit(1.0) + F.col("n_phrase")),
+                4,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return out
+
+
+def routed_search(documents: DataFrame, query_terms: list[str],
+                  n_sources: int = 2, k: int = 20, **kw) -> DataFrame:
+    """(doc_id, score) — federated two-step search: CORI scores every
+    source (rankeval.cori_source_scores), the query fans out ONLY to the
+    top ``n_sources`` collections, and BM25 runs with the selected
+    slice's own statistics (filtered_bm25_topk semantics).  The broker
+    pattern for a 10^12-doc sharded deployment: the routing decision
+    reads a vocabulary-bounded per-shard stats dim; the posting lists of
+    unselected shards are never touched (at rest: never even scanned,
+    because the corpus is partitioned by source).
+
+    Determinism: source ties break lexicographically after the 4-dp
+    score round, mirroring every other top-k gate.
+    """
+    from searchengine_spark.pipeline.rankeval import cori_source_scores
+
+    top_sources = (
+        cori_source_scores(documents, query_terms, **kw)
+        .orderBy(F.desc("score"), F.asc("source"))
+        .limit(n_sources)
+        .select("source")
+    )
+    sliced = documents.join(F.broadcast(top_sources), "source", "left_semi")
+    from searchengine_spark.pipeline.fulltext import bm25_topk
+
+    return bm25_topk(sliced, query_terms, k=k)

@@ -100,3 +100,25 @@ class TestMinhashEstimate:
         assert rows  # templated corpus produces candidates
         # 16 permutations: granularity 1/16; allow generous slack
         assert all(r.abs_err <= 0.5 for r in rows)
+
+
+class TestPhraseBoostAndRouting:
+    def test_phrase_hit_outranks_scattered(self, spark):
+        rows = [
+            (1, "merge vector appears adjacent here today", "en", "s0"),
+            (2, "merge of one thing and vector of another", "en", "s0"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string")
+        out = queryops.phrase_boosted_topk(docs, ["merge", "vector"],
+                                           boost=2.0, k=10).collect()
+        assert out[0].doc_id == 1 and out[0].n_phrase == 1
+        assert out[1].doc_id == 2 and out[1].n_phrase == 0
+
+    def test_routing_touches_only_selected_sources(self, spark, corpus):
+        out = queryops.routed_search(corpus, ["merge", "vector"],
+                                     n_sources=1, k=100).collect()
+        assert out
+        src_of = {r.doc_id: r.source
+                  for r in corpus.select("doc_id", "source").collect()}
+        assert len({src_of[r.doc_id] for r in out}) == 1
