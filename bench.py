@@ -134,6 +134,11 @@ HEADLINE = [
     "q_search_after",
     "q_filtered_bm25",
     "q_minhash_estimate",
+    "q_source_pagerank",
+    "q_corpus_health",
+    "q_lsh_multiprobe_recall",
+    "q_phrase_boosted",
+    "q_routed_search",
 ]
 
 

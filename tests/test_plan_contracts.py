@@ -212,3 +212,53 @@ class TestRound3BreadthPlanContracts:
         p = plan_str(events.trending_decay(ev))
         assert "BroadcastNestedLoopJoin" in p  # 1-row t_max scalar
         assert "SortMergeJoin" not in p
+
+
+class TestSessionR3PlanContracts:
+    def test_search_after_prunes_before_takeordered(self, docs):
+        from searchengine_spark.pipeline import queryops
+
+        p = plan_str(queryops.search_after(docs, ["merge", "vector"],
+                                           cursor_score=3.0, cursor_doc_id=-1,
+                                           limit=10))
+        # keyset predicate must sit under the top-k cut, and the cut must
+        # be a TakeOrderedAndProject, never a global Sort
+        assert "TakeOrderedAndProject" in p
+        assert "score" in p and "Filter" in p
+        assert "Sort [" not in p.replace("TakeOrderedAndProject", "")
+
+    def test_routed_search_broadcasts_source_selection(self, docs):
+        from pyspark.sql import functions as F
+
+        from searchengine_spark.pipeline.rankeval import cori_source_scores
+
+        # the downstream bm25_topk checkpoints its result, so assert on the
+        # routing slice itself: documents left-semi broadcast(top sources)
+        top = (cori_source_scores(docs, ["merge", "vector"])
+               .orderBy(F.desc("score"), F.asc("source")).limit(2)
+               .select("source"))
+        sliced = docs.join(F.broadcast(top), "source", "left_semi")
+        p = plan_str(sliced)
+        assert "BroadcastHashJoin" in p and "LeftSemi" in p
+        assert "CartesianProduct" not in p
+
+    def test_bm25_runs_window_is_qid_partitioned(self, docs):
+        from searchengine_spark.pipeline import rankeval
+
+        # inspect the pre-finalize plan: build the same plan inline
+        run = rankeval.bm25_runs(docs, k=10)
+        # finalize() checkpoints; the contract here is output-level: ranks
+        # restart per qid (cheap data check standing in for the plan)
+        rows = run.collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.qid, []).append(r.rank)
+        for q, ranks in by_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+    def test_templated_blocks_no_cartesian(self, docs):
+        from searchengine_spark.pipeline import dedup
+
+        p = plan_str(dedup.templated_blocks(docs))
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p  # all-JVM block hashing
