@@ -22,6 +22,9 @@ directories survive, mirroring the txn-marker discipline in index/delta.py.
 invariant from the segment bytes themselves (decode -> recount) and diffs
 against stats.json, df_stats and docs_meta — the "trust but verify" gate
 an operator runs after a compaction, migration, or suspicious crash.
+The reference has no equivalent (MySQL's unique keys are its only
+integrity mechanism, src/main/java/searchengine/model/Index.java:12-13);
+a file-based index needs the checker the database used to be.
 """
 
 from __future__ import annotations

@@ -1,7 +1,9 @@
 """Ranking evaluation + federated resource selection + LTR feature export.
 
-The reference ships a search API but no way to measure it; a production
-engine needs the evaluation loop next to the ranker.  Three components,
+The reference ships a ranked search API
+(src/main/java/searchengine/services/SearchServiceImpl.java:34-81) but no
+way to measure its ranking quality; a production engine needs the
+evaluation loop next to the ranker.  Three components,
 all deterministic (so the DuckDB oracle reproduces every value) and all
 single-scan hash-agg plans:
 
