@@ -610,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # learning-to-rank feature export over the evaluation query batch
         "q_ltr_features": lambda s, d: rankeval.ltr_features(_docs(s, d)),
+        "q_ltr_labeled": lambda s, d: rankeval.ltr_labeled(_docs(s, d)),
         # clustered doc-id assignment (Silvestri '07 / Lucene index sorting)
         # via the two-pass distributed rank, + analytic compression report
         "q_docid_remap": lambda s, d: reorder.docid_remap(_docs(s, d)),
@@ -840,6 +841,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bm25_eval": osql.bm25_eval(rankeval.EVAL_QUERIES, k=10),
         "q_cori_selection": osql.cori_source_scores(Q_AND2),
         "q_ltr_features": osql.ltr_features(rankeval.EVAL_QUERIES),
+        "q_ltr_labeled": osql.ltr_labeled(rankeval.EVAL_QUERIES),
         "q_docid_remap": osql.docid_remap(),
         "q_remap_compression": osql.remap_compression_stats(),
         "q_search_after": osql.search_after(

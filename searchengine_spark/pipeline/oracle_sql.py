@@ -4100,3 +4100,14 @@ rscored AS (
 )
 SELECT doc_id, score FROM rscored ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
 """
+
+
+def ltr_labeled(queries: list[tuple[int, list[str]]]) -> str:
+    """Twin of rankeval.ltr_labeled: features left-joined with qrels."""
+    return f"""
+WITH feats AS ({ltr_features(queries)}),
+q2 AS ({synthetic_qrels(queries)})
+SELECT f.qid, f.doc_id, f.n_matched, f.sum_tf, f.min_tf, f.dl, f.idf_sum,
+       f.bm25, coalesce(q2.rel, 0)::INT AS label
+FROM feats f LEFT JOIN q2 ON f.qid = q2.qid AND f.doc_id = q2.doc_id
+"""

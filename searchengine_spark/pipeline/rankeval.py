@@ -328,3 +328,21 @@ def ltr_features(documents: DataFrame,
         )
     )
     return finalize(out, p)
+
+
+def ltr_labeled(documents: DataFrame,
+                queries: list[tuple[int, list[str]]] = EVAL_QUERIES,
+                **kw) -> DataFrame:
+    """``ltr_features`` joined with the synthetic qrels label: the actual
+    LTR TRAINING TABLE — (qid, doc_id, features..., label) with label 0
+    for unjudged candidates (standard LETOR convention).  One left join on
+    (qid, doc_id) over two already-bounded result sets; swap in click
+    labels at production scale without touching the feature pass.
+    """
+    feats = ltr_features(documents, queries, **kw)
+    qr = synthetic_qrels(documents, queries, **kw)
+    return (
+        feats.join(qr, ["qid", "doc_id"], "left")
+        .withColumn("label", F.coalesce(F.col("rel"), F.lit(0)).cast("int"))
+        .drop("rel")
+    )

@@ -103,3 +103,14 @@ class TestLtrFeatures:
         assert rows[(1, 3)].n_matched == 1
         assert rows[(1, 6)].sum_tf == 3  # beta x3
         assert rows[(1, 1)].dl == 7
+
+
+class TestLtrLabeled:
+    def test_labels_join_and_default_zero(self, spark, corpus):
+        rows = {r.doc_id: r for r in rankeval.ltr_labeled(corpus, Q).collect()}
+        assert rows[1].label == 2 and rows[2].label == 1
+        assert rows[3].label == 0 and rows[6].label == 0  # unjudged
+        # features identical to the unlabeled export
+        feats = {r.doc_id: r for r in rankeval.ltr_features(corpus, Q).collect()}
+        for d, r in rows.items():
+            assert r.bm25 == feats[d].bm25 and r.sum_tf == feats[d].sum_tf
