@@ -629,6 +629,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_suffix_search": lambda s, d: queryops.suffix_search(
             _docs(s, d), "er", k=20
         ),
+        # infix wildcard (head*tail, permuterm case): t*e -> {table, the}
+        "q_infix_search": lambda s, d: queryops.infix_search(
+            _docs(s, d), "t", "e", k=20
+        ),
+        # composed IVF+PQ ANN (the FAISS IVFx,PQy production shape)
+        "q_ivfpq_topk": lambda s, d: pq.ivfpq_topk(
+            _emb(s, d), PROBE_VEC_IDS, topk=5
+        ),
+        # ranker agreement: BM25 b=0.75 vs b=0 runs, RBO@10 + Kendall tau
+        "q_rank_agreement": lambda s, d: rankeval.bm25_b_sensitivity(
+            _docs(s, d)
+        ),
         # MinHash estimator audit vs exact Jaccard on candidate edges
         "q_minhash_estimate": lambda s, d: dedup.minhash_jaccard_estimate(
             _docs(s, d)
@@ -851,6 +863,9 @@ def oracle_sql() -> dict[str, str]:
             Q_AND2, langs=["en", "de"], k=20
         ),
         "q_suffix_search": osql.suffix_search("er", k=20),
+        "q_infix_search": osql.infix_search("t", "e", k=20),
+        "q_ivfpq_topk": osql.ivfpq_topk(PROBE_VEC_IDS, topk=5),
+        "q_rank_agreement": osql.rank_agreement(rankeval.EVAL_QUERIES),
         "q_minhash_estimate": osql.minhash_jaccard_estimate(),
         "q_source_pagerank": osql.source_pagerank(),
         "q_corpus_health": osql.corpus_health(),

@@ -139,6 +139,9 @@ HEADLINE = [
     "q_lsh_multiprobe_recall",
     "q_phrase_boosted",
     "q_routed_search",
+    "q_infix_search",
+    "q_ivfpq_topk",
+    "q_rank_agreement",
 ]
 
 

@@ -915,6 +915,64 @@ SELECT probe_id, vec_id, adc, rank FROM (
 """
 
 
+def ivfpq_topk(probe_ids: list[int], topk: int = 5, n_lists: int = 8,
+               nprobe: int = 2, n_sub: int = 8, k: int = 16,
+               sub_len: int = 8) -> str:
+    """Twin of pq.ivfpq_topk: IVF list pruning composed with PQ ADC —
+    candidates restricted to the nprobe nearest lists per probe, scored
+    in the compressed domain."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    cos = (
+        "round("
+        "list_sum([p.pvec[i]::DOUBLE * c.centroid[i]::DOUBLE "
+        "for i in generate_series(1, len(p.pvec))]) "
+        "/ ( sqrt(list_sum([p.pvec[i]::DOUBLE * p.pvec[i]::DOUBLE "
+        "for i in generate_series(1, len(p.pvec))])) "
+        "* sqrt(list_sum([c.centroid[i]::DOUBLE * c.centroid[i]::DOUBLE "
+        "for i in generate_series(1, len(c.centroid))])) ), 3)"
+    )
+    return f"""
+WITH {_IVF_ASSIGN.format(n_lists=n_lists)},
+{_pq_cb_cte(n_sub, k, sub_len)},
+probes AS (SELECT vec_id AS probe_id, embedding AS pvec
+           FROM embeddings WHERE vec_id IN ({ids})),
+pl AS (
+  SELECT probe_id, list_id FROM (
+    SELECT p.probe_id, c.list_id,
+      row_number() OVER (PARTITION BY p.probe_id
+                         ORDER BY {cos} DESC, c.list_id ASC) AS rn
+    FROM probes p CROSS JOIN cents c
+  ) WHERE rn <= {nprobe}
+),
+psv AS (
+  SELECT vec_id AS probe_id, m, sub AS psub FROM sv WHERE vec_id IN ({ids})
+),
+dtab AS (
+  SELECT p.probe_id, c.m, c.code,
+    list_sum([ (p.psub[i] - c.centroid[i]) * (p.psub[i] - c.centroid[i])
+               for i in generate_series(1, {sub_len})]) AS d
+  FROM psv p JOIN cb c USING (m)
+),
+cand AS (
+  SELECT pl.probe_id, codes.vec_id, codes.m, codes.code
+  FROM codes
+  JOIN assign a ON codes.vec_id = a.vec_id
+  JOIN pl ON a.list_id = pl.list_id
+  WHERE codes.vec_id <> pl.probe_id
+),
+scored AS (
+  SELECT cand.probe_id, cand.vec_id, round(sum(t.d), 6) AS adc
+  FROM cand JOIN dtab t USING (probe_id, m, code)
+  GROUP BY 1, 2
+)
+SELECT probe_id, vec_id, adc, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adc ASC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {topk}
+"""
+
+
 def repetition_scores() -> str:
     """Twin of textstats.repetition_scores."""
     return f"""
@@ -3670,6 +3728,62 @@ def bm25_runs(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
     )
 
 
+def rank_agreement(queries: list[tuple[int, list[str]]], k: int = 10,
+                   p: float = 0.9) -> str:
+    """Twin of rankeval.bm25_b_sensitivity -> rank_agreement: RBO@k +
+    Kendall tau-a between the b=0.75 and b=0 BM25 runs."""
+    all_terms = sorted({t for _, terms in queries for t in terms})
+    tl = _terms_in(all_terms)
+
+    def sc(b: float, name: str) -> str:
+        return f"""{name}0 AS (
+  SELECT q.qid, pp.doc_id,
+         round(sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (pp.tf * 2.2)
+              / (pp.tf + 1.2 * (1 - {b} + {b} * (ds.dl / g.avgdl))) ), 4) AS score
+  FROM postings pp
+  JOIN qdim q USING (term)
+  JOIN dfs USING (term)
+  JOIN ds ON pp.doc_id = ds.doc_id
+  CROSS JOIN g
+  GROUP BY q.qid, pp.doc_id
+  HAVING count(*) = max(q.n_terms)
+),
+{name} AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM {name}0
+  QUALIFY rank <= {int(k)}
+)"""
+
+    return f"""
+WITH {_TOKS_CTE}, {_qdim_values(queries)},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY 1),
+{sc(0.75, "run_a")},
+{sc(0.0, "run_b")},
+common AS (
+  SELECT a.qid, a.doc_id, a.rank AS ra, b.rank AS rb
+  FROM run_a a JOIN run_b b USING (qid, doc_id)
+),
+rbo AS (
+  SELECT qid, count(*)::BIGINT AS n_common,
+         round(sum( (1 - {p}) * list_sum([pow({p}, d - 1) / d
+                    for d in generate_series(greatest(ra, rb), {int(k)})]) ), 4) AS rbo
+  FROM common GROUP BY 1
+),
+pairs AS (
+  SELECT i.qid,
+         CASE WHEN sign(i.ra - j.ra) = sign(i.rb - j.rb) THEN 1 ELSE -1 END AS c
+  FROM common i JOIN common j ON i.qid = j.qid AND i.doc_id < j.doc_id
+),
+taus AS (SELECT qid, sum(c)::DOUBLE / count(*)::DOUBLE AS tau FROM pairs GROUP BY 1)
+SELECT r.qid, r.n_common, r.rbo, round(coalesce(t.tau, 0.0), 4) AS tau
+FROM rbo r LEFT JOIN taus t USING (qid)
+"""
+
+
 def bm25_eval(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
     """Twin of rankeval.bm25_eval: P@k / recall@k / MRR / NDCG@k of the
     BM25 runs against the synthetic qrels."""
@@ -3871,6 +3985,31 @@ g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
 matched AS (
   SELECT term, count(*)::BIGINT AS df FROM postings
   WHERE term LIKE '%{esc}' GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id, count(DISTINCT p.term)::BIGINT AS nterms,
+         sum(p.tf * ln(g.n_docs / m.df)) AS score
+  FROM postings p JOIN matched m USING (term) CROSS JOIN g
+  GROUP BY p.doc_id
+)
+SELECT doc_id, nterms, round(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def infix_search(head: str, tail: str, k: int = 20) -> str:
+    """Twin of queryops.infix_search (``head*tail`` wildcard tf-idf
+    scoring); the length guard makes LIKE's non-overlap semantics
+    explicit on both sides."""
+    eh = head.replace("'", "''")
+    et = tail.replace("'", "''")
+    return f"""
+WITH {_TOKS_CTE},
+g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+matched AS (
+  SELECT term, count(*)::BIGINT AS df FROM postings
+  WHERE term LIKE '{eh}%{et}' AND length(term) >= {len(head) + len(tail)}
+  GROUP BY term
 ),
 scored AS (
   SELECT p.doc_id, count(DISTINCT p.term)::BIGINT AS nterms,

@@ -158,3 +158,81 @@ def pq_adc_topk(embeddings: DataFrame, probe_ids: list[int], topk: int = 5,
         .filter(F.col("rank") <= topk)
         .select("probe_id", "vec_id", "adc", "rank")
     )
+
+
+def ivfpq_topk(embeddings: DataFrame, probe_ids: list[int], topk: int = 5,
+               n_lists: int = 8, nprobe: int = 2,
+               n_sub: int = PQ_M, k: int = PQ_K,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(probe_id, vec_id, adc, rank) — the production ANN composition
+    IVF + PQ (the FAISS ``IVFx,PQy`` index): coarse-quantize the corpus
+    into ``n_lists`` inverted lists, PQ-encode every vector, and answer a
+    query by scanning ONLY the ``nprobe`` nearest lists' codes with
+    asymmetric distance.  Combines :func:`similarity.ivf_lists` (the
+    partition pruning) with :func:`pq_adc_topk`'s compressed-domain
+    scoring — per query the scan touches ``nprobe / n_lists`` of the
+    corpus AND reads codes (n_sub bytes) instead of float vectors.
+
+    Plan shape: centroid + probe-list + distance-table sides all
+    broadcast; the only corpus-sized inputs are the codes table and the
+    list assignment, joined on vec_id (at scale the codes table is
+    WRITTEN bucketed by list_id, so the probe-list join is partition
+    pruning, not a shuffle).  Recall < the pure-ADC scan by construction
+    (a true neighbour in an unprobed list is unreachable) — gated like
+    the other ANN families with cosine_topk as the exact baseline.
+    """
+    from searchengine_spark.pipeline.similarity import _dot, _norm, ivf_lists
+
+    lists = ivf_lists(embeddings, n_lists, id_col, vec_col)
+    cents = (
+        embeddings.orderBy(F.col(id_col).asc()).limit(n_lists)
+        .select(F.col(id_col).alias("list_id"), F.col(vec_col).alias("centroid"))
+    )
+    probes = embeddings.filter(F.col(id_col).isin(probe_ids))
+    pl = (
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "pc",
+            F.round(
+                _dot(F.col("pvec"), F.col("centroid"))
+                / (_norm(F.col("pvec")) * _norm(F.col("centroid"))),
+                3,
+            ),
+        )
+    )
+    wp = Window.partitionBy("probe_id").orderBy(F.desc("pc"), F.asc("list_id"))
+    probe_lists = (
+        pl.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("probe_id", "list_id")
+    )
+
+    cb = finalize(pq_codebooks(embeddings, n_sub, k, id_col, vec_col))
+    dim = _dim_of(embeddings, vec_col)
+    sub_len = dim // n_sub
+    codes = _assign(_subvectors(embeddings, n_sub, sub_len, id_col, vec_col), cb)
+    psv = (
+        _subvectors(probes, n_sub, sub_len, id_col, vec_col)
+        .select(F.col("vec_id").alias("probe_id"), "m",
+                F.col("sub").alias("psub"))
+    )
+    dtab = psv.join(F.broadcast(cb), "m").select(
+        "probe_id", "m", "code", _l2(F.col("psub"), F.col("centroid")).alias("d")
+    )
+    cand = (
+        codes.join(lists.select("vec_id", "list_id"), "vec_id")
+        .join(F.broadcast(probe_lists), "list_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+    )
+    scored = (
+        cand.join(F.broadcast(dtab), ["probe_id", "m", "code"])
+        .groupBy("probe_id", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("probe_id", "vec_id", "adc", "rank")
+    )

@@ -1183,6 +1183,46 @@ def suffix_search(documents: DataFrame, suffix: str, k: int = 20,
     return finalize(out, p)
 
 
+def infix_search(documents: DataFrame, head: str, tail: str, k: int = 20,
+                 **kw) -> DataFrame:
+    """(doc_id, nterms, score) — infix wildcard search ``head*tail``
+    (the remaining wildcard case next to ``prefix_search`` and
+    ``suffix_search``): a term matches iff it starts with ``head``, ends
+    with ``tail``, and the two anchors do not overlap (``len(term) >=
+    len(head) + len(tail)`` — the semantics of SQL ``LIKE 'head%tail'``
+    and of Lucene's WildcardQuery with a single ``*``).  Matched terms
+    score docs by Σ tf·idf like the other wildcard queries.
+
+    Lucene answers this with a permuterm/rotated dictionary (probe
+    ``tail$head`` as a prefix) so the dictionary probe is a range scan;
+    here the dictionary is a vocabulary-bounded dimension filtered in one
+    pass, and the permuterm rotation is a storage-layout swap, not a plan
+    change.  Reference parity: the reference has no wildcard search
+    (exact lemma match only, SearchServiceImpl.java:34-44); this extends
+    the same postings model the way Lucene extends a term index.
+    """
+    p = tf_postings(documents, **kw).persist()
+    n_docs = p.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    matched = df_stats(p).filter(
+        F.col("term").startswith(head)
+        & F.col("term").endswith(tail)
+        & (F.length("term") >= len(head) + len(tail))
+    )
+    out = (
+        p.join(F.broadcast(matched.select("term", "df")), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").cast("long").alias("nterms"),
+            F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("score"),
+        )
+        .select("doc_id", "nterms", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return finalize(out, p)
+
+
 def phrase_boosted_topk(documents: DataFrame, query_terms: list[str],
                         boost: float = 2.0, k: int = 20, **kw) -> DataFrame:
     """(doc_id, n_phrase, score) — conjunctive BM25 with an exact-phrase

@@ -208,6 +208,78 @@ def bm25_eval(documents: DataFrame,
     )
 
 
+def rank_agreement(run_a: DataFrame, run_b: DataFrame, k: int = 10,
+                   p: float = 0.9) -> DataFrame:
+    """(qid, n_common, rbo, tau) — rank-agreement between two retrieval
+    runs of shape (qid, doc_id, rank, ...): the interleaving-free way to
+    compare rankers offline (Webber/Moffat/Zobel, TOIS 2010 for RBO).
+
+    - ``rbo``: rank-biased overlap truncated at depth ``k`` with
+      persistence ``p`` — RBO = (1-p) Σ_{d=1..k} p^(d-1) · |A_d ∩ B_d|/d
+      where A_d/B_d are the depth-d prefixes.  Rearranged per common doc
+      (a doc with ranks ra, rb enters every prefix overlap from depth
+      m = max(ra, rb) on), each doc contributes the closed coefficient
+      (1-p) Σ_{d=m..k} p^(d-1)/d — one JVM-side fold over a ≤k-element
+      sequence, no depth explosion.
+    - ``tau``: Kendall tau-a over the docs COMMON to both top-k lists
+      (the standard top-k restriction): (concordant − discordant) /
+      (n·(n−1)/2); 0 when fewer than 2 common docs.  Ranks inside a run
+      are distinct (row_number), so no tie handling is needed.
+
+    Plans: one equi-join of two k-row-per-query runs, one bounded
+    (≤ k²/2 pairs per query) self-join for tau — evaluation scales with
+    the query set, never the corpus.  Queries whose top-k sets are
+    disjoint emit no row (agreement undefined, mirroring eval_rankings'
+    no-qrels convention).
+    """
+    a = run_a.select("qid", "doc_id", F.col("rank").alias("ra"))
+    b = run_b.select("qid", "doc_id", F.col("rank").alias("rb"))
+    common = a.join(b, ["qid", "doc_id"])
+    coef = (1.0 - p) * F.aggregate(
+        F.sequence(F.greatest("ra", "rb").cast("int"), F.lit(int(k))),
+        F.lit(0.0),
+        lambda acc, d: acc
+        + F.pow(F.lit(float(p)), d.cast("double") - 1.0) / d.cast("double"),
+    )
+    rbo = common.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.round(F.sum(coef), 4).alias("rbo"),
+    )
+    i = common.select("qid", F.col("doc_id").alias("di"),
+                      F.col("ra").alias("rai"), F.col("rb").alias("rbi"))
+    j = common.select("qid", F.col("doc_id").alias("dj"),
+                      F.col("ra").alias("raj"), F.col("rb").alias("rbj"))
+    pairs = i.join(j, "qid").filter(F.col("di") < F.col("dj")).withColumn(
+        "c",
+        F.when(
+            F.signum(F.col("rai") - F.col("raj"))
+            == F.signum(F.col("rbi") - F.col("rbj")),
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
+    taus = pairs.groupBy("qid").agg(
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("tau"))
+    return (
+        rbo.join(taus, "qid", "left")
+        .select("qid", "n_common", "rbo",
+                F.round(F.coalesce(F.col("tau"), F.lit(0.0)), 4).alias("tau"))
+    )
+
+
+def bm25_b_sensitivity(documents: DataFrame,
+                       queries: list[tuple[int, list[str]]] = EVAL_QUERIES,
+                       k: int = 10, p: float = 0.9, **kw) -> DataFrame:
+    """Gate composition for :func:`rank_agreement`: how much does BM25's
+    length normalization change the ranking?  Compares the standard run
+    (b=0.75) against the b=0 run (pure saturation, no length norm) over
+    the shared evaluation query set — the classic ranker-ablation
+    question, answered with RBO + Kendall tau instead of a second qrels
+    pass."""
+    run_a = bm25_runs(documents, queries, k=k, **kw)
+    run_b = bm25_runs(documents, queries, k=k, b=0.0, **kw)
+    return rank_agreement(run_a, run_b, k=k, p=p)
+
+
 def cori_source_scores(documents: DataFrame, query_terms: list[str],
                        b: float = 0.4, tc: float = 50.0, ts: float = 150.0,
                        source_col: str = "source", **kw) -> DataFrame:

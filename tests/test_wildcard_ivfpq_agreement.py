@@ -1,0 +1,146 @@
+"""Round-3 batch: infix wildcard search, composed IVF+PQ ANN, and
+rank-agreement (RBO + Kendall tau) between two retrieval runs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline import pq as PQ
+from searchengine_spark.pipeline import similarity as S
+from searchengine_spark.pipeline.queryops import infix_search
+from searchengine_spark.pipeline.rankeval import bm25_b_sensitivity, rank_agreement
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "table merge the table"),     # t*e: table x2 + the
+        (1, "tee stream vector"),         # t*e: tee (t..e, len 3 >= 2)
+        (2, "te vector join"),            # t*e: "te" len 2 >= 2 -> matches
+        (3, "t merge"),                   # "t" len 1 < 2 -> must NOT match
+        (4, "stream vector join"),        # no t*e term
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestInfixSearch:
+    def test_matches_and_nonoverlap_guard(self, spark, docs):
+        out = {r.doc_id: r for r in infix_search(docs, "t", "e", k=10).collect()}
+        # doc 3's lone "t" must not match (overlapping anchors)
+        assert 3 not in out
+        assert 4 not in out
+        assert set(out) == {0, 1, 2}
+        # doc 0 matched two distinct terms (table, the)
+        assert out[0].nterms == 2
+
+    def test_scoring_is_tf_idf(self, spark, docs):
+        out = {r.doc_id: r for r in infix_search(docs, "t", "e", k=10).collect()}
+        n_docs = 5.0
+        # doc 2: one term "te", tf=1, df("te")=1
+        assert out[2].score == pytest.approx(math.log(n_docs / 1), abs=1e-3)
+        # doc 0: table tf=2 df=1, the tf=1 df=1
+        exp0 = 2 * math.log(n_docs / 1) + 1 * math.log(n_docs / 1)
+        assert out[0].score == pytest.approx(exp0, abs=1e-3)
+
+    def test_exact_head_tail_term_matches(self, spark, docs):
+        # pattern where a term equals head+tail exactly: t*e matches "te"
+        out = infix_search(docs, "te", "e", k=10).collect()
+        # "tee" (len 3 >= 3) matches; "te" (len 2 < 3) must not
+        assert {r.doc_id for r in out} == {1}
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(64)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestIvfPq:
+    def test_candidates_come_from_probed_lists_only(self, spark, embeddings):
+        n_lists, nprobe = 8, 2
+        out = PQ.ivfpq_topk(embeddings, [0, 1], topk=5,
+                            n_lists=n_lists, nprobe=nprobe).collect()
+        lists = {r.vec_id: r.list_id
+                 for r in S.ivf_lists(embeddings, n_lists).collect()}
+        # reconstruct each probe's nprobe nearest lists the same way
+        import numpy as np
+
+        emb = {r.vec_id: np.array(r.embedding, dtype=float)
+               for r in embeddings.collect()}
+        cents = {lid: emb[lid] for lid in range(n_lists)}
+        for pid in (0, 1):
+            pv = emb[pid]
+            cos = sorted(
+                ((round(float(pv @ c) / (np.linalg.norm(pv) * np.linalg.norm(c)), 3), -lid, lid)
+                 for lid, c in cents.items()),
+                reverse=True,
+            )
+            probed = {t[2] for t in cos[:nprobe]}
+            for r in out:
+                if r.probe_id == pid:
+                    assert lists[r.vec_id] in probed
+
+    def test_adc_matches_unpruned_pq_on_shared_candidates(self, spark, embeddings):
+        # the composed index must assign the same ADC value as the pure
+        # PQ scan wherever both score a candidate
+        full = {(r.probe_id, r.vec_id): r.adc
+                for r in PQ.pq_adc_topk(embeddings, [0], topk=64).collect()}
+        comp = PQ.ivfpq_topk(embeddings, [0], topk=5).collect()
+        for r in comp:
+            assert full[(r.probe_id, r.vec_id)] == r.adc
+
+    def test_ranks_are_dense_per_probe(self, spark, embeddings):
+        out = PQ.ivfpq_topk(embeddings, [0, 1, 2], topk=5).collect()
+        by_probe: dict[int, list[int]] = {}
+        for r in out:
+            by_probe.setdefault(r.probe_id, []).append(r.rank)
+        for ranks in by_probe.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+class TestRankAgreement:
+    def _runs(self, spark, a: list[int], b: list[int]):
+        ra = spark.createDataFrame(
+            [(1, d, i + 1) for i, d in enumerate(a)], "qid int, doc_id long, rank long")
+        rb = spark.createDataFrame(
+            [(1, d, i + 1) for i, d in enumerate(b)], "qid int, doc_id long, rank long")
+        return ra, rb
+
+    def test_identical_runs_give_perfect_agreement(self, spark):
+        ra, rb = self._runs(spark, [10, 11, 12], [10, 11, 12])
+        row = rank_agreement(ra, rb, k=3, p=0.9).collect()[0]
+        assert row.n_common == 3 and row.tau == 1.0
+        # truncated RBO of identical depth-3 lists:
+        # (1-p) * sum_{d=1..3} p^(d-1) * d/d = 0.1 * (1 + .9 + .81)
+        assert row.rbo == pytest.approx(0.1 * (1 + 0.9 + 0.81), abs=1e-4)
+
+    def test_reversed_runs_give_tau_minus_one(self, spark):
+        ra, rb = self._runs(spark, [10, 11, 12], [12, 11, 10])
+        row = rank_agreement(ra, rb, k=3, p=0.9).collect()[0]
+        assert row.tau == -1.0
+        # overlaps by depth: d=1 -> 0 (10 vs 12), d=2 -> 1 (doc 11 in both
+        # depth-2 prefixes), d=3 -> 3
+        assert row.rbo == pytest.approx(
+            0.1 * (0.9 * 1 / 2 + 0.81 * 3 / 3), abs=1e-4)
+
+    def test_disjoint_runs_emit_no_row(self, spark):
+        ra, rb = self._runs(spark, [1, 2, 3], [4, 5, 6])
+        assert rank_agreement(ra, rb, k=3).count() == 0
+
+    def test_single_common_doc_tau_zero(self, spark):
+        ra, rb = self._runs(spark, [1, 2], [2, 9])
+        row = rank_agreement(ra, rb, k=2, p=0.9).collect()[0]
+        assert row.n_common == 1 and row.tau == 0.0
+
+    def test_b_sensitivity_composition_runs(self, spark, docs):
+        out = bm25_b_sensitivity(docs, [(1, ["vector"])], k=10).collect()
+        # docs 1, 2, 4 contain "vector" with identical tf -> b has no
+        # effect on a one-term equal-tf ranking: perfect agreement
+        assert len(out) == 1
+        assert out[0].n_common == 3 and out[0].tau == 1.0
