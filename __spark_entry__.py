@@ -641,6 +641,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rank_agreement": lambda s, d: rankeval.bm25_b_sensitivity(
             _docs(s, d)
         ),
+        # balanced interleaving (online ranker comparison, closed form)
+        "q_interleaved": lambda s, d: rankeval.bm25_interleaved(_docs(s, d)),
+        # champion lists: static pruning to the r highest-tf postings/term
+        "q_champion_topk": lambda s, d: queryops.champion_topk(
+            _docs(s, d), Q_AND2, r=50, k=20
+        ),
+        # Elias-Fano vs varbyte codec-selection report
+        "q_ef_compression": lambda s, d: reorder.ef_compression_stats(
+            _docs(s, d)
+        ),
         # MinHash estimator audit vs exact Jaccard on candidate edges
         "q_minhash_estimate": lambda s, d: dedup.minhash_jaccard_estimate(
             _docs(s, d)
@@ -866,6 +876,9 @@ def oracle_sql() -> dict[str, str]:
         "q_infix_search": osql.infix_search("t", "e", k=20),
         "q_ivfpq_topk": osql.ivfpq_topk(PROBE_VEC_IDS, topk=5),
         "q_rank_agreement": osql.rank_agreement(rankeval.EVAL_QUERIES),
+        "q_interleaved": osql.bm25_interleaved(rankeval.EVAL_QUERIES),
+        "q_champion_topk": osql.champion_topk(Q_AND2, r=50, k=20),
+        "q_ef_compression": osql.ef_compression_stats(),
         "q_minhash_estimate": osql.minhash_jaccard_estimate(),
         "q_source_pagerank": osql.source_pagerank(),
         "q_corpus_health": osql.corpus_health(),

@@ -142,6 +142,9 @@ HEADLINE = [
     "q_infix_search",
     "q_ivfpq_topk",
     "q_rank_agreement",
+    "q_interleaved",
+    "q_champion_topk",
+    "q_ef_compression",
 ]
 
 

@@ -3784,6 +3784,60 @@ FROM rbo r LEFT JOIN taus t USING (qid)
 """
 
 
+def bm25_interleaved(queries: list[tuple[int, list[str]]],
+                     k: int = 10) -> str:
+    """Twin of rankeval.bm25_interleaved -> balanced_interleave: the
+    closed-form (min-rank, A-first) merge of the b=0.75 and b=0 runs."""
+    all_terms = sorted({t for _, terms in queries for t in terms})
+    tl = _terms_in(all_terms)
+
+    def sc(b: float, name: str) -> str:
+        return f"""{name}0 AS (
+  SELECT q.qid, pp.doc_id,
+         round(sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (pp.tf * 2.2)
+              / (pp.tf + 1.2 * (1 - {b} + {b} * (ds.dl / g.avgdl))) ), 4) AS score
+  FROM postings pp
+  JOIN qdim q USING (term)
+  JOIN dfs USING (term)
+  JOIN ds ON pp.doc_id = ds.doc_id
+  CROSS JOIN g
+  GROUP BY q.qid, pp.doc_id
+  HAVING count(*) = max(q.n_terms)
+),
+{name} AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM {name}0
+  QUALIFY rank <= {int(k)}
+)"""
+
+    return f"""
+WITH {_TOKS_CTE}, {_qdim_values(queries)},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY 1),
+{sc(0.75, "run_a")},
+{sc(0.0, "run_b")},
+merged AS (
+  SELECT coalesce(a.qid, b.qid) AS qid,
+         coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.rank, {int(k) + 1}) AS ra,
+         coalesce(b.rank, {int(k) + 1}) AS rb
+  FROM run_a a FULL OUTER JOIN run_b b
+    ON a.qid = b.qid AND a.doc_id = b.doc_id
+)
+SELECT qid,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY least(ra, rb) ASC,
+                                   CASE WHEN ra <= rb THEN 'A' ELSE 'B' END ASC,
+                                   doc_id ASC)::BIGINT AS pos,
+       doc_id,
+       CASE WHEN ra <= rb THEN 'A' ELSE 'B' END AS team
+FROM merged
+"""
+
+
 def bm25_eval(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
     """Twin of rankeval.bm25_eval: P@k / recall@k / MRR / NDCG@k of the
     BM25 runs against the synthetic qrels."""
@@ -3994,6 +4048,75 @@ scored AS (
 )
 SELECT doc_id, nterms, round(score, 4) AS score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def champion_topk(terms: list[str], r: int = 50, k: int = 20) -> str:
+    """Twin of queryops.champion_topk: per-term top-r-by-tf candidate
+    union, exact BM25 rescore, disjunctive top-k."""
+    tl = _terms_in(terms)
+    return f"""
+WITH {_TOKS_CTE},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+qp AS (SELECT * FROM postings WHERE term IN ({tl})),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM qp GROUP BY 1),
+champions AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rn
+    FROM qp
+  ) WHERE rn <= {int(r)}
+),
+scored AS (
+  SELECT qp.doc_id, count(*)::BIGINT AS nhit,
+         round(sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (qp.tf * 2.2)
+              / (qp.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ), 4) AS score
+  FROM qp
+  JOIN champions c ON qp.doc_id = c.doc_id
+  JOIN dfs USING (term)
+  JOIN ds ON qp.doc_id = ds.doc_id
+  CROSS JOIN g
+  GROUP BY qp.doc_id
+)
+SELECT doc_id, nhit, score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
+"""
+
+
+def ef_compression_stats() -> str:
+    """Twin of reorder.ef_compression_stats: Elias-Fano vs delta+varbyte
+    doc-id stream size, integer-exact floor-log2 via bin-string length."""
+    return f"""
+WITH {_TOKS_CTE},
+u AS (SELECT (max(doc_id) + 1)::BIGINT AS u FROM postings),
+od AS (
+  SELECT term,
+         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+                  doc_id) AS dval
+  FROM postings
+),
+per_term0 AS (
+  SELECT o.term, count(*)::BIGINT AS n,
+         sum({_vb_len_sql('o.dval')})::BIGINT AS vb_bytes
+  FROM od o GROUP BY 1
+),
+per_term AS (
+  SELECT t.term, t.n, t.vb_bytes,
+         t.n * l.l + t.n + (u.u >> l.l) AS ef_bits
+  FROM per_term0 t CROSS JOIN u,
+  LATERAL (SELECT CASE WHEN u.u // t.n >= 1
+                       THEN length(bin(u.u // t.n))::BIGINT - 1
+                       ELSE 0 END AS l) l
+)
+SELECT count(*)::BIGINT AS n_terms,
+       sum(n)::BIGINT AS n_postings,
+       sum(vb_bytes)::BIGINT AS bytes_varbyte,
+       sum((ef_bits + 7) // 8)::BIGINT AS bytes_ef,
+       round((sum(vb_bytes) - sum((ef_bits + 7) // 8))
+             / sum(vb_bytes)::DOUBLE * 100.0, 4) AS ef_vs_vb_pct
+FROM per_term
 """
 
 

@@ -1223,6 +1223,61 @@ def infix_search(documents: DataFrame, head: str, tail: str, k: int = 20,
     return finalize(out, p)
 
 
+def champion_topk(documents: DataFrame, query_terms: list[str], r: int = 50,
+                  k: int = 20, k1: float = BM25_K1, b: float = BM25_B,
+                  **kw) -> DataFrame:
+    """(doc_id, nhit, score) — champion-list (impact-first / static
+    pruning) disjunctive retrieval (Manning IIR §7.1.3-4): per query term
+    only its ``r`` highest-tf postings (tf desc, doc_id asc tiebreak) are
+    eligible; the candidate union is then scored with EXACT BM25 over all
+    of the candidates' query-term postings.  Recall < the full OR scan by
+    construction — the price of touching r·|q| postings instead of Σdf —
+    but the high-impact docs a top-k wants are exactly what champion
+    lists keep.
+
+    Scale shape: at index time the champion lists are a per-term prefix
+    written next to the full postings (this plan's window IS that build
+    step); query time then reads r·|q| rows, and the exact-rescore joins
+    are bounded by the candidate set.  The in-plan form keeps the whole
+    operator one gateable DataFrame.  Reference parity: the reference
+    always walks full posting lists (SearchServiceImpl.java:45-81); this
+    is the standard static-pruning upgrade, complementing the dynamic
+    pruning in query/wand.py.
+    """
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p)
+    n_and_avg = ds.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qp = p.filter(F.col("term").isin(query_terms))
+    wc = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    champions = (
+        qp.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= r)
+        .select("doc_id").distinct()
+    )
+    dfs = df_stats(p).filter(F.col("term").isin(query_terms))
+    scored = (
+        qp.join(champions, "doc_id", "left_semi")
+        .join(F.broadcast(dfs.select("term", "df")), "term")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .withColumn("idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                                 / (F.col("df") + 0.5)))
+        .withColumn(
+            "pscore",
+            F.col("idf") * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nhit"),
+             F.round(F.sum("pscore"), 4).alias("score"))
+    )
+    out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return finalize(out, p)
+
+
 def phrase_boosted_topk(documents: DataFrame, query_terms: list[str],
                         boost: float = 2.0, k: int = 20, **kw) -> DataFrame:
     """(doc_id, n_phrase, score) — conjunctive BM25 with an exact-phrase

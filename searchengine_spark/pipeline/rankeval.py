@@ -280,6 +280,61 @@ def bm25_b_sensitivity(documents: DataFrame,
     return rank_agreement(run_a, run_b, k=k, p=p)
 
 
+def balanced_interleave(run_a: DataFrame, run_b: DataFrame,
+                        k: int = 10) -> DataFrame:
+    """(qid, pos, doc_id, team) — balanced interleaving (Joachims, KDD
+    '02) of two per-query top-k runs, A drafting first: the merged list a
+    production A/B system would show users, with each slot attributed to
+    the ranker that placed the doc higher (``team`` = 'A' iff
+    rank_A <= rank_B; click credit is then counted per team).
+
+    Sequential drafting has a closed set-at-a-time form: with ranks
+    ra/rb (sentinel k+1 when absent from a list), the interleaved order
+    is exactly (min(ra, rb) asc, team-A-first on ties) — a doc enters the
+    merged list the first time either pointer reaches it, and at each
+    depth A's pick precedes B's because A drafts first.  Within one
+    (depth, team) cell there is at most one doc (ranks inside a run are
+    distinct), so the ordering is total; ``tests/test_interleave.py``
+    checks the closed form against a literal pointer-walk simulation on
+    randomized runs.
+
+    Everything is one equi-join of two k-row-per-query runs plus one
+    ranking window — no sequential driver loop, scales with the query
+    set.
+    """
+    a = run_a.filter(F.col("rank") <= k).select(
+        "qid", "doc_id", F.col("rank").alias("ra"))
+    b = run_b.filter(F.col("rank") <= k).select(
+        "qid", "doc_id", F.col("rank").alias("rb"))
+    merged = (
+        a.join(b, ["qid", "doc_id"], "full")
+        .withColumn("ra", F.coalesce(F.col("ra"), F.lit(k + 1)))
+        .withColumn("rb", F.coalesce(F.col("rb"), F.lit(k + 1)))
+        .withColumn("minr", F.least("ra", "rb"))
+        .withColumn("team",
+                    F.when(F.col("ra") <= F.col("rb"), F.lit("A"))
+                    .otherwise(F.lit("B")))
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.asc("minr"), F.asc("team"), F.asc("doc_id"))
+    return (
+        merged.withColumn("pos", F.row_number().over(wp).cast("long"))
+        .select("qid", "pos", "doc_id", "team")
+    )
+
+
+def bm25_interleaved(documents: DataFrame,
+                     queries: list[tuple[int, list[str]]] = EVAL_QUERIES,
+                     k: int = 10, **kw) -> DataFrame:
+    """Gate composition for :func:`balanced_interleave`: the b=0.75 vs
+    b=0 BM25 runs merged into the list an online interleaving experiment
+    would serve — the online counterpart of :func:`bm25_b_sensitivity`'s
+    offline RBO/tau comparison."""
+    run_a = bm25_runs(documents, queries, k=k, **kw)
+    run_b = bm25_runs(documents, queries, k=k, b=0.0, **kw)
+    return balanced_interleave(run_a, run_b, k=k)
+
+
 def cori_source_scores(documents: DataFrame, query_terms: list[str],
                        b: float = 0.4, tc: float = 50.0, ts: float = 150.0,
                        source_col: str = "source", **kw) -> DataFrame:

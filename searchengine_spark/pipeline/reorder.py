@@ -154,3 +154,60 @@ def remap_compression_stats(documents: DataFrame, **kw) -> DataFrame:
         )
     )
     return finalize(out, p)
+
+
+def ef_compression_stats(documents: DataFrame, **kw) -> DataFrame:
+    """One row (n_terms, n_postings, bytes_varbyte, bytes_ef,
+    ef_vs_vb_pct) — would Elias-Fano beat delta+varbyte for this corpus's
+    doc-id streams?  The codec-selection report next to
+    ``remap_compression_stats``: per term with df = n ascending doc ids in
+    universe U = max_doc_id + 1, the EF encoding (Vigna, WSDM '13
+    "Quasi-succinct indices") takes
+
+        l        = max(0, floor(log2(U / n)))   (low bits per element)
+        bits     = n*l  +  n + (U >> l)          (low arrays + unary upper)
+
+    — a size that depends only on (n, U), never on id clustering, which is
+    exactly why the comparison matters: varbyte wins after a good id
+    remap on clustered corpora, EF wins on sparse uniform postings, and
+    this report says which, before any index rewrite.  All arithmetic is
+    integer-exact (floor-log2 via the binary-string length of U // n, the
+    same no-float-drift trick as capacity_plan's power ladder), so the
+    DuckDB twin agrees bit-for-bit.
+
+    Plan: one tokenize pass, one per-term lag-delta window (shared shape
+    with remap_compression_stats), one scalar crossjoin for U — no
+    collects, scales with the postings table.
+    """
+    p = tf_postings(documents, **kw).persist()
+    u = p.agg((F.max("doc_id") + 1).cast("long").alias("u"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    per_term = (
+        p.withColumn(
+            "dval",
+            F.coalesce(F.col("doc_id") - F.lag("doc_id").over(w),
+                       F.col("doc_id")))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum(vb_len_col(F.col("dval"))).cast("long").alias("vb_bytes"))
+        .crossJoin(F.broadcast(u))
+        .withColumn("q", F.expr("div(u, n)"))
+        .withColumn(
+            "l",
+            F.when(F.col("q") >= 1, F.length(F.bin(F.col("q"))) - 1)
+            .otherwise(F.lit(0)).cast("long"))
+        .withColumn(
+            "ef_bits",
+            F.col("n") * F.col("l") + F.col("n")
+            + F.expr("shiftright(u, cast(l AS int))"))
+        .withColumn("ef_bytes", F.expr("div(ef_bits + 7, 8)"))
+    )
+    out = per_term.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("n").cast("long").alias("n_postings"),
+        F.sum("vb_bytes").cast("long").alias("bytes_varbyte"),
+        F.sum("ef_bytes").cast("long").alias("bytes_ef"),
+        F.round((F.sum("vb_bytes") - F.sum("ef_bytes"))
+                / F.sum("vb_bytes") * 100.0, 4).alias("ef_vs_vb_pct"),
+    )
+    return finalize(out, p)

@@ -1,0 +1,140 @@
+"""Balanced interleaving (closed form vs pointer-walk simulation),
+champion-list retrieval, and the Elias-Fano codec-selection report."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline.queryops import champion_topk
+from searchengine_spark.pipeline.rankeval import balanced_interleave
+from searchengine_spark.pipeline.reorder import ef_compression_stats
+
+
+def simulate_balanced(a: list[int], b: list[int]) -> list[int]:
+    """Joachims' balanced interleaving, A drafting first: literal
+    pointer walk, skipping docs already placed."""
+    out: list[int] = []
+    placed: set[int] = set()
+    ka = kb = 0
+    while ka < len(a) or kb < len(b):
+        take_a = ka < len(a) and (ka <= kb or kb >= len(b))
+        if take_a:
+            d = a[ka]
+            ka += 1
+        else:
+            d = b[kb]
+            kb += 1
+        if d not in placed:
+            placed.add(d)
+            out.append(d)
+    return out
+
+
+class TestBalancedInterleave:
+    def _runs(self, spark, qid: int, docs: list[int]):
+        return [(qid, d, i + 1) for i, d in enumerate(docs)]
+
+    def test_closed_form_matches_simulation_randomized(self, spark):
+        rng = random.Random(42)
+        rows_a, rows_b, expected = [], [], {}
+        for qid in range(30):
+            universe = list(range(100))
+            rng.shuffle(universe)
+            na, nb = rng.randint(1, 8), rng.randint(1, 8)
+            # overlap is the interesting regime: draw both lists from a
+            # small shared pool
+            pool = universe[: rng.randint(4, 12)]
+            a = rng.sample(pool, min(na, len(pool)))
+            b = rng.sample(pool, min(nb, len(pool)))
+            rows_a += self._runs(spark, qid, a)
+            rows_b += self._runs(spark, qid, b)
+            expected[qid] = simulate_balanced(a, b)
+        ra = spark.createDataFrame(rows_a, "qid int, doc_id long, rank long")
+        rb = spark.createDataFrame(rows_b, "qid int, doc_id long, rank long")
+        got: dict[int, list[int]] = {}
+        for r in balanced_interleave(ra, rb, k=10).collect():
+            got.setdefault(r.qid, []).append((r.pos, r.doc_id))
+        for qid, exp in expected.items():
+            assert [d for _, d in sorted(got[qid])] == exp, f"qid {qid}"
+
+    def test_team_attribution(self, spark):
+        ra = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2)], "qid int, doc_id long, rank long")
+        rb = spark.createDataFrame(
+            [(1, 11, 1), (1, 12, 2)], "qid int, doc_id long, rank long")
+        out = {r.doc_id: r.team for r in balanced_interleave(ra, rb, k=5).collect()}
+        assert out[10] == "A"      # only in A
+        assert out[11] == "B"      # rank 2 in A, rank 1 in B
+        assert out[12] == "B"      # only in B
+        # tie goes to A
+        rc = spark.createDataFrame(
+            [(1, 10, 1)], "qid int, doc_id long, rank long")
+        tie = balanced_interleave(rc, rc, k=5).collect()[0]
+        assert tie.team == "A"
+
+    def test_positions_are_dense(self, spark):
+        ra = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            "qid int, doc_id long, rank long")
+        rb = spark.createDataFrame(
+            [(1, 12, 1), (1, 13, 2), (1, 10, 3)],
+            "qid int, doc_id long, rank long")
+        out = balanced_interleave(ra, rb, k=3).collect()
+        assert sorted(r.pos for r in out) == [1, 2, 3, 4]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # doc 0: high tf for "merge"; docs 1..9 single "merge" plus filler;
+    # doc 50 the only "vector" doc (always a champion for vector)
+    rows = [(0, "merge " * 10)]
+    rows += [(i, "merge filler" + str(i)) for i in range(1, 10)]
+    rows += [(50, "vector filler")]
+    rows += [(100 + i, "noise only here") for i in range(5)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestChampionTopk:
+    def test_small_r_prunes_low_tf_docs(self, spark, corpus):
+        out = champion_topk(corpus, ["merge", "vector"], r=1, k=20).collect()
+        ids = {r.doc_id for r in out}
+        # r=1: only the top-tf merge doc (doc 0) and the vector doc survive
+        assert ids == {0, 50}
+
+    def test_large_r_equals_full_or(self, spark, corpus):
+        out = champion_topk(corpus, ["merge", "vector"], r=100, k=20).collect()
+        ids = {r.doc_id for r in out}
+        assert ids == {0, 50} | set(range(1, 10))
+
+    def test_scores_are_exact_not_champion_restricted(self, spark, corpus):
+        # candidate selection prunes, but the surviving docs' scores use
+        # ALL their query-term postings: nhit for doc 0 must count merge
+        full = {r.doc_id: r for r in
+                champion_topk(corpus, ["merge", "vector"], r=100, k=20).collect()}
+        pruned = {r.doc_id: r for r in
+                  champion_topk(corpus, ["merge", "vector"], r=1, k=20).collect()}
+        assert pruned[0].score == full[0].score
+        assert pruned[0].nhit == 1
+
+
+class TestEfCompression:
+    def test_report_shape_and_consistency(self, spark, corpus):
+        row = ef_compression_stats(corpus).collect()[0]
+        assert row.n_postings > 0 and row.bytes_varbyte > 0 and row.bytes_ef > 0
+        expected_pct = round(
+            (row.bytes_varbyte - row.bytes_ef) / row.bytes_varbyte * 100.0, 4)
+        assert row.ef_vs_vb_pct == pytest.approx(expected_pct, abs=1e-3)
+
+    def test_ef_formula_hand_computed(self, spark):
+        # one term, docs {0, 8}: U = 9, n = 2, q = 4, l = 2,
+        # bits = 2*2 + 2 + (9 >> 2) = 8 -> 1 byte
+        docs = spark.createDataFrame(
+            [(0, "zzterm"), (8, "zzterm")], "doc_id long, text string")
+        row = ef_compression_stats(docs).collect()[0]
+        assert row.n_terms == 1 and row.n_postings == 2
+        assert row.bytes_ef == 1
+        # varbyte: deltas 0 and 8, one byte each
+        assert row.bytes_varbyte == 2
