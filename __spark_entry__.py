@@ -651,6 +651,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ef_compression": lambda s, d: reorder.ef_compression_stats(
             _docs(s, d)
         ),
+        # context-aware query autocompletion ("merge s..." -> completions)
+        "q_suggest_terms": lambda s, d: queryops.suggest_terms(
+            _docs(s, d), Q_PREFIX, context_term=Q_PMI_PROBE, k=5
+        ),
+        # query segmentation by adjacent-pair PMI
+        "q_query_segmentation": lambda s, d: queryops.query_segmentation(
+            _docs(s, d), ["merge", "vector", "table"]
+        ),
+        # curriculum-learning training order (quality stages + md5 shuffle)
+        "q_curriculum_order": lambda s, d: sampling.curriculum_order(
+            _docs(s, d)
+        ),
         # MinHash estimator audit vs exact Jaccard on candidate edges
         "q_minhash_estimate": lambda s, d: dedup.minhash_jaccard_estimate(
             _docs(s, d)
@@ -879,6 +891,9 @@ def oracle_sql() -> dict[str, str]:
         "q_interleaved": osql.bm25_interleaved(rankeval.EVAL_QUERIES),
         "q_champion_topk": osql.champion_topk(Q_AND2, r=50, k=20),
         "q_ef_compression": osql.ef_compression_stats(),
+        "q_suggest_terms": osql.suggest_terms(Q_PREFIX, context_term=Q_PMI_PROBE, k=5),
+        "q_query_segmentation": osql.query_segmentation(["merge", "vector", "table"]),
+        "q_curriculum_order": osql.curriculum_order(),
         "q_minhash_estimate": osql.minhash_jaccard_estimate(),
         "q_source_pagerank": osql.source_pagerank(),
         "q_corpus_health": osql.corpus_health(),

@@ -145,6 +145,9 @@ HEADLINE = [
     "q_interleaved",
     "q_champion_topk",
     "q_ef_compression",
+    "q_suggest_terms",
+    "q_query_segmentation",
+    "q_curriculum_order",
 ]
 
 

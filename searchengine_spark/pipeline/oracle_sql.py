@@ -4051,6 +4051,89 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def suggest_terms(prefix: str, context_term: str | None = None,
+                  k: int = 5) -> str:
+    """Twin of queryops.suggest_terms (context-aware autocompletion)."""
+    esc = prefix.replace("'", "''")
+    if context_term is None:
+        co = "SELECT NULL AS term, 0::BIGINT AS n_co WHERE FALSE"
+    else:
+        ec = context_term.replace("'", "''")
+        co = f"""
+  SELECT p.term, count(*)::BIGINT AS n_co
+  FROM postings p
+  JOIN cand ON p.term = cand.term
+  JOIN (SELECT doc_id FROM postings WHERE term = '{ec}') ctx
+    ON p.doc_id = ctx.doc_id
+  GROUP BY 1"""
+    return f"""
+WITH {_TOKS_CTE},
+cand AS (
+  SELECT term, count(*)::BIGINT AS df FROM postings
+  WHERE term LIKE '{esc}%' GROUP BY term
+),
+co AS ({co})
+SELECT term, df, n_co, rank FROM (
+  SELECT cand.term, cand.df, coalesce(co.n_co, 0)::BIGINT AS n_co,
+         row_number() OVER (ORDER BY coalesce(co.n_co, 0) DESC,
+                            cand.df DESC, cand.term ASC)::BIGINT AS rank
+  FROM cand LEFT JOIN co ON cand.term = co.term
+) WHERE rank <= {int(k)}
+"""
+
+
+def query_segmentation(terms: list[str], pmi_threshold: float = 1.0) -> str:
+    """Twin of queryops.query_segmentation (adjacent-pair PMI splits)."""
+    tl = _terms_in(terms)
+    pair_rows = ", ".join(
+        f"({i}, '{terms[i]}', '{terms[i + 1]}')"
+        for i in range(len(terms) - 1)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+pairs(pos, term_a, term_b) AS (VALUES {pair_rows}),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings
+        WHERE term IN ({tl}) GROUP BY 1),
+qp AS (SELECT term, doc_id FROM postings WHERE term IN ({tl})),
+co AS (
+  SELECT pr.pos, count(*)::BIGINT AS n_co
+  FROM pairs pr
+  JOIN qp a ON a.term = pr.term_a
+  JOIN qp b ON b.term = pr.term_b AND b.doc_id = a.doc_id
+  GROUP BY 1
+)
+SELECT pr.pos, pr.term_a, pr.term_b,
+       coalesce(co.n_co, 0)::BIGINT AS n_co,
+       CASE WHEN coalesce(co.n_co, 0) > 0
+            THEN round(ln(co.n_co * g.n_docs / (da.df * db.df)), 4)
+       END AS pmi,
+       (coalesce(co.n_co, 0) > 0
+        AND coalesce(round(ln(co.n_co * g.n_docs / (da.df * db.df)), 4),
+                     -1e9) >= {pmi_threshold}) AS same_segment
+FROM pairs pr
+LEFT JOIN co USING (pos)
+LEFT JOIN dfs da ON da.term = pr.term_a
+LEFT JOIN dfs db ON db.term = pr.term_b
+CROSS JOIN g
+ORDER BY pr.pos
+"""
+
+
+def curriculum_order(n_stages: int = 4, salt: str = "curriculum") -> str:
+    """Twin of sampling.curriculum_order: fixed-threshold stages over the
+    gated quality score + md5 within-stage shuffle key."""
+    key = md5_long_sql(f"'{salt}:' || doc_id::VARCHAR")
+    return f"""
+WITH q AS ({quality_scores()})
+SELECT doc_id, quality,
+       ({int(n_stages) - 1}
+        - least(floor(quality * {int(n_stages)}), {int(n_stages) - 1}))::INT AS stage,
+       {key} AS curriculum_key
+FROM q
+"""
+
+
 def champion_topk(terms: list[str], r: int = 50, k: int = 20) -> str:
     """Twin of queryops.champion_topk: per-term top-r-by-tf candidate
     union, exact BM25 rescore, disjunctive top-k."""

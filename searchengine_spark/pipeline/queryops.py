@@ -1223,6 +1223,108 @@ def infix_search(documents: DataFrame, head: str, tail: str, k: int = 20,
     return finalize(out, p)
 
 
+def suggest_terms(documents: DataFrame, prefix: str,
+                  context_term: str | None = None, k: int = 5,
+                  **kw) -> DataFrame:
+    """(term, df, n_co, rank) — query autocompletion: dictionary terms
+    completing ``prefix``, ranked by document frequency; with a
+    ``context_term`` (the word already typed before the one being
+    completed) candidates are re-ranked by how often they co-occur with
+    the context at the document level (n_co desc, then df desc, term
+    asc) — the context-sensitive completion every search box ships.
+    Without context n_co is 0 for all rows and the df order decides.
+
+    Scale: candidates are a prefix filter over the vocabulary-bounded
+    dictionary; the co-occurrence count joins those candidates' postings
+    against ONE term's doc list (broadcast semi-join side), so cost is
+    bounded by the candidates' postings, never the corpus.  Reference
+    parity: no completion surface exists in the reference (search is
+    whole-word only, SearchServiceImpl.java:35-43); this is the standard
+    Lucene suggester analog over the same dictionary.
+    """
+    p = tf_postings(documents, **kw).persist()
+    cand = df_stats(p).filter(F.col("term").startswith(prefix)) \
+        .select("term", "df")
+    if context_term is not None:
+        ctx_docs = p.filter(F.col("term") == context_term).select("doc_id")
+        co = (
+            p.join(cand.select("term"), "term", "left_semi")
+            .join(F.broadcast(ctx_docs), "doc_id", "left_semi")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        )
+        ranked = cand.join(co, "term", "left").withColumn(
+            "n_co", F.coalesce(F.col("n_co"), F.lit(0)).cast("long"))
+    else:
+        ranked = cand.withColumn("n_co", F.lit(0).cast("long"))
+    w = Window.orderBy(F.desc("n_co"), F.desc("df"), F.asc("term"))
+    out = (
+        ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("term", "df", "n_co", "rank")
+    )
+    return finalize(out, p)
+
+
+def query_segmentation(documents: DataFrame, query_terms: list[str],
+                       pmi_threshold: float = 1.0, **kw) -> DataFrame:
+    """(pos, term_a, term_b, n_co, pmi, same_segment) — split a
+    multi-word query into phrase segments by adjacent-pair association
+    (the PMI segmentation baseline of Hagen et al., SIGIR '11): for each
+    adjacent pair of query terms, document-level PMI
+    ln(n_co · n_docs / (df_a · df_b)); a pair stays in one segment iff
+    pmi >= threshold AND the terms actually co-occur.  Downstream the
+    segments become phrase sub-queries (phrase_occurrences /
+    phrase_boosted_topk) instead of bag-of-words terms.
+
+    Scale: statistics come from the |q|-term slice of the dictionary and
+    one bounded co-count agg per pair set — query-time cost is O(df of
+    the query terms), corpus-independent plans otherwise.
+    """
+    p = tf_postings(documents, **kw).persist()
+    n_docs = p.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    spark = documents.sparkSession
+    pairs = spark.createDataFrame(
+        [(i, query_terms[i], query_terms[i + 1])
+         for i in range(len(query_terms) - 1)],
+        "pos int, term_a string, term_b string",
+    )
+    dfs = df_stats(p).filter(F.col("term").isin(query_terms)) \
+        .select("term", "df")
+    qp = p.filter(F.col("term").isin(query_terms)).select("term", "doc_id")
+    co = (
+        pairs.join(qp.withColumnRenamed("term", "term_a"), "term_a")
+        .join(qp.withColumnRenamed("term", "term_b"), ["term_b", "doc_id"])
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+    )
+    out = (
+        pairs.join(co, "pos", "left")
+        .withColumn("n_co", F.coalesce(F.col("n_co"), F.lit(0)).cast("long"))
+        .join(F.broadcast(dfs.withColumnRenamed("term", "term_a")
+                          .withColumnRenamed("df", "df_a")), "term_a", "left")
+        .join(F.broadcast(dfs.withColumnRenamed("term", "term_b")
+                          .withColumnRenamed("df", "df_b")), "term_b", "left")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "pmi",
+            F.when(
+                F.col("n_co") > 0,
+                F.round(F.log(F.col("n_co") * F.col("n_docs")
+                              / (F.col("df_a") * F.col("df_b"))), 4),
+            ).otherwise(F.lit(None).cast("double")),
+        )
+        .withColumn(
+            "same_segment",
+            (F.col("n_co") > 0)
+            & (F.coalesce(F.col("pmi"), F.lit(-1e9)) >= pmi_threshold),
+        )
+        .select("pos", "term_a", "term_b", "n_co", "pmi", "same_segment")
+        .orderBy("pos")
+    )
+    return finalize(out, p)
+
+
 def champion_topk(documents: DataFrame, query_terms: list[str], r: int = 50,
                   k: int = 20, k1: float = BM25_K1, b: float = BM25_B,
                   **kw) -> DataFrame:

@@ -216,3 +216,39 @@ def train_val_split(documents: DataFrame, val_pct: int = 5,
         F.col(id_col).alias("doc_id"),
         F.when(h < val_pct, F.lit("val")).otherwise(F.lit("train")).alias("split"),
     )
+
+
+def curriculum_order(documents: DataFrame, n_stages: int = 4,
+                     salt: str = "curriculum",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, quality, stage, curriculum_key) — curriculum-learning
+    training order (Bengio et al., ICML '09): stage 0 = highest-quality
+    quartile first, later stages progressively noisier; inside a stage
+    the order is the usual deterministic md5 shuffle.  The epoch writer
+    sorts by (stage, curriculum_key) with the same repartitionByRange
+    pattern as :func:`epoch_shuffle` — a distributed range sort, never a
+    global window.
+
+    Stage assignment is map-only: fixed thresholds over the rounded
+    quality score (stage = n_stages-1 - min(floor(q*n), n-1), so higher
+    quality -> earlier stage), NOT an ntile/percent_rank window — global
+    rank windows serialize the corpus through one partition at 100 TB,
+    and fixed thresholds keep the stage a pure function of the document
+    (resumable, backfill-stable).  Quality comes from
+    textstats.quality_scores, already oracle-gated.
+    """
+    from searchengine_spark.pipeline.textstats import quality_scores
+
+    q = quality_scores(documents, id_col=id_col).select("doc_id", "quality")
+    stage = (
+        F.lit(int(n_stages) - 1)
+        - F.least(F.floor(F.col("quality") * n_stages),
+                  F.lit(int(n_stages) - 1)).cast("int")
+    )
+    key = md5_long(
+        F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string")))
+    return q.select(
+        "doc_id", "quality",
+        stage.cast("int").alias("stage"),
+        key.alias("curriculum_key"),
+    )

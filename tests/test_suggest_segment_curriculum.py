@@ -1,0 +1,82 @@
+"""Batch: context-aware autocompletion, PMI query segmentation,
+curriculum-learning training order."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline.queryops import query_segmentation, suggest_terms
+from searchengine_spark.pipeline.sampling import curriculum_order
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # "sort" always with "merge"; "scan" never with "merge";
+        # "scan" is globally more frequent than "sort"
+        (0, "merge sort merge"),
+        (1, "merge sort table"),
+        (2, "scan table"),
+        (3, "scan table join"),
+        (4, "scan join"),
+        (5, "stream join"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestSuggestTerms:
+    def test_plain_completion_ranks_by_df(self, spark, docs):
+        out = suggest_terms(docs, "s", k=5).collect()
+        assert out[0].term == "scan" and out[0].rank == 1  # df 3
+        terms = [r.term for r in sorted(out, key=lambda r: r.rank)]
+        assert terms == ["scan", "sort", "stream"]
+
+    def test_context_reranks(self, spark, docs):
+        # with context "merge", sort (co-occurs twice) beats scan (never)
+        out = sorted(suggest_terms(docs, "s", context_term="merge", k=5).collect(),
+                     key=lambda r: r.rank)
+        assert out[0].term == "sort" and out[0].n_co == 2
+        assert out[1].term == "scan" and out[1].n_co == 0
+
+    def test_no_completion_empty(self, spark, docs):
+        assert suggest_terms(docs, "zzz", k=5).count() == 0
+
+
+class TestQuerySegmentation:
+    def test_cooccurring_pair_gets_pmi(self, spark, docs):
+        out = {r.pos: r for r in
+               query_segmentation(docs, ["merge", "sort", "scan"],
+                                  pmi_threshold=0.5).collect()}
+        # pair 0 (merge, sort): co in docs 0,1; df_merge=2, df_sort=2, n=6
+        assert out[0].n_co == 2
+        assert out[0].pmi == pytest.approx(
+            round(math.log(2 * 6 / (2 * 2)), 4), abs=1e-4)
+        assert bool(out[0].same_segment) is True
+        # pair 1 (sort, scan): never co-occur -> null pmi, split
+        assert out[1].n_co == 0 and out[1].pmi is None
+        assert bool(out[1].same_segment) is False
+
+    def test_single_term_query_emits_nothing(self, spark, docs):
+        assert query_segmentation(docs, ["merge"]).count() == 0
+
+
+class TestCurriculumOrder:
+    def test_stages_follow_quality(self, spark):
+        rows = [
+            (0, "the of and to in for on with as by " * 4),  # marker-rich
+            (1, "x" * 5),                                     # tiny, junky
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in curriculum_order(d, n_stages=4).collect()}
+        assert out[0].quality > out[1].quality
+        assert out[0].stage < out[1].stage   # higher quality -> earlier stage
+
+    def test_stage_bounds_and_determinism(self, spark, docs):
+        a = curriculum_order(docs, n_stages=4).collect()
+        b = curriculum_order(docs, n_stages=4).collect()
+        assert sorted((r.doc_id, r.curriculum_key) for r in a) == \
+               sorted((r.doc_id, r.curriculum_key) for r in b)
+        assert all(0 <= r.stage <= 3 for r in a)
