@@ -663,6 +663,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curriculum_order": lambda s, d: sampling.curriculum_order(
             _docs(s, d)
         ),
+        # tiered retrieval: champion tier first, tier-2 fill (IIR 7.2.1)
+        "q_tiered_topk": lambda s, d: queryops.tiered_topk(
+            _docs(s, d), Q_AND2, r=20, k=20
+        ),
+        # line-window snippets for code (grep -C / Zoekt shape)
+        "q_code_snippets": lambda s, d: queryops.code_snippets(
+            _docs(s, d), Q_AND2, window=1, k=20
+        ),
+        # per-term query cost EXPLAIN (df, varbyte bytes, blocks, order)
+        "q_query_cost": lambda s, d: queryops.query_cost_estimate(
+            _docs(s, d), Q_AND3
+        ),
         # MinHash estimator audit vs exact Jaccard on candidate edges
         "q_minhash_estimate": lambda s, d: dedup.minhash_jaccard_estimate(
             _docs(s, d)
@@ -894,6 +906,9 @@ def oracle_sql() -> dict[str, str]:
         "q_suggest_terms": osql.suggest_terms(Q_PREFIX, context_term=Q_PMI_PROBE, k=5),
         "q_query_segmentation": osql.query_segmentation(["merge", "vector", "table"]),
         "q_curriculum_order": osql.curriculum_order(),
+        "q_tiered_topk": osql.tiered_topk(Q_AND2, r=20, k=20),
+        "q_code_snippets": osql.code_snippets(Q_AND2, window=1, k=20),
+        "q_query_cost": osql.query_cost_estimate(Q_AND3),
         "q_minhash_estimate": osql.minhash_jaccard_estimate(),
         "q_source_pagerank": osql.source_pagerank(),
         "q_corpus_health": osql.corpus_health(),

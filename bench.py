@@ -148,6 +148,9 @@ HEADLINE = [
     "q_suggest_terms",
     "q_query_segmentation",
     "q_curriculum_order",
+    "q_tiered_topk",
+    "q_code_snippets",
+    "q_query_cost",
 ]
 
 

@@ -4203,6 +4203,109 @@ FROM per_term
 """
 
 
+def tiered_topk(terms: list[str], r: int = 20, k: int = 20) -> str:
+    """Twin of queryops.tiered_topk: champion tier tag + (tier, score)
+    ordered fill."""
+    tl = _terms_in(terms)
+    return f"""
+WITH {_TOKS_CTE},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+qp AS (SELECT * FROM postings WHERE term IN ({tl})),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM qp GROUP BY 1),
+champs AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rn
+    FROM qp
+  ) WHERE rn <= {int(r)}
+),
+scored AS (
+  SELECT qp.doc_id, count(*)::BIGINT AS nhit,
+         round(sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (qp.tf * 2.2)
+              / (qp.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ), 4) AS score
+  FROM qp
+  JOIN dfs USING (term)
+  JOIN ds ON qp.doc_id = ds.doc_id
+  CROSS JOIN g
+  GROUP BY qp.doc_id
+)
+SELECT s.doc_id,
+       CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 2 END::INT AS tier,
+       s.nhit, s.score
+FROM scored s LEFT JOIN champs c ON s.doc_id = c.doc_id
+ORDER BY tier ASC, s.score DESC, s.doc_id ASC LIMIT {int(k)}
+"""
+
+
+def code_snippets(terms: list[str], window: int = 1, k: int = 20) -> str:
+    """Twin of queryops.code_snippets: best line per doc by query-term
+    hits, returned with +-window context lines."""
+    tl = _terms_in(terms)
+    tok_line = (
+        "list_filter(regexp_split_to_array(trim(regexp_replace(lower(e.line), "
+        "'[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')"
+    )
+    return f"""
+WITH ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents
+),
+ln AS (
+  SELECT doc_id, lines, e.line_no, e.line FROM (
+    SELECT doc_id, lines,
+           unnest([{{'line_no': i - 1, 'line': lines[i]}}
+                   for i in generate_series(1, len(lines))]) AS e
+    FROM ls
+  )
+),
+hits AS (
+  SELECT doc_id, lines, line_no,
+         len(list_filter({tok_line}, t -> t IN ({tl})))::BIGINT AS n_hits
+  FROM ln e WHERE len(list_filter({tok_line}, t -> t IN ({tl}))) > 0
+),
+best AS (
+  SELECT doc_id, lines, line_no, n_hits FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY n_hits DESC, line_no ASC) AS rn
+    FROM hits
+  ) WHERE rn = 1
+)
+SELECT doc_id, line_no, n_hits,
+       array_to_string(
+         lines[greatest(line_no + 1 - {int(window)}, 1)
+               : least(line_no + 1 + {int(window)}, len(lines))],
+         chr(10)) AS snippet
+FROM best
+ORDER BY n_hits DESC, doc_id ASC LIMIT {int(k)}
+"""
+
+
+def query_cost_estimate(terms: list[str], block: int = 128) -> str:
+    """Twin of queryops.query_cost_estimate: per-term df / exact varbyte
+    doc-id stream bytes / block count / rarest-first order."""
+    tl = _terms_in(terms)
+    return f"""
+WITH {_TOKS_CTE},
+qp AS (SELECT term, doc_id FROM postings WHERE term IN ({tl})),
+od AS (
+  SELECT term,
+         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+                  doc_id) AS dval
+  FROM qp
+),
+per AS (
+  SELECT term, count(*)::BIGINT AS df,
+         sum({_vb_len_sql('dval')})::BIGINT AS est_id_bytes
+  FROM od GROUP BY 1
+)
+SELECT term, df, est_id_bytes,
+       ((df + {int(block) - 1}) // {int(block)})::BIGINT AS est_blocks,
+       row_number() OVER (ORDER BY df ASC, term ASC)::BIGINT AS order_pos
+FROM per
+"""
+
+
 def infix_search(head: str, tail: str, k: int = 20) -> str:
     """Twin of queryops.infix_search (``head*tail`` wildcard tf-idf
     scoring); the length guard makes LIKE's non-overlap semantics

@@ -1380,6 +1380,157 @@ def champion_topk(documents: DataFrame, query_terms: list[str], r: int = 50,
     return finalize(out, p)
 
 
+def tiered_topk(documents: DataFrame, query_terms: list[str], r: int = 20,
+                k: int = 20, k1: float = BM25_K1, b: float = BM25_B,
+                **kw) -> DataFrame:
+    """(doc_id, tier, nhit, score) — tiered retrieval (IIR §7.2.1): serve
+    from the champion tier (per-term top-r postings by tf) first, and
+    only FILL the remainder of the top-k from the full tier-2 postings.
+    Sequential "try tier 1, fall back" has a one-plan closed form: score
+    every disjunctive candidate once, tag tier 1 iff the doc holds ANY
+    champion posting of a query term, and take top-k by (tier asc, score
+    desc) — tier-1 docs occupy the slots they would have won, tier-2
+    fills what's left, identical to the two-pass serving loop's output.
+
+    At scale the tiers are separate physical lists (tier 1 tiny, in
+    cache); the plan's tier tag IS the partition the serving stack would
+    read.  Complements champion_topk (which drops tier 2 entirely).
+    """
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p)
+    n_and_avg = ds.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qp = p.filter(F.col("term").isin(query_terms))
+    wc = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    champs = (
+        qp.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= r)
+        .select("doc_id").distinct()
+        .withColumn("tier", F.lit(1))
+    )
+    dfs = df_stats(p).filter(F.col("term").isin(query_terms))
+    scored = (
+        qp.join(F.broadcast(dfs.select("term", "df")), "term")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .withColumn("idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                                 / (F.col("df") + 0.5)))
+        .withColumn(
+            "pscore",
+            F.col("idf") * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nhit"),
+             F.round(F.sum("pscore"), 4).alias("score"))
+        .join(champs, "doc_id", "left")
+        .withColumn("tier", F.coalesce(F.col("tier"), F.lit(2)).cast("int"))
+    )
+    out = (
+        scored.orderBy(F.asc("tier"), F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "tier", "nhit", "score")
+    )
+    return finalize(out, p)
+
+
+def code_snippets(documents: DataFrame, query_terms: list[str],
+                  window: int = 1, k: int = 20, **kw) -> DataFrame:
+    """(doc_id, line_no, n_hits, snippet) — line-window snippets for
+    source code: per matching document, the line containing the most
+    query-term hits (earliest such line on ties), returned with ±window
+    context lines joined by newlines — what a code-search UI (grep -C /
+    Zoekt / GitHub code view) shows, where the prose engine's
+    sentence-splitting snippets (textproc/snippets.py, reference
+    SearchServiceImpl.java:83-105) are wrong for code.
+
+    Plan: split to (line_no, line) via posexplode, count per-line hits
+    with the same tokenizer as the index, window-pick the best line per
+    doc, then re-join the ±window lines as an array_join over a bounded
+    slice — one corpus scan, per-doc work linear in line count.
+    """
+    from searchengine_spark.pipeline.fulltext import tokens_col
+
+    d = documents.select(
+        F.col(kw.get("id_col", "doc_id")).alias("doc_id"),
+        F.split(F.col(kw.get("text_col", "text")), "\n").alias("lines"),
+    ).persist()
+    terms_arr = F.array(*[F.lit(t) for t in query_terms])
+    lines = d.select(
+        "doc_id", "lines",
+        F.posexplode("lines").alias("line_no", "line"),
+    ).withColumn(
+        "n_hits",
+        F.size(F.filter(tokens_col("line"),
+                        lambda t: F.array_contains(terms_arr, t))).cast("long"),
+    ).filter(F.col("n_hits") > 0)
+    wb = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_hits"), F.asc("line_no"))
+    best = lines.withColumn("rn", F.row_number().over(wb)).filter(
+        F.col("rn") == 1)
+    out = (
+        best.select(
+            "doc_id",
+            F.col("line_no").cast("long").alias("line_no"),
+            "n_hits",
+            F.array_join(
+                F.slice(
+                    F.col("lines"),
+                    F.greatest(F.col("line_no") + 1 - window, F.lit(1)),
+                    # slice length: from max(0, line_no-window) through
+                    # line_no+window inclusive, clamped at the array end
+                    F.least(F.col("line_no") + window + 1, F.size("lines"))
+                    - F.greatest(F.col("line_no") + 1 - window, F.lit(1))
+                    + 1,
+                ),
+                "\n",
+            ).alias("snippet"),
+        )
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return finalize(out, d)
+
+
+def query_cost_estimate(documents: DataFrame, query_terms: list[str],
+                        block: int = 128, **kw) -> DataFrame:
+    """(term, df, est_id_bytes, est_blocks, order_pos) — the search
+    engine's EXPLAIN: per query term, how much posting data a conjunctive
+    query would touch — exact doc-id stream bytes under the index's
+    delta+varbyte codec (the same integer ladder index_size_stats proves
+    physical) and the block count at the codec's block size
+    (index/codec.py BLOCK=128), with order_pos = the rarest-first
+    evaluation order query/wand.py will use (df asc, term asc — SURVEY
+    §2 O1).  At 10^12 docs this report (a dictionary lookup, no posting
+    touched) is what an admission controller prices queries with.
+    """
+    from searchengine_spark.pipeline.reorder import vb_len_col
+
+    p = tf_postings(documents, **kw).persist()
+    qp = p.filter(F.col("term").isin(query_terms))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    per_term = (
+        qp.withColumn(
+            "dval",
+            F.coalesce(F.col("doc_id") - F.lag("doc_id").over(w),
+                       F.col("doc_id")))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"),
+             F.sum(vb_len_col(F.col("dval"))).cast("long")
+             .alias("est_id_bytes"))
+        .withColumn("est_blocks",
+                    F.expr(f"div(df + {int(block) - 1}, {int(block)})")
+                    .cast("long"))
+    )
+    wo = Window.orderBy(F.asc("df"), F.asc("term"))
+    out = per_term.withColumn(
+        "order_pos", F.row_number().over(wo).cast("long")
+    ).select("term", "df", "est_id_bytes", "est_blocks", "order_pos")
+    return finalize(out, p)
+
+
 def phrase_boosted_topk(documents: DataFrame, query_terms: list[str],
                         boost: float = 2.0, k: int = 20, **kw) -> DataFrame:
     """(doc_id, n_phrase, score) — conjunctive BM25 with an exact-phrase

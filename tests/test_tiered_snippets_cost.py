@@ -1,0 +1,83 @@
+"""Batch: tiered retrieval fallback, code line-window snippets, query
+cost EXPLAIN."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.pipeline.queryops import (
+    code_snippets,
+    query_cost_estimate,
+    tiered_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "merge merge merge vector"),      # tier-1 for merge (top tf)
+        (1, "merge vector vector vector"),    # tier-1 for vector
+        (2, "merge filler words here"),
+        (3, "vector filler words here"),
+        (4, "merge vector"),                  # both terms, low tf
+        (5, "noise only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestTieredTopk:
+    def test_tier1_docs_precede_higher_scoring_tier2(self, spark, docs):
+        # r=1: champions are exactly the top-tf doc per term (0 and 1)
+        out = tiered_topk(docs, ["merge", "vector"], r=1, k=10).collect()
+        tiers = [r.tier for r in out]
+        # tier column is sorted ascending in the output ordering
+        assert tiers == sorted(tiers)
+        assert {r.doc_id for r in out if r.tier == 1} == {0, 1}
+        # the fallback tier still serves the remaining candidates
+        assert {r.doc_id for r in out if r.tier == 2} == {2, 3, 4}
+
+    def test_large_r_makes_everything_tier1(self, spark, docs):
+        out = tiered_topk(docs, ["merge", "vector"], r=100, k=10).collect()
+        assert all(r.tier == 1 for r in out)
+
+
+class TestCodeSnippets:
+    @pytest.fixture(scope="class")
+    def code(self, spark):
+        rows = [
+            (0, "def merge(a, b):\n    return a + b\n\nx = vector()\n"
+                "y = merge(x, x)  # merge vector merge"),
+            (1, "no hits at all\nnothing here"),
+            (2, "vector"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_best_line_and_context(self, spark, code):
+        out = {r.doc_id: r for r in
+               code_snippets(code, ["merge", "vector"], window=1).collect()}
+        # doc 0's best line is the last (4 hits: merge x3 + vector)
+        assert out[0].n_hits == 4 and out[0].line_no == 4
+        assert out[0].snippet == "x = vector()\ny = merge(x, x)  # merge vector merge"
+        assert 1 not in out
+        # single-line doc: snippet is the line itself
+        assert out[2].snippet == "vector" and out[2].line_no == 0
+
+    def test_earliest_line_wins_ties(self, spark):
+        d = spark.createDataFrame(
+            [(0, "merge\nother\nmerge")], "doc_id long, text string")
+        r = code_snippets(d, ["merge"], window=0).collect()[0]
+        assert r.line_no == 0 and r.snippet == "merge"
+
+
+class TestQueryCost:
+    def test_bytes_blocks_and_order(self, spark, docs):
+        out = {r.term: r for r in
+               query_cost_estimate(docs, ["merge", "vector"],
+                                   block=2).collect()}
+        # merge in docs 0,1,2,4 -> df 4; vector in 0,1,3,4 -> df 4
+        assert out["merge"].df == 4 and out["vector"].df == 4
+        # deltas 0,1,1,2 -> all < 128 -> 1 byte each
+        assert out["merge"].est_id_bytes == 4
+        assert out["merge"].est_blocks == 2  # ceil(4/2)
+        # rarest-first tie -> term asc
+        assert out["merge"].order_pos == 1 and out["vector"].order_pos == 2
