@@ -675,6 +675,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_query_cost": lambda s, d: queryops.query_cost_estimate(
             _docs(s, d), Q_AND3
         ),
+        # ordered-step funnel over the events table
+        "q_event_funnel": lambda s, d: events.event_funnel(_events(s, d)),
+        # batch-delete impact planning (S9 bookkeeping, set-at-a-time)
+        "q_delta_impact": lambda s, d: health.delta_impact(_docs(s, d)),
+        # ES-style significant terms (JLH) over the AND result set
+        "q_significant_terms": lambda s, d: queryops.significant_terms(
+            _docs(s, d), Q_AND2, min_fg=2, k=20
+        ),
         # MinHash estimator audit vs exact Jaccard on candidate edges
         "q_minhash_estimate": lambda s, d: dedup.minhash_jaccard_estimate(
             _docs(s, d)
@@ -909,6 +917,9 @@ def oracle_sql() -> dict[str, str]:
         "q_tiered_topk": osql.tiered_topk(Q_AND2, r=20, k=20),
         "q_code_snippets": osql.code_snippets(Q_AND2, window=1, k=20),
         "q_query_cost": osql.query_cost_estimate(Q_AND3),
+        "q_event_funnel": osql.event_funnel(),
+        "q_delta_impact": osql.delta_impact(),
+        "q_significant_terms": osql.significant_terms(Q_AND2, min_fg=2, k=20),
         "q_minhash_estimate": osql.minhash_jaccard_estimate(),
         "q_source_pagerank": osql.source_pagerank(),
         "q_corpus_health": osql.corpus_health(),

@@ -151,6 +151,9 @@ HEADLINE = [
     "q_tiered_topk",
     "q_code_snippets",
     "q_query_cost",
+    "q_event_funnel",
+    "q_delta_impact",
+    "q_significant_terms",
 ]
 
 

@@ -292,3 +292,73 @@ def click_attribution(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
             .cast("long").alias("lag_seconds"),
         )
     )
+
+
+def event_funnel(events: DataFrame,
+                 steps: tuple[str, ...] = ("view", "click", "purchase"),
+                 ) -> DataFrame:
+    """(step_no, step, n_users, conv_from_prev, conv_from_start) — ordered
+    funnel analysis: how many users performed step 1, then step 2 AFTER
+    their first step-1 event, then step 3 after that, etc. (strict
+    event-time ordering on each user's FIRST qualifying event — the
+    standard product-analytics funnel, not a bag-of-events filter).
+
+    Plan: one min-ts aggregation per step over the previous step's
+    survivors (user-keyed equi-joins, no window over the event stream),
+    a #steps-row count union, and a 1-row-per-step join for the
+    conversion ratios — everything stays a single DataFrame, no driver
+    collects.  The step-1 frontier is persisted because every later
+    stage's lineage passes through it.  Reference parity: no analytics
+    surface exists in the reference; this extends the events operators
+    (tumbling / session / retention) the way retention_cohorts does.
+    """
+    from searchengine_spark.pipeline._cache import finalize
+
+    frontiers = []
+    prev = None
+    for step in steps:
+        e = events.filter(F.col("event_type") == step).select("user_id", "ts")
+        if prev is None:
+            cur = e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                e.join(prev.withColumnRenamed("t", "t_prev"), "user_id")
+                .filter(F.col("ts") > F.col("t_prev"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        cur = cur.persist()
+        frontiers.append(cur)
+        prev = cur
+    counts = None
+    for i, (step, fr) in enumerate(zip(steps, frontiers)):
+        c = fr.agg(
+            F.lit(i + 1).alias("step_no"),
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+        counts = c if counts is None else counts.unionAll(c)
+    prev_c = counts.select(
+        (F.col("step_no") + 1).alias("step_no"),
+        F.col("n_users").alias("n_prev"))
+    start_c = counts.filter(F.col("step_no") == 1).select(
+        F.col("n_users").alias("n_start"))
+    out = (
+        counts.join(F.broadcast(prev_c), "step_no", "left")
+        .crossJoin(F.broadcast(start_c))
+        .select(
+            "step_no", "step", "n_users",
+            # empty upstream steps convert nothing: 0.0, not a div-by-zero
+            F.round(
+                F.when(F.coalesce(F.col("n_prev"), F.col("n_users")) > 0,
+                       F.col("n_users")
+                       / F.coalesce(F.col("n_prev"), F.col("n_users")))
+                .otherwise(F.lit(0.0)), 4).alias("conv_from_prev"),
+            F.round(
+                F.when(F.col("n_start") > 0,
+                       F.col("n_users") / F.col("n_start"))
+                .otherwise(F.lit(0.0)), 4).alias("conv_from_start"),
+        )
+        .orderBy("step_no")
+    )
+    return finalize(out, *frontiers)

@@ -118,3 +118,59 @@ def capacity_plan(documents: DataFrame,
         F.ceil(F.col("n_docs") / pow2_ceil(shards_raw)).cast("long")
         .alias("max_cell_postings_est"),
     )
+
+
+def delta_impact(documents: DataFrame, victim_pct: int = 10,
+                 salt: str = "reindex", **kw) -> DataFrame:
+    """One row (n_victims, n_terms_touched, n_terms_deleted,
+    n_postings_removed, df_decrements) — the DELETE-planning report for a
+    batch removal: before running index/delta.remove_docs over a victim
+    set, how much index state does it touch?  This is the reference's
+    single-page delete bookkeeping (df decrement per lemma, delete lemma
+    at zero — IndexingServiceImpl.java:166-181, SURVEY.md §2 S9) answered
+    set-at-a-time for the whole batch, so an operator can decide between
+    a delta-merge and a partition rebuild.
+
+    The victim set is the deterministic md5 coin the sampling module uses
+    (md5(salt:doc_id) % 100 < pct) — callers with a real victim list join
+    it instead; the coin keeps the gate reproducible.  n_terms_deleted =
+    terms whose ENTIRE posting list lies inside the victims (the
+    delete-lemma-at-zero case); df_decrements = removed (term, doc)
+    postings grouped per term = Σ per-term df deltas, equal to
+    n_postings_removed by construction — reported separately because the
+    delta-merge writes exactly that many df_stats row updates.
+
+    Plan: one tokenize pass, victim flag as a map-only column, two hash
+    aggs (per-term victim/total counts, then the scalar roll-up).
+    """
+    from searchengine_spark.pipeline.hashing import md5_long
+
+    p = tf_postings(documents, **kw).persist()
+    coin = md5_long(
+        F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string"))) % 100
+    flagged = p.withColumn("victim", (coin < victim_pct).cast("int"))
+    per_term = flagged.groupBy("term").agg(
+        F.sum("victim").cast("long").alias("removed"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    )
+    n_victims = (
+        flagged.select("doc_id", "victim").groupBy("doc_id")
+        .agg(F.max("victim").alias("v"))
+        .agg(F.sum("v").cast("long").alias("n_victims"))
+    )
+    out = (
+        per_term.agg(
+            F.sum(F.when(F.col("removed") > 0, 1).otherwise(0)).cast("long")
+            .alias("n_terms_touched"),
+            F.sum(F.when(F.col("removed") == F.col("total"), 1).otherwise(0))
+            .cast("long").alias("n_terms_deleted"),
+            F.sum("removed").cast("long").alias("n_postings_removed"),
+        )
+        .crossJoin(F.broadcast(n_victims))
+        .select(
+            "n_victims", "n_terms_touched", "n_terms_deleted",
+            "n_postings_removed",
+            F.col("n_postings_removed").alias("df_decrements"),
+        )
+    )
+    return finalize(out, p)

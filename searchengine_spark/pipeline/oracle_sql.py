@@ -4203,6 +4203,101 @@ FROM per_term
 """
 
 
+def event_funnel(steps: tuple[str, ...] = ("view", "click", "purchase")) -> str:
+    """Twin of events.event_funnel: per-step first-event frontiers with
+    strict event-time ordering, then conversion ratios."""
+    ctes = []
+    for i, step in enumerate(steps):
+        esc = step.replace("'", "''")
+        if i == 0:
+            ctes.append(
+                f"s{i} AS (SELECT user_id, min(ts) AS t FROM events "
+                f"WHERE event_type = '{esc}' GROUP BY 1)")
+        else:
+            ctes.append(
+                f"""s{i} AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s{i - 1} p ON e.user_id = p.user_id
+  WHERE e.event_type = '{esc}' AND e.ts > p.t
+  GROUP BY 1
+)""")
+    counts = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step_no, '{s}' AS step, count(*)::BIGINT AS n_users FROM s{i}"
+        for i, s in enumerate(steps)
+    )
+    return f"""
+WITH {", ".join(ctes)},
+counts AS ({counts}),
+prev AS (SELECT step_no + 1 AS step_no, n_users AS n_prev FROM counts),
+strt AS (SELECT n_users AS n_start FROM counts WHERE step_no = 1)
+SELECT c.step_no::INT AS step_no, c.step, c.n_users,
+       round(CASE WHEN coalesce(p.n_prev, c.n_users) > 0
+                  THEN c.n_users / coalesce(p.n_prev, c.n_users)::DOUBLE
+                  ELSE 0.0 END, 4) AS conv_from_prev,
+       round(CASE WHEN strt.n_start > 0
+                  THEN c.n_users / strt.n_start::DOUBLE
+                  ELSE 0.0 END, 4) AS conv_from_start
+FROM counts c LEFT JOIN prev p USING (step_no) CROSS JOIN strt
+ORDER BY c.step_no
+"""
+
+
+def delta_impact(victim_pct: int = 10, salt: str = "reindex") -> str:
+    """Twin of health.delta_impact: batch-delete index bookkeeping."""
+    key = f"'{salt}:' || doc_id::VARCHAR"
+    coin = f"({md5_long_sql(key)}) % 100"
+    return f"""
+WITH {_TOKS_CTE},
+flagged AS (
+  SELECT term, doc_id, CASE WHEN {coin} < {int(victim_pct)} THEN 1 ELSE 0 END AS victim
+  FROM postings
+),
+per_term AS (
+  SELECT term, sum(victim)::BIGINT AS removed, count(*)::BIGINT AS total
+  FROM flagged GROUP BY 1
+),
+nv AS (
+  SELECT sum(v)::BIGINT AS n_victims FROM (
+    SELECT doc_id, max(victim) AS v FROM flagged GROUP BY 1
+  )
+)
+SELECT nv.n_victims,
+       sum(CASE WHEN removed > 0 THEN 1 ELSE 0 END)::BIGINT AS n_terms_touched,
+       sum(CASE WHEN removed = total THEN 1 ELSE 0 END)::BIGINT AS n_terms_deleted,
+       sum(removed)::BIGINT AS n_postings_removed,
+       sum(removed)::BIGINT AS df_decrements
+FROM per_term CROSS JOIN nv
+GROUP BY nv.n_victims
+"""
+
+
+def significant_terms(terms: list[str], min_fg: int = 2, k: int = 20) -> str:
+    """Twin of queryops.significant_terms (JLH heuristic)."""
+    tl = _terms_in(terms)
+    n = len(terms)
+    return f"""
+WITH {_TOKS_CTE},
+g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+fg_docs AS (
+  SELECT doc_id FROM postings WHERE term IN ({tl})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {n}
+),
+nfg AS (SELECT count(*)::DOUBLE AS n_fg FROM fg_docs),
+fg AS (
+  SELECT p.term, count(*)::BIGINT AS fg_df
+  FROM postings p JOIN fg_docs f ON p.doc_id = f.doc_id
+  WHERE p.term NOT IN ({tl})
+  GROUP BY 1 HAVING count(*) >= {int(min_fg)}
+),
+bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM postings GROUP BY 1)
+SELECT fg.term, fg.fg_df, bg.bg_df,
+       round( (fg.fg_df / nfg.n_fg - bg.bg_df / g.n_docs)
+              * ((fg.fg_df / nfg.n_fg) / (bg.bg_df / g.n_docs)), 6) AS jlh
+FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN g
+ORDER BY jlh DESC, fg.term ASC LIMIT {int(k)}
+"""
+
+
 def tiered_topk(terms: list[str], r: int = 20, k: int = 20) -> str:
     """Twin of queryops.tiered_topk: champion tier tag + (tier, score)
     ordered fill."""

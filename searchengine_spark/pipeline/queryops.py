@@ -1380,6 +1380,56 @@ def champion_topk(documents: DataFrame, query_terms: list[str], r: int = 50,
     return finalize(out, p)
 
 
+def significant_terms(documents: DataFrame, query_terms: list[str],
+                      min_fg: int = 2, k: int = 20, **kw) -> DataFrame:
+    """(term, fg_df, bg_df, jlh) — significant-terms aggregation (the
+    Elasticsearch JLH heuristic): terms OVER-represented in the result
+    set of a conjunctive query relative to the whole corpus, ranked by
+    jlh = (fg% − bg%) · (fg% / bg%) with fg% = fg_df / |foreground| and
+    bg% = bg_df / n_docs.  Unlike cooccurrence_pmi (association with ONE
+    probe term) this scores against a query's full RESULT SET — the
+    "what is this result set about" facet panel.  Query terms themselves
+    are excluded (they trivially have fg% = 1).
+
+    Plan: foreground doc set = the same AND gate as bm25 (bounded by the
+    rarest term's df), broadcast-semi-joined into one postings pass; fg
+    and bg dfs are two hash aggs; nothing corpus-pairwise.
+    """
+    p = tf_postings(documents, **kw).persist()
+    n_docs = p.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    fg_docs = (
+        p.filter(F.col("term").isin(query_terms))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") == len(query_terms))
+        .select("doc_id")
+    )
+    n_fg = fg_docs.agg(F.count(F.lit(1)).cast("double").alias("n_fg"))
+    fg = (
+        p.join(F.broadcast(fg_docs), "doc_id")
+        .filter(~F.col("term").isin(query_terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
+        .filter(F.col("fg_df") >= min_fg)
+    )
+    bg = df_stats(p).select("term", F.col("df").alias("bg_df"))
+    out = (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(n_fg))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("fg_pct", F.col("fg_df") / F.col("n_fg"))
+        .withColumn("bg_pct", F.col("bg_df") / F.col("n_docs"))
+        .select(
+            "term", "fg_df", "bg_df",
+            F.round((F.col("fg_pct") - F.col("bg_pct"))
+                    * (F.col("fg_pct") / F.col("bg_pct")), 6).alias("jlh"),
+        )
+        .orderBy(F.desc("jlh"), F.asc("term"))
+        .limit(k)
+    )
+    return finalize(out, p)
+
+
 def tiered_topk(documents: DataFrame, query_terms: list[str], r: int = 20,
                 k: int = 20, k1: float = BM25_K1, b: float = BM25_B,
                 **kw) -> DataFrame:

@@ -1,0 +1,93 @@
+"""Batch: event funnel, batch-delete impact planning, significant terms."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from searchengine_spark.pipeline.events import event_funnel
+from searchengine_spark.pipeline.health import delta_impact
+from searchengine_spark.pipeline.queryops import significant_terms
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ev(eid, ts_min, user, typ):
+    return (eid, T0 + dt.timedelta(minutes=ts_min), user, typ, 1.0, "{}")
+
+
+EV_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+             "event_type string, value double, props string")
+
+
+class TestEventFunnel:
+    def test_strict_ordering(self, spark):
+        rows = [
+            # user 1: full ordered funnel
+            _ev(0, 0, 1, "view"), _ev(1, 5, 1, "click"), _ev(2, 9, 1, "purchase"),
+            # user 2: clicked BEFORE first view -> stops at view
+            _ev(3, 5, 2, "view"), _ev(4, 1, 2, "click"),
+            # user 3: view + click, no purchase
+            _ev(5, 0, 3, "view"), _ev(6, 2, 3, "click"),
+            # user 4: purchase only (never enters)
+            _ev(7, 0, 4, "purchase"),
+        ]
+        ev = spark.createDataFrame(rows, EV_SCHEMA)
+        out = {r.step_no: r for r in event_funnel(ev).collect()}
+        assert out[1].n_users == 3          # users 1, 2, 3 viewed
+        assert out[2].n_users == 2          # users 1, 3 clicked after view
+        assert out[3].n_users == 1          # user 1 purchased after click
+        assert out[1].conv_from_prev == 1.0
+        assert out[2].conv_from_prev == pytest.approx(2 / 3, abs=1e-4)
+        assert out[3].conv_from_start == pytest.approx(1 / 3, abs=1e-4)
+
+    def test_same_timestamp_not_counted(self, spark):
+        # strict ">": a click at exactly the first view's ts doesn't convert
+        rows = [_ev(0, 0, 1, "view"), _ev(1, 0, 1, "click")]
+        ev = spark.createDataFrame(rows, EV_SCHEMA)
+        out = {r.step_no: r for r in event_funnel(ev).collect()}
+        assert out[1].n_users == 1 and out[2].n_users == 0
+
+
+class TestDeltaImpact:
+    def test_consistency(self, spark):
+        rows = [(i, f"alpha beta tok{i}") for i in range(40)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        r = delta_impact(d, victim_pct=25).collect()[0]
+        assert 0 < r.n_victims < 40
+        # every victim doc removes: alpha, beta, and its unique tok ->
+        # unique toks of victims are fully deleted terms
+        assert r.n_terms_deleted == r.n_victims
+        # alpha + beta + one unique term per victim
+        assert r.n_terms_touched == r.n_victims + 2
+        assert r.n_postings_removed == 3 * r.n_victims
+        assert r.df_decrements == r.n_postings_removed
+
+    def test_zero_pct_removes_nothing(self, spark):
+        d = spark.createDataFrame([(0, "a b"), (1, "b c")],
+                                  "doc_id long, text string")
+        r = delta_impact(d, victim_pct=0).collect()[0]
+        assert r.n_victims == 0 and r.n_postings_removed == 0
+        assert r.n_terms_touched == 0 and r.n_terms_deleted == 0
+
+
+class TestSignificantTerms:
+    def test_result_set_marker_surfaces(self, spark):
+        # "special" occurs in every merge+vector doc but is rare globally
+        rows = [(i, "merge vector special") for i in range(3)]
+        rows += [(10 + i, "merge filler common") for i in range(5)]
+        rows += [(20 + i, "vector filler common") for i in range(5)]
+        rows += [(30 + i, "common noise words") for i in range(10)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        out = significant_terms(d, ["merge", "vector"], min_fg=2, k=5).collect()
+        assert out[0].term == "special"
+        assert out[0].fg_df == 3 and out[0].bg_df == 3
+        terms = {r.term for r in out}
+        assert "merge" not in terms and "vector" not in terms
+
+    def test_min_fg_filter(self, spark):
+        rows = [(0, "merge vector rare"), (1, "merge vector other")]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        out = significant_terms(d, ["merge", "vector"], min_fg=2, k=5).collect()
+        assert {r.term for r in out} == set()  # every non-query term fg_df=1
