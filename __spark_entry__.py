@@ -683,6 +683,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_significant_terms": lambda s, d: queryops.significant_terms(
             _docs(s, d), Q_AND2, min_fg=2, k=20
         ),
+        # quorum retrieval: at least 2 of 3 terms (minimum_should_match)
+        "q_quorum_topk": lambda s, d: queryops.quorum_topk(
+            _docs(s, d), Q_AND3, min_match=2, k=20
+        ),
+        # front-coded term-dictionary size report
+        "q_dict_compression": lambda s, d: queryops.dict_compression_stats(
+            _docs(s, d)
+        ),
+        # weighted sampling without replacement (A-ES, quality weights)
+        "q_weighted_sample": lambda s, d: sampling.weighted_sample(
+            _docs(s, d), k=50
+        ),
         # MinHash estimator audit vs exact Jaccard on candidate edges
         "q_minhash_estimate": lambda s, d: dedup.minhash_jaccard_estimate(
             _docs(s, d)
@@ -920,6 +932,9 @@ def oracle_sql() -> dict[str, str]:
         "q_event_funnel": osql.event_funnel(),
         "q_delta_impact": osql.delta_impact(),
         "q_significant_terms": osql.significant_terms(Q_AND2, min_fg=2, k=20),
+        "q_quorum_topk": osql.quorum_topk(Q_AND3, min_match=2, k=20),
+        "q_dict_compression": osql.dict_compression_stats(),
+        "q_weighted_sample": osql.weighted_sample(k=50),
         "q_minhash_estimate": osql.minhash_jaccard_estimate(),
         "q_source_pagerank": osql.source_pagerank(),
         "q_corpus_health": osql.corpus_health(),

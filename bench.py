@@ -154,6 +154,9 @@ HEADLINE = [
     "q_event_funnel",
     "q_delta_impact",
     "q_significant_terms",
+    "q_quorum_topk",
+    "q_dict_compression",
+    "q_weighted_sample",
 ]
 
 

@@ -4271,6 +4271,83 @@ GROUP BY nv.n_victims
 """
 
 
+def quorum_topk(terms: list[str], min_match: int = 2, k: int = 20) -> str:
+    """Twin of queryops.quorum_topk (minimum_should_match BM25)."""
+    tl = _terms_in(terms)
+    return f"""
+WITH {_TOKS_CTE},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+qp AS (SELECT * FROM postings WHERE term IN ({tl})),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM qp GROUP BY 1),
+scored AS (
+  SELECT qp.doc_id, count(*)::BIGINT AS nhit,
+         round(sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (qp.tf * 2.2)
+              / (qp.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ), 4) AS score
+  FROM qp
+  JOIN dfs USING (term)
+  JOIN ds ON qp.doc_id = ds.doc_id
+  CROSS JOIN g
+  GROUP BY qp.doc_id
+  HAVING count(*) >= {int(min_match)}
+)
+SELECT doc_id, nhit, score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
+"""
+
+
+def dict_compression_stats() -> str:
+    """Twin of queryops.dict_compression_stats (front-coded dictionary),
+    lcp via the identical prefix-count identity."""
+    return f"""
+WITH {_TOKS_CTE},
+terms AS (SELECT DISTINCT term FROM postings),
+lagged AS (
+  SELECT term, lag(term) OVER (ORDER BY term) AS prev FROM terms
+),
+lcps AS (
+  SELECT term,
+         CASE WHEN prev IS NULL THEN 0
+              ELSE list_sum([CASE WHEN substr(term, 1, i) = substr(prev, 1, i)
+                                  THEN 1 ELSE 0 END
+                             for i in generate_series(1, least(length(term), length(prev)))])
+         END AS lcp
+  FROM lagged
+)
+SELECT count(*)::BIGINT AS n_terms,
+       (sum(length(term)) + count(*))::BIGINT AS raw_bytes,
+       (sum(length(term) - lcp) + 2 * count(*))::BIGINT AS front_coded_bytes,
+       round((sum(length(term)) + count(*)
+              - (sum(length(term) - lcp) + 2 * count(*)))
+             / (sum(length(term)) + count(*))::DOUBLE * 100.0, 4) AS savings_pct
+FROM lcps
+"""
+
+
+def weighted_sample(k: int = 50, salt: str = "wsample",
+                    min_weight: float = 0.05) -> str:
+    """Twin of sampling.weighted_sample (Efraimidis-Spirakis A-ES keys
+    over the quality weights)."""
+    from searchengine_spark.pipeline.sampling import SAMPLE_RESOLUTION
+
+    key = f"'{salt}:' || doc_id::VARCHAR"
+    u = f"((({md5_long_sql(key, 12)}) % {SAMPLE_RESOLUTION}) + 1) / {SAMPLE_RESOLUTION + 1}.0"
+    return f"""
+WITH q AS ({quality_scores()}),
+keyed AS (
+  SELECT doc_id,
+         round(greatest(quality, {min_weight}), 4) AS weight,
+         round(pow({u}, 1.0 / greatest(quality, {min_weight})), 6) AS skey
+  FROM q
+)
+SELECT doc_id, weight, skey, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY skey DESC, doc_id ASC)::BIGINT AS rank
+  FROM keyed
+) WHERE rank <= {int(k)}
+"""
+
+
 def significant_terms(terms: list[str], min_fg: int = 2, k: int = 20) -> str:
     """Twin of queryops.significant_terms (JLH heuristic)."""
     tl = _terms_in(terms)

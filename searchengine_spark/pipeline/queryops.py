@@ -1380,6 +1380,107 @@ def champion_topk(documents: DataFrame, query_terms: list[str], r: int = 50,
     return finalize(out, p)
 
 
+def quorum_topk(documents: DataFrame, query_terms: list[str],
+                min_match: int = 2, k: int = 20,
+                k1: float = BM25_K1, b: float = BM25_B, **kw) -> DataFrame:
+    """(doc_id, nhit, score) — quorum retrieval (Lucene/ES
+    ``minimum_should_match``): docs matching AT LEAST ``min_match`` of
+    the query terms, BM25-scored over the terms they do match — the
+    missing middle between the AND gate (bm25_topk, nhit = |q|) and pure
+    OR (bm25_or_topk, nhit >= 1), and what production search actually
+    runs for 3+-term queries (drop-one tolerance without OR's recall
+    flood).
+
+    Plan: identical single postings pass as the AND gate with the HAVING
+    threshold relaxed — the candidate set after the filter is bounded by
+    the min_match-th smallest df combination, which WAND/MaxScore exploit
+    physically; here the hash agg + filter is the set-at-a-time form.
+    """
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p)
+    n_and_avg = ds.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qp = p.filter(F.col("term").isin(query_terms))
+    dfs = df_stats(p).filter(F.col("term").isin(query_terms))
+    scored = (
+        qp.join(F.broadcast(dfs.select("term", "df")), "term")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .withColumn("idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                                 / (F.col("df") + 0.5)))
+        .withColumn(
+            "pscore",
+            F.col("idf") * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nhit"),
+             F.round(F.sum("pscore"), 4).alias("score"))
+        .filter(F.col("nhit") >= min_match)
+    )
+    out = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        .select("doc_id", "nhit", "score")
+    )
+    return finalize(out, p)
+
+
+def dict_compression_stats(documents: DataFrame, **kw) -> DataFrame:
+    """One row (n_terms, raw_bytes, front_coded_bytes, savings_pct) —
+    front-coding the sorted term dictionary (IIR §5.2 blocked dictionary
+    compression, Lucene's term-dict prefix blocks): each term stored as
+    (shared-prefix length with its sorted predecessor, suffix).  Sizes:
+    raw = Σ len(term) + 1 length byte per term; front-coded =
+    Σ (len(term) − lcp(term, prev)) + 2 bytes per term (prefix-length
+    byte + suffix-length byte — the classic layout).  The TERM-side
+    companion of the posting-side codec reports (index_size_stats,
+    ef_compression_stats): together they price the whole index image
+    before a build.
+
+    Plan: one df_stats pass, one lag window over the SORTED dictionary
+    (vocabulary-sized, not corpus-sized — at scale the dictionary is
+    front-coded per term-bucket, so the window partitions by bucket), one
+    scalar agg.  lcp uses the prefix-count identity — lcp(a, b) =
+    #{i : a[1..i] == b[1..i]} — one JVM fold per term, the identical
+    list-comprehension sum on the DuckDB side, no UDF.
+    """
+    p = tf_postings(documents, **kw).persist()
+    terms = df_stats(p).select("term")
+    w = Window.orderBy("term")
+    lagged = terms.withColumn("prev", F.lag("term").over(w))
+    lcp = F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1),
+                       F.least(F.length("term"), F.length("prev"))),
+            F.lit(0),
+            lambda acc, i: acc + F.when(
+                F.col("term").substr(F.lit(1), i)
+                == F.col("prev").substr(F.lit(1), i),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    out = (
+        lagged.withColumn("lcp", lcp)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            (F.sum(F.length("term")) + F.count(F.lit(1))).cast("long")
+            .alias("raw_bytes"),
+            (F.sum(F.length("term") - F.col("lcp"))
+             + 2 * F.count(F.lit(1))).cast("long")
+            .alias("front_coded_bytes"),
+        )
+        .select(
+            "n_terms", "raw_bytes", "front_coded_bytes",
+            F.round((F.col("raw_bytes") - F.col("front_coded_bytes"))
+                    / F.col("raw_bytes") * 100.0, 4).alias("savings_pct"),
+        )
+    )
+    return finalize(out, p)
+
+
 def significant_terms(documents: DataFrame, query_terms: list[str],
                       min_fg: int = 2, k: int = 20, **kw) -> DataFrame:
     """(term, fg_df, bg_df, jlh) — significant-terms aggregation (the

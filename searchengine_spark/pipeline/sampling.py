@@ -252,3 +252,38 @@ def curriculum_order(documents: DataFrame, n_stages: int = 4,
         stage.cast("int").alias("stage"),
         key.alias("curriculum_key"),
     )
+
+
+def weighted_sample(documents: DataFrame, k: int = 50,
+                    salt: str = "wsample", min_weight: float = 0.05,
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, weight, skey, rank) — weighted sampling WITHOUT
+    replacement (Efraimidis & Spirakis, IPL 2006 "A-ES"): each document
+    draws skey = u^(1/w) from its deterministic uniform u and weight w,
+    and the k largest keys ARE a weight-proportional sample without
+    replacement — the distributed one-pass answer to "sample 1M docs
+    favouring high quality" (weight = the gated quality score, floored at
+    ``min_weight`` so zero-quality docs keep a nonzero chance and 1/w
+    stays finite).
+
+    One corpus pass + a top-k (TakeOrderedAndProject at scale); u is the
+    same md5 coin as every sampling op, so the sample is reproducible and
+    salt-keyed.  skey is rounded to 6dp before the cut (the cosine-gate
+    convention) so both engines pick the identical boundary.
+    """
+    from searchengine_spark.pipeline.textstats import quality_scores
+
+    q = quality_scores(documents, id_col=id_col).select("doc_id", "quality")
+    u = (uniform_col(salt) + 1).cast("double") / (SAMPLE_RESOLUTION + 1)
+    wgt = F.greatest(F.col("quality"), F.lit(float(min_weight)))
+    keyed = q.select(
+        "doc_id",
+        F.round(wgt, 4).alias("weight"),
+        F.round(F.pow(u, 1.0 / wgt), 6).alias("skey"),
+    )
+    w = Window.orderBy(F.desc("skey"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "weight", "skey", "rank")
+    )

@@ -1,0 +1,88 @@
+"""Batch: quorum retrieval, front-coded dictionary report, A-ES weighted
+sampling."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.pipeline.queryops import (
+    dict_compression_stats,
+    quorum_topk,
+)
+from searchengine_spark.pipeline.sampling import weighted_sample
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "hash stream vector"),   # all 3
+        (1, "hash stream filler"),   # 2 of 3
+        (2, "hash filler words"),    # 1 of 3
+        (3, "vector stream extra"),  # 2 of 3
+        (4, "none of them"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestQuorumTopk:
+    def test_min_match_two(self, spark, docs):
+        out = quorum_topk(docs, ["hash", "stream", "vector"],
+                          min_match=2).collect()
+        assert {r.doc_id for r in out} == {0, 1, 3}
+        assert {r.doc_id: r.nhit for r in out}[0] == 3
+
+    def test_min_match_bounds(self, spark, docs):
+        # min_match = |q| degenerates to the AND gate
+        out = quorum_topk(docs, ["hash", "stream", "vector"],
+                          min_match=3).collect()
+        assert {r.doc_id for r in out} == {0}
+        # min_match = 1 degenerates to pure OR
+        out = quorum_topk(docs, ["hash", "stream", "vector"],
+                          min_match=1).collect()
+        assert {r.doc_id for r in out} == {0, 1, 2, 3}
+
+
+class TestDictCompression:
+    def test_hand_computed(self, spark):
+        # dictionary sorted: [abc, abcd, xyz]; lcps: 0, 3, 0
+        d = spark.createDataFrame(
+            [(0, "abc abcd xyz")], "doc_id long, text string")
+        r = dict_compression_stats(d).collect()[0]
+        assert r.n_terms == 3
+        assert r.raw_bytes == (3 + 4 + 3) + 3          # lengths + 1B/term
+        assert r.front_coded_bytes == (3 + 1 + 3) + 6  # suffixes + 2B/term
+
+    def test_shared_prefixes_save(self, spark):
+        d = spark.createDataFrame(
+            [(0, "prefixaa prefixbb prefixcc prefixdd")],
+            "doc_id long, text string")
+        r = dict_compression_stats(d).collect()[0]
+        assert r.front_coded_bytes < r.raw_bytes and r.savings_pct > 0
+
+
+class TestWeightedSample:
+    def test_sample_is_deterministic_and_ranked(self, spark, docs):
+        a = weighted_sample(docs, k=3).collect()
+        b = weighted_sample(docs, k=3).collect()
+        assert sorted((r.doc_id, r.skey) for r in a) == \
+               sorted((r.doc_id, r.skey) for r in b)
+        assert sorted(r.rank for r in a) == [1, 2, 3]
+        # keys sorted desc by rank
+        by_rank = sorted(a, key=lambda r: r.rank)
+        assert by_rank[0].skey >= by_rank[-1].skey
+
+    def test_weights_floor(self, spark):
+        d = spark.createDataFrame([(0, ""), (1, "x")],
+                                  "doc_id long, text string")
+        out = weighted_sample(d, k=2, min_weight=0.05).collect()
+        assert all(r.weight >= 0.05 for r in out)
+
+    def test_high_weight_wins_statistically(self, spark):
+        # one doc with quality ~1 vs many near-zero-weight docs: across
+        # the deterministic draw, the heavy doc should land in the top-k
+        # with overwhelming probability (u^(1/w) -> u for w=1 vs u^20)
+        rows = [(0, "the of and to in for on with as by " * 5)]
+        rows += [(i, "zz") for i in range(1, 40)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        out = weighted_sample(d, k=5, min_weight=0.05).collect()
+        assert 0 in {r.doc_id for r in out}
