@@ -695,6 +695,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": lambda s, d: sampling.weighted_sample(
             _docs(s, d), k=50
         ),
+        # fill-in-the-middle code-training transform (PSM, sha-gated)
+        "q_fim_transform": lambda s, d: examplegen.fim_transform(_docs(s, d)),
+        # did-you-mean full-query rewrite (per-term best correction)
+        "q_query_rewrite": lambda s, d: queryops.query_rewrite(
+            _docs(s, d), [Q_MISSPELLED, "tabl", "vector"]
+        ),
         # MinHash estimator audit vs exact Jaccard on candidate edges
         "q_minhash_estimate": lambda s, d: dedup.minhash_jaccard_estimate(
             _docs(s, d)
@@ -935,6 +941,8 @@ def oracle_sql() -> dict[str, str]:
         "q_quorum_topk": osql.quorum_topk(Q_AND3, min_match=2, k=20),
         "q_dict_compression": osql.dict_compression_stats(),
         "q_weighted_sample": osql.weighted_sample(k=50),
+        "q_fim_transform": osql.fim_transform(),
+        "q_query_rewrite": osql.query_rewrite([Q_MISSPELLED, "tabl", "vector"]),
         "q_minhash_estimate": osql.minhash_jaccard_estimate(),
         "q_source_pagerank": osql.source_pagerank(),
         "q_corpus_health": osql.corpus_health(),

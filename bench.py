@@ -157,6 +157,8 @@ HEADLINE = [
     "q_quorum_topk",
     "q_dict_compression",
     "q_weighted_sample",
+    "q_fim_transform",
+    "q_query_rewrite",
 ]
 
 

@@ -145,3 +145,49 @@ def span_corruption_texts(documents: DataFrame, span_len: int = SPAN_LEN,
         F.concat_ws(" ", F.filter(pieces, lambda p: p.isNotNull())).alias("input_text"),
         target_text.alias("target_text"),
     )
+
+
+def fim_transform(documents: DataFrame, pct: int = 50,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fim_applied, n_prefix, n_middle, n_suffix, example_sha) —
+    fill-in-the-middle training examples for code (Bavarian et al. 2022;
+    the StarCoder/code-model pretraining transform): with probability
+    ``pct``% a document is split at two deterministic character offsets
+    into (prefix, middle, suffix) and re-serialized in PSM order
+    ``<PRE>prefix<SUF>suffix<MID>middle``; unselected (and <2-char) docs
+    stay plain autoregressive examples, exactly the AR/FIM mix the
+    trainer consumes.  Offsets are md5-derived (doc_id:1 / doc_id:2 mod
+    len), so the transform is a pure function of the document — resumable
+    and backfill-stable like span_corruption.
+
+    Map-only column arithmetic over the raw character string (code is NOT
+    word-tokenized here — FIM splits mid-identifier by design).  Gate
+    compares the example sha256 per doc, pinning every byte of the
+    serialization.
+    """
+    d = documents.select(F.col(id_col).alias("doc_id"),
+                         F.col(text_col).alias("text"))
+    n = F.length("text")
+    doc_s = F.col("doc_id").cast("string")
+    coin = md5_long(F.concat_ws(":", F.lit("fim"), doc_s)) % 100
+    applied = (coin < pct) & (n >= 2)
+    n_safe = F.greatest(n, F.lit(1))  # ANSI: no mod-by-zero on empty docs
+    m1 = (md5_long(F.concat_ws(":", doc_s, F.lit("1"))) % n_safe).cast("int")
+    m2 = (md5_long(F.concat_ws(":", doc_s, F.lit("2"))) % n_safe).cast("int")
+    lo, hi = F.least(m1, m2), F.greatest(m1, m2)
+    prefix = F.substring(F.col("text"), F.lit(1), lo)
+    middle = F.substring(F.col("text"), lo + 1, hi - lo)
+    suffix = F.substring(F.col("text"), hi + 1, n - hi)
+    psm = F.concat(F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix,
+                   F.lit("<MID>"), middle)
+    example = F.when(applied, psm).otherwise(F.col("text"))
+    return d.select(
+        "doc_id",
+        applied.alias("fim_applied"),
+        F.when(applied, lo).otherwise(n).cast("long").alias("n_prefix"),
+        F.when(applied, hi - lo).otherwise(F.lit(0)).cast("long")
+        .alias("n_middle"),
+        F.when(applied, n - hi).otherwise(F.lit(0)).cast("long")
+        .alias("n_suffix"),
+        F.sha2(example.cast("binary"), 256).alias("example_sha"),
+    )

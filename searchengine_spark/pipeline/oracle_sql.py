@@ -4271,6 +4271,69 @@ GROUP BY nv.n_victims
 """
 
 
+def fim_transform(pct: int = 50) -> str:
+    """Twin of examplegen.fim_transform (PSM fill-in-the-middle)."""
+    coin = md5_long_sql("'fim:' || doc_id::VARCHAR")
+    m1 = md5_long_sql("doc_id::VARCHAR || ':1'")
+    m2 = md5_long_sql("doc_id::VARCHAR || ':2'")
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         (({coin}) % 100 < {int(pct)}) AND length(text) >= 2 AS applied,
+         ({m1}) % greatest(length(text), 1) AS r1,
+         ({m2}) % greatest(length(text), 1) AS r2
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text, n, applied,
+         least(r1, r2)::INT AS lo, greatest(r1, r2)::INT AS hi
+  FROM d
+)
+SELECT doc_id, applied AS fim_applied,
+       (CASE WHEN applied THEN lo ELSE n END)::BIGINT AS n_prefix,
+       (CASE WHEN applied THEN hi - lo ELSE 0 END)::BIGINT AS n_middle,
+       (CASE WHEN applied THEN n - hi ELSE 0 END)::BIGINT AS n_suffix,
+       sha256(CASE WHEN applied
+                   THEN '<PRE>' || substr(text, 1, lo)
+                        || '<SUF>' || substr(text, hi + 1, n - hi)
+                        || '<MID>' || substr(text, lo + 1, hi - lo)
+                   ELSE text END) AS example_sha
+FROM s
+"""
+
+
+def query_rewrite(terms: list[str], max_dist: int = 1) -> str:
+    """Twin of queryops.query_rewrite (did-you-mean collation)."""
+    rows = ", ".join(
+        f"({i}, '{t.replace(chr(39), chr(39) * 2)}')"
+        for i, t in enumerate(terms))
+    return f"""
+WITH {_TOKS_CTE},
+q(pos, term) AS (VALUES {rows}),
+dict AS (SELECT term AS cand, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+cands AS (
+  SELECT q.pos, q.term, d.cand, d.df,
+         levenshtein(q.term, d.cand)::BIGINT AS dist
+  FROM q JOIN dict d ON abs(length(d.cand) - length(q.term)) <= {int(max_dist)}
+  WHERE levenshtein(q.term, d.cand) <= {int(max_dist)}
+),
+best AS (
+  SELECT pos, cand, dist, df FROM (
+    SELECT *, row_number() OVER (PARTITION BY pos
+                                 ORDER BY dist ASC, df DESC, cand ASC) AS rn
+    FROM cands
+  ) WHERE rn = 1
+)
+SELECT q.pos, q.term,
+       coalesce(b.cand, q.term) AS rewritten,
+       coalesce(b.dist, -1)::BIGINT AS dist,
+       coalesce(b.df, 0)::BIGINT AS df,
+       coalesce(b.dist = 0, FALSE) AS in_dict
+FROM q LEFT JOIN best b USING (pos)
+ORDER BY q.pos
+"""
+
+
 def quorum_topk(terms: list[str], min_match: int = 2, k: int = 20) -> str:
     """Twin of queryops.quorum_topk (minimum_should_match BM25)."""
     tl = _terms_in(terms)

@@ -1380,6 +1380,57 @@ def champion_topk(documents: DataFrame, query_terms: list[str], r: int = 50,
     return finalize(out, p)
 
 
+def query_rewrite(documents: DataFrame, query_terms: list[str],
+                  max_dist: int = 1, **kw) -> DataFrame:
+    """(pos, term, rewritten, dist, df, in_dict) — full-query
+    did-you-mean collation (Lucene DirectSpellChecker + collate): every
+    query term is kept if it exists in the dictionary (dist 0), else
+    replaced by its best correction within ``max_dist`` edits
+    (dist asc, df desc, term asc — the spell_suggest ranking); terms with
+    no candidate pass through unchanged (df 0, in_dict false) so the
+    rewritten query is always complete.  Feeding the output terms back
+    into bm25_topk is the "showing results for…" flow.
+
+    Scale: candidates come from the vocabulary-bounded dictionary with
+    the same length pre-filter as spell_suggest; the query side is a
+    broadcast |q|-row dim.
+    """
+    p = tf_postings(documents, **kw).persist()
+    spark = documents.sparkSession
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(query_terms)], "pos int, term string")
+    dict_band = df_stats(p).select(
+        F.col("term").alias("cand"), "df", F.length("term").alias("clen"))
+    cands = (
+        F.broadcast(q).join(
+            dict_band,
+            F.abs(F.col("clen") - F.length("term")) <= max_dist,
+        )
+        .withColumn("dist",
+                    F.levenshtein(F.col("term"), F.col("cand")).cast("long"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    wb = Window.partitionBy("pos").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("cand"))
+    best = (
+        cands.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("pos", "cand", "dist", "df")
+    )
+    out = (
+        q.join(best, "pos", "left")
+        .select(
+            "pos", "term",
+            F.coalesce(F.col("cand"), F.col("term")).alias("rewritten"),
+            F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist"),
+            F.coalesce(F.col("df"), F.lit(0)).cast("long").alias("df"),
+            F.coalesce(F.col("dist") == 0, F.lit(False)).alias("in_dict"),
+        )
+        .orderBy("pos")
+    )
+    return finalize(out, p)
+
+
 def quorum_topk(documents: DataFrame, query_terms: list[str],
                 min_match: int = 2, k: int = 20,
                 k1: float = BM25_K1, b: float = BM25_B, **kw) -> DataFrame:

@@ -1,0 +1,80 @@
+"""Batch: fill-in-the-middle code transform and did-you-mean query
+rewrite."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline.examplegen import fim_transform
+from searchengine_spark.pipeline.hashing import md5_long_py
+from searchengine_spark.pipeline.queryops import query_rewrite
+
+
+class TestFimTransform:
+    def test_psm_serialization_matches_python(self, spark):
+        text = "def merge(a, b):\n    return a + b"
+        d = spark.createDataFrame([(7, text)], "doc_id long, text string")
+        r = fim_transform(d, pct=100).collect()[0]
+        assert bool(r.fim_applied) is True
+        n = len(text)
+        r1 = md5_long_py("7:1") % n
+        r2 = md5_long_py("7:2") % n
+        lo, hi = min(r1, r2), max(r1, r2)
+        psm = "<PRE>" + text[:lo] + "<SUF>" + text[hi:] + "<MID>" + text[lo:hi]
+        assert r.example_sha == hashlib.sha256(psm.encode()).hexdigest()
+        assert (r.n_prefix, r.n_middle, r.n_suffix) == (lo, hi - lo, n - hi)
+
+    def test_lengths_partition_the_doc(self, spark):
+        rows = [(i, f"some code body number {i} with content") for i in range(30)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        out = fim_transform(d, pct=50).collect()
+        for r in out:
+            total = r.n_prefix + r.n_middle + r.n_suffix
+            assert total == len(rows[r.doc_id][1])
+        # the 50% coin actually mixes AR and FIM examples
+        kinds = {bool(r.fim_applied) for r in out}
+        assert kinds == {True, False}
+
+    def test_ar_passthrough_sha(self, spark):
+        text = "plain document"
+        d = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        r = fim_transform(d, pct=0).collect()[0]
+        assert bool(r.fim_applied) is False
+        assert r.example_sha == hashlib.sha256(text.encode()).hexdigest()
+        assert r.n_prefix == len(text) and r.n_middle == 0
+
+    def test_tiny_docs_never_fim(self, spark):
+        d = spark.createDataFrame([(0, "x"), (1, "")],
+                                  "doc_id long, text string")
+        out = fim_transform(d, pct=100).collect()
+        assert all(not r.fim_applied for r in out)
+
+
+class TestQueryRewrite:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [(0, "merge table vector"), (1, "merge stream"),
+                (2, "merge table")]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_terms_kept(self, spark, docs):
+        out = {r.pos: r for r in
+               query_rewrite(docs, ["merge", "vector"]).collect()}
+        assert out[0].rewritten == "merge" and bool(out[0].in_dict)
+        assert out[0].dist == 0 and out[0].df == 3
+
+    def test_misspelling_corrected_by_df(self, spark, docs):
+        # "tabl" -> "table" (dist 1); "merg" -> "merge"
+        out = {r.pos: r for r in
+               query_rewrite(docs, ["merg", "tabl"]).collect()}
+        assert out[0].rewritten == "merge" and out[0].dist == 1
+        assert out[1].rewritten == "table"
+        assert not bool(out[0].in_dict)
+
+    def test_hopeless_term_passes_through(self, spark, docs):
+        out = query_rewrite(docs, ["qqqqqqqq"]).collect()[0]
+        assert out.rewritten == "qqqqqqqq" and out.dist == -1
+        assert out.df == 0 and not bool(out.in_dict)
