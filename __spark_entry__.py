@@ -701,6 +701,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_query_rewrite": lambda s, d: queryops.query_rewrite(
             _docs(s, d), [Q_MISSPELLED, "tabl", "vector"]
         ),
+        # Lucene TermVectors forward view for requested docs
+        "q_term_vectors": lambda s, d: queryops.term_vectors(
+            _docs(s, d), [0, 1, 2]
+        ),
+        # Lucene Explanation: per-term BM25 components for one doc
+        "q_explain_score": lambda s, d: queryops.explain_score(
+            _docs(s, d), Q_AND2, PROBE_DOC_ID
+        ),
+        # federated statistics consistency: local vs global idf per source
+        "q_idf_drift": lambda s, d: queryops.idf_drift(_docs(s, d), Q_AND2),
         # MinHash estimator audit vs exact Jaccard on candidate edges
         "q_minhash_estimate": lambda s, d: dedup.minhash_jaccard_estimate(
             _docs(s, d)
@@ -943,6 +953,9 @@ def oracle_sql() -> dict[str, str]:
         "q_weighted_sample": osql.weighted_sample(k=50),
         "q_fim_transform": osql.fim_transform(),
         "q_query_rewrite": osql.query_rewrite([Q_MISSPELLED, "tabl", "vector"]),
+        "q_term_vectors": osql.term_vectors([0, 1, 2]),
+        "q_explain_score": osql.explain_score(Q_AND2, PROBE_DOC_ID),
+        "q_idf_drift": osql.idf_drift(Q_AND2),
         "q_minhash_estimate": osql.minhash_jaccard_estimate(),
         "q_source_pagerank": osql.source_pagerank(),
         "q_corpus_health": osql.corpus_health(),

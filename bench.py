@@ -159,6 +159,9 @@ HEADLINE = [
     "q_weighted_sample",
     "q_fim_transform",
     "q_query_rewrite",
+    "q_term_vectors",
+    "q_explain_score",
+    "q_idf_drift",
 ]
 
 

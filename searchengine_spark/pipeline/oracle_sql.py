@@ -4271,6 +4271,70 @@ GROUP BY nv.n_victims
 """
 
 
+def term_vectors(doc_ids: list[int]) -> str:
+    """Twin of queryops.term_vectors (Lucene TermVectors forward view)."""
+    ids = ", ".join(str(i) for i in doc_ids)
+    return f"""
+WITH {_PTOKS_CTE}
+SELECT doc_id, term, count(*)::BIGINT AS tf, min(pos)::BIGINT AS first_pos
+FROM ptoks WHERE doc_id IN ({ids})
+GROUP BY 1, 2
+"""
+
+
+def explain_score(terms: list[str], doc_id: int) -> str:
+    """Twin of queryops.explain_score (per-term BM25 Explanation)."""
+    tl = _terms_in(terms)
+    return f"""
+WITH {_TOKS_CTE},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings
+        WHERE term IN ({tl}) GROUP BY 1),
+row0 AS (
+  SELECT p.term, p.tf, dfs.df, ds.dl,
+         ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) AS idf,
+         (p.tf * 2.2)
+         / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) AS tf_sat
+  FROM postings p
+  JOIN dfs USING (term)
+  JOIN ds ON p.doc_id = ds.doc_id
+  CROSS JOIN g
+  WHERE p.doc_id = {int(doc_id)}
+)
+SELECT term, tf::BIGINT AS tf, df, dl,
+       round(idf, 6) AS idf, round(tf_sat, 6) AS tf_sat,
+       round(idf * tf_sat, 6) AS pscore
+FROM row0 ORDER BY term
+"""
+
+
+def idf_drift(terms: list[str]) -> str:
+    """Twin of queryops.idf_drift (local vs global idf per source)."""
+    tl = _terms_in(terms)
+    return f"""
+WITH {_TOKS_CTE},
+g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings
+        WHERE term IN ({tl}) GROUP BY 1),
+src AS (SELECT doc_id, source FROM documents),
+loc AS (
+  SELECT s.source, p.term, count(*)::BIGINT AS df_local
+  FROM postings p JOIN src s USING (doc_id)
+  WHERE p.term IN ({tl})
+  GROUP BY 1, 2
+),
+sd AS (SELECT source, count(DISTINCT doc_id)::DOUBLE AS n_local FROM src GROUP BY 1)
+SELECT l.source, l.term, l.df_local,
+       round(ln(1 + (sd.n_local - l.df_local + 0.5) / (l.df_local + 0.5)), 6) AS idf_local,
+       round(ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)), 6) AS idf_global,
+       round(round(ln(1 + (sd.n_local - l.df_local + 0.5) / (l.df_local + 0.5)), 6)
+             - round(ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)), 6), 6) AS drift
+FROM loc l JOIN sd USING (source) JOIN dfs ON dfs.term = l.term CROSS JOIN g
+ORDER BY l.source, l.term
+"""
+
+
 def fim_transform(pct: int = 50) -> str:
     """Twin of examplegen.fim_transform (PSM fill-in-the-middle)."""
     coin = md5_long_sql("'fim:' || doc_id::VARCHAR")

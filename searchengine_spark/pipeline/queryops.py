@@ -1380,6 +1380,121 @@ def champion_topk(documents: DataFrame, query_terms: list[str], r: int = 50,
     return finalize(out, p)
 
 
+def term_vectors(documents: DataFrame, doc_ids: list[int],
+                 **kw) -> DataFrame:
+    """(doc_id, term, tf, first_pos) — Lucene's TermVectors API: the
+    forward view of the index for the requested documents (per-term
+    frequency + first occurrence position), what more-like-this,
+    highlighter and explain debugging read.  The inverted index answers
+    term->docs; this is the docs->terms companion, served at scale from
+    a doc-id-bucketed forward table (the same postings rows written the
+    other way) so the lookup is partition pruning.
+
+    Plan: positional tokenize of ONLY the requested docs (filter pushed
+    to the scan), one hash agg.
+    """
+    id_col = kw.get("id_col", "doc_id")
+    text_col = kw.get("text_col", "text")
+    d = documents.filter(F.col(id_col).isin(doc_ids))
+    toks = positional_tokens(d, id_col=id_col, text_col=text_col)
+    return (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"),
+             F.min("pos").cast("long").alias("first_pos"))
+    )
+
+
+def explain_score(documents: DataFrame, query_terms: list[str],
+                  doc_id: int, k1: float = BM25_K1, b: float = BM25_B,
+                  **kw) -> DataFrame:
+    """(term, tf, df, dl, idf, tf_sat, pscore) — Lucene's Explanation
+    API for one (query, document) pair: every BM25 component per query
+    term, with pscore = idf · tf_sat multiplying back to exactly the
+    contribution bm25_scored sums (same expressions, same 4dp rounding
+    discipline at the end).  Terms absent from the doc emit no row —
+    their contribution is zero, and the AND gate would have dropped the
+    doc anyway.
+
+    Plan: one postings pass filtered to (query terms) with the target
+    doc's slice broadcast — at scale this is two dictionary lookups and
+    one forward-index fetch, no corpus scan.
+    """
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p)
+    n_and_avg = ds.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfs = df_stats(p).filter(F.col("term").isin(query_terms))
+    row = (
+        p.filter((F.col("doc_id") == doc_id)
+                 & F.col("term").isin(query_terms))
+        .join(F.broadcast(dfs.select("term", "df")), "term")
+        .join(ds.filter(F.col("doc_id") == doc_id)
+              .select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .withColumn("idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                                 / (F.col("df") + 0.5)))
+        .withColumn(
+            "tf_sat",
+            (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))),
+        )
+        .select(
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "df",
+            F.col("dl").cast("long").alias("dl"),
+            F.round("idf", 6).alias("idf"),
+            F.round("tf_sat", 6).alias("tf_sat"),
+            F.round(F.col("idf") * F.col("tf_sat"), 6).alias("pscore"),
+        )
+        .orderBy("term")
+    )
+    return finalize(row, p)
+
+
+def idf_drift(documents: DataFrame, query_terms: list[str],
+              source_col: str = "source", **kw) -> DataFrame:
+    """(source, term, df_local, idf_local, idf_global, drift) — federated
+    statistics consistency report: how far each source's LOCAL idf is
+    from the global idf for the query terms (drift = idf_local −
+    idf_global, ln-scale).  Large positive drift means a shard would
+    over-score the term if it ranked with local statistics — the reason
+    federated engines (and routed_search here) ship global df or rescore
+    at the broker.  idf uses the same BM25 form as the scorer.
+
+    Plan: one postings pass -> per-(source, term) df + per-source doc
+    counts; everything after is dimension-sized.
+    """
+    p = tf_postings(documents, **kw).persist()
+    src = documents.select(
+        F.col(kw.get("id_col", "doc_id")).alias("doc_id"),
+        F.col(source_col).alias("source"))
+    n_docs = p.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    dfs = df_stats(p).filter(F.col("term").isin(query_terms)) \
+        .select("term", "df")
+    ps = p.filter(F.col("term").isin(query_terms)).join(src, "doc_id")
+    local = ps.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_local"))
+    src_docs = src.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("double").alias("n_local"))
+    idf = lambda n, d: F.log(1.0 + (n - d + 0.5) / (d + 0.5))  # noqa: E731
+    out = (
+        local.join(F.broadcast(src_docs), "source")
+        .join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf_local", F.round(idf(F.col("n_local"), F.col("df_local")), 6))
+        .withColumn("idf_global", F.round(idf(F.col("n_docs"), F.col("df")), 6))
+        .select(
+            "source", "term", "df_local", "idf_local", "idf_global",
+            F.round(F.col("idf_local") - F.col("idf_global"), 6).alias("drift"),
+        )
+        .orderBy("source", "term")
+    )
+    return finalize(out, p)
+
+
 def query_rewrite(documents: DataFrame, query_terms: list[str],
                   max_dist: int = 1, **kw) -> DataFrame:
     """(pos, term, rewritten, dist, df, in_dict) — full-query

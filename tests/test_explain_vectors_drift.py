@@ -1,0 +1,74 @@
+"""Batch: term vectors, BM25 explain, federated idf drift."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from searchengine_spark.pipeline.fulltext import bm25_scored
+from searchengine_spark.pipeline.queryops import (
+    explain_score,
+    idf_drift,
+    term_vectors,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "merge vector merge table", "a"),
+        (1, "merge stream", "a"),
+        (2, "vector join", "b"),
+        (3, "merge vector", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+class TestTermVectors:
+    def test_forward_view(self, spark, docs):
+        out = {(r.doc_id, r.term): r for r in term_vectors(docs, [0]).collect()}
+        assert out[(0, "merge")].tf == 2
+        assert out[(0, "merge")].first_pos == 1
+        assert out[(0, "vector")].first_pos == 2
+        assert out[(0, "table")].tf == 1
+        assert {k[0] for k in out} == {0}
+
+
+class TestExplainScore:
+    def test_components_multiply_to_bm25_contribution(self, spark, docs):
+        out = {r.term: r for r in
+               explain_score(docs, ["merge", "vector"], 0).collect()}
+        assert set(out) == {"merge", "vector"}
+        r = out["merge"]
+        assert r.tf == 2 and r.df == 3 and r.dl == 4
+        n_docs, avgdl = 4.0, (4 + 2 + 2 + 2) / 4.0
+        idf = math.log(1 + (n_docs - 3 + 0.5) / (3 + 0.5))
+        tf_sat = (2 * 2.2) / (2 + 1.2 * (1 - 0.75 + 0.75 * (4 / avgdl)))
+        assert r.idf == pytest.approx(idf, abs=1e-5)
+        assert r.pscore == pytest.approx(idf * tf_sat, abs=1e-5)
+        # sum of explained contributions == the scorer's doc score
+        total = sum(x.pscore for x in out.values())
+        score = {x.doc_id: x.score for x in
+                 bm25_scored(docs, ["merge", "vector"]).collect()}[0]
+        assert score == pytest.approx(round(total, 4), abs=2e-4)
+
+    def test_absent_term_emits_no_row(self, spark, docs):
+        out = explain_score(docs, ["merge", "zzz"], 0).collect()
+        assert [r.term for r in out] == ["merge"]
+
+
+class TestIdfDrift:
+    def test_local_vs_global(self, spark, docs):
+        out = {(r.source, r.term): r for r in
+               idf_drift(docs, ["merge"]).collect()}
+        # source a: 2 docs, merge in both -> df_local 2 of n_local 2
+        ra = out[("a", "merge")]
+        assert ra.df_local == 2
+        idf_local = math.log(1 + (2 - 2 + 0.5) / (2 + 0.5))
+        idf_global = math.log(1 + (4 - 3 + 0.5) / (3 + 0.5))
+        assert ra.idf_local == pytest.approx(idf_local, abs=1e-5)
+        assert ra.drift == pytest.approx(idf_local - idf_global, abs=1e-5)
+        # merge is rarer in source b than globally -> positive drift
+        rb = out[("b", "merge")]
+        assert rb.drift > 0
