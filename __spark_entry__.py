@@ -711,6 +711,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # federated statistics consistency: local vs global idf per source
         "q_idf_drift": lambda s, d: queryops.idf_drift(_docs(s, d), Q_AND2),
+        # IVF tuning curve: recall@k at nprobe = 1, 2, 4
+        "q_ivf_nprobe_sweep": lambda s, d: similarity.ivf_nprobe_sweep(
+            _emb(s, d), PROBE_VEC_IDS, k=5
+        ),
+        # corpus-driven stopword induction (df-ratio threshold)
+        "q_stopword_candidates": lambda s, d: textstats.stopword_candidates(
+            _docs(s, d), df_ratio=0.5, k=50
+        ),
+        # pg_trgm-style fuzzy term match (trigram Jaccard)
+        "q_trigram_fuzzy": lambda s, d: trigram.trigram_fuzzy(
+            _docs(s, d), "vectr", threshold=0.3, k=10
+        ),
         # MinHash estimator audit vs exact Jaccard on candidate edges
         "q_minhash_estimate": lambda s, d: dedup.minhash_jaccard_estimate(
             _docs(s, d)
@@ -956,6 +968,9 @@ def oracle_sql() -> dict[str, str]:
         "q_term_vectors": osql.term_vectors([0, 1, 2]),
         "q_explain_score": osql.explain_score(Q_AND2, PROBE_DOC_ID),
         "q_idf_drift": osql.idf_drift(Q_AND2),
+        "q_ivf_nprobe_sweep": osql.ivf_nprobe_sweep(PROBE_VEC_IDS, k=5),
+        "q_stopword_candidates": osql.stopword_candidates(df_ratio=0.5, k=50),
+        "q_trigram_fuzzy": osql.trigram_fuzzy("vectr", threshold=0.3, k=10),
         "q_minhash_estimate": osql.minhash_jaccard_estimate(),
         "q_source_pagerank": osql.source_pagerank(),
         "q_corpus_health": osql.corpus_health(),

@@ -162,6 +162,9 @@ HEADLINE = [
     "q_term_vectors",
     "q_explain_score",
     "q_idf_drift",
+    "q_ivf_nprobe_sweep",
+    "q_stopword_candidates",
+    "q_trigram_fuzzy",
 ]
 
 

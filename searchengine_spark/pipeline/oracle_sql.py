@@ -2148,6 +2148,62 @@ def pq_recall(probe_ids: list[int], k: int = 5) -> str:
     return _recall_sql(cosine_topk(probe_ids, k), pq_adc_topk(probe_ids, topk=k))
 
 
+def ivf_nprobe_sweep(probe_ids: list[int], k: int = 5, n_lists: int = 8,
+                     nprobes: tuple[int, ...] = (1, 2, 4)) -> str:
+    """Twin of similarity.ivf_nprobe_sweep: recall-vs-nprobe tuning curve
+    as a union of per-nprobe recall roll-ups."""
+    parts = []
+    for np_ in nprobes:
+        parts.append(f"""
+SELECT {int(np_)} AS nprobe,
+       round(sum(n_hits) / sum(n_exact)::DOUBLE, 3) AS micro_recall,
+       min(recall) AS min_recall
+FROM ({_recall_sql(cosine_topk(probe_ids, k),
+                   ivf_topk(probe_ids, k, n_lists=n_lists, nprobe=np_))})
+""")
+        # noqa: the nested WITHs are legal DuckDB (CTE inside subquery)
+    return " UNION ALL ".join(parts) + " ORDER BY nprobe"
+
+
+def stopword_candidates(df_ratio: float = 0.5, k: int = 50) -> str:
+    """Twin of textstats.stopword_candidates."""
+    return f"""
+WITH {_TOKS_CTE},
+g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1)
+SELECT term, df, round(df / g.n_docs, 4) AS doc_ratio,
+       round(ln(1 + (g.n_docs - df + 0.5) / (df + 0.5)), 6) AS idf
+FROM dfs CROSS JOIN g
+WHERE round(df / g.n_docs, 4) >= {df_ratio}
+ORDER BY df DESC, term ASC LIMIT {int(k)}
+"""
+
+
+def trigram_fuzzy(query_term: str, threshold: float = 0.3,
+                  k: int = 10) -> str:
+    """Twin of trigram.trigram_fuzzy (pg_trgm padded-trigram Jaccard)."""
+    esc = query_term.replace("'", "''")
+
+    def tri(expr: str) -> str:
+        padded = f"('  ' || lower({expr}) || ' ')"
+        return (f"list_distinct([substr({padded}, i, 3) "
+                f"for i in generate_series(1, length({padded}) - 2)])")
+
+    return f"""
+WITH {_TOKS_CTE},
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+scored AS (
+  SELECT term, df,
+    round(len(list_intersect({tri('term')}, {tri(f"'{esc}'")}))
+          / len(list_distinct(list_concat({tri('term')}, {tri(f"'{esc}'")})))::DOUBLE,
+          4) AS sim
+  FROM dfs
+)
+SELECT term, df, sim FROM scored WHERE sim >= {threshold}
+ORDER BY sim DESC, df DESC, term ASC LIMIT {int(k)}
+"""
+
+
 def media_decode_real() -> str:
     """Twin of multimodal.decode_real_features over synth_container_media:
     recompute every header field from the generation formulas

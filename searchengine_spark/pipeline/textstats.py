@@ -1036,3 +1036,36 @@ def boilerplate_stats(documents: DataFrame, min_len: int = 12,
                     F.round(F.col("n_boiler") / F.col("n_lines"), 4))
     )
     return finalize(out, occ)
+
+
+def stopword_candidates(documents: DataFrame, df_ratio: float = 0.5,
+                        k: int = 50, **kw) -> DataFrame:
+    """(term, df, doc_ratio, idf) — corpus-driven stopword induction:
+    terms appearing in more than ``df_ratio`` of all documents, ranked by
+    df desc (term asc ties).  The reference ships a FIXED Russian
+    particle list (LemmatizationService.java:22-47 ПРЕДЛ/СОЮЗ/МЕЖД); a
+    source-code corpus needs its own list (``the``/``import``/license
+    boilerplate) and this derives it from the index statistics the engine
+    already maintains — feed the output into the analyzer's stopword seam
+    (textproc fixtures/stopwords.txt).
+
+    idf is the BM25 idf these terms would get — near-zero, which is WHY
+    they are droppable.  One df_stats pass + a dictionary-sized filter.
+    """
+    from searchengine_spark.pipeline.fulltext import df_stats, tf_postings
+
+    p = tf_postings(documents, **kw).persist()
+    n_docs = p.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    out = (
+        df_stats(p).crossJoin(F.broadcast(n_docs))
+        .withColumn("doc_ratio", F.round(F.col("df") / F.col("n_docs"), 4))
+        .filter(F.col("doc_ratio") >= df_ratio)
+        .select(
+            "term", "df", "doc_ratio",
+            F.round(F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                          / (F.col("df") + 0.5)), 6).alias("idf"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+    return finalize(out, p)

@@ -222,3 +222,46 @@ def regex_search_indexed(
     )
     t = _lowered(docs).join(cand, "doc_id")
     return t.filter(F.col("s").rlike(pattern)).select("doc_id", "lang")
+
+
+def trigram_fuzzy(documents: DataFrame, query_term: str,
+                  threshold: float = 0.3, k: int = 10, **kw) -> DataFrame:
+    """(term, df, sim) — pg_trgm-style fuzzy term matching: dictionary
+    terms ranked by trigram-set Jaccard similarity to ``query_term``
+    (padded '  term ' windows, PostgreSQL's convention, so short terms
+    and boundaries still contribute trigrams).  The set-similarity
+    complement of spell_suggest's edit distance: catches transpositions
+    and longer-edit typos a distance-1 levenshtein misses, with the same
+    vocabulary-bounded candidate scan.
+
+    One df_stats pass; trigram sets are per-row array expressions (JVM
+    transform over substr windows), similarity a distinct-intersect /
+    distinct-union size ratio rounded to 4dp for the gate boundary.
+    """
+    from searchengine_spark.pipeline.fulltext import df_stats, tf_postings
+
+    from searchengine_spark.pipeline._cache import finalize
+
+    def tri(col):
+        padded = F.concat(F.lit("  "), F.lower(col), F.lit(" "))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(padded) - 2),
+                lambda i: padded.substr(i, F.lit(3)),
+            )
+        )
+
+    p = tf_postings(documents, **kw).persist()
+    q = F.lit(query_term)
+    out = (
+        df_stats(p)
+        .withColumn("inter",
+                    F.size(F.array_intersect(tri(F.col("term")), tri(q))))
+        .withColumn("uni", F.size(F.array_union(tri(F.col("term")), tri(q))))
+        .withColumn("sim", F.round(F.col("inter") / F.col("uni"), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("term", "df", "sim")
+        .orderBy(F.desc("sim"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+    return finalize(out, p)

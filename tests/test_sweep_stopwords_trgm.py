@@ -1,0 +1,71 @@
+"""Batch: IVF nprobe tuning sweep, stopword induction, trigram fuzzy
+matching."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.pipeline.similarity import ivf_nprobe_sweep
+from searchengine_spark.pipeline.textstats import stopword_candidates
+from searchengine_spark.pipeline.trigram import trigram_fuzzy
+
+
+class TestIvfNprobeSweep:
+    def test_recall_monotone_in_nprobe(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        rows = [(i, [float(x) for x in rng.normal(size=32)]) for i in range(64)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r.nprobe: r for r in
+               ivf_nprobe_sweep(emb, [0, 1, 2], k=5,
+                                nprobes=(1, 2, 8)).collect()}
+        assert set(out) == {1, 2, 8}
+        # more probed lists can only add candidates
+        assert out[1].micro_recall <= out[2].micro_recall <= out[8].micro_recall
+        # probing ALL lists = exact scan = recall 1.0
+        assert out[8].micro_recall == 1.0 and out[8].min_recall == 1.0
+
+
+class TestStopwordCandidates:
+    def test_threshold_and_ranking(self, spark):
+        rows = [(i, f"the common unique{i}") for i in range(10)]
+        rows += [(10 + i, "the only") for i in range(2)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.term: r for r in
+               stopword_candidates(d, df_ratio=0.5, k=10).collect()}
+        assert "the" in out and out["the"].doc_ratio == 1.0
+        assert "common" in out  # 10/12 > 0.5
+        assert not any(t.startswith("unique") for t in out)
+        # near-zero idf is the justification
+        assert out["the"].idf < 0.2
+
+    def test_high_threshold_returns_universal_only(self, spark):
+        d = spark.createDataFrame(
+            [(0, "a b"), (1, "a c")], "doc_id long, text string")
+        out = stopword_candidates(d, df_ratio=0.99, k=10).collect()
+        assert [r.term for r in out] == ["a"]
+
+
+class TestTrigramFuzzy:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [(0, "vector vector"), (1, "victor"), (2, "merge"),
+                (3, "vect")]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_match_ranks_first(self, spark, docs):
+        out = trigram_fuzzy(docs, "vector", threshold=0.2).collect()
+        assert out[0].term == "vector" and out[0].sim == 1.0
+
+    def test_catches_transposition_levenshtein2_would_miss(self, spark, docs):
+        # "vectro" is 2 edits from "vector" (out of spell_suggest's
+        # default reach) but shares most trigrams
+        out = {r.term: r.sim for r in
+               trigram_fuzzy(docs, "vectro", threshold=0.15).collect()}
+        assert "vector" in out
+
+    def test_unrelated_terms_below_threshold(self, spark, docs):
+        out = {r.term for r in
+               trigram_fuzzy(docs, "vector", threshold=0.3).collect()}
+        assert "merge" not in out
