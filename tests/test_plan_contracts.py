@@ -262,3 +262,63 @@ class TestSessionR3PlanContracts:
         p = plan_str(dedup.templated_blocks(docs))
         assert "CartesianProduct" not in p
         assert "BatchEvalPython" not in p  # all-JVM block hashing
+
+
+@pytest.fixture()
+def explain_only():
+    """Disable finalize()'s localCheckpoint so contracts can see inside the
+    physical plan (a checkpointed DF explains as just `Scan ExistingRDD`)."""
+    from searchengine_spark.pipeline import _cache
+
+    _cache.EXPLAIN_ONLY = True
+    yield
+    _cache.EXPLAIN_ONLY = False
+
+
+class TestRound3BreadthContracts:
+    """Plan contracts for the round-3 tail batches: broadcast sides where
+    claimed, map-only transforms with no Exchange, no Python in the hot
+    path."""
+
+    def test_fim_transform_is_map_only(self, docs):
+        from searchengine_spark.pipeline.examplegen import fim_transform
+
+        p = plan_str(fim_transform(docs))
+        assert "Exchange" not in p          # zero shuffle
+        assert "BatchEvalPython" not in p   # all-JVM column arithmetic
+
+    def test_curriculum_order_is_map_only(self, docs):
+        from searchengine_spark.pipeline.sampling import curriculum_order
+
+        p = plan_str(curriculum_order(docs))
+        assert "Exchange" not in p
+
+    def test_ivfpq_probe_sides_broadcast(self, emb):
+        from searchengine_spark.pipeline.pq import ivfpq_topk
+
+        p = plan_str(ivfpq_topk(emb, [0, 1], topk=5))
+        # distance table + probe lists broadcast; candidate flow must not
+        # fall back to a cartesian product
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+
+    def test_significant_terms_foreground_broadcast(self, docs, explain_only):
+        from searchengine_spark.pipeline.queryops import significant_terms
+
+        p = plan_str(significant_terms(docs, ["merge", "vector"]))
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+
+    def test_champion_candidates_semi_join(self, docs, explain_only):
+        from searchengine_spark.pipeline.queryops import champion_topk
+
+        p = plan_str(champion_topk(docs, ["merge", "vector"], r=5, k=10))
+        assert "LeftSemi" in p
+        assert "TakeOrderedAndProject" in p
+
+    def test_event_funnel_no_cartesian(self, spark):
+        from searchengine_spark.pipeline.events import event_funnel
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        p = plan_str(event_funnel(ev))
+        assert "CartesianProduct" not in p
