@@ -747,6 +747,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), PROBE_VEC_IDS, k=5
         ),
         "q_capacity_plan": lambda s, d: health.capacity_plan(_docs(s, d)),
+        # CCNet-style per-language perplexity thirds (head/middle/tail)
+        "q_perplexity_buckets": lambda s, d: textstats.perplexity_buckets(
+            _docs(s, d)
+        ),
+        # RM3 relevance-model pseudo-relevance feedback (Anserini default PRF)
+        "q_rm3": lambda s, d: queryops.rm3_topk(
+            _docs(s, d), Q_AND2, fb_docs=5, fb_terms=5, alpha=0.5, k=20
+        ),
+        # sequential dependence model (unigram + ordered + unordered-window)
+        "q_sdm": lambda s, d: queryops.sdm_topk(_docs(s, d), Q_AND2, k=20),
     }
 
 
@@ -982,4 +992,7 @@ def oracle_sql() -> dict[str, str]:
             health.TARGET_SHARD_TOKENS, health.TARGET_BUCKET_TERMS,
             health.BYTES_PER_POSTING_EST
         ),
+        "q_perplexity_buckets": osql.perplexity_buckets(),
+        "q_rm3": osql.rm3_topk(Q_AND2, fb_docs=5, fb_terms=5, alpha=0.5, k=20),
+        "q_sdm": osql.sdm_topk(Q_AND2, k=20),
     }

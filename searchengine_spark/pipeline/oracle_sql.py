@@ -4914,3 +4914,155 @@ SELECT f.qid, f.doc_id, f.n_matched, f.sum_tf, f.min_tf, f.dl, f.idf_sum,
        f.bm25, coalesce(q2.rel, 0)::INT AS label
 FROM feats f LEFT JOIN q2 ON f.qid = q2.qid AND f.doc_id = q2.doc_id
 """
+
+
+# --- round-3 batch: CCNet perplexity buckets, RM3, SDM ---
+
+def perplexity_buckets() -> str:
+    """Twin of textstats.perplexity_buckets: unigram_logprob scores +
+    per-language quantile_cont(1/3, 2/3) cutoffs (== Spark's exact
+    percentile interpolation) -> head/middle/tail comparison bucketing."""
+    return f"""
+WITH {_TOKS_CTE},
+model AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT sum(cnt)::DOUBLE AS total FROM model),
+scored AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         round(avg(ln(cnt / total)), 4) AS avg_logprob
+  FROM toks JOIN model USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+),
+s AS (SELECT sc.doc_id, d.lang, sc.n_tokens, sc.avg_logprob
+      FROM scored sc JOIN documents d USING (doc_id)),
+cuts AS (
+  SELECT lang,
+         round(quantile_cont(avg_logprob, CAST(1 AS DOUBLE)/3), 6) AS c_lo,
+         round(quantile_cont(avg_logprob, CAST(2 AS DOUBLE)/3), 6) AS c_hi
+  FROM s GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.n_tokens, s.avg_logprob,
+       CASE WHEN s.avg_logprob >= c.c_hi THEN 'head'
+            WHEN s.avg_logprob >= c.c_lo THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s JOIN cuts c USING (lang)
+"""
+
+
+def rm3_topk(terms: list[str], fb_docs: int = 5, fb_terms: int = 5,
+             alpha: float = 0.5, mu: float = 2000.0, k: int = 20) -> str:
+    """Twin of queryops.rm3_topk (RM3 pseudo-relevance feedback): QL seed
+    top-fb_docs, softmax document weights (6dp), relevance-model term
+    distribution (6dp, top-fb_terms), interpolated weighted-QL rescore."""
+    tl = _terms_in(terms)
+    nq = float(len(terms))
+    orig_vals = ", ".join("('" + t.replace("'", "''") + "')" for t in terms)
+    return f"""
+WITH {_TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+coll AS (SELECT sum(tf)::DOUBLE AS c_tokens FROM postings),
+ocfs AS (SELECT term, sum(tf)::DOUBLE AS cf FROM postings
+         WHERE term IN ({tl}) GROUP BY term),
+seed AS (
+  SELECT p.doc_id,
+         round(sum(1.0 * ln(1 + p.tf / ({mu} * c.cf / coll.c_tokens)))
+               + {nq} * ln({mu} / (ds.dl + {mu})), 4) AS score
+  FROM postings p JOIN ocfs c USING (term)
+  JOIN ds ON p.doc_id = ds.doc_id CROSS JOIN coll
+  GROUP BY p.doc_id, ds.dl
+  ORDER BY score DESC, p.doc_id ASC LIMIT {fb_docs}
+),
+smax AS (SELECT max(score) AS smax FROM seed),
+wd AS (SELECT doc_id, round(exp(score - smax), 6) AS w_d
+       FROM seed CROSS JOIN smax),
+wdt AS (SELECT sum(w_d) AS wd_total FROM wd),
+model AS (
+  SELECT p.term,
+         round(sum(w.w_d * p.tf / ds.dl) / any_value(wdt.wd_total), 6) AS p_t
+  FROM postings p JOIN wd w USING (doc_id)
+  JOIN ds ON p.doc_id = ds.doc_id CROSS JOIN wdt
+  GROUP BY p.term
+  ORDER BY p_t DESC, term ASC LIMIT {fb_terms}
+),
+z AS (SELECT sum(p_t) AS z FROM model),
+fdim AS (
+  SELECT term, sum(w) AS w FROM (
+    SELECT term, {1.0 - alpha} / {nq} AS w FROM (VALUES {orig_vals}) orig(term)
+    UNION ALL
+    SELECT term, {alpha} * p_t / z.z AS w FROM model CROSS JOIN z
+  ) u GROUP BY term
+),
+wt AS (SELECT sum(w) AS w_total FROM fdim),
+fcfs AS (SELECT term, sum(tf)::DOUBLE AS cf FROM postings
+         WHERE term IN (SELECT term FROM fdim) GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum(f.w * ln(1 + p.tf / ({mu} * c.cf / coll.c_tokens)))
+               + any_value(wt.w_total) * ln({mu} / (any_value(ds.dl) + {mu})), 4) AS score
+  FROM postings p JOIN fdim f USING (term) JOIN fcfs c USING (term)
+  JOIN ds ON p.doc_id = ds.doc_id CROSS JOIN coll CROSS JOIN wt
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def sdm_topk(terms: list[str], mu: float = 2000.0, k: int = 20,
+             window: int = 8, lam_t: float = 0.85, lam_o: float = 0.1,
+             lam_u: float = 0.05) -> str:
+    """Twin of queryops.sdm_topk (sequential dependence model): unigram +
+    ordered-adjacency (#1) + unordered-window (#uw{window}) features over
+    the AND-gate candidate set, each Dirichlet-smoothed; zero-cf features
+    dropped on both engines."""
+    tl = _terms_in(terms)
+    n_distinct = len(set(terms))
+    pair_sqls = []
+    for a, b in zip(terms, terms[1:]):
+        ea, eb = a.replace("'", "''"), b.replace("'", "''")
+        pair_sqls.append(f"""
+  SELECT 'O:{ea} {eb}' AS feature, pa.doc_id, count(*)::BIGINT AS ftf,
+         {lam_o} AS lam
+  FROM (SELECT doc_id, pos FROM ptoks WHERE term = '{ea}') pa
+  JOIN (SELECT doc_id, pos FROM ptoks WHERE term = '{eb}') pb
+    USING (doc_id)
+  WHERE pb.pos = pa.pos + 1
+  GROUP BY pa.doc_id""")
+        pair_sqls.append(f"""
+  SELECT 'U:{ea} {eb}' AS feature, pa.doc_id, count(*)::BIGINT AS ftf,
+         {lam_u} AS lam
+  FROM (SELECT doc_id, pos FROM ptoks WHERE term = '{ea}') pa
+  JOIN (SELECT doc_id, pos FROM ptoks WHERE term = '{eb}') pb
+    USING (doc_id)
+  WHERE abs(pa.pos - pb.pos) < {window} AND pa.pos <> pb.pos
+  GROUP BY pa.doc_id""")
+    pair_union = ("\nUNION ALL\n".join(pair_sqls)) if pair_sqls else ""
+    uni_sql = f"""
+  SELECT 'T:' || term AS feature, doc_id, tf AS ftf, {lam_t} AS lam
+  FROM postings WHERE term IN ({tl})"""
+    allf = uni_sql + (("\nUNION ALL\n" + pair_union) if pair_union else "")
+    return f"""
+WITH {_TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")},
+{_PTOKS_CTE.strip()},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+coll AS (SELECT sum(tf)::DOUBLE AS c_tokens FROM postings),
+cand AS (
+  SELECT doc_id FROM postings WHERE term IN ({tl})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {n_distinct}
+),
+allf AS ({allf}),
+cfs AS (
+  SELECT feature, lam, sum(ftf)::DOUBLE AS cf FROM allf
+  GROUP BY feature, lam HAVING sum(ftf) > 0
+),
+grid AS (SELECT c.doc_id, f.feature, f.lam, f.cf FROM cand c CROSS JOIN cfs f),
+scored AS (
+  SELECT g.doc_id,
+         round(sum(g.lam * ln((coalesce(a.ftf, 0) + {mu} * g.cf / coll.c_tokens)
+                              / (ds.dl + {mu}))), 4) AS score
+  FROM grid g
+  LEFT JOIN allf a ON a.feature = g.feature AND a.doc_id = g.doc_id
+  JOIN ds ON g.doc_id = ds.doc_id
+  CROSS JOIN coll
+  GROUP BY g.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""

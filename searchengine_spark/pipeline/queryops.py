@@ -1907,3 +1907,210 @@ def routed_search(documents: DataFrame, query_terms: list[str],
     from searchengine_spark.pipeline.fulltext import bm25_topk
 
     return bm25_topk(sliced, query_terms, k=k)
+
+
+def rm3_topk(documents: DataFrame, query_terms: list[str],
+             fb_docs: int = 5, fb_terms: int = 5, alpha: float = 0.5,
+             mu: float = 2000.0, k: int = 20, **kw) -> DataFrame:
+    """(doc_id, score): RM3 relevance-model pseudo-relevance feedback
+    (Lavrenko & Croft '01 relevance models + Abdul-Jaleel et al. '04 RM3
+    interpolation; Anserini/Indri's default PRF) — the language-modeling
+    sibling of ``rocchio_search``:
+
+    1. seed: Dirichlet-QL top ``fb_docs`` for the original query;
+    2. relevance model: P(t|R) ∝ Σ_d w_d · tf_{t,d}/dl_d with document
+       weights w_d = exp(score_d − max_score) (softmax over seed QL
+       scores, shifted for stability); keep the top ``fb_terms`` terms,
+       renormalized over the kept set;
+    3. interpolate: w'_t = (1−α)·1/|q| on original terms + α·P(t|R) on
+       the kept terms (summed where they overlap), then rank with the
+       weighted Dirichlet-QL matched-term decomposition
+       Σ_matched w_t·ln(1 + tf/(μ·cf_t/|C|)) + (Σ_t w_t)·ln(μ/(dl+μ)).
+
+    Plan shape: ONE corpus tokenization feeds every phase (persisted
+    postings); seed docs / document weights / the relevance model / the
+    final weighted term dim are all in-plan ``limit`` + broadcast sides —
+    nothing is collected.  Scalars (max seed score, weight sums, model
+    normalizer) are 1-row broadcast aggregates, the idiom every other
+    multi-phase query here uses.  Determinism: seed ties break (score
+    desc, doc_id asc), model ties (6dp weight desc, term asc); w_d and
+    P(t|R) are rounded to 6dp so the DuckDB twin lands on identical
+    doubles before the final 4dp score round.
+    """
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p).persist()
+    coll = p.agg(F.sum("tf").cast("double").alias("c_tokens"))
+
+    def _ql(weights_dim: DataFrame) -> DataFrame:
+        """Weighted Dirichlet-QL: Σ w_t·ln(1+tf/(μ·cf/|C|)) + W·ln(μ/(dl+μ))."""
+        w_sum = weights_dim.agg(F.sum("w").alias("w_total"))
+        cfs = (
+            p.join(F.broadcast(weights_dim.select("term")), "term", "left_semi")
+            .groupBy("term").agg(F.sum("tf").cast("double").alias("cf"))
+        )
+        return (
+            p.join(F.broadcast(weights_dim), "term")
+            .join(F.broadcast(cfs), "term")
+            .join(ds.select("doc_id", "dl"), "doc_id")
+            .crossJoin(F.broadcast(coll))
+            .crossJoin(F.broadcast(w_sum))
+            .withColumn(
+                "pscore",
+                F.col("w") * F.log(
+                    1.0 + F.col("tf") / (F.lit(mu) * F.col("cf") / F.col("c_tokens"))),
+            )
+            .groupBy("doc_id", "dl", "w_total")
+            .agg(F.sum("pscore").alias("matched"))
+            .select(
+                "doc_id",
+                F.round(
+                    F.col("matched")
+                    + F.col("w_total") * F.log(F.lit(mu) / (F.col("dl") + F.lit(mu))),
+                    4,
+                ).alias("score"),
+            )
+        )
+
+    spark = documents.sparkSession
+    nq = float(len(query_terms))
+    orig_dim = spark.createDataFrame(
+        [(t, 1.0 / nq) for t in query_terms], "term string, w double")
+
+    seed = (
+        _ql(spark.createDataFrame([(t, 1.0) for t in query_terms],
+                                  "term string, w double"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(fb_docs)
+    )
+    smax = seed.agg(F.max("score").alias("smax"))
+    wd = (
+        seed.crossJoin(F.broadcast(smax))
+        .select("doc_id",
+                F.round(F.exp(F.col("score") - F.col("smax")), 6).alias("w_d"))
+    )
+    wd_sum = wd.agg(F.sum("w_d").alias("wd_total"))
+    model = (
+        p.join(F.broadcast(wd), "doc_id")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(wd_sum))
+        .groupBy("term")
+        .agg(F.round(
+            F.sum(F.col("w_d") * F.col("tf") / F.col("dl"))
+            / F.first("wd_total"), 6).alias("p_t"))
+        .orderBy(F.desc("p_t"), F.asc("term"))
+        .limit(fb_terms)
+    )
+    z = model.agg(F.sum("p_t").alias("z"))
+    exp_dim = (
+        model.crossJoin(F.broadcast(z))
+        .select("term", (F.lit(alpha) * F.col("p_t") / F.col("z")).alias("w"))
+    )
+    final_dim = (
+        orig_dim.select("term", (F.lit(1.0 - alpha) * F.col("w")).alias("w"))
+        .unionByName(exp_dim)
+        .groupBy("term").agg(F.sum("w").alias("w"))
+    )
+    out = (
+        _ql(final_dim)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return finalize(out, p, ds)
+
+
+def sdm_topk(documents: DataFrame, query_terms: list[str],
+             mu: float = 2000.0, k: int = 20, window: int = 8,
+             lam_t: float = 0.85, lam_o: float = 0.1,
+             lam_u: float = 0.05) -> DataFrame:
+    """(doc_id, score): sequential dependence model ranking (Metzler &
+    Croft SIGIR'05, public; Indri/Galago's `#weight(0.85 #combine ...
+    0.1 #1 ... 0.05 #uw8 ...)`) — term dependence on top of the positional
+    machinery: for every ADJACENT query-term pair the model adds an
+    ordered-adjacency feature (#1: pos_b = pos_a + 1) and an unordered
+    window feature (#uw8: both terms within ``window`` positions), each
+    Dirichlet-smoothed against its own corpus frequency:
+
+        score(d) = Σ_f λ_f · ln((tf_f(d) + μ·cf_f/|C|) / (dl + μ))
+
+    over candidates = the conjunctive (AND-gate) doc set, with features
+    whose corpus frequency is zero dropped on both engines (their smoothed
+    probability is 0 everywhere — no rank information, and ln(0) is
+    undefined).
+
+    Scale shape: positional rows are filtered to the query terms BEFORE
+    the pair self-joins (per-term posting cardinality, not corpus
+    cardinality); per-pair counts and corpus cfs are hash aggs over those
+    slices; the candidate×feature grid is a broadcast nested loop over a
+    ≤(3n−2)-row feature dim.  One corpus tokenization feeds the postings
+    and positions; nothing is collected.
+    """
+    from searchengine_spark.pipeline.fulltext import positional_tokens
+
+    p = tf_postings(documents).persist()
+    ds = doc_stats(p).persist()
+    coll = p.agg(F.sum("tf").cast("double").alias("c_tokens"))
+    cand = (
+        p.filter(F.col("term").isin(query_terms))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") == len(set(query_terms)))
+        .select("doc_id")
+    )
+    uni = p.filter(F.col("term").isin(query_terms)).select(
+        F.concat(F.lit("T:"), F.col("term")).alias("feature"),
+        "doc_id",
+        F.col("tf").cast("long").alias("ftf"),
+        F.lit(float(lam_t)).alias("lam"),
+    )
+    pt = (
+        positional_tokens(documents)
+        .filter(F.col("term").isin(query_terms))
+        .persist()
+    )
+    feats = [uni]
+    for a, b in zip(query_terms, query_terms[1:]):
+        pa = pt.filter(F.col("term") == a).select("doc_id", F.col("pos").alias("pos_a"))
+        pb = pt.filter(F.col("term") == b).select("doc_id", F.col("pos").alias("pos_b"))
+        j = pa.join(pb, "doc_id")
+        feats.append(
+            j.filter(F.col("pos_b") == F.col("pos_a") + 1)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("ftf"))
+            .select(F.lit(f"O:{a} {b}").alias("feature"), "doc_id", "ftf",
+                    F.lit(float(lam_o)).alias("lam"))
+        )
+        feats.append(
+            j.filter((F.abs(F.col("pos_a") - F.col("pos_b")) < window)
+                     & (F.col("pos_a") != F.col("pos_b")))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("ftf"))
+            .select(F.lit(f"U:{a} {b}").alias("feature"), "doc_id", "ftf",
+                    F.lit(float(lam_u)).alias("lam"))
+        )
+    allf = feats[0]
+    for f_ in feats[1:]:
+        allf = allf.unionByName(f_)
+    allf = allf.persist()
+    cfs = (
+        allf.groupBy("feature", "lam")
+        .agg(F.sum("ftf").cast("double").alias("cf"))
+        .filter(F.col("cf") > 0)
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(cfs))
+        .join(allf.select("feature", "doc_id", "ftf"), ["feature", "doc_id"], "left")
+        .fillna({"ftf": 0})
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(coll))
+        .withColumn(
+            "lp",
+            F.col("lam") * F.log(
+                (F.col("ftf") + F.lit(mu) * F.col("cf") / F.col("c_tokens"))
+                / (F.col("dl") + F.lit(mu))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lp"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return finalize(scored, p, ds, pt, allf)

@@ -488,6 +488,47 @@ def unigram_logprob(documents: DataFrame, id_col: str = "doc_id",
     return scored
 
 
+def perplexity_buckets(documents: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       lang_col: str = "lang") -> DataFrame:
+    """(doc_id, lang, n_tokens, avg_logprob, bucket) — CCNet-style
+    per-language perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    public): score every document with the corpus unigram LM
+    (``unigram_logprob``), then split each language into head / middle /
+    tail thirds by the per-language 1/3 and 2/3 logprob cutoffs.  head =
+    most-typical text (highest mean logprob = lowest perplexity), tail =
+    rare-token-heavy noise; the standard pre-training recipe keeps head +
+    middle and drops or down-samples tail.
+
+    Scale shape: the cutoffs are ONE tiny per-language aggregate
+    (``percentile`` — exact sorted-group pass; at 100 TB swap
+    ``percentile_approx``, same plan shape) broadcast back over the scored
+    stream, so bucketing is a map-only comparison — no per-language global
+    sort or ntile window over the corpus.  Cutoffs are computed on the
+    4dp-rounded scores and rounded to 6dp so the DuckDB twin
+    (quantile_cont has the same (n-1)*p interpolation) lands on identical
+    doubles.
+    """
+    scored = unigram_logprob(documents, id_col=id_col, text_col=text_col)
+    langs = documents.select(F.col(id_col).alias("doc_id"),
+                             F.col(lang_col).alias("lang"))
+    s = scored.join(langs, "doc_id")
+    cuts = s.groupBy("lang").agg(
+        F.round(F.expr("percentile(avg_logprob, cast(1 as double)/3)"), 6).alias("c_lo"),
+        F.round(F.expr("percentile(avg_logprob, cast(2 as double)/3)"), 6).alias("c_hi"),
+    )
+    return (
+        s.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id", "lang", "n_tokens", "avg_logprob",
+            F.when(F.col("avg_logprob") >= F.col("c_hi"), F.lit("head"))
+            .when(F.col("avg_logprob") >= F.col("c_lo"), F.lit("middle"))
+            .otherwise(F.lit("tail")).alias("bucket"),
+        )
+    )
+
+
 def dsir_weights(documents: DataFrame, target_lang: str = "en",
                  id_col: str = "doc_id", text_col: str = "text",
                  lang_col: str = "lang") -> DataFrame:
