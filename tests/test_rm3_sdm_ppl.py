@@ -1,0 +1,133 @@
+"""Batch: RM3 pseudo-relevance feedback, sequential dependence model,
+CCNet perplexity buckets."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.pipeline.queryops import (
+    dirichlet_ql_topk,
+    rm3_topk,
+    sdm_topk,
+)
+from searchengine_spark.pipeline.textstats import perplexity_buckets
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # "merge" cluster: docs about merging share "branch"/"commit"
+        (0, "merge branch commit merge branch"),
+        (1, "merge commit branch history"),
+        (2, "merge filler words here"),
+        # doc with the feedback vocabulary but NOT the original term
+        (3, "branch commit branch commit history"),
+        # unrelated noise
+        (4, "zebra quark flux random noise"),
+        (5, "lorem ipsum dolor sit amet"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestRM3:
+    def test_alpha_zero_matches_plain_ql(self, spark, docs):
+        # alpha=0: final weights are (1-0)/|q| on the original terms only,
+        # a uniform 1/|q| scaling of plain Dirichlet-QL -> identical order.
+        base = dirichlet_ql_topk(docs, ["merge"], k=10).collect()
+        rm = rm3_topk(docs, ["merge"], fb_docs=2, fb_terms=3,
+                      alpha=0.0, k=10).collect()
+        assert [r.doc_id for r in rm][:len(base)] == [r.doc_id for r in base]
+
+    def test_expansion_pulls_in_feedback_vocab_doc(self, spark, docs):
+        # seed docs (0,1) contribute "branch"/"commit" to the relevance
+        # model; doc 3 has no "merge" but is rich in the expansion terms,
+        # so with alpha>0 it enters the ranked set.
+        out = rm3_topk(docs, ["merge"], fb_docs=2, fb_terms=3,
+                       alpha=0.5, k=10).collect()
+        ids = [r.doc_id for r in out]
+        assert 3 in ids
+        # and the original-query docs still rank above pure noise
+        assert ids.index(0) < ids.index(5) if 5 in ids else True
+
+    def test_deterministic(self, spark, docs):
+        a = rm3_topk(docs, ["merge"], k=10).collect()
+        b = rm3_topk(docs, ["merge"], k=10).collect()
+        assert [(r.doc_id, r.score) for r in a] == [
+            (r.doc_id, r.score) for r in b]
+
+
+class TestSDM:
+    @pytest.fixture(scope="class")
+    def pdocs(self, spark):
+        rows = [
+            (0, "hash join hash join filler"),        # adjacent twice
+            (1, "hash filler filler join hash"),      # within uw8 only
+            (2, "hash mid1 mid2 mid3 mid4 mid5 mid6 mid7 join"),  # dist 8
+            (3, "join hash"),                          # reversed adjacency
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_ordered_adjacency_boosts(self, spark, pdocs):
+        out = sdm_topk(pdocs, ["hash", "join"], k=10).collect()
+        ids = [r.doc_id for r in out]
+        # doc 0 (ordered-adjacent, both features fire) beats doc 1
+        # (unordered window only) beats doc 2 (unigrams only: the pair is
+        # at distance 8, outside uw8 and not adjacent).
+        assert ids.index(0) < ids.index(1) < ids.index(2)
+
+    def test_unigram_only_degeneration(self, spark, pdocs):
+        # lam_o = lam_u = 0: pair features contribute nothing; ranking
+        # equals Dirichlet-QL over the AND candidates (scaled by lam_t).
+        sdm = sdm_topk(pdocs, ["hash", "join"], lam_t=1.0,
+                       lam_o=0.0, lam_u=0.0, k=10).collect()
+        ql = dirichlet_ql_topk(pdocs, ["hash", "join"], k=10).collect()
+        ql_and = [r.doc_id for r in ql]
+        assert [r.doc_id for r in sdm] == ql_and
+
+    def test_zero_cf_feature_dropped(self, spark):
+        # "alpha beta" is never adjacent nor co-windowed anywhere: both
+        # pair features have cf=0 and must be dropped, not ln(0)-crash.
+        d = spark.createDataFrame(
+            [(0, "alpha filler " + "pad " * 10 + "beta"),
+             (1, "alpha " + "pad " * 10 + "beta end")],
+            "doc_id long, text string")
+        out = sdm_topk(d, ["alpha", "beta"], window=4, k=10).collect()
+        assert len(out) == 2 and all(r.score is not None for r in out)
+
+
+class TestPerplexityBuckets:
+    def test_thirds_per_language(self, spark):
+        # 6 docs per lang; common-token docs -> head, rare-token -> tail.
+        common = "the code is fine and the code runs"
+        rows = []
+        for i in range(4):
+            rows.append((i, common, "en"))
+        rows.append((4, "the code is odd plus rareword" + " the code" * 2, "en"))
+        rows.append((5, "zzz qqq xxx vvv www yyy", "en"))
+        # lang is a label column: the index tokenizer is [a-z0-9]-only
+        # (Cyrillic would tokenize to nothing and emit no rows), so the
+        # per-language-cutoff semantics are exercised with transliterated
+        # tokens under the "ru" label.
+        rows.append((10, "odin dva tri odin dva tri", "ru"))
+        rows.append((11, "odin dva tri odin dva tri", "ru"))
+        rows.append((12, "redkij unikalnyj token zdes", "ru"))
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = {r.doc_id: r for r in perplexity_buckets(df).collect()}
+        assert len(out) == 9
+        # every doc bucketed, buckets only from the fixed set
+        assert {r.bucket for r in out.values()} <= {"head", "middle", "tail"}
+        # the all-rare-token doc is the worst scorer in en -> tail
+        assert out[5].bucket == "tail"
+        # the repeated common docs sit at/above the 2/3 cutoff -> head
+        assert out[0].bucket == "head"
+        # ru cutoffs are independent: the two identical ru docs share a
+        # bucket and the rare-token ru doc is strictly below them
+        assert out[10].bucket == out[11].bucket
+        assert out[12].avg_logprob < out[10].avg_logprob
+
+    def test_bucket_boundaries_closed_above(self, spark):
+        # with 3 equal scores the cutoffs equal the score; >= puts all in head
+        rows = [(i, "same same same", "en") for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = perplexity_buckets(df).collect()
+        assert {r.bucket for r in out} == {"head"}
