@@ -358,6 +358,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25f": lambda s, d: queryops.bm25f_topk(_docs(s, d), Q_AND2, title_len=8, w_title=2.0, k=20),
         "q_percolate": lambda s, d: queryops.percolate(_docs(s, d), STORED_QUERIES),
         "q_dirichlet_ql": lambda s, d: queryops.dirichlet_ql_topk(_docs(s, d), Q_AND2, mu=2000.0, k=20),
+        # classic ranking-model family: Lucene pre-BM25 TF-IDF, JM-smoothed
+        # QL (Zhai-Lafferty's verbose-query recommendation), DFR PL2
+        "q_tfidf_classic": lambda s, d: queryops.tfidf_classic_topk(_docs(s, d), Q_AND2, k=20),
+        "q_jm_ql": lambda s, d: queryops.jm_ql_topk(_docs(s, d), Q_AND2, lam=0.1, k=20),
+        "q_pl2": lambda s, d: queryops.pl2_topk(_docs(s, d), Q_AND2, c=1.0, k=20),
         # boolean query language (parser + composed executor)
         "q_query_language": lambda s, d: _run_query_lang(s, d),
         "q_prefix_search": lambda s, d: queryops.prefix_search(_docs(s, d), Q_PREFIX, k=20),
@@ -835,6 +840,9 @@ def oracle_sql() -> dict[str, str]:
         "q_bm25f": osql.bm25f_topk(Q_AND2, title_len=8, w_title=2.0, k=20),
         "q_percolate": osql.percolate(STORED_QUERIES),
         "q_dirichlet_ql": osql.dirichlet_ql_topk(Q_AND2, mu=2000.0, k=20),
+        "q_tfidf_classic": osql.tfidf_classic_topk(Q_AND2, k=20),
+        "q_jm_ql": osql.jm_ql_topk(Q_AND2, lam=0.1, k=20),
+        "q_pl2": osql.pl2_topk(Q_AND2, c=1.0, k=20),
         "q_query_language": osql.query_language(
             ["merge", "vector"], ["dup"], [["table", "hash"]],
             [["stream", "batch"]], k=20),

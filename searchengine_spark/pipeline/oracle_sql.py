@@ -5066,3 +5066,81 @@ scored AS (
 )
 SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
+
+
+def tfidf_classic_topk(terms: list[str], k: int = 20) -> str:
+    """DuckDB twin of queryops.tfidf_classic_topk (Lucene ClassicSimilarity)."""
+    tl = _terms_in(terms)
+    nq = float(len(terms))
+    return f"""
+WITH {_TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM ds),
+dfs AS (
+  SELECT term,
+         round(1 + ln(n.n_docs / (count(*)::DOUBLE + 1)), 6) AS idf
+  FROM postings CROSS JOIN n WHERE term IN ({tl}) GROUP BY term, n.n_docs
+),
+scored AS (
+  SELECT p.doc_id, count(*)::BIGINT AS nhit,
+         sum(sqrt(p.tf::DOUBLE) * dfs.idf * dfs.idf / sqrt(ds.dl::DOUBLE)) AS raw
+  FROM postings p JOIN dfs USING (term) JOIN ds ON p.doc_id = ds.doc_id
+  GROUP BY p.doc_id
+)
+SELECT doc_id, nhit, round(raw * nhit / {nq}, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def jm_ql_topk(terms: list[str], lam: float = 0.1, k: int = 20) -> str:
+    """DuckDB twin of queryops.jm_ql_topk (Jelinek-Mercer QL)."""
+    tl = _terms_in(terms)
+    return f"""
+WITH {_TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+coll AS (SELECT sum(tf)::DOUBLE AS c_tokens FROM postings),
+cfs AS (SELECT term, sum(tf)::DOUBLE AS cf FROM postings
+        WHERE term IN ({tl}) GROUP BY term),
+qc AS (
+  SELECT coalesce(sum(ln({lam} * cf / coll.c_tokens)), 0.0) AS q_const
+  FROM cfs CROSS JOIN coll
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(ln(1 + ((1 - {lam}) * p.tf / ds.dl)
+                / ({lam} * c.cf / coll.c_tokens))) AS matched
+  FROM postings p JOIN cfs c USING (term)
+  JOIN ds ON p.doc_id = ds.doc_id
+  CROSS JOIN coll
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(matched + qc.q_const, 4) AS score
+FROM scored CROSS JOIN qc ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def pl2_topk(terms: list[str], c: float = 1.0, k: int = 20) -> str:
+    """DuckDB twin of queryops.pl2_topk (DFR PL2): same ln-only rewrite,
+    tfn rounded 6dp before the score expression on both engines."""
+    tl = _terms_in(terms)
+    return f"""
+WITH {_TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs,
+             (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+cfs AS (SELECT term, sum(tf)::DOUBLE AS cf FROM postings
+        WHERE term IN ({tl}) GROUP BY term),
+rows_ AS (
+  SELECT p.doc_id,
+         round(p.tf * ln(1 + {c} * g.avgdl / ds.dl) / ln(2.0), 6) AS tfn,
+         c2.cf / g.n_docs AS lam
+  FROM postings p JOIN cfs c2 USING (term)
+  JOIN ds ON p.doc_id = ds.doc_id
+  CROSS JOIN g
+)
+SELECT doc_id,
+       round(sum((tfn * ln(tfn / lam) + (lam - tfn)
+                  + 0.5 * ln(2 * pi() * tfn))
+                 / (ln(2.0) * (tfn + 1))), 4) AS score
+FROM rows_ GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""

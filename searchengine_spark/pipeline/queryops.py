@@ -2114,3 +2114,179 @@ def sdm_topk(documents: DataFrame, query_terms: list[str],
         .limit(k)
     )
     return finalize(scored, p, ds, pt, allf)
+
+
+def tfidf_classic_topk(documents: DataFrame, query_terms: list[str],
+                       k: int = 20, **kw) -> DataFrame:
+    """(doc_id, nhit, score) top-k under Lucene's ClassicSimilarity
+    (TFIDFSimilarity in the public Lucene tree — the default scorer before
+    BM25 replaced it in Lucene 6):
+
+        score(q,d) = coord(q,d) · Σ_{t∈q∩d} sqrt(tf) · idf(t)² · 1/sqrt(dl)
+
+    with idf = 1 + ln(N/(df+1)), coord = nhit/|q|, and the doc norm
+    1/sqrt(dl) (lengthNorm with token count standing in for Lucene's
+    per-field numTerms).  queryNorm is dropped — it is a per-query
+    constant, rank-neutral by Lucene's own javadoc.  Kept next to BM25 /
+    Dirichlet / PL2 so index migrations can replay legacy rankings.
+
+    Plan shape: identical to ``bm25_or_scored`` — one persisted postings
+    pass feeds df / dl branches, query-sized dims broadcast, disjunctive
+    candidates pruned to query-term rows before any join.  Scores rounded
+    4dp after the final sum (idf² at 6dp so both engines square identical
+    doubles).
+    """
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p).persist()
+    n_docs = ds.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    dfs = (
+        p.filter(F.col("term").isin(query_terms))
+        .groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.round(1.0 + F.log(F.col("n_docs") / (F.col("df") + 1.0)), 6)
+            .alias("idf"),
+        )
+    )
+    nq = float(len(query_terms))
+    scored = (
+        p.filter(F.col("term").isin(query_terms))
+        .join(F.broadcast(dfs), "term")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .withColumn(
+            "pscore",
+            F.sqrt(F.col("tf").cast("double")) * F.col("idf") * F.col("idf")
+            / F.sqrt(F.col("dl").cast("double")),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nhit"),
+             F.sum("pscore").alias("raw"))
+        .select(
+            "doc_id", "nhit",
+            F.round(F.col("raw") * F.col("nhit") / F.lit(nq), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return finalize(scored, p, ds)
+
+
+def jm_ql_topk(documents: DataFrame, query_terms: list[str],
+               lam: float = 0.1, k: int = 20, **kw) -> DataFrame:
+    """(doc_id, score) top-k under Jelinek-Mercer-smoothed query
+    likelihood (Zhai & Lafferty SIGIR '01 — the linear-interpolation
+    smoothing they recommend for verbose queries; Dirichlet for short
+    ones lives in ``dirichlet_ql_topk``):
+
+        score(d) = Σ_{t∈q, tf>0} ln(1 + ((1−λ)·tf/dl) / (λ·cf_t/|C|))
+                   + Σ_{t∈q, cf>0} ln(λ·cf_t/|C|)
+
+    — the rank-equivalent matched-terms decomposition: the second sum is
+    doc-independent (kept for score fidelity with the textbook form;
+    query terms absent from the whole corpus contribute nothing, exactly
+    as Indri drops zero-cf nodes).
+
+    Same single-scan plan as ``dirichlet_ql_topk``: persisted postings
+    feed cf / dl branches, the scalar collection length and the per-query
+    constant are 1-row broadcast aggregates.
+    """
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p).persist()
+    coll = p.agg(F.sum("tf").cast("double").alias("c_tokens"))
+    cfs = (
+        p.filter(F.col("term").isin(query_terms))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("double").alias("cf"))
+    )
+    const = (
+        cfs.crossJoin(F.broadcast(coll))
+        .agg(F.coalesce(
+            F.sum(F.log(F.lit(lam) * F.col("cf") / F.col("c_tokens"))),
+            F.lit(0.0)).alias("q_const"))
+    )
+    scored = (
+        p.filter(F.col("term").isin(query_terms))
+        .join(F.broadcast(cfs), "term")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(coll))
+        .withColumn(
+            "pscore",
+            F.log(1.0 + ((1.0 - lam) * F.col("tf") / F.col("dl"))
+                  / (F.lit(lam) * F.col("cf") / F.col("c_tokens"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("pscore").alias("matched"))
+        .crossJoin(F.broadcast(const))
+        .select("doc_id",
+                F.round(F.col("matched") + F.col("q_const"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return finalize(scored, p, ds)
+
+
+def pl2_topk(documents: DataFrame, query_terms: list[str], c: float = 1.0,
+             k: int = 20, **kw) -> DataFrame:
+    """(doc_id, score) top-k under DFR PL2 (Amati & van Rijsbergen TOIS
+    '02 — Poisson model, Laplace after-effect, normalisation 2; Terrier's
+    default ranking model):
+
+        tfn   = tf · log2(1 + c·avgdl/dl)
+        λ_t   = cf_t / N                       (Poisson mean)
+        score = Σ_{t∈q∩d} (1/(tfn+1)) ·
+                  [ tfn·ln(tfn/λ_t) + (λ_t − tfn) + 0.5·ln(2π·tfn) ] / ln 2
+
+    (the textbook form with every log rewritten over ln and one final
+    /ln 2, so both engines evaluate the same double expressions — no
+    reliance on a native log2).  Disjunctive candidates; contributions
+    can go negative for collection-frequent terms, which is PL2's own
+    behavior, not an artifact.
+
+    Plan shape: the ``bm25_or_scored`` single-scan shape — persisted
+    postings feed cf / dl / avgdl branches, scalars broadcast; tfn is
+    rounded 6dp before the score expression so both engines transform
+    identical doubles.
+    """
+    import math
+
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p).persist()
+    stats = ds.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    cfs = (
+        p.filter(F.col("term").isin(query_terms))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("double").alias("cf"))
+    )
+    ln2 = math.log(2.0)
+    scored = (
+        p.filter(F.col("term").isin(query_terms))
+        .join(F.broadcast(cfs), "term")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "tfn",
+            F.round(
+                F.col("tf")
+                * F.log(1.0 + F.lit(c) * F.col("avgdl") / F.col("dl"))
+                / F.lit(ln2),
+                6,
+            ),
+        )
+        .withColumn("lam", F.col("cf") / F.col("n_docs"))
+        .withColumn(
+            "pscore",
+            (F.col("tfn") * F.log(F.col("tfn") / F.col("lam"))
+             + (F.col("lam") - F.col("tfn"))
+             + 0.5 * F.log(2.0 * math.pi * F.col("tfn")))
+            / (F.lit(ln2) * (F.col("tfn") + 1.0)),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("pscore"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return finalize(scored, p, ds)

@@ -1,0 +1,123 @@
+"""Batch: classic ranking-model family — Lucene ClassicSimilarity TF-IDF,
+Jelinek-Mercer query likelihood, DFR PL2."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from searchengine_spark.pipeline.queryops import (
+    jm_ql_topk,
+    pl2_topk,
+    tfidf_classic_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "apple apple banana"),          # both terms, tf 2+1, dl 3
+        (1, "apple cherry cherry cherry"),  # one term, dl 4
+        (2, "banana banana banana banana"),  # one term, dl 4
+        (3, "cherry date elderberry fig"),  # no query terms
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _stats():
+    """Shared hand stats for the fixture: N=4, dl per doc, df/cf per term."""
+    dl = {0: 3, 1: 4, 2: 4, 3: 4}
+    df = {"apple": 2, "banana": 2}
+    cf = {"apple": 3, "banana": 5}
+    return dl, df, cf
+
+
+class TestClassicTFIDF:
+    def test_exact_scores_and_coord(self, spark, docs):
+        out = {r.doc_id: r for r in
+               tfidf_classic_topk(docs, ["apple", "banana"], k=10).collect()}
+        dl, df, _ = _stats()
+        n = 4.0
+        idf = {t: round(1 + math.log(n / (df[t] + 1)), 6) for t in df}
+
+        def raw(doc, tfs):
+            return sum(math.sqrt(tf) * idf[t] ** 2 / math.sqrt(dl[doc])
+                       for t, tf in tfs.items())
+
+        exp0 = round(raw(0, {"apple": 2, "banana": 1}) * 2 / 2, 4)
+        exp1 = round(raw(1, {"apple": 1}) * 1 / 2, 4)
+        exp2 = round(raw(2, {"banana": 4}) * 1 / 2, 4)
+        assert out[0].score == pytest.approx(exp0)
+        assert out[1].score == pytest.approx(exp1)
+        assert out[2].score == pytest.approx(exp2)
+        assert out[0].nhit == 2 and out[1].nhit == 1
+        assert 3 not in out
+        # coord: the both-terms doc outranks the single-term docs even
+        # though doc 2 has a higher single-term tf
+        assert out[0].score > out[2].score
+
+    def test_topk_cut(self, spark, docs):
+        assert len(tfidf_classic_topk(docs, ["apple", "banana"], k=2)
+                   .collect()) == 2
+
+
+class TestJMQL:
+    def test_matches_textbook_full_form_ranking(self, spark, docs):
+        lam = 0.1
+        out = [(r.doc_id, r.score) for r in
+               jm_ql_topk(docs, ["apple", "banana"], lam=lam, k=10).collect()]
+        dl, _, cf = _stats()
+        c_tokens = 15.0
+        const = sum(math.log(lam * cf[t] / c_tokens) for t in cf)
+
+        def score(doc, tfs):
+            matched = sum(
+                math.log(1 + ((1 - lam) * tf / dl[doc])
+                         / (lam * cf[t] / c_tokens))
+                for t, tf in tfs.items())
+            return round(matched + const, 4)
+
+        exp = {0: score(0, {"apple": 2, "banana": 1}),
+               1: score(1, {"apple": 1}),
+               2: score(2, {"banana": 4})}
+        assert dict(out) == {d: pytest.approx(s) for d, s in exp.items()}
+        # decomposition == full form: matched+const equals
+        # sum over query terms of ln((1-lam)tf/dl + lam*cf/|C|)
+        full0 = sum(math.log((1 - lam) * tf / dl[0] + lam * cf[t] / c_tokens)
+                    for t, tf in {"apple": 2, "banana": 1}.items())
+        assert exp[0] == pytest.approx(round(full0, 4), abs=1e-4)
+
+    def test_absent_corpus_term_ignored(self, spark, docs):
+        # a query term with cf=0 contributes to neither sum (no ln(0))
+        out = jm_ql_topk(docs, ["apple", "zzznotaterm"], k=10).collect()
+        assert len(out) == 2 and all(r.score is not None for r in out)
+
+
+class TestPL2:
+    def test_exact_value(self, spark, docs):
+        c = 1.0
+        out = {r.doc_id: r.score for r in
+               pl2_topk(docs, ["apple"], c=c, k=10).collect()}
+        dl, _, cf = _stats()
+        n, avgdl = 4.0, 15.0 / 4.0
+        ln2 = math.log(2.0)
+
+        def contrib(tf, d):
+            tfn = round(tf * math.log(1 + c * avgdl / dl[d]) / ln2, 6)
+            lam = cf["apple"] / n
+            return (tfn * math.log(tfn / lam) + (lam - tfn)
+                    + 0.5 * math.log(2 * math.pi * tfn)) / (ln2 * (tfn + 1))
+
+        assert out[0] == pytest.approx(round(contrib(2, 0), 4))
+        assert out[1] == pytest.approx(round(contrib(1, 1), 4))
+        assert set(out) == {0, 1}
+
+    def test_tf_monotone_at_equal_dl(self, spark):
+        # same dl, higher tf of the query term -> higher PL2 score
+        d = spark.createDataFrame(
+            [(0, "term term term pad"), (1, "term pad pad pad"),
+             (2, "pad pad pad pad")],
+            "doc_id long, text string")
+        out = {r.doc_id: r.score for r in pl2_topk(d, ["term"], k=10).collect()}
+        assert out[0] > out[1]
