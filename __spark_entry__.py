@@ -495,6 +495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_click_attribution": lambda s, d: events.click_attribution(_events(s, d)),
         # per-language length distribution (exact interpolated percentiles)
         "q_length_percentiles": lambda s, d: textstats.length_percentiles(_docs(s, d)),
+        # OLAP surface: CUBE margins + explicit-values pivot matrix
+        "q_corpus_cube": lambda s, d: textstats.corpus_cube(_docs(s, d)),
+        "q_lang_pivot": lambda s, d: textstats.lang_source_pivot(_docs(s, d)),
         # sub-document boilerplate: non-overlapping 8-token block dedup
         "q_passage_dup_stats": lambda s, d: dedup.passage_dup_stats(_docs(s, d)),
         "q_top_dup_passages": lambda s, d: dedup.top_dup_passages(_docs(s, d)),
@@ -609,6 +612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_synthetic_qrels": lambda s, d: rankeval.synthetic_qrels(_docs(s, d)),
         "q_bm25_runs": lambda s, d: rankeval.bm25_runs(_docs(s, d), k=10),
         "q_bm25_eval": lambda s, d: rankeval.bm25_eval(_docs(s, d), k=10),
+        # cascade-model metric companion (Chapelle ERR@k)
+        "q_bm25_err": lambda s, d: rankeval.bm25_err(_docs(s, d), k=10),
         # CORI resource selection (Callan et al. 1995): shard/query routing
         "q_cori_selection": lambda s, d: rankeval.cori_source_scores(
             _docs(s, d), Q_AND2
@@ -910,6 +915,8 @@ def oracle_sql() -> dict[str, str]:
         "q_trending_decay": osql.trending_decay(half_life_minutes=60),
         "q_click_attribution": osql.click_attribution(),
         "q_length_percentiles": osql.length_percentiles(),
+        "q_corpus_cube": osql.corpus_cube(),
+        "q_lang_pivot": osql.lang_source_pivot(),
         "q_passage_dup_stats": osql.passage_dup_stats(),
         "q_top_dup_passages": osql.top_dup_passages(),
         "q_license_mix": osql.license_mix(),
@@ -951,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
         "q_synthetic_qrels": osql.synthetic_qrels(rankeval.EVAL_QUERIES),
         "q_bm25_runs": osql.bm25_runs(rankeval.EVAL_QUERIES, k=10),
         "q_bm25_eval": osql.bm25_eval(rankeval.EVAL_QUERIES, k=10),
+        "q_bm25_err": osql.bm25_err(rankeval.EVAL_QUERIES, k=10),
         "q_cori_selection": osql.cori_source_scores(Q_AND2),
         "q_ltr_features": osql.ltr_features(rankeval.EVAL_QUERIES),
         "q_ltr_labeled": osql.ltr_labeled(rankeval.EVAL_QUERIES),

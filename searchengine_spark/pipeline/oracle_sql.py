@@ -5144,3 +5144,53 @@ SELECT doc_id,
                  / (ln(2.0) * (tfn + 1))), 4) AS score
 FROM rows_ GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
+
+
+def corpus_cube() -> str:
+    """DuckDB twin of textstats.corpus_cube: GROUP BY CUBE with the same
+    GROUPING() margin labelling."""
+    return """
+SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+       CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
+def lang_source_pivot(langs: list[str] | None = None) -> str:
+    """DuckDB twin of textstats.lang_source_pivot: one conditional count
+    per declared language."""
+    from searchengine_spark.pipeline.textstats import PIVOT_LANGS
+
+    langs = langs if langs is not None else PIVOT_LANGS
+    cols = ",\n       ".join(
+        f"count(*) FILTER (WHERE lang = '{lang}')::BIGINT AS \"{lang}\""
+        for lang in langs
+    )
+    return f"SELECT source, {cols}\nFROM documents GROUP BY source"
+
+
+def bm25_err(queries: list[tuple[int, list[str]]], k: int = 10,
+             g_max: int = 2) -> str:
+    """Twin of rankeval.bm25_err: ERR@k via the same log-domain cascade
+    cumulative product over the BM25 runs × synthetic qrels."""
+    denom = float(2 ** g_max)
+    return f"""
+WITH {_TOKS_CTE}, {_qdim_values(queries)}, {_qrels_cte()}, {_runs_cte(queries, k)},
+hits AS (
+  SELECT r.qid, r.rank,
+         (pow(2.0, coalesce(qr.rel, 0)) - 1) / {denom} AS r_prob
+  FROM run r LEFT JOIN qrels qr USING (qid, doc_id)
+  WHERE r.rank <= {int(k)}
+),
+casc AS (
+  SELECT qid, rank, r_prob,
+         exp(coalesce(sum(ln(1 - r_prob)) OVER (
+             PARTITION BY qid ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)) AS cont
+  FROM hits
+)
+SELECT qid, round(sum(r_prob / rank * cont), 4) AS err
+FROM casc GROUP BY qid
+"""

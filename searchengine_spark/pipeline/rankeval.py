@@ -473,3 +473,57 @@ def ltr_labeled(documents: DataFrame,
         .withColumn("label", F.coalesce(F.col("rel"), F.lit(0)).cast("int"))
         .drop("rel")
     )
+
+
+def err_eval(run: DataFrame, qrels: DataFrame, k: int = 10,
+             g_max: int = 2) -> DataFrame:
+    """(qid, err) — Expected Reciprocal Rank at k (Chapelle et al.
+    CIKM '09, "Expected Reciprocal Rank for Graded Relevance"): the
+    cascade-model metric
+
+        ERR@k = Σ_{r=1..k} (R_r / r) · Π_{i<r} (1 − R_i),
+        R = (2^rel − 1) / 2^g_max
+
+    where R is the probability the user is satisfied at that rank and
+    stops.  Unlike NDCG, a relevant result below a highly-relevant one
+    contributes almost nothing — ERR rewards putting the best answer
+    first.  Grades must be ≤ ``g_max`` (R < 1, so the continuation
+    product never hits exact zero).
+
+    Plan shape: one left join run×qrels, then the cascade product as a
+    per-query prefix window — exp(Σ ln(1−R) over ranks < r), the
+    log-domain cumulative product both engines evaluate identically —
+    and one hash agg.  Work is O(|queries|·k); evaluation never touches
+    the corpus.  Queries whose top-k has no judged doc emit err = 0.
+    """
+    denom = float(2 ** g_max)
+    hits = (
+        run.filter(F.col("rank") <= k)
+        .join(qrels, ["qid", "doc_id"], "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+        .withColumn("r_prob", (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / denom)
+    )
+    w = (
+        Window.partitionBy("qid").orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        hits.withColumn(
+            "cont",
+            F.exp(F.coalesce(F.sum(F.log(1.0 - F.col("r_prob"))).over(w),
+                             F.lit(0.0))),
+        )
+        .groupBy("qid")
+        .agg(F.round(F.sum(F.col("r_prob") / F.col("rank") * F.col("cont")), 4)
+             .alias("err"))
+    )
+
+
+def bm25_err(documents: DataFrame,
+             queries: list[tuple[int, list[str]]] = EVAL_QUERIES,
+             k: int = 10, g_max: int = 2, **kw) -> DataFrame:
+    """ERR@k of the batch BM25 runs against the synthetic qrels — the
+    cascade-metric companion gate to ``bm25_eval``."""
+    return err_eval(bm25_runs(documents, queries, k=k, **kw),
+                    synthetic_qrels(documents, queries, **kw),
+                    k=k, g_max=g_max)

@@ -1110,3 +1110,73 @@ def stopword_candidates(documents: DataFrame, df_ratio: float = 0.5,
         .limit(k)
     )
     return finalize(out, p)
+
+
+# fixed language set of the testdata corpus: pivot columns must be a
+# declared list (never inferred) so the output schema is deterministic
+# and scale-factor independent
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def corpus_cube(documents: DataFrame, lang_col: str = "lang",
+                source_col: str = "source",
+                chars_col: str = "n_chars") -> DataFrame:
+    """(lang, source, n_docs, total_chars) — the corpus composition
+    dashboard as ONE ``cube`` aggregation: every (lang, source) cell plus
+    per-lang, per-source and grand-total margins in a single pass
+    (Spark's CUBE operator = GROUPING SETS of all 2² subsets).  Rolled-up
+    dimensions are labelled ``ALL`` via ``grouping()`` so a genuine NULL
+    value in the data could never be confused with a margin row — the
+    standard OLAP-cube disambiguation.
+
+    Scale shape: Spark expands CUBE into one Expand + one hash agg —
+    4 partial rows per input row, map-side combined, no extra shuffle vs
+    a plain groupBy; at 100 TB the output stays (|langs|+1)·(|sources|+1)
+    rows.  Twin: DuckDB GROUP BY CUBE with the same GROUPING() CASE.
+    """
+    return (
+        documents.cube(lang_col, source_col)
+        .agg(
+            F.grouping(lang_col).alias("g_lang"),
+            F.grouping(source_col).alias("g_source"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(chars_col).cast("long").alias("total_chars"),
+        )
+        .select(
+            F.when(F.col("g_lang") == 1, F.lit("ALL"))
+            .otherwise(F.col(lang_col)).alias("lang"),
+            F.when(F.col("g_source") == 1, F.lit("ALL"))
+            .otherwise(F.col(source_col)).alias("source"),
+            "n_docs", "total_chars",
+        )
+    )
+
+
+def lang_source_pivot(documents: DataFrame,
+                      langs: list[str] | None = None,
+                      lang_col: str = "lang",
+                      source_col: str = "source") -> DataFrame:
+    """(source, <one long column per language>) — the source × language
+    doc-count matrix via Spark's ``pivot`` operator with an EXPLICIT
+    value list (``PIVOT_LANGS``): pivoting on inferred values would make
+    the output schema data-dependent, which breaks both the driver's
+    schema gate and any downstream consumer compiled against the frame.
+    Languages outside the declared list are dropped (documented), empty
+    cells are 0 not NULL.
+
+    Scale shape: explicit-values pivot compiles to one hash agg with
+    |langs| conditional counts — a single corpus pass, no per-language
+    jobs and no values-inference scan.  Twin: DuckDB conditional
+    ``count(*) FILTER (WHERE lang = ...)`` per declared language.
+    """
+    langs = langs if langs is not None else PIVOT_LANGS
+    out = (
+        documents.groupBy(F.col(source_col).alias("source"))
+        .pivot(lang_col, langs)
+        .count()
+    )
+    return out.select(
+        "source",
+        *[F.coalesce(F.col(f"`{lang}`"), F.lit(0)).cast("long").alias(lang)
+          for lang in langs],
+    )

@@ -1,0 +1,109 @@
+"""Batch: OLAP surface (CUBE margins, explicit-values pivot) and the
+ERR@k cascade metric."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from searchengine_spark.pipeline.rankeval import bm25_err, err_eval
+from searchengine_spark.pipeline.textstats import (
+    corpus_cube,
+    lang_source_pivot,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "a", "en", "s1", 10),
+        (1, "b", "en", "s1", 20),
+        (2, "c", "en", "s2", 30),
+        (3, "d", "fr", "s1", 40),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+class TestCorpusCube:
+    def test_cells_and_margins(self, spark, docs):
+        out = {(r.lang, r.source): (r.n_docs, r.total_chars)
+               for r in corpus_cube(docs).collect()}
+        # grand total, per-lang margins, per-source margins, cells
+        assert out[("ALL", "ALL")] == (4, 100)
+        assert out[("en", "ALL")] == (3, 60)
+        assert out[("fr", "ALL")] == (1, 40)
+        assert out[("ALL", "s1")] == (3, 70)
+        assert out[("en", "s1")] == (2, 30)
+        assert out[("fr", "s2")] == (0, None) if ("fr", "s2") in out else True
+        # 2 langs x 2 sources present: (2+1)*(2+1) minus absent (fr,s2) cell
+        assert len(out) == 8
+
+    def test_null_lang_distinct_from_margin(self, spark):
+        # a genuine NULL lang stays NULL; only rolled-up rows say ALL
+        d = spark.createDataFrame(
+            [(0, "x", None, "s1", 5), (1, "y", "en", "s1", 7)],
+            "doc_id long, text string, lang string, source string, n_chars long")
+        out = {(r.lang, r.source): r.n_docs for r in corpus_cube(d).collect()}
+        assert out[(None, "s1")] == 1
+        assert out[("ALL", "s1")] == 2
+
+
+class TestLangSourcePivot:
+    def test_counts_and_zero_fill(self, spark, docs):
+        out = {r.source: r for r in lang_source_pivot(docs).collect()}
+        assert out["s1"].en == 2 and out["s1"].fr == 1 and out["s1"].de == 0
+        assert out["s2"].en == 1 and out["s2"].zh == 0
+        # schema is the declared list, independent of the data
+        assert set(out["s1"].asDict()) == {"source", "de", "en", "es", "fr", "zh"}
+
+    def test_undeclared_lang_dropped(self, spark):
+        d = spark.createDataFrame(
+            [(0, "x", "xx", "s1", 5), (1, "y", "en", "s1", 7)],
+            "doc_id long, text string, lang string, source string, n_chars long")
+        out = lang_source_pivot(d).collect()[0]
+        assert out.en == 1 and sum(
+            out[c] for c in ("de", "en", "es", "fr", "zh")) == 1
+
+
+def _err(rels: list[int], g_max: int = 2) -> float:
+    denom = float(2 ** g_max)
+    err, cont = 0.0, 1.0
+    for r, g in enumerate(rels, start=1):
+        rp = (2.0 ** g - 1.0) / denom
+        err += rp / r * cont
+        cont *= 1.0 - rp
+    return round(err, 4)
+
+
+class TestERR:
+    def _frames(self, spark, ranked: list[int], rels: dict[int, int]):
+        run = spark.createDataFrame(
+            [(1, d, r + 1, 1.0) for r, d in enumerate(ranked)],
+            "qid int, doc_id long, rank long, score double")
+        qrels = spark.createDataFrame(
+            [(1, d, g) for d, g in rels.items()], "qid int, doc_id long, rel int")
+        return run, qrels
+
+    def test_hand_computed_cascade(self, spark):
+        run, qrels = self._frames(spark, [10, 11, 12], {10: 2, 11: 0, 12: 1})
+        out = err_eval(run, qrels, k=10).collect()
+        assert out[0].err == pytest.approx(_err([2, 0, 1]))
+
+    def test_best_first_beats_best_last(self, spark):
+        run_a, qrels = self._frames(spark, [10, 11, 12], {10: 2, 12: 1})
+        a = err_eval(run_a, qrels, k=10).collect()[0].err
+        run_b, _ = self._frames(spark, [12, 11, 10], {})
+        b = err_eval(run_b, qrels, k=10).collect()[0].err
+        assert a > b
+        assert b == pytest.approx(_err([1, 0, 2]))
+
+    def test_no_judged_docs_is_zero(self, spark):
+        run, qrels = self._frames(spark, [10, 11], {99: 2})
+        assert err_eval(run, qrels, k=10).collect()[0].err == 0.0
+
+    def test_composed_gate_runs(self, spark, docs):
+        out = bm25_err(docs, queries=[(1, ["a"])], k=5).collect()
+        # doc 0 is the only match and the only qrel -> rel=1, R=1/4
+        assert out[0].err == pytest.approx(0.25)
