@@ -263,6 +263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
         "q_minhash_signatures": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
         "q_lsh_candidate_pairs": lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d)),
+        # banding S-curve tuning ladder over the same signatures
+        "q_lsh_band_sweep": lambda s, d: dedup.lsh_band_sweep(_docs(s, d)),
         "q_ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
             _docs(s, d), threshold=0.2
         ),
@@ -363,6 +365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_classic": lambda s, d: queryops.tfidf_classic_topk(_docs(s, d), Q_AND2, k=20),
         "q_jm_ql": lambda s, d: queryops.jm_ql_topk(_docs(s, d), Q_AND2, lam=0.1, k=20),
         "q_pl2": lambda s, d: queryops.pl2_topk(_docs(s, d), Q_AND2, c=1.0, k=20),
+        # dictionary-only difficulty predictors (He-Ounis, Zhao et al.)
+        "q_pre_retrieval_qpp": lambda s, d: queryops.pre_retrieval_qpp(_docs(s, d), Q_AND2),
         # boolean query language (parser + composed executor)
         "q_query_language": lambda s, d: _run_query_lang(s, d),
         "q_prefix_search": lambda s, d: queryops.prefix_search(_docs(s, d), Q_PREFIX, k=20),
@@ -498,6 +502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # OLAP surface: CUBE margins + explicit-values pivot matrix
         "q_corpus_cube": lambda s, d: textstats.corpus_cube(_docs(s, d)),
         "q_lang_pivot": lambda s, d: textstats.lang_source_pivot(_docs(s, d)),
+        # Witten-Bell interpolated bigram LM (smoothing upgrade over add-one)
+        "q_wb_bigram_logprob": lambda s, d: textstats.wb_bigram_logprob(_docs(s, d)),
         # sub-document boilerplate: non-overlapping 8-token block dedup
         "q_passage_dup_stats": lambda s, d: dedup.passage_dup_stats(_docs(s, d)),
         "q_top_dup_passages": lambda s, d: dedup.top_dup_passages(_docs(s, d)),
@@ -794,6 +800,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_exact": osql.exact_duplicates(),
         "q_minhash_signatures": osql.minhash_signatures(),
         "q_lsh_candidate_pairs": osql.lsh_candidate_pairs(),
+        "q_lsh_band_sweep": osql.lsh_band_sweep(),
         "q_ngram_jaccard_pairs": osql.ngram_jaccard_pairs(threshold=0.2),
         "q_lsh_jaccard_verified": osql.lsh_verified_near_dups(threshold=0.2),
         "q_dup_clusters": osql.duplicate_clusters(threshold=0.2),
@@ -848,6 +855,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tfidf_classic": osql.tfidf_classic_topk(Q_AND2, k=20),
         "q_jm_ql": osql.jm_ql_topk(Q_AND2, lam=0.1, k=20),
         "q_pl2": osql.pl2_topk(Q_AND2, c=1.0, k=20),
+        "q_pre_retrieval_qpp": osql.pre_retrieval_qpp(Q_AND2),
         "q_query_language": osql.query_language(
             ["merge", "vector"], ["dup"], [["table", "hash"]],
             [["stream", "batch"]], k=20),
@@ -917,6 +925,7 @@ def oracle_sql() -> dict[str, str]:
         "q_length_percentiles": osql.length_percentiles(),
         "q_corpus_cube": osql.corpus_cube(),
         "q_lang_pivot": osql.lang_source_pivot(),
+        "q_wb_bigram_logprob": osql.wb_bigram_logprob(),
         "q_passage_dup_stats": osql.passage_dup_stats(),
         "q_top_dup_passages": osql.top_dup_passages(),
         "q_license_mix": osql.license_mix(),

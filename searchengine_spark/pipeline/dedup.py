@@ -721,3 +721,66 @@ def minhash_jaccard_estimate(documents: DataFrame, n: int = 3,
         )
     )
     return finalize(out, sigs, sh)
+
+
+# (n_bands, rows_per_band) layouts of the 16 minhash values: the full
+# S-curve ladder from high-precision (1x16) to high-recall (16x1)
+BAND_SWEEP_CONFIGS: list[tuple[int, int]] = [
+    (1, 16), (2, 8), (4, 4), (8, 2), (16, 1)]
+
+
+def lsh_band_sweep(documents: DataFrame,
+                   configs: list[tuple[int, int]] | None = None,
+                   n: int = 3, **kw) -> DataFrame:
+    """(n_bands, rows_per_band, s_threshold, n_candidates) — the MinHash
+    banding tuning curve: for each (b, r) layout of the SAME 16-value
+    signatures, the number of candidate pairs the banded join would emit,
+    next to the layout's theoretical similarity threshold (1/b)^(1/r)
+    (the S-curve midpoint, Leskovec/Rajaraman/Ullman "Mining of Massive
+    Datasets" §3.4, public).  This pins the precision/recall dial the
+    production ``lsh_candidate_pairs`` layout sits on, the way
+    ``ivf_nprobe_sweep`` pins the ANN recall curve — re-banding can't
+    silently change candidate volume.
+
+    Plan shape: signatures computed ONCE (persisted, one wide min-agg);
+    each sweep point is a banded equi-join + a 1-row count, unioned
+    in-plan.  Never an all-pairs comparison; sweep cost is the sum of the
+    banded joins a production re-band would run anyway.
+    """
+    configs = configs if configs is not None else BAND_SWEEP_CONFIGS
+    sigs = minhash_signatures(documents, n, **kw).persist()
+    outs = []
+    for nb, rp in configs:
+        if nb * rp > NUM_MINHASH:
+            raise ValueError(f"layout {nb}x{rp} exceeds {NUM_MINHASH} sigs")
+        bands = []
+        for b_ in range(nb):
+            cols = [F.col(f"sig_{b_ * rp + r}").cast("string")
+                    for r in range(rp)]
+            bands.append(F.struct(
+                F.lit(b_).alias("band"),
+                md5_long(F.concat_ws("_", *cols)).alias("bucket")))
+        bb = (
+            sigs.select("doc_id", F.explode(F.array(*bands)).alias("bb"))
+            .select("doc_id", F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket"))
+        )
+        left = bb.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+        right = bb.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+        cnt = (
+            left.join(right, ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        )
+        thr = round((1.0 / nb) ** (1.0 / rp), 4)
+        outs.append(cnt.select(
+            F.lit(nb).cast("int").alias("n_bands"),
+            F.lit(rp).cast("int").alias("rows_per_band"),
+            F.lit(thr).alias("s_threshold"),
+            "n_candidates",
+        ))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return finalize(out, sigs)

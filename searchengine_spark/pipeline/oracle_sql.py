@@ -5194,3 +5194,92 @@ casc AS (
 SELECT qid, round(sum(r_prob / rank * cont), 4) AS err
 FROM casc GROUP BY qid
 """
+
+
+def lsh_band_sweep(configs: list[tuple[int, int]] | None = None) -> str:
+    """DuckDB twin of dedup.lsh_band_sweep: per-(b,r) layout candidate
+    counts over the same 16 signature values, thresholds as Python
+    literals from the same formula."""
+    from searchengine_spark.pipeline.dedup import BAND_SWEEP_CONFIGS
+
+    configs = configs if configs is not None else BAND_SWEEP_CONFIGS
+    blocks = []
+    for nb, rp in configs:
+        band_rows = []
+        for b in range(nb):
+            cols = " || '_' || ".join(
+                f"sig_{b * rp + r}::VARCHAR" for r in range(rp))
+            band_rows.append(
+                f"SELECT doc_id, {b} AS band, "
+                f"('0x' || substr(md5({cols}), 1, 15))::BIGINT AS bucket FROM sigs")
+        bands_union = " UNION ALL ".join(band_rows)
+        thr = round((1.0 / nb) ** (1.0 / rp), 4)
+        blocks.append(f"""
+SELECT {nb}::INT AS n_bands, {rp}::INT AS rows_per_band,
+       {thr} AS s_threshold,
+       (SELECT count(*)::BIGINT FROM (
+          SELECT DISTINCT a.doc_id, b.doc_id
+          FROM ({bands_union}) a JOIN ({bands_union}) b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       )) AS n_candidates""")
+    union = " UNION ALL ".join(blocks)
+    return f"WITH sigs AS MATERIALIZED ({minhash_signatures()}) {union}"
+
+
+def pre_retrieval_qpp(terms: list[str]) -> str:
+    """DuckDB twin of queryops.pre_retrieval_qpp."""
+    tl = _terms_in(terms)
+    nq = float(len(terms))
+    return f"""
+WITH {_TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")},
+g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs,
+             sum(tf)::DOUBLE AS c_tokens FROM postings),
+pt AS (
+  SELECT ln(1 + (g.n_docs - df + 0.5) / (df + 0.5)) AS idf,
+         ln(g.c_tokens / cf) AS ictf,
+         (1.0 / {nq}) * ln((1.0 / {nq}) / (cf / g.c_tokens)) AS scs_part,
+         (1 + ln(cf)) * ln(1 + g.n_docs / df) AS scq
+  FROM (SELECT term, count(*)::DOUBLE AS df, sum(tf)::DOUBLE AS cf
+        FROM postings WHERE term IN ({tl}) GROUP BY term)
+  CROSS JOIN g
+)
+SELECT {int(nq)} AS n_terms, count(*)::BIGINT AS n_present,
+       round(coalesce(avg(idf), 0), 4) AS avg_idf,
+       round(coalesce(max(idf), 0), 4) AS max_idf,
+       round(coalesce(avg(ictf), 0), 4) AS avg_ictf,
+       round(coalesce(sum(scs_part), 0), 4) AS scs,
+       round(coalesce(sum(scq), 0), 4) AS sum_scq
+FROM pt
+"""
+
+
+def wb_bigram_logprob() -> str:
+    """Twin of textstats.wb_bigram_logprob: Witten-Bell interpolated
+    conditional bigram log-prob, same context/type/unigram branches."""
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKARR} AS arr FROM documents),
+bg AS (
+  SELECT doc_id, arr[i] AS prev, arr[i + 1] AS cur
+  FROM d, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+),
+bmodel AS (SELECT prev, cur, count(*)::DOUBLE AS bcnt FROM bg GROUP BY 1, 2),
+ctx AS (SELECT prev, sum(bcnt) AS cpre, count(*)::DOUBLE AS types
+        FROM bmodel GROUP BY prev),
+toks AS (SELECT unnest(arr) AS term FROM d),
+umodel AS (SELECT term, count(*)::DOUBLE AS ucnt FROM toks GROUP BY 1),
+total AS (SELECT sum(ucnt) AS c_tokens FROM umodel),
+scored AS (
+  SELECT bg.doc_id,
+         (ctx.cpre / (ctx.cpre + ctx.types)) * bmodel.bcnt / ctx.cpre
+         + (1 - ctx.cpre / (ctx.cpre + ctx.types)) * u.ucnt / total.c_tokens
+         AS p_wb
+  FROM bg
+  JOIN bmodel USING (prev, cur)
+  JOIN ctx USING (prev)
+  JOIN umodel u ON u.term = bg.cur
+  CROSS JOIN total
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(ln(p_wb)), 4) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""

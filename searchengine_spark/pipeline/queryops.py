@@ -2290,3 +2290,56 @@ def pl2_topk(documents: DataFrame, query_terms: list[str], c: float = 1.0,
         .limit(k)
     )
     return finalize(scored, p, ds)
+
+
+def pre_retrieval_qpp(documents: DataFrame, query_terms: list[str],
+                      **kw) -> DataFrame:
+    """One row of pre-retrieval query-performance predictors (He & Ounis
+    ECIR '04 SCS/avgICTF; Zhao, Scholer & Tsegay ECIR '08 SCQ) —
+    difficulty estimates computed from DICTIONARY statistics alone,
+    before any posting is traversed (the admission-control complement to
+    the post-retrieval ``clarity_score``):
+
+    - n_present: query terms that exist in the corpus at all
+    - avg_idf / max_idf: BM25-style idf moments (specificity)
+    - avg_ictf: (1/|q|)·Σ ln(|C|/cf) — inverse collection term frequency
+    - scs: Σ (1/|q|)·ln((1/|q|) / (cf/|C|)) — simplified clarity score,
+      the KL divergence of a uniform query LM from the collection LM
+    - sum_scq: Σ (1+ln cf)·ln(1+N/df) — similarity collection/query mass
+
+    Sums run over present terms (absent terms have no cf/df; Indri-style
+    drop).  Plan: the query-sized slice of ``df_stats`` + two scalar
+    broadcast aggregates — cost is O(vocabulary slice), corpus untouched.
+    """
+    p = tf_postings(documents, **kw).persist()
+    nq = float(len(query_terms))
+    stats = p.groupBy().agg(
+        F.count_distinct("doc_id").cast("double").alias("n_docs"),
+        F.sum("tf").cast("double").alias("c_tokens"),
+    )
+    per_term = (
+        p.filter(F.col("term").isin(query_terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"),
+             F.sum("tf").cast("double").alias("cf"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5)).alias("idf"),
+            F.log(F.col("c_tokens") / F.col("cf")).alias("ictf"),
+            (F.lit(1.0 / nq)
+             * F.log(F.lit(1.0 / nq) / (F.col("cf") / F.col("c_tokens"))))
+            .alias("scs_part"),
+            ((1.0 + F.log(F.col("cf")))
+             * F.log(1.0 + F.col("n_docs") / F.col("df"))).alias("scq"),
+        )
+    )
+    return per_term.agg(
+        F.lit(int(nq)).alias("n_terms"),
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.round(F.coalesce(F.avg("idf"), F.lit(0.0)), 4).alias("avg_idf"),
+        F.round(F.coalesce(F.max("idf"), F.lit(0.0)), 4).alias("max_idf"),
+        F.round(F.coalesce(F.avg("ictf"), F.lit(0.0)), 4).alias("avg_ictf"),
+        F.round(F.coalesce(F.sum("scs_part"), F.lit(0.0)), 4).alias("scs"),
+        F.round(F.coalesce(F.sum("scq"), F.lit(0.0)), 4).alias("sum_scq"),
+    )

@@ -1180,3 +1180,74 @@ def lang_source_pivot(documents: DataFrame,
         *[F.coalesce(F.col(f"`{lang}`"), F.lit(0)).cast("long").alias(lang)
           for lang in langs],
     )
+
+
+def wb_bigram_logprob(documents: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) — per-document mean conditional
+    bigram log-probability under Witten-Bell interpolation (Witten &
+    Bell '91; the smoothing Moses/SRILM ship for small corpora):
+
+        λ_w1 = c(w1·) / (c(w1·) + T(w1))
+        P(w2|w1) = λ_w1 · c(w1 w2)/c(w1·) + (1−λ_w1) · c(w2)/|C|
+
+    where c(w1·) is the CONTEXT count (bigrams starting with w1) and
+    T(w1) the number of distinct continuation types.  Contexts with many
+    distinct continuations trust their bigram estimates less — a real
+    smoothing upgrade over ``bigram_logprob``'s add-one, which flattens
+    every context equally.  Docs with < 2 tokens emit no rows.
+
+    Scale shape: identical to ``bigram_logprob`` — the bigram model is
+    one hash agg over per-row adjacent pairs, T and context counts are
+    ONE extra vocab-bounded agg off that model, and scoring is dim joins
+    (broadcast-or-bucketed at 100 TB).  λ and P are evaluated with the
+    same double expression on both engines; the final avg rounds 4dp.
+    """
+    with_toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(tokens_col(text_col), lambda t: t != "").alias("toks"),
+    )
+    tc = F.col("toks")
+    pairs = F.when(
+        F.size(tc) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tc) - 1),
+            lambda i: F.struct(
+                F.element_at(tc, i).alias("prev"),
+                F.element_at(tc, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bg = explode_nonempty(
+        with_toks.select("doc_id", pairs.alias("pairs")),
+        "pairs", "p", "doc_id",
+    ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    bmodel = bg.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("double").alias("bcnt"))
+    ctx = bmodel.groupBy("prev").agg(
+        F.sum("bcnt").alias("cpre"),
+        F.count(F.lit(1)).cast("double").alias("types"))
+    umodel = (
+        tokenized(documents, id_col=id_col, text_col=text_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("ucnt"))
+    )
+    total = umodel.agg(F.sum("ucnt").alias("c_tokens"))
+    return (
+        bg.join(bmodel, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(umodel.withColumnRenamed("term", "cur")
+              .withColumnRenamed("ucnt", "ucnt_cur"), "cur")
+        .crossJoin(F.broadcast(total))
+        .withColumn("lam", F.col("cpre") / (F.col("cpre") + F.col("types")))
+        .withColumn(
+            "p_wb",
+            F.col("lam") * F.col("bcnt") / F.col("cpre")
+            + (1.0 - F.col("lam")) * F.col("ucnt_cur") / F.col("c_tokens"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log("p_wb")), 4).alias("avg_logprob"),
+        )
+    )
