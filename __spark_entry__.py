@@ -773,6 +773,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # sequential dependence model (unigram + ordered + unordered-window)
         "q_sdm": lambda s, d: queryops.sdm_topk(_docs(s, d), Q_AND2, k=20),
+        # Anh-Moffat impact-ordered anytime top-k (score-at-a-time pruning)
+        "q_impact_ordered": lambda s, d: queryops.impact_ordered_topk(
+            _docs(s, d), Q_AND3, bits=5, budget=64, k=20
+        ),
+        # per-term gap-distribution entropy vs varbyte bits (codec floor)
+        "q_gap_entropy": lambda s, d: reorder.gap_entropy_stats(_docs(s, d)),
+        # type-2 clone classes over normalized token streams
+        "q_clone_classes": lambda s, d: codestats.clone_classes(
+            codestats.with_clone_fixture(_docs(s, d))
+        ),
+        # full deterministic Lloyd k-means census (3 rounds)
+        "q_kmeans_clusters": lambda s, d: similarity.kmeans_clusters(
+            _emb(s, d), n_lists=8, iters=3
+        ),
+        # MIPS via norm augmentation over the cosine-LSH buckets
+        "q_mips_topk": lambda s, d: similarity.mips_topk(
+            _emb(s, d), PROBE_VEC_IDS, k=5
+        ),
     }
 
 
@@ -1020,4 +1038,9 @@ def oracle_sql() -> dict[str, str]:
         "q_perplexity_buckets": osql.perplexity_buckets(),
         "q_rm3": osql.rm3_topk(Q_AND2, fb_docs=5, fb_terms=5, alpha=0.5, k=20),
         "q_sdm": osql.sdm_topk(Q_AND2, k=20),
+        "q_impact_ordered": osql.impact_ordered_topk(Q_AND3, bits=5, budget=64, k=20),
+        "q_gap_entropy": osql.gap_entropy_stats(),
+        "q_clone_classes": osql.clone_classes(),
+        "q_kmeans_clusters": osql.kmeans_clusters(n_lists=8, iters=3),
+        "q_mips_topk": osql.mips_topk(PROBE_VEC_IDS, k=5),
     }

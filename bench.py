@@ -165,6 +165,11 @@ HEADLINE = [
     "q_ivf_nprobe_sweep",
     "q_stopword_candidates",
     "q_trigram_fuzzy",
+    "q_impact_ordered",
+    "q_gap_entropy",
+    "q_clone_classes",
+    "q_kmeans_clusters",
+    "q_mips_topk",
 ]
 
 

@@ -344,3 +344,104 @@ def symbol_lookup(documents: DataFrame, prefix: str, limit: int = 20,
         .orderBy(F.desc("n_defs"), F.asc("symbol"), F.asc("kind"))
         .limit(limit)
     )
+
+
+# ---- type-2 clone detection (normalized token streams) --------------------
+
+# token grammar shared by both engines (Java regex + RE2-safe: no
+# lookaround/backrefs): identifiers | integer literals | any single
+# non-space symbol (operators, punctuation, quotes)
+CLONE_TOKEN_RE = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^A-Za-z0-9_ \\t\\n\\r]"
+
+# keywords survive normalization (type-2 clones must keep control flow);
+# everything else alphabetic collapses to I, integers to N
+CLONE_KEYWORDS = [
+    "def", "return", "if", "else", "elif", "for", "while", "import",
+    "from", "class", "in", "not", "and", "or", "lambda", "pass",
+    "break", "continue", "None", "True", "False",
+]
+
+# planted type-2 clone pair (-101/-102: identical token structure, every
+# identifier renamed) + a structural non-clone (-103); negative ids keep
+# them disjoint from corpus rows and from CODE_FIXTURE (-1..-9)
+CLONE_FIXTURE: list[tuple[int, str, str]] = [
+    (-101, "py",
+     "def alpha_total(rows):\n"
+     "    acc = 0\n"
+     "    for r in rows:\n"
+     "        acc = acc + r\n"
+     "    return acc\n"),
+    (-102, "py",
+     "def beta_sum(items):\n"
+     "    result = 0\n"
+     "    for x in items:\n"
+     "        result = result + x\n"
+     "    return result\n"),
+    (-103, "py",
+     "def gamma_double(n):\n"
+     "    return n * 2\n"),
+]
+
+
+def with_clone_fixture(documents: DataFrame) -> DataFrame:
+    """documents ∪ CLONE_FIXTURE (same inline-VALUES twin convention as
+    with_code_fixture)."""
+    fx = documents.sparkSession.createDataFrame(
+        [(i, t, lang, "clone_fixture", len(t)) for i, lang, t in CLONE_FIXTURE],
+        CODE_FIXTURE_SCHEMA)
+    return documents.unionByName(fx)
+
+
+def normalized_token_hash(documents: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """(doc_id, nhash) — md5-long hash of the doc's TYPE-2-NORMALIZED
+    token stream: identifiers -> I, integer literals -> N, keywords and
+    symbols kept verbatim (Roy & Cordy's type-2 clone definition, the
+    CCFinder/NiCad normalization).  Two functions that differ only in
+    identifier names hash identically; any structural edit changes the
+    hash.
+
+    Per-row work only (regexp_extract_all + array transform + md5),
+    zero shuffle — the map side of clone detection at any scale.
+    """
+    from searchengine_spark.pipeline.hashing import md5_long
+
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(CLONE_TOKEN_RE), 0)
+    norm = F.transform(
+        toks,
+        lambda t: F.when(t.isin(CLONE_KEYWORDS), t)
+        .when(t.rlike("^[0-9]"), F.lit("N"))
+        .when(t.rlike("^[A-Za-z_]"), F.lit("I"))
+        .otherwise(t),
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        md5_long(F.concat_ws(" ", norm)).alias("nhash"),
+    )
+
+
+def clone_classes(documents: DataFrame, min_docs: int = 2,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(class_id, doc_id, class_size) — type-2 clone classes: docs grouped
+    by identical normalized token streams (``normalized_token_hash``),
+    classes named by their minimum member id, singletons dropped.  The
+    code-corpus complement to ``dedup.exact_duplicates`` (which hashes the
+    RAW text and misses renamed copies) — run before training-data dedup
+    so a function pasted across repos with variables renamed counts once.
+
+    Scale shape: one hash agg on the 64-bit nhash key + one join-back —
+    exactly exact_duplicates' plan, never pairwise.  On a prose corpus
+    this degenerates deliberately: all-identifier documents normalize to
+    'I I I ...', so same-token-count docs cluster — the operator is
+    specified for code (lang-filter upstream in production); the gate
+    keeps the degenerate rows because both engines agree on them and the
+    planted CLONE_FIXTURE pair exercises the real semantics.
+    """
+    h = normalized_token_hash(documents, id_col, text_col)
+    cls = (
+        h.groupBy("nhash")
+        .agg(F.min("doc_id").alias("class_id"),
+             F.count(F.lit(1)).cast("long").alias("class_size"))
+        .filter(F.col("class_size") >= min_docs)
+    )
+    return h.join(cls, "nhash").select("class_id", "doc_id", "class_size")

@@ -5283,3 +5283,212 @@ SELECT doc_id, count(*)::BIGINT AS n_bigrams,
        round(avg(ln(p_wb)), 4) AS avg_logprob
 FROM scored GROUP BY doc_id
 """
+
+
+def impact_ordered_topk(terms: list[str], bits: int = 5, budget: int = 64,
+                        k: int = 20) -> str:
+    """Twin of queryops.impact_ordered_topk: quantized impact levels
+    against the query-slice max, per-term impact-ordered budget prefix,
+    integer accumulators."""
+    levels = (1 << bits) - 1
+    tl = _terms_in(terms)
+    return f"""
+WITH {_TOKS_CTE},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY term),
+cand AS (
+  SELECT p.doc_id, p.term,
+         ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (p.tf * 2.2)
+         / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) AS pscore
+  FROM postings p
+  JOIN dfs USING (term)
+  JOIN ds ON p.doc_id = ds.doc_id
+  CROSS JOIN g
+),
+gm AS (SELECT max(pscore) AS gmax FROM cand),
+quant AS (
+  SELECT doc_id, term,
+         least({levels}, (floor(pscore / gmax * {levels}) + 1)::INT)::BIGINT AS qimpact
+  FROM cand CROSS JOIN gm
+),
+proc AS (
+  SELECT doc_id, qimpact FROM (
+    SELECT *, row_number() OVER (PARTITION BY term
+      ORDER BY qimpact DESC, doc_id ASC) AS pos_in_list
+    FROM quant
+  ) WHERE pos_in_list <= {budget}
+),
+accum AS (
+  SELECT doc_id, count(*)::BIGINT AS nhit, sum(qimpact)::BIGINT AS qscore
+  FROM proc GROUP BY doc_id
+)
+SELECT doc_id, nhit, qscore, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY qscore DESC, nhit DESC, doc_id ASC) AS rank
+  FROM accum
+) WHERE rank <= {k}
+"""
+
+
+def gap_entropy_stats() -> str:
+    """Twin of reorder.gap_entropy_stats: per-term gap-distribution H0
+    (ln/ln2, same expression shape) vs varbyte bits."""
+    return f"""
+WITH {_TOKS_CTE},
+gaps AS (
+  SELECT term,
+         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+                  doc_id) AS dval
+  FROM postings
+),
+byval AS (
+  SELECT term, dval, count(*)::DOUBLE AS c,
+         sum({_vb_len_sql('dval')})::BIGINT AS vbb
+  FROM gaps GROUP BY 1, 2
+),
+per AS (
+  SELECT term, sum(c)::BIGINT AS n_gaps, count(*)::BIGINT AS n_distinct_gaps,
+         sum(c * ln(c)) AS sum_clnc, (sum(vbb) * 8)::BIGINT AS vb_bits
+  FROM byval GROUP BY term
+)
+SELECT term, n_gaps, n_distinct_gaps, h0_bits, vb_bits,
+       (greatest(0, vb_bits * 10000 - n_gaps * round(h0_bits * 10000.0, 0)::BIGINT)
+        // vb_bits)::BIGINT AS overhead_bp
+FROM (
+  SELECT term, n_gaps, n_distinct_gaps, vb_bits,
+         round((ln(n_gaps::DOUBLE) - sum_clnc / n_gaps) / ln(2.0), 4) AS h0_bits
+  FROM per
+)
+"""
+
+
+def _clone_docs() -> str:
+    """documents ∪ codestats.CLONE_FIXTURE (inline VALUES twin of
+    codestats.with_clone_fixture)."""
+    from searchengine_spark.pipeline.codestats import CLONE_FIXTURE
+
+    rows = ", ".join(
+        f"({i}, '{_q(t)}', '{lang}', 'clone_fixture', {len(t)})"
+        for i, lang, t in CLONE_FIXTURE
+    )
+    return (
+        "(SELECT doc_id, text, lang, source, n_chars FROM documents "
+        f"UNION ALL SELECT * FROM (VALUES {rows}) "
+        "_cfx(doc_id, text, lang, source, n_chars))"
+    )
+
+
+def clone_classes(min_docs: int = 2) -> str:
+    """Twin of codestats.clone_classes: identical token grammar, keyword
+    set, I/N normalization and md5-long stream hash."""
+    from searchengine_spark.pipeline.codestats import (
+        CLONE_KEYWORDS,
+        CLONE_TOKEN_RE,
+    )
+
+    kws = ", ".join(f"'{k}'" for k in CLONE_KEYWORDS)
+    norm = (
+        f"list_transform(regexp_extract_all(text, '{_q(CLONE_TOKEN_RE)}'), "
+        f"t -> CASE WHEN t IN ({kws}) THEN t "
+        "WHEN regexp_matches(t, '^[0-9]') THEN 'N' "
+        "WHEN regexp_matches(t, '^[A-Za-z_]') THEN 'I' ELSE t END)"
+    )
+    nhash = md5_long_sql(f"array_to_string({norm}, ' ')")
+    return f"""
+WITH h AS (SELECT doc_id, {nhash} AS nhash FROM {_clone_docs()} documents),
+cls AS (
+  SELECT nhash, min(doc_id) AS class_id, count(*)::BIGINT AS class_size
+  FROM h GROUP BY nhash HAVING count(*) >= {min_docs}
+)
+SELECT cls.class_id, h.doc_id, cls.class_size
+FROM h JOIN cls USING (nhash)
+"""
+
+
+def kmeans_clusters(n_lists: int = 8, iters: int = 3) -> str:
+    """Twin of similarity.kmeans_clusters: the full Lloyd trajectory
+    unrolled — seed cents_0, then per round assign (3dp cosine, lowest
+    list_id ties) and 6dp-rounded element-wise means, final census over
+    the last assignment."""
+    parts = [f"""cents_0 AS (
+  SELECT vec_id AS list_id,
+         [embedding[i]::DOUBLE for i in generate_series(1, len(embedding))] AS centroid
+  FROM embeddings ORDER BY vec_id ASC LIMIT {n_lists})"""]
+    for t in range(iters):
+        parts.append(_assign_by_cents(f"cents_{t}", f"assign_{t}"))
+        parts.append(f"""cells_{t + 1} AS (
+  SELECT a.list_id, t.u.pos AS pos, round(avg(t.u.val), 6) AS m
+  FROM assign_{t} a
+  JOIN embeddings e ON e.vec_id = a.vec_id,
+       unnest([{{'pos': i, 'val': e.embedding[i]::DOUBLE}}
+               for i in generate_series(1, len(e.embedding))]) t(u)
+  GROUP BY 1, 2)""")
+        parts.append(
+            f"cents_{t + 1} AS (SELECT list_id, list(m ORDER BY pos) AS centroid "
+            f"FROM cells_{t + 1} GROUP BY list_id)")
+    parts.append(_assign_by_cents(f"cents_{iters}", "assign_final"))
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT list_id, count(*)::BIGINT AS n_members,
+       round(avg(list_cosine), 4) AS avg_cosine
+FROM assign_final GROUP BY list_id
+"""
+
+
+def _aug_bucket(vec: str, n_planes: int = 8) -> str:
+    """LSH bucket expression over an arbitrary DOUBLE-list column (the
+    embedding_lsh_buckets hyperplanes, generalized)."""
+    acc = " + ".join(
+        f"CASE WHEN list_sum([{vec}[i] * (CASE WHEN ((i-1)*31 + {p}*17) % 7 < 3 "
+        f"THEN 1.0 ELSE -1.0 END) for i in generate_series(1, len({vec}))]) > 0 "
+        f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+        for p in range(n_planes)
+    )
+    return f"({acc})::BIGINT"
+
+
+def mips_topk(probe_ids: list[int], k: int = 5) -> str:
+    """Twin of similarity.mips_topk: MIPS augmentation (extra component
+    sqrt(max‖x‖² − ‖x‖²)), LSH bucket over the augmented vectors, probe
+    augmented with 0, exact-dot rescoring of the probe's bucket."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+WITH n2 AS (
+  SELECT vec_id,
+         [embedding[i]::DOUBLE for i in generate_series(1, len(embedding))] AS dvec,
+         list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                   for i in generate_series(1, len(embedding))]) AS n2
+  FROM embeddings
+),
+m2 AS (SELECT max(n2) AS m2 FROM n2),
+aug AS (
+  SELECT vec_id,
+         list_concat(dvec, [sqrt(greatest(0.0, m2.m2 - n2.n2))]) AS avec
+  FROM n2 CROSS JOIN m2
+),
+buck AS (SELECT vec_id, {_aug_bucket('avec')} AS bucket FROM aug),
+probes AS (
+  SELECT vec_id AS probe_id,
+         list_concat([embedding[i]::DOUBLE for i in generate_series(1, len(embedding))],
+                     [0.0]) AS pvec
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+pbuck AS (SELECT probe_id, {_aug_bucket('pvec')} AS bucket FROM probes),
+scored AS (
+  SELECT p.probe_id, c.vec_id,
+         round(list_sum([p.pvec[i] * c.avec[i]
+                         for i in generate_series(1, len(p.pvec))]), 4) AS dot
+  FROM aug c
+  JOIN buck b ON b.vec_id = c.vec_id
+  JOIN pbuck pb ON pb.bucket = b.bucket
+  JOIN probes p ON p.probe_id = pb.probe_id
+  WHERE c.vec_id <> p.probe_id
+)
+SELECT probe_id, vec_id, dot, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+    ORDER BY dot DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -2343,3 +2343,87 @@ def pre_retrieval_qpp(documents: DataFrame, query_terms: list[str],
         F.round(F.coalesce(F.sum("scs_part"), F.lit(0.0)), 4).alias("scs"),
         F.round(F.coalesce(F.sum("scq"), F.lit(0.0)), 4).alias("sum_scq"),
     )
+
+
+def impact_ordered_topk(documents: DataFrame, query_terms: list[str],
+                        bits: int = 5, budget: int = 64, k: int = 20,
+                        k1: float = BM25_K1, b: float = BM25_B,
+                        **kw) -> DataFrame:
+    """(doc_id, nhit, qscore, rank) — impact-ordered anytime top-k (Anh &
+    Moffat, SIGIR'06 "Pruned query evaluation using pre-computed
+    impacts"): per-posting BM25 partial scores quantized to 2^bits − 1
+    integer impact levels against the query-slice maximum, each term's
+    postings processed in DECREASING impact order with a per-term posting
+    budget, accumulators summed over only the processed prefix.
+
+    This is the score-at-a-time complement to the document-at-a-time
+    pruning family already here (WAND `query/wand.py`, MaxScore
+    `maxscore_or`, champion lists `champion_topk`): at index time the
+    impact levels and the impact ordering are PRECOMPUTED per posting
+    block, so an anytime engine can stop after any prefix and still hold
+    the best-effort top-k — latency is bounded by ``budget`` instead of
+    by posting-list length, the property that matters when a 100 TB
+    index serves interactive tail queries.
+
+    Quantization: qimpact = least(levels, floor(pscore/gmax·levels) + 1)
+    ∈ [1, levels] (Anh-Moffat left-geometric simplified to uniform; +1 so
+    every surviving posting contributes).  gmax is the max partial score
+    over the query-term postings — a scalar broadcast.  All doubles are
+    computed with the exact bm25_scored expression shapes, so floor lands
+    identically in the DuckDB twin.
+
+    Plan: one corpus scan (persisted postings feed df/dl/gmax branches),
+    the per-term impact order + budget cut is one window (at scale: a
+    pre-sorted segment read, no window at all), accumulation one hash agg,
+    TakeOrderedAndProject for the final k.
+    """
+    levels = (1 << bits) - 1
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p).persist()
+    n_and_avg = ds.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfs = df_stats(p).filter(F.col("term").isin(query_terms))
+    cand = (
+        p.filter(F.col("term").isin(query_terms))
+        .join(F.broadcast(dfs.select("term", "df")), "term")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .withColumn("idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                                 / (F.col("df") + 0.5)))
+        .withColumn(
+            "pscore",
+            F.col("idf") * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))),
+        )
+    ).persist()
+    gmax = cand.agg(F.max("pscore").alias("gmax"))
+    quant = (
+        cand.crossJoin(F.broadcast(gmax))
+        .withColumn(
+            "qimpact",
+            F.least(F.lit(levels),
+                    (F.floor(F.col("pscore") / F.col("gmax") * levels)
+                     + 1).cast("int")).cast("long"))
+    )
+    w_term = Window.partitionBy("term").orderBy(
+        F.desc("qimpact"), F.asc("doc_id"))
+    processed = (
+        quant.withColumn("pos_in_list", F.row_number().over(w_term))
+        .filter(F.col("pos_in_list") <= budget)
+    )
+    accum = (
+        processed.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nhit"),
+             F.sum("qimpact").cast("long").alias("qscore"))
+    )
+    # global window is safe here BY CONSTRUCTION: accum has at most
+    # n_terms * budget rows (the anytime bound), not corpus cardinality
+    w_rank = Window.orderBy(F.desc("qscore"), F.desc("nhit"), F.asc("doc_id"))
+    out = (
+        accum.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "nhit", "qscore", "rank")
+    )
+    return finalize(out, p, ds, cand)

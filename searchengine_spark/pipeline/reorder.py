@@ -211,3 +211,65 @@ def ef_compression_stats(documents: DataFrame, **kw) -> DataFrame:
                 / F.sum("vb_bytes") * 100.0, 4).alias("ef_vs_vb_pct"),
     )
     return finalize(out, p)
+
+
+def gap_entropy_stats(documents: DataFrame, **kw) -> DataFrame:
+    """(term, n_gaps, n_distinct_gaps, h0_bits, vb_bits, overhead_pct) —
+    the information-theoretic companion to ``remap_compression_stats`` /
+    ``ef_compression_stats``: per term, the empirical zero-order entropy
+    of its doc-id gap distribution (H0 = log2 n − (Σ c·log2 c)/n over gap
+    value counts c) versus the bits the delta+varbyte codec actually
+    spends.  n·H0 is the best ANY order-0 gap code (Huffman/arithmetic
+    over gap symbols) could do; overhead_pct says how far varbyte's
+    byte-aligned 7-bit groups are from that floor — the number that
+    decides whether an index rewrite to a tighter codec (EF, PFOR,
+    entropy-coded) is worth the CPU at 100 TB, read together with
+    ``ef_compression_stats``'s concrete EF candidate.
+
+    Plan: one tokenize pass, one per-term lag window (shared shape with
+    the sibling reports), one (term, gap-value) hash agg collapsing to a
+    vocabulary-bounded dimension, one per-term agg.  log2 is computed as
+    ln/ln2 with identical expression shape in the DuckDB twin; H0 rounds
+    to 4dp (the bm25 double convention).  The overhead is reported in
+    integer BASIS POINTS via exact integer arithmetic (h0 rescaled to
+    1e-4 units, overflow-safe integer division) because a float
+    percentage sat exactly on a round-half boundary at sf0.01 and the
+    two engines' round() disagreed by 1e-4 — the same boundary-exactness
+    reasoning as capacity_plan's power ladder.
+    """
+    p = tf_postings(documents, **kw).persist()
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = p.withColumn(
+        "dval",
+        F.coalesce(F.col("doc_id") - F.lag("doc_id").over(w), F.col("doc_id")))
+    by_val = (
+        gaps.groupBy("term", "dval")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"),
+             F.sum(vb_len_col(F.col("dval"))).cast("long").alias("vbb"))
+    )
+    ln2 = F.log(F.lit(2.0))
+    per_term = (
+        by_val.groupBy("term")
+        .agg(F.sum("c").cast("long").alias("n_gaps"),
+             F.count(F.lit(1)).cast("long").alias("n_distinct_gaps"),
+             F.sum(F.col("c") * F.log("c")).alias("sum_clnc"),
+             (F.sum("vbb") * 8).cast("long").alias("vb_bits"))
+        .withColumn(
+            "h0_bits",
+            F.round((F.log(F.col("n_gaps").cast("double"))
+                     - F.col("sum_clnc") / F.col("n_gaps")) / ln2, 4))
+        # h0 in exact 1e-4 units (the *10000 product is within 1 ulp of an
+        # integer, so round() is boundary-safe), then integer-exact bp:
+        # (vb_bits*1e4 - n*h0_e4) // vb_bits  ==  overhead in 0.01% units
+        .withColumn("h0_e4", F.round(F.col("h0_bits") * 10000.0, 0).cast("long"))
+        # greatest(0,·): vb (a uniquely-decodable order-0 code) can't beat
+        # n·H0, but the 5e-5 h0 rounding could tip a tight case negative,
+        # where trunc-div (Spark) and floor-div (DuckDB) would disagree
+        .withColumn(
+            "overhead_bp",
+            F.expr("div(greatest(0, vb_bits * 10000 - n_gaps * h0_e4), vb_bits)")
+            .cast("long"))
+        .select("term", "n_gaps", "n_distinct_gaps", "h0_bits",
+                "vb_bits", "overhead_bp")
+    )
+    return finalize(per_term, p)

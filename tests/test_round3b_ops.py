@@ -1,0 +1,200 @@
+"""Round-3 batch-B operators: impact-ordered anytime top-k, posting-gap
+entropy report, type-2 clone classes, full-Lloyd k-means, MIPS top-k."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline import similarity as S
+from searchengine_spark.pipeline.codestats import (
+    CLONE_FIXTURE,
+    clone_classes,
+    normalized_token_hash,
+    with_clone_fixture,
+)
+from searchengine_spark.pipeline.queryops import impact_ordered_topk
+from searchengine_spark.pipeline.reorder import gap_entropy_stats
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows], DOCS_SCHEMA)
+
+
+class TestImpactOrdered:
+    def test_large_budget_matches_disjunctive_ranking_support(self, spark):
+        # with budget >= every list length nothing is pruned: the result
+        # must contain every doc holding >= 1 query term
+        docs = _docs(spark, [
+            (1, "alpha beta alpha"),
+            (2, "alpha gamma"),
+            (3, "beta beta beta"),
+            (4, "delta only here"),
+        ])
+        out = impact_ordered_topk(docs, ["alpha", "beta"], budget=100, k=10)
+        got = {r.doc_id for r in out.collect()}
+        assert got == {1, 2, 3}
+
+    def test_budget_bounds_processed_postings(self, spark):
+        # 6 docs contain 'x'; budget 2 processes only the 2 highest-impact
+        # postings of that list, so at most 2 docs can appear
+        docs = _docs(spark, [(i, "x " * i) for i in range(1, 7)])
+        out = impact_ordered_topk(docs, ["x"], budget=2, k=10).collect()
+        assert len(out) == 2
+        # impact order: highest tf (modulo dl normalization) first
+        assert all(r.qscore >= 1 for r in out)
+
+    def test_quantized_impacts_within_levels(self, spark):
+        docs = _docs(spark, [(1, "a a a b"), (2, "a b b"), (3, "b a")])
+        out = impact_ordered_topk(docs, ["a", "b"], bits=3, budget=10, k=10)
+        levels = (1 << 3) - 1
+        for r in out.collect():
+            assert 1 * r.nhit <= r.qscore <= levels * r.nhit
+
+    def test_anytime_ranks_full_and_doc_first(self, spark):
+        # a doc with both terms at max impact must outrank single-term docs
+        docs = _docs(spark, [
+            (1, "alpha beta alpha beta"),
+            (2, "alpha filler filler filler"),
+            (3, "beta filler filler filler"),
+        ])
+        out = impact_ordered_topk(docs, ["alpha", "beta"], budget=10, k=3)
+        top = out.orderBy("rank").first()
+        assert top.doc_id == 1 and top.nhit == 2
+
+
+class TestGapEntropy:
+    def test_uniform_gaps_have_zero_entropy(self, spark):
+        # term in every doc -> all gaps = 1 (after the first), entropy of
+        # {1: n-1, first_id: 1} is tiny; constructed: ids 0..9, every doc
+        # has 'z' -> gap values {0 or 1}; with doc ids 1..10 first gap = 1
+        docs = _docs(spark, [(i, "z") for i in range(1, 11)])
+        row = gap_entropy_stats(docs).collect()[0]
+        assert row.term == "z"
+        assert row.n_gaps == 10
+        assert row.n_distinct_gaps == 1  # every gap (incl. the seed) == 1
+        assert row.h0_bits == 0.0
+        assert row.vb_bits == 80  # 10 gaps x 1 byte
+        assert row.overhead_bp == 10000  # 100%: entropy floor is 0 bits
+
+    def test_hand_computed_two_value_distribution(self, spark):
+        # gaps: doc ids 1,2,4 -> gap values 1,1,2: H0 = H(2/3,1/3)
+        docs = _docs(spark, [(1, "q"), (2, "q"), (4, "q"), (3, "other")])
+        row = [r for r in gap_entropy_stats(docs).collect() if r.term == "q"][0]
+        h = -(2 / 3) * np.log2(2 / 3) - (1 / 3) * np.log2(1 / 3)
+        assert row.n_gaps == 3 and row.n_distinct_gaps == 2
+        assert abs(row.h0_bits - round(h, 4)) < 1e-9
+        assert row.vb_bits == 24
+
+    def test_vb_never_beats_entropy_floor(self, spark):
+        docs = _docs(spark, [(i, "w " * (i % 3 + 1)) for i in range(1, 40)])
+        for r in gap_entropy_stats(docs).collect():
+            assert r.overhead_bp >= 0
+            assert r.vb_bits * 10000 >= r.n_gaps * int(round(r.h0_bits * 10000)) - 1
+
+
+class TestCloneClasses:
+    def test_planted_pair_clusters_non_clone_does_not(self, spark):
+        base = _docs(spark, [])
+        docs = with_clone_fixture(base)
+        out = clone_classes(docs).collect()
+        by_doc = {r.doc_id: r for r in out}
+        assert by_doc[-102].class_id == -102  # min id of the pair
+        assert by_doc[-101].class_id == -102 or by_doc[-102].class_id == -101
+        assert by_doc[-101].class_id == by_doc[-102].class_id
+        assert by_doc[-101].class_size == 2
+        assert -103 not in by_doc  # structurally different -> singleton
+
+    def test_identifier_rename_invariance(self, spark):
+        a = "def f(a, b):\n    return a + b * 2\n"
+        b = "def add(left, right):\n    return left + right * 7\n"
+        c = "def g(a):\n    return a - 1\n"
+        h = normalized_token_hash(_docs(spark, [(1, a), (2, b), (3, c)]))
+        got = {r.doc_id: r.nhash for r in h.collect()}
+        assert got[1] == got[2]  # idents AND integer literals normalized
+        assert got[1] != got[3]
+
+    def test_keywords_are_structural(self, spark):
+        a = "if x:\n    return x\n"
+        b = "while x:\n    return x\n"
+        h = normalized_token_hash(_docs(spark, [(1, a), (2, b)]))
+        got = {r.doc_id: r.nhash for r in h.collect()}
+        assert got[1] != got[2]  # if vs while must NOT collapse
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Three tight, well-separated clusters of 12 vectors each."""
+    rng = np.random.default_rng(11)
+    dim = 8
+    centers = [rng.normal(size=dim) * 5 for _ in range(3)]
+    # round-robin ids across clusters so the id-ordered seeds (0,1,2) land
+    # in three different clusters — Lloyd cannot split an emptied cluster,
+    # so all-same-cluster seeding would legitimately collapse to k=1
+    rows = []
+    for vid in range(36):
+        c = centers[vid % 3]
+        rows.append((vid, [float(x) for x in c + rng.normal(scale=0.05, size=dim)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestKmeans:
+    def test_converges_to_planted_clusters(self, spark, clustered):
+        # seed = 3 members of cluster 0 (ids 0,1,2): Lloyd must migrate two
+        # centroids out and end with the 12/12/12 split
+        out = S.kmeans_clusters(clustered, n_lists=3, iters=4).collect()
+        sizes = sorted(r.n_members for r in out)
+        assert sizes == [12, 12, 12]
+        assert all(r.avg_cosine > 0.99 for r in out)
+
+    def test_iteration_zero_equals_seed_assignment(self, spark, clustered):
+        # iters=0: assignment against the raw seed == ivf_lists
+        seed_assign = S.ivf_lists(clustered, n_lists=3).collect()
+        cents0 = S.kmeans_centroids(clustered, n_lists=3, iters=0)
+        re_assign = S._assign_to_cents(clustered, cents0, "vec_id", "embedding").collect()
+        assert {(r.vec_id, r.list_id) for r in seed_assign} == \
+            {(r.vec_id, r.list_id) for r in re_assign}
+
+    def test_deterministic_across_runs(self, spark, clustered):
+        a = S.kmeans_clusters(clustered, n_lists=3, iters=3).collect()
+        b = S.kmeans_clusters(clustered, n_lists=3, iters=3).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestMips:
+    def test_mips_recall_vs_exact_dot(self, spark, clustered):
+        # pick probes from the MAX-NORM cluster: their exact MIPS winners
+        # are same-cluster members whose augmented extra component ≈ 0, so
+        # their buckets survive augmentation (the Simple-LSH sweet spot);
+        # small-norm vectors shift buckets, which is the intended pruning —
+        # they cannot win a max-inner-product query anyway
+        norms = {r.vec_id: sum(x * x for x in r.embedding)
+                 for r in clustered.collect()}
+        top_cluster = max(range(3), key=lambda c: max(
+            n for v, n in norms.items() if v % 3 == c))
+        probes = [v for v in sorted(norms) if v % 3 == top_cluster][:3]
+        exact = S.dot_topk(clustered, probes, k=5)
+        ann = S.mips_topk(clustered, probes, k=5)
+        rec = S.ann_recall(exact, ann).collect()
+        assert all(r.recall >= 0.6 for r in rec)
+
+    def test_augmented_ranking_matches_dot_within_bucket(self, spark, clustered):
+        # every returned neighbour's dot must be the true dot product
+        # (probe 1 sits in a cluster whose bucket survives augmentation)
+        ann = {(r.probe_id, r.vec_id): r.dot
+               for r in S.mips_topk(clustered, [1], k=5).collect()}
+        rows = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+                for r in clustered.collect()}
+        for (p, v), d in ann.items():
+            assert abs(d - round(float(rows[p] @ rows[v]), 4)) < 1e-6
+
+    def test_augmentation_norm_is_max(self, spark, clustered):
+        aug = S.mips_augment(clustered).collect()
+        n2max = max(r.n2 for r in aug)
+        for r in aug:
+            an = sum(x * x for x in r.avec)
+            assert abs(an - n2max) < 1e-6  # every augmented norm² == M²
