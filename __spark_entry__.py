@@ -141,6 +141,13 @@ def _wand_dist(spark: SparkSession, sf_dir: str, terms: list[str], k: int = 20) 
     return wand_topk_distributed(spark, _plain_index(spark, sf_dir), terms, k=k)
 
 
+def _anytime(spark: SparkSession, sf_dir: str, terms: list[str], k: int = 20) -> DataFrame:
+    from searchengine_spark.query.wand import anytime_topk
+
+    return anytime_topk(spark, _plain_index(spark, sf_dir), terms, k=k,
+                        budget_postings=1 << 40)
+
+
 def _maxscore(spark: SparkSession, sf_dir: str, terms: list[str], k: int = 20) -> DataFrame:
     from searchengine_spark.query.maxscore import maxscore_topk
 
@@ -791,6 +798,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mips_topk": lambda s, d: similarity.mips_topk(
             _emb(s, d), PROBE_VEC_IDS, k=5
         ),
+        # JASS-style anytime serving over block-max segments; at full
+        # budget provably identical to the exact conjunctive top-k, so the
+        # bm25 oracle gates it (budgeted behavior is pytest-covered)
+        "q_anytime_and2": lambda s, d: _anytime(s, d, Q_AND2),
     }
 
 
@@ -1043,4 +1054,5 @@ def oracle_sql() -> dict[str, str]:
         "q_clone_classes": osql.clone_classes(),
         "q_kmeans_clusters": osql.kmeans_clusters(n_lists=8, iters=3),
         "q_mips_topk": osql.mips_topk(PROBE_VEC_IDS, k=5),
+        "q_anytime_and2": osql.bm25_topk(Q_AND2, k=20),
     }

@@ -252,6 +252,87 @@ class SegmentSearcher:
         results.sort(key=lambda ds_: (-ds_[1], ds_[0]))
         return results
 
+    def search_anytime(self, terms: list[str], k: int = 20,
+                       budget_postings: int = 1_000_000,
+                       stats: dict | None = None) -> list[tuple[int, float]]:
+        """Anytime conjunctive BM25 with a HARD work bound (JASS-style
+        quit strategy: Lin & Trotman SIGIR'15 "Anytime ranking for
+        impact-ordered indexes"; Mackenzie et al. ADCS'18) over the
+        existing block-max segments: grps are processed in DESCENDING
+        grp upper bound (Σ_t idf·impact(max tf, min dl) from the packed
+        block metadata — the same bound score_grp prunes with), and
+        processing stops before admitting a grp that would push the
+        postings-volume counter past ``budget_postings``.
+
+        With budget >= the query's total posting volume the result is
+        EXACTLY ``search(prune=True)`` (grp order never changes the final
+        heap, only intermediate thetas); under budget, the heap holds the
+        exact scores of the best-upper-bound grps — graceful quality
+        degradation with latency bounded by the budget instead of by
+        posting-list length, which is what lets a serving tier cap tail
+        latency on stopword-heavy queries at 10^12-doc scale.  ``stats``
+        (optional) reports grps_processed / grps_skipped /
+        postings_processed so the degradation is observable.
+        """
+        terms = sorted(set(terms))
+        if not terms or k <= 0:
+            return []
+        dfs = self.resolve(terms)
+        if len(dfs) < len(terms):
+            return []
+        n_docs = int(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"])
+        idf = {
+            t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+            for t, d in dfs.items()
+        }
+        order = sorted(terms, key=lambda t: (dfs[t], t))
+        by_grp: dict[int, dict[str, codec.PackedList]] = {}
+        for r in self._segment_rows(terms):
+            by_grp.setdefault(int(r["grp"]), {})[r["term"]] = row_to_packed(r)
+
+        def grp_ub(runs: dict[str, codec.PackedList]) -> float:
+            if len(runs) < len(order):
+                return -np.inf  # AND can't match inside this grp at all
+            return float(sum(
+                idf[t] * float(_impact(runs[t].btf, runs[t].bdl, avgdl).max())
+                for t in order))
+
+        def grp_cost(runs: dict[str, codec.PackedList]) -> int:
+            return int(sum(int(p.num) for p in runs.values()))
+
+        ranked = sorted(
+            ((grp_ub(runs), -g, g, runs) for g, runs in by_grp.items()),
+            reverse=True,
+        )
+        heap: list[tuple[float, int]] = []
+        spent = 0
+        for ub, _, grp, runs in ranked:
+            if ub == -np.inf:
+                if stats is not None:
+                    stats["grps_skipped"] = stats.get("grps_skipped", 0) + 1
+                continue
+            cost = grp_cost(runs)
+            if spent + cost > budget_postings and spent > 0:
+                if stats is not None:
+                    stats["grps_skipped"] = stats.get("grps_skipped", 0) + 1
+                continue  # keep scanning: a cheaper high-UB grp may still fit
+            spent += cost
+            if stats is not None:
+                stats["grps_processed"] = stats.get("grps_processed", 0) + 1
+                stats["postings_processed"] = spent
+            theta = heap[0][0] if len(heap) >= k else -np.inf
+            alive_ids, alive_scores = score_grp(runs, order, idf, avgdl, theta)
+            for d, s in zip(alive_ids.tolist(), alive_scores.tolist()):
+                item = (float(s), -int(d))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        results = [(-nd, s) for s, nd in heap]
+        results.sort(key=lambda ds_: (-ds_[1], ds_[0]))
+        return results
+
     def count(self, terms: list[str]) -> int:
         """Exact AND-match count (the reference's ``count`` field,
         dto/search/SearchResponse.java:10) without materializing per-doc
@@ -447,6 +528,23 @@ def wand_topk(spark: SparkSession, index_root: str, terms: list[str],
     same Spark ``round``, ordered by (score desc, doc_id asc), limit k."""
     searcher = SegmentSearcher(spark, index_root)
     rows = searcher.search(terms, k=k + 8)  # slack so rounding can't flip the cut
+    df = spark.createDataFrame(rows or [], schema=RESULT_SCHEMA)
+    return (
+        df.select("doc_id", F.round(F.col("score"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def anytime_topk(spark: SparkSession, index_root: str, terms: list[str],
+                 k: int = 20, budget_postings: int = 1_000_000) -> DataFrame:
+    """DataFrame contract twin of ``wand_topk`` over the anytime path.
+    At a budget >= total posting volume this equals ``bm25_topk`` exactly
+    (the driver-gate configuration); smaller budgets trade recall for a
+    hard latency bound (pytest-covered)."""
+    searcher = SegmentSearcher(spark, index_root)
+    rows = searcher.search_anytime(terms, k=k + 8,
+                                   budget_postings=budget_postings)
     df = spark.createDataFrame(rows or [], schema=RESULT_SCHEMA)
     return (
         df.select("doc_id", F.round(F.col("score"), 4).alias("score"))

@@ -273,3 +273,70 @@ def test_distributed_theta_seeding_prunes_blocks(spark, skewed_idx):
     got = [(r.doc_id, r.score)
            for r in wand_topk_distributed(spark, idx, terms, k=k).collect()]
     assert got == expect
+
+
+@pytest.fixture(scope="module")
+def multigrp_idx(spark, tmp_path_factory):
+    """Index built with compact_fanin=1 so every shard survives as its own
+    grp — the default full merge leaves 1 grp per term, which gives the
+    anytime grp scheduler nothing to skip."""
+    from searchengine_spark.index.plain import build_plain_index
+
+    out = str(tmp_path_factory.mktemp("anytimeidx"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    build_plain_index(spark, docs, out, n_shards=4, n_buckets=8,
+                      compact_fanin=1)
+    return out
+
+
+class TestAnytime:
+    """JASS-style anytime search over the block-max segments."""
+
+    @pytest.mark.parametrize(
+        "terms", [["merge", "vector"], ["hash", "stream", "vector"], ["dup"]],
+        ids=["and2", "and3", "1term"])
+    def test_full_budget_equals_exact_search(self, spark, multigrp_idx, terms):
+        s = SegmentSearcher(spark, multigrp_idx)
+        exact = s.search(terms, k=20)
+        anytime = s.search_anytime(terms, k=20, budget_postings=10**9)
+        assert anytime == exact
+
+    def test_multiple_grps_present(self, spark, multigrp_idx):
+        s = SegmentSearcher(spark, multigrp_idx)
+        stats = {}
+        s.search_anytime(["merge", "vector"], k=20,
+                         budget_postings=10**9, stats=stats)
+        assert stats["grps_processed"] >= 2
+
+    def test_budget_bounds_processed_postings(self, spark, multigrp_idx):
+        s = SegmentSearcher(spark, multigrp_idx)
+        stats_full, stats_tight = {}, {}
+        s.search_anytime(["merge", "vector"], k=20,
+                         budget_postings=10**9, stats=stats_full)
+        got = s.search_anytime(["merge", "vector"], k=20,
+                               budget_postings=stats_full["postings_processed"] // 2,
+                               stats=stats_tight)
+        assert stats_tight["postings_processed"] <= \
+            stats_full["postings_processed"] // 2
+        assert stats_tight.get("grps_skipped", 0) >= 1
+        assert len(got) > 0  # best-upper-bound grps still served
+
+    def test_under_budget_results_are_exact_scores_subset(self, spark, multigrp_idx):
+        s = SegmentSearcher(spark, multigrp_idx)
+        full = dict(s.search(["merge", "vector"], k=10**6, prune=False))
+        part = s.search_anytime(["merge", "vector"], k=20,
+                                budget_postings=250)
+        assert len(part) > 0
+        for d, sc in part:
+            assert abs(full[d] - sc) < 1e-9  # never an approximate score
+
+    def test_recall_monotone_in_budget(self, spark, multigrp_idx):
+        s = SegmentSearcher(spark, multigrp_idx)
+        exact = {d for d, _ in s.search(["merge", "vector"], k=20)}
+        recalls = []
+        for budget in (250, 500, 10**9):
+            got = {d for d, _ in s.search_anytime(
+                ["merge", "vector"], k=20, budget_postings=budget)}
+            recalls.append(len(got & exact) / len(exact))
+        assert recalls == sorted(recalls)
+        assert recalls[-1] == 1.0
