@@ -50,6 +50,7 @@ from searchengine_spark.pipeline import (  # noqa: E402
     sampling,
     similarity,
     sketches,
+    sptokenizer,
     textstats,
     trigram,
 )
@@ -798,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mips_topk": lambda s, d: similarity.mips_topk(
             _emb(s, d), PROBE_VEC_IDS, k=5
         ),
+        # SentencePiece seed vocabulary (substring candidates, word dim)
+        "q_sp_seed_vocab": lambda s, d: sptokenizer.piece_candidates(_docs(s, d)),
         # JASS-style anytime serving over block-max segments; at full
         # budget provably identical to the exact conjunctive top-k, so the
         # bm25 oracle gates it (budgeted behavior is pytest-covered)
@@ -1055,4 +1058,5 @@ def oracle_sql() -> dict[str, str]:
         "q_kmeans_clusters": osql.kmeans_clusters(n_lists=8, iters=3),
         "q_mips_topk": osql.mips_topk(PROBE_VEC_IDS, k=5),
         "q_anytime_and2": osql.bm25_topk(Q_AND2, k=20),
+        "q_sp_seed_vocab": osql.sp_seed_vocab(),
     }

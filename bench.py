@@ -170,6 +170,8 @@ HEADLINE = [
     "q_clone_classes",
     "q_kmeans_clusters",
     "q_mips_topk",
+    "q_anytime_and2",
+    "q_sp_seed_vocab",
 ]
 
 

@@ -5492,3 +5492,24 @@ SELECT probe_id, vec_id, dot, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def sp_seed_vocab(max_len: int = 6, min_freq: int = 2) -> str:
+    """Twin of sptokenizer.piece_candidates: all substrings (len <=
+    max_len) of every distinct pretoken, weighted by word frequency;
+    single chars kept unconditionally."""
+    return f"""
+WITH pt AS (
+  SELECT unnest(regexp_extract_all(text, '{BPE_PRETOKEN_RE}')) AS w FROM documents
+),
+wc AS (SELECT w, count(*)::BIGINT AS freq FROM pt GROUP BY 1),
+subs AS (
+  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece, freq
+  FROM wc,
+       unnest(generate_series(1, len(w))) s(i),
+       unnest(generate_series(1, least({max_len}, len(w) - i + 1))) t(l)
+)
+SELECT piece, sum(freq)::BIGINT AS freq
+FROM subs GROUP BY piece
+HAVING sum(freq) >= {min_freq} OR length(piece) = 1
+"""

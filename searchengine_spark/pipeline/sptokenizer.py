@@ -1,0 +1,184 @@
+"""Unigram-LM tokenizer training (SentencePiece-style, Kudo ACL'18) as
+Spark jobs — the second tokenizer-fitting family next to pipeline/bpe.py.
+
+Same scale trick as BPE: the corpus collapses to the **word-frequency
+dimension** first (segmentations depend only on distinct pretokens and
+their counts), so every EM round works on a Zipf-bounded table, never the
+corpus.  The pipeline:
+
+1. ``piece_candidates`` — the seed vocabulary: every substring (length
+   <= max_len) of every distinct word, weighted by word frequency, plus
+   all single characters (so segmentation can never fail).  One nested
+   array expression per word row + one hash agg — the enumerate-substrings
+   step of SentencePiece's seed (Kudo uses suffix-array ESA; substring
+   enumeration over the word dim is the same set for bounded piece
+   length).  Oracle-gated (``q_sp_seed_vocab``).
+2. ``unigram_em`` — EM over the word dimension: the E-step Viterbi-segments
+   each distinct word under the current piece log-probs (vectorized numpy
+   DP inside one ``applyInPandas`` over word-hash groups; the piece table
+   is vocabulary-sized and broadcast), the M-step re-estimates piece
+   probabilities from frequency-weighted piece counts, then prunes to
+   ``vocab_size`` keeping all single chars.  Deterministic end-to-end:
+   DP ties prefer FEWER pieces, then the lexicographically smaller piece
+   sequence; probabilities are rounded to 12dp before the next round so
+   the trajectory is a pure function of the seed.  Verified against a
+   pure-Python reference implementation in tests/test_sptokenizer.py
+   (the bpe_train reference-parity pattern); EM itself is not
+   SQL-expressible (per-word DP), so the gate covers the seed table and
+   pytest covers the loop.
+3. ``sp_encode_words`` — final-vocabulary Viterbi segmentation of the word
+   dimension (the tokenize step; corpus encode is a broadcast join of this
+   word->pieces dim against pretokenized text).
+
+Reference tie-in: the reference normalizes tokens only by lemmatization
+(services/LemmatizationService.java:27-48); subword tokenizers are the
+training-data analog (SURVEY.md §2 round-2/3 additions).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from searchengine_spark.pipeline.bpe import word_counts
+
+MAX_PIECE_LEN = 6
+
+
+def piece_candidates(documents: DataFrame, max_len: int = MAX_PIECE_LEN,
+                     min_freq: int = 2, **kw) -> DataFrame:
+    """(piece, freq) — seed vocabulary: substring occurrence counts over
+    the word dimension, weighted by word frequency.  Single-character
+    pieces are always kept regardless of ``min_freq`` (segmentation
+    completeness).  Plan: one word-dim scan with a flatten(transform x
+    transform) substring expansion (<= len*max_len pieces per word, JVM
+    array exprs) + one hash agg."""
+    words = word_counts(documents, **kw)
+    w = F.col("word")
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.transform(
+                F.sequence(F.lit(1),
+                           F.least(F.lit(max_len), F.length(w) - i + 1)),
+                lambda l: w.substr(i, l),
+            ),
+        )
+    )
+    return (
+        words.select(F.explode(subs).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("freq"))
+        .filter((F.col("freq") >= min_freq) | (F.length("piece") == 1))
+    )
+
+
+def viterbi_segment(word: str, logp: dict[str, float],
+                    max_len: int = MAX_PIECE_LEN) -> list[str]:
+    """Deterministic Viterbi: maximize Σ logp(piece); ties prefer fewer
+    pieces, then the lexicographically smaller piece sequence.  Pure
+    Python — shared by the Spark E-step kernel and the test reference."""
+    n = len(word)
+    # dp[i] = (neg_total_logp, n_pieces, pieces_tuple) best for word[:i]
+    dp: list[tuple[float, int, tuple[str, ...]] | None] = [None] * (n + 1)
+    dp[0] = (0.0, 0, ())
+    for i in range(1, n + 1):
+        best = None
+        for l in range(1, min(max_len, i) + 1):
+            prev = dp[i - l]
+            if prev is None:
+                continue
+            piece = word[i - l:i]
+            lp = logp.get(piece)
+            if lp is None:
+                continue
+            cand = (prev[0] - lp, prev[1] + 1, prev[2] + (piece,))
+            if best is None or cand < best:
+                best = cand
+        dp[i] = best
+    if dp[n] is None:  # unreachable when all single chars are in vocab
+        return list(word)
+    return list(dp[n][2])
+
+
+def _em_round(words_pd: pd.DataFrame, logp: dict[str, float],
+              max_len: int) -> dict[str, float]:
+    """One driver-free M-step over a word-frequency pandas slice: returns
+    piece -> frequency-weighted count."""
+    counts: dict[str, float] = {}
+    for word, freq in zip(words_pd["word"], words_pd["freq"]):
+        for piece in viterbi_segment(str(word), logp, max_len):
+            counts[piece] = counts.get(piece, 0.0) + float(freq)
+    return counts
+
+
+def unigram_em(spark: SparkSession, documents: DataFrame,
+               n_iters: int = 2, vocab_size: int = 200,
+               max_len: int = MAX_PIECE_LEN, min_freq: int = 2,
+               **kw) -> DataFrame:
+    """(piece, logp) — the trained unigram-LM vocabulary after ``n_iters``
+    EM rounds and a final prune to ``vocab_size`` (single chars always
+    survive).  The word dimension is persisted once; each round is ONE
+    applyInPandas pass over word-hash groups (Viterbi in the kernel, piece
+    table broadcast via the closure) + one vocabulary-sized hash agg."""
+    words = word_counts(documents, **kw).persist()
+    seed = piece_candidates(documents, max_len, min_freq, **kw)
+    total = float(seed.agg(F.sum("freq")).collect()[0][0])
+    # logp rounded 12dp so each round's table is exactly reproducible
+    logp = {
+        r["piece"]: round(math.log(r["freq"] / total), 12)
+        for r in seed.collect()
+    }
+
+    count_schema = "piece string, cnt double"
+    for _ in range(n_iters):
+        cur = dict(logp)  # captured by the kernel closure
+
+        def m_step(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                c = _em_round(pdf, cur, max_len)
+                if c:
+                    yield pd.DataFrame(
+                        {"piece": list(c.keys()), "cnt": list(c.values())})
+
+        counts = (
+            words.mapInPandas(m_step, count_schema)
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        rows = counts.collect()  # vocabulary-sized (Zipf-bounded), not corpus
+        tot = sum(r["cnt"] for r in rows)
+        logp = {r["piece"]: round(math.log(r["cnt"] / tot), 12) for r in rows}
+
+    # prune: keep the vocab_size most probable pieces (ties -> shorter,
+    # then lexicographic) + every single char seen in the seed
+    ranked = sorted(logp.items(), key=lambda kv: (-kv[1], len(kv[0]), kv[0]))
+    kept = {p for p, _ in ranked[:vocab_size]}
+    kept |= {p for p in logp if len(p) == 1}
+    out = [(p, lp) for p, lp in sorted(logp.items()) if p in kept]
+    words.unpersist()
+    return spark.createDataFrame(out, "piece string, logp double")
+
+
+def sp_encode_words(words: DataFrame, vocab: DataFrame,
+                    max_len: int = MAX_PIECE_LEN) -> DataFrame:
+    """(word, freq, pieces array<string>) — final-vocabulary Viterbi
+    segmentation of the word dimension.  Corpus tokenization is then a
+    broadcast join of this dim against pretokenized text — the word dim
+    is the only place the DP ever runs."""
+    logp = {r["piece"]: float(r["logp"]) for r in vocab.collect()}
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "word": pdf["word"],
+                "freq": pdf["freq"],
+                "pieces": [viterbi_segment(str(w), logp, max_len)
+                           for w in pdf["word"]],
+            })
+
+    return words.mapInPandas(
+        enc, "word string, freq long, pieces array<string>")

@@ -1,0 +1,142 @@
+"""Unigram-LM (SentencePiece-style) tokenizer: seed vocabulary, Viterbi
+determinism, and Spark-EM parity against a pure-Python reference (the
+bpe_train reference-parity pattern)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from searchengine_spark.pipeline.sptokenizer import (
+    MAX_PIECE_LEN,
+    piece_candidates,
+    sp_encode_words,
+    unigram_em,
+    viterbi_segment,
+)
+from searchengine_spark.pipeline.textstats import BPE_PRETOKEN_RE
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)], DOCS_SCHEMA)
+
+
+def ref_unigram_em(texts: list[str], n_iters: int, vocab_size: int,
+                   max_len: int = MAX_PIECE_LEN, min_freq: int = 2):
+    """Pure-Python reference of the whole pipeline (seed -> EM -> prune)."""
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in re.findall(BPE_PRETOKEN_RE, t):
+            wc[w] = wc.get(w, 0) + 1
+    seed: dict[str, int] = {}
+    for w, f in wc.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_len, len(w) - i) + 1):
+                p = w[i:i + l]
+                seed[p] = seed.get(p, 0) + f
+    seed = {p: f for p, f in seed.items() if f >= min_freq or len(p) == 1}
+    total = float(sum(seed.values()))
+    logp = {p: round(math.log(f / total), 12) for p, f in seed.items()}
+    for _ in range(n_iters):
+        counts: dict[str, float] = {}
+        for w, f in wc.items():
+            for p in viterbi_segment(w, logp, max_len):
+                counts[p] = counts.get(p, 0.0) + float(f)
+        tot = sum(counts.values())
+        logp = {p: round(math.log(c / tot), 12) for p, c in counts.items()}
+    ranked = sorted(logp.items(), key=lambda kv: (-kv[1], len(kv[0]), kv[0]))
+    kept = {p for p, _ in ranked[:vocab_size]}
+    kept |= {p for p in logp if len(p) == 1}
+    return {p: lp for p, lp in logp.items() if p in kept}
+
+
+CORPUS = [
+    "the merge vector merged the vectors",
+    "vector merge table merge vector",
+    "streaming tables stream the vector",
+    "merge the stream streams vector table",
+]
+
+
+class TestSeedVocab:
+    def test_matches_reference_seed(self, spark):
+        got = {r.piece: r.freq
+               for r in piece_candidates(_docs(spark, CORPUS)).collect()}
+        wc: dict[str, int] = {}
+        for t in CORPUS:
+            for w in re.findall(BPE_PRETOKEN_RE, t):
+                wc[w] = wc.get(w, 0) + 1
+        ref: dict[str, int] = {}
+        for w, f in wc.items():
+            for i in range(len(w)):
+                for l in range(1, min(MAX_PIECE_LEN, len(w) - i) + 1):
+                    p = w[i:i + l]
+                    ref[p] = ref.get(p, 0) + f
+        ref = {p: f for p, f in ref.items() if f >= 2 or len(p) == 1}
+        assert got == ref
+
+    def test_single_chars_always_survive(self, spark):
+        got = {r.piece for r in
+               piece_candidates(_docs(spark, ["xyzzyq"])).collect()}
+        assert {"x", "y", "z", "q"} <= got  # freq 1 but single char
+
+
+class TestViterbi:
+    def test_prefers_high_probability_pieces(self):
+        logp = {"merge": -1.0, "m": -5.0, "e": -5.0, "r": -5.0, "g": -5.0}
+        assert viterbi_segment("merge", logp) == ["merge"]
+
+    def test_falls_back_to_chars(self):
+        logp = {c: -2.0 for c in "abc"}
+        assert viterbi_segment("cab", logp) == ["c", "a", "b"]
+
+    def test_tie_prefers_fewer_pieces(self):
+        # 'ab' (-4) ties 'a'+'b' (-2-2): fewer pieces must win
+        logp = {"ab": -4.0, "a": -2.0, "b": -2.0}
+        assert viterbi_segment("ab", logp) == ["ab"]
+
+    def test_deterministic_lexicographic_tiebreak(self):
+        # two 2-piece splits with equal score: 'aa'+'b' vs 'a'+'ab'
+        logp = {"aa": -3.0, "b": -3.0, "a": -3.0, "ab": -3.0}
+        out = viterbi_segment("aab", logp)
+        assert out == ["a", "ab"]  # lexicographically smaller sequence
+
+
+class TestEMParity:
+    def test_spark_em_matches_python_reference(self, spark):
+        got = {r.piece: r.logp for r in unigram_em(
+            spark, _docs(spark, CORPUS), n_iters=2, vocab_size=40).collect()}
+        ref = ref_unigram_em(CORPUS, n_iters=2, vocab_size=40)
+        assert got.keys() == ref.keys()
+        for p in ref:
+            assert abs(got[p] - ref[p]) < 1e-9, p
+
+    def test_em_deterministic_across_runs(self, spark):
+        a = unigram_em(spark, _docs(spark, CORPUS), n_iters=1,
+                       vocab_size=30).collect()
+        b = unigram_em(spark, _docs(spark, CORPUS), n_iters=1,
+                       vocab_size=30).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_em_concentrates_mass_on_real_words(self, spark):
+        vocab = unigram_em(spark, _docs(spark, CORPUS), n_iters=3,
+                           vocab_size=30)
+        lp = {r.piece: r.logp for r in vocab.collect()}
+        # the frequent full words must out-rank their fragments after EM
+        assert "vector" in lp and "merge" in lp
+        assert lp["vector"] > lp.get("vecto", -1e9)
+
+    def test_encode_roundtrip_covers_word(self, spark):
+        docs = _docs(spark, CORPUS)
+        vocab = unigram_em(spark, docs, n_iters=2, vocab_size=40)
+        from searchengine_spark.pipeline.bpe import word_counts
+
+        enc = sp_encode_words(word_counts(docs), vocab).collect()
+        assert len(enc) > 0
+        for r in enc:
+            assert "".join(r.pieces) == r.word  # lossless segmentation
