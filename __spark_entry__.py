@@ -799,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mips_topk": lambda s, d: similarity.mips_topk(
             _emb(s, d), PROBE_VEC_IDS, k=5
         ),
+        # late-interaction MaxSim (ColBERT shape, hash-derived token vecs)
+        "q_maxsim_topk": lambda s, d: queryops.maxsim_topk(_docs(s, d), Q_AND2, k=20),
         # SentencePiece seed vocabulary (substring candidates, word dim)
         "q_sp_seed_vocab": lambda s, d: sptokenizer.piece_candidates(_docs(s, d)),
         # JASS-style anytime serving over block-max segments; at full
@@ -1059,4 +1061,5 @@ def oracle_sql() -> dict[str, str]:
         "q_mips_topk": osql.mips_topk(PROBE_VEC_IDS, k=5),
         "q_anytime_and2": osql.bm25_topk(Q_AND2, k=20),
         "q_sp_seed_vocab": osql.sp_seed_vocab(),
+        "q_maxsim_topk": osql.maxsim_topk(Q_AND2, k=20),
     }

@@ -172,6 +172,7 @@ HEADLINE = [
     "q_mips_topk",
     "q_anytime_and2",
     "q_sp_seed_vocab",
+    "q_maxsim_topk",
 ]
 
 

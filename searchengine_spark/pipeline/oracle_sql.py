@@ -5513,3 +5513,45 @@ SELECT piece, sum(freq)::BIGINT AS freq
 FROM subs GROUP BY piece
 HAVING sum(freq) >= {min_freq} OR length(piece) = 1
 """
+
+
+def _li_vec_sql(term_expr: str, dims: int = 16) -> str:
+    """Twin of queryops._li_vec: per-component md5-derived value."""
+    q = chr(39)
+    comps = ", ".join(
+        f"(({md5_long_sql(f'({term_expr}) || {q}:{q} || {j}')}) % 2001 - 1000) / 1000.0"
+        for j in range(dims)
+    )
+    return f"[{comps}]"
+
+
+def maxsim_topk(terms: list[str], k: int = 20) -> str:
+    """Twin of queryops.maxsim_topk: same md5-derived token vectors,
+    6dp cosine, max per (doc, qterm), 4dp sum, (score desc, id asc) cut."""
+    tl = _terms_in(terms)
+    qrows = " UNION ALL ".join(
+        f"SELECT '{t}' AS qterm" for t in sorted(set(terms)))
+    cos = """round(
+        list_sum([q.qvec[i] * d.dvec[i] for i in generate_series(1, len(q.qvec))])
+        / ( sqrt(list_sum([q.qvec[i] * q.qvec[i] for i in generate_series(1, len(q.qvec))]))
+          * sqrt(list_sum([d.dvec[i] * d.dvec[i] for i in generate_series(1, len(d.dvec))])) ),
+        6)"""
+    return f"""
+WITH {_TOKS_CTE},
+cand AS (SELECT DISTINCT doc_id FROM postings WHERE term IN ({tl})),
+dterms AS (
+  SELECT DISTINCT p.doc_id, p.term, {_li_vec_sql('p.term')} AS dvec
+  FROM postings p JOIN cand USING (doc_id)
+),
+q AS (SELECT qterm, {_li_vec_sql('qterm')} AS qvec FROM ({qrows})),
+cells AS (
+  SELECT d.doc_id, q.qterm, {cos} AS cos
+  FROM dterms d CROSS JOIN q
+),
+per_q AS (SELECT doc_id, qterm, max(cos) AS maxsim FROM cells GROUP BY 1, 2),
+scored AS (SELECT doc_id, round(sum(maxsim), 4) AS score FROM per_q GROUP BY doc_id)
+SELECT doc_id, score, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -2427,3 +2427,87 @@ def impact_ordered_topk(documents: DataFrame, query_terms: list[str],
         .select("doc_id", "nhit", "qscore", "rank")
     )
     return finalize(out, p, ds, cand)
+
+
+# --- late-interaction (ColBERT MaxSim) over hash-derived token vectors ----
+
+LI_DIMS = 16
+
+
+def _li_vec(term_col):
+    """Deterministic pseudo token-embedding: component j of a term's
+    vector is (md5_long(term ':' j) % 2001 - 1000)/1000 ∈ [-1, 1] — pure
+    integer arithmetic off md5, so the DuckDB twin reproduces every
+    component bit-for-bit (the hyperplane_sign convention, per-term).
+    A production deployment swaps this for a real encoder's token
+    embedding table (same (term, vec) dim schema); the deterministic
+    stand-in keeps the PLAN — which is what this operator contributes —
+    fully oracle-gated, the multimodal synth-payload pattern.
+    """
+    from searchengine_spark.pipeline.hashing import md5_long
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(LI_DIMS - 1)),
+        lambda j: (md5_long(F.concat_ws(":", term_col, j.cast("string")))
+                   % 2001 - 1000) / 1000.0,
+    )
+
+
+def maxsim_topk(documents: DataFrame, query_terms: list[str], k: int = 20,
+                **kw) -> DataFrame:
+    """(doc_id, score, rank) — late-interaction retrieval (ColBERT,
+    Khattab & Zaharia SIGIR'20): score(q, d) = Σ_{qtok} max_{dtok}
+    cos(E(qtok), E(dtok)) — every query token finds its best-matching
+    document token and the per-token maxima add up.  Unlike the bag
+    models (BM25 & co.) this is the operator shape used for neural
+    retrieval re-ranking, here over the distinct-term postings dimension:
+
+    - token vectors come from a VOCABULARY-SIZED (term, vec) dim built
+      in-plan (``_li_vec``); at 100 TB this is the precomputed token
+      embedding table, broadcast;
+    - candidates = docs holding >= 1 query term (scan-pushed isin on the
+      postings table — the standard first-stage cut before MaxSim);
+    - the MaxSim matrix is (candidate doc-term rows x |q|), each cell one
+      16-dim JVM array fold — no Python, one hash agg per max and one per
+      sum.  Repeated tokens collapse: identical terms share a vector, so
+      max over occurrences == max over distinct terms (tf-invariant,
+      exactly ColBERT's property for duplicate tokens).
+
+    Cosines round to 6dp before the max (cross-engine tie safety), the
+    final score to 4dp (gate convention).
+    """
+    p = tf_postings(documents, **kw).persist()
+    # all distinct terms of candidate docs (docs holding any query term)
+    cand_docs = (
+        p.filter(F.col("term").isin(query_terms))
+        .select("doc_id").distinct()
+    )
+    dterms = (
+        p.join(cand_docs, "doc_id")
+        .select("doc_id", "term").distinct()
+        .withColumn("dvec", _li_vec(F.col("term")))
+    )
+    qframe = (
+        p.sparkSession.createDataFrame(
+            [(t,) for t in sorted(set(query_terms))], "qterm string")
+        .withColumn("qvec", _li_vec(F.col("qterm")))
+    )
+    from searchengine_spark.pipeline.similarity import _dot, _norm
+
+    cells = (
+        dterms.crossJoin(F.broadcast(qframe))
+        .withColumn(
+            "cos",
+            F.round(_dot(F.col("qvec"), F.col("dvec"))
+                    / (_norm(F.col("qvec")) * _norm(F.col("dvec"))), 6))
+    )
+    per_q = cells.groupBy("doc_id", "qterm").agg(F.max("cos").alias("maxsim"))
+    scored = per_q.groupBy("doc_id").agg(
+        F.round(F.sum("maxsim"), 4).alias("score"))
+    # TakeOrderedAndProject cut FIRST (never a global rank window over the
+    # candidate set — the curriculum_order scale note), rank on the k rows
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    out = topk.withColumn("rank", F.row_number().over(w)) \
+        .select("doc_id", "score", "rank")
+    return finalize(out, p)

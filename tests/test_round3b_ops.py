@@ -198,3 +198,30 @@ class TestMips:
         for r in aug:
             an = sum(x * x for x in r.avec)
             assert abs(an - n2max) < 1e-6  # every augmented norm² == M²
+
+
+class TestMaxSim:
+    def test_docs_with_all_terms_score_full(self, spark):
+        from searchengine_spark.pipeline.queryops import maxsim_topk
+
+        docs = _docs(spark, [
+            (1, "alpha beta"),
+            (2, "alpha gamma"),
+            (3, "delta epsilon"),
+        ])
+        out = {r.doc_id: r.score
+               for r in maxsim_topk(docs, ["alpha", "beta"], k=10).collect()}
+        # both query tokens find exact-match tokens in doc 1 -> cos 1 + 1
+        assert out[1] == 2.0
+        # doc 2 holds only 'alpha': one perfect match + one random cos < 1
+        assert 1.0 - 1e-9 < out[2] < 2.0
+        # doc 3 holds no query term -> not a candidate at all
+        assert 3 not in out
+
+    def test_tf_invariance(self, spark):
+        from searchengine_spark.pipeline.queryops import maxsim_topk
+
+        a = _docs(spark, [(1, "alpha beta"), (2, "alpha alpha alpha beta")])
+        out = {r.doc_id: r.score
+               for r in maxsim_topk(a, ["alpha"], k=10).collect()}
+        assert out[1] == out[2]  # duplicate tokens collapse under max
