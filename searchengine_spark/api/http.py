@@ -27,7 +27,9 @@ SegmentSearcher p50 (~ms), not a Spark job submission.
 from __future__ import annotations
 
 import json
+import copy
 import threading
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -52,6 +54,40 @@ class SearchEngineService:
         self._build_thread: threading.Thread | None = None
         self._build_error: str | None = None
         self._build_lock = threading.Lock()
+        # query-result cache: LRU keyed by (params, generation).  The
+        # generation counter is bumped by every index mutation (build
+        # completion, indexPage delta, site removal), which makes stale
+        # entries unreachable without enumerating them — the standard
+        # search-tier result-cache design (the reference recomputes every
+        # request; production engines do not).  Entries are bounded
+        # SearchResponse dicts, never DataFrames.
+        self.cache_size = 256
+        self._cache: "OrderedDict[tuple, dict]" = OrderedDict()
+        self._cache_lock = threading.Lock()
+        self._generation = 0
+        self.cache_hits = 0
+        self.cache_misses = 0
+
+    def _invalidate_cache(self) -> None:
+        with self._cache_lock:
+            self._generation += 1
+
+    def _cache_get(self, key: tuple) -> dict | None:
+        with self._cache_lock:
+            full = key + (self._generation,)
+            hit = self._cache.get(full)
+            if hit is not None:
+                self._cache.move_to_end(full)
+                self.cache_hits += 1
+                return copy.deepcopy(hit)
+            self.cache_misses += 1
+            return None
+
+    def _cache_put(self, key: tuple, value: dict) -> None:
+        with self._cache_lock:
+            self._cache[key + (self._generation,)] = copy.deepcopy(value)
+            while len(self._cache) > self.cache_size:
+                self._cache.popitem(last=False)
 
     # RUNNING manifest records older than this with no live local thread
     # are treated as a dead build's leftovers (see start_indexing)
@@ -74,8 +110,15 @@ class SearchEngineService:
         if offset < 0 or limit <= 0:
             return {"result": False,
                     "error": "offset must be >= 0 and limit must be > 0"}
-        return search(self._index(), query, repo=site, offset=offset,
-                      limit=limit, docs=self.docs)
+        key = ("search", query, site, offset, limit)
+        cached = self._cache_get(key)
+        if cached is not None:
+            return cached
+        out = search(self._index(), query, repo=site, offset=offset,
+                     limit=limit, docs=self.docs)
+        if out.get("result"):  # never cache error responses
+            self._cache_put(key, out)
+        return out
 
     # -- GET /api/statistics ------------------------------------------------
     def statistics(self) -> dict:
@@ -155,6 +198,7 @@ class SearchEngineService:
             def run() -> None:
                 try:
                     build_index(self.spark, self.docs, self.index_root)
+                    self._invalidate_cache()  # new index generation is live
                 except Exception as e:  # noqa: BLE001
                     self._build_error = repr(e)
                     try:  # a dead build must not leave RUNNING markers behind
@@ -197,6 +241,7 @@ class SearchEngineService:
         from searchengine_spark.index.delta import reindex_docs
 
         reindex_docs(self.spark, self.index_root, page)
+        self._invalidate_cache()  # the delta changed postings/df_stats
         return {"result": True}
 
     # -- POST/DELETE /api/site (IndexingServiceImpl.java:298-367) -----------
@@ -206,7 +251,10 @@ class SearchEngineService:
     def remove_site(self, url: str | None) -> dict:
         manifest = (InvertedIndex(self.spark, self.index_root).manifest()
                     if self._index_built() else None)
-        return self.scopes.remove(url, manifest=manifest)
+        out = self.scopes.remove(url, manifest=manifest)
+        if out.get("result"):
+            self._invalidate_cache()
+        return out
 
 
 def make_handler(service: SearchEngineService):

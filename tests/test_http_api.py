@@ -217,3 +217,54 @@ def test_dashboard_page_served(api):
     # the API endpoint behind the page's first fetch really answers
     with urllib.request.urlopen(api + "/api/statistics") as r:
         assert r.status == 200
+
+
+def test_result_cache_hit_and_parity(spark, t1_index, tmp_path):
+    """Second identical search is served from the LRU cache and is
+    byte-identical to the computed response."""
+    docs = spark.read.parquet(docs_path("t1"))
+    svc = SearchEngineService(spark, t1_index.paths.root, docs=docs,
+                              scopes_path=str(tmp_path / "sc_cache.json"))
+    first = svc.search("sofiko", None, 0, 10)
+    assert svc.cache_hits == 0 and svc.cache_misses == 1
+    second = svc.search("sofiko", None, 0, 10)
+    assert svc.cache_hits == 1
+    assert second == first
+    # different params are separate entries
+    svc.search("sofiko", None, 0, 5)
+    assert svc.cache_misses == 2
+
+
+def test_result_cache_invalidated_by_index_page(spark, tmp_path):
+    """An indexPage delta bumps the generation: the next search recomputes
+    and reflects the new document."""
+    from searchengine_spark.index.build import build_index
+
+    docs = spark.read.parquet(docs_path("t1")).limit(50)
+    row = docs.select("repo", "path").first()
+    out_dir = str(tmp_path / "idx_cache")
+    without = docs.filter(~((F.col("repo") == row.repo) & (F.col("path") == row.path)))
+    build_index(spark, without, out_dir, n_shards=4, n_buckets=4)
+    svc = SearchEngineService(spark, out_dir, docs=docs,
+                              scopes_path=str(tmp_path / "sc_cache2.json"))
+    # pick a term from the held-out page so its arrival changes the count
+    text = docs.filter((F.col("repo") == row.repo)
+                       & (F.col("path") == row.path)).first().content
+    term = next(w for w in text.split() if w.isalpha() and len(w) > 3)
+    before = svc.search(term, None, 0, 10)
+    cached = svc.search(term, None, 0, 10)
+    assert cached == before and svc.cache_hits == 1
+    assert svc.index_page(row.repo, row.path)["result"] is True
+    after = svc.search(term, None, 0, 10)
+    # generation bumped: this was a recompute, not a cache hit
+    assert svc.cache_hits == 1
+    assert after["count"] == before["count"] + 1
+
+
+def test_error_responses_never_cached(spark, t1_index, tmp_path):
+    svc = SearchEngineService(spark, t1_index.paths.root,
+                              scopes_path=str(tmp_path / "sc_cache3.json"))
+    out = svc.search("", None, 0, 10)  # empty query -> logical error
+    assert out["result"] is False
+    svc.search("", None, 0, 10)
+    assert svc.cache_hits == 0  # error responses recompute every time
