@@ -799,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mips_topk": lambda s, d: similarity.mips_topk(
             _emb(s, d), PROBE_VEC_IDS, k=5
         ),
+        # mergeable-HLL pairwise source vocabulary overlap
+        "q_hll_source_overlap": lambda s, d: sketches.hll_source_overlap(_docs(s, d)),
         # late-interaction MaxSim (ColBERT shape, hash-derived token vecs)
         "q_maxsim_topk": lambda s, d: queryops.maxsim_topk(_docs(s, d), Q_AND2, k=20),
         # SentencePiece seed vocabulary (substring candidates, word dim)
@@ -1062,4 +1064,5 @@ def oracle_sql() -> dict[str, str]:
         "q_anytime_and2": osql.bm25_topk(Q_AND2, k=20),
         "q_sp_seed_vocab": osql.sp_seed_vocab(),
         "q_maxsim_topk": osql.maxsim_topk(Q_AND2, k=20),
+        "q_hll_source_overlap": osql.hll_source_overlap(),
     }

@@ -173,6 +173,7 @@ HEADLINE = [
     "q_anytime_and2",
     "q_sp_seed_vocab",
     "q_maxsim_topk",
+    "q_hll_source_overlap",
 ]
 
 

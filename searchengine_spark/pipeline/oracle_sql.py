@@ -5555,3 +5555,62 @@ SELECT doc_id, score, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def hll_source_overlap() -> str:
+    """Twin of sketches.hll_source_overlap: same registers (grouped by
+    source), register-wise max union merge, inclusion-exclusion
+    intersection clamped at 0, 4dp Jaccard estimate."""
+    h = md5_long_sql("term")
+    est = ("CASE WHEN (0.709 * 64 * 64) / (z + (64 - n)) <= 160.0 AND (64 - n) > 0 "
+           "THEN CAST(round(64 * ln(64 / (64 - n))) AS BIGINT) "
+           "ELSE CAST(round((0.709 * 64 * 64) / (z + (64 - n))) AS BIGINT) END")
+    return f"""
+WITH toks0 AS (
+  SELECT source AS grp,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+tokl AS (SELECT grp, term FROM toks0 WHERE term <> ''),
+hh AS (SELECT grp, {h} AS h FROM tokl),
+rr AS (
+  SELECT grp, h % 64 AS register,
+         CASE WHEN (h >> 6) % 1073741824 = 0 THEN 31
+              ELSE 30 - CAST(floor(log2((h >> 6) % 1073741824)) AS INT)
+         END AS rho
+  FROM hh
+),
+regs AS (SELECT grp, register, max(rho) AS max_rho FROM rr GROUP BY 1, 2),
+singles AS (
+  SELECT grp, {est} AS est FROM (
+    SELECT grp, sum(power(2.0, -max_rho)) AS z, count(*)::DOUBLE AS n
+    FROM regs GROUP BY 1
+  )
+),
+pairs AS (
+  SELECT a.grp AS src_a, b.grp AS src_b
+  FROM singles a CROSS JOIN singles b WHERE a.grp < b.grp
+),
+tagged AS (
+  SELECT p.src_a, p.src_b, r.register, r.max_rho
+  FROM pairs p JOIN regs r ON r.grp = p.src_a
+  UNION ALL
+  SELECT p.src_a, p.src_b, r.register, r.max_rho
+  FROM pairs p JOIN regs r ON r.grp = p.src_b
+),
+unions AS (
+  SELECT src_a, src_b, {est} AS est_union FROM (
+    SELECT src_a, src_b, sum(power(2.0, -mr)) AS z, count(*)::DOUBLE AS n
+    FROM (SELECT src_a, src_b, register, max(max_rho) AS mr
+          FROM tagged GROUP BY 1, 2, 3)
+    GROUP BY 1, 2
+  )
+)
+SELECT u.src_a, u.src_b, sa.est AS est_a, sb.est AS est_b, u.est_union,
+       greatest(0, sa.est + sb.est - u.est_union)::BIGINT AS est_intersect,
+       round(greatest(0, sa.est + sb.est - u.est_union) / u.est_union, 4)
+         AS jaccard_est
+FROM unions u
+JOIN singles sa ON sa.grp = u.src_a
+JOIN singles sb ON sb.grp = u.src_b
+"""

@@ -47,11 +47,14 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 
 
-def _terms(documents: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _terms(documents: DataFrame, id_col: str, text_col: str,
+           *extra_cols: str) -> DataFrame:
     toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    keep = ["doc_id", "lang"] + [c for c in extra_cols
+                                 if c not in ("doc_id", "lang")]
     return explode_nonempty(
         documents.withColumnRenamed(id_col, "doc_id"), toks, "term",
-        "doc_id", "lang",
+        *keep,
     )
 
 
@@ -75,7 +78,7 @@ def hll_registers(documents: DataFrame, group_col: str = "lang",
     group, built by one map-side-combinable max aggregation over the raw
     token stream (no distinct, no vocabulary shuffle)."""
     reg, rho = _hll_rank_cols()
-    t = _terms(documents, id_col, text_col).select(
+    t = _terms(documents, id_col, text_col, group_col).select(
         F.col(group_col).alias("grp"), reg, rho
     )
     return t.groupBy("grp", "register").agg(F.max("rho").alias("max_rho"))
@@ -273,3 +276,73 @@ def bloom_prune(documents: DataFrame, probe_terms: list[str],
              & (F.col("tbucket") == F.col("bucket"))).alias("actually_contains"),
         )
     )
+
+
+def hll_source_overlap(documents: DataFrame, group_col: str = "source",
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(src_a, src_b, est_a, est_b, est_union, est_intersect, jaccard_est)
+    — pairwise source vocabulary overlap from MERGED HLL sketches: the
+    union sketch of two sources is the register-wise max (the property
+    that makes HLL the cross-shard distinct counter at 100 TB — sketches
+    merge without re-touching data), |A∩B| via inclusion-exclusion, and a
+    Jaccard estimate on top.  The sketch answer to ``source_overlap``'s
+    exact fingerprint intersection: constant state per source (64
+    registers) instead of a fingerprint table, at HLL's ~13% rse for
+    m=64.
+
+    Plan: ONE register build over the corpus (the hll_registers agg), a
+    sources² pair dim (tiny), and register-wise max merges — the corpus
+    is never rescanned per pair.  est_intersect clamps at 0
+    (inclusion-exclusion can go negative at sketch error).
+    """
+    regs = hll_registers(documents, group_col, id_col, text_col).persist()
+    singles = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("z"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    ).select(
+        "grp",
+        F.round(hll_estimate_col(F.col("z"), F.col("n")))
+        .cast("long").alias("est"),
+    )
+    pairs = (
+        singles.select(F.col("grp").alias("src_a"))
+        .crossJoin(singles.select(F.col("grp").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    tagged = (
+        pairs.join(regs.withColumnRenamed("grp", "src_a"), "src_a")
+        .select("src_a", "src_b", "register", "max_rho")
+        .unionByName(
+            pairs.join(regs.withColumnRenamed("grp", "src_b"), "src_b")
+            .select("src_a", "src_b", "register", "max_rho"))
+    )
+    unions = (
+        tagged.groupBy("src_a", "src_b", "register")
+        .agg(F.max("max_rho").alias("mr"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("z"),
+             F.count(F.lit(1)).cast("double").alias("n"))
+        .select("src_a", "src_b",
+                F.round(hll_estimate_col(F.col("z"), F.col("n")))
+                .cast("long").alias("est_union"))
+    )
+    out = (
+        unions
+        .join(singles.select(F.col("grp").alias("src_a"),
+                             F.col("est").alias("est_a")), "src_a")
+        .join(singles.select(F.col("grp").alias("src_b"),
+                             F.col("est").alias("est_b")), "src_b")
+        .withColumn(
+            "est_intersect",
+            F.greatest(F.lit(0).cast("long"),
+                       F.col("est_a") + F.col("est_b") - F.col("est_union")))
+        .withColumn(
+            "jaccard_est",
+            F.round(F.col("est_intersect") / F.col("est_union"), 4))
+        .select("src_a", "src_b", "est_a", "est_b", "est_union",
+                "est_intersect", "jaccard_est")
+    )
+    from searchengine_spark.pipeline._cache import finalize
+
+    return finalize(out, regs)

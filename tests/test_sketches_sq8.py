@@ -228,3 +228,46 @@ class TestBloomPrune:
     def test_bloom_state_is_bounded(self, docs):
         bits = sketches.bucket_bloom_bits(docs)
         assert bits.count() <= 16 * sketches.BLOOM_BITS
+
+
+class TestHllSourceOverlap:
+    def test_disjoint_sources_near_zero_overlap(self, spark):
+        # two sources with completely different vocabularies
+        rows = [(i, " ".join(f"alpha{i}x{j}" for j in range(30)), "en", "sA", 10)
+                for i in range(5)]
+        rows += [(100 + i, " ".join(f"beta{i}y{j}" for j in range(30)), "en", "sB", 10)
+                 for i in range(5)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long")
+        from searchengine_spark.pipeline.sketches import hll_source_overlap
+
+        out = hll_source_overlap(docs).collect()
+        assert len(out) == 1
+        r = out[0]
+        # inclusion-exclusion at HLL error: near-zero, far below identical
+        assert r.jaccard_est < 0.35
+        assert r.est_union > max(r.est_a, r.est_b)
+
+    def test_identical_sources_full_overlap(self, spark):
+        text = " ".join(f"tok{j}" for j in range(50))
+        rows = [(1, text, "en", "sA", 10), (2, text, "en", "sB", 10)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long")
+        from searchengine_spark.pipeline.sketches import hll_source_overlap
+
+        r = hll_source_overlap(docs).collect()[0]
+        # identical register sets: union == singles, jaccard exactly 1
+        assert r.est_union == r.est_a == r.est_b
+        assert r.jaccard_est == 1.0
+
+    def test_merge_is_registerwise_max(self, spark):
+        # union estimate must never undercount either side
+        rows = [(i, " ".join(f"w{i}_{j}" for j in range(20)), "en",
+                 f"s{i % 3}", 10) for i in range(9)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long")
+        from searchengine_spark.pipeline.sketches import hll_source_overlap
+
+        for r in hll_source_overlap(docs).collect():
+            assert r.est_union >= max(r.est_a, r.est_b)
+            assert 0 <= r.est_intersect <= min(r.est_a, r.est_b) + 5
