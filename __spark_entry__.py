@@ -799,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mips_topk": lambda s, d: similarity.mips_topk(
             _emb(s, d), PROBE_VEC_IDS, k=5
         ),
+        # measured LSH dedup recall vs exact all-pairs ground truth
+        "q_lsh_recall_curve": lambda s, d: dedup.lsh_recall_curve(_docs(s, d)),
         # mergeable-HLL pairwise source vocabulary overlap
         "q_hll_source_overlap": lambda s, d: sketches.hll_source_overlap(_docs(s, d)),
         # late-interaction MaxSim (ColBERT shape, hash-derived token vecs)
@@ -1065,4 +1067,5 @@ def oracle_sql() -> dict[str, str]:
         "q_sp_seed_vocab": osql.sp_seed_vocab(),
         "q_maxsim_topk": osql.maxsim_topk(Q_AND2, k=20),
         "q_hll_source_overlap": osql.hll_source_overlap(),
+        "q_lsh_recall_curve": osql.lsh_recall_curve(),
     }

@@ -174,6 +174,7 @@ HEADLINE = [
     "q_sp_seed_vocab",
     "q_maxsim_topk",
     "q_hll_source_overlap",
+    "q_lsh_recall_curve",
 ]
 
 

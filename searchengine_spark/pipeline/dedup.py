@@ -784,3 +784,52 @@ def lsh_band_sweep(documents: DataFrame,
     for o in outs[1:]:
         out = out.unionByName(o)
     return finalize(out, sigs)
+
+
+LSH_PR_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5)
+
+
+def lsh_recall_curve(documents: DataFrame,
+                     thresholds: tuple[float, ...] = LSH_PR_THRESHOLDS,
+                     n: int = 3, **kw) -> DataFrame:
+    """(threshold, n_truth, n_found, recall) — the production dedup's
+    measured miss rate: at each Jaccard threshold τ, how many of the
+    EXACT all-pairs near-duplicates (``ngram_jaccard_pairs``, the
+    verify-only ground truth) does the banded MinHash-LSH pipeline
+    (``lsh_verified_near_dups``) recover?  Precision is 1 by construction
+    (the LSH path exact-verifies its candidates), so the whole quality
+    story is this recall column — the number that justifies the banding
+    layout in production next to ``lsh_band_sweep``'s theoretical
+    S-curve thresholds.  recall = 1.0 when the truth set is empty
+    (vacuous).
+
+    Cost: both pair sets are computed ONCE at min(τ) with their jaccard
+    values retained (persisted); every sweep point is a 1-row filtered
+    count union — no re-shingling per threshold.  The exact side is the
+    documented small-corpus/audit path; at 100 TB this curve is measured
+    on a sampled slice, the LSH path runs on everything.
+    """
+    lo = min(thresholds)
+    truth = ngram_jaccard_pairs(documents, n=n, threshold=lo, **kw) \
+        .select("doc_a", "doc_b", "jaccard").persist()
+    found = lsh_verified_near_dups(documents, n=n, threshold=lo, **kw) \
+        .select("doc_a", "doc_b", "jaccard").persist()
+    outs = []
+    for t in thresholds:
+        nt = truth.filter(F.col("jaccard") >= t).agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"))
+        nf = found.filter(F.col("jaccard") >= t).agg(
+            F.count(F.lit(1)).cast("long").alias("n_found"))
+        outs.append(
+            nt.crossJoin(nf).select(
+                F.lit(float(t)).alias("threshold"),
+                "n_truth", "n_found",
+                F.when(F.col("n_truth") > 0,
+                       F.round(F.col("n_found") / F.col("n_truth"), 4))
+                .otherwise(F.lit(1.0)).alias("recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return finalize(out, truth, found)

@@ -5614,3 +5614,28 @@ FROM unions u
 JOIN singles sa ON sa.grp = u.src_a
 JOIN singles sb ON sb.grp = u.src_b
 """
+
+
+def lsh_recall_curve(thresholds: tuple[float, ...] | None = None) -> str:
+    """Twin of dedup.lsh_recall_curve: per-τ counts over the same exact
+    and LSH-verified pair sets."""
+    from searchengine_spark.pipeline.dedup import LSH_PR_THRESHOLDS
+
+    thresholds = thresholds if thresholds is not None else LSH_PR_THRESHOLDS
+    lo = min(thresholds)
+    blocks = []
+    for t in thresholds:
+        blocks.append(f"""
+SELECT {float(t)} AS threshold,
+       (SELECT count(*)::BIGINT FROM truth WHERE jaccard >= {t}) AS n_truth,
+       (SELECT count(*)::BIGINT FROM found WHERE jaccard >= {t}) AS n_found,
+       CASE WHEN (SELECT count(*) FROM truth WHERE jaccard >= {t}) > 0
+            THEN round((SELECT count(*) FROM found WHERE jaccard >= {t})
+                       / (SELECT count(*) FROM truth WHERE jaccard >= {t})::DOUBLE, 4)
+            ELSE 1.0 END AS recall""")
+    union = " UNION ALL ".join(blocks)
+    return f"""
+WITH truth AS MATERIALIZED ({ngram_jaccard_pairs(threshold=lo)}),
+found AS MATERIALIZED ({lsh_verified_near_dups(threshold=lo)})
+{union}
+"""
