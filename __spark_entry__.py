@@ -799,6 +799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mips_topk": lambda s, d: similarity.mips_topk(
             _emb(s, d), PROBE_VEC_IDS, k=5
         ),
+        # measured ranking loss of the impact-quantized anytime path
+        "q_quantization_agreement": lambda s, d: rankeval.quantization_agreement(
+            _docs(s, d)),
         # measured LSH dedup recall vs exact all-pairs ground truth
         "q_lsh_recall_curve": lambda s, d: dedup.lsh_recall_curve(_docs(s, d)),
         # mergeable-HLL pairwise source vocabulary overlap
@@ -1068,4 +1071,6 @@ def oracle_sql() -> dict[str, str]:
         "q_maxsim_topk": osql.maxsim_topk(Q_AND2, k=20),
         "q_hll_source_overlap": osql.hll_source_overlap(),
         "q_lsh_recall_curve": osql.lsh_recall_curve(),
+        "q_quantization_agreement": osql.quantization_agreement(
+            [(1, ["merge", "vector"]), (2, ["dup"]), (3, ["table", "join"])]),
     }

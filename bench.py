@@ -175,6 +175,7 @@ HEADLINE = [
     "q_maxsim_topk",
     "q_hll_source_overlap",
     "q_lsh_recall_curve",
+    "q_quantization_agreement",
 ]
 
 

@@ -5639,3 +5639,89 @@ WITH truth AS MATERIALIZED ({ngram_jaccard_pairs(threshold=lo)}),
 found AS MATERIALIZED ({lsh_verified_near_dups(threshold=lo)})
 {union}
 """
+
+
+def quantization_agreement(queries: list[tuple[int, list[str]]],
+                           bits: int = 5, budget: int = 64,
+                           k: int = 10, p: float = 0.9) -> str:
+    """Twin of rankeval.quantization_agreement: conjunctive BM25 run vs
+    the impact-quantized disjunctive run, RBO@k + tau over common docs."""
+    levels = (1 << bits) - 1
+    all_terms = sorted({t for _, terms in queries for t in terms})
+    tl = _terms_in(all_terms)
+    return f"""
+WITH {_TOKS_CTE}, {_qdim_values(queries)},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY 1),
+run_a0 AS (
+  SELECT q.qid, pp.doc_id,
+         round(sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (pp.tf * 2.2)
+              / (pp.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ), 4) AS score
+  FROM postings pp
+  JOIN qdim q USING (term)
+  JOIN dfs USING (term)
+  JOIN ds ON pp.doc_id = ds.doc_id
+  CROSS JOIN g
+  GROUP BY q.qid, pp.doc_id
+  HAVING count(*) = max(q.n_terms)
+),
+run_a AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM run_a0 QUALIFY rank <= {int(k)}
+),
+cand AS (
+  SELECT q.qid, pp.term, pp.doc_id,
+         ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (pp.tf * 2.2)
+         / (pp.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) AS pscore
+  FROM postings pp
+  JOIN qdim q USING (term)
+  JOIN dfs USING (term)
+  JOIN ds ON pp.doc_id = ds.doc_id
+  CROSS JOIN g
+),
+gm AS (SELECT qid, max(pscore) AS gmax FROM cand GROUP BY qid),
+quant AS (
+  SELECT c.qid, c.term, c.doc_id,
+         least({levels}, (floor(c.pscore / gm.gmax * {levels}) + 1)::INT)::BIGINT AS qimpact
+  FROM cand c JOIN gm USING (qid)
+),
+proc AS (
+  SELECT qid, doc_id, qimpact FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid, term
+      ORDER BY qimpact DESC, doc_id ASC) AS pos_in_list
+    FROM quant
+  ) WHERE pos_in_list <= {int(budget)}
+),
+accum AS (
+  SELECT qid, doc_id, count(*)::BIGINT AS nhit, sum(qimpact)::BIGINT AS qscore
+  FROM proc GROUP BY 1, 2
+),
+run_b AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY qscore DESC, nhit DESC, doc_id ASC)::BIGINT AS rank
+  FROM accum QUALIFY rank <= {int(k)}
+),
+common AS (
+  SELECT a.qid, a.doc_id, a.rank AS ra, b.rank AS rb
+  FROM run_a a JOIN run_b b USING (qid, doc_id)
+),
+rbo AS (
+  SELECT qid, count(*)::BIGINT AS n_common,
+         round(sum( (1 - {p}) * list_sum([pow({p}, d - 1) / d
+                    for d in generate_series(greatest(ra, rb), {int(k)})]) ), 4) AS rbo
+  FROM common GROUP BY 1
+),
+pairs AS (
+  SELECT i.qid,
+         CASE WHEN sign(i.ra - j.ra) = sign(i.rb - j.rb) THEN 1 ELSE -1 END AS c
+  FROM common i JOIN common j ON i.qid = j.qid AND i.doc_id < j.doc_id
+),
+taus AS (SELECT qid, sum(c)::DOUBLE / count(*)::DOUBLE AS tau FROM pairs GROUP BY 1)
+SELECT r.qid, r.n_common, r.rbo, round(coalesce(t.tau, 0.0), 4) AS tau
+FROM rbo r LEFT JOIN taus t USING (qid)
+"""

@@ -527,3 +527,86 @@ def bm25_err(documents: DataFrame,
     return err_eval(bm25_runs(documents, queries, k=k, **kw),
                     synthetic_qrels(documents, queries, **kw),
                     k=k, g_max=g_max)
+
+
+def impact_runs(documents: DataFrame,
+                queries: list[tuple[int, list[str]]] = EVAL_QUERIES,
+                bits: int = 5, budget: int = 64, k: int = 10,
+                k1: float = BM25_K1, b: float = BM25_B, **kw) -> DataFrame:
+    """(qid, doc_id, rank) — impact-ordered anytime retrieval runs
+    (queryops.impact_ordered_topk semantics) for the whole query set in
+    ONE batch plan keyed by qid: per-qid quantization max, per-(qid,
+    term) impact-ordered posting budget, integer accumulators, disjunctive
+    ranking by (qscore desc, nhit desc, doc_id asc).  Feeds
+    :func:`rank_agreement` to MEASURE the quantization + budget loss."""
+    levels = (1 << bits) - 1
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p)
+    n_and_avg = ds.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    q = F.broadcast(_query_terms_df(documents, queries))
+    dfs = df_stats(p).join(q.select("term").distinct(), "term") \
+        .select("term", "df")
+    cand = (
+        p.join(q, "term")
+        .join(F.broadcast(dfs), "term")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .withColumn("idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                                 / (F.col("df") + 0.5)))
+        .withColumn(
+            "pscore",
+            F.col("idf") * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))),
+        )
+        .select("qid", "term", "doc_id", "pscore")
+    )
+    gm = cand.groupBy("qid").agg(F.max("pscore").alias("gmax"))
+    quant = (
+        cand.join(F.broadcast(gm), "qid")
+        .withColumn(
+            "qimpact",
+            F.least(F.lit(levels),
+                    (F.floor(F.col("pscore") / F.col("gmax") * levels)
+                     + 1).cast("int")).cast("long"))
+    )
+    w_term = Window.partitionBy("qid", "term").orderBy(
+        F.desc("qimpact"), F.asc("doc_id"))
+    accum = (
+        quant.withColumn("pos_in_list", F.row_number().over(w_term))
+        .filter(F.col("pos_in_list") <= budget)
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nhit"),
+             F.sum("qimpact").cast("long").alias("qscore"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.desc("qscore"), F.desc("nhit"), F.asc("doc_id"))
+    out = (
+        accum.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank")
+    )
+    from searchengine_spark.pipeline._cache import finalize
+
+    return finalize(out, p)
+
+
+def quantization_agreement(documents: DataFrame,
+                           queries: list[tuple[int, list[str]]] = EVAL_QUERIES,
+                           bits: int = 5, budget: int = 64, k: int = 10,
+                           p: float = 0.9, **kw) -> DataFrame:
+    """(qid, n_common, rbo, tau) — MEASURED ranking loss of the
+    impact-quantized anytime path vs exact BM25 (rank_agreement over the
+    two batch runs): how much top-k order does 2^bits-level quantization
+    + the per-term posting budget actually cost?  The evaluation that
+    justifies the (bits, budget) operating point, the same way
+    lsh_recall_curve justifies the banding layout.  Note the exact run is
+    CONJUNCTIVE (the engine's serving semantics) while the impact run is
+    disjunctive-accumulated — queries where they still agree at high rbo
+    demonstrate the anytime path is a faithful surrogate."""
+    run_a = bm25_runs(documents, queries, k=k, **kw)
+    run_b = impact_runs(documents, queries, bits=bits, budget=budget,
+                        k=k, **kw)
+    return rank_agreement(run_a, run_b, k=k, p=p)
