@@ -257,6 +257,7 @@ def main() -> None:
     extras = {
         "index_build_docs_per_sec": round(n_docs / build_s, 1),
         "n_docs": n_docs,
+        "n_headline_queries": len(HEADLINE),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
 

@@ -322,3 +322,52 @@ class TestRound3BreadthContracts:
         ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
         p = plan_str(event_funnel(ev))
         assert "CartesianProduct" not in p
+
+
+class TestRound3bContracts:
+    """Contracts for the batch-B operators: no cartesian products, bounded
+    global windows, broadcast dims where claimed."""
+
+    def test_impact_ordered_no_cartesian_and_pruned_scan(self, docs, explain_only):
+        from searchengine_spark.pipeline.queryops import impact_ordered_topk
+
+        p = plan_str(impact_ordered_topk(docs, ["merge", "vector"], k=10))
+        assert "CartesianProduct" not in p
+        # the query-term filter must prune postings before any join
+        assert "isin" in p.lower() or "IN (" in p or "merge" in p
+
+    def test_maxsim_probe_side_broadcast(self, docs, explain_only):
+        from searchengine_spark.pipeline.queryops import maxsim_topk
+
+        p = plan_str(maxsim_topk(docs, ["merge", "vector"], k=10))
+        assert "CartesianProduct" not in p
+        assert "Broadcast" in p  # query-token dim broadcast into the cells join
+        assert "TakeOrderedAndProject" in p  # cut before the rank window
+
+    def test_mips_bucket_join_not_all_pairs(self, emb, explain_only):
+        from searchengine_spark.pipeline.similarity import mips_topk
+
+        p = plan_str(mips_topk(emb, [0, 1], k=5))
+        assert "CartesianProduct" not in p  # candidates keyed by bucket
+
+    def test_kmeans_centroids_broadcast_per_round(self, emb, explain_only):
+        from searchengine_spark.pipeline.similarity import (
+            _assign_to_cents, kmeans_centroids)
+
+        cents = kmeans_centroids(emb, n_lists=4, iters=1)
+        p = plan_str(_assign_to_cents(emb, cents, "vec_id", "embedding"))
+        assert "Broadcast" in p  # (n_lists x dims) table broadcast
+
+    def test_gap_entropy_single_corpus_scan(self, docs, explain_only):
+        from searchengine_spark.pipeline.reorder import gap_entropy_stats
+
+        p = plan_str(gap_entropy_stats(docs))
+        # one tokenize path: the text column is read from one scan (the
+        # persisted postings feed the window + both aggs)
+        assert "CartesianProduct" not in p
+
+    def test_hll_overlap_register_state_only(self, docs, explain_only):
+        from searchengine_spark.pipeline.sketches import hll_source_overlap
+
+        p = plan_str(hll_source_overlap(docs))
+        assert "CartesianProduct" not in p  # pair dim via a < b filter join
