@@ -799,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mips_topk": lambda s, d: similarity.mips_topk(
             _emb(s, d), PROBE_VEC_IDS, k=5
         ),
+        # UL2 mixture-of-denoisers example stream (R/X/S routing)
+        "q_ul2_mixture": lambda s, d: examplegen.ul2_mixture(_docs(s, d)),
         # measured ranking loss of the impact-quantized anytime path
         "q_quantization_agreement": lambda s, d: rankeval.quantization_agreement(
             _docs(s, d)),
@@ -1071,6 +1073,7 @@ def oracle_sql() -> dict[str, str]:
         "q_maxsim_topk": osql.maxsim_topk(Q_AND2, k=20),
         "q_hll_source_overlap": osql.hll_source_overlap(),
         "q_lsh_recall_curve": osql.lsh_recall_curve(),
+        "q_ul2_mixture": osql.ul2_mixture(),
         "q_quantization_agreement": osql.quantization_agreement(
             [(1, ["merge", "vector"]), (2, ["dup"]), (3, ["table", "join"])]),
     }

@@ -176,6 +176,7 @@ HEADLINE = [
     "q_hll_source_overlap",
     "q_lsh_recall_curve",
     "q_quantization_agreement",
+    "q_ul2_mixture",
 ]
 
 

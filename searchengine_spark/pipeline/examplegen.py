@@ -191,3 +191,74 @@ def fim_transform(documents: DataFrame, pct: int = 50,
         .alias("n_suffix"),
         F.sha2(example.cast("binary"), 256).alias("example_sha"),
     )
+
+
+def prefix_lm(documents: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(doc_id, n_spans, n_masked_tokens, input_sha, target_sha) — the
+    S-denoiser (PrefixLM) example: an md5-deterministic split point in
+    [1, n-1] (n=1 docs split at 1: empty target, passthrough), input =
+    prefix + one sentinel, target = sentinel + suffix.  Map-only,
+    RNG-free, resumable — same contract as span_corruption."""
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).filter(F.size("toks") > 0)
+    tc = F.col("toks")
+    n = F.size(tc)
+    doc_s = F.col("doc_id").cast("string")
+    split = (F.lit(1) + F.when(
+        n >= 2,
+        md5_long(F.concat_ws(":", F.lit("plm"), doc_s)) % (n - 1),
+    ).otherwise(F.lit(0))).cast("int")
+    input_text = F.concat_ws(
+        " ", F.concat(F.slice(tc, 1, split), F.array(F.lit("<extra_id_0>"))))
+    target_text = F.concat_ws(
+        " ", F.concat(F.array(F.lit("<extra_id_0>")),
+                      F.slice(tc, split + 1, n - split)))
+    return base.select(
+        "doc_id",
+        F.lit(1).cast("long").alias("n_spans"),
+        (n - split).cast("long").alias("n_masked_tokens"),
+        F.sha2(input_text.cast("binary"), 256).alias("input_sha"),
+        F.sha2(target_text.cast("binary"), 256).alias("target_sha"),
+    )
+
+
+# (denoiser, span_len, mask_pct) — the R and X corruption operating
+# points; S is the PrefixLM split (UL2, Tay et al. '22, public)
+UL2_R = ("R", 2, 15)
+UL2_X = ("X", 4, 40)
+
+
+def ul2_mixture(documents: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, denoiser, n_spans, n_masked_tokens, input_sha, target_sha)
+    — the UL2 mixture-of-denoisers example stream: each doc is routed by
+    an md5 coin to exactly one of R (regular span corruption), X (extreme:
+    longer spans, higher rate), or S (PrefixLM).  The whole mixture is a
+    pure function of doc_id — reshardable, resumable, no RNG state — and
+    each branch reuses the already-gated transform (span_corruption /
+    prefix_lm), so this operator adds only the routing.
+
+    Plan: three map-only branches over disjoint coin slices of ONE corpus
+    scan source, unioned in-plan; no shuffle anywhere.
+    """
+    coin = md5_long(F.concat_ws(":", F.lit("ul2"),
+                                F.col(id_col).cast("string"))) % 3
+    parts = []
+    for name, span_len, pct in (UL2_R, UL2_X):
+        sel = 0 if name == "R" else 1
+        parts.append(
+            span_corruption(documents.filter(coin == sel),
+                            span_len=span_len, pct=pct,
+                            id_col=id_col, text_col=text_col)
+            .withColumn("denoiser", F.lit(name)))
+    parts.append(
+        prefix_lm(documents.filter(coin == 2), id_col, text_col)
+        .withColumn("denoiser", F.lit("S")))
+    out = parts[0]
+    for o in parts[1:]:
+        out = out.unionByName(o)
+    return out.select("doc_id", "denoiser", "n_spans", "n_masked_tokens",
+                      "input_sha", "target_sha")

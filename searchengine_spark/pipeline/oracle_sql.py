@@ -5725,3 +5725,34 @@ taus AS (SELECT qid, sum(c)::DOUBLE / count(*)::DOUBLE AS tau FROM pairs GROUP B
 SELECT r.qid, r.n_common, r.rbo, round(coalesce(t.tau, 0.0), 4) AS tau
 FROM rbo r LEFT JOIN taus t USING (qid)
 """
+
+
+def ul2_mixture() -> str:
+    """Twin of examplegen.ul2_mixture: md5 coin routes each doc to R
+    (span 2/15%), X (span 4/40%) or S (PrefixLM split); R/X reuse the
+    span_corruption SQL filtered by coin, S mirrors prefix_lm."""
+    coin = md5_long_sql("'ul2:' || doc_id::VARCHAR") + " % 3"
+
+    def routed(sql: str, sel: int, name: str) -> str:
+        return (f"SELECT doc_id, '{name}' AS denoiser, n_spans, "
+                f"n_masked_tokens, input_sha, target_sha FROM ({sql}) "
+                f"WHERE ({coin}) = {sel}")
+
+    r = routed(span_corruption(span_len=2, pct=15), 0, "R")
+    x = routed(span_corruption(span_len=4, pct=40), 1, "X")
+    s = f"""
+SELECT doc_id, 'S' AS denoiser, 1::BIGINT AS n_spans,
+       (n - split)::BIGINT AS n_masked_tokens,
+       sha256(array_to_string(list_concat(arr[1:split], ['<extra_id_0>']), ' ')) AS input_sha,
+       sha256(array_to_string(list_concat(['<extra_id_0>'], arr[split + 1:n]), ' ')) AS target_sha
+FROM (
+  SELECT doc_id, arr, n,
+         (1 + CASE WHEN n >= 2
+                   THEN ({md5_long_sql("'plm:' || doc_id::VARCHAR")}) % (n - 1)
+                   ELSE 0 END)::INT AS split
+  FROM (SELECT doc_id, {_TOKARR} AS arr, len({_TOKARR}) AS n FROM documents)
+  WHERE n > 0
+)
+WHERE ({coin}) = 2
+"""
+    return f"{r} UNION ALL {x} UNION ALL {s}"

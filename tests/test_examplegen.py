@@ -80,3 +80,40 @@ def test_span_corruption_unmasked_doc_kept(spark):
     assert rows[0].n_spans == 0
     assert rows[0].target_sha == hashlib.sha256(b"").hexdigest()
     assert rows[0].input_sha == hashlib.sha256(b"a b c d").hexdigest()
+
+
+class TestUl2Mixture:
+    def test_every_doc_routed_exactly_once(self, spark):
+        from searchengine_spark.pipeline.examplegen import ul2_mixture
+
+        docs = _docs(spark, [(i, f"alpha beta w{i} gamma delta") for i in range(60)])
+        out = ul2_mixture(docs).collect()
+        assert len(out) == 60
+        assert len({r.doc_id for r in out}) == 60
+        assert {r.denoiser for r in out} == {"R", "X", "S"}  # all three hit
+
+    def test_x_denoiser_masks_more(self, spark):
+        # same doc forced through both corruption branches: X (4/40) must
+        # mask at least as many tokens as R (2/15) in expectation — check
+        # on a long doc where the md5 block coins differ
+        from searchengine_spark.pipeline.examplegen import span_corruption
+
+        text = " ".join(f"tok{i}" for i in range(400))
+        docs = _docs(spark, [(7, text)])
+        r = span_corruption(docs, span_len=2, pct=15).collect()[0]
+        x = span_corruption(docs, span_len=4, pct=40).collect()[0]
+        assert x.n_masked_tokens > r.n_masked_tokens
+
+    def test_prefix_lm_split_deterministic_and_lossless(self, spark):
+        from searchengine_spark.pipeline.examplegen import prefix_lm
+
+        docs = _docs(spark, [(1, "a b c d e"), (2, "solo")])
+        a = {r.doc_id: r for r in prefix_lm(docs).collect()}
+        b = {r.doc_id: r for r in prefix_lm(docs).collect()}
+        assert a.keys() == b.keys()
+        for k in a:
+            assert (a[k].input_sha, a[k].target_sha) == \
+                (b[k].input_sha, b[k].target_sha)
+        # n=1 doc: split pinned at 1, empty target suffix
+        assert a[2].n_masked_tokens == 0
+        assert 0 < a[1].n_masked_tokens < 5
