@@ -225,3 +225,20 @@ class TestMaxSim:
         out = {r.doc_id: r.score
                for r in maxsim_topk(a, ["alpha"], k=10).collect()}
         assert out[1] == out[2]  # duplicate tokens collapse under max
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestGapEntropyProperty:
+    @given(st.lists(st.integers(1, 60), min_size=2, max_size=25, unique=True))
+    @settings(max_examples=25, deadline=None)
+    def test_h0_bounded_by_log2_distinct(self, spark, ids):
+        docs = _docs(spark, [(i, "p") for i in ids])
+        row = [r for r in gap_entropy_stats(docs).collect() if r.term == "p"][0]
+        assert row.n_gaps == len(ids)
+        # +5e-5: h0_bits is rounded to 4dp (half-up), which can exceed the
+        # true bound by up to half an ulp of the 4th decimal
+        assert row.h0_bits <= np.log2(row.n_distinct_gaps) + 5e-5
+        assert row.h0_bits >= 0.0

@@ -140,3 +140,36 @@ class TestEMParity:
         assert len(enc) > 0
         for r in enc:
             assert "".join(r.pieces) == r.word  # lossless segmentation
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _word_and_vocab(draw):
+    word = draw(st.text(alphabet="abcd", min_size=1, max_size=10))
+    # vocab: all single chars (completeness) + random multi-char pieces
+    pieces = {c: -3.0 for c in "abcd"}
+    for _ in range(draw(st.integers(0, 6))):
+        p = draw(st.text(alphabet="abcd", min_size=2, max_size=4))
+        pieces[p] = float(draw(st.integers(-60, -1))) / 10.0
+    return word, pieces
+
+
+class TestViterbiProperties:
+    @given(_word_and_vocab())
+    @settings(max_examples=200, deadline=None)
+    def test_segmentation_is_lossless(self, wv):
+        word, logp = wv
+        assert "".join(viterbi_segment(word, logp)) == word
+
+    @given(_word_and_vocab())
+    @settings(max_examples=200, deadline=None)
+    def test_score_is_optimal_vs_char_baseline(self, wv):
+        # the DP result never scores worse than the all-chars segmentation
+        word, logp = wv
+        pieces = viterbi_segment(word, logp)
+        dp_score = sum(logp[p] for p in pieces)
+        char_score = sum(logp[c] for c in word)
+        assert dp_score >= char_score - 1e-9
