@@ -94,14 +94,20 @@ def synthetic_qrels(documents: DataFrame,
 def bm25_runs(documents: DataFrame,
               queries: list[tuple[int, list[str]]] = EVAL_QUERIES,
               k: int = 10, k1: float = BM25_K1, b: float = BM25_B,
-              **kw) -> DataFrame:
+              postings: DataFrame | None = None, **kw) -> DataFrame:
     """(qid, doc_id, rank, score) — conjunctive BM25 top-k retrieval runs
     for the whole query set in ONE pass: the per-query loops a serving
     stack would run one at a time, expressed as a single plan keyed by
     qid (batch evaluation shape).  Rank ties break on doc_id asc after
     the 4-decimal score round, matching every other top-k gate.
+
+    ``postings``: pass an already-persisted tf_postings table to share
+    ONE tokenize pass across several runs (the two-run agreement /
+    interleave compositions re-tokenized the corpus once per run —
+    measured 2x of their sf0.1 cost); the caller owns its lifecycle.
     """
-    p = tf_postings(documents, **kw).persist()
+    own = postings is None
+    p = tf_postings(documents, **kw).persist() if own else postings
     ds = doc_stats(p)
     n_and_avg = ds.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -135,7 +141,7 @@ def bm25_runs(documents: DataFrame,
         .filter(F.col("rank") <= k)
         .select("qid", "doc_id", F.col("rank").cast("long").alias("rank"), "score")
     )
-    return finalize(run, p)
+    return finalize(run, p) if own else finalize(run)
 
 
 def eval_rankings(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
@@ -275,8 +281,10 @@ def bm25_b_sensitivity(documents: DataFrame,
     the shared evaluation query set — the classic ranker-ablation
     question, answered with RBO + Kendall tau instead of a second qrels
     pass."""
-    run_a = bm25_runs(documents, queries, k=k, **kw)
-    run_b = bm25_runs(documents, queries, k=k, b=0.0, **kw)
+    shared = tf_postings(documents, **kw).persist()
+    run_a = bm25_runs(documents, queries, k=k, postings=shared, **kw)
+    run_b = bm25_runs(documents, queries, k=k, b=0.0, postings=shared, **kw)
+    shared.unpersist()  # both runs are checkpointed by finalize already
     return rank_agreement(run_a, run_b, k=k, p=p)
 
 
@@ -330,8 +338,10 @@ def bm25_interleaved(documents: DataFrame,
     b=0 BM25 runs merged into the list an online interleaving experiment
     would serve — the online counterpart of :func:`bm25_b_sensitivity`'s
     offline RBO/tau comparison."""
-    run_a = bm25_runs(documents, queries, k=k, **kw)
-    run_b = bm25_runs(documents, queries, k=k, b=0.0, **kw)
+    shared = tf_postings(documents, **kw).persist()
+    run_a = bm25_runs(documents, queries, k=k, postings=shared, **kw)
+    run_b = bm25_runs(documents, queries, k=k, b=0.0, postings=shared, **kw)
+    shared.unpersist()
     return balanced_interleave(run_a, run_b, k=k)
 
 
@@ -532,7 +542,8 @@ def bm25_err(documents: DataFrame,
 def impact_runs(documents: DataFrame,
                 queries: list[tuple[int, list[str]]] = EVAL_QUERIES,
                 bits: int = 5, budget: int = 64, k: int = 10,
-                k1: float = BM25_K1, b: float = BM25_B, **kw) -> DataFrame:
+                k1: float = BM25_K1, b: float = BM25_B,
+                postings: DataFrame | None = None, **kw) -> DataFrame:
     """(qid, doc_id, rank) — impact-ordered anytime retrieval runs
     (queryops.impact_ordered_topk semantics) for the whole query set in
     ONE batch plan keyed by qid: per-qid quantization max, per-(qid,
@@ -540,7 +551,8 @@ def impact_runs(documents: DataFrame,
     ranking by (qscore desc, nhit desc, doc_id asc).  Feeds
     :func:`rank_agreement` to MEASURE the quantization + budget loss."""
     levels = (1 << bits) - 1
-    p = tf_postings(documents, **kw).persist()
+    own = postings is None
+    p = tf_postings(documents, **kw).persist() if own else postings
     ds = doc_stats(p)
     n_and_avg = ds.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -590,7 +602,7 @@ def impact_runs(documents: DataFrame,
     )
     from searchengine_spark.pipeline._cache import finalize
 
-    return finalize(out, p)
+    return finalize(out, p) if own else finalize(out)
 
 
 def quantization_agreement(documents: DataFrame,
@@ -606,7 +618,9 @@ def quantization_agreement(documents: DataFrame,
     CONJUNCTIVE (the engine's serving semantics) while the impact run is
     disjunctive-accumulated — queries where they still agree at high rbo
     demonstrate the anytime path is a faithful surrogate."""
-    run_a = bm25_runs(documents, queries, k=k, **kw)
+    shared = tf_postings(documents, **kw).persist()
+    run_a = bm25_runs(documents, queries, k=k, postings=shared, **kw)
     run_b = impact_runs(documents, queries, bits=bits, budget=budget,
-                        k=k, **kw)
+                        k=k, postings=shared, **kw)
+    shared.unpersist()
     return rank_agreement(run_a, run_b, k=k, p=p)
