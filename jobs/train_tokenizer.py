@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: tokenizer training over a documents corpus.
+
+Trains either tokenizer family the pipeline ships and writes the vocabulary
+as parquet plus a report.json:
+
+    --family bpe      pipeline/bpe.py — learn ``--merges`` BPE merges over
+                      the word-frequency dimension, write the merge list
+                      and the resulting subword vocabulary
+    --family unigram  pipeline/sptokenizer.py — substring seed vocabulary,
+                      ``--iters`` EM rounds of Viterbi segmentation over
+                      the word dimension, prune to ``--vocab-size``
+
+Both collapse the corpus to the (word, freq) dimension first, so the
+training working set is vocabulary-sized (Zipf-bounded) regardless of
+corpus size — the property that lets this job run unchanged at 100 TB.
+
+Cluster usage:
+
+    spark-submit --py-files dist/searchengine_spark.zip jobs/train_tokenizer.py \
+        --input <documents path or table> --output /data/vocab --family unigram
+
+Local sandbox usage:
+
+    python jobs/train_tokenizer.py --input /root/testdata/sf0.001/documents.parquet \
+        --output /tmp/vocab --family bpe --merges 8
+
+The underlying transforms are gated (q_bpe_pair_counts, q_sp_seed_vocab)
+and reference-parity tested (tests/test_bpe_winnow.py,
+tests/test_sptokenizer.py); this job is their production packaging.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def run(spark, input_ref: str, output: str, family: str = "unigram",
+        merges: int = 16, iters: int = 2, vocab_size: int = 2000) -> dict:
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.catalog import read_table
+
+    docs = read_table(spark, input_ref)
+    out = output.rstrip("/")
+    report: dict = {"family": family, "input": input_ref}
+
+    if family == "bpe":
+        from searchengine_spark.pipeline.bpe import bpe_train, bpe_vocab
+
+        merge_list, words = bpe_train(spark, docs, n_merges=merges)
+        vocab = bpe_vocab(words)
+        spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merge_list)],
+            "merge_idx int, lhs string, rhs string",
+        ).write.mode("overwrite").parquet(f"{out}/merges")
+        vocab.write.mode("overwrite").parquet(f"{out}/vocab")
+        report.update(n_merges=len(merge_list),
+                      vocab_size=vocab.count())
+    elif family == "unigram":
+        from searchengine_spark.pipeline.sptokenizer import unigram_em
+
+        vocab = unigram_em(spark, docs, n_iters=iters, vocab_size=vocab_size)
+        vocab.write.mode("overwrite").parquet(f"{out}/vocab")
+        report.update(iters=iters, vocab_size=vocab.count())
+    else:
+        raise SystemExit(f"unknown --family {family!r} (bpe | unigram)")
+
+    # Hadoop-FS write so URI outputs work on a real cluster (curate.py rule)
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(f"{out}/report.json")
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    stream = fs.create(hpath, True)
+    stream.write(bytearray(json.dumps(report, indent=2).encode()))
+    stream.close()
+    return report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--input", required=True, help="documents parquet path or table")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--family", default="unigram", choices=["bpe", "unigram"])
+    ap.add_argument("--merges", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--vocab-size", type=int, default=2000)
+    args = ap.parse_args()
+
+    from searchengine_spark.session import get_spark
+
+    report = run(get_spark("train-tokenizer"), args.input, args.output,
+                 family=args.family, merges=args.merges, iters=args.iters,
+                 vocab_size=args.vocab_size)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
