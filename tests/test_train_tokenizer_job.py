@@ -1,0 +1,35 @@
+"""Smoke + contract tests for the tokenizer-training CLI (jobs/train_tokenizer.py)."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from jobs.train_tokenizer import run  # noqa: E402
+
+
+def test_bpe_family_writes_merges_vocab_report(spark, tmp_path):
+    out = str(tmp_path / "bpe")
+    report = run(spark, "/root/testdata/sf0.001/documents.parquet", out,
+                 family="bpe", merges=4)
+    assert report["n_merges"] == 4
+    merges = spark.read.parquet(f"{out}/merges").orderBy("merge_idx").collect()
+    assert [m.merge_idx for m in merges] == [0, 1, 2, 3]
+    assert spark.read.parquet(f"{out}/vocab").count() == report["vocab_size"]
+    assert json.loads((tmp_path / "bpe" / "report.json").read_text())["family"] == "bpe"
+
+
+def test_unigram_family_prunes_to_vocab_size(spark, tmp_path):
+    out = str(tmp_path / "uni")
+    report = run(spark, "/root/testdata/sf0.001/documents.parquet", out,
+                 family="unigram", iters=1, vocab_size=20)
+    vocab = spark.read.parquet(f"{out}/vocab")
+    rows = vocab.collect()
+    # prune keeps vocab_size top pieces + all single chars
+    n_single = sum(1 for r in rows if len(r.piece) == 1)
+    assert len(rows) <= 20 + n_single
+    assert report["vocab_size"] == len(rows)
+    assert all(r.logp < 0 for r in rows)
