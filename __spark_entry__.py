@@ -535,6 +535,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             codestats.with_code_fixture(_docs(s, d))),
         "q_symbol_lookup": lambda s, d: codestats.symbol_lookup(
             codestats.with_code_fixture(_docs(s, d)), prefix="parse"),
+        # StarCoder/SantaCoder keep/drop filters (QUALITY_FIXTURE plants
+        # one violation per rule), function-boundary RAG chunking, and the
+        # lexical McCabe complexity census
+        "q_code_quality": lambda s, d: codestats.code_quality_flags(
+            codestats.with_quality_fixture(
+                codestats.with_code_fixture(_docs(s, d)))),
+        "q_function_chunks": lambda s, d: codestats.function_chunks(
+            codestats.with_code_fixture(_docs(s, d))),
+        "q_complexity_stats": lambda s, d: codestats.complexity_stats(
+            codestats.with_code_fixture(_docs(s, d))),
         # SemDeDup: within-IVF-list cosine prune + per-cluster summary
         "q_semantic_dedup": lambda s, d: similarity.semantic_dedup(
             _emb(s, d), n_lists=16, threshold=0.3),
@@ -978,6 +988,9 @@ def oracle_sql() -> dict[str, str]:
         "q_symbol_defs": osql.symbol_defs(),
         "q_symbol_index": osql.symbol_index(),
         "q_symbol_lookup": osql.symbol_lookup("parse"),
+        "q_code_quality": osql.code_quality_flags(),
+        "q_function_chunks": osql.function_chunks(),
+        "q_complexity_stats": osql.complexity_stats(),
         "q_semantic_dedup": osql.semantic_dedup(n_lists=16, threshold=0.3),
         "q_semantic_dedup_stats": osql.semantic_dedup_stats(n_lists=16, threshold=0.3),
         "q_token_budget_plan": osql.token_budget_plan(),

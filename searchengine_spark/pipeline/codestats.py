@@ -420,6 +420,200 @@ def normalized_token_hash(documents: DataFrame, id_col: str = "doc_id",
     )
 
 
+# ---- StarCoder/SantaCoder-style code curation filters ----------------------
+
+# published code-LLM corpus filters (Allal et al. '23 SantaCoder §4; Li et
+# al. '23 StarCoder §3.1): drop auto-generated files, encoded-data blobs,
+# minified/low-alpha files.  RE2+Java-safe like every pattern in this module.
+AUTOGEN_RE = "(?i)(?:auto-?generated|generated by|do not edit)"
+BASE64_BLOB_RE = "[A-Za-z0-9+/=]{64,}"
+HEX_BLOB_RE = "[0-9a-fA-F]{64,}"
+
+# keep-thresholds from the StarCoder pipeline
+QUALITY_MAX_LINE = 1000
+QUALITY_AVG_LINE = 100.0
+QUALITY_MIN_ALPHA = 0.25
+
+# planted quality-filter violations (one per rule) + a clean control; ids
+# -201.. keep them disjoint from CODE_FIXTURE (-1..-9) / CLONE_FIXTURE (-10x)
+QUALITY_FIXTURE: list[tuple[int, str, str]] = [
+    (-201, "py",
+     "# data blob holder\n"
+     "PAYLOAD = \"" + "QUJDREVGR0hJSktMTU5PUFFSU1RVVldYWVphYmNkZWZnaGlqa2xt"
+     "bm9wcXJzdHV2d3h5ejAxMjM0NTY3ODk=" + "\"\n"),
+    (-202, "js",
+     "var a=" + "x".join(str(i % 10) for i in range(700)) + ";\n"),
+    (-203, "py",
+     "# Generated by protoc-gen-python. DO NOT EDIT!\n"
+     "class Empty:\n"
+     "    pass\n"),
+    (-204, "txt",
+     "0123456789 4567 !!! ??? 123 456 789 000 111 222 333 444 555 666\n"),
+    (-205, "py",
+     "def clean_example(value):\n"
+     "    # a perfectly ordinary file\n"
+     "    return value + 1\n"),
+]
+
+
+def with_quality_fixture(documents: DataFrame) -> DataFrame:
+    """documents ∪ QUALITY_FIXTURE (inline-VALUES twin convention)."""
+    fx = documents.sparkSession.createDataFrame(
+        [(i, t, lang, "quality_fixture", len(t)) for i, lang, t in QUALITY_FIXTURE],
+        CODE_FIXTURE_SCHEMA)
+    return documents.unionByName(fx)
+
+
+def code_quality_flags(documents: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, alpha_frac, max_line_len, avg_line_len, long_line_frac,
+    n_base64_blobs, n_hex_blobs, autogen, keep) — the published
+    StarCoder/SantaCoder code-corpus keep/drop filters as one map-only
+    pass: alphabetic-character fraction, line-length screens (minified
+    bundles), encoded-data blob counts (base64/hex runs >= 64 chars),
+    and auto-generated-header detection.  ``keep`` applies the published
+    thresholds (max line <= 1000, avg line <= 100, alpha >= 0.25, no
+    autogen header, no base64 blobs).
+
+    Scale: per-row JVM expressions only (zero shuffle) — the filter
+    column feeds curation joins the way textstats.gopher_quality_flags
+    does for prose.  avg_line uses the exact identity
+    sum(len(line)) == len(text) - (n_lines - 1) for single-'\\n'
+    separators, so no array aggregation is needed.
+    """
+    txt = F.col(text_col)
+    lines = F.split(txt, "\n", -1)
+    n_lines = F.size(lines)
+    n_chars = F.length(txt)
+    line_lens = F.transform(lines, lambda x: F.length(x))
+    alpha = F.length(F.regexp_replace(txt, "[^A-Za-z]", ""))
+    alpha_frac = F.round(alpha / F.greatest(n_chars, F.lit(1)), 4)
+    max_line = F.array_max(line_lens).cast("long")
+    avg_line = F.round((n_chars - n_lines + 1) / n_lines, 2)
+    long_frac = F.round(
+        F.size(F.filter(line_lens, lambda x: x > 120)) / n_lines, 4)
+    n_b64 = F.size(F.regexp_extract_all(txt, F.lit(BASE64_BLOB_RE), 0)).cast("long")
+    n_hex = F.size(F.regexp_extract_all(txt, F.lit(HEX_BLOB_RE), 0)).cast("long")
+    autogen = txt.rlike(AUTOGEN_RE)
+    d = documents.select(
+        F.col(id_col).alias("doc_id"),
+        alpha_frac.alias("alpha_frac"),
+        max_line.alias("max_line_len"),
+        avg_line.alias("avg_line_len"),
+        long_frac.alias("long_line_frac"),
+        n_b64.alias("n_base64_blobs"),
+        n_hex.alias("n_hex_blobs"),
+        autogen.alias("autogen"),
+    )
+    keep = (
+        (F.col("alpha_frac") >= QUALITY_MIN_ALPHA)
+        & (F.col("max_line_len") <= QUALITY_MAX_LINE)
+        & (F.col("avg_line_len") <= QUALITY_AVG_LINE)
+        & ~F.col("autogen")
+        & (F.col("n_base64_blobs") == 0)
+    )
+    return d.withColumn("keep", keep)
+
+
+# ---- function-boundary chunking (code-RAG retrieval units) -----------------
+
+# per-LINE definition anchor (SYMBOL_PATTERNS' function entry without the
+# (?m) flag: applied to already-split lines on both engines)
+FUNC_LINE_RE = "^[ \\t]*(?:def|function|func|fn)[ \\t]+([A-Za-z_]\\w*)"
+
+
+def function_chunks(documents: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, chunk_id, symbol, start_line, end_line, n_lines,
+    chunk_sha) — split each document at function-definition lines
+    (gaps-and-islands over FUNC_LINE_RE anchors): chunk 0 is the
+    preamble before the first definition (symbol ''), chunk N starts at
+    the Nth definition line and runs to the line before the next.  The
+    code-payload retrieval unit for RAG — token windows
+    (queryops.chunk_windows) cut functions mid-body; this keeps each
+    function whole, the granularity code-search tools (Sourcegraph,
+    Zoekt) return.  chunk_sha fingerprints the chunk text for
+    downstream chunk-level dedup.
+
+    Scale: posexplode to the line stream, ONE per-doc prefix-sum window
+    (bounded by document length, never corpus-wide), one (doc, chunk)
+    hash agg; the sha is computed from the order-pinned line structs so
+    no second pass over the text is needed.
+    """
+    from pyspark.sql import Window
+
+    lines = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("line_no", "line"),
+    ).withColumn("is_def", F.col("line").rlike(FUNC_LINE_RE).cast("int"))
+    w = Window.partitionBy("doc_id").orderBy("line_no")
+    chunks = lines.withColumn("chunk_id", F.sum("is_def").over(w).cast("long"))
+    return chunks.groupBy("doc_id", "chunk_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("is_def") == 1,
+                         F.regexp_extract("line", FUNC_LINE_RE, 1))),
+            F.lit("")).alias("symbol"),
+        F.min("line_no").cast("long").alias("start_line"),
+        F.max("line_no").cast("long").alias("end_line"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sha2(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"]),
+                "\n"),
+            256).alias("chunk_sha"),
+    )
+
+
+# ---- cyclomatic-complexity proxy census ------------------------------------
+
+BRANCH_RE = "\\b(?:if|elif|for|while|case|when|catch|except|switch)\\b"
+BOOL_OP_RE = "&&|\\|\\|"
+
+
+def complexity_stats(documents: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, n_funcs, n_branches, n_bool_ops, max_indent, cyclomatic,
+    branch_density) — a lexical McCabe-style complexity census: branch
+    keywords + short-circuit operators as decision points, function
+    definitions from the SYMBOL_PATTERNS convention, maximum leading
+    indentation as a nesting proxy.  ``cyclomatic`` is the file-level
+    McCabe sum decisions + max(n_funcs, 1) (each function body
+    contributes base complexity 1).  Deliberately lexical, not parsed —
+    same policy as the symbol surface: the 100 TB path cannot afford
+    per-file ASTs, and lexical counts are what Gopher-style quality
+    gates key on.
+
+    Scale: per-row JVM regex counts + one array transform for indents;
+    zero shuffle.
+    """
+    txt = F.col(text_col)
+    lines = F.split(txt, "\n", -1)
+    indents = F.transform(
+        lines, lambda x: F.length(F.regexp_extract(x, "^[ \\t]*", 0)))
+    n_funcs = F.size(
+        F.regexp_extract_all(txt, F.lit(SYMBOL_PATTERNS[0][1]), 1)).cast("long")
+    n_branches = F.size(
+        F.regexp_extract_all(txt, F.lit(BRANCH_RE), 0)).cast("long")
+    n_bool = F.size(
+        F.regexp_extract_all(txt, F.lit(BOOL_OP_RE), 0)).cast("long")
+    d = documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_funcs.alias("n_funcs"),
+        n_branches.alias("n_branches"),
+        n_bool.alias("n_bool_ops"),
+        F.array_max(indents).cast("long").alias("max_indent"),
+        F.size(lines).alias("nl"),
+    )
+    return d.select(
+        "doc_id", "n_funcs", "n_branches", "n_bool_ops", "max_indent",
+        (F.col("n_branches") + F.col("n_bool_ops")
+         + F.greatest(F.col("n_funcs"), F.lit(1))).cast("long").alias("cyclomatic"),
+        F.round(F.col("n_branches") / F.col("nl"), 4).alias("branch_density"),
+    )
+
+
 def clone_classes(documents: DataFrame, min_docs: int = 2,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(class_id, doc_id, class_size) — type-2 clone classes: docs grouped

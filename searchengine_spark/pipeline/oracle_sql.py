@@ -2650,6 +2650,129 @@ FROM d GROUP BY 1
 """
 
 
+def _quality_docs() -> str:
+    """documents ∪ CODE_FIXTURE ∪ QUALITY_FIXTURE (the code-quality gate
+    unions both fixtures so every keep/drop rule fires at least once)."""
+    from searchengine_spark.pipeline.codestats import QUALITY_FIXTURE
+
+    rows = ", ".join(
+        f"({i}, '{_q(t)}', '{lang}', 'quality_fixture', {len(t)})"
+        for i, lang, t in QUALITY_FIXTURE
+    )
+    return (
+        f"(SELECT * FROM {_code_docs()} _cd "
+        f"UNION ALL SELECT * FROM (VALUES {rows}) "
+        "_qfx(doc_id, text, lang, source, n_chars))"
+    )
+
+
+def code_quality_flags() -> str:
+    """Twin of codestats.code_quality_flags (StarCoder/SantaCoder keep
+    rules; patterns and thresholds imported from the engine module)."""
+    from searchengine_spark.pipeline.codestats import (
+        AUTOGEN_RE,
+        BASE64_BLOB_RE,
+        HEX_BLOB_RE,
+        QUALITY_AVG_LINE,
+        QUALITY_MAX_LINE,
+        QUALITY_MIN_ALPHA,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+         length(text) AS n_chars
+  FROM {_quality_docs()} documents
+),
+m AS (
+  SELECT doc_id,
+         round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / greatest(n_chars, 1)::DOUBLE, 4) AS alpha_frac,
+         list_max(list_transform(lines, x -> length(x)))::BIGINT AS max_line_len,
+         round((n_chars - len(lines) + 1) / len(lines)::DOUBLE, 2) AS avg_line_len,
+         round(len(list_filter(lines, x -> length(x) > 120))
+               / len(lines)::DOUBLE, 4) AS long_line_frac,
+         len(regexp_extract_all(text, '{_q(BASE64_BLOB_RE)}'))::BIGINT AS n_base64_blobs,
+         len(regexp_extract_all(text, '{_q(HEX_BLOB_RE)}'))::BIGINT AS n_hex_blobs,
+         regexp_matches(text, '{_q(AUTOGEN_RE)}') AS autogen
+  FROM d
+)
+SELECT *,
+       (alpha_frac >= {QUALITY_MIN_ALPHA} AND max_line_len <= {QUALITY_MAX_LINE}
+        AND avg_line_len <= {QUALITY_AVG_LINE} AND NOT autogen
+        AND n_base64_blobs = 0) AS keep
+FROM m
+"""
+
+
+def function_chunks() -> str:
+    """Twin of codestats.function_chunks (gaps-and-islands over the
+    FUNC_LINE_RE definition anchors, sha256 of the rejoined chunk)."""
+    from searchengine_spark.pipeline.codestats import FUNC_LINE_RE
+
+    pat = _q(FUNC_LINE_RE)
+    return f"""
+WITH ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines
+  FROM {_code_docs()} documents
+),
+ln AS (
+  SELECT doc_id, e.line_no, e.line FROM (
+    SELECT doc_id,
+           unnest([{{'line_no': i - 1, 'line': lines[i]}}
+                   for i in generate_series(1, len(lines))]) AS e
+    FROM ls
+  )
+),
+mk AS (
+  SELECT doc_id, line_no, line,
+         CASE WHEN regexp_matches(line, '{pat}') THEN 1 ELSE 0 END AS is_def
+  FROM ln
+),
+isl AS (
+  SELECT *, sum(is_def) OVER (PARTITION BY doc_id ORDER BY line_no)::BIGINT
+            AS chunk_id
+  FROM mk
+)
+SELECT doc_id, chunk_id,
+       coalesce(max(CASE WHEN is_def = 1
+                         THEN regexp_extract(line, '{pat}', 1) END), '') AS symbol,
+       min(line_no)::BIGINT AS start_line,
+       max(line_no)::BIGINT AS end_line,
+       count(*)::BIGINT AS n_lines,
+       sha256(string_agg(line, chr(10) ORDER BY line_no)) AS chunk_sha
+FROM isl GROUP BY 1, 2
+"""
+
+
+def complexity_stats() -> str:
+    """Twin of codestats.complexity_stats (lexical McCabe proxy; the
+    branch/bool/function patterns are imported from the engine)."""
+    from searchengine_spark.pipeline.codestats import (
+        BOOL_OP_RE,
+        BRANCH_RE,
+        SYMBOL_PATTERNS,
+    )
+
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_q(SYMBOL_PATTERNS[0][1])}', 1))::BIGINT
+           AS n_funcs,
+         len(regexp_extract_all(text, '{_q(BRANCH_RE)}'))::BIGINT AS n_branches,
+         len(regexp_extract_all(text, '{_q(BOOL_OP_RE)}'))::BIGINT AS n_bool_ops,
+         list_max(list_transform(string_split(text, chr(10)),
+                  x -> length(regexp_extract(x, '^[ \t]*'))))::BIGINT AS max_indent,
+         len(string_split(text, chr(10)))::BIGINT AS nl
+  FROM {_code_docs()} documents
+)
+SELECT doc_id, n_funcs, n_branches, n_bool_ops, max_indent,
+       (n_branches + n_bool_ops + greatest(n_funcs, 1))::BIGINT AS cyclomatic,
+       round(n_branches / nl::DOUBLE, 4) AS branch_density
+FROM m
+"""
+
+
 def top_imports(limit: int = 50) -> str:
     """Twin of codestats.top_imports."""
     from searchengine_spark.pipeline.codestats import IMPORT_PATTERNS

@@ -323,3 +323,108 @@ class TestApproxPercentilePath:
                 # is sub-one-rank: values must sit within the observed
                 # neighbor gap (generous 5% relative bound)
                 assert abs(getattr(a, p) - getattr(e, p)) <= 0.05 * getattr(e, p)
+
+
+class TestCodeQualityFlags:
+    @pytest.fixture(scope="class")
+    def quality_docs(self, spark):
+        rows = [(i, t, lang, "fx", len(t))
+                for i, lang, t in codestats.QUALITY_FIXTURE]
+        rows.append((10, "def ok(x):\n    return x\n", "py", "fx", 25))
+        return spark.createDataFrame(rows, codestats.CODE_FIXTURE_SCHEMA)
+
+    def test_each_planted_violation_fires_exactly_its_rule(self, quality_docs):
+        got = {r.doc_id: r for r in
+               codestats.code_quality_flags(quality_docs).collect()}
+        assert got[-201].n_base64_blobs >= 1 and not got[-201].keep
+        assert got[-202].max_line_len > codestats.QUALITY_MAX_LINE
+        assert not got[-202].keep
+        assert got[-203].autogen and not got[-203].keep
+        assert got[-204].alpha_frac < codestats.QUALITY_MIN_ALPHA
+        assert not got[-204].keep
+        assert got[-205].keep and got[10].keep
+
+    def test_control_doc_clean_on_every_signal(self, quality_docs):
+        r = {x.doc_id: x for x in
+             codestats.code_quality_flags(quality_docs).collect()}[-205]
+        assert r.n_base64_blobs == 0 and r.n_hex_blobs == 0
+        assert not r.autogen and r.long_line_frac == 0.0
+
+    def test_avg_line_identity(self, spark):
+        # sum(len(line)) == len(text) - (n_lines - 1) for '\n' separators
+        docs = spark.createDataFrame(
+            [(1, "ab\ncdef\n\ng", "py", "fx", 10)], codestats.CODE_FIXTURE_SCHEMA)
+        r = codestats.code_quality_flags(docs).collect()[0]
+        assert r.avg_line_len == round((2 + 4 + 0 + 1) / 4, 2)
+        assert r.max_line_len == 4
+
+
+class TestFunctionChunks:
+    @pytest.fixture(scope="class")
+    def fn_docs(self, spark):
+        text = (
+            "# module header\n"
+            "import os\n"
+            "def first(a):\n"
+            "    return a\n"
+            "def second(b):\n"
+            "    x = b + 1\n"
+            "    return x\n")
+        return spark.createDataFrame(
+            [(1, text, "py", "fx", len(text)),
+             (2, "no functions here\nat all\n", "py", "fx", 26)],
+            codestats.CODE_FIXTURE_SCHEMA)
+
+    def test_islands_split_at_each_def(self, fn_docs):
+        got = {(r.doc_id, r.chunk_id): r for r in
+               codestats.function_chunks(fn_docs).collect()}
+        pre = got[(1, 0)]
+        assert pre.symbol == "" and (pre.start_line, pre.end_line) == (0, 1)
+        c1 = got[(1, 1)]
+        assert c1.symbol == "first" and (c1.start_line, c1.end_line) == (2, 3)
+        c2 = got[(1, 2)]
+        assert c2.symbol == "second" and c2.n_lines == 4  # incl trailing ''
+
+    def test_no_def_doc_is_one_preamble_chunk(self, fn_docs):
+        rows = [r for r in codestats.function_chunks(fn_docs).collect()
+                if r.doc_id == 2]
+        assert len(rows) == 1 and rows[0].symbol == ""
+
+    def test_chunk_sha_matches_rejoined_lines(self, fn_docs, spark):
+        import hashlib
+        rows = codestats.function_chunks(fn_docs).collect()
+        text = fn_docs.filter("doc_id = 1").collect()[0].text
+        lines = text.split("\n")
+        c1 = next(r for r in rows if r.doc_id == 1 and r.chunk_id == 1)
+        expect = hashlib.sha256("\n".join(lines[2:4]).encode()).hexdigest()
+        assert c1.chunk_sha == expect
+
+
+class TestComplexityStats:
+    def test_hand_counted_decisions(self, spark):
+        text = (
+            "def f(a):\n"
+            "    if a and a > 1:\n"
+            "        for i in range(a):\n"
+            "            while i < 2:\n"
+            "                i += 1\n"
+            "    return a\n"
+            "def g(b):\n"
+            "    return b if b else 0\n")
+        docs = spark.createDataFrame(
+            [(1, text, "py", "fx", len(text))], codestats.CODE_FIXTURE_SCHEMA)
+        r = codestats.complexity_stats(docs).collect()[0]
+        assert r.n_funcs == 2
+        # if, for, while, if (ternary) = 4 branch keywords; 'in' not counted
+        assert r.n_branches == 4
+        assert r.n_bool_ops == 0
+        assert r.max_indent == 16
+        assert r.cyclomatic == 4 + 0 + 2
+
+    def test_bool_ops_counted(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x = a && b || c\n", "js", "fx", 16)],
+            codestats.CODE_FIXTURE_SCHEMA)
+        r = codestats.complexity_stats(docs).collect()[0]
+        assert r.n_bool_ops == 2 and r.n_funcs == 0
+        assert r.cyclomatic == 0 + 2 + 1
