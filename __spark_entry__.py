@@ -353,6 +353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curated_corpus": lambda s, d: curation.curated_corpus(_docs(s, d)),
         "q_mixture_stats": lambda s, d: curation.corpus_mixture_stats(_docs(s, d)),
         "q_sequence_pack": lambda s, d: packing.sequence_pack(_docs(s, d)),
+        # StarCoder2-style repo-context packing: stream = source
+        "q_repo_pack": lambda s, d: packing.repo_pack(_docs(s, d)),
         "q_packing_stats": lambda s, d: packing.packing_stats(_docs(s, d)),
         "q_events_asof": lambda s, d: asof.asof_join(_events(s, d)),
         "q_funnel_conversion": lambda s, d: asof.funnel_conversion(_events(s, d)),
@@ -380,6 +382,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prefix_search": lambda s, d: queryops.prefix_search(_docs(s, d), Q_PREFIX, k=20),
         "q_cooccurrence_pmi": lambda s, d: queryops.cooccurrence_pmi(_docs(s, d), Q_PMI_PROBE),
         "q_spell_suggest": lambda s, d: queryops.spell_suggest(_docs(s, d), Q_MISSPELLED),
+        # SymSpell delete-neighborhood correction (index-shaped fuzzy probe)
+        "q_symspell_suggest": lambda s, d: queryops.symspell_suggest(
+            _docs(s, d), Q_MISSPELLED),
         "q_fuzzy_search": lambda s, d: queryops.fuzzy_search(
             _docs(s, d), [Q_MISSPELLED, "tabl"], k=20),
         "q_chunk_windows": lambda s, d: queryops.chunk_windows(_docs(s, d), size=64, stride=32),
@@ -512,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_pivot": lambda s, d: textstats.lang_source_pivot(_docs(s, d)),
         # Witten-Bell interpolated bigram LM (smoothing upgrade over add-one)
         "q_wb_bigram_logprob": lambda s, d: textstats.wb_bigram_logprob(_docs(s, d)),
+        "q_kn_bigram_logprob": lambda s, d: textstats.kn_bigram_logprob(_docs(s, d)),
         # sub-document boilerplate: non-overlapping 8-token block dedup
         "q_passage_dup_stats": lambda s, d: dedup.passage_dup_stats(_docs(s, d)),
         "q_top_dup_passages": lambda s, d: dedup.top_dup_passages(_docs(s, d)),
@@ -891,6 +897,7 @@ def oracle_sql() -> dict[str, str]:
         "q_curated_corpus": osql.curated_corpus(),
         "q_mixture_stats": osql.corpus_mixture_stats(),
         "q_sequence_pack": osql.sequence_pack(),
+        "q_repo_pack": osql.repo_pack(),
         "q_packing_stats": osql.packing_stats(),
         "q_events_asof": osql.asof_join(),
         "q_funnel_conversion": osql.funnel_conversion(),
@@ -915,6 +922,7 @@ def oracle_sql() -> dict[str, str]:
         "q_prefix_search": osql.prefix_search(Q_PREFIX, k=20),
         "q_cooccurrence_pmi": osql.cooccurrence_pmi(Q_PMI_PROBE),
         "q_spell_suggest": osql.spell_suggest(Q_MISSPELLED),
+        "q_symspell_suggest": osql.symspell_suggest(Q_MISSPELLED),
         "q_fuzzy_search": osql.fuzzy_search([Q_MISSPELLED, "tabl"], k=20),
         "q_chunk_windows": osql.chunk_windows(size=64, stride=32),
         "q_keywords_tfidf": osql.keywords_tfidf(per_doc=5),
@@ -979,6 +987,7 @@ def oracle_sql() -> dict[str, str]:
         "q_corpus_cube": osql.corpus_cube(),
         "q_lang_pivot": osql.lang_source_pivot(),
         "q_wb_bigram_logprob": osql.wb_bigram_logprob(),
+        "q_kn_bigram_logprob": osql.kn_bigram_logprob(),
         "q_passage_dup_stats": osql.passage_dup_stats(),
         "q_top_dup_passages": osql.top_dup_passages(),
         "q_license_mix": osql.license_mix(),

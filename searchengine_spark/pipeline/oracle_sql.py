@@ -1193,6 +1193,25 @@ FROM p
 """
 
 
+def repo_pack(capacity: int = 256) -> str:
+    """DuckDB twin of packing.repo_pack (stream = source, order doc_id)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, len({_TOKARR})::BIGINT AS n_tokens FROM documents
+), p AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS begin_tok
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, source, n_tokens, begin_tok,
+       (begin_tok + n_tokens)::BIGINT AS end_tok,
+       (begin_tok // {capacity})::BIGINT AS first_seq,
+       ((begin_tok + n_tokens - 1) // {capacity})::BIGINT AS last_seq
+FROM p
+"""
+
+
 def packing_stats(capacity: int = 256, n_streams: int = 8) -> str:
     """DuckDB twin of pipeline/packing.py packing_stats."""
     return f"""
@@ -1505,6 +1524,32 @@ cand AS (
   WHERE abs(length(term) - {len(query_term)}) <= {max_dist}
 )
 SELECT term, df, dist FROM cand WHERE dist <= {max_dist}
+ORDER BY dist ASC, df DESC, term ASC LIMIT {k}
+"""
+
+
+def symspell_suggest(query_term: str, max_dist: int = 1, k: int = 5) -> str:
+    """DuckDB twin of queryops.symspell_suggest (delete-key join, exact
+    levenshtein verify; the query's delete set shares the engine's
+    Python helper so both sides expand identically)."""
+    from searchengine_spark.pipeline.queryops import _symspell_deletes
+
+    esc = query_term.replace("'", "''")
+    keys = ", ".join(
+        "'" + d.replace("'", "''") + "'" for d in _symspell_deletes(query_term))
+    return f"""
+WITH {_TOKS_CTE},
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+dk AS (
+  SELECT term, df,
+         unnest(list_append([substr(term, 1, i - 1) || substr(term, i + 1)
+                             for i in generate_series(1, length(term))],
+                            term)) AS dkey
+  FROM dfs
+),
+cand AS (SELECT DISTINCT term, df FROM dk WHERE dkey IN ({keys}))
+SELECT term, df, levenshtein(term, '{esc}')::BIGINT AS dist
+FROM cand WHERE levenshtein(term, '{esc}') <= {max_dist}
 ORDER BY dist ASC, df DESC, term ASC LIMIT {k}
 """
 
@@ -5404,6 +5449,37 @@ scored AS (
 )
 SELECT doc_id, count(*)::BIGINT AS n_bigrams,
        round(avg(ln(p_wb)), 4) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+def kn_bigram_logprob(discount: float = 0.75) -> str:
+    """Twin of textstats.kn_bigram_logprob: interpolated Kneser-Ney with
+    one fixed discount; continuation counts off the bigram-type model."""
+    d = float(discount)
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKARR} AS arr FROM documents),
+bg AS (
+  SELECT doc_id, arr[i] AS prev, arr[i + 1] AS cur
+  FROM d, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+),
+bmodel AS (SELECT prev, cur, count(*)::DOUBLE AS bcnt FROM bg GROUP BY 1, 2),
+ctx AS (SELECT prev, sum(bcnt) AS cpre, count(*)::DOUBLE AS types
+        FROM bmodel GROUP BY prev),
+cont AS (SELECT cur, count(*)::DOUBLE AS ncont FROM bmodel GROUP BY cur),
+tot AS (SELECT count(*)::DOUBLE AS n_types FROM bmodel),
+scored AS (
+  SELECT bg.doc_id,
+         greatest(bmodel.bcnt - {d}, 0) / ctx.cpre
+         + ({d} * ctx.types / ctx.cpre) * (cont.ncont / tot.n_types) AS p_kn
+  FROM bg
+  JOIN bmodel USING (prev, cur)
+  JOIN ctx USING (prev)
+  JOIN cont ON cont.cur = bg.cur
+  CROSS JOIN tot
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(ln(p_kn)), 4) AS avg_logprob
 FROM scored GROUP BY doc_id
 """
 

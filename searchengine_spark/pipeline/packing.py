@@ -104,3 +104,50 @@ def packing_stats(documents: DataFrame, capacity: int = 256, n_streams: int = 8,
             ).alias("fill_ratio"),
         )
     )
+
+
+def repo_pack(documents: DataFrame, capacity: int = 256,
+              id_col: str = "doc_id", text_col: str = "text",
+              group_col: str = "source") -> DataFrame:
+    """(doc_id, source, n_tokens, begin_tok, end_tok, first_seq, last_seq)
+    — repository-context packing (the StarCoder2 / repo-level-pretraining
+    layout): every GROUP (repo/source) is its own packing stream, so a
+    repo's files are contiguous in the token stream and no training
+    sequence ever mixes repositories.  Files order by doc_id within the
+    group (deterministic; at production scale the order key would be
+    path).  Contrast ``sequence_pack``: there streams are doc_id % n
+    (maximum parallelism, repo files scattered); here stream = repo
+    (cross-file context preserved, the property repo-aware code models
+    train on).
+
+    Scale: one shuffle on the group key; the cumsum window is bounded by
+    the largest repo's file count, not the corpus — repo sizes are
+    bounded in practice, and a pathological mega-repo can be pre-split
+    upstream.  Ragged per-repo tails are the price of the context
+    guarantee; ``packing_stats``'s fill_ratio quantifies it.
+    """
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    d = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("source"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn("begin_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "begin_tok",
+            (F.col("begin_tok") + F.col("n_tokens")).alias("end_tok"),
+            F.floor(F.col("begin_tok") / capacity).cast("long").alias("first_seq"),
+            F.floor((F.col("begin_tok") + F.col("n_tokens") - 1) / capacity)
+            .cast("long")
+            .alias("last_seq"),
+        )
+    )

@@ -380,6 +380,58 @@ def spell_suggest(documents: DataFrame, query_term: str, max_dist: int = 1,
     return out
 
 
+def _symspell_deletes(term: str) -> list[str]:
+    """The term plus every single-character deletion (Python twin of the
+    in-plan delete expansion; used for the literal query side)."""
+    return sorted({term} | {term[:i] + term[i + 1:] for i in range(len(term))})
+
+
+def symspell_suggest(documents: DataFrame, query_term: str, max_dist: int = 1,
+                     k: int = 5, **kw) -> DataFrame:
+    """(term, df, dist): SymSpell "did you mean" (Garbe's delete-
+    neighborhood algorithm, the SymSpell/SymSpellPy library design) —
+    candidates are dictionary terms sharing a 1-delete key with the query
+    (del(q) ∩ del(t) ≠ ∅ covers every pair within edit distance 1,
+    including transposition-free insert/delete/substitute), verified and
+    ranked by exact levenshtein then df.  Same output contract as
+    ``spell_suggest``.
+
+    Scale: where spell_suggest runs levenshtein over the WHOLE dictionary
+    (linear scan, fine at vocab scale but per-query), the delete index is
+    precomputable: |term|+1 keys per dictionary term, an equi-join lookup
+    per query — O(|q| candidates bucketed by key) instead of O(vocab).
+    Here the query's delete set is a literal IN-list pushed into the
+    dictionary-side scan, so candidates are pruned BEFORE the only
+    levenshtein evaluations; at serving scale you persist the exploded
+    (dkey, term, df) dimension once and range-scan it.
+    """
+    p = tf_postings(documents, **kw)
+    q_deletes = _symspell_deletes(query_term)
+    t = F.col("term")
+    deletes = F.array_union(
+        F.array(t),
+        F.transform(
+            F.sequence(F.lit(1), F.length(t)),
+            lambda i: F.concat(
+                t.substr(F.lit(1), i - 1),
+                t.substr(i + 1, F.length(t)),
+            ),
+        ),
+    )
+    return (
+        df_stats(p)
+        .select("term", "df", F.explode(deletes).alias("dkey"))
+        .filter(F.col("dkey").isin(q_deletes))
+        .select("term", "df")
+        .distinct()
+        .withColumn("dist",
+                    F.levenshtein(F.col("term"), F.lit(query_term)).cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def fuzzy_search(documents: DataFrame, query_terms: list[str],
                  max_dist: int = 1, expansions: int = 8, k: int = 20,
                  k1: float = BM25_K1, b: float = BM25_B, **kw) -> DataFrame:

@@ -1251,3 +1251,76 @@ def wb_bigram_logprob(documents: DataFrame, id_col: str = "doc_id",
             F.round(F.avg(F.log("p_wb")), 4).alias("avg_logprob"),
         )
     )
+
+
+KN_DISCOUNT = 0.75
+
+
+def kn_bigram_logprob(documents: DataFrame, discount: float = KN_DISCOUNT,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) — per-document mean conditional
+    bigram log-probability under interpolated Kneser-Ney smoothing (Kneser
+    & Ney '95; Chen & Goodman '99 eq. 4.25 with one fixed discount D):
+
+        P_KN(w2|w1) = max(c(w1 w2) − D, 0)/c(w1·)
+                      + (D · T(w1)/c(w1·)) · P_cont(w2)
+        P_cont(w2)  = N1+(·w2) / N1+(··)
+
+    where T(w1) = distinct continuations of w1, N1+(·w2) = distinct
+    contexts preceding w2, and N1+(··) = total distinct bigram types.
+    The continuation distribution is KN's signature: a word seen often
+    but only after one context ("Francisco") gets LOW backoff mass —
+    the behavior neither add-one (`bigram_logprob`) nor Witten-Bell
+    (`wb_bigram_logprob`) has.  Completes the corpus-LM smoothing family
+    used for perplexity-style quality filtering.
+
+    Scale shape: identical to the other two — the bigram model is one
+    hash agg over per-row adjacent pairs; context counts, continuation
+    counts and the type total are vocab-bounded aggs off that model;
+    scoring is dim joins.  4dp-rounded avg like its siblings.
+    """
+    with_toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(tokens_col(text_col), lambda t: t != "").alias("toks"),
+    )
+    tc = F.col("toks")
+    pairs = F.when(
+        F.size(tc) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tc) - 1),
+            lambda i: F.struct(
+                F.element_at(tc, i).alias("prev"),
+                F.element_at(tc, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bg = explode_nonempty(
+        with_toks.select("doc_id", pairs.alias("pairs")),
+        "pairs", "p", "doc_id",
+    ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    bmodel = bg.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("double").alias("bcnt"))
+    ctx = bmodel.groupBy("prev").agg(
+        F.sum("bcnt").alias("cpre"),
+        F.count(F.lit(1)).cast("double").alias("types"))
+    cont = bmodel.groupBy("cur").agg(
+        F.count(F.lit(1)).cast("double").alias("ncont"))
+    n_types = bmodel.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    d = F.lit(float(discount))
+    return (
+        bg.join(bmodel, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(cont, "cur")
+        .crossJoin(F.broadcast(n_types))
+        .withColumn(
+            "p_kn",
+            F.greatest(F.col("bcnt") - d, F.lit(0.0)) / F.col("cpre")
+            + (d * F.col("types") / F.col("cpre"))
+            * (F.col("ncont") / F.col("n_types")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log("p_kn")), 4).alias("avg_logprob"),
+        )
+    )

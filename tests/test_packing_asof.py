@@ -136,3 +136,44 @@ def test_fixed_size_stratified_exact_k(spark):
     # deterministic re-draw
     again = fixed_size_stratified(df, k_per_stratum=5).collect()
     assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+
+
+# repo-context packing ------------------------------------------------------
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_repo_pack_groups_by_source(spark):
+    from searchengine_spark.pipeline.packing import repo_pack
+    rows = [
+        (0, "a b c", "repoA"),        # repoA offsets: 0..3
+        (1, "d e", "repoB"),          # repoB offsets: 0..2
+        (2, "f g h i", "repoA"),      # repoA: 3..7 (contiguous after doc 0)
+        (3, "j", "repoB"),            # repoB: 2..3
+    ]
+    out = {r.doc_id: r for r in
+           repo_pack(_src_docs(spark, rows), capacity=5).collect()}
+    assert (out[0].begin_tok, out[0].end_tok) == (0, 3)
+    assert (out[2].begin_tok, out[2].end_tok) == (3, 7)
+    assert (out[1].begin_tok, out[1].end_tok) == (0, 2)
+    assert (out[3].begin_tok, out[3].end_tok) == (2, 3)
+    # repoA doc 2 straddles the capacity-5 boundary; repoB never does
+    assert (out[2].first_seq, out[2].last_seq) == (0, 1)
+    assert (out[3].first_seq, out[3].last_seq) == (0, 0)
+
+
+def test_repo_pack_sequences_never_mix_repos(spark):
+    from searchengine_spark.pipeline.packing import repo_pack
+    rows = [(i, "w " * 3, f"repo{i % 3}") for i in range(12)]
+    out = repo_pack(_src_docs(spark, rows), capacity=4).collect()
+    # (source, seq) pairs owned by exactly one source by construction:
+    # every doc's first_seq/last_seq are scoped to its own source stream
+    by_seq = {}
+    for r in out:
+        for seq in range(r.first_seq, r.last_seq + 1):
+            by_seq.setdefault((r.source, seq), set()).add(r.source)
+    assert all(len(v) == 1 for v in by_seq.values())
+    # empty-source-mixing impossible: offsets restart at 0 per source
+    firsts = [r.begin_tok for r in out if r.begin_tok == 0]
+    assert len(firsts) == 3  # one stream start per repo

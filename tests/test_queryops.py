@@ -457,3 +457,36 @@ def test_dirichlet_ql_hand_computed(spark):
     exp1 = math.log(1 + 1 / (mu * cf_a / c_tokens)) + math.log(mu / (3 + mu))
     assert abs(out[0] - round(exp0, 4)) < 1e-6
     assert abs(out[1] - round(exp1, 4)) < 1e-6
+
+
+# SymSpell delete-neighborhood correction -----------------------------------
+
+def test_symspell_matches_spell_suggest_at_dist1(spark):
+    from searchengine_spark.pipeline.queryops import symspell_suggest
+    rows = [(0, "merge merge"), (1, "merge marg"), (2, "merged")]
+    out = symspell_suggest(_docs(spark, rows), "merg").collect()
+    # same contract as spell_suggest at max_dist=1: merge (df 2), marg (df 1)
+    assert [(r.term, r.dist) for r in out] == [("merge", 1), ("marg", 1)]
+    assert out[0].df == 2
+
+
+def test_symspell_exact_term_wins(spark):
+    from searchengine_spark.pipeline.queryops import symspell_suggest
+    rows = [(0, "merge merg")]
+    out = symspell_suggest(_docs(spark, rows), "merg").collect()
+    assert out[0].term == "merg" and out[0].dist == 0
+
+
+def test_symspell_covers_all_edit1_kinds(spark):
+    from searchengine_spark.pipeline.queryops import symspell_suggest
+    # insert (merge), delete (mer), substitute (marg) are all dist 1 of
+    # 'merg' and all share a delete key with it; dist-2 'merged' is not
+    rows = [(0, "merge mer marg merged")]
+    out = {r.term for r in symspell_suggest(_docs(spark, rows), "merg", k=10).collect()}
+    assert out == {"merge", "mer", "marg"}
+
+
+def test_symspell_delete_helper_is_exhaustive(spark):
+    from searchengine_spark.pipeline.queryops import _symspell_deletes
+    assert _symspell_deletes("abc") == sorted({"abc", "bc", "ac", "ab"})
+    assert _symspell_deletes("a") == ["", "a"]

@@ -69,3 +69,43 @@ class TestTrigramFuzzy:
         out = {r.term for r in
                trigram_fuzzy(docs, "vector", threshold=0.3).collect()}
         assert "merge" not in out
+
+
+# Kneser-Ney bigram LM -------------------------------------------------------
+
+def test_kn_bigram_hand_computed(spark):
+    import math
+    from searchengine_spark.pipeline.textstats import kn_bigram_logprob
+    # corpus: doc0 "a b a b", doc1 "a c" ->
+    # bigrams: (a,b)x2, (b,a)x1, (a,c)x1 -> types: 3
+    # ctx a: cpre=3, T=2; ctx b: cpre=1, T=1
+    # cont: b<-1 ctx, a<-1 ctx, c<-1 ctx; n_types=3
+    rows = [(0, "a b a b"), (1, "a c")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in kn_bigram_logprob(docs).collect()}
+    D = 0.75
+    p_ab = (2 - D) / 3 + (D * 2 / 3) * (1 / 3)
+    p_ba = (1 - D) / 1 + (D * 1 / 1) * (1 / 3)
+    p_ac = (1 - D) / 3 + (D * 2 / 3) * (1 / 3)
+    exp0 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 4)
+    exp1 = round(math.log(p_ac), 4)
+    assert out[0].n_bigrams == 3 and abs(out[0].avg_logprob - exp0) < 1e-9
+    assert out[1].n_bigrams == 1 and abs(out[1].avg_logprob - exp1) < 1e-9
+
+
+def test_kn_continuation_penalizes_single_context_word(spark):
+    from searchengine_spark.pipeline.textstats import kn_bigram_logprob
+    # 'francisco' always follows 'san' (1 continuation context) while 'the'
+    # follows many contexts; under KN the (x, francisco) backoff mass is the
+    # same as any single-context continuation even though its unigram count
+    # is high -- pin that cont(francisco) == 1 drives its interpolated term
+    rows = [
+        (0, "san francisco san francisco san francisco"),
+        (1, "a the b the c the"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.avg_logprob for r in kn_bigram_logprob(docs).collect()}
+    # doc1's 'the' bigrams each have distinct single-count contexts with
+    # continuation 3/n_types; doc0's repeated (san, francisco) has high
+    # bigram count -> much higher avg logprob
+    assert out[0] > out[1]
