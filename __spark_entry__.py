@@ -551,6 +551,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             codestats.with_code_fixture(_docs(s, d))),
         "q_complexity_stats": lambda s, d: codestats.complexity_stats(
             codestats.with_code_fixture(_docs(s, d))),
+        # Kleinberg HITS over the repo→module import graph (hubs =
+        # broadest importers, authorities = core shared libraries)
+        "q_hits_scores": lambda s, d: codestats.hits_scores(
+            codestats.with_hits_fixture(
+                codestats.with_code_fixture(_docs(s, d)))),
         # SemDeDup: within-IVF-list cosine prune + per-cluster summary
         "q_semantic_dedup": lambda s, d: similarity.semantic_dedup(
             _emb(s, d), n_lists=16, threshold=0.3),
@@ -615,6 +620,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # non-overlapping window (RAG / long-doc granularity)
         "q_passage_bm25": lambda s, d: queryops.passage_bm25_topk(
             _docs(s, d), Q_AND2, passage_len=32, k=20
+        ),
+        # parent-from-best-child retrieval (Lucene ToParentBlockJoinQuery
+        # ScoreMode.Max): documents ranked by their best passage
+        "q_block_join_topk": lambda s, d: queryops.block_join_topk(
+            _docs(s, d), Q_AND2, passage_len=32, k=20
+        ),
+        # static-rank blending: BM25 + weight · per-doc quality prior
+        "q_prior_blend_topk": lambda s, d: queryops.prior_blend_topk(
+            _docs(s, d), Q_AND2, weight=2.0, k=20
         ),
         # cluster canonicalization: quality-ranked representative per
         # near-dup component (longest text, then min doc_id)
@@ -1000,6 +1014,7 @@ def oracle_sql() -> dict[str, str]:
         "q_code_quality": osql.code_quality_flags(),
         "q_function_chunks": osql.function_chunks(),
         "q_complexity_stats": osql.complexity_stats(),
+        "q_hits_scores": osql.hits_scores(),
         "q_semantic_dedup": osql.semantic_dedup(n_lists=16, threshold=0.3),
         "q_semantic_dedup_stats": osql.semantic_dedup_stats(n_lists=16, threshold=0.3),
         "q_token_budget_plan": osql.token_budget_plan(),
@@ -1024,6 +1039,8 @@ def oracle_sql() -> dict[str, str]:
         "q_maxscore_distributed": osql.maxscore_or_topk(Q_AND2, k=20),
         "q_clarity_score": osql.clarity_score(Q_AND2, k=10),
         "q_passage_bm25": osql.passage_bm25_topk(Q_AND2, passage_len=32, k=20),
+        "q_block_join_topk": osql.block_join_topk(Q_AND2, passage_len=32, k=20),
+        "q_prior_blend_topk": osql.prior_blend_topk(Q_AND2, weight=2.0, k=20),
         "q_canonical_docs": osql.canonical_docs(threshold=0.2),
         "q_boilerplate_lines": osql.boilerplate_lines(min_len=12, min_docs=3),
         "q_boilerplate_stats": osql.boilerplate_stats(min_len=12, min_docs=3),

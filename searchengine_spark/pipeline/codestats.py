@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from searchengine_spark.pipeline._cache import finalize
+
 # ordered: detection reports the FIRST matching license (a dual-licensed
 # header is attributed to the earlier entry — deterministic on both engines)
 LICENSE_PATTERNS: list[tuple[str, str]] = [
@@ -343,6 +345,111 @@ def symbol_lookup(documents: DataFrame, prefix: str, limit: int = 20,
         .filter(F.col("symbol").startswith(prefix))
         .orderBy(F.desc("n_defs"), F.asc("symbol"), F.asc("kind"))
         .limit(limit)
+    )
+
+
+# planted bipartite import graph for the HITS gate: four repos (distinct
+# sources, ids -301..) importing overlapping modules — a shared "core"
+# library every repo pulls (the authority) and one broad importer (the
+# hub).  Needed because CODE_FIXTURE rows all share one source.
+HITS_FIXTURE: list[tuple[int, str, str]] = [
+    (-301, "hubrepo",
+     "import core\nimport util\nimport net\nimport fmt\n"),
+    (-302, "repoa",
+     "import core\nimport util\n"),
+    (-303, "repob",
+     "import core\nimport net\n"),
+    (-304, "repoc",
+     "import core\n"),
+]
+
+
+def with_hits_fixture(documents: DataFrame) -> DataFrame:
+    """documents ∪ HITS_FIXTURE (per-row source; inline-VALUES twin)."""
+    fx = documents.sparkSession.createDataFrame(
+        [(i, t, "py", src, len(t)) for i, src, t in HITS_FIXTURE],
+        CODE_FIXTURE_SCHEMA)
+    return documents.unionByName(fx)
+
+
+def import_edges(documents: DataFrame, text_col: str = "text",
+                 source_col: str = "source") -> DataFrame:
+    """(src, dst) — the distinct repo→module dependency graph: src is the
+    repository (``source`` column), dst every module it pulls in via any
+    IMPORT_PATTERNS convention.  One corpus scan, per-row regexp extraction,
+    one distinct — the edge list is registry×repo sized, never corpus
+    sized."""
+    txt = F.col(text_col)
+    per_pattern = [
+        documents.select(
+            F.col(source_col).alias("src"),
+            F.explode(F.regexp_extract_all(txt, F.lit(pat), 1)).alias("dst"),
+        )
+        for _, pat in IMPORT_PATTERNS
+    ]
+    refs = per_pattern[0]
+    for p in per_pattern[1:]:
+        refs = refs.unionByName(p)
+    return refs.distinct()
+
+
+def hits_scores(documents: DataFrame, n_iter: int = 5,
+                text_col: str = "text",
+                source_col: str = "source") -> DataFrame:
+    """(name, kind, score) — Kleinberg HITS over the repo→module import
+    graph: repos are hubs (they point at modules), modules are authorities
+    (they are pointed at).  ``n_iter`` rounds of the mutual-reinforcement
+    update with L1 normalization each half-step (sum of scores = 1, so the
+    values are interpretable as a distribution and the unrolled DuckDB
+    oracle can mirror the arithmetic exactly):
+
+        auth(m) = Σ_{(r,m)∈E} hub(r)   then auth /= Σ auth
+        hub(r)  = Σ_{(r,m)∈E} auth(m)  then hub  /= Σ hub
+
+    The code-search use: authority ranks the "core libraries everyone
+    depends on" (import-graph dual of the reference's lemma-frequency
+    ranking, services/SearchServiceImpl.java:104-150); hub ranks the
+    broadest integrator repos.
+
+    Scale shape (100 TB): the edge list is built in one corpus scan; each
+    half-step is one broadcast join (the score vector is node-dim sized,
+    Zipf-bounded) + one hash agg, same shuffle discipline as
+    graph.textrank.  Fixed iteration count, no driver-side state.
+    """
+    edges = import_edges(documents, text_col, source_col).persist()
+    hubs = edges.select("src").distinct().withColumn("hub", F.lit(1.0))
+    auths = None
+    for _ in range(n_iter):
+        asum = (
+            edges.join(F.broadcast(hubs), "src")
+            .groupBy("dst").agg(F.sum("hub").alias("s"))
+        )
+        tot = asum.agg(F.sum("s").alias("t"))
+        # lineage cut per half-step: the normalization references asum/hsum
+        # TWICE (total + divide), so without the cut the logical plan
+        # quadruples per iteration (4^n_iter subtrees — measured heap OOM
+        # in the optimizer at n_iter=5).  The score vectors are node-dim
+        # sized, so the checkpoint is tiny.
+        auths = asum.crossJoin(F.broadcast(tot)).select(
+            "dst", (F.col("s") / F.col("t")).alias("auth"),
+        ).localCheckpoint(eager=False)
+        hsum = (
+            edges.join(F.broadcast(auths), "dst")
+            .groupBy("src").agg(F.sum("auth").alias("s"))
+        )
+        htot = hsum.agg(F.sum("s").alias("t"))
+        hubs = hsum.crossJoin(F.broadcast(htot)).select(
+            "src", (F.col("s") / F.col("t")).alias("hub"),
+        ).localCheckpoint(eager=False)
+    out = hubs.select(
+        F.col("src").alias("name"), F.lit("hub").alias("kind"),
+        F.round("hub", 4).alias("score"),
+    ).unionByName(auths.select(
+        F.col("dst").alias("name"), F.lit("authority").alias("kind"),
+        F.round("auth", 4).alias("score"),
+    ))
+    return finalize(
+        out.orderBy(F.asc("kind"), F.desc("score"), F.asc("name")), edges
     )
 
 

@@ -2837,6 +2837,65 @@ LIMIT {limit}
 """
 
 
+def _hits_docs() -> str:
+    """documents ∪ CODE_FIXTURE ∪ HITS_FIXTURE — the HITS gate input
+    (the planted bipartite import graph gives the corpus distinct repo
+    sources; CODE_FIXTURE rows all share one)."""
+    from searchengine_spark.pipeline.codestats import HITS_FIXTURE
+
+    rows = ", ".join(
+        f"({i}, '{_q(t)}', 'py', '{src}', {len(t)})"
+        for i, src, t in HITS_FIXTURE
+    )
+    return (
+        f"(SELECT * FROM {_code_docs()} _cd UNION ALL "
+        f"SELECT * FROM (VALUES {rows}) "
+        "_hx(doc_id, text, lang, source, n_chars))"
+    )
+
+
+def hits_scores(n_iter: int = 5) -> str:
+    """Twin of codestats.hits_scores: distinct repo→module import edges,
+    n_iter unrolled mutual-reinforcement rounds with L1 normalization
+    after each half-step (the exact arithmetic of the Spark plan, so the
+    4dp-rounded scores agree bit-for-bit)."""
+    from searchengine_spark.pipeline.codestats import IMPORT_PATTERNS
+
+    unions = " UNION ALL ".join(
+        f"SELECT source AS src, "
+        f"unnest(regexp_extract_all(text, '{_q(p)}', 1)) AS dst "
+        f"FROM {_hits_docs()} documents"
+        for _, p in IMPORT_PATTERNS
+    )
+    iters = []
+    for i in range(1, n_iter + 1):
+        # MATERIALIZED: each score CTE is referenced twice (L1 total +
+        # divide) — inlined, the plan would quadruple per iteration with a
+        # 4-regex corpus scan at every leaf
+        iters.append(f"""a{i} AS MATERIALIZED (
+  SELECT dst, sum(hub) AS s FROM edges JOIN h{i - 1} USING (src) GROUP BY 1
+),
+an{i} AS MATERIALIZED
+  (SELECT dst, s / (SELECT sum(s) FROM a{i}) AS auth FROM a{i}),
+hs{i} AS MATERIALIZED (
+  SELECT src, sum(auth) AS s FROM edges JOIN an{i} USING (dst) GROUP BY 1
+),
+h{i} AS MATERIALIZED
+  (SELECT src, s / (SELECT sum(s) FROM hs{i}) AS hub FROM hs{i})""")
+    chain = ",\n".join(iters)
+    return f"""
+WITH refs AS MATERIALIZED ({unions}),
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM refs),
+h0 AS MATERIALIZED (SELECT DISTINCT src, 1.0::DOUBLE AS hub FROM edges),
+{chain}
+SELECT src AS name, 'hub' AS kind, round(hub, 4) AS score FROM h{n_iter}
+UNION ALL
+SELECT dst AS name, 'authority' AS kind, round(auth, 4) AS score
+FROM an{n_iter}
+ORDER BY kind ASC, score DESC, name ASC
+"""
+
+
 def ident_styles() -> str:
     """Twin of codestats.ident_styles (the CASE ladder is exactly the
     strict-greater fold the Spark side applies, so ties resolve to the
@@ -3781,6 +3840,61 @@ sc AS (
 )
 SELECT doc_id, passage_id, round(score, 4) AS score FROM sc
 ORDER BY round(score, 4) DESC, doc_id ASC, passage_id ASC LIMIT {int(k)}
+"""
+
+
+def block_join_topk(terms: list[str], passage_len: int = 32,
+                    k: int = 20) -> str:
+    """Twin of queryops.block_join_topk: parent-from-best-child rollup of
+    the passage-BM25 plan — per doc, the max 4dp passage score (ties to the
+    lowest passage_id) plus the matching-passage count."""
+    tl = _terms_in(terms)
+    return f"""
+WITH {_PTOKS_CTE},
+pp AS (SELECT doc_id, ((pos - 1) // {int(passage_len)})::BIGINT AS passage_id,
+              term, count(*)::BIGINT AS tf
+       FROM ptoks GROUP BY 1, 2, 3),
+pds AS (SELECT doc_id, passage_id, sum(tf)::BIGINT AS dl FROM pp GROUP BY 1, 2),
+g AS (SELECT count(*)::DOUBLE AS n_psg, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM pds),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM pp WHERE term IN ({tl}) GROUP BY 1),
+sc AS (
+  SELECT p.doc_id, p.passage_id,
+         sum( ln(1 + (g.n_psg - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (p.tf * 2.2)
+              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (pds.dl / g.avgdl))) ) AS score
+  FROM pp p
+  JOIN dfs USING (term)
+  JOIN pds ON p.doc_id = pds.doc_id AND p.passage_id = pds.passage_id
+  CROSS JOIN g
+  GROUP BY 1, 2
+  HAVING count(*) = {len(terms)}
+),
+r AS (
+  SELECT doc_id, passage_id, round(score, 4) AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(score, 4) DESC, passage_id ASC) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n_passages_hit
+  FROM sc
+)
+SELECT doc_id, passage_id AS best_passage_id,
+       n_passages_hit::BIGINT AS n_passages_hit, score
+FROM r WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
+"""
+
+
+def prior_blend_topk(terms: list[str], weight: float = 2.0,
+                     k: int = 20) -> str:
+    """Twin of queryops.prior_blend_topk: 4dp BM25 + weight · 4dp quality
+    prior, blended rank.  Both inputs are the published values of gated
+    operators, so the single FP add is engine-exact."""
+    return f"""
+WITH b AS ({bm25_scored(terms)}),
+q AS (SELECT doc_id, quality FROM ({quality_scores()}) _q)
+SELECT b.doc_id, b.score AS bm25, q.quality,
+       round(b.score + {weight} * q.quality, 4) AS score_blended
+FROM b JOIN q USING (doc_id)
+ORDER BY score_blended DESC, doc_id ASC LIMIT {int(k)}
 """
 
 

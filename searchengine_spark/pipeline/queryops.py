@@ -1111,6 +1111,19 @@ def passage_bm25_topk(documents: DataFrame, query_terms: list[str],
     token amplification tf_postings already pays, and every agg stays a
     map-side-combined hash agg.  No extra corpus scan vs document BM25.
     """
+    scored, p = _scored_passages(documents, query_terms, passage_len, k1, b, **kw)
+    return finalize(
+        scored.select(
+            "doc_id", "passage_id", F.round(F.col("score"), 4).alias("score")
+        ).orderBy(F.desc("score"), F.asc("doc_id"), F.asc("passage_id")).limit(k),
+        p,
+    )
+
+
+def _scored_passages(documents: DataFrame, query_terms: list[str],
+                     passage_len: int, k1: float, b: float, **kw):
+    """Shared passage-BM25 plan: (scored passages with UNROUNDED score,
+    the persisted passage-postings table to hand to finalize)."""
     ptoks = positional_tokens(documents, **kw).withColumn(
         "passage_id", ((F.col("pos") - 1) / passage_len).cast("long")
     )
@@ -1143,11 +1156,82 @@ def passage_bm25_topk(documents: DataFrame, query_terms: list[str],
         .agg(F.count(F.lit(1)).alias("nhit"), F.sum("pscore").alias("score"))
         .filter(F.col("nhit") == len(query_terms))
     )
+    return scored, p
+
+
+def block_join_topk(documents: DataFrame, query_terms: list[str],
+                    passage_len: int = 32, k: int = 20,
+                    k1: float = BM25_K1, b: float = BM25_B, **kw) -> DataFrame:
+    """(doc_id, best_passage_id, n_passages_hit, score) — parent-from-
+    best-child retrieval (Lucene ToParentBlockJoinQuery, ScoreMode.Max):
+    passages are scored as independent retrieval units (the
+    ``passage_bm25_topk`` plan), then each PARENT document is ranked by
+    its best passage's score, with the winning passage returned for
+    snippet targeting and the per-doc matching-passage count as a
+    coverage signal.  The long-document answer to whole-doc BM25's
+    length dilution: one on-topic section ranks the document even when
+    the rest is noise.
+
+    Scale: the rollup adds ONE per-doc hash agg (max-over-struct picks
+    the argmax passage without a window) on top of the passage plan —
+    no extra corpus scan, no rank window.
+    """
+    scored, p = _scored_passages(documents, query_terms, passage_len, k1, b, **kw)
+    # argmax over the ROUNDED score (then min passage_id): the 4dp values
+    # are bit-identical across engines, so the winning passage is decided
+    # on numbers Spark and the DuckDB oracle agree on exactly.
+    rolled = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.max(F.struct(
+                F.round(F.col("score"), 4).alias("rs"),
+                (-F.col("passage_id")).alias("np"),
+            )).alias("best"),
+            F.count(F.lit(1)).cast("long").alias("n_passages_hit"),
+        )
+        .select(
+            "doc_id",
+            (-F.col("best.np")).cast("long").alias("best_passage_id"),
+            "n_passages_hit",
+            F.col("best.rs").alias("score"),
+        )
+    )
     return finalize(
-        scored.select(
-            "doc_id", "passage_id", F.round(F.col("score"), 4).alias("score")
-        ).orderBy(F.desc("score"), F.asc("doc_id"), F.asc("passage_id")).limit(k),
-        p,
+        rolled.orderBy(F.desc("score"), F.asc("doc_id")).limit(k), p,
+    )
+
+
+def prior_blend_topk(documents: DataFrame, query_terms: list[str],
+                     weight: float = 2.0, k: int = 20, **kw) -> DataFrame:
+    """(doc_id, bm25, quality, score_blended) — static-rank blending:
+    the conjunctive BM25 ranking combined additively with a per-document
+    static prior (the gated heuristic quality score), score = bm25 +
+    weight · quality.  The web-search pattern of folding query-
+    independent signals (PageRank, spam score, document quality) into
+    the dynamic score — Lucene's index-time document boost re-expressed
+    as a rank-time blend so the prior can be retuned without an index
+    rebuild.  Both inputs are the 4dp PUBLISHED values of already-gated
+    operators, so the blend is engine-exact by construction.
+
+    Scale: one equi-join of two per-doc columns; the prior column is
+    map-only and would be a stored doc-value at serving scale.
+    """
+    from searchengine_spark.pipeline.fulltext import bm25_scored
+    from searchengine_spark.pipeline.textstats import quality_scores
+
+    s = bm25_scored(documents, query_terms, **kw)
+    q = quality_scores(documents, **kw).select("doc_id", "quality")
+    return (
+        s.join(q, "doc_id")
+        .select(
+            "doc_id",
+            F.col("score").alias("bm25"),
+            "quality",
+            F.round(F.col("score") + weight * F.col("quality"), 4)
+            .alias("score_blended"),
+        )
+        .orderBy(F.desc("score_blended"), F.asc("doc_id"))
+        .limit(k)
     )
 
 

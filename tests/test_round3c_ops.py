@@ -1,0 +1,126 @@
+"""Round-3 batch-C operators: import-graph HITS, parent-from-best-child
+block-join retrieval, static-rank prior blending."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline.codestats import (
+    CODE_FIXTURE_SCHEMA,
+    HITS_FIXTURE,
+    hits_scores,
+    import_edges,
+)
+from searchengine_spark.pipeline.queryops import (
+    block_join_topk,
+    passage_bm25_topk,
+    prior_blend_topk,
+)
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows], DOCS_SCHEMA)
+
+
+def _hits_docs(spark):
+    return spark.createDataFrame(
+        [(i, t, "py", src, len(t)) for i, src, t in HITS_FIXTURE],
+        CODE_FIXTURE_SCHEMA)
+
+
+class TestHits:
+    def test_import_edges_distinct_per_repo(self, spark):
+        edges = import_edges(_hits_docs(spark)).collect()
+        got = {(r.src, r.dst) for r in edges}
+        # hubrepo pulls 4 modules, repoa/repob 2 each, repoc 1
+        assert ("hubrepo", "core") in got and ("repoc", "core") in got
+        assert len(got) == len(edges)  # distinct
+        assert len([e for e in got if e[0] == "hubrepo"]) == 4
+
+    def test_core_is_top_authority_hubrepo_is_top_hub(self, spark):
+        out = hits_scores(_hits_docs(spark)).collect()
+        auths = [r for r in out if r.kind == "authority"]
+        hubs = [r for r in out if r.kind == "hub"]
+        assert max(auths, key=lambda r: r.score).name == "core"
+        assert max(hubs, key=lambda r: r.score).name == "hubrepo"
+
+    def test_l1_normalized(self, spark):
+        out = hits_scores(_hits_docs(spark)).collect()
+        for kind in ("authority", "hub"):
+            tot = sum(r.score for r in out if r.kind == kind)
+            assert math.isclose(tot, 1.0, abs_tol=5e-4)
+
+
+class TestBlockJoin:
+    def test_parent_ranked_by_best_passage(self, spark):
+        # doc 1: one on-topic 4-token passage amid 60 tokens of filler;
+        # doc 2: terms diluted — one in each of two different passages
+        # (no single passage holds both -> doc 2 must NOT appear at all)
+        filler = "filler " * 60
+        docs = _docs(spark, [
+            (1, "alpha beta alpha beta " + filler),
+            (2, "alpha " + filler + " beta"),
+            (3, "alpha beta " + filler),
+        ])
+        out = block_join_topk(docs, ["alpha", "beta"], passage_len=8, k=10)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert 2 not in rows
+        assert set(rows) == {1, 3}
+        assert rows[1].best_passage_id == 0
+        assert rows[1].n_passages_hit == 1
+
+    def test_score_is_max_passage_score(self, spark):
+        docs = _docs(spark, [
+            (1, "alpha beta " + "x " * 40 + "alpha alpha beta beta"),
+            (2, "alpha beta gamma"),
+        ])
+        psg = passage_bm25_topk(docs, ["alpha", "beta"], passage_len=8, k=100)
+        best = {}
+        for r in psg.collect():
+            if r.doc_id not in best or r.score > best[r.doc_id]:
+                best[r.doc_id] = r.score
+        out = block_join_topk(docs, ["alpha", "beta"], passage_len=8, k=10)
+        for r in out.collect():
+            assert math.isclose(r.score, best[r.doc_id], abs_tol=1e-9)
+
+    def test_n_passages_hit_counts_matching_passages(self, spark):
+        # two separate passages each holding both terms
+        docs = _docs(spark, [
+            (1, "alpha beta " + "x " * 6 + "beta alpha " + "y " * 6),
+        ])
+        out = block_join_topk(docs, ["alpha", "beta"], passage_len=8, k=10)
+        assert out.collect()[0].n_passages_hit == 2
+
+
+class TestPriorBlend:
+    def test_blend_arithmetic(self, spark):
+        docs = _docs(spark, [
+            (1, "alpha beta gamma delta epsilon zeta. Properly, sentence!"),
+            (2, "alpha beta"),
+            (3, "gamma only"),
+        ])
+        out = prior_blend_topk(docs, ["alpha", "beta"], weight=2.0, k=10)
+        rows = out.collect()
+        assert {r.doc_id for r in rows} <= {1, 2}
+        for r in rows:
+            assert math.isclose(
+                r.score_blended, round(r.bm25 + 2.0 * r.quality, 4),
+                abs_tol=1e-9)
+
+    def test_quality_breaks_bm25_ties(self, spark):
+        # identical text -> identical bm25; doc 1 gets a quality-boosting
+        # longer, structured continuation? Instead: same match stats, vary
+        # quality via doc length/punctuation in non-query tokens.
+        docs = _docs(spark, [
+            (1, "alpha beta. This is a well formed sentence, with words."),
+            (2, "alpha beta zz zz zz zz zz zz zz zz zz"),
+        ])
+        out = prior_blend_topk(docs, ["alpha", "beta"], weight=100.0, k=10)
+        rows = sorted(out.collect(), key=lambda r: -r.score_blended)
+        # with weight >> bm25 spread, ordering follows the quality prior
+        assert rows[0].quality >= rows[-1].quality
