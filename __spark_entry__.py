@@ -556,6 +556,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hits_scores": lambda s, d: codestats.hits_scores(
             codestats.with_hits_fixture(
                 codestats.with_code_fixture(_docs(s, d)))),
+        # market-basket co-import association mining (repos that import X
+        # usually also import Y, ranked by lift)
+        "q_co_imports": lambda s, d: codestats.co_import_pairs(
+            codestats.with_hits_fixture(
+                codestats.with_code_fixture(_docs(s, d))), min_both=2),
+        # tech-debt marker census (TODO/FIXME/HACK/XXX/deprecated)
+        "q_todo_census": lambda s, d: codestats.todo_census(
+            codestats.with_debt_fixture(
+                codestats.with_code_fixture(_docs(s, d)))),
+        # dead-export candidates: defined symbols never referenced
+        # outside their defining documents
+        "q_unreferenced_symbols": lambda s, d: codestats.unreferenced_symbols(
+            codestats.with_debt_fixture(
+                codestats.with_code_fixture(_docs(s, d)))),
         # SemDeDup: within-IVF-list cosine prune + per-cluster summary
         "q_semantic_dedup": lambda s, d: similarity.semantic_dedup(
             _emb(s, d), n_lists=16, threshold=0.3),
@@ -1015,6 +1029,9 @@ def oracle_sql() -> dict[str, str]:
         "q_function_chunks": osql.function_chunks(),
         "q_complexity_stats": osql.complexity_stats(),
         "q_hits_scores": osql.hits_scores(),
+        "q_co_imports": osql.co_import_pairs(min_both=2),
+        "q_todo_census": osql.todo_census(),
+        "q_unreferenced_symbols": osql.unreferenced_symbols(),
         "q_semantic_dedup": osql.semantic_dedup(n_lists=16, threshold=0.3),
         "q_semantic_dedup_stats": osql.semantic_dedup_stats(n_lists=16, threshold=0.3),
         "q_token_budget_plan": osql.token_budget_plan(),

@@ -453,6 +453,160 @@ def hits_scores(documents: DataFrame, n_iter: int = 5,
     )
 
 
+# markers shared by both engines ((?i) literal + \b word bounds: Java regex
+# and RE2 agree); XXX stays case-sensitive — lowercase "xxx" is not a marker
+DEBT_PATTERNS: list[tuple[str, str]] = [
+    ("todo", "(?i)\\btodo\\b"),
+    ("fixme", "(?i)\\bfixme\\b"),
+    ("hack", "(?i)\\bhack\\b"),
+    ("xxx", "\\bXXX\\b"),
+    ("deprecated", "(?i)\\bdeprecated\\b"),
+]
+
+# identifier word for the reference scan (symbol occurrences anywhere)
+WORD_RE = "[A-Za-z_][A-Za-z0-9_]*"
+
+# planted tech-debt + dead-symbol rows (ids -401..): markers for the census
+# and one orphaned definition vs one cross-file-referenced definition for
+# the unreferenced-symbol gate
+DEBT_FIXTURE: list[tuple[int, str, str]] = [
+    (-401, "py",
+     "# TODO tighten validation\n"
+     "# FIXME handle empty batch\n"
+     "def orphan_helper_fn(x):\n"
+     "    return x\n"),
+    (-402, "py",
+     "# HACK temporary workaround XXX\n"
+     "# deprecated: use the new entry point\n"
+     "def shared_helper_fn(y):\n"
+     "    return y\n"),
+    (-403, "py",
+     "# TODO remove after migration\n"
+     "import os\n"
+     "print(shared_helper_fn(3))\n"),
+]
+
+
+def with_debt_fixture(documents: DataFrame) -> DataFrame:
+    """documents ∪ DEBT_FIXTURE (inline-VALUES twin in oracle_sql)."""
+    fx = documents.sparkSession.createDataFrame(
+        [(i, t, lang, "debt_fixture", len(t)) for i, lang, t in DEBT_FIXTURE],
+        CODE_FIXTURE_SCHEMA)
+    return documents.unionByName(fx)
+
+
+def todo_census(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(lang, marker, n_docs, n_occurrences) — technical-debt marker census
+    (TODO/FIXME/HACK/XXX/deprecated) per language: how many documents carry
+    each marker and how often.  The maintenance-burden dashboard of a code
+    corpus, and a curation signal (heavily-TODO'd files skew incomplete).
+
+    Scale: per-row JVM regex counts in ONE corpus scan (the 5 markers are
+    columns of the same projection, stacked in-plan), then a lang×marker
+    hash agg — output is dimension-sized.
+    """
+    txt = F.col(text_col)
+    counted = documents.select(
+        "lang",
+        *[F.size(F.regexp_extract_all(txt, F.lit(p), F.lit(0)))
+          .cast("long").alias(f"c_{name}") for name, p in DEBT_PATTERNS],
+    )
+    stack_args = ", ".join(f"'{name}', c_{name}" for name, _ in DEBT_PATTERNS)
+    stacked = counted.selectExpr(
+        "lang", f"stack({len(DEBT_PATTERNS)}, {stack_args}) AS (marker, n)"
+    )
+    return (
+        stacked.filter(F.col("n") > 0)
+        .groupBy("lang", "marker")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n").cast("long").alias("n_occurrences"))
+        .orderBy("lang", "marker")
+    )
+
+
+def co_import_pairs(documents: DataFrame, min_both: int = 2,
+                    text_col: str = "text",
+                    source_col: str = "source") -> DataFrame:
+    """(module_a, module_b, n_both, n_a, n_b, lift) — market-basket mining
+    over the import graph: baskets are repositories, items the modules they
+    import.  lift = P(a,b) / (P(a)·P(b)) over the repo universe — the
+    "repos that import X usually also import Y" association panel
+    (library-recommendation / ecosystem-clustering signal).
+
+    Scale: pair generation is a self-join of the DISTINCT repo→module edge
+    list on repo — fan-out bounded by imports-per-repo², never corpus² —
+    and the degree/total sides are broadcast dimension joins.  All counts
+    are integers, so lift is the same double on both engines before the
+    4dp round.
+    """
+    edges = import_edges(documents, text_col, source_col).persist()
+    n_repos = edges.select("src").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_repos"))
+    deg = edges.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = (
+        edges.select("src", F.col("dst").alias("module_a"))
+        .join(edges.select("src", F.col("dst").alias("module_b")), "src")
+        .filter(F.col("module_a") < F.col("module_b"))
+        .groupBy("module_a", "module_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= min_both)
+    )
+    out = (
+        pairs
+        .join(F.broadcast(deg.selectExpr("dst AS module_a", "n AS n_a")),
+              "module_a")
+        .join(F.broadcast(deg.selectExpr("dst AS module_b", "n AS n_b")),
+              "module_b")
+        .crossJoin(F.broadcast(n_repos))
+        .select(
+            "module_a", "module_b", "n_both", "n_a", "n_b",
+            F.round(F.col("n_both") * F.col("n_repos")
+                    / (F.col("n_a") * F.col("n_b")), 4).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "module_a", "module_b")
+    )
+    return finalize(out, edges)
+
+
+def unreferenced_symbols(documents: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """(symbol, kind, n_defs, n_def_docs) — symbols DEFINED somewhere in
+    the corpus but never REFERENCED outside their defining document(s):
+    dead-export candidates (or single-file-private helpers).  The corpus-
+    scale version of an unused-symbol lint, and a vendored-code signal —
+    a library whose symbols nothing references is cargo.
+
+    Scale: the reference scan is one corpus pass extracting DISTINCT
+    identifier words per doc; the join lands on the broadcast symbol
+    dimension (registry-sized), and the definition-site exclusion is a
+    symbol×doc anti-join bounded by definition count.
+    """
+    defs = symbol_defs(documents, id_col, text_col).persist()
+    dim = (
+        defs.groupBy("symbol", "kind")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_defs"),
+             F.countDistinct("doc_id").cast("long").alias("n_def_docs"))
+    )
+    def_pairs = defs.select("symbol", "doc_id").distinct()
+    words = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(
+            F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), F.lit(0))
+        )).alias("symbol"),
+    )
+    ext_refs = (
+        words.join(F.broadcast(defs.select("symbol").distinct()), "symbol")
+        .join(def_pairs, ["symbol", "doc_id"], "left_anti")
+        .select("symbol").distinct()
+    )
+    out = (
+        dim.join(ext_refs, "symbol", "left_anti")
+        .orderBy("symbol", "kind")
+    )
+    return finalize(out, defs)
+
+
 # ---- type-2 clone detection (normalized token streams) --------------------
 
 # token grammar shared by both engines (Java regex + RE2-safe: no

@@ -2896,6 +2896,123 @@ ORDER BY kind ASC, score DESC, name ASC
 """
 
 
+def _debt_docs() -> str:
+    """documents ∪ CODE_FIXTURE ∪ DEBT_FIXTURE — the tech-debt /
+    dead-symbol gate input."""
+    from searchengine_spark.pipeline.codestats import DEBT_FIXTURE
+
+    rows = ", ".join(
+        f"({i}, '{_q(t)}', '{lang}', 'debt_fixture', {len(t)})"
+        for i, lang, t in DEBT_FIXTURE
+    )
+    return (
+        f"(SELECT * FROM {_code_docs()} _cd UNION ALL "
+        f"SELECT * FROM (VALUES {rows}) "
+        "_dx(doc_id, text, lang, source, n_chars))"
+    )
+
+
+def todo_census() -> str:
+    """Twin of codestats.todo_census (same DEBT_PATTERNS by import)."""
+    from searchengine_spark.pipeline.codestats import DEBT_PATTERNS
+
+    cols = ",\n         ".join(
+        f"len(regexp_extract_all(text, '{_q(p)}'))::BIGINT AS c_{name}"
+        for name, p in DEBT_PATTERNS
+    )
+    stacked = " UNION ALL ".join(
+        f"SELECT lang, '{name}' AS marker, c_{name} AS n FROM d"
+        for name, _ in DEBT_PATTERNS
+    )
+    return f"""
+WITH d AS (
+  SELECT lang,
+         {cols}
+  FROM {_debt_docs()} documents
+),
+s AS ({stacked})
+SELECT lang, marker, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_occurrences
+FROM s WHERE n > 0 GROUP BY 1, 2
+ORDER BY lang, marker
+"""
+
+
+def co_import_pairs(min_both: int = 2) -> str:
+    """Twin of codestats.co_import_pairs: distinct repo→module edges,
+    repo-keyed pair self-join, lift = n_both · n_repos / (n_a · n_b) —
+    integer inputs, so the double is engine-exact before the round."""
+    from searchengine_spark.pipeline.codestats import IMPORT_PATTERNS
+
+    unions = " UNION ALL ".join(
+        f"SELECT source AS src, "
+        f"unnest(regexp_extract_all(text, '{_q(p)}', 1)) AS dst "
+        f"FROM {_hits_docs()} documents"
+        for _, p in IMPORT_PATTERNS
+    )
+    return f"""
+WITH refs AS MATERIALIZED ({unions}),
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM refs),
+tot AS (SELECT count(DISTINCT src)::DOUBLE AS n_repos FROM edges),
+deg AS (SELECT dst, count(*)::BIGINT AS n FROM edges GROUP BY 1),
+pairs AS (
+  SELECT e1.dst AS module_a, e2.dst AS module_b, count(*)::BIGINT AS n_both
+  FROM edges e1 JOIN edges e2 USING (src)
+  WHERE e1.dst < e2.dst
+  GROUP BY 1, 2
+  HAVING count(*) >= {int(min_both)}
+)
+SELECT module_a, module_b, n_both, da.n AS n_a, db.n AS n_b,
+       round(n_both * tot.n_repos / (da.n * db.n), 4) AS lift
+FROM pairs
+JOIN deg da ON da.dst = module_a
+JOIN deg db ON db.dst = module_b
+CROSS JOIN tot
+ORDER BY lift DESC, module_a, module_b
+"""
+
+
+def unreferenced_symbols() -> str:
+    """Twin of codestats.unreferenced_symbols: symbol dim anti-joined
+    against identifier-word occurrences outside the defining docs."""
+    from searchengine_spark.pipeline.codestats import (
+        SYMBOL_PATTERNS,
+        WORD_RE,
+    )
+
+    defs = " UNION ALL ".join(
+        f"SELECT doc_id, '{kind}' AS kind, "
+        f"unnest(regexp_extract_all(text, '{_q(p)}', 1)) AS symbol "
+        f"FROM {_debt_docs()} documents"
+        for kind, p in SYMBOL_PATTERNS
+    )
+    return f"""
+WITH defs AS MATERIALIZED ({defs}),
+dim AS (
+  SELECT symbol, kind, count(*)::BIGINT AS n_defs,
+         count(DISTINCT doc_id)::BIGINT AS n_def_docs
+  FROM defs GROUP BY 1, 2
+),
+defpairs AS (SELECT DISTINCT symbol, doc_id FROM defs),
+words AS (
+  SELECT DISTINCT doc_id, word AS symbol FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{_q(WORD_RE)}')) AS word
+    FROM {_debt_docs()} documents
+  ) _w
+),
+extrefs AS (
+  SELECT DISTINCT w.symbol
+  FROM words w
+  JOIN (SELECT DISTINCT symbol FROM defs) s USING (symbol)
+  LEFT JOIN defpairs dp ON dp.symbol = w.symbol AND dp.doc_id = w.doc_id
+  WHERE dp.symbol IS NULL
+)
+SELECT d.symbol, d.kind, d.n_defs, d.n_def_docs
+FROM dim d LEFT JOIN extrefs e USING (symbol)
+WHERE e.symbol IS NULL
+ORDER BY d.symbol, d.kind
+"""
+
+
 def ident_styles() -> str:
     """Twin of codestats.ident_styles (the CASE ladder is exactly the
     strict-greater fold the Spark side applies, so ties resolve to the

@@ -9,9 +9,13 @@ from pyspark.sql import functions as F
 
 from searchengine_spark.pipeline.codestats import (
     CODE_FIXTURE_SCHEMA,
+    DEBT_FIXTURE,
     HITS_FIXTURE,
+    co_import_pairs,
     hits_scores,
     import_edges,
+    todo_census,
+    unreferenced_symbols,
 )
 from searchengine_spark.pipeline.queryops import (
     block_join_topk,
@@ -54,6 +58,62 @@ class TestHits:
         for kind in ("authority", "hub"):
             tot = sum(r.score for r in out if r.kind == kind)
             assert math.isclose(tot, 1.0, abs_tol=5e-4)
+
+
+def _debt_docs(spark):
+    return spark.createDataFrame(
+        [(i, t, lang, "debt_fixture", len(t)) for i, lang, t in DEBT_FIXTURE],
+        CODE_FIXTURE_SCHEMA)
+
+
+class TestCoImports:
+    def test_lift_and_support(self, spark):
+        # edges: hubrepo{core,util,net,fmt} repoa{core,util} repob{core,net}
+        # repoc{core}; n_repos=4, deg: core=4 util=2 net=2 fmt=1
+        out = co_import_pairs(_hits_docs(spark), min_both=2).collect()
+        got = {(r.module_a, r.module_b): r for r in out}
+        assert set(got) == {("core", "net"), ("core", "util")}
+        r = got[("core", "util")]
+        assert (r.n_both, r.n_a, r.n_b) == (2, 4, 2)
+        # lift = 2 * 4 / (4 * 2) = 1.0
+        assert math.isclose(r.lift, 1.0, abs_tol=1e-9)
+
+    def test_min_both_filters_singletons(self, spark):
+        out = co_import_pairs(_hits_docs(spark), min_both=1).collect()
+        # util+net co-occur only in hubrepo -> appears at min_both=1
+        assert ("net", "util") in {(r.module_a, r.module_b) for r in out}
+
+
+class TestTodoCensus:
+    def test_marker_counts(self, spark):
+        out = todo_census(_debt_docs(spark)).collect()
+        got = {(r.lang, r.marker): (r.n_docs, r.n_occurrences) for r in out}
+        assert got[("py", "todo")] == (2, 2)
+        assert got[("py", "fixme")] == (1, 1)
+        assert got[("py", "hack")] == (1, 1)
+        assert got[("py", "xxx")] == (1, 1)
+        assert got[("py", "deprecated")] == (1, 1)
+
+    def test_xxx_case_sensitive(self, spark):
+        docs = _docs(spark, [(1, "lowercase xxx is not a marker")])
+        assert todo_census(docs).count() == 0
+
+
+class TestUnreferencedSymbols:
+    def test_orphan_flagged_shared_not(self, spark):
+        out = unreferenced_symbols(_debt_docs(spark)).collect()
+        names = {r.symbol for r in out}
+        assert "orphan_helper_fn" in names    # defined -401, never used
+        assert "shared_helper_fn" not in names  # referenced from -403
+
+    def test_self_reference_does_not_rescue(self, spark):
+        docs = _docs(spark, [
+            (1, "def lonely_fn(a):\n    return lonely_fn(a - 1)\n"),
+            (2, "def used_fn(b):\n    return b\n"),
+            (3, "x = used_fn(2)\n"),
+        ])
+        names = {r.symbol for r in unreferenced_symbols(docs).collect()}
+        assert names == {"lonely_fn"}
 
 
 class TestBlockJoin:
