@@ -570,6 +570,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unreferenced_symbols": lambda s, d: codestats.unreferenced_symbols(
             codestats.with_debt_fixture(
                 codestats.with_code_fixture(_docs(s, d)))),
+        # most-used APIs: defined symbols ranked by external references
+        "q_api_usage": lambda s, d: codestats.api_usage(
+            codestats.with_debt_fixture(
+                codestats.with_code_fixture(_docs(s, d))), k=50),
+        # vendored-copy detector: same symbol defined in 2+ sources
+        "q_symbol_dupes": lambda s, d: codestats.cross_source_symbol_dupes(
+            codestats.with_vendor_fixture(
+                codestats.with_code_fixture(_docs(s, d))), min_sources=2),
+        # aligned (comment block, function) training-pair extraction
+        "q_comment_pairs": lambda s, d: codestats.comment_code_pairs(
+            codestats.with_debt_fixture(
+                codestats.with_code_fixture(_docs(s, d)))),
         # SemDeDup: within-IVF-list cosine prune + per-cluster summary
         "q_semantic_dedup": lambda s, d: similarity.semantic_dedup(
             _emb(s, d), n_lists=16, threshold=0.3),
@@ -1032,6 +1044,9 @@ def oracle_sql() -> dict[str, str]:
         "q_co_imports": osql.co_import_pairs(min_both=2),
         "q_todo_census": osql.todo_census(),
         "q_unreferenced_symbols": osql.unreferenced_symbols(),
+        "q_api_usage": osql.api_usage(k=50),
+        "q_symbol_dupes": osql.cross_source_symbol_dupes(min_sources=2),
+        "q_comment_pairs": osql.comment_code_pairs(),
         "q_semantic_dedup": osql.semantic_dedup(n_lists=16, threshold=0.3),
         "q_semantic_dedup_stats": osql.semantic_dedup_stats(n_lists=16, threshold=0.3),
         "q_token_budget_plan": osql.token_budget_plan(),

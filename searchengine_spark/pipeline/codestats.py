@@ -607,6 +607,161 @@ def unreferenced_symbols(documents: DataFrame, id_col: str = "doc_id",
     return finalize(out, defs)
 
 
+# planted vendored-copy rows (ids -501..): the SAME symbol defined in two
+# extra sources (plus CODE_FIXTURE's) so the cross-source duplication gate
+# has a real multi-source hit
+VENDOR_FIXTURE: list[tuple[int, str, str]] = [
+    (-501, "vendor_a",
+     "def parse_row_batch(rows):\n    return rows\n"),
+    (-502, "vendor_b",
+     "def parse_row_batch(rows):\n    return list(rows)\n"),
+]
+
+
+def with_vendor_fixture(documents: DataFrame) -> DataFrame:
+    """documents ∪ VENDOR_FIXTURE (per-row source; inline-VALUES twin)."""
+    fx = documents.sparkSession.createDataFrame(
+        [(i, t, "py", src, len(t)) for i, src, t in VENDOR_FIXTURE],
+        CODE_FIXTURE_SCHEMA)
+    return documents.unionByName(fx)
+
+
+def api_usage(documents: DataFrame, k: int = 50, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(symbol, kind, n_ref_docs, n_refs) — the most-used APIs: defined
+    symbols ranked by how often they are referenced OUTSIDE their defining
+    documents (total occurrences + distinct referencing docs).  The
+    popularity complement of ``unreferenced_symbols`` — what a code-search
+    homepage ranks as "core APIs", and the keep-priority signal when
+    dedup must choose between vendored copies.
+
+    Scale: one corpus pass to per-(doc, word) occurrence counts, joined to
+    the BROADCAST symbol dimension, definition sites removed by a bounded
+    anti-join; a symbol defined under several kinds repeats its (symbol-
+    level) reference counts per kind, deterministically.
+    """
+    defs = symbol_defs(documents, id_col, text_col).persist()
+    dim = (
+        defs.groupBy("symbol", "kind")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_defs"))
+    )
+    def_pairs = defs.select("symbol", "doc_id").distinct()
+    wordcounts = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.regexp_extract_all(
+                F.col(text_col), F.lit(WORD_RE), F.lit(0))).alias("symbol"),
+        )
+        .groupBy("doc_id", "symbol")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    refs = (
+        wordcounts.join(F.broadcast(defs.select("symbol").distinct()),
+                        "symbol")
+        .join(def_pairs, ["symbol", "doc_id"], "left_anti")
+        .groupBy("symbol")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_ref_docs"),
+             F.sum("n").cast("long").alias("n_refs"))
+    )
+    out = (
+        dim.join(refs, "symbol")
+        .select("symbol", "kind", "n_ref_docs", "n_refs")
+        .orderBy(F.desc("n_refs"), "symbol", "kind")
+        .limit(k)
+    )
+    return finalize(out, defs)
+
+
+def cross_source_symbol_dupes(documents: DataFrame, min_sources: int = 2,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              source_col: str = "source") -> DataFrame:
+    """(symbol, kind, n_sources, n_docs, n_defs) — symbols DEFINED in two
+    or more distinct sources: the vendored-copy / fork detector at the
+    symbol level (clone_classes catches verbatim token streams; this
+    catches re-implementations that kept the public name).  High
+    n_sources on a non-generic name means the same library rides along
+    in many repos — dedup-before-training material.
+
+    Scale: the definition extraction is the one-corpus-scan symbol_defs
+    shape plus the source column; everything after is a symbol-dim agg.
+    """
+    txt = F.col(text_col)
+    parts = [
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            F.lit(kind).alias("kind"),
+            F.explode(F.regexp_extract_all(txt, F.lit(pat), 1)).alias("symbol"),
+        )
+        for kind, pat in SYMBOL_PATTERNS
+    ]
+    defs = parts[0]
+    for p in parts[1:]:
+        defs = defs.unionByName(p)
+    return (
+        defs.groupBy("symbol", "kind")
+        .agg(F.countDistinct("source").cast("long").alias("n_sources"),
+             F.countDistinct("doc_id").cast("long").alias("n_docs"),
+             F.count(F.lit(1)).cast("long").alias("n_defs"))
+        .filter(F.col("n_sources") >= min_sources)
+        .orderBy(F.desc("n_sources"), "symbol", "kind")
+    )
+
+
+def comment_code_pairs(documents: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, symbol, def_line, n_comment_lines, comment) — aligned
+    (documentation, function) training pairs: for every function-
+    definition line, the contiguous comment block ending on the line
+    directly above it.  The docstring→signature pair extraction a code-LM
+    pipeline runs to build explain/generate supervision — only functions
+    with adjacent documentation produce a pair.
+
+    Scale: posexplode to the line stream, ONE per-doc row_number window
+    for the gaps-and-islands comment-run ids (windows bounded by document
+    length), run-end equi-join to the definition lines — never a self-join
+    over the corpus.
+    """
+    from pyspark.sql import Window
+
+    lines = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1))
+        .alias("line_no", "line"),
+    )
+    comments = lines.filter(F.col("line").rlike(COMMENT_LINE_RE))
+    w = Window.partitionBy("doc_id").orderBy("line_no")
+    runs = (
+        comments.withColumn(
+            "run_id", F.col("line_no") - F.row_number().over(w))
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.max("line_no").alias("run_end"),
+            F.count(F.lit(1)).cast("long").alias("n_comment_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"]),
+                "\n").alias("comment"),
+        )
+    )
+    defs = lines.filter(F.col("line").rlike(FUNC_LINE_RE)).select(
+        "doc_id",
+        F.col("line_no").alias("def_line"),
+        F.regexp_extract("line", FUNC_LINE_RE, 1).alias("symbol"),
+    )
+    return (
+        defs.join(runs,
+                  (defs.doc_id == runs.doc_id)
+                  & (runs.run_end == defs.def_line - 1))
+        .select(defs.doc_id, "symbol",
+                F.col("def_line").cast("long").alias("def_line"),
+                "n_comment_lines", "comment")
+        .orderBy("doc_id", "def_line")
+    )
+
+
 # ---- type-2 clone detection (normalized token streams) --------------------
 
 # token grammar shared by both engines (Java regex + RE2-safe: no

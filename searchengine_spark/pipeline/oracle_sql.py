@@ -3013,6 +3013,118 @@ ORDER BY d.symbol, d.kind
 """
 
 
+def _vendor_docs() -> str:
+    """documents ∪ CODE_FIXTURE ∪ VENDOR_FIXTURE — the cross-source
+    symbol-duplication gate input."""
+    from searchengine_spark.pipeline.codestats import VENDOR_FIXTURE
+
+    rows = ", ".join(
+        f"({i}, '{_q(t)}', 'py', '{src}', {len(t)})"
+        for i, src, t in VENDOR_FIXTURE
+    )
+    return (
+        f"(SELECT * FROM {_code_docs()} _cd UNION ALL "
+        f"SELECT * FROM (VALUES {rows}) "
+        "_vx(doc_id, text, lang, source, n_chars))"
+    )
+
+
+def _symbol_defs_over(docs_sql: str, with_source: bool = False) -> str:
+    """Unioned SYMBOL_PATTERNS extraction over an arbitrary docs relation."""
+    from searchengine_spark.pipeline.codestats import SYMBOL_PATTERNS
+
+    src = "source, " if with_source else ""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {src}'{kind}' AS kind, "
+        f"unnest(regexp_extract_all(text, '{_q(p)}', 1)) AS symbol "
+        f"FROM {docs_sql} documents"
+        for kind, p in SYMBOL_PATTERNS
+    )
+
+
+def api_usage(k: int = 50) -> str:
+    """Twin of codestats.api_usage: per-(doc, word) occurrence counts
+    joined to the symbol dim, definition sites anti-joined away."""
+    from searchengine_spark.pipeline.codestats import WORD_RE
+
+    return f"""
+WITH defs AS MATERIALIZED ({_symbol_defs_over(_debt_docs())}),
+dim AS (SELECT symbol, kind, count(*)::BIGINT AS n_defs FROM defs GROUP BY 1, 2),
+defpairs AS (SELECT DISTINCT symbol, doc_id FROM defs),
+wc AS (
+  SELECT doc_id, word AS symbol, count(*)::BIGINT AS n FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{_q(WORD_RE)}')) AS word
+    FROM {_debt_docs()} documents
+  ) _w GROUP BY 1, 2
+),
+refs AS (
+  SELECT wc.symbol, count(DISTINCT wc.doc_id)::BIGINT AS n_ref_docs,
+         sum(wc.n)::BIGINT AS n_refs
+  FROM wc
+  JOIN (SELECT DISTINCT symbol FROM defs) s USING (symbol)
+  LEFT JOIN defpairs dp ON dp.symbol = wc.symbol AND dp.doc_id = wc.doc_id
+  WHERE dp.symbol IS NULL
+  GROUP BY 1
+)
+SELECT d.symbol, d.kind, r.n_ref_docs, r.n_refs
+FROM dim d JOIN refs r USING (symbol)
+ORDER BY n_refs DESC, symbol, kind
+LIMIT {int(k)}
+"""
+
+
+def cross_source_symbol_dupes(min_sources: int = 2) -> str:
+    """Twin of codestats.cross_source_symbol_dupes."""
+    return f"""
+WITH defs AS MATERIALIZED ({_symbol_defs_over(_vendor_docs(), with_source=True)})
+SELECT symbol, kind, count(DISTINCT source)::BIGINT AS n_sources,
+       count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_defs
+FROM defs GROUP BY 1, 2
+HAVING count(DISTINCT source) >= {int(min_sources)}
+ORDER BY n_sources DESC, symbol, kind
+"""
+
+
+def comment_code_pairs() -> str:
+    """Twin of codestats.comment_code_pairs: gaps-and-islands comment runs,
+    run-end joined to the definition line directly below."""
+    from searchengine_spark.pipeline.codestats import (
+        COMMENT_LINE_RE,
+        FUNC_LINE_RE,
+    )
+
+    return f"""
+WITH lines AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(ls, 1) - 1 AS line_no,
+         unnest(ls) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        FROM {_debt_docs()} documents) _d
+),
+comments AS (
+  SELECT doc_id, line_no, line,
+         line_no - row_number() OVER (PARTITION BY doc_id ORDER BY line_no)
+         AS run_id
+  FROM lines WHERE regexp_matches(line, '{_q(COMMENT_LINE_RE)}')
+),
+runs AS (
+  SELECT doc_id, run_id, max(line_no) AS run_end,
+         count(*)::BIGINT AS n_comment_lines,
+         string_agg(line, chr(10) ORDER BY line_no) AS comment
+  FROM comments GROUP BY 1, 2
+),
+defs AS (
+  SELECT doc_id, line_no AS def_line,
+         regexp_extract(line, '{_q(FUNC_LINE_RE)}', 1) AS symbol
+  FROM lines WHERE regexp_matches(line, '{_q(FUNC_LINE_RE)}')
+)
+SELECT d.doc_id, d.symbol, d.def_line::BIGINT AS def_line,
+       r.n_comment_lines, r.comment
+FROM defs d
+JOIN runs r ON r.doc_id = d.doc_id AND r.run_end = d.def_line - 1
+ORDER BY d.doc_id, d.def_line
+"""
+
+
 def ident_styles() -> str:
     """Twin of codestats.ident_styles (the CASE ladder is exactly the
     strict-greater fold the Spark side applies, so ties resolve to the

@@ -11,7 +11,10 @@ from searchengine_spark.pipeline.codestats import (
     CODE_FIXTURE_SCHEMA,
     DEBT_FIXTURE,
     HITS_FIXTURE,
+    api_usage,
     co_import_pairs,
+    comment_code_pairs,
+    cross_source_symbol_dupes,
     hits_scores,
     import_edges,
     todo_census,
@@ -114,6 +117,60 @@ class TestUnreferencedSymbols:
         ])
         names = {r.symbol for r in unreferenced_symbols(docs).collect()}
         assert names == {"lonely_fn"}
+
+
+class TestApiUsage:
+    def test_counts_external_occurrences_only(self, spark):
+        docs = _docs(spark, [
+            (1, "def hot_fn(a):\n    return hot_fn(a)\n"),   # self-refs excluded
+            (2, "x = hot_fn(1) + hot_fn(2)\n"),
+            (3, "y = hot_fn(3)\n"),
+            (4, "def cold_fn(b):\n    return b\n"),
+        ])
+        rows = {r.symbol: r for r in api_usage(docs, k=10).collect()}
+        assert rows["hot_fn"].n_ref_docs == 2
+        assert rows["hot_fn"].n_refs == 3
+        assert "cold_fn" not in rows  # zero external refs -> no row
+
+    def test_ranked_by_refs(self, spark):
+        docs = _docs(spark, [
+            (1, "def aa(x):\n    return x\ndef bb(x):\n    return x\n"),
+            (2, "aa() aa() bb()\n"),
+        ])
+        out = api_usage(docs, k=10).collect()
+        assert [r.symbol for r in out] == ["aa", "bb"]
+
+
+class TestSymbolDupes:
+    def test_multi_source_definition_flagged(self, spark):
+        rows = [
+            (1, "def shared_impl(v):\n    return v\n", "py", "src_a", 30),
+            (2, "def shared_impl(v):\n    return -v\n", "py", "src_b", 31),
+            (3, "def local_only(v):\n    return v\n", "py", "src_a", 28),
+        ]
+        docs = spark.createDataFrame(rows, CODE_FIXTURE_SCHEMA)
+        out = cross_source_symbol_dupes(docs, min_sources=2).collect()
+        assert [(r.symbol, r.n_sources, r.n_docs, r.n_defs) for r in out] \
+            == [("shared_impl", 2, 2, 2)]
+
+
+class TestCommentPairs:
+    def test_adjacent_comment_block_paired(self, spark):
+        docs = _docs(spark, [
+            (1, "# adds numbers\n# carefully\ndef add(a, b):\n    return a + b\n"),
+            (2, "def undocumented(x):\n    return x\n"),
+            (3, "# stale comment\n\ndef detached(y):\n    return y\n"),
+        ])
+        out = comment_code_pairs(docs).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.doc_id, r.symbol, r.def_line, r.n_comment_lines) == (1, "add", 2, 2)
+        assert r.comment == "# adds numbers\n# carefully"
+
+    def test_run_must_end_directly_above(self, spark):
+        # comment run ends two lines above the def (blank line between)
+        docs = _docs(spark, [(1, "# doc\n\ndef f(x):\n    return x\n")])
+        assert comment_code_pairs(docs).count() == 0
 
 
 class TestBlockJoin:
