@@ -453,6 +453,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_recall": lambda s, d: similarity.pq_recall(
             _emb(s, d), PROBE_VEC_IDS, k=5
         ),
+        # Matryoshka dimension-truncation recall curve (prefix-sliced
+        # exact top-k vs full-dimension top-k)
+        "q_matryoshka_recall": lambda s, d: similarity.matryoshka_recall(
+            _emb(s, d), PROBE_VEC_IDS, dims=(8, 16, 32), k=5
+        ),
         # real-container decode: stdlib struct parse of synthesized
         # WAV/BMP files, value-hash gated via the sha-chain twin
         "q_media_decode_real": lambda s, d: multimodal.decode_real_features(
@@ -498,6 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed logistic regression (rule-distillation classifier)
         "q_logreg_weights": lambda s, d: classifier.quality_logreg_weights(_docs(s, d)),
         "q_logreg_scores": lambda s, d: classifier.quality_logreg_scores(_docs(s, d)),
+        # reliability diagram for the trained curation classifier
+        "q_calibration": lambda s, d: classifier.calibration_report(_docs(s, d)),
         # diversity-aware retrieval: greedy MMR over the exact-cosine pool
         "q_mmr_rerank": lambda s, d: similarity.mmr_rerank(
             _emb(s, d), PROBE_VEC_IDS, k=5, pool=10
@@ -625,6 +632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # suffix-array-free exact substring dedup (Lee et al. 2022):
         # maximal duplicated token spans via k-gram anchors + island merge
         "q_dup_spans": lambda s, d: dedup.dup_spans(_docs(s, d), k=8),
+        # dedup-aware loss masking: interval-merged dup-span coverage
+        "q_masked_loss_plan": lambda s, d: dedup.masked_loss_plan(_docs(s, d), k=8),
         # Bloom-filter bucket pruning (zero false negatives by
         # construction; probes include present + absent terms)
         "q_bloom_prune": lambda s, d: sketches.bloom_prune(
@@ -998,6 +1007,8 @@ def oracle_sql() -> dict[str, str]:
         "q_media_frame_sample": osql.media_frame_sample(every=2),
         "q_lsh_recall": osql.lsh_recall(PROBE_VEC_IDS, k=5),
         "q_ivf_recall": osql.ivf_recall(PROBE_VEC_IDS, k=5),
+        "q_matryoshka_recall": osql.matryoshka_recall(
+            PROBE_VEC_IDS, dims=(8, 16, 32), k=5),
         "q_pq_recall": osql.pq_recall(PROBE_VEC_IDS, k=5),
         "q_media_decode_real": osql.media_decode_real(),
         "q_wand_distributed_and3": osql.bm25_topk(Q_AND3, k=20),
@@ -1017,6 +1028,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pca_projection": osql.pca_projection(),
         "q_logreg_weights": osql.quality_logreg_weights(),
         "q_logreg_scores": osql.quality_logreg_scores(),
+        "q_calibration": osql.calibration_report(),
         "q_mmr_rerank": osql.mmr_rerank(PROBE_VEC_IDS, k=5, pool=10),
         "q_funnel_steps": osql.funnel(),
         "q_daily_anomalies": osql.daily_anomalies(),
@@ -1065,6 +1077,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sq8_recall": osql.sq8_recall(PROBE_VEC_IDS, k=5),
         "q_synonym_bm25": osql.synonym_bm25_topk(SYNONYM_GROUPS, k=20),
         "q_dup_spans": osql.dup_spans(k=8),
+        "q_masked_loss_plan": osql.masked_loss_plan(k=8),
         "q_bloom_prune": osql.bloom_prune(BLOOM_PROBES),
         "q_maxscore_or": osql.maxscore_or_topk(Q_AND3, k=20),
         "q_maxscore_partial": osql.maxscore_or_topk(Q_ABSENT, k=20),

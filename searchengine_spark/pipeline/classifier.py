@@ -134,3 +134,43 @@ def quality_logreg_scores(documents: DataFrame, iters: int = DEFAULT_ITERS,
     return feats.select(
         "doc_id", p.alias("p"), (p >= 0.5).alias("pred"),
     )
+
+
+def calibration_report(documents: DataFrame, n_buckets: int = 10,
+                       iters: int = DEFAULT_ITERS, lr: float = DEFAULT_LR,
+                       label: str = "rule:0.6") -> DataFrame:
+    """(bucket, n, n_pos, frac_pos, mean_p) — reliability diagram for the
+    trained classifier: documents bucketed by predicted probability
+    (bucket = floor(p·n_buckets), top-capped), each bucket reporting the
+    empirical positive rate vs the mean predicted probability.  A
+    calibrated curation gate has frac_pos ≈ mean_p per bucket — THE check
+    before a probability threshold is used as a keep/drop rule at 10^12
+    docs.
+
+    Cross-engine exactness: p is the 4dp-published score, so the mean is
+    computed over exact integers (round(p·10⁴) summed as longs) and every
+    other column is integer-derived — no float merge-order drift.
+    """
+    w = train_weights(documents, iters=iters, lr=lr, label=label)
+    feats = feature_frame(documents, label=label)
+    p = F.round(_sigmoid(_z(w)), 4)
+    scored = feats.select(
+        F.least(F.floor(p * n_buckets), F.lit(n_buckets - 1))
+        .cast("long").alias("bucket"),
+        F.col("y"),
+        F.round(p * 10000, 0).cast("long").alias("ip"),
+    )
+    return (
+        scored.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("y"), 0).cast("long").alias("n_pos"),
+            F.sum("ip").alias("sp"),
+        )
+        .select(
+            "bucket", "n", "n_pos",
+            F.round(F.col("n_pos") / F.col("n"), 4).alias("frac_pos"),
+            F.round(F.col("sp") / (F.col("n") * 10000.0), 4).alias("mean_p"),
+        )
+        .orderBy("bucket")
+    )

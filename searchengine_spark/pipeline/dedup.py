@@ -565,6 +565,56 @@ def dup_spans(documents: DataFrame, k: int = 8, id_col: str = "doc_id",
     )
 
 
+def masked_loss_plan(documents: DataFrame, k: int = 8,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_spans, n_masked, mask_frac) — dedup-aware loss
+    masking: for every document, the UNION length of its duplicated token
+    spans (``dup_spans``) as the fraction of tokens a training run should
+    zero out of the loss instead of dropping the document (the soft
+    alternative to substring-dedup deletion — keep the unique prose, stop
+    learning the boilerplate twice).
+
+    Maximal spans from adjacent islands can still overlap (anchor gaps
+    smaller than k), so the mask length is computed from interval-merged
+    spans — a second per-doc gaps-and-islands pass over span rows (bounded
+    by spans-per-doc, never corpus-wide), not a raw sum of span lengths.
+    """
+    spans = dup_spans(documents, k, id_col, text_col)
+    span_end = (F.col("span_start") + F.col("span_len")).alias("span_end")
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    prev_max = F.max("span_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = (
+        spans.select("doc_id", "span_start", span_end)
+        .withColumn(
+            "new_grp",
+            F.when(prev_max.isNull()
+                   | (F.col("span_start") > prev_max), 1).otherwise(0))
+        .withColumn("grp", F.sum("new_grp").over(w))
+    )
+    merged = grouped.groupBy("doc_id", "grp").agg(
+        F.min("span_start").alias("s"), F.max("span_end").alias("e"))
+    per_doc = merged.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("n_masked"))
+    n_spans = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"))
+    ntok = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"))
+    return (
+        ntok.join(n_spans, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_masked"), F.lit(0)).cast("long").alias("n_masked"),
+            F.round(F.coalesce(F.col("n_masked"), F.lit(0))
+                    / F.col("n_tokens"), 4).alias("mask_frac"),
+        )
+    )
+
+
 def canonical_docs(documents: DataFrame, threshold: float = 0.2,
                    n: int = 3, text_col: str = "text", **kw) -> DataFrame:
     """(doc_id, cluster_id, canon_doc_id, is_canon) — cluster

@@ -2193,6 +2193,40 @@ def pq_recall(probe_ids: list[int], k: int = 5) -> str:
     return _recall_sql(cosine_topk(probe_ids, k), pq_adc_topk(probe_ids, topk=k))
 
 
+def _cosine_topk_trunc(probe_ids: list[int], k: int, d: int) -> str:
+    """cosine_topk over the FIRST d dimensions of every vector."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+WITH probes AS (SELECT vec_id AS probe_id, embedding[1:{int(d)}] AS pvec
+                FROM embeddings WHERE vec_id IN ({ids})),
+cand AS (SELECT vec_id, embedding[1:{int(d)}] AS cvec FROM embeddings),
+scored AS (
+  SELECT probe_id, vec_id, {_COS}
+  FROM cand CROSS JOIN probes WHERE vec_id <> probe_id
+)
+SELECT probe_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {int(k)}
+"""
+
+
+def matryoshka_recall(probe_ids: list[int],
+                      dims: tuple[int, ...] = (8, 16, 32),
+                      k: int = 5) -> str:
+    """Twin of similarity.matryoshka_recall: per-truncation-dim recall of
+    prefix-sliced exact top-k against the full-dimension top-k."""
+    parts = [
+        f"""
+SELECT {int(d)} AS trunc_dim, probe_id, n_hits, n_exact, recall
+FROM ({_recall_sql(cosine_topk(probe_ids, k),
+                   _cosine_topk_trunc(probe_ids, k, d))})
+"""
+        for d in dims
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY trunc_dim, probe_id"
+
+
 def ivf_nprobe_sweep(probe_ids: list[int], k: int = 5, n_lists: int = 8,
                      nprobes: tuple[int, ...] = (1, 2, 4)) -> str:
     """Twin of similarity.ivf_nprobe_sweep: recall-vs-nprobe tuning curve
@@ -3589,6 +3623,29 @@ FROM feats f CROSS JOIN {wfinal} w
 """
 
 
+def calibration_report(n_buckets: int = 10, iters: int = 40, lr: float = 4.0,
+                       label: str = "rule:0.6") -> str:
+    """Twin of classifier.calibration_report: buckets over the 4dp score,
+    mean_p from exact round(p·10⁴) longs — no float merge-order drift."""
+    body, wfinal = _logreg_chain(iters, lr, label)
+    z = " + ".join(f"w.w{j} * f.{name}"
+                   for j, name in enumerate(_LOGREG_FEATURES))
+    return f"""WITH {body},
+sc AS (
+  SELECT least(floor(round(1.0/(1.0+exp(-({z}))), 4) * {int(n_buckets)}),
+               {int(n_buckets) - 1})::BIGINT AS bucket,
+         f.y,
+         round(round(1.0/(1.0+exp(-({z}))), 4) * 10000, 0)::BIGINT AS ip
+  FROM feats f CROSS JOIN {wfinal} w
+)
+SELECT bucket, count(*)::BIGINT AS n, round(sum(y), 0)::BIGINT AS n_pos,
+       round(round(sum(y), 0) / count(*)::DOUBLE, 4) AS frac_pos,
+       round(sum(ip) / (count(*) * 10000.0), 4) AS mean_p
+FROM sc GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 def rocchio_search(terms: list[str], fb_docs: int = 5, fb_terms: int = 3,
                    beta: float = 0.5, k: int = 20) -> str:
     """DuckDB twin of queryops.rocchio_search (pseudo-relevance feedback);
@@ -3958,6 +4015,38 @@ isl AS (
 SELECT doc_id, min(pos)::BIGINT AS span_start,
        (max(pos) - min(pos) + {k})::BIGINT AS span_len
 FROM isl GROUP BY doc_id, g
+"""
+
+
+def masked_loss_plan(k: int = 8) -> str:
+    """Twin of dedup.masked_loss_plan: interval-merged union length of the
+    dup_spans per doc, as a loss-mask fraction."""
+    return f"""
+WITH sp AS MATERIALIZED ({dup_spans(k)}),
+o AS (
+  SELECT doc_id, span_start, span_start + span_len AS span_end,
+         max(span_start + span_len) OVER (
+           PARTITION BY doc_id ORDER BY span_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM sp
+),
+g AS (
+  SELECT *, sum(CASE WHEN prev_max IS NULL OR span_start > prev_max
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY span_start) AS grp
+  FROM o
+),
+m AS (SELECT doc_id, grp, min(span_start) AS s, max(span_end) AS e
+      FROM g GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(e - s)::BIGINT AS n_masked FROM m GROUP BY 1),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n_spans FROM sp GROUP BY 1),
+nt AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+       FROM documents)
+SELECT nt.doc_id, nt.n_tokens,
+       coalesce(cnt.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(agg.n_masked, 0)::BIGINT AS n_masked,
+       round(coalesce(agg.n_masked, 0) / nt.n_tokens::DOUBLE, 4) AS mask_frac
+FROM nt LEFT JOIN cnt USING (doc_id) LEFT JOIN agg USING (doc_id)
 """
 
 

@@ -214,6 +214,70 @@ class TestBlockJoin:
         assert out.collect()[0].n_passages_hit == 2
 
 
+class TestMatryoshka:
+    def test_full_dim_prefix_is_perfect_recall(self, spark):
+        # truncating to the FULL dim is identical to the exact top-k
+        from searchengine_spark.pipeline.similarity import matryoshka_recall
+        import numpy as np
+        rng = np.random.RandomState(7)
+        rows = [(i, rng.randn(16).tolist(), "a") for i in range(30)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string")
+        out = matryoshka_recall(emb, [0, 1], dims=(16,), k=3).collect()
+        assert all(r.recall == 1.0 for r in out)
+
+    def test_recall_rows_per_dim_and_probe(self, spark):
+        from searchengine_spark.pipeline.similarity import matryoshka_recall
+        import numpy as np
+        rng = np.random.RandomState(11)
+        rows = [(i, rng.randn(16).tolist(), "a") for i in range(30)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string")
+        out = matryoshka_recall(emb, [0, 1, 2], dims=(4, 16), k=3).collect()
+        assert {(r.trunc_dim, r.probe_id) for r in out} \
+            == {(d, p) for d in (4, 16) for p in (0, 1, 2)}
+        assert all(0.0 <= r.recall <= 1.0 for r in out)
+
+
+class TestMaskedLossPlan:
+    def test_overlapping_spans_union_counted_once(self, spark):
+        from searchengine_spark.pipeline.dedup import masked_loss_plan
+        # the 10-token run "c0..c9" is shared verbatim by docs 1 and 2, so
+        # with k=8 each doc gets anchors at pos giving one merged span
+        shared = " ".join(f"c{i}" for i in range(10))
+        docs = _docs(spark, [
+            (1, shared + " uniq1 uniq2 uniq3"),
+            (2, shared + " other1 other2 other3"),
+            (3, "totally different words here nothing shared at all ok"),
+        ])
+        rows = {r.doc_id: r for r in masked_loss_plan(docs, k=8).collect()}
+        assert rows[1].n_masked == 10
+        assert rows[3].n_masked == 0 and rows[3].mask_frac == 0.0
+        assert rows[1].mask_frac == round(10 / rows[1].n_tokens, 4)
+
+    def test_every_doc_reported(self, spark):
+        from searchengine_spark.pipeline.dedup import masked_loss_plan
+        docs = _docs(spark, [(1, "a b c"), (2, "d e f")])
+        assert masked_loss_plan(docs, k=8).count() == 2
+
+
+class TestCalibration:
+    def test_buckets_partition_corpus(self, spark):
+        from searchengine_spark.pipeline.classifier import calibration_report
+        docs = _docs(spark, [
+            (i, ("good words with steady flow and more prose. " * (i + 1)))
+            for i in range(8)
+        ])
+        out = calibration_report(docs, iters=5).collect()
+        assert sum(r.n for r in out) == 8
+        for r in out:
+            assert 0 <= r.bucket <= 9
+            assert 0.0 <= r.frac_pos <= 1.0
+            assert 0.0 <= r.mean_p <= 1.0
+            # mean_p must fall inside the bucket's score range (p in 4dp)
+            assert r.bucket / 10 - 1e-4 <= r.mean_p <= (r.bucket + 1) / 10 + 1e-4
+
+
 class TestPriorBlend:
     def test_blend_arithmetic(self, spark):
         docs = _docs(spark, [
