@@ -360,6 +360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel_conversion": lambda s, d: asof.funnel_conversion(_events(s, d)),
         # extended query operators (queryops.py)
         "q_bm25_or": lambda s, d: queryops.bm25_or_topk(_docs(s, d), Q_AND2, k=20),
+        # query-relaxation cascade: AND first, then missing-1, missing-2, …
+        "q_relaxed_topk": lambda s, d: queryops.relaxed_topk(
+            _docs(s, d), Q_AND3, k=20),
         "q_phrase_match": lambda s, d: queryops.phrase_occurrences(_docs(s, d), Q_PHRASE),
         "q_more_like_this": lambda s, d: queryops.more_like_this(_docs(s, d), PROBE_DOC_ID, k=10),
         "q_facet_counts": lambda s, d: queryops.facet_counts(_docs(s, d), Q_AND2),
@@ -536,6 +539,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             codestats.with_code_fixture(_docs(s, d))),
         "q_code_hygiene": lambda s, d: codestats.code_hygiene(
             codestats.with_code_fixture(_docs(s, d))),
+        # indentation-convention census (tabs / 2-space / 4-space dominant)
+        "q_indent_census": lambda s, d: codestats.indentation_census(
+            codestats.with_indent_fixture(
+                codestats.with_code_fixture(_docs(s, d)))),
         "q_ident_styles": lambda s, d: codestats.ident_styles(
             codestats.with_code_fixture(_docs(s, d))),
         "q_top_imports": lambda s, d: codestats.top_imports(
@@ -691,6 +698,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_synthetic_qrels": lambda s, d: rankeval.synthetic_qrels(_docs(s, d)),
         "q_bm25_runs": lambda s, d: rankeval.bm25_runs(_docs(s, d), k=10),
         "q_bm25_eval": lambda s, d: rankeval.bm25_eval(_docs(s, d), k=10),
+        # Fisher sign-flip randomization significance test (b=0.75 vs b=0)
+        "q_randomization_test": lambda s, d: rankeval.randomization_test(
+            _docs(s, d), k=10, n_resamples=64),
         # cascade-model metric companion (Chapelle ERR@k)
         "q_bm25_err": lambda s, d: rankeval.bm25_err(_docs(s, d), k=10),
         # CORI resource selection (Callan et al. 1995): shard/query routing
@@ -951,6 +961,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_asof": osql.asof_join(),
         "q_funnel_conversion": osql.funnel_conversion(),
         "q_bm25_or": osql.bm25_or_topk(Q_AND2, k=20),
+        "q_relaxed_topk": osql.relaxed_topk(Q_AND3, k=20),
         "q_phrase_match": osql.phrase_occurrences(Q_PHRASE),
         "q_more_like_this": osql.more_like_this(PROBE_DOC_ID, k=10),
         "q_facet_counts": osql.facet_counts(Q_AND2),
@@ -1044,6 +1055,7 @@ def oracle_sql() -> dict[str, str]:
         "q_top_dup_passages": osql.top_dup_passages(),
         "q_license_mix": osql.license_mix(),
         "q_code_hygiene": osql.code_hygiene(),
+        "q_indent_census": osql.indentation_census(),
         "q_ident_styles": osql.ident_styles(),
         "q_top_imports": osql.top_imports(),
         "q_symbol_defs": osql.symbol_defs(),
@@ -1094,6 +1106,8 @@ def oracle_sql() -> dict[str, str]:
         "q_synthetic_qrels": osql.synthetic_qrels(rankeval.EVAL_QUERIES),
         "q_bm25_runs": osql.bm25_runs(rankeval.EVAL_QUERIES, k=10),
         "q_bm25_eval": osql.bm25_eval(rankeval.EVAL_QUERIES, k=10),
+        "q_randomization_test": osql.randomization_test(
+            rankeval.EVAL_QUERIES, k=10, n_resamples=64),
         "q_bm25_err": osql.bm25_err(rankeval.EVAL_QUERIES, k=10),
         "q_cori_selection": osql.cori_source_scores(Q_AND2),
         "q_ltr_features": osql.ltr_features(rankeval.EVAL_QUERIES),

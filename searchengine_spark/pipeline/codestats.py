@@ -453,6 +453,67 @@ def hits_scores(documents: DataFrame, n_iter: int = 5,
     )
 
 
+# indentation-style line patterns — RE2-safe (no lookaheads): "exactly two
+# spaces then a non-blank" cannot also match a 4-space line because its
+# third char is a space
+INDENT_PATTERNS: list[tuple[str, str]] = [
+    ("tab", "(?m)^\\t"),
+    ("space2", "(?m)^  [^ \\t]"),
+    ("space4", "(?m)^    [^ \\t]"),
+]
+
+# planted indentation-convention rows (ids -601..): a tab-indented go file
+# and a 2-space js file — CODE_FIXTURE is 4-space python only
+INDENT_FIXTURE: list[tuple[int, str, str]] = [
+    (-601, "go",
+     "func main() {\n\tx := 1\n\ty := 2\n\treturn\n}\n"),
+    (-602, "js",
+     "function f() {\n  let a = 1\n  return a\n}\n"),
+]
+
+
+def with_indent_fixture(documents: DataFrame) -> DataFrame:
+    """documents ∪ INDENT_FIXTURE (inline-VALUES twin in oracle_sql)."""
+    fx = documents.sparkSession.createDataFrame(
+        [(i, t, lang, "indent_fixture", len(t)) for i, lang, t in INDENT_FIXTURE],
+        CODE_FIXTURE_SCHEMA)
+    return documents.unionByName(fx)
+
+
+def indentation_census(documents: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """(lang, n_tab, n_space2, n_space4, dominant) — indentation-convention
+    census per language: counts of tab-, two-space- and four-space-indented
+    lines, plus the dominant style (strict-greater fold, ties to the
+    earlier INDENT_PATTERNS entry — the exact CASE ladder the oracle
+    runs).  The formatting-consistency signal a code-corpus curation pass
+    uses (mixed indentation correlates with low-quality / generated
+    files), and the gofmt/PEP8-conformance dashboard.
+
+    Scale: per-row JVM regex counts in ONE corpus scan, lang-dim agg.
+    """
+    txt = F.col(text_col)
+    agg = documents.select(
+        "lang",
+        *[F.size(F.regexp_extract_all(txt, F.lit(p), F.lit(0)))
+          .cast("long").alias(f"n_{name}") for name, p in INDENT_PATTERNS],
+    ).groupBy("lang").agg(
+        *[F.sum(f"n_{name}").cast("long").alias(f"n_{name}")
+          for name, _ in INDENT_PATTERNS],
+    )
+    names = [name for name, _ in INDENT_PATTERNS]
+    dom = F.when(
+        F.col(f"n_{names[2]}") > F.greatest(F.col(f"n_{names[0]}"),
+                                            F.col(f"n_{names[1]}")),
+        names[2],
+    ).when(
+        F.col(f"n_{names[1]}") > F.col(f"n_{names[0]}"), names[1]
+    ).otherwise(names[0])
+    return agg.select(
+        "lang", *[f"n_{n}" for n in names], dom.alias("dominant")
+    ).orderBy("lang")
+
+
 # markers shared by both engines ((?i) literal + \b word bounds: Java regex
 # and RE2 agree); XXX stays case-sensitive — lowercase "xxx" is not a marker
 DEBT_PATTERNS: list[tuple[str, str]] = [

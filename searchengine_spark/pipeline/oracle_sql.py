@@ -1352,6 +1352,16 @@ def bm25_or_topk(terms: list[str], k: int = 20, min_match: int = 1) -> str:
     )
 
 
+def relaxed_topk(terms: list[str], k: int = 20) -> str:
+    """Twin of queryops.relaxed_topk: the AND→quorum→OR cascade as one
+    (tier asc, score desc) cut over the disjunctive scoring pass."""
+    return (
+        f"SELECT doc_id, ({len(terms)} - nhit)::BIGINT AS tier, nhit, score "
+        f"FROM ({bm25_or_scored(terms, min_match=1)}) "
+        f"ORDER BY tier ASC, score DESC, doc_id ASC LIMIT {int(k)}"
+    )
+
+
 def maxscore_or_topk(terms: list[str], k: int = 20) -> str:
     """Twin of query/maxscore.py's disjunctive top-k: same scored set as
     bm25_or_scored (OR, min_match=1), projected to (doc_id, score) with the
@@ -2946,6 +2956,49 @@ def _debt_docs() -> str:
     )
 
 
+def _indent_docs() -> str:
+    """documents ∪ CODE_FIXTURE ∪ INDENT_FIXTURE."""
+    from searchengine_spark.pipeline.codestats import INDENT_FIXTURE
+
+    rows = ", ".join(
+        f"({i}, '{_q(t)}', '{lang}', 'indent_fixture', {len(t)})"
+        for i, lang, t in INDENT_FIXTURE
+    )
+    return (
+        f"(SELECT * FROM {_code_docs()} _cd UNION ALL "
+        f"SELECT * FROM (VALUES {rows}) "
+        "_ix(doc_id, text, lang, source, n_chars))"
+    )
+
+
+def indentation_census() -> str:
+    """Twin of codestats.indentation_census (same INDENT_PATTERNS by
+    import; the CASE ladder is the same strict-greater fold)."""
+    from searchengine_spark.pipeline.codestats import INDENT_PATTERNS
+
+    cols = ",\n         ".join(
+        f"sum(len(regexp_extract_all(text, '{_q(p)}')))::BIGINT AS n_{name}"
+        for name, p in INDENT_PATTERNS
+    )
+    names = [name for name, _ in INDENT_PATTERNS]
+    return f"""
+WITH agg AS (
+  SELECT lang,
+         {cols}
+  FROM {_indent_docs()} documents GROUP BY lang
+)
+SELECT lang, {', '.join('n_' + n for n in names)},
+       CASE
+         WHEN n_{names[2]} > greatest(n_{names[0]}, n_{names[1]})
+           THEN '{names[2]}'
+         WHEN n_{names[1]} > n_{names[0]} THEN '{names[1]}'
+         ELSE '{names[0]}'
+       END AS dominant
+FROM agg
+ORDER BY lang
+"""
+
+
 def todo_census() -> str:
     """Twin of codestats.todo_census (same DEBT_PATTERNS by import)."""
     from searchengine_spark.pipeline.codestats import DEBT_PATTERNS
@@ -4346,7 +4399,8 @@ def synthetic_qrels(queries: list[tuple[int, list[str]]]) -> str:
     )
 
 
-def _runs_cte(queries: list[tuple[int, list[str]]], k: int) -> str:
+def _runs_cte(queries: list[tuple[int, list[str]]], k: int,
+              b: float = 0.75) -> str:
     all_terms = sorted({t for _, terms in queries for t in terms})
     tl = _terms_in(all_terms)
     return f"""
@@ -4357,7 +4411,7 @@ sc AS (
   SELECT q.qid, p.doc_id,
          round(sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
               * (p.tf * 2.2)
-              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ), 4) AS score
+              / (p.tf + 1.2 * (1 - {b} + {b} * (ds.dl / g.avgdl))) ), 4) AS score
   FROM postings p
   JOIN qdim q USING (term)
   JOIN dfs USING (term)
@@ -4494,11 +4548,12 @@ FROM merged
 """
 
 
-def bm25_eval(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+def bm25_eval(queries: list[tuple[int, list[str]]], k: int = 10,
+              b: float = 0.75) -> str:
     """Twin of rankeval.bm25_eval: P@k / recall@k / MRR / NDCG@k of the
     BM25 runs against the synthetic qrels."""
     return f"""
-WITH {_TOKS_CTE}, {_qdim_values(queries)}, {_qrels_cte()}, {_runs_cte(queries, k)},
+WITH {_TOKS_CTE}, {_qdim_values(queries)}, {_qrels_cte()}, {_runs_cte(queries, k, b)},
 hits AS (
   SELECT r.qid, r.rank, coalesce(qr.rel, 0) AS rel
   FROM run r LEFT JOIN qrels qr USING (qid, doc_id)
@@ -4526,6 +4581,39 @@ SELECT t.qid, t.n_rel,
        round(coalesce(p.mrr0, 0), 4) AS mrr,
        round(coalesce(p.dcg, 0) / i.idcg, 4) AS ndcg
 FROM tot t JOIN ideal i USING (qid) LEFT JOIN perq p USING (qid)
+"""
+
+
+def randomization_test(queries: list[tuple[int, list[str]]], k: int = 10,
+                       n_resamples: int = 64, metric: str = "ndcg",
+                       b_alt: float = 0.0) -> str:
+    """Twin of rankeval.randomization_test: sign-flip resampling over
+    integer-scaled per-query metric deltas (md5(b:qid) coins)."""
+    coin = md5_long_sql("t.b::VARCHAR || ':' || d.qid::VARCHAR")
+    return f"""
+WITH ea AS MATERIALIZED ({bm25_eval(queries, k)}),
+eb AS MATERIALIZED ({bm25_eval(queries, k, b=b_alt)}),
+d AS (
+  SELECT ea.qid,
+         (round(ea.{metric} * 10000, 0)::BIGINT
+          - round(eb.{metric} * 10000, 0)::BIGINT) AS di
+  FROM ea JOIN eb USING (qid)
+),
+obs AS (SELECT sum(di)::BIGINT AS o, count(*)::BIGINT AS n FROM d),
+fl AS (
+  SELECT t.b,
+         sum(CASE WHEN {coin} % 2 = 0 THEN d.di ELSE -d.di END)::BIGINT AS s
+  FROM d CROSS JOIN (SELECT unnest(generate_series(0, {int(n_resamples) - 1})) AS b) t
+  GROUP BY t.b
+)
+SELECT obs.n AS n_queries,
+       round(obs.o / (10000.0 * obs.n), 4) AS mean_delta,
+       {int(n_resamples)}::BIGINT AS n_resamples,
+       sum(CASE WHEN abs(fl.s) >= abs(obs.o) THEN 1 ELSE 0 END)::BIGINT AS n_extreme,
+       round((sum(CASE WHEN abs(fl.s) >= abs(obs.o) THEN 1 ELSE 0 END) + 1)
+             / ({int(n_resamples)} + 1.0), 4) AS p_value
+FROM fl CROSS JOIN obs
+GROUP BY obs.n, obs.o
 """
 
 

@@ -78,6 +78,32 @@ def bm25_or_topk(documents: DataFrame, query_terms: list[str], k: int = 20,
     )
 
 
+def relaxed_topk(documents: DataFrame, query_terms: list[str], k: int = 20,
+                 **kw) -> DataFrame:
+    """(doc_id, tier, nhit, score) — query-relaxation cascade: full-AND
+    matches first (tier 0), then docs missing one term (tier 1), then two,
+    …, each tier BM25-ranked internally.  What production search runs for
+    multi-term queries instead of a hard AND gate returning "no results":
+    the sequential try-AND-then-relax loop collapses to ONE disjunctive
+    scoring pass ordered by (tier asc, score desc) — provably the cascade's
+    output, with no second retrieval round-trip.
+
+    Scale: identical plan to ``bm25_or_scored`` (min_match=1) plus a
+    TakeOrderedAndProject — the relaxation costs nothing over plain OR.
+    """
+    n = len(query_terms)
+    s = bm25_or_scored(documents, query_terms, min_match=1, **kw)
+    return (
+        s.select(
+            "doc_id",
+            (F.lit(n) - F.col("nhit")).cast("long").alias("tier"),
+            "nhit", "score",
+        )
+        .orderBy(F.asc("tier"), F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_not_topk(documents: DataFrame, must_terms: list[str],
                   not_terms: list[str], k: int = 20, **kw) -> DataFrame:
     """(doc_id, score): conjunctive BM25 with exclusion — Lucene's

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from searchengine_spark.pipeline._cache import finalize
+from searchengine_spark.pipeline.hashing import md5_long
 from searchengine_spark.pipeline.fulltext import (
     df_stats,
     doc_stats,
@@ -286,6 +287,74 @@ def bm25_b_sensitivity(documents: DataFrame,
     run_b = bm25_runs(documents, queries, k=k, b=0.0, postings=shared, **kw)
     shared.unpersist()  # both runs are checkpointed by finalize already
     return rank_agreement(run_a, run_b, k=k, p=p)
+
+
+def randomization_test(documents: DataFrame,
+                       queries: list[tuple[int, list[str]]] = EVAL_QUERIES,
+                       k: int = 10, n_resamples: int = 64,
+                       metric: str = "ndcg", b_alt: float = 0.0,
+                       **kw) -> DataFrame:
+    """(n_queries, mean_delta, n_resamples, n_extreme, p_value) — Fisher
+    sign-flip randomization test (Smucker/Allan/Carterette, CIKM '07: the
+    recommended significance test for IR evaluation) of BM25 b=0.75 vs
+    b=``b_alt`` on the per-query ``metric``: under H0 the per-query metric
+    deltas are symmetric around 0, so each resample flips every delta's
+    sign by a deterministic md5(b:qid) coin and the p-value is the share
+    of resamples whose |mean| reaches the observed |mean| (add-one
+    smoothed).  The judge of whether a ranker change is real or noise —
+    run before believing any rank_agreement drift.
+
+    Cross-engine exactness: the 4dp-published metrics become scaled longs
+    (round(m·10⁴)), so every resample sum is integer arithmetic; the md5
+    coin is the repo's shared salted-hash rule.  Resampling never touches
+    the corpus — it fans out |queries|×n_resamples tiny rows.
+    """
+    shared = tf_postings(documents, **kw).persist()
+    qrels = synthetic_qrels(documents, queries, **kw).persist()
+    ea = eval_rankings(
+        bm25_runs(documents, queries, k=k, postings=shared, **kw), qrels, k=k)
+    eb = eval_rankings(
+        bm25_runs(documents, queries, k=k, b=b_alt, postings=shared, **kw),
+        qrels, k=k)
+    d = (
+        ea.select("qid", F.round(F.col(metric) * 10000, 0)
+                  .cast("long").alias("ma"))
+        .join(eb.select("qid", F.round(F.col(metric) * 10000, 0)
+                        .cast("long").alias("mb")), "qid")
+        .select("qid", (F.col("ma") - F.col("mb")).alias("di"))
+        .persist()
+    )
+    obs = d.agg(F.sum("di").cast("long").alias("o"),
+                F.count(F.lit(1)).cast("long").alias("n"))
+    flips = d.select(
+        "qid", "di",
+        F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("b"),
+    )
+    sign = F.when(
+        md5_long(F.concat_ws(":", F.col("b").cast("string"),
+                             F.col("qid").cast("string"))) % 2 == 0,
+        F.lit(1)).otherwise(F.lit(-1))
+    sums = (
+        flips.select("b", (sign * F.col("di")).alias("sd"))
+        .groupBy("b").agg(F.sum("sd").cast("long").alias("s"))
+    )
+    out = (
+        sums.crossJoin(F.broadcast(obs))
+        .select((F.abs(F.col("s")) >= F.abs(F.col("o")))
+                .cast("int").alias("x"), "o", "n")
+        .groupBy("o", "n")
+        .agg(F.sum("x").cast("long").alias("n_extreme"))
+        .select(
+            F.col("n").alias("n_queries"),
+            F.round(F.col("o") / (10000.0 * F.col("n")), 4)
+            .alias("mean_delta"),
+            F.lit(n_resamples).cast("long").alias("n_resamples"),
+            "n_extreme",
+            F.round((F.col("n_extreme") + 1) / (n_resamples + 1.0), 4)
+            .alias("p_value"),
+        )
+    )
+    return finalize(out, shared, qrels, d)
 
 
 def balanced_interleave(run_a: DataFrame, run_b: DataFrame,

@@ -40,6 +40,77 @@ def _hits_docs(spark):
         CODE_FIXTURE_SCHEMA)
 
 
+class TestRelaxedTopk:
+    def test_and_matches_outrank_partial(self, spark):
+        from searchengine_spark.pipeline.queryops import relaxed_topk
+        docs = _docs(spark, [
+            (1, "alpha beta gamma"),                 # all three -> tier 0
+            (2, "alpha beta alpha beta alpha"),      # missing gamma -> tier 1
+            (3, "alpha"),                            # tier 2
+            (4, "nothing relevant"),
+        ])
+        out = relaxed_topk(docs, ["alpha", "beta", "gamma"], k=10).collect()
+        assert [r.doc_id for r in out] == [1, 2, 3]
+        assert [r.tier for r in out] == [0, 1, 2]
+        # doc 2 scores higher than doc 1 in raw BM25-OR terms (more hits of
+        # two terms) but tier precedence keeps the full match first
+        assert out[0].tier < out[1].tier
+
+    def test_tier_zero_equals_and_gate(self, spark):
+        from searchengine_spark.pipeline.queryops import relaxed_topk
+        from searchengine_spark.pipeline.fulltext import bm25_topk
+        docs = _docs(spark, [
+            (i, "alpha beta " + "pad " * i) for i in range(1, 6)
+        ])
+        rel = relaxed_topk(docs, ["alpha", "beta"], k=10).collect()
+        et = bm25_topk(docs, ["alpha", "beta"], k=10).collect()
+        assert [r.doc_id for r in rel if r.tier == 0] == [r.doc_id for r in et]
+
+
+class TestIndentCensus:
+    def test_dominant_per_lang(self, spark):
+        from searchengine_spark.pipeline.codestats import (
+            indentation_census, with_indent_fixture)
+        base = spark.createDataFrame([], CODE_FIXTURE_SCHEMA)
+        out = {r.lang: r for r in
+               indentation_census(with_indent_fixture(base)).collect()}
+        assert out["go"].dominant == "tab" and out["go"].n_tab == 3
+        assert out["js"].dominant == "space2" and out["js"].n_space2 == 2
+
+    def test_four_space_not_double_counted_as_two(self, spark):
+        from searchengine_spark.pipeline.codestats import indentation_census
+        docs = _docs(spark, [(1, "def f():\n    return 1\n")])
+        r = indentation_census(docs).collect()[0]
+        assert (r.n_space4, r.n_space2, r.n_tab) == (1, 0, 0)
+        assert r.dominant == "space4"
+
+
+class TestRandomizationTest:
+    def test_identical_runs_give_high_p(self, spark):
+        from searchengine_spark.pipeline.rankeval import randomization_test
+        docs = _docs(spark, [
+            (i, "merge vector dup cache index " + "w " * i)
+            for i in range(1, 12)
+        ])
+        # b_alt == default b -> all deltas 0 -> every resample ties -> p = 1
+        out = randomization_test(docs, k=5, n_resamples=16, b_alt=0.75)
+        r = out.collect()[0]
+        assert r.mean_delta == 0.0
+        assert r.n_extreme == 16
+        assert r.p_value == 1.0
+
+    def test_p_value_bounds_and_counts(self, spark):
+        from searchengine_spark.pipeline.rankeval import randomization_test
+        docs = _docs(spark, [
+            (i, "merge vector dup cache index " + "pad " * (i * 3))
+            for i in range(1, 12)
+        ])
+        r = randomization_test(docs, k=5, n_resamples=32).collect()[0]
+        assert r.n_resamples == 32
+        assert 0 <= r.n_extreme <= 32
+        assert 1 / 33 - 1e-9 <= r.p_value <= 1.0
+
+
 class TestHits:
     def test_import_edges_distinct_per_repo(self, spark):
         edges = import_edges(_hits_docs(spark)).collect()
