@@ -466,6 +466,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode_real": lambda s, d: multimodal.decode_real_features(
             multimodal.synth_container_media(_docs(s, d))
         ),
+        # signal features over the real-decoded payload (PCM / pixels):
+        # mean amplitude, RMS, threshold crossings
+        "q_media_signal_stats": lambda s, d: multimodal.media_signal_stats(
+            multimodal.synth_container_media(_docs(s, d))
+        ),
         # theta-seeded executor-side WAND at three terms
         "q_wand_distributed_and3": lambda s, d: _wand_dist(s, d, Q_AND3),
         # quantified-group regex through the trigram-pruned index path
@@ -830,6 +835,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_pagerank": lambda s, d: graph.source_pagerank(_docs(s, d)),
         # pre-build observability + explicit partitioning plan
         "q_corpus_health": lambda s, d: health.corpus_health(_docs(s, d)),
+        # incremental-reindex planning: snapshot diff + hash-shard skew
+        "q_corpus_diff": lambda s, d: health.corpus_diff(
+            _docs(s, d), health.snapshot_mutate(_docs(s, d))),
+        "q_shard_skew": lambda s, d: health.shard_skew_report(
+            _docs(s, d), n_shards=16),
         # phrase-precision boost over conjunctive BM25 recall
         "q_phrase_boosted": lambda s, d: queryops.phrase_boosted_topk(
             _docs(s, d), Q_PHRASE, boost=2.0, k=20
@@ -1022,6 +1032,7 @@ def oracle_sql() -> dict[str, str]:
             PROBE_VEC_IDS, dims=(8, 16, 32), k=5),
         "q_pq_recall": osql.pq_recall(PROBE_VEC_IDS, k=5),
         "q_media_decode_real": osql.media_decode_real(),
+        "q_media_signal_stats": osql.media_signal_stats(),
         "q_wand_distributed_and3": osql.bm25_topk(Q_AND3, k=20),
         "q_regex_indexed_group": osql.regex_search(Q_REGEX_GROUP),
         "q_tokenizer_fertility": osql.tokenizer_fertility(),
@@ -1150,6 +1161,8 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_estimate": osql.minhash_jaccard_estimate(),
         "q_source_pagerank": osql.source_pagerank(),
         "q_corpus_health": osql.corpus_health(),
+        "q_corpus_diff": osql.corpus_diff(),
+        "q_shard_skew": osql.shard_skew_report(n_shards=16),
         "q_phrase_boosted": osql.phrase_boosted_topk(Q_PHRASE, boost=2.0, k=20),
         "q_routed_search": osql.routed_search(Q_AND2, n_sources=3, k=20),
         "q_lsh_multiprobe_topk": osql.lsh_multiprobe_topk(PROBE_VEC_IDS, k=5),

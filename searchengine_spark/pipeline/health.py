@@ -174,3 +174,102 @@ def delta_impact(documents: DataFrame, victim_pct: int = 10,
         )
     )
     return finalize(out, p)
+
+
+def snapshot_mutate(documents: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Deterministic "next snapshot" of the corpus for the diff gate:
+    doc_id % 10 == 0 removed, % 7 == 1 gets an appended token (changed),
+    and % 13 == 2 is copied to doc_id + 1,000,000 (added).  A pure
+    function of the input, so the DuckDB twin rebuilds the identical
+    snapshot inline."""
+    did = F.col(id_col)
+    kept = documents.filter(F.pmod(did, F.lit(10)) != 0)
+    mutated = kept.withColumn(
+        text_col,
+        F.when(F.pmod(did, F.lit(7)) == 1,
+               F.concat(F.col(text_col), F.lit(" changedtoken")))
+        .otherwise(F.col(text_col)),
+    )
+    added = documents.filter(F.pmod(did, F.lit(13)) == 2).withColumn(
+        id_col, did + F.lit(1000000))
+    return mutated.unionByName(added)
+
+
+def corpus_diff(old_docs: DataFrame, new_docs: DataFrame,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(status, n_docs, n_chars) — snapshot diff between two corpus
+    versions: per doc_id, added / removed / changed (content sha moved) /
+    unchanged, rolled up with character volume.  The planning query an
+    incremental-reindex pipeline runs FIRST — its output sizes the
+    index/delta.reindex_docs batch and decides delta vs wipe-rebuild
+    (reference analog: single-page reindex, IndexingServiceImpl.java:117).
+
+    Scale: one full-outer equi-join on doc_id carrying two 32-byte shas —
+    never the texts; both sides are scanned once.
+    """
+    o = old_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("sha_old"),
+        F.length(text_col).cast("long").alias("ch_old"),
+    )
+    n = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("sha_new"),
+        F.length(text_col).cast("long").alias("ch_new"),
+    )
+    j = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("sha_old").isNull(), "added")
+        .when(F.col("sha_new").isNull(), "removed")
+        .when(F.col("sha_old") != F.col("sha_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(status.alias("status"),
+                 F.coalesce(F.col("ch_new"), F.col("ch_old")).alias("ch"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("ch").cast("long").alias("n_chars"))
+        .orderBy("status")
+    )
+
+
+def shard_skew_report(documents: DataFrame, n_shards: int = 16,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(shard, n_docs, n_chars, docs_skew, chars_skew) — partition-skew
+    preview for a hash-sharded layout: every document assigned to
+    md5(doc_id) % n_shards (the repo's portable salted-hash rule), per
+    shard the document and character volume plus its ratio to the even
+    split (skew 1.0 = perfectly balanced).  The pre-build planning panel:
+    a shard with chars_skew ≫ 1 is the straggler task at 100 TB, and the
+    signal to re-key or split before writing.
+
+    Scale: map-only shard assignment + one dimension-sized hash agg; the
+    skew ratios divide integers by integers, so both engines agree.
+    """
+    from searchengine_spark.pipeline.hashing import md5_long
+
+    sh = F.pmod(md5_long(F.col(id_col).cast("string")),
+                F.lit(n_shards)).cast("long")
+    per = (
+        documents.select(sh.alias("shard"),
+                         F.length(text_col).cast("long").alias("ch"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("ch").cast("long").alias("n_chars"))
+    )
+    tot = per.agg(F.sum("n_docs").cast("double").alias("td"),
+                  F.sum("n_chars").cast("double").alias("tc"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard", "n_docs", "n_chars",
+            F.round(F.col("n_docs") * n_shards / F.col("td"), 4)
+            .alias("docs_skew"),
+            F.round(F.col("n_chars") * n_shards / F.col("tc"), 4)
+            .alias("chars_skew"),
+        )
+        .orderBy("shard")
+    )

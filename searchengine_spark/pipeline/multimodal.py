@@ -286,6 +286,62 @@ def decode_real_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(gen, DECODED_SCHEMA)
 
 
+SIGNAL_RAW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("container", T.StringType()),
+    T.StructField("n_vals", T.LongType()),
+    T.StructField("s", T.LongType()),
+    T.StructField("ss", T.LongType()),
+    T.StructField("n_crossings", T.LongType()),
+])
+
+
+def media_signal_stats(media: DataFrame, threshold: int = 97) -> DataFrame:
+    """(doc_id, container, n_vals, mean_val, rms, n_crossings) — signal
+    statistics over the REAL-decoded payload bytes: mean amplitude, RMS
+    energy, and threshold-crossing count (the zero-crossing-rate analog
+    for unsigned samples) — per WAV's PCM section or BMP's pixel section.
+    The feature-extraction stage that follows decode in an audio/vision
+    curation pipeline (silence/blank detection, energy filters), done on
+    the genuinely-parsed payload, not the header.
+
+    Exactness: the Arrow batch returns integer (Σv, Σv², n, crossings);
+    mean and RMS are computed as Spark JVM expressions from those longs,
+    so the 4dp rounds agree with the DuckDB twin bit-for-bit.
+    """
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            rows = []
+            for did, cont, data in zip(
+                pdf["doc_id"].astype("int64"), pdf["container"], pdf["data"]
+            ):
+                d = decode_real(bytes(data), cont)
+                arr = np.frombuffer(d["data"], dtype=np.uint8).astype(np.int64)
+                below = arr < threshold
+                rows.append({
+                    "doc_id": int(did),
+                    "container": cont,
+                    "n_vals": int(arr.size),
+                    "s": int(arr.sum()),
+                    "ss": int((arr * arr).sum()),
+                    "n_crossings": int((below[1:] != below[:-1]).sum())
+                    if arr.size > 1 else 0,
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              SIGNAL_RAW_SCHEMA.fields])
+
+    raw = media.mapInPandas(gen, SIGNAL_RAW_SCHEMA)
+    return raw.select(
+        "doc_id", "container", "n_vals",
+        F.round(F.col("s") / F.col("n_vals"), 4).alias("mean_val"),
+        F.round(F.sqrt(F.col("ss") / F.col("n_vals")), 4).alias("rms"),
+        "n_crossings",
+    )
+
+
 _MAGIC_U32 = int.from_bytes(MAGIC, "little")
 
 

@@ -2330,6 +2330,111 @@ FROM m JOIN chain c USING (doc_id)
 """
 
 
+def media_signal_stats(threshold: int = 97) -> str:
+    """Twin of multimodal.media_signal_stats: payload bytes reconstructed
+    from the doc-keyed hex chain (same formulas as media_decode_real),
+    per-char ascii codes aggregated as exact longs, crossings via lag."""
+    from searchengine_spark.pipeline.multimodal import CHAIN_BLOCKS
+
+    return f"""
+WITH chain AS (
+  SELECT d.doc_id,
+         string_agg(sha256(d.doc_id::VARCHAR || ':' || i::VARCHAR), '' ORDER BY i) AS hex_chain
+  FROM documents d, range({CHAIN_BLOCKS}) t(i) GROUP BY d.doc_id
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS container,
+         (4 + 4 * (length(coalesce(text,'')) % 2))::INT AS bw,
+         (2 + ('0x' || substr(md5(coalesce(text,'')), 1, 8))::BIGINT % 3)::INT AS bh,
+         (1 + (doc_id // 2) % 2)::INT AS wch,
+         (32 + doc_id % 64)::BIGINT AS wns
+  FROM documents
+),
+pay AS (
+  SELECT m.doc_id, m.container,
+         substr(c.hex_chain, 1,
+           CASE WHEN m.container = 'wav' THEN (m.wns * m.wch)::INT
+                ELSE m.bw * 3 * m.bh END) AS payload
+  FROM m JOIN chain c USING (doc_id)
+),
+codes AS (
+  SELECT doc_id, container, i, ascii(substr(payload, i, 1))::BIGINT AS v
+  FROM pay, unnest(generate_series(1, length(payload)::BIGINT)) t(i)
+),
+cr AS (
+  SELECT doc_id,
+         CASE WHEN lag(v) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+                   AND (v < {int(threshold)})
+                       <> (lag(v) OVER (PARTITION BY doc_id ORDER BY i)
+                           < {int(threshold)})
+              THEN 1 ELSE 0 END AS x
+  FROM codes
+),
+crs AS (SELECT doc_id, sum(x)::BIGINT AS n_crossings FROM cr GROUP BY 1),
+agg AS (
+  SELECT doc_id, container, count(*)::BIGINT AS n_vals,
+         sum(v)::BIGINT AS s, sum(v * v)::BIGINT AS ss
+  FROM codes GROUP BY 1, 2
+)
+SELECT a.doc_id, a.container, a.n_vals,
+       round(a.s / a.n_vals::DOUBLE, 4) AS mean_val,
+       round(sqrt(a.ss / a.n_vals::DOUBLE), 4) AS rms,
+       crs.n_crossings
+FROM agg a JOIN crs USING (doc_id)
+"""
+
+
+def _new_snapshot() -> str:
+    """Inline derived table mirroring health.snapshot_mutate."""
+    return """(
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 1 THEN text || ' changedtoken' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 2
+)"""
+
+
+def corpus_diff() -> str:
+    """Twin of health.corpus_diff over documents vs snapshot_mutate."""
+    return f"""
+WITH o AS (SELECT doc_id, sha256(text) AS sha_old,
+                  length(text)::BIGINT AS ch_old FROM documents),
+n AS (SELECT doc_id, sha256(text) AS sha_new,
+             length(text)::BIGINT AS ch_new FROM {_new_snapshot()} _ns),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.sha_old, n.sha_new,
+         coalesce(n.ch_new, o.ch_old) AS ch
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT CASE WHEN sha_old IS NULL THEN 'added'
+            WHEN sha_new IS NULL THEN 'removed'
+            WHEN sha_old <> sha_new THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*)::BIGINT AS n_docs, sum(ch)::BIGINT AS n_chars
+FROM j GROUP BY 1 ORDER BY status
+"""
+
+
+def shard_skew_report(n_shards: int = 16) -> str:
+    """Twin of health.shard_skew_report (same md5 shard rule)."""
+    h = md5_long_sql("doc_id::VARCHAR")
+    return f"""
+WITH per AS (
+  SELECT (({h}) % {int(n_shards)})::BIGINT AS shard,
+         count(*)::BIGINT AS n_docs, sum(length(text))::BIGINT AS n_chars
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n_docs)::DOUBLE AS td, sum(n_chars)::DOUBLE AS tc FROM per)
+SELECT shard, n_docs, n_chars,
+       round(n_docs * {int(n_shards)} / tot.td, 4) AS docs_skew,
+       round(n_chars * {int(n_shards)} / tot.tc, 4) AS chars_skew
+FROM per CROSS JOIN tot
+ORDER BY shard
+"""
+
+
 def tokenizer_fertility() -> str:
     """Twin of textstats.tokenizer_fertility (per-lang bytes/pre-token)."""
     pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"

@@ -40,6 +40,70 @@ def _hits_docs(spark):
         CODE_FIXTURE_SCHEMA)
 
 
+class TestMediaSignalStats:
+    def test_wav_stats_match_numpy(self, spark):
+        import numpy as np
+        from searchengine_spark.pipeline.multimodal import (
+            media_signal_stats, payload_chain, synth_container_media,
+            wav_params)
+        docs = _docs(spark, [(2, "hello"), (4, "worlds")])  # even -> wav
+        out = {r.doc_id: r for r in media_signal_stats(
+            synth_container_media(docs)).collect()}
+        for did in (2, 4):
+            ch, _rate, ns = wav_params(did)
+            pcm = payload_chain(did)[: ns * ch].encode("ascii")
+            arr = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64)
+            r = out[did]
+            assert r.n_vals == arr.size
+            assert abs(r.mean_val - arr.mean()) < 1e-3
+            assert abs(r.rms - np.sqrt((arr * arr).mean())) < 1e-3
+
+    def test_bmp_rows_present(self, spark):
+        from searchengine_spark.pipeline.multimodal import (
+            media_signal_stats, synth_container_media)
+        docs = _docs(spark, [(1, "odd is bmp"), (3, "also bmp")])
+        out = media_signal_stats(synth_container_media(docs)).collect()
+        assert {r.container for r in out} == {"bmp"}
+        assert all(r.n_vals > 0 and r.rms > 0 for r in out)
+
+
+class TestCorpusDiff:
+    def test_statuses(self, spark):
+        from searchengine_spark.pipeline.health import corpus_diff
+        old = _docs(spark, [(1, "same"), (2, "will change"), (3, "gone")])
+        new = _docs(spark, [(1, "same"), (2, "did change"), (4, "brand new")])
+        got = {r.status: (r.n_docs, r.n_chars)
+               for r in corpus_diff(old, new).collect()}
+        assert got["unchanged"][0] == 1
+        assert got["changed"][0] == 1
+        assert got["removed"] == (1, len("gone"))
+        assert got["added"] == (1, len("brand new"))
+        # changed rows report the NEW character count
+        assert got["changed"][1] == len("did change")
+
+    def test_snapshot_mutate_rules(self, spark):
+        from searchengine_spark.pipeline.health import snapshot_mutate
+        docs = _docs(spark, [(i, f"text {i}") for i in range(30)])
+        new = {r.doc_id: r.text for r in snapshot_mutate(docs).collect()}
+        assert 0 not in new and 10 not in new          # % 10 removed
+        assert new[8].endswith("changedtoken")         # 8 % 7 == 1
+        assert new[2 + 1000000] == "text 2"            # 2 % 13 == 2 added
+        assert new[3] == "text 3"                      # untouched
+
+
+class TestShardSkew:
+    def test_balanced_totals_and_ratios(self, spark):
+        from searchengine_spark.pipeline.health import shard_skew_report
+        docs = _docs(spark, [(i, "word " * 10) for i in range(200)])
+        out = shard_skew_report(docs, n_shards=8).collect()
+        assert sum(r.n_docs for r in out) == 200
+        # md5 spreads 200 uniform ids: every shard populated, skew near 1
+        assert len(out) == 8
+        for r in out:
+            assert 0.3 < r.docs_skew < 2.5
+            assert r.chars_skew == r.docs_skew  # equal-length docs
+
+
 class TestRelaxedTopk:
     def test_and_matches_outrank_partial(self, spark):
         from searchengine_spark.pipeline.queryops import relaxed_topk
