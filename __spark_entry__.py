@@ -461,6 +461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_matryoshka_recall": lambda s, d: similarity.matryoshka_recall(
             _emb(s, d), PROBE_VEC_IDS, dims=(8, 16, 32), k=5
         ),
+        # coarse-to-fine two-stage ANN: prefix-cosine top-m, full rescore
+        "q_matryoshka_ann": lambda s, d: similarity.matryoshka_ann_topk(
+            _emb(s, d), PROBE_VEC_IDS, coarse_dim=8, m=20, k=5
+        ),
         # real-container decode: stdlib struct parse of synthesized
         # WAV/BMP files, value-hash gated via the sha-chain twin
         "q_media_decode_real": lambda s, d: multimodal.decode_real_features(
@@ -569,6 +573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_function_chunks": lambda s, d: codestats.function_chunks(
             codestats.with_code_fixture(_docs(s, d))),
         "q_complexity_stats": lambda s, d: codestats.complexity_stats(
+            codestats.with_code_fixture(_docs(s, d))),
+        # function-granular McCabe census + documentation-coverage panel
+        "q_function_complexity": lambda s, d: codestats.function_complexity(
+            codestats.with_code_fixture(_docs(s, d))),
+        "q_doc_coverage": lambda s, d: codestats.doc_coverage(
             codestats.with_code_fixture(_docs(s, d))),
         # Kleinberg HITS over the repo→module import graph (hubs =
         # broadest importers, authorities = core shared libraries)
@@ -1030,6 +1039,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ivf_recall": osql.ivf_recall(PROBE_VEC_IDS, k=5),
         "q_matryoshka_recall": osql.matryoshka_recall(
             PROBE_VEC_IDS, dims=(8, 16, 32), k=5),
+        "q_matryoshka_ann": osql.matryoshka_ann_topk(
+            PROBE_VEC_IDS, coarse_dim=8, m=20, k=5),
         "q_pq_recall": osql.pq_recall(PROBE_VEC_IDS, k=5),
         "q_media_decode_real": osql.media_decode_real(),
         "q_media_signal_stats": osql.media_signal_stats(),
@@ -1075,6 +1086,8 @@ def oracle_sql() -> dict[str, str]:
         "q_code_quality": osql.code_quality_flags(),
         "q_function_chunks": osql.function_chunks(),
         "q_complexity_stats": osql.complexity_stats(),
+        "q_function_complexity": osql.function_complexity(),
+        "q_doc_coverage": osql.doc_coverage(),
         "q_hits_scores": osql.hits_scores(),
         "q_co_imports": osql.co_import_pairs(min_both=2),
         "q_todo_census": osql.todo_census(),

@@ -1043,6 +1043,90 @@ def function_chunks(documents: DataFrame, id_col: str = "doc_id",
     )
 
 
+def function_complexity(documents: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(doc_id, chunk_id, symbol, n_lines, n_branches, n_bool_ops,
+    cyclomatic) — the McCabe census at FUNCTION granularity: the same
+    gaps-and-islands chunking as ``function_chunks``, with per-line
+    decision-point counts rolled up per chunk (cyclomatic = branches +
+    short-circuit ops + 1).  The per-function quality gate a code-LM
+    curation pass applies ("drop functions with cyclomatic > N") that the
+    per-document census can't express — one huge function and twenty tiny
+    ones look identical at doc level.
+
+    Scale: identical plan to function_chunks (posexplode + ONE per-doc
+    prefix-sum window + (doc, chunk) hash agg); the regex counts are
+    per-row JVM expressions on the line stream.
+    """
+    from pyspark.sql import Window
+
+    lines = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("line_no", "line"),
+    ).select(
+        "doc_id", "line_no", "line",
+        F.col("line").rlike(FUNC_LINE_RE).cast("int").alias("is_def"),
+        F.size(F.regexp_extract_all("line", F.lit(BRANCH_RE), F.lit(0)))
+        .cast("long").alias("nb"),
+        F.size(F.regexp_extract_all("line", F.lit(BOOL_OP_RE), F.lit(0)))
+        .cast("long").alias("nbo"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("line_no")
+    chunks = lines.withColumn("chunk_id", F.sum("is_def").over(w).cast("long"))
+    return chunks.groupBy("doc_id", "chunk_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("is_def") == 1,
+                         F.regexp_extract("line", FUNC_LINE_RE, 1))),
+            F.lit("")).alias("symbol"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("nb").cast("long").alias("n_branches"),
+        F.sum("nbo").cast("long").alias("n_bool_ops"),
+        (F.sum("nb") + F.sum("nbo") + 1).cast("long").alias("cyclomatic"),
+    )
+
+
+def doc_coverage(documents: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(lang, n_funcs, n_documented, coverage) — documentation-coverage
+    panel: the share of function definitions with a contiguous comment
+    block ending on the line directly above (the ``comment_code_pairs``
+    adjacency rule), per language.  The corpus-health twin of docstring
+    lint, and the supervision-yield estimate for the comment→code pair
+    extractor.
+    """
+    from pyspark.sql import Window
+
+    lines = documents.select(
+        F.col(id_col).alias("doc_id"), F.col("lang"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("line_no", "line"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("line_no")
+    run_ends = (
+        lines.filter(F.col("line").rlike(COMMENT_LINE_RE))
+        .withColumn("run_id", F.col("line_no") - F.row_number().over(w))
+        .groupBy("doc_id", "run_id")
+        .agg(F.max("line_no").alias("run_end"))
+        .select("doc_id", "run_end")
+    )
+    defs = lines.filter(F.col("line").rlike(FUNC_LINE_RE)).select(
+        "doc_id", "lang", F.col("line_no").alias("def_line"))
+    flagged = defs.join(
+        run_ends,
+        (defs.doc_id == run_ends.doc_id)
+        & (run_ends.run_end == defs.def_line - 1),
+        "left",
+    ).select("lang", F.col("run_end").isNotNull().cast("int").alias("has_doc"))
+    return (
+        flagged.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_funcs"),
+             F.sum("has_doc").cast("long").alias("n_documented"))
+        .select("lang", "n_funcs", "n_documented",
+                F.round(F.col("n_documented") / F.col("n_funcs"), 4)
+                .alias("coverage"))
+        .orderBy("lang")
+    )
+
+
 # ---- cyclomatic-complexity proxy census ------------------------------------
 
 BRANCH_RE = "\\b(?:if|elif|for|while|case|when|catch|except|switch)\\b"

@@ -2237,6 +2237,28 @@ FROM ({_recall_sql(cosine_topk(probe_ids, k),
     return " UNION ALL ".join(parts) + " ORDER BY trunc_dim, probe_id"
 
 
+def matryoshka_ann_topk(probe_ids: list[int], coarse_dim: int = 8,
+                        m: int = 20, k: int = 5) -> str:
+    """Twin of similarity.matryoshka_ann_topk: prefix-cosine top-m
+    candidates, full-dimension rescore, top-k."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+WITH coarse AS ({_cosine_topk_trunc(probe_ids, m, coarse_dim)}),
+probes AS (SELECT vec_id AS probe_id, embedding AS pvec
+           FROM embeddings WHERE vec_id IN ({ids})),
+cand AS (SELECT vec_id, embedding AS cvec FROM embeddings),
+resc AS (
+  SELECT c.probe_id, c.vec_id, {_COS}
+  FROM coarse c JOIN cand USING (vec_id) JOIN probes USING (probe_id)
+)
+SELECT probe_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM resc
+) WHERE rank <= {int(k)}
+"""
+
+
 def ivf_nprobe_sweep(probe_ids: list[int], k: int = 5, n_lists: int = 8,
                      nprobes: tuple[int, ...] = (1, 2, 4)) -> str:
     """Twin of similarity.ivf_nprobe_sweep: recall-vs-nprobe tuning curve
@@ -2964,6 +2986,96 @@ SELECT doc_id, n_funcs, n_branches, n_bool_ops, max_indent,
        (n_branches + n_bool_ops + greatest(n_funcs, 1))::BIGINT AS cyclomatic,
        round(n_branches / nl::DOUBLE, 4) AS branch_density
 FROM m
+"""
+
+
+def function_complexity() -> str:
+    """Twin of codestats.function_complexity (function_chunks' islands +
+    per-line decision-point counts)."""
+    from searchengine_spark.pipeline.codestats import (
+        BOOL_OP_RE,
+        BRANCH_RE,
+        FUNC_LINE_RE,
+    )
+
+    pat = _q(FUNC_LINE_RE)
+    return f"""
+WITH ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines
+  FROM {_code_docs()} documents
+),
+ln AS (
+  SELECT doc_id, e.line_no, e.line FROM (
+    SELECT doc_id,
+           unnest([{{'line_no': i - 1, 'line': lines[i]}}
+                   for i in generate_series(1, len(lines))]) AS e
+    FROM ls
+  )
+),
+mk AS (
+  SELECT doc_id, line_no, line,
+         CASE WHEN regexp_matches(line, '{pat}') THEN 1 ELSE 0 END AS is_def,
+         len(regexp_extract_all(line, '{_q(BRANCH_RE)}'))::BIGINT AS nb,
+         len(regexp_extract_all(line, '{_q(BOOL_OP_RE)}'))::BIGINT AS nbo
+  FROM ln
+),
+isl AS (
+  SELECT *, sum(is_def) OVER (PARTITION BY doc_id ORDER BY line_no)::BIGINT
+            AS chunk_id
+  FROM mk
+)
+SELECT doc_id, chunk_id,
+       coalesce(max(CASE WHEN is_def = 1
+                         THEN regexp_extract(line, '{pat}', 1) END), '') AS symbol,
+       count(*)::BIGINT AS n_lines,
+       sum(nb)::BIGINT AS n_branches,
+       sum(nbo)::BIGINT AS n_bool_ops,
+       (sum(nb) + sum(nbo) + 1)::BIGINT AS cyclomatic
+FROM isl GROUP BY doc_id, chunk_id
+"""
+
+
+def doc_coverage() -> str:
+    """Twin of codestats.doc_coverage (comment-run adjacency per lang)."""
+    from searchengine_spark.pipeline.codestats import (
+        COMMENT_LINE_RE,
+        FUNC_LINE_RE,
+    )
+
+    return f"""
+WITH ls AS (
+  SELECT doc_id, lang, string_split(text, chr(10)) AS lines
+  FROM {_code_docs()} documents
+),
+ln AS (
+  SELECT doc_id, lang, e.line_no, e.line FROM (
+    SELECT doc_id, lang,
+           unnest([{{'line_no': i - 1, 'line': lines[i]}}
+                   for i in generate_series(1, len(lines))]) AS e
+    FROM ls
+  )
+),
+runs AS (
+  SELECT doc_id, max(line_no) AS run_end FROM (
+    SELECT doc_id, line_no,
+           line_no - row_number() OVER (PARTITION BY doc_id ORDER BY line_no)
+           AS run_id
+    FROM ln WHERE regexp_matches(line, '{_q(COMMENT_LINE_RE)}')
+  ) GROUP BY doc_id, run_id
+),
+defs AS (
+  SELECT doc_id, lang, line_no AS def_line FROM ln
+  WHERE regexp_matches(line, '{_q(FUNC_LINE_RE)}')
+),
+flagged AS (
+  SELECT d.lang,
+         CASE WHEN r.run_end IS NOT NULL THEN 1 ELSE 0 END AS has_doc
+  FROM defs d
+  LEFT JOIN runs r ON r.doc_id = d.doc_id AND r.run_end = d.def_line - 1
+)
+SELECT lang, count(*)::BIGINT AS n_funcs, sum(has_doc)::BIGINT AS n_documented,
+       round(sum(has_doc) / count(*)::DOUBLE, 4) AS coverage
+FROM flagged GROUP BY lang ORDER BY lang
 """
 
 

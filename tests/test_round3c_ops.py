@@ -40,6 +40,65 @@ def _hits_docs(spark):
         CODE_FIXTURE_SCHEMA)
 
 
+class TestMatryoshkaAnn:
+    def test_full_coarse_dim_equals_exact(self, spark):
+        import numpy as np
+        from searchengine_spark.pipeline.similarity import (
+            cosine_topk, matryoshka_ann_topk)
+        rng = np.random.RandomState(3)
+        rows = [(i, rng.randn(16).tolist(), "a") for i in range(25)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string")
+        # coarse_dim = full dim and m covering everything -> exact top-k
+        ann = matryoshka_ann_topk(emb, [0, 1], coarse_dim=16, m=24, k=3)
+        ext = cosine_topk(emb, [0, 1], k=3)
+        assert sorted(map(tuple, ann.collect())) == sorted(map(tuple, ext.collect()))
+
+    def test_rescore_uses_full_dims(self, spark):
+        from searchengine_spark.pipeline.similarity import matryoshka_ann_topk
+        # v1 matches the probe only in the coarse prefix; v2 matches fully:
+        # the coarse stage admits both, the full rescore must rank v2 first
+        probe = [1.0] * 4 + [1.0] * 4
+        v1 = [1.0] * 4 + [-1.0] * 4
+        v2 = [1.0] * 8
+        emb = spark.createDataFrame(
+            [(0, probe, "p"), (1, v1, "a"), (2, v2, "a")],
+            "vec_id long, embedding array<double>, label string")
+        out = matryoshka_ann_topk(emb, [0], coarse_dim=4, m=2, k=2).collect()
+        assert out[0].vec_id == 2 and out[0].rank == 1
+
+
+class TestFunctionComplexity:
+    def test_per_function_rollup(self, spark):
+        from searchengine_spark.pipeline.codestats import function_complexity
+        docs = _docs(spark, [(1,
+            "import os\n"
+            "def simple(a):\n"
+            "    return a\n"
+            "def branchy(b):\n"
+            "    if b and b > 1:\n"
+            "        return 1\n"
+            "    elif b:\n"
+            "        return 2\n")])
+        rows = {r.symbol: r for r in function_complexity(docs).collect()}
+        assert rows[""].chunk_id == 0          # preamble
+        assert rows["simple"].cyclomatic == 1  # no decisions
+        # branchy: if + elif = 2 branches (BOOL 'and' is a keyword, not &&)
+        assert rows["branchy"].n_branches == 2
+        assert rows["branchy"].cyclomatic == 3
+
+
+class TestDocCoverage:
+    def test_coverage_fraction(self, spark):
+        from searchengine_spark.pipeline.codestats import doc_coverage
+        docs = _docs(spark, [
+            (1, "# documented\ndef f(a):\n    return a\ndef g(b):\n    return b\n"),
+        ])
+        r = doc_coverage(docs).collect()[0]
+        assert (r.n_funcs, r.n_documented) == (2, 1)
+        assert r.coverage == 0.5
+
+
 class TestMediaSignalStats:
     def test_wav_stats_match_numpy(self, spark):
         import numpy as np
