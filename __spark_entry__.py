@@ -38,6 +38,7 @@ from searchengine_spark.pipeline import (  # noqa: E402
     graph,
     events,
     fulltext,
+    indexopt,
     multimodal,
     oracle_sql as osql,
     packing,
@@ -910,6 +911,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # budget provably identical to the exact conjunctive top-k, so the
         # bm25 oracle gates it (budgeted behavior is pytest-covered)
         "q_anytime_and2": lambda s, d: _anytime(s, d, Q_AND2),
+        # index-layout engineering (pipeline/indexopt.py): Roaring
+        # container planning, Carmel static pruning + recall impact,
+        # zone-map partition-skipping evaluation
+        "q_roaring_stats": lambda s, d: indexopt.roaring_stats(
+            _docs(s, d), chunk_bits=12),
+        "q_static_pruning": lambda s, d: indexopt.static_pruning_recall(
+            _docs(s, d), [Q_SINGLE, Q_AND2, Q_AND3], keep_n=64, k=20),
+        "q_zonemap_prune": lambda s, d: indexopt.zonemap_prune(
+            _docs(s, d), n_parts=32, lo=200, hi=400),
+        # EWMA level-shift monitor over daily event volumes (sequential
+        # fold evaluated on the day dimension, engine-exact via list fold)
+        "q_ewma_daily": lambda s, d: events.ewma_daily(_events(s, d), alpha=0.3),
+        # triangle count + clustering coefficient over the co-import graph
+        "q_import_triangles": lambda s, d: graph.co_import_triangles(
+            codestats.with_hits_fixture(
+                codestats.with_code_fixture(_docs(s, d))), min_both=1),
     }
 
 
@@ -1200,4 +1217,10 @@ def oracle_sql() -> dict[str, str]:
         "q_ul2_mixture": osql.ul2_mixture(),
         "q_quantization_agreement": osql.quantization_agreement(
             [(1, ["merge", "vector"]), (2, ["dup"]), (3, ["table", "join"])]),
+        "q_roaring_stats": osql.roaring_stats(chunk_bits=12),
+        "q_static_pruning": osql.static_pruning_recall(
+            [Q_SINGLE, Q_AND2, Q_AND3], keep_n=64, k=20),
+        "q_zonemap_prune": osql.zonemap_prune(n_parts=32, lo=200, hi=400),
+        "q_ewma_daily": osql.ewma_daily(alpha=0.3),
+        "q_import_triangles": osql.co_import_triangles(min_both=1),
     }

@@ -22,7 +22,7 @@ up to 1e-12 float noise — rounding makes the hash comparison exact).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def tumbling_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
@@ -191,6 +191,53 @@ def daily_anomalies(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
                 .otherwise(F.lit(0.0)), 3).alias("z"),
         )
         .withColumn("is_anomaly", F.abs(F.col("z")) > z_threshold)
+    )
+
+
+def ewma_daily(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """(event_type, day, n, ewma, ratio) — exponentially weighted moving
+    average of daily event volumes: s_1 = n_1, s_i = α·n_i + (1−α)·s_{i−1}
+    (pandas ``ewm(adjust=False)`` recurrence).  ``ratio = n / s_{i}`` is
+    the level-shift monitor that complements ``daily_anomalies``'s
+    global z-score: the EWMA adapts to drift, so a slow ramp stays
+    ratio≈1 while a step change spikes it.
+
+    The recurrence is a sequential left fold, which does not distribute
+    over days — but days are a DIMENSION (day×type cardinality), so the
+    plan collapses events to daily counts first (one hash agg at event
+    cardinality), collects each type's day-ordered counts into one
+    array, and evaluates every prefix fold with JVM ``aggregate`` over
+    an array slice.  The DuckDB twin uses ``list_reduce`` over the same
+    slice — identical fold order, so the doubles match bit-for-bit
+    before rounding.  Nothing corpus-sized crosses a window."""
+    daily = (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    arrs = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"].cast("double"),
+        ).alias("ns")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("i", F.row_number().over(w))
+    a = float(alpha)
+    fold = F.aggregate(
+        F.slice(F.col("ns"), 2, F.col("i") - 1),
+        F.element_at(F.col("ns"), 1),
+        lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
+    )
+    return (
+        idx.join(F.broadcast(arrs), "event_type")
+        .withColumn("ewma_raw", fold)
+        .select(
+            "event_type", "day", "n",
+            F.round("ewma_raw", 6).alias("ewma"),
+            F.round(F.col("n") / F.col("ewma_raw"), 4).alias("ratio"),
+        )
     )
 
 

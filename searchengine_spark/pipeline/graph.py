@@ -191,3 +191,76 @@ def source_pagerank(documents: DataFrame, n_iter: int = N_ITER,
         .orderBy(F.desc("score"), F.asc("source"))
     )
     return finalize(out, frac)
+
+
+def co_import_triangles(documents: DataFrame, min_both: int = 2,
+                        text_col: str = "text",
+                        source_col: str = "source") -> DataFrame:
+    """(module, deg, n_tri, clustering) — triangle count + local
+    clustering coefficient per module over the co-import graph (nodes =
+    imported modules, undirected edge a—b iff ≥ ``min_both`` repos
+    import both).  Triangles are the "ecosystem cluster" signal: a
+    module whose neighbors also co-occur with each other (numpy/pandas/
+    scipy) vs a hub bridging unrelated stacks (os).
+
+    Spark shape: the classic two-path + closing-edge join over the
+    oriented edge list (a < b < c, so each triangle is generated exactly
+    once) — the node-iterator algorithm whose join keys are vertex ids,
+    shuffle-partitioned by vertex; never an all-pairs product.  Edge
+    list is module-dimension sized (repos × imports², cut by min_both),
+    so at 100 TB the joins are dimension-scale.  clustering =
+    2·T / (deg·(deg−1)), 0 when deg < 2.
+
+    Reference tie-in: the dual of co_import_pairs' lift panel
+    (codestats.py) — pairwise association promoted to closed-triple
+    structure."""
+    from searchengine_spark.pipeline.codestats import import_edges
+
+    repo_mod = import_edges(documents, text_col, source_col)
+    edges = (
+        repo_mod.select("src", F.col("dst").alias("a"))
+        .join(repo_mod.select("src", F.col("dst").alias("b")), "src")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= min_both)
+        .select("a", "b")
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("a").alias("module"))
+        .unionByName(edges.select(F.col("b").alias("module")))
+        .groupBy("module")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                F.col("e2.b").alias("z"))
+        .join(
+            edges.alias("e3"),
+            (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+        )
+        .select("x", "y", "z")
+    )
+    tri_per_node = (
+        tri.select(F.col("x").alias("module"))
+        .unionByName(tri.select(F.col("y").alias("module")))
+        .unionByName(tri.select(F.col("z").alias("module")))
+        .groupBy("module")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    out = (
+        deg.join(tri_per_node, "module", "left")
+        .na.fill({"n_tri": 0})
+        .select(
+            "module", "deg", F.col("n_tri").cast("long").alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(2.0 * F.col("n_tri")
+                        / (F.col("deg") * (F.col("deg") - 1)), 4),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
+        )
+    )
+    return finalize(out, edges)

@@ -1,0 +1,301 @@
+"""Index-layout engineering ops: Roaring container planning, static
+index pruning, and zone-map skipping evaluation.
+
+The reference's index is a MySQL B-tree over row-exploded postings
+(`src/main/java/searchengine/model/Index.java:12-30`); at 100 TB the
+same postings live in compressed immutable segments, and three classic
+layout decisions dominate cost:
+
+- **Roaring container planning** (`roaring_stats`): Chambi et al.,
+  "Better bitmap performance with Roaring bitmaps" (Softw. Pract.
+  Exper. 2016).  Docid space is split into fixed chunks; each
+  (term, chunk) posting set is stored as the cheapest of a 16-bit
+  array (2 B/doc), a fixed bitmap (2^bits/8 B), or a run container
+  (2 B + 4 B/run).  This op computes, per term, exactly which
+  containers a Roaring encoder would pick and the resulting bytes —
+  the sizing report you run before choosing the postings codec.
+- **Static index pruning** (`static_pruning_recall`): Carmel et al.,
+  "Static index pruning for information retrieval systems" (SIGIR'01):
+  keep only each term's top-N postings by BM25 impact, then measure
+  top-k result degradation against the unpruned index.  The pruned
+  index is the cheap tier-0 of a tiered index (cf. q_tiered_topk).
+- **Zone-map skipping** (`zonemap_prune`): per-partition min/max
+  metadata (Parquet row-group stats / Iceberg manifests) lets a range
+  predicate skip whole partitions — but only if the layout clusters
+  the key.  This op contrasts arrival order vs sorted order for the
+  same predicate: the quantified case for a `repartitionByRange` +
+  `sortWithinPartitions` rewrite of the corpus at rest.
+
+Scale notes: roaring/pruning are one windowed shuffle over the
+postings table (partitioned by term — the same key the postings are
+already bucketed by, so at rest this is shuffle-free); zonemap_prune
+reduces the corpus to (doc_id, key) pairs before any windowing and its
+global ntile is a planning calculation over that narrow projection —
+the production layout itself comes from repartitionByRange, which
+samples boundaries instead of sorting globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from searchengine_spark.pipeline._cache import finalize
+from searchengine_spark.pipeline.fulltext import (
+    BM25_B,
+    BM25_K1,
+    df_stats,
+    doc_stats,
+    tf_postings,
+)
+
+
+def roaring_stats(documents: DataFrame, chunk_bits: int = 12,
+                  **kw) -> DataFrame:
+    """(term, n_postings, n_chunks, n_run, n_array, n_bitmap,
+    bytes_roaring, bytes_raw, ratio) — per-term Roaring container plan.
+
+    Containers per (term, chunk = doc_id >> chunk_bits):
+      array  = 2 B per posting (ids are < 2^chunk_bits, 16-bit safe),
+      bitmap = 2^chunk_bits / 8 B (fixed),
+      run    = 2 B + 4 B per maximal consecutive-docid run.
+    The encoder picks the cheapest (ties: run, then array, then
+    bitmap — Roaring's runOptimize preference order).  ``bytes_raw``
+    is the uncompressed 4 B/docid baseline.
+
+    One window pass (lag over doc_id within term×chunk — the postings'
+    natural bucketing key, so at rest no shuffle) + two hash aggs.
+    """
+    if not 1 <= chunk_bits <= 16:
+        raise ValueError("chunk_bits must be in [1, 16]")
+    bitmap_bytes = (1 << chunk_bits) // 8
+    p = tf_postings(documents, **kw).select(
+        "term",
+        (F.col("doc_id").bitwiseAND((1 << chunk_bits) - 1)).alias("lo"),
+        F.shiftright(F.col("doc_id"), chunk_bits).alias("chunk"),
+    )
+    w = Window.partitionBy("term", "chunk").orderBy("lo")
+    runs = p.withColumn(
+        "run_start",
+        (F.lag("lo").over(w).isNull()
+         | (F.col("lo") - F.lag("lo").over(w) != 1)).cast("long"),
+    )
+    per_chunk = runs.groupBy("term", "chunk").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("run_start").cast("long").alias("n_runs"),
+    )
+    cb = per_chunk.select(
+        "term",
+        "n",
+        (2 * F.col("n")).alias("b_array"),
+        F.lit(bitmap_bytes).cast("long").alias("b_bitmap"),
+        (2 + 4 * F.col("n_runs")).alias("b_run"),
+    ).withColumn(
+        "b_best", F.least("b_run", "b_array", "b_bitmap")
+    ).withColumn(
+        "container",
+        F.when(F.col("b_run") == F.col("b_best"), "run")
+        .when(F.col("b_array") == F.col("b_best"), "array")
+        .otherwise("bitmap"),
+    )
+    return cb.groupBy("term").agg(
+        F.sum("n").cast("long").alias("n_postings"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum((F.col("container") == "run").cast("long"))
+        .cast("long").alias("n_run"),
+        F.sum((F.col("container") == "array").cast("long"))
+        .cast("long").alias("n_array"),
+        F.sum((F.col("container") == "bitmap").cast("long"))
+        .cast("long").alias("n_bitmap"),
+        F.sum("b_best").cast("long").alias("bytes_roaring"),
+        (4 * F.sum("n")).cast("long").alias("bytes_raw"),
+        F.round(F.sum("b_best") / (4 * F.sum("n")), 4).alias("ratio"),
+    )
+
+
+def _impact_pruned_postings(p: DataFrame, ds: DataFrame, n_and_avg: DataFrame,
+                            dfs: DataFrame, keep_n: int,
+                            k1: float, b: float) -> DataFrame:
+    """Postings restricted to each term's top ``keep_n`` by BM25 partial
+    impact (Carmel'01 top-N term-centric pruning).  Scoring stats (df,
+    dl, avgdl) stay those of the FULL corpus — pruning drops postings,
+    not statistics."""
+    scored = (
+        p.join(F.broadcast(dfs.select("term", "df")), "term")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "pscore",
+            F.col("idf") * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf")
+               + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.desc("pscore"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("irank", F.row_number().over(w))
+        .filter(F.col("irank") <= keep_n)
+        .select("term", "doc_id", "pscore")
+    )
+
+
+def static_pruning_recall(documents: DataFrame,
+                          query_sets: list[list[str]],
+                          keep_n: int = 64, k: int = 20,
+                          k1: float = BM25_K1, b: float = BM25_B,
+                          **kw) -> DataFrame:
+    """(query, n_full, n_pruned, n_common, recall) — top-k overlap of
+    BM25 AND-search on a statically pruned index vs the full index.
+
+    The pruned index keeps each term's top ``keep_n`` postings by BM25
+    impact (rank over (pscore desc, doc_id asc)); queries are then
+    scored on both indexes with identical full-corpus statistics and
+    the same (rounded score desc, doc_id asc) top-k contract as
+    fulltext.bm25_topk.  recall = |pruned ∩ full| / |full|.
+
+    Pruning is per-term independent, so restricting the impact window
+    to the probed terms yields exactly the postings the whole-index
+    prune would keep for them — the gate runs the probe slice, the
+    batch job runs every term with the identical plan.  One windowed
+    shuffle keyed by term (the postings' bucketing key) + O(k) aggs.
+    """
+    all_terms = sorted({t for qs in query_sets for t in qs})
+    p = tf_postings(documents, **kw).filter(
+        F.col("term").isin(all_terms)).persist()
+    ds_full = doc_stats(tf_postings(documents, **kw)).persist()
+    n_and_avg = ds_full.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfs = df_stats(p)
+    scored_full = (
+        p.join(F.broadcast(dfs.select("term", "df")), "term")
+        .join(ds_full.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "pscore",
+            F.col("idf") * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf")
+               + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))),
+        )
+        .select("term", "doc_id", "pscore")
+        .persist()
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("pscore"), F.asc("doc_id"))
+    pruned = (
+        scored_full.withColumn("irank", F.row_number().over(w))
+        .filter(F.col("irank") <= keep_n)
+        .select("term", "doc_id", "pscore")
+        .persist()
+    )
+
+    def topk(postings: DataFrame, terms: list[str]) -> DataFrame:
+        return (
+            postings.filter(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("nhit"),
+                 F.round(F.sum("pscore"), 4).alias("score"))
+            .filter(F.col("nhit") == len(terms))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id")
+        )
+
+    rows = []
+    for terms in query_sets:
+        full_k = topk(scored_full, terms)
+        pruned_k = topk(pruned, terms)
+        label = " ".join(terms)
+        rows.append(
+            full_k.alias("f")
+            .join(pruned_k.alias("pr"), "doc_id", "full_outer")
+            .select(
+                F.lit(label).alias("query"),
+                F.col("f.doc_id").isNotNull().cast("long").alias("in_full"),
+                F.col("pr.doc_id").isNotNull().cast("long").alias("in_pruned"),
+            )
+            .groupBy("query")
+            .agg(
+                F.sum("in_full").cast("long").alias("n_full"),
+                F.sum("in_pruned").cast("long").alias("n_pruned"),
+                F.sum(F.col("in_full") * F.col("in_pruned"))
+                .cast("long").alias("n_common"),
+            )
+            .withColumn(
+                "recall",
+                F.round(F.col("n_common")
+                        / F.greatest(F.col("n_full"), F.lit(1)), 4),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return finalize(out, p, ds_full, scored_full, pruned)
+
+
+def zonemap_prune(documents: DataFrame, n_parts: int = 32,
+                  lo: int = 200, hi: int = 400) -> DataFrame:
+    """(layout, n_parts, n_scanned, rows_scanned, rows_matching,
+    frac_scanned) — zone-map partition-skipping evaluation for the
+    predicate ``length(text) BETWEEN lo AND hi`` under two layouts:
+
+      arrival    partition = doc_id % n_parts (insertion order —
+                 every partition's [min,max] spans the key range),
+      clustered  partition = ntile(n_parts) ordered by (len, doc_id)
+                 (the layout repartitionByRange + sort-within gives).
+
+    A partition is scanned iff its zone map [min_len, max_len]
+    intersects [lo, hi] — exactly Parquet row-group / Iceberg manifest
+    pruning.  The two output rows quantify what clustering the corpus
+    by the key buys: rows_matching is identical, rows_scanned is not.
+
+    The corpus is first projected to (doc_id, len) — the windowed
+    ntile runs over that narrow pair stream, a planning calculation;
+    the layout itself would be written with repartitionByRange
+    (sampled boundaries, no global sort)."""
+    keyed = documents.select(
+        "doc_id", F.length("text").cast("long").alias("len")
+    )
+    arrival = keyed.withColumn("part", F.col("doc_id") % n_parts)
+    clustered = keyed.withColumn(
+        "part",
+        F.ntile(n_parts).over(Window.orderBy(F.asc("len"), F.asc("doc_id"))),
+    )
+    out = []
+    for name, df in (("arrival", arrival), ("clustered", clustered)):
+        zones = df.groupBy("part").agg(
+            F.min("len").alias("zmin"),
+            F.max("len").alias("zmax"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("len").between(lo, hi).cast("long"))
+            .cast("long").alias("n_match"),
+        )
+        out.append(
+            zones.agg(
+                F.lit(name).alias("layout"),
+                F.count(F.lit(1)).cast("long").alias("n_parts"),
+                F.sum(((F.col("zmax") >= lo) & (F.col("zmin") <= hi))
+                      .cast("long")).cast("long").alias("n_scanned"),
+                F.sum(F.when((F.col("zmax") >= lo) & (F.col("zmin") <= hi),
+                             F.col("n_rows")).otherwise(F.lit(0)))
+                .cast("long").alias("rows_scanned"),
+                F.sum("n_match").cast("long").alias("rows_matching"),
+                F.round(
+                    F.sum(F.when((F.col("zmax") >= lo)
+                                 & (F.col("zmin") <= hi),
+                                 F.col("n_rows")).otherwise(F.lit(0)))
+                    / F.sum("n_rows"), 4).alias("frac_scanned"),
+            )
+        )
+    return out[0].unionByName(out[1])

@@ -6692,3 +6692,239 @@ FROM (
 WHERE ({coin}) = 2
 """
     return f"{r} UNION ALL {x} UNION ALL {s}"
+
+
+def roaring_stats(chunk_bits: int = 12) -> str:
+    """Twin of indexopt.roaring_stats: per-(term,chunk) run detection via
+    lag, three container costs, cheapest wins with run>array>bitmap tie
+    preference, rolled up per term.  doc_ids are non-negative so % and //
+    equal the Spark plan's mask/shift."""
+    size = 1 << chunk_bits
+    bitmap_bytes = size // 8
+    return f"""
+WITH {_TOKS_CTE},
+pc AS (
+  SELECT term, doc_id % {size} AS lo, doc_id // {size} AS chunk
+  FROM postings
+),
+runs AS (
+  SELECT term, chunk, lo,
+         CASE WHEN lag(lo) OVER (PARTITION BY term, chunk ORDER BY lo) IS NULL
+                   OR lo - lag(lo) OVER (PARTITION BY term, chunk ORDER BY lo) <> 1
+              THEN 1 ELSE 0 END AS run_start
+  FROM pc
+),
+per_chunk AS (
+  SELECT term, chunk, count(*)::BIGINT AS n, sum(run_start)::BIGINT AS n_runs
+  FROM runs GROUP BY 1, 2
+),
+cb AS (
+  SELECT term, n,
+         2 * n AS b_array,
+         {bitmap_bytes}::BIGINT AS b_bitmap,
+         2 + 4 * n_runs AS b_run,
+         least(2 + 4 * n_runs, 2 * n, {bitmap_bytes}) AS b_best
+  FROM per_chunk
+),
+cc AS (
+  SELECT term, n, b_best,
+         CASE WHEN b_run = b_best THEN 'run'
+              WHEN b_array = b_best THEN 'array'
+              ELSE 'bitmap' END AS container
+  FROM cb
+)
+SELECT term,
+       sum(n)::BIGINT AS n_postings,
+       count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN container = 'run' THEN 1 ELSE 0 END)::BIGINT AS n_run,
+       sum(CASE WHEN container = 'array' THEN 1 ELSE 0 END)::BIGINT AS n_array,
+       sum(CASE WHEN container = 'bitmap' THEN 1 ELSE 0 END)::BIGINT AS n_bitmap,
+       sum(b_best)::BIGINT AS bytes_roaring,
+       (4 * sum(n))::BIGINT AS bytes_raw,
+       round(sum(b_best) / (4 * sum(n)), 4) AS ratio
+FROM cc GROUP BY term
+"""
+
+
+def static_pruning_recall(query_sets: list[list[str]], keep_n: int = 64,
+                          k: int = 20) -> str:
+    """Twin of indexopt.static_pruning_recall: impact-ranked per-term
+    top-N pruning, BM25 AND top-k on full vs pruned postings with
+    full-corpus statistics, per-query overlap counts."""
+    all_terms = sorted({t for qs in query_sets for t in qs})
+    tl = _terms_in(all_terms)
+    parts = []
+    for i, terms in enumerate(query_sets):
+        qtl = _terms_in(terms)
+        label = " ".join(terms).replace("'", "''")
+        parts.append(f"""
+fullk_{i} AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, round(sum(pscore), 4) AS score
+    FROM sc WHERE term IN ({qtl})
+    GROUP BY doc_id HAVING count(*) = {len(terms)}
+  ) ORDER BY score DESC, doc_id ASC LIMIT {k}
+),
+prunedk_{i} AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, round(sum(pscore), 4) AS score
+    FROM pr WHERE term IN ({qtl})
+    GROUP BY doc_id HAVING count(*) = {len(terms)}
+  ) ORDER BY score DESC, doc_id ASC LIMIT {k}
+),
+res_{i} AS (
+  SELECT '{label}' AS query, f.c AS n_full, p.c AS n_pruned, j.c AS n_common
+  FROM (SELECT count(*)::BIGINT AS c FROM fullk_{i}) f,
+       (SELECT count(*)::BIGINT AS c FROM prunedk_{i}) p,
+       (SELECT count(*)::BIGINT AS c
+        FROM fullk_{i} JOIN prunedk_{i} USING (doc_id)) j
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM res_{i}" for i in range(len(query_sets)))
+    return f"""
+WITH {_TOKS_CTE},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs,
+             (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings
+        WHERE term IN ({tl}) GROUP BY term),
+sc AS MATERIALIZED (
+  SELECT p.term, p.doc_id,
+         ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) AS pscore
+  FROM postings p
+  JOIN dfs USING (term)
+  JOIN ds ON p.doc_id = ds.doc_id
+  CROSS JOIN g
+  WHERE p.term IN ({tl})
+),
+pr AS MATERIALIZED (
+  SELECT term, doc_id, pscore FROM (
+    SELECT term, doc_id, pscore,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY pscore DESC, doc_id ASC) AS irank
+    FROM sc
+  ) WHERE irank <= {int(keep_n)}
+),
+{", ".join(p.strip() for p in parts)}
+SELECT query, n_full, n_pruned, n_common,
+       round(n_common / greatest(n_full, 1), 4) AS recall
+FROM ({union})
+"""
+
+
+def zonemap_prune(n_parts: int = 32, lo: int = 200, hi: int = 400) -> str:
+    """Twin of indexopt.zonemap_prune: arrival (doc_id % P) vs clustered
+    (ntile over len, doc_id) layouts, per-partition min/max zone maps,
+    partitions scanned iff the zone intersects [lo, hi]."""
+    body = """
+  SELECT '{name}' AS layout,
+         count(*)::BIGINT AS n_parts,
+         sum(CASE WHEN zmax >= {lo} AND zmin <= {hi} THEN 1 ELSE 0 END)::BIGINT AS n_scanned,
+         sum(CASE WHEN zmax >= {lo} AND zmin <= {hi} THEN n_rows ELSE 0 END)::BIGINT AS rows_scanned,
+         sum(n_match)::BIGINT AS rows_matching,
+         round(sum(CASE WHEN zmax >= {lo} AND zmin <= {hi} THEN n_rows ELSE 0 END)
+               / sum(n_rows), 4) AS frac_scanned
+  FROM z{name}"""
+    return f"""
+WITH keyed AS (SELECT doc_id, length(text)::BIGINT AS len FROM documents),
+parr AS (SELECT len, doc_id % {n_parts} AS part FROM keyed),
+pclu AS (SELECT len, ntile({n_parts}) OVER (ORDER BY len, doc_id) AS part
+         FROM keyed),
+zarrival AS (
+  SELECT part, min(len) AS zmin, max(len) AS zmax,
+         count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN len BETWEEN {lo} AND {hi} THEN 1 ELSE 0 END)::BIGINT AS n_match
+  FROM parr GROUP BY part
+),
+zclustered AS (
+  SELECT part, min(len) AS zmin, max(len) AS zmax,
+         count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN len BETWEEN {lo} AND {hi} THEN 1 ELSE 0 END)::BIGINT AS n_match
+  FROM pclu GROUP BY part
+)
+{body.format(name="arrival", lo=lo, hi=hi)}
+UNION ALL
+{body.format(name="clustered", lo=lo, hi=hi)}
+"""
+
+
+def ewma_daily(alpha: float = 0.3) -> str:
+    """Twin of events.ewma_daily: day-ordered per-type count arrays,
+    prefix slice + list_reduce left fold — identical fold order to the
+    Spark ``aggregate``, so doubles are engine-exact before rounding."""
+    a = float(alpha)
+    om = 1.0 - a
+    fold = f"list_reduce(ns[1:i], (acc, x) -> {a!r} * x + {om!r} * acc)"
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts)::DATE AS day, event_type,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+arrs AS (SELECT event_type, list(n::DOUBLE ORDER BY day) AS ns
+         FROM daily GROUP BY 1),
+idx AS (
+  SELECT day, event_type, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+)
+SELECT event_type, day, n,
+       round(ewma_raw, 6) AS ewma,
+       round(n / ewma_raw, 4) AS ratio
+FROM (
+  SELECT idx.event_type, idx.day, idx.n, {fold} AS ewma_raw
+  FROM idx JOIN arrs USING (event_type)
+)
+"""
+
+
+def co_import_triangles(min_both: int = 2) -> str:
+    """Twin of graph.co_import_triangles: oriented co-import edge list,
+    two-path + closing-edge triangle join, per-node degree and local
+    clustering coefficient."""
+    from searchengine_spark.pipeline.codestats import IMPORT_PATTERNS
+
+    unions = " UNION ALL ".join(
+        f"SELECT source AS src, "
+        f"unnest(regexp_extract_all(text, '{_q(p)}', 1)) AS dst "
+        f"FROM {_hits_docs()} documents"
+        for _, p in IMPORT_PATTERNS
+    )
+    return f"""
+WITH refs AS MATERIALIZED ({unions}),
+edges0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM refs),
+e AS MATERIALIZED (
+  SELECT e1.dst AS a, e2.dst AS b
+  FROM edges0 e1 JOIN edges0 e2 USING (src)
+  WHERE e1.dst < e2.dst
+  GROUP BY 1, 2
+  HAVING count(*) >= {int(min_both)}
+),
+deg AS (
+  SELECT module, count(*)::BIGINT AS deg
+  FROM (SELECT a AS module FROM e UNION ALL SELECT b AS module FROM e)
+  GROUP BY 1
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tpn AS (
+  SELECT module, count(*)::BIGINT AS n_tri
+  FROM (SELECT x AS module FROM tri
+        UNION ALL SELECT y AS module FROM tri
+        UNION ALL SELECT z AS module FROM tri)
+  GROUP BY 1
+)
+SELECT deg.module, deg.deg,
+       coalesce(tpn.n_tri, 0)::BIGINT AS n_tri,
+       CASE WHEN deg.deg >= 2
+            THEN round(2.0 * coalesce(tpn.n_tri, 0)
+                       / (deg.deg * (deg.deg - 1)), 4)
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN tpn USING (module)
+"""

@@ -1,0 +1,127 @@
+"""Index-layout engineering ops (pipeline/indexopt.py): Roaring
+container planning, Carmel static pruning, zone-map skipping — plus the
+EWMA daily monitor (events.py) and co-import triangles (graph.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline.events import ewma_daily
+from searchengine_spark.pipeline.graph import co_import_triangles
+from searchengine_spark.pipeline.indexopt import (
+    roaring_stats,
+    static_pruning_recall,
+    zonemap_prune,
+)
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows], DOCS_SCHEMA)
+
+
+class TestRoaringStats:
+    def test_run_container_on_consecutive_ids(self, spark):
+        # one term in docs 0..9 (one run): run container = 2 + 4*1 = 6 B,
+        # array would be 20 B, bitmap 512 B
+        docs = _docs(spark, [(i, "aterm filler") for i in range(10)])
+        row = {r["term"]: r for r in roaring_stats(docs).collect()}["aterm"]
+        assert row["n_postings"] == 10
+        assert row["n_chunks"] == 1
+        assert row["n_run"] == 1 and row["n_array"] == 0
+        assert row["bytes_roaring"] == 6
+        assert row["bytes_raw"] == 40
+
+    def test_array_container_on_scattered_ids(self, spark):
+        # 5 scattered docs: 5 runs -> run = 2+20 = 22 B > array = 10 B
+        docs = _docs(spark, [(i * 7, "bterm x") for i in range(5)])
+        row = {r["term"]: r for r in roaring_stats(docs).collect()}["bterm"]
+        assert row["n_array"] == 1 and row["n_run"] == 0
+        assert row["bytes_roaring"] == 10
+
+    def test_chunk_split(self, spark):
+        # ids straddling the 4096 boundary land in two chunks
+        docs = _docs(spark, [(4095, "cterm y"), (4096, "cterm y")])
+        row = {r["term"]: r for r in roaring_stats(docs).collect()}["cterm"]
+        assert row["n_chunks"] == 2
+
+
+class TestStaticPruning:
+    def test_unpruned_keep_n_is_recall_one(self, spark):
+        docs = _docs(spark, [(i, f"alpha beta w{i}") for i in range(6)])
+        out = static_pruning_recall(
+            docs, [["alpha", "beta"]], keep_n=100, k=5).collect()
+        assert len(out) == 1
+        assert out[0]["recall"] == 1.0
+        assert out[0]["n_full"] == out[0]["n_common"] == 5
+
+    def test_aggressive_prune_degrades_and_bounds(self, spark):
+        # 'rare' appears with tf spread so top-1 impact pruning keeps only
+        # one posting -> AND query loses the other docs
+        rows = [(i, "rare " + "pad " * i) for i in range(8)]
+        docs = _docs(spark, rows)
+        out = static_pruning_recall(docs, [["rare"]], keep_n=1, k=5).collect()
+        r = out[0]
+        assert r["n_pruned"] == 1
+        assert r["n_full"] == 5
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["recall"] == round(r["n_common"] / r["n_full"], 4)
+
+
+class TestZonemapPrune:
+    def test_clustered_scans_fewer_rows(self, spark):
+        # lengths 1..200 chars; predicate selects a narrow band
+        docs = _docs(spark, [(i, "x" * (i + 1)) for i in range(200)])
+        out = {r["layout"]: r for r in
+               zonemap_prune(docs, n_parts=10, lo=50, hi=60).collect()}
+        a, c = out["arrival"], out["clustered"]
+        assert a["rows_matching"] == c["rows_matching"] == 11
+        # arrival order interleaves lengths -> every zone intersects
+        assert a["n_scanned"] == 10
+        # clustered: only the partitions owning the 50..60 band
+        assert c["n_scanned"] <= 2
+        assert c["rows_scanned"] < a["rows_scanned"]
+
+
+class TestEwmaDaily:
+    def test_recurrence_matches_reference_fold(self, spark):
+        base = datetime.datetime(2025, 1, 1, 12, 0, 0)
+        rows, counts = [], [3, 6, 9]
+        eid = 0
+        for d, n in enumerate(counts):
+            for _ in range(n):
+                rows.append((eid, base + datetime.timedelta(days=d),
+                             "u1", "click", 1.0))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id string, "
+                  "event_type string, value double")
+        out = sorted(ewma_daily(ev, alpha=0.5).collect(),
+                     key=lambda r: r["day"])
+        # s1=3, s2=.5*6+.5*3=4.5, s3=.5*9+.5*4.5=6.75
+        assert [r["ewma"] for r in out] == [3.0, 4.5, 6.75]
+        assert out[2]["ratio"] == round(9 / 6.75, 4)
+
+
+class TestImportTriangles:
+    def test_clique_counts(self, spark):
+        # one repo imports a,b,c -> 3-clique: every node has 1 triangle,
+        # deg 2, clustering 1.0; lone edge (d,e) has none
+        rows = [
+            (1, "import aa\nimport bb\nimport cc\n", "repo1"),
+            (2, "import dd\nimport ee\n", "repo2"),
+        ]
+        docs = spark.createDataFrame(
+            [(i, t, "py", src, len(t)) for i, t, src in rows], DOCS_SCHEMA)
+        out = {r["module"]: r for r in
+               co_import_triangles(docs, min_both=1).collect()}
+        for m in ("aa", "bb", "cc"):
+            assert out[m]["n_tri"] == 1
+            assert out[m]["deg"] == 2
+            assert out[m]["clustering"] == 1.0
+        assert out["dd"]["n_tri"] == 0
+        assert out["dd"]["clustering"] == 0.0
