@@ -927,6 +927,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_import_triangles": lambda s, d: graph.co_import_triangles(
             codestats.with_hits_fixture(
                 codestats.with_code_fixture(_docs(s, d))), min_both=1),
+        # bucketed interval join (band-join rewrite; attribution primitive)
+        "q_interval_join": lambda s, d: events.interval_join_counts(
+            _events(s, d), left_type="click", right_type="view",
+            window_minutes=10),
+        # FOR / patched-FOR / varbyte postings codec bake-off per term
+        "q_for_packing": lambda s, d: indexopt.for_packing(
+            _docs(s, d), block=128),
     }
 
 
@@ -1223,4 +1230,7 @@ def oracle_sql() -> dict[str, str]:
         "q_zonemap_prune": osql.zonemap_prune(n_parts=32, lo=200, hi=400),
         "q_ewma_daily": osql.ewma_daily(alpha=0.3),
         "q_import_triangles": osql.co_import_triangles(min_both=1),
+        "q_interval_join": osql.interval_join_counts(
+            left_type="click", right_type="view", window_minutes=10),
+        "q_for_packing": osql.for_packing(block=128),
     }

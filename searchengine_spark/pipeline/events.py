@@ -409,3 +409,68 @@ def event_funnel(events: DataFrame,
         .orderBy("step_no")
     )
     return finalize(out, *frontiers)
+
+
+def interval_join_counts(events: DataFrame, left_type: str = "click",
+                         right_type: str = "view",
+                         window_minutes: int = 10) -> DataFrame:
+    """(event_id, user_id, n_views, gap_us) — interval join: for every
+    ``left_type`` event, the number of same-user ``right_type`` events in
+    the preceding ``window_minutes`` (rts in [ts − W, ts)), plus the
+    microsecond gap to the most recent one (−1 if none).  The
+    click-attribution primitive (and the batch twin of a watermarked
+    stream-stream join).
+
+    Spark has no native band/interval join — a naive ``t1.ts BETWEEN``
+    inequality join plans as BroadcastNestedLoopJoin (per-user cross
+    product).  This uses the standard bucketed range-join rewrite: both
+    sides bucket by floor(epoch_us / W); the right side duplicates into
+    its own and the NEXT bucket (2x amplification, constant), the join
+    becomes an equi-join on (user_id, bucket) — hash-shuffled, AQE/skew
+    eligible — and the exact interval predicate filters the candidates.
+    Each qualifying pair matches exactly once (the left row has ONE
+    bucket; the right copies are in distinct buckets).  Left join keeps
+    zero-match rows.  All epoch math is integer microseconds, engine-
+    exact.
+
+    Contrast with ``click_attribution`` (user-keyed equi-join + range
+    filter): that shape's fan-out grows with a user's whole history, so
+    one bot account with 10^6 events makes a hot key; here the key is
+    (user, time-bucket), bounding every join group by the window —
+    the layout that survives skewed users at 100 TB."""
+    w_us = int(window_minutes) * 60 * 1_000_000
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select("event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("lus"))
+        .withColumn("bucket", F.expr(f"lus div {w_us}"))
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(F.col("user_id"), F.unix_micros(F.col("ts").cast("timestamp")).alias("rus"))
+        .withColumn(
+            "bucket",
+            F.explode(F.array(F.expr(f"rus div {w_us}"),
+                              F.expr(f"rus div {w_us} + 1"))),
+        )
+    )
+    matched = (
+        left.join(right, ["user_id", "bucket"])
+        .filter((F.col("rus") >= F.col("lus") - w_us)
+                & (F.col("rus") < F.col("lus")))
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_views"),
+            F.max("rus").alias("last_rus"),
+        )
+    )
+    return (
+        left.select("event_id", "user_id", "lus")
+        .join(matched, "event_id", "left")
+        .select(
+            "event_id", "user_id",
+            F.coalesce(F.col("n_views"), F.lit(0)).cast("long")
+            .alias("n_views"),
+            F.coalesce(F.col("lus") - F.col("last_rus"), F.lit(-1))
+            .cast("long").alias("gap_us"),
+        )
+    )

@@ -299,3 +299,79 @@ def zonemap_prune(documents: DataFrame, n_parts: int = 32,
             )
         )
     return out[0].unionByName(out[1])
+
+
+def for_packing(documents: DataFrame, block: int = 128, **kw) -> DataFrame:
+    """(term, n_postings, n_blocks, bytes_for, bytes_pfor, bytes_varbyte,
+    for_bits_per_posting, pfor_bits_per_posting) — postings-codec
+    bake-off per term: docid gaps in ``block``-posting frames encoded as
+
+      FOR    1 B width header + n·width(max gap) bits (Goldstein et al.;
+             Zukowski et al. ICDE'06 frame-of-reference),
+      PFOR   width of the 90th-percentile gap, gaps wider than that
+             patched as 4 B exceptions (Zukowski's patched FOR —
+             Lemire & Boytsov's FastPFOR family),
+      varbyte the existing stream codec baseline (7-bit groups).
+
+    Bit widths are exact integers via length(bin(gap)) on both engines —
+    no float log2 at power-of-two boundaries.  Gap convention: first
+    posting's gap = doc_id + 1 (≥ 1), then successive differences.
+    Two windows, both partitioned by term (the postings' bucketing key,
+    so at rest this is a per-bucket mapPartitions shape); per-block
+    percentile work is JVM array expressions over ≤ ``block`` elements.
+    """
+    p = tf_postings(documents, **kw).select("term", "doc_id")
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = p.select(
+        "term",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(w),
+            F.col("doc_id") + 1,
+        ).cast("long").alias("gap"),
+        ((F.row_number().over(w) - 1) / F.lit(block)).cast("long")
+        .alias("blk"),
+    )
+    per_block = gaps.groupBy("term", "blk").agg(
+        F.array_sort(F.collect_list("gap")).alias("ga")
+    ).select(
+        "term",
+        F.size("ga").cast("long").alias("n"),
+        F.length(F.bin(F.element_at("ga", -1))).cast("long").alias("w_full"),
+        F.length(
+            F.bin(
+                F.element_at(
+                    F.col("ga"),
+                    ((9 * F.size("ga") + 9) / F.lit(10)).cast("int"),
+                )
+            )
+        ).cast("long").alias("w90"),
+        F.col("ga"),
+    ).select(
+        "term", "n", "w_full", "w90",
+        F.size(
+            F.filter("ga", lambda g: F.length(F.bin(g)) > F.col("w90"))
+        ).cast("long").alias("n_exc"),
+        F.aggregate(
+            "ga", F.lit(0).cast("long"),
+            lambda acc, g: acc
+            + F.floor((F.length(F.bin(g)) + 6) / 7).cast("long"),
+        ).cast("long").alias("vb_bytes"),
+    )
+    per_block = per_block.select(
+        "term", "n", "n_exc", "vb_bytes",
+        (1 + F.floor((F.col("n") * F.col("w_full") + 7) / 8))
+        .cast("long").alias("b_for"),
+        (1 + F.floor((F.col("n") * F.col("w90") + 7) / 8)
+         + 4 * F.col("n_exc")).cast("long").alias("b_pfor"),
+    )
+    return per_block.groupBy("term").agg(
+        F.sum("n").cast("long").alias("n_postings"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("b_for").cast("long").alias("bytes_for"),
+        F.sum("b_pfor").cast("long").alias("bytes_pfor"),
+        F.sum("vb_bytes").cast("long").alias("bytes_varbyte"),
+        F.round(8.0 * F.sum("b_for") / F.sum("n"), 4)
+        .alias("for_bits_per_posting"),
+        F.round(8.0 * F.sum("b_pfor") / F.sum("n"), 4)
+        .alias("pfor_bits_per_posting"),
+    )

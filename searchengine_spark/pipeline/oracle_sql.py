@@ -6928,3 +6928,74 @@ SELECT deg.module, deg.deg,
             ELSE 0.0 END AS clustering
 FROM deg LEFT JOIN tpn USING (module)
 """
+
+
+def interval_join_counts(left_type: str = "click", right_type: str = "view",
+                         window_minutes: int = 10) -> str:
+    """Twin of events.interval_join_counts: plain inequality left join
+    (DuckDB's optimizer handles the band predicate directly — the Spark
+    side needs the bucketed rewrite, the answer is identical)."""
+    w_us = int(window_minutes) * 60 * 1_000_000
+    return f"""
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS lus
+           FROM events WHERE event_type = '{left_type}'),
+r AS (SELECT user_id, epoch_us(ts) AS rus
+      FROM events WHERE event_type = '{right_type}')
+SELECT l.event_id, l.user_id,
+       count(r.rus)::BIGINT AS n_views,
+       coalesce(l.lus - max(r.rus), -1)::BIGINT AS gap_us
+FROM l LEFT JOIN r
+  ON r.user_id = l.user_id
+ AND r.rus >= l.lus - {w_us}
+ AND r.rus < l.lus
+GROUP BY l.event_id, l.user_id, l.lus
+"""
+
+
+def for_packing(block: int = 128) -> str:
+    """Twin of indexopt.for_packing: per-term gap stream, block frames,
+    exact bit widths via length(bin(gap)), FOR / patched-FOR / varbyte
+    byte arithmetic — all integer ops mirroring the Spark floors."""
+    return f"""
+WITH {_TOKS_CTE},
+g AS (
+  SELECT term,
+         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+                  doc_id + 1)::BIGINT AS gap,
+         ((row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1)
+          // {int(block)})::BIGINT AS blk
+  FROM postings
+),
+pb AS (
+  SELECT term, blk, list(gap ORDER BY gap) AS ga, count(*)::BIGINT AS n
+  FROM g GROUP BY 1, 2
+),
+pw AS (
+  SELECT term, n,
+         length(bin(ga[n::INT]))::BIGINT AS w_full,
+         length(bin(ga[((9 * n + 9) // 10)::INT]))::BIGINT AS w90,
+         ga
+  FROM pb
+),
+pe AS (
+  SELECT term, n, w_full, w90,
+         len(list_filter(ga, x -> length(bin(x)) > pw.w90))::BIGINT AS n_exc,
+         list_sum(list_transform(ga, x -> (length(bin(x)) + 6) // 7))::BIGINT AS vb_bytes
+  FROM pw
+),
+pc AS (
+  SELECT term, n, n_exc, vb_bytes,
+         (1 + (n * w_full + 7) // 8)::BIGINT AS b_for,
+         (1 + (n * w90 + 7) // 8 + 4 * n_exc)::BIGINT AS b_pfor
+  FROM pe
+)
+SELECT term,
+       sum(n)::BIGINT AS n_postings,
+       count(*)::BIGINT AS n_blocks,
+       sum(b_for)::BIGINT AS bytes_for,
+       sum(b_pfor)::BIGINT AS bytes_pfor,
+       sum(vb_bytes)::BIGINT AS bytes_varbyte,
+       round(8.0 * sum(b_for) / sum(n), 4) AS for_bits_per_posting,
+       round(8.0 * sum(b_pfor) / sum(n), 4) AS pfor_bits_per_posting
+FROM pc GROUP BY term
+"""

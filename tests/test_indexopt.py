@@ -125,3 +125,75 @@ class TestImportTriangles:
             assert out[m]["clustering"] == 1.0
         assert out["dd"]["n_tri"] == 0
         assert out["dd"]["clustering"] == 0.0
+
+
+class TestForPacking:
+    def test_dense_consecutive_gaps(self, spark):
+        # term in docs 0..9: gaps = [1,1,...,1] -> width 1; one block:
+        # FOR = 1 + ceil(10*1/8) = 3 B; no exceptions -> PFOR = 3 + 0;
+        # varbyte = 10 * 1 B
+        from searchengine_spark.pipeline.indexopt import for_packing
+        docs = _docs(spark, [(i, "dense x") for i in range(10)])
+        row = {r["term"]: r for r in for_packing(docs).collect()}["dense"]
+        assert row["n_postings"] == 10 and row["n_blocks"] == 1
+        assert row["bytes_for"] == 3
+        assert row["bytes_pfor"] == 3
+        assert row["bytes_varbyte"] == 10
+
+    def test_outlier_gap_patched(self, spark):
+        # gaps [1]*9 + [2^20]: FOR pays 21 bits for all 10; PFOR pays
+        # 1 bit + one 4 B exception
+        from searchengine_spark.pipeline.indexopt import for_packing
+        ids = list(range(9)) + [8 + (1 << 20)]
+        docs = _docs(spark, [(i, "sparse y") for i in ids])
+        row = {r["term"]: r for r in for_packing(docs).collect()}["sparse"]
+        assert row["bytes_for"] == 1 + (10 * 21 + 7) // 8   # 28
+        assert row["bytes_pfor"] == 1 + (10 * 1 + 7) // 8 + 4  # 7
+        assert row["bytes_pfor"] < row["bytes_for"]
+
+
+class TestIntervalJoin:
+    def test_window_semantics(self, spark):
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            # user 1: views at -15m (out), -5m (in), -1m (in); click at 0
+            (1, t0 - dt.timedelta(minutes=15), 1, "view"),
+            (2, t0 - dt.timedelta(minutes=5), 1, "view"),
+            (3, t0 - dt.timedelta(minutes=1), 1, "view"),
+            (4, t0, 1, "click"),
+            # user 2: view exactly AT the click ts (excluded: rts < ts)
+            (5, t0, 2, "view"),
+            (6, t0, 2, "click"),
+            # user 3: click with no views at all
+            (7, t0, 3, "click"),
+        ]
+        ev = spark.createDataFrame(
+            [(i, ts, u, et, 0.0, "{}") for i, ts, u, et in rows],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+        from searchengine_spark.pipeline.events import interval_join_counts
+        out = {r["event_id"]: r for r in
+               interval_join_counts(ev, window_minutes=10).collect()}
+        assert out[4]["n_views"] == 2
+        assert out[4]["gap_us"] == 60 * 1_000_000
+        assert out[6]["n_views"] == 0 and out[6]["gap_us"] == -1
+        assert out[7]["n_views"] == 0
+
+    def test_bucket_boundary_straddle(self, spark):
+        # view 9m59s before a click that sits just after a bucket
+        # boundary: the pair crosses buckets and must still match once
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 1)  # bucket starts at 00:00
+        rows = [
+            (1, t0 - dt.timedelta(minutes=9, seconds=59), 1, "view"),
+            (2, t0, 1, "click"),
+        ]
+        ev = spark.createDataFrame(
+            [(i, ts, u, et, 0.0, "{}") for i, ts, u, et in rows],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+        from searchengine_spark.pipeline.events import interval_join_counts
+        out = interval_join_counts(ev, window_minutes=10).collect()
+        row = {r["event_id"]: r for r in out}[2]
+        assert row["n_views"] == 1
