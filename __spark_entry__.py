@@ -934,6 +934,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FOR / patched-FOR / varbyte postings codec bake-off per term
         "q_for_packing": lambda s, d: indexopt.for_packing(
             _docs(s, d), block=128),
+        # post-retrieval QPP (NQC/WIG over the result list) — the
+        # after-retrieval complement of q_pre_retrieval_qpp
+        "q_post_qpp": lambda s, d: queryops.post_retrieval_qpp(
+            _docs(s, d), Q_AND2, k=20),
+        # BM25+ lower-bounded tf normalization (Lv & Zhai '11)
+        "q_bm25_plus": lambda s, d: queryops.bm25_plus_topk(
+            _docs(s, d), Q_AND2, delta=1.0, k=20),
+        # ε-DP Laplace-noised corpus composition (deterministic
+        # md5-uniform inverse CDF; calibration/evaluation view)
+        "q_dp_counts": lambda s, d: pii.dp_language_counts(
+            _docs(s, d), epsilon=1.0),
     }
 
 
@@ -1233,4 +1244,7 @@ def oracle_sql() -> dict[str, str]:
         "q_interval_join": osql.interval_join_counts(
             left_type="click", right_type="view", window_minutes=10),
         "q_for_packing": osql.for_packing(block=128),
+        "q_post_qpp": osql.post_retrieval_qpp(Q_AND2, k=20),
+        "q_bm25_plus": osql.bm25_plus_topk(Q_AND2, delta=1.0, k=20),
+        "q_dp_counts": osql.dp_language_counts(epsilon=1.0),
     }

@@ -177,6 +177,16 @@ HEADLINE = [
     "q_lsh_recall_curve",
     "q_quantization_agreement",
     "q_ul2_mixture",
+    "q_roaring_stats",
+    "q_static_pruning",
+    "q_zonemap_prune",
+    "q_ewma_daily",
+    "q_import_triangles",
+    "q_interval_join",
+    "q_for_packing",
+    "q_post_qpp",
+    "q_bm25_plus",
+    "q_dp_counts",
 ]
 
 

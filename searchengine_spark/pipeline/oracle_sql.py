@@ -6999,3 +6999,72 @@ SELECT term,
        round(8.0 * sum(b_pfor) / sum(n), 4) AS pfor_bits_per_posting
 FROM pc GROUP BY term
 """
+
+
+def post_retrieval_qpp(terms: list[str], k: int = 20) -> str:
+    """Twin of queryops.post_retrieval_qpp: NQC/WIG over the rounded
+    conjunctive BM25 score list, candidate-set mean as the background."""
+    import math
+
+    sq = math.sqrt(len(terms))
+    return f"""
+WITH scored AS MATERIALIZED ({bm25_scored(terms)}),
+a AS (SELECT count(*)::BIGINT AS n_matches, avg(score) AS mu_c FROM scored),
+t AS (
+  SELECT count(*)::BIGINT AS k_eff, avg(score) AS mu_k,
+         coalesce(stddev_pop(score), 0) AS sd_k
+  FROM (SELECT score FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k})
+)
+SELECT a.n_matches, t.k_eff,
+       round(t.mu_k, 4) AS mean_topk,
+       round(t.sd_k, 4) AS std_topk,
+       round(t.sd_k / a.mu_c, 4) AS nqc,
+       round((t.mu_k - a.mu_c) / {sq!r}, 4) AS wig
+FROM t CROSS JOIN a
+"""
+
+
+def bm25_plus_topk(terms: list[str], delta: float = 1.0,
+                   k: int = 20) -> str:
+    """Twin of queryops.bm25_plus_topk (BM25+ lower-bounded tf norm)."""
+    tl = _terms_in(terms)
+    return f"""
+WITH {_TOKS_CTE},
+ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY term),
+scored AS (
+  SELECT p.doc_id, count(*) AS nhit,
+         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * ((p.tf * 2.2)
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl)))
+                 + {float(delta)!r}) ) AS score
+  FROM postings p
+  JOIN dfs USING (term)
+  JOIN ds ON p.doc_id = ds.doc_id
+  CROSS JOIN g
+  GROUP BY p.doc_id
+  HAVING count(*) = {len(terms)}
+)
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def dp_language_counts(epsilon: float = 1.0, salt: str = "dp1") -> str:
+    """Twin of pii.dp_language_counts: md5-uniform inverse-CDF Laplace."""
+    b = 1.0 / float(epsilon)
+    key = f"'{salt}:' || lang"
+    u = (f"(({md5_long_sql(key, 12)})::DOUBLE + 0.5) "
+         f"/ {float(1 << 48)!r}")
+    return f"""
+WITH c AS (SELECT lang, count(*)::BIGINT AS n_true FROM documents GROUP BY 1),
+n AS (
+  SELECT lang, n_true,
+         -{b!r} * sign({u} - 0.5) * ln(1.0 - 2.0 * abs({u} - 0.5)) AS noise
+  FROM c
+)
+SELECT lang, n_true, round(noise, 4) AS noise,
+       round(n_true + noise, 4) AS n_dp
+FROM n
+"""

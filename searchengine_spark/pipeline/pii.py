@@ -75,3 +75,39 @@ def pii_redact_digest(documents: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"),
         redacted_sha_col(text_col).alias("redacted_sha"),
     )
+
+
+def dp_language_counts(documents: DataFrame, epsilon: float = 1.0,
+                       salt: str = "dp1",
+                       lang_col: str = "lang") -> DataFrame:
+    """(lang, n_true, noise, n_dp) — per-language document counts with
+    Laplace(1/ε) noise via the inverse-CDF transform over a
+    DETERMINISTIC md5 uniform (Dwork et al. '06 — count queries have
+    sensitivity 1, so Lap(1/ε) gives ε-differential privacy when the
+    draw is secret; here the draw is a seeded evaluation harness so the
+    noise calibration and ε accounting can be gate-checked — a release
+    view would drop n_true and use a non-reproducible source).
+
+    u = (md5(salt:lang)₄₈ + 0.5) / 2⁴⁸  ∈ (0,1)  (exact dyadic rational)
+    noise = −(1/ε)·sign(u−½)·ln(1 − 2|u−½|)     (rounded 4dp)
+
+    Map-only over the language dimension — the private-statistics layer
+    for publishing corpus composition dashboards at 100 TB."""
+    from searchengine_spark.pipeline.hashing import md5_long
+
+    b = 1.0 / float(epsilon)
+    counts = documents.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"))
+    u = (md5_long(F.concat_ws(":", F.lit(salt), F.col("lang")), 12)
+         + F.lit(0.5)) / F.lit(float(1 << 48))
+    centered = u - 0.5
+    noise = (
+        -F.lit(b)
+        * F.signum(centered)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+    return counts.select(
+        "lang", "n_true",
+        F.round(noise, 4).alias("noise"),
+        F.round(F.col("n_true") + noise, 4).alias("n_dp"),
+    )

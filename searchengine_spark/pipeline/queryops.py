@@ -2673,3 +2673,100 @@ def maxsim_topk(documents: DataFrame, query_terms: list[str], k: int = 20,
     out = topk.withColumn("rank", F.row_number().over(w)) \
         .select("doc_id", "score", "rank")
     return finalize(out, p)
+
+
+def post_retrieval_qpp(documents: DataFrame, query_terms: list[str],
+                       k: int = 20, **kw) -> DataFrame:
+    """One row of post-retrieval query-performance predictors computed
+    from the RESULT LIST (the after-the-fact complement of
+    ``pre_retrieval_qpp``'s dictionary-only estimates):
+
+    - n_matches / k_eff: AND-candidate count and actual top-k size
+    - mean_topk / std_topk: first two moments of the top-k BM25 scores
+    - nqc: Shtok et al. (ICTIR '09) Normalized Query Commitment —
+      std(top-k) over a collection-score normalizer; the corpus-as-one-
+      document score is approximated here by the mean score of the FULL
+      candidate set (deterministic, already in-plan — documented
+      substitution)
+    - wig: Zhou & Croft (SIGIR '07) Weighted Information Gain —
+      (mean(top-k) − candidate mean) / √|q|, same background model
+
+    High nqc/wig ⇒ the head of the ranking separates cleanly from the
+    background ⇒ the query is predicted easy.  Plan: one bm25_scored
+    pass persisted, a scalar agg over it, and a TakeOrdered top-k agg —
+    no second corpus scan."""
+    import math
+
+    scored = bm25_scored(documents, query_terms, **kw).persist()
+    allstats = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.avg("score").alias("mu_c"),
+    )
+    tk = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_eff"),
+            F.avg("score").alias("mu_k"),
+            F.stddev_pop("score").alias("sd_k"),
+        )
+    )
+    out = tk.crossJoin(F.broadcast(allstats)).select(
+        "n_matches", "k_eff",
+        F.round("mu_k", 4).alias("mean_topk"),
+        F.round("sd_k", 4).alias("std_topk"),
+        F.round(F.col("sd_k") / F.col("mu_c"), 4).alias("nqc"),
+        F.round((F.col("mu_k") - F.col("mu_c"))
+                / math.sqrt(len(query_terms)), 4).alias("wig"),
+    )
+    return finalize(out, scored)
+
+
+def bm25_plus_topk(documents: DataFrame, query_terms: list[str],
+                   delta: float = 1.0, k: int = 20,
+                   k1: float = BM25_K1, b: float = BM25_B,
+                   **kw) -> DataFrame:
+    """(doc_id, score) — BM25+ conjunctive top-k (Lv & Zhai CIKM '11,
+    "Lower-bounding term frequency normalization"): classic BM25's tf
+    component decays toward 0 for very long documents, so a long doc
+    containing a term can score below a short doc NOT containing it
+    under OR semantics, and long docs are systematically over-penalized.
+    BM25+ adds a per-occurrence floor δ inside the idf product:
+
+        idf · ( (k1+1)·tf / (tf + k1·(1−b+b·dl/avgdl)) + δ )
+
+    Same self-contained plan, statistics, rounding and (score desc,
+    doc_id asc) tie contract as ``fulltext.bm25_topk`` — the scorer is
+    the only change, so the two queries' results diff cleanly."""
+    p = tf_postings(documents, **kw).persist()
+    ds = doc_stats(p).persist()
+    n_and_avg = ds.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfs = df_stats(p).filter(F.col("term").isin(query_terms))
+    cand = p.filter(F.col("term").isin(query_terms))
+    scored = (
+        cand.join(F.broadcast(dfs.select("term", "df")), "term")
+        .join(ds.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "pscore",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0)
+               / (F.col("tf")
+                  + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl"))))
+               + F.lit(float(delta))),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nhit"), F.sum("pscore").alias("score"))
+        .filter(F.col("nhit") == len(query_terms))
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return finalize(scored, p, ds)

@@ -1,0 +1,84 @@
+"""Round-3 batch-D operators: post-retrieval QPP (NQC/WIG), BM25+
+lower-bounded scoring, deterministic ε-DP Laplace counts."""
+
+from __future__ import annotations
+
+import math
+
+from searchengine_spark.pipeline.fulltext import bm25_topk
+from searchengine_spark.pipeline.pii import dp_language_counts
+from searchengine_spark.pipeline.queryops import (
+    bm25_plus_topk,
+    post_retrieval_qpp,
+)
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows, lang="en"):
+    return spark.createDataFrame(
+        [(i, t, lang, "s0", len(t)) for i, t in rows], DOCS_SCHEMA)
+
+
+class TestPostQpp:
+    def test_separable_head_scores_higher_nqc(self, spark):
+        # corpus A: one doc stuffed with the query term vs thin tail ->
+        # top-k scores spread wide (high nqc); corpus B: uniform docs ->
+        # identical scores, sd = 0 -> nqc = 0
+        spiky = _docs(spark, [(0, "zed " * 30 + "pad")]
+                      + [(i, "zed pad" + " filler" * i) for i in range(1, 6)])
+        flat = _docs(spark, [(i, "zed pad") for i in range(6)])
+        r_spiky = post_retrieval_qpp(spiky, ["zed"], k=5).collect()[0]
+        r_flat = post_retrieval_qpp(flat, ["zed"], k=5).collect()[0]
+        assert r_flat["std_topk"] == 0.0 and r_flat["nqc"] == 0.0
+        assert r_spiky["nqc"] > r_flat["nqc"]
+        assert r_spiky["n_matches"] == 6 and r_spiky["k_eff"] == 5
+
+    def test_wig_is_head_minus_background(self, spark):
+        docs = _docs(spark, [(0, "zed " * 10 + "x")]
+                     + [(i, "zed y" + " z" * i) for i in range(1, 8)])
+        r = post_retrieval_qpp(docs, ["zed"], k=3).collect()[0]
+        # top-3 mean exceeds the full candidate mean -> positive WIG
+        assert r["wig"] > 0
+
+
+class TestBm25Plus:
+    def test_delta_zero_matches_classic(self, spark):
+        docs = _docs(spark, [(i, f"apple banana w{i} " + "pad " * i)
+                             for i in range(8)])
+        classic = [(r["doc_id"], r["score"]) for r in
+                   bm25_topk(docs, ["apple", "banana"], k=5).collect()]
+        plus0 = [(r["doc_id"], r["score"]) for r in
+                 bm25_plus_topk(docs, ["apple", "banana"], delta=0.0,
+                                k=5).collect()]
+        assert classic == plus0
+
+    def test_delta_adds_idf_floor(self, spark):
+        # single-term query, uniform docs: score_plus - score_classic
+        # = delta * idf exactly
+        docs = _docs(spark, [(i, "kiwi pad") for i in range(4)])
+        classic = bm25_topk(docs, ["kiwi"], k=1).collect()[0]["score"]
+        plus = bm25_plus_topk(docs, ["kiwi"], delta=1.0, k=1).collect()[0][
+            "score"]
+        idf = math.log(1.0 + (4 - 4 + 0.5) / (4 + 0.5))
+        assert abs((plus - classic) - idf) < 2e-4
+
+
+class TestDpCounts:
+    def test_noise_deterministic_and_scales_with_epsilon(self, spark):
+        docs = _docs(spark, [(i, "x") for i in range(10)], lang="en")
+        a = dp_language_counts(docs, epsilon=1.0).collect()[0]
+        b = dp_language_counts(docs, epsilon=1.0).collect()[0]
+        assert a["noise"] == b["noise"]  # same seed -> same draw
+        tight = dp_language_counts(docs, epsilon=10.0).collect()[0]
+        # Lap(1/eps): higher epsilon -> strictly smaller magnitude
+        assert abs(tight["noise"]) < abs(a["noise"])
+        assert a["n_dp"] == round(a["n_true"] + a["noise"], 4)
+
+    def test_true_counts_preserved(self, spark):
+        rows = [(i, "x") for i in range(7)]
+        en = _docs(spark, rows, lang="en")
+        ru = _docs(spark, [(100 + i, "y") for i in range(3)], lang="ru")
+        out = {r["lang"]: r for r in
+               dp_language_counts(en.unionByName(ru)).collect()}
+        assert out["en"]["n_true"] == 7 and out["ru"]["n_true"] == 3
