@@ -371,3 +371,65 @@ class TestRound3bContracts:
 
         p = plan_str(hll_source_overlap(docs))
         assert "CartesianProduct" not in p  # pair dim via a < b filter join
+
+
+class TestRound3DContracts:
+    """Plan contracts for the index-layout / interval-join / QPP batch."""
+
+    def test_interval_join_is_hash_join_not_bnlj(self, spark):
+        from searchengine_spark.pipeline.events import interval_join_counts
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        p = plan_str(interval_join_counts(ev))
+        # the bucketed rewrite must plan as an equi-join; a naive band
+        # join falls back to BroadcastNestedLoopJoin (per-user cross
+        # product) which dies at scale
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+                or "BroadcastHashJoin" in p)
+
+    def test_roaring_window_is_term_chunk_partitioned(self, docs):
+        from searchengine_spark.pipeline.indexopt import roaring_stats
+
+        p = plan_str(roaring_stats(docs))
+        # lag window keyed by (term, chunk) — never a global (unkeyed)
+        # running window
+        assert "Window" in p
+        import re as _re
+        assert _re.search(r"windowspecdefinition\(term#\d+, chunk#\d+", p), \
+            "window must partition by (term, chunk)"
+        assert "BatchEvalPython" not in p
+
+    def test_for_packing_is_all_jvm(self, docs):
+        from searchengine_spark.pipeline.indexopt import for_packing
+
+        p = plan_str(for_packing(docs))
+        assert "BatchEvalPython" not in p
+        assert "ArrowEvalPython" not in p
+        assert "CartesianProduct" not in p
+
+    def test_static_pruning_windows_partition_by_term(self, docs,
+                                                      explain_only):
+        from searchengine_spark.pipeline.indexopt import static_pruning_recall
+
+        df = static_pruning_recall(docs, [["merge", "vector"]], keep_n=8,
+                                   k=5)
+        p = plan_str(df)
+        # impact rank must be a per-term window (postings bucketing key),
+        # and the scalar corpus stats a broadcast, not a re-shuffle
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p
+
+    def test_ewma_collapses_to_day_dimension_before_fold(self, spark):
+        from searchengine_spark.pipeline.events import ewma_daily
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        p = plan_str(ewma_daily(ev))
+        # the day-array build must sit on top of a hash AGGREGATION of
+        # the raw events (day x type cardinality crosses the shuffle,
+        # never raw events into collect_list)
+        assert "collect_list" in p
+        agg_before_collect = p.index("HashAggregate") < p.index("collect_list")
+        assert agg_before_collect
+        assert "BatchEvalPython" not in p
