@@ -753,9 +753,16 @@ def minhash_jaccard_estimate(documents: DataFrame, n: int = 3,
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_a"))
     b = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_b"))
+    est = est.persist()
+    # candidate edges DRIVE the shingle join (lsh_verified_near_dups'
+    # shape): blowup is O(candidates x shingles/doc), never the full
+    # co-shingled self-join — a bare a⋈b followed by a semi-join filter
+    # materializes every co-shingled pair first (measured 33 s -> ~5 s
+    # at sf0.1)
     inter = (
-        a.join(b, "shingle")
-        .join(est.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi")
+        est.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, ["shingle", "doc_b"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -770,7 +777,7 @@ def minhash_jaccard_estimate(documents: DataFrame, n: int = 3,
             .alias("abs_err"),
         )
     )
-    return finalize(out, sigs, sh)
+    return finalize(out, sigs, sh, est)
 
 
 # (n_bands, rows_per_band) layouts of the 16 minhash values: the full

@@ -166,9 +166,9 @@ def static_pruning_recall(documents: DataFrame,
     shuffle keyed by term (the postings' bucketing key) + O(k) aggs.
     """
     all_terms = sorted({t for qs in query_sets for t in qs})
-    p = tf_postings(documents, **kw).filter(
-        F.col("term").isin(all_terms)).persist()
-    ds_full = doc_stats(tf_postings(documents, **kw)).persist()
+    full = tf_postings(documents, **kw).persist()  # ONE tokenize pass
+    p = full.filter(F.col("term").isin(all_terms))
+    ds_full = doc_stats(full).persist()
     n_and_avg = ds_full.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -241,7 +241,7 @@ def static_pruning_recall(documents: DataFrame,
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    return finalize(out, p, ds_full, scored_full, pruned)
+    return finalize(out, full, ds_full, scored_full, pruned)
 
 
 def zonemap_prune(documents: DataFrame, n_parts: int = 32,
