@@ -945,6 +945,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # md5-uniform inverse CDF; calibration/evaluation view)
         "q_dp_counts": lambda s, d: pii.dp_language_counts(
             _docs(s, d), epsilon=1.0),
+        # BFS hop distances over the co-import graph (Pregel-step shape)
+        "q_import_bfs": lambda s, d: graph.import_bfs(
+            codestats.with_hits_fixture(
+                codestats.with_code_fixture(_docs(s, d))),
+            seed="core", max_hops=4, min_both=1),
+        # incremental dictionary-stats maintenance == full recompute
+        # (add-side view-maintenance algebra, S6 set-at-a-time)
+        "q_incremental_df": lambda s, d: health.incremental_df_stats(
+            _docs(s, d), added_pct=10),
     }
 
 
@@ -1247,4 +1256,7 @@ def oracle_sql() -> dict[str, str]:
         "q_post_qpp": osql.post_retrieval_qpp(Q_AND2, k=20),
         "q_bm25_plus": osql.bm25_plus_topk(Q_AND2, delta=1.0, k=20),
         "q_dp_counts": osql.dp_language_counts(epsilon=1.0),
+        "q_import_bfs": osql.import_bfs(seed="core", max_hops=4, min_both=1),
+        # oracle is the FULL recompute — the gate proves the merge algebra
+        "q_incremental_df": osql.df_stats(),
     }

@@ -187,6 +187,8 @@ HEADLINE = [
     "q_post_qpp",
     "q_bm25_plus",
     "q_dp_counts",
+    "q_import_bfs",
+    "q_incremental_df",
 ]
 
 

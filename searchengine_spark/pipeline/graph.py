@@ -264,3 +264,53 @@ def co_import_triangles(documents: DataFrame, min_both: int = 2,
         )
     )
     return finalize(out, edges)
+
+
+def import_bfs(documents: DataFrame, seed: str = "core",
+               max_hops: int = 4, min_both: int = 1,
+               text_col: str = "text",
+               source_col: str = "source") -> DataFrame:
+    """(module, dist) — breadth-first hop distances from ``seed`` over
+    the undirected co-import graph, up to ``max_hops``.  The
+    "dependency blast radius" query: which modules sit within N
+    ecosystem hops of a library you're deprecating.
+
+    Spark shape: frontier relaxation — each round is ONE equi-join
+    (frontier × oriented edges) + ONE min-agg, the Pregel step shape;
+    the distance table is module-dimension sized and the loop count is
+    a fixed constant, so the DuckDB twin (a recursive CTE bounded by
+    dist < max_hops, min-reduced outside) reproduces it exactly.  No
+    driver-side graph state — rounds chain DataFrame plans only."""
+    from searchengine_spark.pipeline.codestats import import_edges
+
+    repo_mod = import_edges(documents, text_col, source_col)
+    und = (
+        repo_mod.select("src", F.col("dst").alias("a"))
+        .join(repo_mod.select("src", F.col("dst").alias("b")), "src")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= min_both)
+        .select("a", "b")
+    )
+    edges = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    spark = documents.sparkSession
+    dist = spark.createDataFrame([(seed, 0)], "module string, dist long")
+    for _ in range(max_hops):
+        step = (
+            dist.join(edges, dist["module"] == edges["a"])
+            .select(F.col("b").alias("module"),
+                    (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("module")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    # drop the seed row if the seed never appears in the edge list
+    # (distance to a non-existent node is undefined, and the DuckDB twin
+    # anchors on the seed unconditionally — keep both sides identical by
+    # keeping it: dist 0 is correct for the seed by definition)
+    return finalize(dist, edges)

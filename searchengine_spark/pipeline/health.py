@@ -273,3 +273,44 @@ def shard_skew_report(documents: DataFrame, n_shards: int = 16,
         )
         .orderBy("shard")
     )
+
+
+def incremental_df_stats(documents: DataFrame, added_pct: int = 10,
+                         salt: str = "ingest", **kw) -> DataFrame:
+    """(term, df, cf) — dictionary statistics maintained INCREMENTALLY:
+    the corpus is split into a base snapshot and an "added" batch (md5
+    coin, like ``corpus_diff``); the plan computes df_stats over each
+    side separately and MERGES them (full-outer sum) instead of
+    rescanning the union.  The oracle recomputes from the whole corpus,
+    so the gate proves the view-maintenance algebra: df and cf are
+    additive under document insertion (the reference's per-page
+    frequency increment, SURVEY.md §2 S6, done set-at-a-time — and the
+    add-side complement of index/delta.remove_docs' decrement path).
+
+    At 100 TB this is THE way dictionary stats stay fresh: the base
+    aggregate is a materialized table, each ingest batch contributes a
+    batch-sized aggregation, and the merge is a term-keyed sum — the
+    corpus is never rescanned."""
+    from searchengine_spark.pipeline.fulltext import df_stats, tf_postings
+    from searchengine_spark.pipeline.hashing import md5_long
+
+    coin = md5_long(
+        F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string"))
+    ) % 100
+    base = documents.filter(coin >= added_pct)
+    added = documents.filter(coin < added_pct)
+    d_base = df_stats(tf_postings(base, **kw))
+    d_add = df_stats(tf_postings(added, **kw))
+    merged = (
+        d_base.selectExpr("term", "df AS df_b", "cf AS cf_b")
+        .join(d_add.selectExpr("term", "df AS df_a", "cf AS cf_a"),
+              "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce("df_b", F.lit(0)) + F.coalesce("df_a", F.lit(0)))
+            .cast("long").alias("df"),
+            (F.coalesce("cf_b", F.lit(0)) + F.coalesce("cf_a", F.lit(0)))
+            .cast("long").alias("cf"),
+        )
+    )
+    return merged

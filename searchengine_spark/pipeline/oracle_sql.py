@@ -7068,3 +7068,41 @@ SELECT lang, n_true, round(noise, 4) AS noise,
        round(n_true + noise, 4) AS n_dp
 FROM n
 """
+
+
+def import_bfs(seed: str = "core", max_hops: int = 4,
+               min_both: int = 1) -> str:
+    """Twin of graph.import_bfs: bounded recursive walk over the
+    undirected co-import edge list, min-reduced to hop distances.
+    The Spark side relaxes a frontier for max_hops rounds; both reach
+    exactly the nodes with shortest path <= max_hops."""
+    from searchengine_spark.pipeline.codestats import IMPORT_PATTERNS
+
+    unions = " UNION ALL ".join(
+        f"SELECT source AS src, "
+        f"unnest(regexp_extract_all(text, '{_q(p)}', 1)) AS dst "
+        f"FROM {_hits_docs()} documents"
+        for _, p in IMPORT_PATTERNS
+    )
+    return f"""
+WITH RECURSIVE refs AS MATERIALIZED ({unions}),
+edges0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM refs),
+und AS MATERIALIZED (
+  SELECT e1.dst AS a, e2.dst AS b
+  FROM edges0 e1 JOIN edges0 e2 USING (src)
+  WHERE e1.dst < e2.dst
+  GROUP BY 1, 2
+  HAVING count(*) >= {int(min_both)}
+),
+e AS MATERIALIZED (
+  SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+),
+walk(module, dist) AS (
+  SELECT '{seed}' AS module, 0 AS dist
+  UNION ALL
+  SELECT e.b, w.dist + 1
+  FROM walk w JOIN e ON e.a = w.module
+  WHERE w.dist < {int(max_hops)}
+)
+SELECT module, min(dist)::BIGINT AS dist FROM walk GROUP BY module
+"""

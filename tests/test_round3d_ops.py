@@ -82,3 +82,52 @@ class TestDpCounts:
         out = {r["lang"]: r for r in
                dp_language_counts(en.unionByName(ru)).collect()}
         assert out["en"]["n_true"] == 7 and out["ru"]["n_true"] == 3
+
+
+class TestImportBfs:
+    def test_hop_distances_on_a_path_graph(self, spark):
+        # repos induce a path: a-b (r1+r2 co-import), b-c (r3+r4), c-d (r5+r6)
+        rows = []
+        rid = 0
+        for left, right in (("aa", "bb"), ("bb", "cc"), ("cc", "dd")):
+            for _ in range(2):  # min_both=2 support
+                rows.append((rid, f"import {left}\nimport {right}\n",
+                             f"repo{rid}"))
+                rid += 1
+        docs = spark.createDataFrame(
+            [(i, t, "py", src, len(t)) for i, t, src in rows], DOCS_SCHEMA)
+        from searchengine_spark.pipeline.graph import import_bfs
+        out = {r["module"]: r["dist"] for r in
+               import_bfs(docs, seed="aa", max_hops=2, min_both=2).collect()}
+        assert out == {"aa": 0, "bb": 1, "cc": 2}  # dd is 3 hops: cut
+
+    def test_unreachable_component_excluded(self, spark):
+        rows = [(1, "import xx\nimport yy\n", "r1"),
+                (2, "import xx\nimport yy\n", "r2"),
+                (3, "import pp\nimport qq\n", "r3"),
+                (4, "import pp\nimport qq\n", "r4")]
+        docs = spark.createDataFrame(
+            [(i, t, "py", src, len(t)) for i, t, src in rows], DOCS_SCHEMA)
+        from searchengine_spark.pipeline.graph import import_bfs
+        out = {r["module"] for r in
+               import_bfs(docs, seed="xx", max_hops=4, min_both=2).collect()}
+        assert out == {"xx", "yy"}
+
+
+class TestIncrementalDf:
+    def test_merge_equals_full_recompute(self, spark):
+        from searchengine_spark.pipeline.fulltext import df_stats, tf_postings
+        from searchengine_spark.pipeline.health import incremental_df_stats
+        docs = _docs(spark, [(i, f"alpha beta w{i % 3}") for i in range(40)])
+        inc = {(r["term"], r["df"], r["cf"]) for r in
+               incremental_df_stats(docs, added_pct=30).collect()}
+        full = {(r["term"], r["df"], r["cf"]) for r in
+                df_stats(tf_postings(docs)).collect()}
+        assert inc == full
+
+    def test_all_added_degenerate(self, spark):
+        from searchengine_spark.pipeline.health import incremental_df_stats
+        docs = _docs(spark, [(i, "solo term") for i in range(5)])
+        out = {r["term"]: (r["df"], r["cf"]) for r in
+               incremental_df_stats(docs, added_pct=100).collect()}
+        assert out["solo"] == (5, 5)
