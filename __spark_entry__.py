@@ -954,6 +954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (add-side view-maintenance algebra, S6 set-at-a-time)
         "q_incremental_df": lambda s, d: health.incremental_df_stats(
             _docs(s, d), added_pct=10),
+        # consistent-hashing reshard planner (mod vs ring movement)
+        "q_reshard_movement": lambda s, d: health.reshard_movement(
+            _docs(s, d), shards_from=16, shards_to=17, vnodes=32),
     }
 
 
@@ -1259,4 +1262,6 @@ def oracle_sql() -> dict[str, str]:
         "q_import_bfs": osql.import_bfs(seed="core", max_hops=4, min_both=1),
         # oracle is the FULL recompute — the gate proves the merge algebra
         "q_incremental_df": osql.df_stats(),
+        "q_reshard_movement": osql.reshard_movement(
+            shards_from=16, shards_to=17, vnodes=32),
     }

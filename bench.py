@@ -189,6 +189,7 @@ HEADLINE = [
     "q_dp_counts",
     "q_import_bfs",
     "q_incremental_df",
+    "q_reshard_movement",
 ]
 
 

@@ -314,3 +314,75 @@ def incremental_df_stats(documents: DataFrame, added_pct: int = 10,
         )
     )
     return merged
+
+
+def _ring(n_shards: int, vnodes: int) -> tuple[list[int], list[int]]:
+    """Sorted (vnode_hash, shard) ring — Python-side constants (Karger
+    et al. '97 consistent hashing with virtual nodes), identical in the
+    Spark literal arrays and the DuckDB VALUES twin."""
+    from searchengine_spark.pipeline.hashing import md5_long_py
+
+    pts = sorted(
+        (md5_long_py(f"vn:{s}:{v}"), s)
+        for s in range(n_shards) for v in range(vnodes)
+    )
+    return [h for h, _ in pts], [s for _, s in pts]
+
+
+def reshard_movement(documents: DataFrame, shards_from: int = 16,
+                     shards_to: int = 17, vnodes: int = 32,
+                     salt: str = "ring") -> DataFrame:
+    """(strategy, n_docs, n_moved, frac_moved) — how many documents
+    change shard when the cluster grows from ``shards_from`` to
+    ``shards_to``, under two placement strategies:
+
+      mod    shard = h % N — adding one shard remaps ~(1 − 1/N′) of ALL
+             documents (every posting segment rewritten);
+      ring   consistent hashing with ``vnodes`` virtual nodes per shard
+             (Karger '97) — only the keys falling into the new shard's
+             arcs move, ~1/N′ of the corpus.
+
+    This is the reshard-cost planner for a doc-partitioned index: at
+    100 TB the mod strategy's rewrite is petabyte-scale I/O, the ring's
+    is proportional to the capacity actually added.  Both assignments
+    are map-only JVM array expressions over a broadcast-literal ring
+    (2·N·V longs); one hash agg ends the plan.  The doc key is
+    md5(salt:doc_id) — content-independent, so placement survives
+    re-crawls (same property as the sampling coins)."""
+    from searchengine_spark.pipeline.hashing import md5_long
+
+    h = md5_long(
+        F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string"))
+    )
+
+    def ring_assign(n: int):
+        hashes, shards = _ring(n, vnodes)
+        harr = F.array(*[F.lit(x).cast("long") for x in hashes])
+        sarr = F.array(*[F.lit(x) for x in shards])
+        # successor vnode clockwise: first ring point with vhash > h,
+        # wrapping to the first point
+        idx = F.size(F.filter(harr, lambda x: x <= h))
+        wrapped = F.when(idx >= len(hashes), F.lit(0)).otherwise(idx)
+        return F.element_at(sarr, wrapped + 1)
+
+    keyed = documents.select(
+        h.alias("h"),
+        (h % shards_from).alias("mod_a"),
+        (h % shards_to).alias("mod_b"),
+        ring_assign(shards_from).alias("ring_a"),
+        ring_assign(shards_to).alias("ring_b"),
+    )
+    agg = keyed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("mod_a") != F.col("mod_b")).cast("long"))
+        .cast("long").alias("mod_moved"),
+        F.sum((F.col("ring_a") != F.col("ring_b")).cast("long"))
+        .cast("long").alias("ring_moved"),
+    )
+    return agg.selectExpr(
+        "stack(2, 'mod', mod_moved, 'ring', ring_moved) AS (strategy, n_moved)",
+        "n_docs",
+    ).select(
+        "strategy", "n_docs", "n_moved",
+        F.round(F.col("n_moved") / F.col("n_docs"), 4).alias("frac_moved"),
+    )

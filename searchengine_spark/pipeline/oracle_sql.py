@@ -7106,3 +7106,42 @@ walk(module, dist) AS (
 )
 SELECT module, min(dist)::BIGINT AS dist FROM walk GROUP BY module
 """
+
+
+def reshard_movement(shards_from: int = 16, shards_to: int = 17,
+                     vnodes: int = 32, salt: str = "ring") -> str:
+    """Twin of health.reshard_movement: same Python-derived ring
+    constants inlined as list literals, same successor-arc assignment."""
+    from searchengine_spark.pipeline.health import _ring
+
+    h = md5_long_sql(f"'{salt}:' || doc_id::VARCHAR")
+
+    def assign(n: int) -> str:
+        hashes, shards = _ring(n, vnodes)
+        harr = "[" + ", ".join(str(x) for x in hashes) + "]::BIGINT[]"
+        sarr = "[" + ", ".join(str(s) for s in shards) + "]::INT[]"
+        return (
+            f"({sarr})[(CASE WHEN len(list_filter({harr}, x -> x <= hh)) "
+            f">= {len(hashes)} THEN 0 "
+            f"ELSE len(list_filter({harr}, x -> x <= hh)) END) + 1]"
+        )
+
+    return f"""
+WITH keyed AS (
+  SELECT hh, hh % {shards_from} AS mod_a, hh % {shards_to} AS mod_b,
+         {assign(shards_from)} AS ring_a,
+         {assign(shards_to)} AS ring_b
+  FROM (SELECT ({h}) AS hh FROM documents)
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN mod_a <> mod_b THEN 1 ELSE 0 END)::BIGINT AS mod_moved,
+         sum(CASE WHEN ring_a <> ring_b THEN 1 ELSE 0 END)::BIGINT AS ring_moved
+  FROM keyed
+)
+SELECT 'mod' AS strategy, n_docs, mod_moved AS n_moved,
+       round(mod_moved / n_docs, 4) AS frac_moved FROM agg
+UNION ALL
+SELECT 'ring' AS strategy, n_docs, ring_moved AS n_moved,
+       round(ring_moved / n_docs, 4) AS frac_moved FROM agg
+"""

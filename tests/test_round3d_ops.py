@@ -131,3 +131,24 @@ class TestIncrementalDf:
         out = {r["term"]: (r["df"], r["cf"]) for r in
                incremental_df_stats(docs, added_pct=100).collect()}
         assert out["solo"] == (5, 5)
+
+
+class TestReshardMovement:
+    def test_ring_moves_far_fewer_docs_than_mod(self, spark):
+        from searchengine_spark.pipeline.health import reshard_movement
+        docs = _docs(spark, [(i, "x") for i in range(400)])
+        out = {r["strategy"]: r for r in
+               reshard_movement(docs, shards_from=16, shards_to=17).collect()}
+        assert out["mod"]["n_docs"] == out["ring"]["n_docs"] == 400
+        # mod remaps ~15/16 of keys; the ring only the new shard's arcs
+        assert out["mod"]["frac_moved"] > 0.8
+        assert out["ring"]["frac_moved"] < 0.2
+        assert out["ring"]["n_moved"] < out["mod"]["n_moved"]
+
+    def test_identity_reshard_moves_nothing(self, spark):
+        from searchengine_spark.pipeline.health import reshard_movement
+        docs = _docs(spark, [(i, "x") for i in range(50)])
+        out = {r["strategy"]: r for r in
+               reshard_movement(docs, shards_from=8, shards_to=8).collect()}
+        assert out["mod"]["n_moved"] == 0
+        assert out["ring"]["n_moved"] == 0
