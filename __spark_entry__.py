@@ -957,6 +957,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # consistent-hashing reshard planner (mod vs ring movement)
         "q_reshard_movement": lambda s, d: health.reshard_movement(
             _docs(s, d), shards_from=16, shards_to=17, vnodes=32),
+        # mergeable HLL over the user dimension (streaming twin:
+        # streaming/windows.run_streaming_hll carries these registers)
+        "q_hll_users": lambda s, d: sketches.hll_distinct_users(_events(s, d)),
+        # frequent length-3 behavioral sequences (PrefixSpan-lite)
+        "q_event_trigrams": lambda s, d: events.user_event_trigrams(
+            _events(s, d), k=20),
     }
 
 
@@ -1264,4 +1270,6 @@ def oracle_sql() -> dict[str, str]:
         "q_incremental_df": osql.df_stats(),
         "q_reshard_movement": osql.reshard_movement(
             shards_from=16, shards_to=17, vnodes=32),
+        "q_hll_users": osql.hll_distinct_users(),
+        "q_event_trigrams": osql.user_event_trigrams(k=20),
     }

@@ -190,6 +190,8 @@ HEADLINE = [
     "q_import_bfs",
     "q_incremental_df",
     "q_reshard_movement",
+    "q_hll_users",
+    "q_event_trigrams",
 ]
 
 

@@ -474,3 +474,51 @@ def interval_join_counts(events: DataFrame, left_type: str = "click",
             .cast("long").alias("gap_us"),
         )
     )
+
+
+def user_event_trigrams(events: DataFrame, k: int = 20) -> DataFrame:
+    """(seq, n_users, n_occurrences) — frequent length-3 behavioral
+    sequences: each user's events ordered by (ts, event_id) yield
+    consecutive event-type triples; the top-``k`` triples ranked by how
+    many distinct users exhibit them (ties: occurrence count desc, seq
+    asc).  The sequence-mining complement of ``event_transitions``'
+    first-order Markov matrix — "view>click>purchase" vs mere pairwise
+    rates.
+
+    Scale shape: ONE hash shuffle keyed by user (bounded per-user
+    arrays — sessions, not corpora), per-row JVM transform to triples,
+    then a (triple)-keyed count agg; top-k is TakeOrderedAndProject.
+    No windows over the raw event stream."""
+    per_user = events.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id",
+                                                 "event_type"))),
+            lambda s: s["event_type"],
+        ).alias("seq_arr")
+    )
+    tris = per_user.select(
+        "user_id",
+        F.explode(
+            F.when(
+                F.size("seq_arr") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("seq_arr") - 2),
+                    lambda i: F.concat_ws(
+                        ">",
+                        F.element_at("seq_arr", i),
+                        F.element_at("seq_arr", i + 1),
+                        F.element_at("seq_arr", i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("seq"),
+    )
+    return (
+        tris.groupBy("seq")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .orderBy(F.desc("n_users"), F.desc("n_occurrences"), F.asc("seq"))
+        .limit(k)
+    )

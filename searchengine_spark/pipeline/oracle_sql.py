@@ -7145,3 +7145,62 @@ UNION ALL
 SELECT 'ring' AS strategy, n_docs, ring_moved AS n_moved,
        round(ring_moved / n_docs, 4) AS frac_moved FROM agg
 """
+
+
+def hll_distinct_users() -> str:
+    """Twin of sketches.hll_distinct_users: identical register math over
+    the user dimension of events."""
+    h = md5_long_sql("'u:' || user_id::VARCHAR")
+    return f"""
+WITH hh AS (SELECT event_type AS grp, {h} AS h FROM events),
+rr AS (
+  SELECT grp, h % 64 AS register,
+         CASE WHEN (h >> 6) % 1073741824 = 0 THEN 31
+              ELSE 30 - CAST(floor(log2((h >> 6) % 1073741824)) AS INT)
+         END AS rho
+  FROM hh
+),
+regs AS (SELECT grp, register, max(rho) AS max_rho FROM rr GROUP BY 1, 2),
+agg AS (
+  SELECT grp, sum(power(2.0, -max_rho)) AS zp, count(*)::DOUBLE AS np
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT grp,
+         CASE WHEN (0.709 * 64 * 64) / (zp + (64 - np)) <= 160.0 AND (64 - np) > 0
+              THEN CAST(round(64 * ln(64 / (64 - np))) AS BIGINT)
+              ELSE CAST(round((0.709 * 64 * 64) / (zp + (64 - np))) AS BIGINT)
+         END AS hll_estimate
+  FROM agg
+),
+ex AS (SELECT event_type AS grp, count(DISTINCT user_id)::BIGINT AS n_exact
+       FROM events GROUP BY 1)
+SELECT ex.grp, ex.n_exact, est.hll_estimate FROM ex JOIN est USING (grp)
+"""
+
+
+def user_event_trigrams(k: int = 20) -> str:
+    """Twin of events.user_event_trigrams: per-user (ts, event_id)-ordered
+    type lists, consecutive-triple expansion, user-support top-k."""
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         list(event_type ORDER BY ts, event_id) AS seq_arr
+  FROM events GROUP BY user_id
+),
+tris AS (
+  SELECT user_id,
+         unnest(CASE WHEN len(seq_arr) >= 3
+                     THEN list_transform(
+                            range(1, len(seq_arr) - 1),
+                            i -> seq_arr[i] || '>' || seq_arr[i + 1]
+                                 || '>' || seq_arr[i + 2])
+                     ELSE []::VARCHAR[] END) AS seq
+  FROM per_user
+)
+SELECT seq, count(DISTINCT user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_occurrences
+FROM tris GROUP BY seq
+ORDER BY n_users DESC, n_occurrences DESC, seq ASC
+LIMIT {int(k)}
+"""

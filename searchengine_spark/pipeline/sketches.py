@@ -346,3 +346,44 @@ def hll_source_overlap(documents: DataFrame, group_col: str = "source",
     from searchengine_spark.pipeline._cache import finalize
 
     return finalize(out, regs)
+
+
+def hll_user_registers(events: DataFrame, group_col: str = "event_type",
+                       user_col: str = "user_id") -> DataFrame:
+    """(grp, register, max_rho) — HLL state for distinct USERS per event
+    type: the constant-size (≤ m rows/group), mergeable-by-max sketch a
+    streaming stateful operator carries across micro-batches
+    (streaming/windows.run_streaming_hll drives exactly this state)."""
+    h = md5_long(F.concat(F.lit("u:"), F.col(user_col).cast("string")))
+    reg = (h % F.lit(HLL_M)).alias("register")
+    w = F.shiftright(h, HLL_P) % F.lit(1 << HLL_W_BITS)
+    rho = (
+        F.when(w == 0, F.lit(HLL_W_BITS + 1))
+        .otherwise(F.lit(HLL_W_BITS) - F.floor(F.log2(w)))
+        .cast("int")
+        .alias("rho")
+    )
+    t = events.select(F.col(group_col).alias("grp"), reg, rho)
+    return t.groupBy("grp", "register").agg(F.max("rho").alias("max_rho"))
+
+
+def hll_distinct_users(events: DataFrame, group_col: str = "event_type",
+                       user_col: str = "user_id") -> DataFrame:
+    """(grp, n_exact, hll_estimate) — per-event-type distinct-user count,
+    exact (verification column) next to the 64-register HLL estimate.
+    Same register math as hll_distinct_terms; the item universe is the
+    user dimension, which is what audience dashboards count at 100 TB
+    (the register table is the ONLY state that crosses shard/batch
+    boundaries — see the streaming twin)."""
+    regs = hll_user_registers(events, group_col, user_col)
+    est = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("z_present"),
+        F.count(F.lit(1)).cast("double").alias("n_present"),
+    ).select(
+        "grp",
+        F.round(hll_estimate_col(F.col("z_present"), F.col("n_present")))
+        .cast("long").alias("hll_estimate"),
+    )
+    exact = events.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(user_col).alias("n_exact"))
+    return exact.join(est, "grp").select("grp", "n_exact", "hll_estimate")

@@ -317,3 +317,93 @@ def trending_topk(spark: SparkSession, out_dir: str, k: int = 10) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("window_start", "window_end", "rank", "term", "n")
     )
+
+
+def _hll_py(h: int) -> tuple[int, int]:
+    """(register, rho) from a 60-bit md5 long — the Python mirror of
+    sketches._hll_rank_cols (64 registers, 30-bit rank word)."""
+    import math
+
+    reg = h % 64
+    w = (h >> 6) % (1 << 30)
+    rho = 31 if w == 0 else 30 - int(math.floor(math.log2(w)))
+    return reg, rho
+
+
+def _hll_estimate_py(regs: list[int]) -> int:
+    """Python mirror of sketches.hll_estimate_col (alpha_64 + linear
+    counting correction) over the full 64-register vector (0 = absent)."""
+    import math
+
+    m = 64.0
+    z = sum(2.0 ** -r for r in regs)
+    zeros = sum(1 for r in regs if r == 0)
+    e_raw = (0.709 * m * m) / z
+    if e_raw <= 2.5 * m and zeros > 0:
+        return int(round(m * math.log(m / zeros)))
+    return int(round(e_raw))
+
+
+def _hll_fn(key, pdf_iter, state):
+    """Stateful HLL: state = the 64 register maxima + a seen counter;
+    each micro-batch folds its rows in by register-wise max (the HLL
+    merge operation — associative, commutative, idempotent, which is
+    exactly why this state survives any batch boundary or replay) and
+    emits the running estimate."""
+    import pandas as pd
+
+    from searchengine_spark.pipeline.hashing import md5_long_py
+
+    regs = list(state.get[0]) if state.exists else [0] * 64
+    n_seen = int(state.get[1]) if state.exists else 0
+    for pdf in pdf_iter:
+        for uid in pdf["user_id"]:
+            r, rho = _hll_py(md5_long_py(f"u:{int(uid)}"))
+            if rho > regs[r]:
+                regs[r] = rho
+        n_seen += len(pdf)
+    state.update((regs, n_seen))
+    yield pd.DataFrame({
+        "event_type": [key[0]],
+        "n_seen": [n_seen],
+        "hll_estimate": [_hll_estimate_py(regs)],
+    })
+
+
+def run_streaming_hll(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream events drops; per event_type keep a 64-register HLL of
+    distinct users in the state store and append the running estimate
+    each micro-batch.  The register vector is the ONLY state — constant
+    size per key regardless of user cardinality, and mergeable by max,
+    so the same sketch shards across executors and restores across runs
+    (the batch twin is sketches.hll_distinct_users; the stream==batch
+    test pins estimator equality after multi-run ingestion)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+        .load(drop_dir)
+        .select("event_type", "user_id")
+    )
+    est = stream.groupBy("event_type").applyInPandasWithState(
+        _hll_fn,
+        outputStructType="event_type string, n_seen long, hll_estimate long",
+        stateStructType="regs array<int>, n_seen long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    writer = (
+        est.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -1,0 +1,62 @@
+"""Stateful streaming HLL (distinct users per event type): the register
+state must merge across micro-batches AND across separate runs (state
+restore from checkpoint), landing on exactly the batch sketch."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from searchengine_spark.pipeline.sketches import hll_distinct_users
+from searchengine_spark.streaming.windows import run_streaming_hll
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events_df(spark, rows):
+    data = [
+        (eid, T0 + dt.timedelta(minutes=m), uid, et, 0.0, "{}")
+        for eid, m, uid, et in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_streaming_hll_matches_batch_across_runs(spark, tmp_path):
+    drop_dir = str(tmp_path / "hdrops")
+    out_dir = str(tmp_path / "hout")
+    ckpt = str(tmp_path / "hckpt")
+    os.makedirs(drop_dir)
+
+    batch1 = [(i, i, 100 + (i % 7), "click") for i in range(20)]
+    batch2 = [(100 + i, 60 + i, 100 + (i % 13), "click")
+              for i in range(20)] + \
+             [(200 + i, 90 + i, 500 + i, "view") for i in range(5)]
+
+    _events_df(spark, batch1).coalesce(1).write.mode("append").parquet(drop_dir)
+    run_streaming_hll(spark, drop_dir, out_dir, ckpt, available_now=True)
+
+    _events_df(spark, batch2).coalesce(1).write.mode("append").parquet(drop_dir)
+    run_streaming_hll(spark, drop_dir, out_dir, ckpt, available_now=True)
+
+    out = spark.read.parquet(out_dir).collect()
+    latest = {}
+    for r in out:
+        if (r["event_type"] not in latest
+                or r["n_seen"] > latest[r["event_type"]]["n_seen"]):
+            latest[r["event_type"]] = r
+
+    all_events = _events_df(spark, batch1 + batch2)
+    batch = {r["grp"]: r for r in hll_distinct_users(all_events).collect()}
+
+    assert set(latest) == set(batch)
+    for et, row in latest.items():
+        assert row["hll_estimate"] == batch[et]["hll_estimate"], et
+    # click saw both batches: the state must have accumulated 40 rows
+    assert latest["click"]["n_seen"] == 40
+    # sanity: estimator lands near truth at this tiny cardinality
+    assert abs(latest["click"]["hll_estimate"] - batch["click"]["n_exact"]) \
+        <= max(3, batch["click"]["n_exact"])
