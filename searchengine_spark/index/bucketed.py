@@ -1,0 +1,80 @@
+"""Bucketed-table layout for shuffle-free co-located joins.
+
+The index tables join on two recurring keys: ``doc_id`` (postings ⋈
+doc_stats inside every scorer) and ``term`` (postings ⋈ df_stats /
+query slices).  At 100 TB those joins dominate shuffle volume — unless
+the tables are WRITTEN pre-hashed on the join key.  Spark's native
+mechanism is ``bucketBy`` + ``saveAsTable``: the writer hash-partitions
+rows into a fixed bucket count recorded in the catalog, and the planner
+then satisfies both sides' distribution requirements from the scan
+itself — the physical plan has NO Exchange under the join
+(``tests/test_bucketing.py`` pins exactly that property).
+
+This is the managed-catalog twin of the segment layout in
+``index/segments.py`` (which hand-rolls the same idea as a
+``(doc-shard, term-bucket)`` grid of parquet files for the Arrow
+serving path).  Batch analytics should prefer these bucketed tables;
+the serving path keeps its explicit grid.
+
+Cluster notes: bucket counts must match on both sides of a join (or be
+multiples, with ``spark.sql.sources.bucketing.maxBuckets`` and
+v2 bucketing semantics); pick them once per deployment from
+``health.capacity_plan`` and never vary them per job — a mismatched
+bucket count silently reintroduces the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from searchengine_spark.pipeline.fulltext import doc_stats, tf_postings
+
+
+def write_bucketed_index(spark: SparkSession, documents: DataFrame,
+                         path: str, n_buckets: int = 8,
+                         prefix: str = "se") -> tuple[str, str]:
+    """Materialize ``<prefix>_postings`` and ``<prefix>_doc_stats`` as
+    external tables bucketed AND sorted by ``doc_id`` into ``path``.
+    Returns the two table names.  One corpus scan feeds both (the
+    postings table is persisted while the stats aggregate runs)."""
+    p = tf_postings(documents).persist()
+    postings_t = f"{prefix}_postings"
+    stats_t = f"{prefix}_doc_stats"
+    for name in (postings_t, stats_t):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        p.write.format("parquet")
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .option("path", f"{path}/postings")
+        .mode("overwrite")
+        .saveAsTable(postings_t)
+    )
+    (
+        doc_stats(p).write.format("parquet")
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .option("path", f"{path}/doc_stats")
+        .mode("overwrite")
+        .saveAsTable(stats_t)
+    )
+    p.unpersist()
+    return postings_t, stats_t
+
+
+def colocated_scored_postings(spark: SparkSession, postings_t: str,
+                              stats_t: str,
+                              force_merge: bool = False) -> DataFrame:
+    """postings ⋈ doc_stats on doc_id over the bucketed tables — the
+    scorer's inner join with its shuffle moved to WRITE time.  The plan
+    contract (no Exchange under the SortMergeJoin) is the point.
+
+    ``force_merge`` pins the sort-merge strategy; at production scale
+    doc_stats exceeds the broadcast threshold and SMJ is what the
+    planner picks anyway (below it, a broadcast join is strictly better
+    and bucketing is irrelevant — the test uses the hint to exercise
+    the at-scale shape on a toy table)."""
+    right = spark.table(stats_t)
+    if force_merge:
+        right = right.hint("merge")
+    return spark.table(postings_t).join(right, "doc_id")

@@ -1,0 +1,52 @@
+"""Bucketed-table co-located join: writing postings and doc_stats
+bucketBy(doc_id) must let the planner satisfy the join's distribution
+requirement from the scan — NO Exchange in the physical plan.  This is
+the write-time-shuffle contract the 100 TB scorer join depends on."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from searchengine_spark.index.bucketed import (
+    colocated_scored_postings,
+    write_bucketed_index,
+)
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _plan(df):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5} gamma", "en", "s0", 20)
+         for i in range(60)], DOCS_SCHEMA)
+    pt, st = write_bucketed_index(spark, docs, str(tmp_path / "bidx"),
+                                  n_buckets=4, prefix="tb")
+    joined = colocated_scored_postings(spark, pt, st, force_merge=True)
+    p = _plan(joined)
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "Exchange" not in p, p  # the whole point: shuffle happened at write
+    # result parity with the unbucketed join
+    rows = joined.count()
+    from searchengine_spark.pipeline.fulltext import doc_stats, tf_postings
+    pp = tf_postings(docs)
+    assert rows == pp.join(doc_stats(pp), "doc_id").count()
+    for name in (pt, st):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_unbucketed_join_does_shuffle(spark):
+    # control: the same join over plain DataFrames needs an Exchange
+    docs = spark.createDataFrame(
+        [(i, "alpha beta", "en", "s0", 10) for i in range(20)], DOCS_SCHEMA)
+    from searchengine_spark.pipeline.fulltext import doc_stats, tf_postings
+    pp = tf_postings(docs)
+    big = pp.join(doc_stats(pp).hint("merge"), "doc_id")
+    assert "Exchange" in _plan(big)
