@@ -99,11 +99,18 @@ STORED_QUERIES = [
 
 
 QUERY_LANG = 'merge vector -dup "table hash" stream OR batch'
+# field-scoped variant: lang filter narrows the slice before tokenize
+QUERY_LANG_SCOPED = "lang:en merge vector -dup stream OR batch"
 
 
 def _run_query_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.query.parser import run_query
     return run_query(_docs(spark, sf_dir), QUERY_LANG, k=20)
+
+
+def _run_query_lang_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.query.parser import run_query
+    return run_query(_docs(spark, sf_dir), QUERY_LANG_SCOPED, k=20)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -963,6 +970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frequent length-3 behavioral sequences (PrefixSpan-lite)
         "q_event_trigrams": lambda s, d: events.user_event_trigrams(
             _events(s, d), k=20),
+        # query language with metadata scope filter (lang:en ...)
+        "q_query_language_scoped": lambda s, d: _run_query_lang_scoped(s, d),
     }
 
 
@@ -1272,4 +1281,7 @@ def oracle_sql() -> dict[str, str]:
             shards_from=16, shards_to=17, vnodes=32),
         "q_hll_users": osql.hll_distinct_users(),
         "q_event_trigrams": osql.user_event_trigrams(k=20),
+        "q_query_language_scoped": osql.query_language(
+            ["merge", "vector"], ["dup"], [], [["stream", "batch"]],
+            k=20, langs=["en"]),
     }

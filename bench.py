@@ -192,6 +192,7 @@ HEADLINE = [
     "q_reshard_movement",
     "q_hll_users",
     "q_event_trigrams",
+    "q_query_language_scoped",
 ]
 
 

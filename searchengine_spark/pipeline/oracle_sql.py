@@ -4038,10 +4038,13 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 
 def query_language(must: list[str], must_not: list[str],
                    phrases: list[list[str]], or_groups: list[list[str]],
-                   k: int = 20) -> str:
+                   k: int = 20, langs: list[str] | None = None) -> str:
     """DuckDB twin of query.parser.run_query for a fixed parsed query:
     disjunctive BM25 over all positive terms + MUST / OR-group / phrase
-    semi-joins + NOT anti-join."""
+    semi-joins + NOT anti-join.  ``langs`` scopes the corpus slice
+    before tokenization (the parser's ``lang:x`` field filter); phrase
+    gates and lang scoping are not combined in the gate probes (the
+    phrase subquery reads the unscoped corpus here)."""
     positive = list(dict.fromkeys(
         must + [t for g in or_groups for t in g]
         + [t for ph in phrases for t in ph]))
@@ -4066,8 +4069,14 @@ def query_language(must: list[str], must_not: list[str],
             f"s.doc_id NOT IN (SELECT DISTINCT doc_id FROM postings"
             f" WHERE term IN ({nl}))")
     where = ("WHERE " + "\n  AND ".join(conds)) if conds else ""
+    cte = _TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")
+    if langs:
+        ll = _terms_in(langs)
+        cte = cte.replace(
+            "FROM documents",
+            f"FROM (SELECT * FROM documents WHERE lang IN ({ll})) documents")
     return f"""
-WITH {_TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")},
+WITH {cte},
 ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
 g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({pl}) GROUP BY term),

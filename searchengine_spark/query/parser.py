@@ -10,6 +10,11 @@ Lucene-ish subset
     -dup                    MUST_NOT (exclusion)
     "table hash"            exact positional phrase: MUST
     stream OR batch         a disjunction group: at least one member
+    lang:py source:src3     metadata scope filter (code-search style):
+                            restricts the corpus slice BEFORE
+                            tokenization, so statistics are those of
+                            the slice and the predicate reaches the
+                            parquet scan (filtered_bm25_topk semantics)
 
 into a ``ParsedQuery`` and executes it by COMPOSING the already
 oracle-gated operator plans:
@@ -40,6 +45,8 @@ from searchengine_spark.pipeline.queryops import phrase_occurrences
 from searchengine_spark.textproc.core import BM25_B, BM25_K1
 
 _TOKEN_RE = re.compile(r'"[^"]*"|\S+')
+_FIELD_RE = re.compile(r"^(lang|source|repo|path):(\S+)$")
+
 
 
 @dataclass
@@ -48,6 +55,8 @@ class ParsedQuery:
     must_not: list[str] = field(default_factory=list)
     phrases: list[list[str]] = field(default_factory=list)
     or_groups: list[list[str]] = field(default_factory=list)
+    # metadata scope filters: column -> accepted values (lang:py source:x)
+    fields: dict[str, list[str]] = field(default_factory=dict)
 
 
 def _words(s: str) -> list[str]:
@@ -78,6 +87,11 @@ def parse_query(q: str) -> ParsedQuery:
             out.or_groups.append(group)
             i = j
             continue
+        m = _FIELD_RE.match(tok)
+        if m:
+            out.fields.setdefault(m.group(1), []).append(m.group(2))
+            i += 1
+            continue
         if tok.startswith('"'):
             words = _words(tok.strip('"'))
             if len(words) == 1:
@@ -97,6 +111,9 @@ def run_query(documents: DataFrame, q: str | ParsedQuery, k: int = 20,
     """(doc_id, score): execute a parsed boolean query, ranked by the
     disjunctive BM25 score over all positive terms."""
     pq = parse_query(q) if isinstance(q, str) else q
+    for col, vals in pq.fields.items():
+        if col in documents.columns:
+            documents = documents.filter(F.col(col).isin(vals))
     positive = list(dict.fromkeys(
         pq.must + [t for g in pq.or_groups for t in g]
         + [t for ph in pq.phrases for t in ph]))

@@ -83,3 +83,39 @@ class TestExecutor:
         a = [(r.doc_id, r.score) for r in run_query(d, "apple banana", k=10).collect()]
         b = [(r.doc_id, r.score) for r in bm25_topk(d, ["apple", "banana"], k=10).collect()]
         assert a == b
+
+
+class TestFieldFilters:
+    def test_field_tokens_parse_into_fields(self):
+        from searchengine_spark.query.parser import parse_query
+        pq = parse_query("lang:en merge source:src3 -dup")
+        assert pq.fields == {"lang": ["en"], "source": ["src3"]}
+        assert pq.must == ["merge"] and pq.must_not == ["dup"]
+
+    def test_repeated_field_values_accumulate(self):
+        from searchengine_spark.query.parser import parse_query
+        pq = parse_query("lang:en lang:de x")
+        assert pq.fields["lang"] == ["en", "de"]
+
+    def test_scope_narrows_results_and_stats(self, spark):
+        from searchengine_spark.query.parser import run_query
+        rows = [(i, "zed pad", "en" if i % 2 == 0 else "de", "s0", 7)
+                for i in range(10)]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        full = run_query(docs, "zed", k=20).collect()
+        scoped = run_query(docs, "lang:en zed", k=20).collect()
+        assert len(full) == 10
+        assert len(scoped) == 5
+        assert all(r["doc_id"] % 2 == 0 for r in scoped)
+
+    def test_unknown_field_column_is_ignored(self, spark):
+        from searchengine_spark.query.parser import run_query
+        docs = spark.createDataFrame(
+            [(1, "zed", "en", "s0", 3)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        # 'path' is a recognized field name but not a column here
+        assert run_query(docs, "path:x zed", k=5).count() == 1
