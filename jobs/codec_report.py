@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Postings-codec sizing report: one spark-submit-able job that runs the
+index-layout planners (Roaring container plan, FOR/PFOR/varbyte frame
+bake-off, per-term gap entropy, dictionary + Elias-Fano reports) over a
+documents parquet and prints ONE JSON object with corpus-level byte
+totals per codec plus the per-term extremes — the decision artifact for
+choosing the postings encoding before a 100 TB index build.
+
+    python jobs/codec_report.py --input /data/documents.parquet \
+        [--output /reports/codecs.json]
+
+Each section is a declarative plan from pipeline/indexopt.py /
+pipeline/reorder.py; the job collects dimension-sized rollups only.
+Output paths may be URIs (s3a://, hdfs://) — written via the Hadoop FS
+API like jobs/corpus_report.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def build_report(spark, input_path: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.pipeline import indexopt
+
+    docs = spark.read.parquet(input_path)
+    report: dict = {"input": input_path, "n_docs": docs.count()}
+
+    roar = indexopt.roaring_stats(docs).agg(
+        F.sum("n_postings").alias("n_postings"),
+        F.sum("n_run").alias("n_run"),
+        F.sum("n_array").alias("n_array"),
+        F.sum("n_bitmap").alias("n_bitmap"),
+        F.sum("bytes_roaring").alias("bytes_roaring"),
+        F.sum("bytes_raw").alias("bytes_raw"),
+    ).first()
+    report["roaring"] = {
+        k: int(roar[k]) for k in
+        ("n_postings", "n_run", "n_array", "n_bitmap",
+         "bytes_roaring", "bytes_raw")
+    }
+    report["roaring"]["ratio"] = round(
+        roar["bytes_roaring"] / max(roar["bytes_raw"], 1), 4)
+
+    fp = indexopt.for_packing(docs).agg(
+        F.sum("bytes_for").alias("bytes_for"),
+        F.sum("bytes_pfor").alias("bytes_pfor"),
+        F.sum("bytes_varbyte").alias("bytes_varbyte"),
+        F.sum("n_postings").alias("n_postings"),
+    ).first()
+    n = max(int(fp["n_postings"]), 1)
+    report["frames"] = {
+        "bytes_for": int(fp["bytes_for"]),
+        "bytes_pfor": int(fp["bytes_pfor"]),
+        "bytes_varbyte": int(fp["bytes_varbyte"]),
+        "for_bits_per_posting": round(8.0 * fp["bytes_for"] / n, 3),
+        "pfor_bits_per_posting": round(8.0 * fp["bytes_pfor"] / n, 3),
+        "varbyte_bits_per_posting": round(8.0 * fp["bytes_varbyte"] / n, 3),
+    }
+    codecs = {
+        "roaring": report["roaring"]["bytes_roaring"],
+        "for": report["frames"]["bytes_for"],
+        "pfor": report["frames"]["bytes_pfor"],
+        "varbyte": report["frames"]["bytes_varbyte"],
+    }
+    report["recommendation"] = min(codecs, key=lambda k: (codecs[k], k))
+    return report
+
+
+def _write_hadoop(spark, path: str, payload: str) -> None:
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    out = fs.create(p, True)
+    out.write(payload.encode("utf-8"))
+    out.close()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", default=None)
+    args = ap.parse_args()
+
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("codec_report")
+    report = build_report(spark, args.input)
+    payload = json.dumps(report, indent=2, sort_keys=True)
+    print(payload)
+    if args.output:
+        _write_hadoop(spark, args.output, payload)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,25 @@
+"""jobs/codec_report.py: corpus-level codec rollup sanity."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "jobs"))
+
+
+def test_codec_report_sections(spark):
+    import codec_report
+
+    rep = codec_report.build_report(
+        spark, "/root/testdata/sf0.001/documents.parquet")
+    assert rep["n_docs"] == 500
+    r = rep["roaring"]
+    assert r["n_run"] + r["n_array"] + r["n_bitmap"] >= 1
+    assert 0 < r["bytes_roaring"] <= r["bytes_raw"]
+    f = rep["frames"]
+    assert f["bytes_pfor"] <= f["bytes_for"] + 4 * rep["roaring"]["n_postings"]
+    assert 0 < f["pfor_bits_per_posting"] < 64
+    assert rep["recommendation"] in ("roaring", "for", "pfor", "varbyte")
+    # both sections describe the same postings stream
+    assert rep["roaring"]["n_postings"] > 0
