@@ -972,6 +972,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(s, d), k=20),
         # query language with metadata scope filter (lang:en ...)
         "q_query_language_scoped": lambda s, d: _run_query_lang_scoped(s, d),
+        # mixed-script homoglyph spoofing scan + canonical folded sha
+        "q_homoglyph_scan": lambda s, d: textstats.homoglyph_scan(
+            textstats.with_homoglyph_fixture(_docs(s, d))),
     }
 
 
@@ -1284,4 +1287,5 @@ def oracle_sql() -> dict[str, str]:
         "q_query_language_scoped": osql.query_language(
             ["merge", "vector"], ["dup"], [], [["stream", "batch"]],
             k=20, langs=["en"]),
+        "q_homoglyph_scan": osql.homoglyph_scan(),
     }

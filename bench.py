@@ -193,6 +193,7 @@ HEADLINE = [
     "q_hll_users",
     "q_event_trigrams",
     "q_query_language_scoped",
+    "q_homoglyph_scan",
 ]
 
 

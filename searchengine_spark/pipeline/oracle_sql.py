@@ -7213,3 +7213,52 @@ FROM tris GROUP BY seq
 ORDER BY n_users DESC, n_occurrences DESC, seq ASC
 LIMIT {int(k)}
 """
+
+
+def _homoglyph_docs() -> str:
+    """documents ∪ HOMOGLYPH_FIXTURE (inline-VALUES twin)."""
+    from searchengine_spark.pipeline.textstats import HOMOGLYPH_FIXTURE
+
+    rows = ", ".join(
+        f"({i}, '{_q(t)}', '{lang}', 'homoglyph_fixture', {len(t)})"
+        for i, lang, t in HOMOGLYPH_FIXTURE
+    )
+    return (
+        "(SELECT * FROM documents UNION ALL "
+        f"SELECT * FROM (VALUES {rows}) "
+        "_hg(doc_id, text, lang, source, n_chars))"
+    )
+
+
+def homoglyph_scan() -> str:
+    """Twin of textstats.homoglyph_scan: whitespace-token mixed-script
+    counts, delete-translate confusable count, folded sha."""
+    from searchengine_spark.pipeline.textstats import (
+        HOMOGLYPH_FROM,
+        HOMOGLYPH_TO,
+    )
+
+    return f"""
+WITH t AS (SELECT doc_id, lower(text) AS low
+           FROM {_homoglyph_docs()} documents),
+tk AS (
+  SELECT doc_id, low,
+         list_filter(regexp_split_to_array(low, '\\s+'),
+                     x -> x <> '') AS toks
+  FROM t
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_ws_tokens,
+       len(list_filter(toks,
+           x -> regexp_matches(x, '[a-z]')
+                AND regexp_matches(x, '[а-яё]')))::BIGINT AS n_mixed_tokens,
+       (length(low)
+        - length(translate(low, '{HOMOGLYPH_FROM}', '')))::BIGINT
+         AS n_homoglyph_chars,
+       len(list_filter(toks,
+           x -> regexp_matches(x, '[a-z]')
+                AND regexp_matches(x, '[а-яё]'))) > 0 AS is_suspicious,
+       sha256(translate(low, '{HOMOGLYPH_FROM}', '{HOMOGLYPH_TO}'))
+         AS normalized_sha
+FROM tk
+"""

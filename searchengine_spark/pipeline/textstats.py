@@ -1324,3 +1324,70 @@ def kn_bigram_logprob(documents: DataFrame, discount: float = KN_DISCOUNT,
             F.round(F.avg(F.log("p_kn")), 4).alias("avg_logprob"),
         )
     )
+
+
+# Cyrillic lowercase letters visually identical to Latin (the core
+# homoglyph confusables, Unicode TR39 subset): а е о р с у х ѕ і ј
+HOMOGLYPH_FROM = "аеорсухѕіј"
+HOMOGLYPH_TO = "aeopcyxsij"
+
+# planted mixed-script rows (the synthetic corpus has no Cyrillic):
+# a clean Latin control, a spoofed-domain spam row mixing scripts
+# inside tokens, and a legitimate pure-Cyrillic control — so the gate
+# exercises detect / normalize / leave-alone, one row each.
+HOMOGLYPH_FIXTURE: list[tuple[int, str, str]] = [
+    (-601, "en", "paypal login page totally normal words"),
+    (-602, "en", "visit раураl.com secure lоgin tоday"),
+    (-603, "ru", "повторное появление леопарда"),
+]
+
+
+def with_homoglyph_fixture(documents):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    spark = documents.sparkSession
+    fx = spark.createDataFrame(
+        [(i, t, lang, "homoglyph_fixture", len(t))
+         for i, lang, t in HOMOGLYPH_FIXTURE],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    return documents.unionByName(fx)
+
+
+def homoglyph_scan(documents: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_mixed_tokens, n_homoglyph_chars,
+    is_suspicious, normalized_sha) — mixed-script / homoglyph-spoofing
+    scan (Unicode TR39 confusables, the core Cyrillic↔Latin set):
+
+    - n_mixed_tokens: whitespace tokens containing BOTH Latin and
+      Cyrillic letters — the phishing/SEO-spam signature (``раураl``),
+      which pure-Latin and pure-Cyrillic text never triggers;
+    - n_homoglyph_chars: occurrences of confusable Cyrillic letters
+      (counted via length minus delete-translate — no regex);
+    - normalized_sha: sha256 of the lowercased text with confusables
+      folded to Latin — the canonical form dedup/decontam should key on
+      (a spoofed duplicate hashes equal to its Latin original), proven
+      byte-exact against the DuckDB twin like pii_redact's sha chain.
+
+    Map-only JVM expressions (translate + regexp counts), zero shuffle;
+    at 100 TB this rides the curation corpus scan for free."""
+    txt = F.col(text_col)
+    low = F.lower(txt)
+    toks = F.filter(F.split(low, r"\s+"), lambda t: t != "")
+    mixed = F.filter(
+        toks,
+        lambda t: t.rlike("[a-z]") & t.rlike("[а-яё]"),
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size(mixed).cast("long").alias("n_mixed_tokens"),
+        (F.length(low)
+         - F.length(F.translate(low, HOMOGLYPH_FROM, "")))
+        .cast("long").alias("n_homoglyph_chars"),
+        (F.size(mixed) > 0).alias("is_suspicious"),
+        F.sha2(
+            F.translate(low, HOMOGLYPH_FROM, HOMOGLYPH_TO).cast("binary"),
+            256,
+        ).alias("normalized_sha"),
+    )

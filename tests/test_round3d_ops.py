@@ -152,3 +152,35 @@ class TestReshardMovement:
                reshard_movement(docs, shards_from=8, shards_to=8).collect()}
         assert out["mod"]["n_moved"] == 0
         assert out["ring"]["n_moved"] == 0
+
+
+class TestHomoglyphScan:
+    def test_spoofed_vs_clean_vs_cyrillic(self, spark):
+        from searchengine_spark.pipeline.textstats import (
+            HOMOGLYPH_FIXTURE,
+            homoglyph_scan,
+            with_homoglyph_fixture,
+        )
+        empty = spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string, "
+                "n_chars long")
+        out = {r["doc_id"]: r for r in
+               homoglyph_scan(with_homoglyph_fixture(empty)).collect()}
+        clean, spam, cyr = out[-601], out[-602], out[-603]
+        assert clean["n_mixed_tokens"] == 0 and not clean["is_suspicious"]
+        assert spam["n_mixed_tokens"] >= 2 and spam["is_suspicious"]
+        assert spam["n_homoglyph_chars"] >= 4
+        # pure Cyrillic has confusable LETTERS but no mixed tokens
+        assert cyr["n_mixed_tokens"] == 0 and not cyr["is_suspicious"]
+        assert cyr["n_homoglyph_chars"] > 0
+
+    def test_folded_sha_canonicalizes_spoof_to_latin(self, spark):
+        from searchengine_spark.pipeline.textstats import homoglyph_scan
+        docs = spark.createDataFrame(
+            [(1, "sесrеt dосs", "en", "s", 11),   # Cyrillic е/с/о spoof
+             (2, "secret docs", "en", "s", 11)],  # Latin original
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        out = {r["doc_id"]: r for r in homoglyph_scan(docs).collect()}
+        assert out[1]["normalized_sha"] == out[2]["normalized_sha"]
+        assert out[1]["is_suspicious"] and not out[2]["is_suspicious"]
