@@ -69,6 +69,11 @@ Q_PHRASE_REPEAT = ["window", "agg", "window"]
 Q_PREFIX = "s"
 Q_PMI_PROBE = "merge"
 Q_MISSPELLED = "merg"
+# context-spell probe: 'park' has TWO dist-1 dictionary candidates
+# (part, spark) whose sf0.01 dfs TIE — only the prev='row' bigram slice
+# separates them, so the gate exercises the context rerank for real
+Q_SPELL_PREV = "row"
+Q_SPELL_MISS = "park"
 Q_REGEX = "merge [a-z]+ vector"
 # quantified group: exercises the round-3 required_trigrams soundness fix
 # end-to-end (only "vector" may be required; "(merge )" is optional)
@@ -975,6 +980,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mixed-script homoglyph spoofing scan + canonical folded sha
         "q_homoglyph_scan": lambda s, d: textstats.homoglyph_scan(
             textstats.with_homoglyph_fixture(_docs(s, d))),
+        # context-aware spelling: bigram-slice rerank of edit candidates
+        "q_spell_context": lambda s, d: queryops.spell_context_suggest(
+            _docs(s, d), Q_SPELL_PREV, Q_SPELL_MISS, max_dist=1, k=5),
+        # vocabulary-size planning: OOV-rate coverage curve
+        "q_vocab_oov_curve": lambda s, d: textstats.vocab_oov_curve(
+            _docs(s, d)),
     }
 
 
@@ -1288,4 +1299,7 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "vector"], ["dup"], [], [["stream", "batch"]],
             k=20, langs=["en"]),
         "q_homoglyph_scan": osql.homoglyph_scan(),
+        "q_spell_context": osql.spell_context_suggest(
+            Q_SPELL_PREV, Q_SPELL_MISS, max_dist=1, k=5),
+        "q_vocab_oov_curve": osql.vocab_oov_curve(),
     }

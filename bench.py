@@ -194,6 +194,8 @@ HEADLINE = [
     "q_event_trigrams",
     "q_query_language_scoped",
     "q_homoglyph_scan",
+    "q_spell_context",
+    "q_vocab_oov_curve",
 ]
 
 

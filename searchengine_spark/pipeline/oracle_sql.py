@@ -7262,3 +7262,64 @@ SELECT doc_id,
          AS normalized_sha
 FROM tk
 """
+
+
+def spell_context_suggest(prev_term: str, query_term: str,
+                          max_dist: int = 1, k: int = 5) -> str:
+    """Twin of queryops.spell_context_suggest: edit-distance candidates
+    re-ranked by the prev-term bigram slice."""
+    esc = query_term.replace("'", "''")
+    pesc = prev_term.replace("'", "''")
+    return f"""
+WITH {_TOKS_CTE},
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+cand AS (
+  SELECT term, df, levenshtein(term, '{esc}')::BIGINT AS dist
+  FROM dfs
+  WHERE abs(length(term) - {len(query_term)}) <= {max_dist}
+    AND levenshtein(term, '{esc}') <= {max_dist}
+),
+d AS (SELECT doc_id, {_TOKARR} AS arr FROM documents),
+bg AS (
+  SELECT arr[i] AS prev, arr[i + 1] AS cur
+  FROM d, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+),
+ctx AS (SELECT cur AS term, count(*)::BIGINT AS bigram_n
+        FROM bg WHERE prev = '{pesc}' GROUP BY 1)
+SELECT cand.term, cand.df, cand.dist,
+       coalesce(ctx.bigram_n, 0)::BIGINT AS bigram_n
+FROM cand LEFT JOIN ctx USING (term)
+ORDER BY dist ASC, bigram_n DESC, df DESC, term ASC
+LIMIT {k}
+"""
+
+
+def vocab_oov_curve(vocab_sizes: tuple[int, ...] = (256, 1024, 4096, 16384)) -> str:
+    """Twin of textstats.vocab_oov_curve: cf-ranked cumulative coverage
+    sliced at each vocab size."""
+    vs = ", ".join(str(int(v)) for v in vocab_sizes)
+    return f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT term, sum(tf)::BIGINT AS cf FROM postings GROUP BY term),
+ranked AS (
+  SELECT cf,
+         row_number() OVER (ORDER BY cf DESC, term ASC) AS rnk,
+         sum(cf) OVER (ORDER BY cf DESC, term ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_cf
+  FROM tf
+),
+totals AS (SELECT count(*)::BIGINT AS n_terms, max(cum_cf)::BIGINT AS total
+           FROM ranked),
+vsz AS (SELECT unnest([{vs}]) AS vocab_size)
+SELECT vocab_size::BIGINT AS vocab_size,
+       (SELECT count(*) FROM ranked WHERE rnk <= vocab_size)::BIGINT
+         AS n_terms_kept,
+       coalesce((SELECT max(cum_cf) FROM ranked WHERE rnk <= vocab_size),
+                0)::BIGINT AS covered_tokens,
+       totals.total AS total_tokens,
+       round(1.0 - coalesce((SELECT max(cum_cf) FROM ranked
+                             WHERE rnk <= vocab_size), 0)
+                   / totals.total, 6) AS oov_rate
+FROM vsz CROSS JOIN totals
+"""

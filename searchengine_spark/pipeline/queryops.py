@@ -2770,3 +2770,68 @@ def bm25_plus_topk(documents: DataFrame, query_terms: list[str],
         .limit(k)
     )
     return finalize(scored, p, ds)
+
+
+def spell_context_suggest(documents: DataFrame, prev_term: str,
+                          query_term: str, max_dist: int = 1,
+                          k: int = 5, **kw) -> DataFrame:
+    """(term, df, dist, bigram_n) — context-aware "did you mean": the
+    edit-distance candidates of ``spell_suggest`` re-ranked by how often
+    each candidate actually FOLLOWS ``prev_term`` in the corpus (the
+    adjacent-pair counts behind bigram_logprob).  'merge vectr' →
+    'vector' beats an equally-close dictionary term that never
+    co-occurs with 'merge'.  Rank: (dist asc, bigram_n desc, df desc,
+    term asc) — context breaks the within-distance ties unigram df
+    cannot.
+
+    Scale: candidates stay a dictionary scan with the length pre-filter;
+    the context side is ONE filtered aggregation over per-row adjacent
+    pairs (prev = the query's previous term only — a single-key slice,
+    broadcast to the candidate list)."""
+    from searchengine_spark.pipeline.fulltext import (
+        explode_nonempty,
+        tokens_col,
+    )
+
+    p = tf_postings(documents, **kw)
+    qlen = len(query_term)
+    cand = (
+        df_stats(p)
+        .filter(F.abs(F.length("term") - qlen) <= max_dist)
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("term"), F.lit(query_term)).cast("long"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("term", "df", "dist")
+    )
+    with_toks = documents.select(
+        F.filter(tokens_col("text"), lambda t: t != "").alias("toks"))
+    tc = F.col("toks")
+    pairs = F.when(
+        F.size(tc) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tc) - 1),
+            lambda i: F.struct(
+                F.element_at(tc, i).alias("prev"),
+                F.element_at(tc, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bg = explode_nonempty(
+        with_toks.select(pairs.alias("pairs")), "pairs", "pp"
+    ).select(F.col("pp.prev").alias("prev"), F.col("pp.cur").alias("cur"))
+    ctx = (
+        bg.filter(F.col("prev") == prev_term)
+        .groupBy(F.col("cur").alias("term"))
+        .agg(F.count(F.lit(1)).cast("long").alias("bigram_n"))
+    )
+    return (
+        cand.join(F.broadcast(ctx), "term", "left")
+        .select("term", "df", "dist",
+                F.coalesce("bigram_n", F.lit(0)).cast("long")
+                .alias("bigram_n"))
+        .orderBy(F.asc("dist"), F.desc("bigram_n"), F.desc("df"),
+                 F.asc("term"))
+        .limit(k)
+    )

@@ -1391,3 +1391,63 @@ def homoglyph_scan(documents: DataFrame, id_col: str = "doc_id",
             256,
         ).alias("normalized_sha"),
     )
+
+
+def vocab_oov_curve(documents: DataFrame,
+                    vocab_sizes: tuple[int, ...] = (256, 1024, 4096, 16384),
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(vocab_size, n_terms_kept, covered_tokens, total_tokens, oov_rate)
+    — the vocabulary-size planning curve: if the tokenizer keeps only
+    the top-V terms by collection frequency (ties by term asc), what
+    fraction of token OCCURRENCES falls out-of-vocabulary?  The curve
+    that sizes a word-level vocab (and calibrates how much a subword
+    fallback must absorb) before committing to a tokenizer build.
+
+    Scale shape: one postings hash agg to the term dimension, ONE
+    vocabulary-dim rank window (never corpus rows), a cumulative sum
+    over the same window, then a tiny per-V slice union built in-plan.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        tokenized(documents, id_col=id_col, text_col=text_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    w = Window.orderBy(F.desc("cf"), F.asc("term"))
+    ranked = tf.select(
+        "cf",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("cf").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum_cf"),
+    )
+    totals = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.max("cum_cf").cast("long").alias("total"),
+    )
+    rows = []
+    for v in vocab_sizes:
+        at_v = (
+            ranked.filter(F.col("rnk") <= v)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_terms_kept"),
+                F.coalesce(F.max("cum_cf"), F.lit(0)).cast("long")
+                .alias("covered_tokens"),
+            )
+            .crossJoin(F.broadcast(totals))
+            .select(
+                F.lit(v).cast("long").alias("vocab_size"),
+                "n_terms_kept",
+                "covered_tokens",
+                F.col("total").alias("total_tokens"),
+                F.round(1.0 - F.col("covered_tokens") / F.col("total"), 6)
+                .alias("oov_rate"),
+            )
+        )
+        rows.append(at_v)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

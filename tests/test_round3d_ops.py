@@ -184,3 +184,31 @@ class TestHomoglyphScan:
         out = {r["doc_id"]: r for r in homoglyph_scan(docs).collect()}
         assert out[1]["normalized_sha"] == out[2]["normalized_sha"]
         assert out[1]["is_suspicious"] and not out[2]["is_suspicious"]
+
+
+class TestSpellContext:
+    def test_context_breaks_df_tie(self, spark):
+        # 'bank' appears after 'river' 3x; 'tank' after 'river' 0x;
+        # equal df -> context must promote bank for probe 'river'+'ank'
+        rows = [(1, "river bank one"), (2, "river bank two"),
+                (3, "river bank three"), (4, "army tank one"),
+                (5, "army tank two"), (6, "army tank three")]
+        docs = _docs(spark, rows)
+        from searchengine_spark.pipeline.queryops import spell_context_suggest
+        out = spell_context_suggest(docs, "river", "ank", k=2).collect()
+        assert [r["term"] for r in out] == ["bank", "tank"]
+        assert out[0]["bigram_n"] == 3 and out[1]["bigram_n"] == 0
+
+
+class TestVocabOovCurve:
+    def test_coverage_monotone_and_exact(self, spark):
+        # cf: aa x6, bb x3, cc x1 -> total 10
+        docs = _docs(spark, [(1, "aa aa aa bb"), (2, "aa aa aa bb bb cc")])
+        from searchengine_spark.pipeline.textstats import vocab_oov_curve
+        out = {r["vocab_size"]: r for r in
+               vocab_oov_curve(docs, vocab_sizes=(1, 2, 3, 100)).collect()}
+        assert out[1]["covered_tokens"] == 6
+        assert out[1]["oov_rate"] == 0.4
+        assert out[2]["covered_tokens"] == 9
+        assert out[3]["oov_rate"] == 0.0
+        assert out[100]["n_terms_kept"] == 3  # only 3 terms exist
