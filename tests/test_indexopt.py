@@ -197,3 +197,46 @@ class TestIntervalJoin:
         out = interval_join_counts(ev, window_minutes=10).collect()
         row = {r["event_id"]: r for r in out}[2]
         assert row["n_views"] == 1
+
+
+class TestCodecEdgeCases:
+    def test_run_broken_at_chunk_boundary(self, spark):
+        # consecutive ids 4094..4097 straddle the 4096 chunk line: two
+        # runs (one per chunk), never a cross-chunk run
+        from searchengine_spark.pipeline.indexopt import roaring_stats
+        docs = _docs(spark, [(i, "edge z") for i in (4094, 4095, 4096, 4097)])
+        row = {r["term"]: r for r in roaring_stats(docs).collect()}["edge"]
+        assert row["n_chunks"] == 2
+        # each chunk: 2 consecutive ids = 1 run -> 2+4 = 6 B, beats
+        # array (4 B)? no: array is 2*2=4 B < 6 B -> array wins per chunk
+        assert row["n_array"] == 2
+        assert row["bytes_roaring"] == 8
+
+    def test_power_of_two_gap_bit_width(self, spark):
+        # gap exactly 2^k must width k+1, not k (float log2 would round)
+        from searchengine_spark.pipeline.indexopt import for_packing
+        # doc 0 (gap 1, width 1) then doc 1024 (gap 1024 = 2^10, width 11)
+        docs = _docs(spark, [(0, "pow q"), (1024, "pow q")])
+        row = {r["term"]: r for r in for_packing(docs).collect()}["pow"]
+        # one block, n=2, w_full = 11 -> FOR = 1 + ceil(22/8) = 4
+        assert row["bytes_for"] == 4
+        # varbyte: gap 1 -> 1 B; gap 1024 -> 2 B
+        assert row["bytes_varbyte"] == 3
+
+    def test_single_posting_block(self, spark):
+        from searchengine_spark.pipeline.indexopt import for_packing
+        docs = _docs(spark, [(7, "solo r")])
+        row = {r["term"]: r for r in for_packing(docs).collect()}["solo"]
+        # gap = 8 -> width 4; n=1: FOR = 1 + ceil(4/8) = 2;
+        # w90 index = ceil(0.9)=1 -> same gap, no exceptions
+        assert row["n_blocks"] == 1
+        assert row["bytes_for"] == 2
+        assert row["bytes_pfor"] == 2
+
+    def test_multi_block_split(self, spark):
+        # 130 consecutive ids -> blocks of 128 + 2
+        from searchengine_spark.pipeline.indexopt import for_packing
+        docs = _docs(spark, [(i, "blk s") for i in range(130)])
+        row = {r["term"]: r for r in for_packing(docs).collect()}["blk"]
+        assert row["n_blocks"] == 2
+        assert row["n_postings"] == 130
