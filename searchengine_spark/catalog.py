@@ -59,3 +59,56 @@ def write_table(df: DataFrame, ref: str, partition_by: str | None = None) -> Non
         if partition_by:
             w = w.partitionedBy(F.col(partition_by))
         w.createOrReplace()
+
+
+CORPUS_SCHEMA_DDL = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def read_corpus_jsonl(
+    spark: SparkSession,
+    path: str,
+    quarantine: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(good, bad) — ingest a JSON-lines corpus drop with the declared
+    corpus schema, PERMISSIVE corrupt-record capture, and required-field
+    validation.  Web-scale drops are never clean: truncated uploads,
+    stray log lines and schema drift all land in the same prefix, and a
+    FAILFAST read turns one bad line into a dead 100 TB job.  Instead:
+
+    - parse with the DECLARED schema (no sampling-inference pass over
+      the whole drop — ``spark.read.json`` without a schema scans
+      everything twice) plus a ``_corrupt_record`` column;
+    - ``good``  = parsed rows with repo/path/content all present;
+    - ``bad``   = corrupt lines AND parsed-but-incomplete rows, each
+      tagged with a reason — the quarantine stream (optionally written
+      to ``quarantine`` for replay after the producer is fixed).
+
+    Both frames come from ONE pass; the split is two filters over the
+    cached parse (a line is never silently dropped: good + bad row
+    counts sum to the input line count)."""
+    schema = CORPUS_SCHEMA_DDL + ", _corrupt_record string"
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    parsed_ok = F.col("_corrupt_record").isNull()
+    complete = (
+        F.col("repo").isNotNull()
+        & F.col("path").isNotNull()
+        & F.col("content").isNotNull()
+    )
+    good = raw.filter(parsed_ok & complete).drop("_corrupt_record")
+    bad = raw.filter(~parsed_ok | ~complete).select(
+        F.col("_corrupt_record").alias("raw_line"),
+        "repo", "path",
+        F.when(~parsed_ok, "corrupt_json")
+        .otherwise("missing_required_field").alias("reason"),
+    )
+    if quarantine is not None:
+        bad.write.mode("overwrite").json(quarantine)
+    return good, bad

@@ -1,0 +1,52 @@
+"""JSONL corpus ingest: declared schema, corrupt-line quarantine,
+missing-field validation — no line silently dropped."""
+
+from __future__ import annotations
+
+from searchengine_spark.catalog import read_corpus_jsonl
+
+
+def test_jsonl_split_accounts_for_every_line(spark, tmp_path):
+    p = tmp_path / "drop.jsonl"
+    lines = [
+        '{"repo":"r1","path":"a.py","commit":"c","lang":"py","content":"x=1"}',
+        'this is not json at all',
+        '{"repo":"r2","path":"b.py","commit":"c","lang":"py","content":"y=2"}',
+        '{"repo":"r3","lang":"py","content":"missing path"}',
+        '{"repo":"r4","path":"d.py","commit":"c","lang":"py"}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    good, bad = read_corpus_jsonl(spark, str(p))
+    g, b = good.collect(), bad.collect()
+    assert len(g) == 2 and len(b) == 3
+    assert {r["repo"] for r in g} == {"r1", "r2"}
+    reasons = sorted(r["reason"] for r in b)
+    assert reasons == ["corrupt_json", "missing_required_field",
+                       "missing_required_field"]
+    # the corrupt line's raw text is preserved for replay
+    corrupt = [r for r in b if r["reason"] == "corrupt_json"][0]
+    assert corrupt["raw_line"] == "this is not json at all"
+
+
+def test_jsonl_quarantine_written(spark, tmp_path):
+    p = tmp_path / "drop2.jsonl"
+    p.write_text('{"repo":"r","path":"p","commit":"c","lang":"py","content":"z"}\nbroken\n')
+    qdir = str(tmp_path / "quarantine")
+    good, bad = read_corpus_jsonl(spark, str(p), quarantine=qdir)
+    assert good.count() == 1
+    requeued = spark.read.json(qdir)
+    assert requeued.count() == 1
+
+
+def test_good_rows_feed_the_index_build(spark, tmp_path):
+    p = tmp_path / "drop3.jsonl"
+    p.write_text(
+        '{"repo":"r","path":"p.py","commit":"c","lang":"py",'
+        '"content":"merge vector merge"}\n')
+    good, _ = read_corpus_jsonl(spark, str(p))
+    from searchengine_spark.pipeline.fulltext import tf_postings
+    docs = good.selectExpr("0 as doc_id", "content as text",
+                           "lang", "repo as source",
+                           "length(content) as n_chars")
+    tfs = {r["term"]: r["tf"] for r in tf_postings(docs).collect()}
+    assert tfs == {"merge": 2, "vector": 1}
