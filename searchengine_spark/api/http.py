@@ -10,6 +10,7 @@ dto/ package: every endpoint returns HTTP 200 with a JSON body carrying
 |---------------------------------------------|---------------------------------------|
 | GET  /api/search?query&site&offset&limit    | same (site = repo scope)              |
 | GET  /api/statistics                        | same (StatisticsResponse shape)       |
+| GET  /api/explain?query                     | (extension) dictionary-only cost plan |
 | GET  /api/startIndexing                     | same (async rebuild, refuse if busy)  |
 | GET  /api/stopIndexing                      | same (job-group cancel)               |
 | POST /api/indexPage?repo=&path=             | url param -> (repo, path) corpus key  |
@@ -119,6 +120,46 @@ class SearchEngineService:
         if out.get("result"):  # never cache error responses
             self._cache_put(key, out)
         return out
+
+    # -- GET /api/explain: dictionary-only query cost (no posting touched) --
+    def explain(self, query: str) -> dict:
+        """Admission-control EXPLAIN: per query term, df, the rarest-first
+        evaluation position (SURVEY §2 O1) and the block count the WAND
+        path would open at worst (ceil(df / 128), index/codec.py BLOCK) —
+        all from the df dictionary, no posting list read.  The serving
+        twin of pipeline/queryops.query_cost_estimate."""
+        from pyspark.sql import functions as F
+
+        from searchengine_spark.query.search import _analyzer
+
+        if not query:
+            return {"result": False, "error": "empty query"}
+        idx = self._index()
+        terms = sorted(_analyzer(idx).lemma_set(query))
+        if not terms:
+            return {"result": False, "error": "empty query"}
+        rows = (
+            idx.df_stats.filter(F.col("term").isin(terms))
+            .select("term", "df").collect()
+        )
+        found = {r["term"]: int(r["df"]) for r in rows}
+        per_term = [
+            {"term": t, "df": found.get(t, 0),
+             "est_blocks": -(-found.get(t, 0) // 128),
+             "present": t in found}
+            for t in terms
+        ]
+        per_term.sort(key=lambda d: (d["df"], d["term"]))
+        for pos, d in enumerate(per_term):
+            d["order_pos"] = pos
+        executable = all(d["present"] for d in per_term)
+        return {
+            "result": True,
+            "executable": executable,  # AND gate: any absent term -> empty
+            "n_terms": len(per_term),
+            "est_total_blocks": sum(d["est_blocks"] for d in per_term),
+            "terms": per_term,
+        }
 
     # -- GET /api/statistics ------------------------------------------------
     def statistics(self) -> dict:
@@ -321,6 +362,8 @@ def make_handler(service: SearchEngineService):
                     self._int(q, "offset", 0), self._int(q, "limit", 20)))
             elif path == "/api/statistics":
                 self._dispatch(service.statistics)
+            elif path == "/api/explain":
+                self._dispatch(lambda: service.explain(q.get("query", "")))
             elif path == "/api/startIndexing":
                 self._dispatch(service.start_indexing)
             elif path == "/api/stopIndexing":

@@ -268,3 +268,27 @@ def test_error_responses_never_cached(spark, t1_index, tmp_path):
     assert out["result"] is False
     svc.search("", None, 0, 10)
     assert svc.cache_hits == 0  # error responses recompute every time
+
+
+def test_explain_endpoint_dictionary_only(api):
+    out = _get(api, "/api/explain?query=sofiko")
+    assert out["result"] is True and out["executable"] is True
+    t = out["terms"][0]
+    assert t["term"] == "sofiko" and t["df"] >= 1 and t["present"]
+    assert t["est_blocks"] == -(-t["df"] // 128)
+    assert out["est_total_blocks"] >= 1
+
+
+def test_explain_absent_term_not_executable(api):
+    out = _get(api, "/api/explain?query=sofiko%20zzznotaterm")
+    assert out["result"] is True
+    assert out["executable"] is False  # AND gate would return empty
+    by_term = {t["term"]: t for t in out["terms"]}
+    assert by_term["zzznotaterm"]["df"] == 0
+    # rarest-first: the absent term is evaluated first (df 0)
+    assert by_term["zzznotaterm"]["order_pos"] == 0
+
+
+def test_explain_empty_query_error(api):
+    out = _get(api, "/api/explain?query=")
+    assert out["result"] is False
