@@ -281,9 +281,12 @@ def weighted_sample(documents: DataFrame, k: int = 50,
         F.round(wgt, 4).alias("weight"),
         F.round(F.pow(u, 1.0 / wgt), 6).alias("skey"),
     )
+    # TakeOrderedAndProject cut FIRST (per-partition heaps + O(k) driver
+    # merge), THEN rank the k survivors — the global window never sees
+    # corpus cardinality (the maxsim/curriculum_order scale rule).
+    topk = keyed.orderBy(F.desc("skey"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("skey"), F.asc("doc_id"))
     return (
-        keyed.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("doc_id", "weight", "skey", "rank")
     )
