@@ -40,6 +40,7 @@ from searchengine_spark.pipeline import (  # noqa: E402
     fulltext,
     indexopt,
     multimodal,
+    nndescent,
     oracle_sql as osql,
     packing,
     pii,
@@ -986,6 +987,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vocabulary-size planning: OOV-rate coverage curve
         "q_vocab_oov_curve": lambda s, d: textstats.vocab_oov_curve(
             _docs(s, d)),
+        # NN-Descent kNN graph (graph-based ANN family) + its recall gate
+        "q_nndescent_graph": lambda s, d: nndescent.nndescent_graph(
+            _emb(s, d), k=5, rounds=2, n_planes=4),
+        "q_nndescent_recall": lambda s, d: nndescent.nndescent_recall(
+            _emb(s, d), PROBE_VEC_IDS, k=5, rounds=2, n_planes=4),
     }
 
 
@@ -1302,4 +1308,7 @@ def oracle_sql() -> dict[str, str]:
         "q_spell_context": osql.spell_context_suggest(
             Q_SPELL_PREV, Q_SPELL_MISS, max_dist=1, k=5),
         "q_vocab_oov_curve": osql.vocab_oov_curve(),
+        "q_nndescent_graph": osql.nndescent_graph(k=5, rounds=2, n_planes=4),
+        "q_nndescent_recall": osql.nndescent_recall(
+            PROBE_VEC_IDS, k=5, rounds=2, n_planes=4),
     }

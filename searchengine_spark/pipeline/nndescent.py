@@ -1,0 +1,147 @@
+"""NN-Descent k-nearest-neighbour graph construction (Dong, Moses &
+Li, WWW 2011) over the embeddings table — the graph-based ANN family,
+next to the engine's hash (LSH), partition (IVF) and compression
+(PQ/SQ8) families.
+
+The reference has no vector surface at all; this generalizes its
+"find related items" capability the way similarity.py does
+(SURVEY.md §2 LLM-pipeline block).  NN-Descent's premise: *a
+neighbour of a neighbour is likely a neighbour*.  Start from a cheap
+approximate graph and iterate — each round every node offers its
+neighbourhood to its neighbours and keeps the best k edges seen so
+far.  Converges in a handful of rounds and is embarrassingly
+data-parallel, which is why it is the standard distributed builder
+for the kNN graphs under HNSW/NSG-style serving indexes.
+
+Spark-first shape (everything set-at-a-time, nothing driver-side):
+
+- **Init**: an LSH *forest* — the union of within-bucket pairs from
+  TWO independent sign-projection tables (``similarity.lsh_buckets``
+  family 0 and family 1, different integer-arithmetic moduli), exact
+  top-k over that union.  Two tables matter for more than recall: pure
+  NN-Descent can only densify the components the seed graph already
+  connects — a cluster split across buckets of a single table stays
+  split forever (verified on planted clusters: recall froze at 0.85
+  for any number of rounds with one table).  A second independent
+  table makes "split identically in both" unlikely, and one cross
+  edge is all NN-Descent needs to merge the halves.  ``n_planes`` is
+  chosen so expected occupancy n/2^p stays O(k·c); bucket equi-joins,
+  never all-pairs.
+- **Round**: candidates = current edges ∪ reversed edges ∪ 2-hop
+  pairs from the undirected adjacency (the join
+  ``und ⋈ und ON a.nbr = b.id``).  Per node that is ≤ 2k + (2k)²
+  candidates — bounded fan-out, independent of corpus size.  Score
+  exact cosine (two vec_id equi-joins against the vectors), keep
+  top-k per node via a partitioned rank window.
+- Each round is 3 shuffles (two vector joins + the window); the
+  edge list (n·k rows) is localCheckpoint'd between rounds so the
+  lineage doesn't stack.
+
+At 10^12 scale the init bucket join AQE-splits skewed buckets like
+every other LSH candidate stage, and the per-round joins are plain
+equi-joins on vec_id — shuffle-bounded by n·k², never n².
+
+Determinism contract (gate-compatible): cosine rounded to 3dp with
+the array-order fold summation (`similarity._dot`), ties broken by
+ascending neighbour id, so Spark and the unrolled-CTE DuckDB twin
+(`oracle_sql.nndescent_graph`) rank identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from searchengine_spark.pipeline._cache import finalize
+from searchengine_spark.pipeline.similarity import (
+    _dot, _norm, ann_recall, cosine_topk, lsh_buckets)
+
+NND_K = 5
+NND_ROUNDS = 2
+NND_PLANES = 4  # 16 init buckets; at n docs pick ~log2(n / (8k))
+
+
+def _topk_edges(scored: DataFrame, k: int) -> DataFrame:
+    """(id, nbr, cosine, rank) — best k edges per node, deterministic."""
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("nbr"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "nbr", "cosine", "rank")
+    )
+
+
+def _score(cand: DataFrame, vecs: DataFrame) -> DataFrame:
+    """Exact cosine for (id, nbr) pairs via two vec_id equi-joins."""
+    p = vecs.select(F.col("vid").alias("id"), F.col("vec").alias("pvec"))
+    q = vecs.select(F.col("vid").alias("nbr"), F.col("vec").alias("cvec"))
+    return (
+        cand.join(p, "id").join(q, "nbr")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("pvec"), F.col("cvec"))
+                    / (_norm(F.col("pvec")) * _norm(F.col("cvec"))), 3),
+        )
+        .select("id", "nbr", "cosine")
+    )
+
+
+def nndescent_graph(embeddings: DataFrame, k: int = NND_K,
+                    rounds: int = NND_ROUNDS, n_planes: int = NND_PLANES,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, nbr_id, cosine, rank) — the kNN graph after ``rounds``
+    NN-Descent refinements of the LSH-bucket seed graph.
+
+    A node alone in its bucket in BOTH tables starts isolated and can
+    only be reached through other nodes' reverse edges; choose
+    ``n_planes`` so occupancy makes that negligible (documented above).
+    """
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).persist()
+
+    def bucket_pairs(family: int) -> DataFrame:
+        b = lsh_buckets(embeddings, id_col, vec_col,
+                        n_planes=n_planes, family=family)
+        a = b.select(F.col("vec_id").alias("id"), "bucket")
+        c = b.select(F.col("vec_id").alias("nbr"), "bucket")
+        return (a.join(c, "bucket")
+                .filter(F.col("id") != F.col("nbr"))
+                .select("id", "nbr"))
+
+    init = bucket_pairs(0).union(bucket_pairs(1)).distinct()
+    edges = _topk_edges(_score(init, vecs), k)
+    for _ in range(rounds):
+        edges = edges.localCheckpoint()  # cut lineage between rounds
+        fwd = edges.select("id", "nbr")
+        rev = edges.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
+        und = fwd.union(rev).distinct()
+        two = (
+            und.alias("x")
+            .join(und.alias("y"), F.col("x.nbr") == F.col("y.id"))
+            .select(F.col("x.id").alias("id"), F.col("y.nbr").alias("nbr"))
+        )
+        cand = (
+            fwd.union(rev).union(two)
+            .filter(F.col("id") != F.col("nbr"))
+            .distinct()
+        )
+        edges = _topk_edges(_score(cand, vecs), k)
+    out = edges.select(
+        F.col("id").alias("vec_id"), F.col("nbr").alias("nbr_id"),
+        "cosine", F.col("rank").cast("long").alias("rank"))
+    return finalize(out, vecs)
+
+
+def nndescent_recall(embeddings: DataFrame, probe_ids: list[int],
+                     k: int = NND_K, rounds: int = NND_ROUNDS,
+                     n_planes: int = NND_PLANES,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(probe_id, n_hits, n_exact, recall) — the graph's edge lists for
+    the probe nodes scored against exact cosine top-k (the same
+    recall gate shape as lsh/ivf/pq_recall, pinning graph quality)."""
+    g = nndescent_graph(embeddings, k, rounds, n_planes, id_col, vec_col)
+    ann = g.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("nbr_id").alias("vec_id"))
+    return ann_recall(
+        cosine_topk(embeddings, probe_ids, k, id_col, vec_col), ann)

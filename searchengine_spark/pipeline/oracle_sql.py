@@ -550,9 +550,16 @@ def ivf_topk(probe_ids: list[int], k: int = 5, n_lists: int = 8,
     return _ivf_topk_body(_IVF_ASSIGN.format(n_lists=n_lists), probe_ids, k, nprobe)
 
 
-def embedding_lsh_buckets(n_planes: int = 8) -> str:
+def embedding_lsh_buckets(n_planes: int = 8, family: int = 0) -> str:
+    """family 0: sign = ((i-1)*31 + p*17) % 7 < 3; family 1 (nndescent's
+    second seed table): ((i-1)*29 + p*13) % 11 < 5 — twins of
+    similarity.hyperplane_sign / hyperplane_sign2."""
+    signs = [
+        lambda p: f"((i-1)*31 + {p}*17) % 7 < 3",
+        lambda p: f"((i-1)*29 + {p}*13) % 11 < 5",
+    ]
     dots = ", ".join(
-        f"list_sum([embedding[i]::DOUBLE * (CASE WHEN ((i-1)*31 + {p}*17) % 7 < 3 "
+        f"list_sum([embedding[i]::DOUBLE * (CASE WHEN {signs[family](p)} "
         f"THEN 1.0 ELSE -1.0 END) for i in generate_series(1, len(embedding))]) AS d{p}"
         for p in range(n_planes)
     )
@@ -7323,3 +7330,58 @@ SELECT vocab_size::BIGINT AS vocab_size,
                    / totals.total, 6) AS oov_rate
 FROM vsz CROSS JOIN totals
 """
+
+
+def nndescent_graph(k: int = 5, rounds: int = 2, n_planes: int = 4) -> str:
+    """Twin of nndescent.nndescent_graph: LSH-bucket seed top-k, then
+    ``rounds`` unrolled NN-Descent refinements (undirected adjacency ∪
+    2-hop candidates, exact-cosine rescore, per-node top-k).  Same
+    integer-arithmetic hyperplanes, 3dp cosine, nbr-asc tie rule."""
+    parts = [f"""b0 AS ({embedding_lsh_buckets(n_planes, family=0)}),
+b1 AS ({embedding_lsh_buckets(n_planes, family=1)}),
+ip AS (
+  SELECT a.vec_id AS id, x.vec_id AS nbr
+  FROM b0 a JOIN b0 x USING (bucket) WHERE a.vec_id <> x.vec_id
+  UNION
+  SELECT a.vec_id, x.vec_id
+  FROM b1 a JOIN b1 x USING (bucket) WHERE a.vec_id <> x.vec_id
+),
+sp0 AS (SELECT ip.id, ip.nbr, p.embedding AS pvec, q.embedding AS cvec
+        FROM ip JOIN embeddings p ON p.vec_id = ip.id
+                JOIN embeddings q ON q.vec_id = ip.nbr),
+s0 AS (SELECT id, nbr, {_COS} FROM sp0),
+e0 AS (SELECT id, nbr, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY id
+                               ORDER BY cosine DESC, nbr ASC) AS rank
+  FROM s0) WHERE rank <= {k})"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""u{r} AS (SELECT id, nbr FROM e{r - 1}
+       UNION SELECT nbr, id FROM e{r - 1}),
+c{r} AS (
+  SELECT id, nbr FROM u{r}
+  UNION
+  SELECT a.id, b.nbr FROM u{r} a JOIN u{r} b ON a.nbr = b.id
+  WHERE a.id <> b.nbr
+),
+sp{r} AS (SELECT c.id, c.nbr, p.embedding AS pvec, q.embedding AS cvec
+          FROM c{r} c JOIN embeddings p ON p.vec_id = c.id
+                      JOIN embeddings q ON q.vec_id = c.nbr),
+s{r} AS (SELECT id, nbr, {_COS} FROM sp{r}),
+e{r} AS (SELECT id, nbr, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY id
+                               ORDER BY cosine DESC, nbr ASC) AS rank
+  FROM s{r}) WHERE rank <= {k})""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT id AS vec_id, nbr AS nbr_id, cosine, rank::BIGINT AS rank
+FROM e{rounds}
+"""
+
+
+def nndescent_recall(probe_ids: list[int], k: int = 5, rounds: int = 2,
+                     n_planes: int = 4) -> str:
+    ids = ", ".join(str(i) for i in probe_ids)
+    ann = f"""SELECT vec_id AS probe_id, nbr_id AS vec_id
+FROM ({nndescent_graph(k, rounds, n_planes)}) g WHERE g.vec_id IN ({ids})"""
+    return _recall_sql(cosine_topk(probe_ids, k), ann)
