@@ -50,6 +50,7 @@ from searchengine_spark.pipeline import (  # noqa: E402
     rankeval,
     reorder,
     sampling,
+    serving,
     similarity,
     sketches,
     sptokenizer,
@@ -992,6 +993,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), k=5, rounds=2, n_planes=4),
         "q_nndescent_recall": lambda s, d: nndescent.nndescent_recall(
             _emb(s, d), PROBE_VEC_IDS, k=5, rounds=2, n_planes=4),
+        # serving-tier planning: static result-cache curve + doc/term routing
+        "q_cache_hit_curve": lambda s, d: serving.cache_hit_curve(_docs(s, d)),
+        "q_partition_routing": lambda s, d: serving.partition_routing(
+            _docs(s, d), n_shards=16),
     }
 
 
@@ -1311,4 +1316,6 @@ def oracle_sql() -> dict[str, str]:
         "q_nndescent_graph": osql.nndescent_graph(k=5, rounds=2, n_planes=4),
         "q_nndescent_recall": osql.nndescent_recall(
             PROBE_VEC_IDS, k=5, rounds=2, n_planes=4),
+        "q_cache_hit_curve": osql.cache_hit_curve(),
+        "q_partition_routing": osql.partition_routing(n_shards=16),
     }

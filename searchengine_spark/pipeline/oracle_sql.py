@@ -7385,3 +7385,68 @@ def nndescent_recall(probe_ids: list[int], k: int = 5, rounds: int = 2,
     ann = f"""SELECT vec_id AS probe_id, nbr_id AS vec_id
 FROM ({nndescent_graph(k, rounds, n_planes)}) g WHERE g.vec_id IN ({ids})"""
     return _recall_sql(cosine_topk(probe_ids, k), ann)
+
+
+_QUERY_LOG_CTE = """
+qlog AS (
+  SELECT toks[1] || ' ' || toks[2] AS query, toks[1] AS t0, toks[2] AS t1
+  FROM (SELECT regexp_extract_all(text, '\\S+') AS toks FROM documents)
+  WHERE len(toks) >= 2
+)"""
+
+
+def cache_hit_curve(cache_sizes: tuple[int, ...] = (1, 4, 16, 64, 256)) -> str:
+    """Twin of serving.cache_hit_curve (pre-warmed static top-C cache)."""
+    sizes = ", ".join(str(int(c)) for c in cache_sizes)
+    return f"""
+WITH {_QUERY_LOG_CTE},
+pop AS (SELECT query, count(*)::BIGINT AS n FROM qlog GROUP BY 1),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n DESC, query ASC) AS rank FROM pop),
+tot AS (SELECT sum(n)::DOUBLE AS total, count(*)::DOUBLE AS n_distinct
+        FROM pop),
+grid AS (SELECT unnest([{sizes}])::BIGINT AS cache_size)
+SELECT g.cache_size,
+       count(*)::BIGINT AS n_cached,
+       sum(r.n)::BIGINT AS n_hits,
+       round(sum(r.n) / tot.total, 4) AS hit_rate,
+       round((tot.total - tot.n_distinct) / tot.total, 4) AS online_bound
+FROM grid g JOIN ranked r ON r.rank <= g.cache_size CROSS JOIN tot
+GROUP BY g.cache_size, tot.total, tot.n_distinct
+ORDER BY g.cache_size
+"""
+
+
+def partition_routing(n_shards: int = 16) -> str:
+    """Twin of serving.partition_routing (doc- vs term-partitioned)."""
+    n = int(n_shards)
+    sh = f"(({md5_long_sql('term')}) % {n})::BIGINT"
+    sh0 = f"(({md5_long_sql('t0')}) % {n})::BIGINT"
+    sh1 = f"(({md5_long_sql('t1')}) % {n})::BIGINT"
+    return f"""
+WITH {_QUERY_LOG_CTE},
+occ AS (SELECT t0 AS term FROM qlog UNION ALL SELECT t1 FROM qlog),
+terms AS (SELECT DISTINCT term FROM occ),
+dfs AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term
+        FROM documents) dt
+  JOIN terms USING (term) GROUP BY term
+),
+work AS (SELECT occ.term, dfs.df, {sh} AS shard FROM occ JOIN dfs USING (term)),
+shard_load AS (SELECT shard, sum(df) AS load FROM work GROUP BY shard),
+t_agg AS (SELECT sum(load)::BIGINT AS total_work, max(load)::BIGINT AS max_load
+          FROM shard_load),
+spq AS (
+  SELECT avg(CASE WHEN {sh0} = {sh1} THEN 1 ELSE 2 END)::DOUBLE AS avg_spq
+  FROM qlog)
+SELECT 'doc' AS strategy, {n}::BIGINT AS n_shards,
+       {n}.0::DOUBLE AS avg_shards_per_query, total_work,
+       ceil(total_work / {n})::BIGINT AS max_shard_load,
+       1.0::DOUBLE AS load_imbalance
+FROM t_agg
+UNION ALL
+SELECT 'term', {n}::BIGINT, round(spq.avg_spq, 4), total_work, max_load,
+       round(max_load * {n} / total_work, 4)
+FROM t_agg CROSS JOIN spq
+"""

@@ -1,0 +1,169 @@
+"""Serving-tier planning analyses over a corpus-derived query workload.
+
+The reference serves queries one at a time from a single node
+(``src/main/java/searchengine/services/SearchService.java``); at web
+scale the serving tier in front of the index needs two classic design
+decisions made from workload data, not guesses:
+
+- **Result caching** (Baeza-Yates et al., SIGIR'07 "The impact of
+  caching on search engines"): query streams are heavily skewed, so a
+  small static cache of the most popular queries absorbs a large share
+  of traffic.  ``cache_hit_curve`` computes the exact hit-rate curve of
+  a pre-warmed top-C static cache for a grid of cache sizes.
+- **Index partitioning** (Moffat, Webber & Zobel, SPIRE'06 /
+  "load balancing for term-distributed parallel retrieval"):
+  document-partitioned shards all work on every query but balance
+  perfectly; term-partitioned shards touch only the shards owning the
+  query's terms but inherit the Zipf skew of term popularity.
+  ``partition_routing`` quantifies both on the actual workload: shards
+  touched per query and the per-shard load imbalance.
+
+Workload derivation (no query log exists in the testdata): each
+document contributes one query — its first two whitespace tokens.
+Natural duplication across the corpus gives the skewed popularity
+distribution both analyses need, and the rule is trivially portable to
+the DuckDB oracle (`oracle_sql.cache_hit_curve` / `partition_routing`).
+
+Scale shape: the workload and its popularity table are corpus-row and
+vocabulary-row sized respectively; every step is a hash agg or a
+broadcast of a size-grid literal.  The only window runs over the
+distinct-query dimension (bounded like textstats.vocab_oov_curve's
+vocab window), never over corpus rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from searchengine_spark.pipeline.hashing import md5_long
+
+CACHE_SIZES = (1, 4, 16, 64, 256)
+ROUTING_SHARDS = 16
+
+
+def query_log(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(query, t0, t1) — one synthetic query per document: its first two
+    whitespace tokens.  Documents with fewer than two tokens drop out."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    return (
+        documents.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.col("toks")[0].alias("t0"), F.col("toks")[1].alias("t1"))
+        .select(F.concat_ws(" ", "t0", "t1").alias("query"), "t0", "t1")
+    )
+
+
+def cache_hit_curve(documents: DataFrame,
+                    cache_sizes: tuple[int, ...] = CACHE_SIZES,
+                    text_col: str = "text") -> DataFrame:
+    """(cache_size, n_cached, n_hits, hit_rate, online_bound) — exact
+    hit rate of a pre-warmed static result cache holding the
+    ``cache_size`` most popular queries (ties broken by query text asc),
+    per grid point.  ``online_bound`` is the ceiling of any DEMAND-
+    FILLED online cache (even infinite): first occurrences always miss,
+    so its rate is capped at the repeat share.  A small static cache
+    beating that bound on the head of the distribution is exactly
+    Baeza-Yates'07's argument for static result caching.
+
+    Static-cache semantics: the cache is filled offline from the
+    popularity distribution, so ALL occurrences of a cached query count
+    as hits (no cold-start miss).
+    """
+    pop = (
+        query_log(documents, text_col)
+        .groupBy("query").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("query"))
+    ranked = pop.withColumn("rank", F.row_number().over(w))
+    tot = pop.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_distinct"))
+    sizes = F.explode(
+        F.array([F.lit(int(c)) for c in cache_sizes])).alias("cache_size")
+    grid = ranked.select(sizes, "rank", "n").filter(
+        F.col("rank") <= F.col("cache_size"))
+    return (
+        grid.groupBy("cache_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cached"),
+             F.sum("n").cast("long").alias("n_hits"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cache_size").cast("long").alias("cache_size"),
+            "n_cached", "n_hits",
+            F.round(F.col("n_hits") / F.col("total"), 4).alias("hit_rate"),
+            F.round((F.col("total") - F.col("n_distinct")) / F.col("total"),
+                    4).alias("online_bound"),
+        )
+        .orderBy("cache_size")
+    )
+
+
+def partition_routing(documents: DataFrame, n_shards: int = ROUTING_SHARDS,
+                      text_col: str = "text") -> DataFrame:
+    """(strategy, n_shards, avg_shards_per_query, total_work,
+    max_shard_load, load_imbalance) — document-partitioned vs
+    term-partitioned routing cost on the derived workload.
+
+    Work unit = one posting scanned; a query term costs df(term)
+    (whitespace-token document frequency, computed only for terms the
+    workload actually uses — a semi-join, never the full vocabulary).
+
+    - ``doc``: every query fans out to all shards; each holds 1/n of
+      every posting list, so load is even by construction
+      (imbalance 1.0) — the cost is the n-fold per-query fan-out.
+    - ``term``: a term's whole posting list lives on shard
+      md5(term) % n (the repo's portable hash rule); queries touch
+      only their terms' shards, but popular terms pile work onto
+      single shards — imbalance = max shard load / (total work / n).
+    """
+    log = query_log(documents, text_col)
+    occ = (
+        log.select(F.posexplode(F.array("t0", "t1")).alias("pos", "term"))
+        .select("term")
+    )
+    terms = occ.distinct()
+    df_tbl = (
+        documents.select(
+            F.explode(F.array_distinct(
+                F.filter(F.split(F.col(text_col), r"\s+"),
+                         lambda x: x != ""))).alias("term"))
+        .join(F.broadcast(terms), "term")
+        .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    work = occ.join(F.broadcast(df_tbl), "term").select(
+        "term", "df",
+        F.pmod(md5_long(F.col("term")), F.lit(n_shards)).alias("shard"))
+
+    # term-partitioned: per-shard load + shards touched per query
+    shard_load = work.groupBy("shard").agg(F.sum("df").alias("load"))
+    t_agg = shard_load.agg(
+        F.sum("load").cast("long").alias("total_work"),
+        F.max("load").cast("long").alias("max_load"))
+    spq = (
+        log.select(
+            F.size(F.array_distinct(F.array(
+                F.pmod(md5_long(F.col("t0")), F.lit(n_shards)),
+                F.pmod(md5_long(F.col("t1")), F.lit(n_shards)),
+            ))).alias("ns"))
+        .agg(F.avg("ns").alias("avg_spq"))
+    )
+    term_row = t_agg.crossJoin(F.broadcast(spq)).select(
+        F.lit("term").alias("strategy"),
+        F.lit(n_shards).cast("long").alias("n_shards"),
+        F.round("avg_spq", 4).alias("avg_shards_per_query"),
+        "total_work", F.col("max_load").alias("max_shard_load"),
+        F.round(F.col("max_load") * n_shards / F.col("total_work"), 4)
+        .alias("load_imbalance"),
+    )
+
+    # doc-partitioned: full fan-out, even split of the same total work
+    doc_row = t_agg.select(
+        F.lit("doc").alias("strategy"),
+        F.lit(n_shards).cast("long").alias("n_shards"),
+        F.lit(float(n_shards)).alias("avg_shards_per_query"),
+        "total_work",
+        F.ceil(F.col("total_work") / n_shards).cast("long")
+        .alias("max_shard_load"),
+        F.lit(1.0).alias("load_imbalance"),
+    )
+    return doc_row.unionByName(term_row)

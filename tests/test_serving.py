@@ -1,0 +1,82 @@
+"""Serving-tier planning analyses: static-cache hit curve math on a
+hand-countable workload, and doc/term partition-routing invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline import serving as S
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Queries (first two tokens): 'a b' x4, 'c d' x2, 'e f' x1; one
+    single-token doc that must drop out of the workload."""
+    texts = (["a b filler text"] * 4 + ["c d other words"] * 2
+             + ["e f tail"] + ["solo"])
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+
+def test_query_log_derivation(spark, corpus):
+    log = S.query_log(corpus).groupBy("query").count().collect()
+    got = {r["query"]: r["count"] for r in log}
+    assert got == {"a b": 4, "c d": 2, "e f": 1}
+
+
+def test_cache_hit_curve_exact(spark, corpus):
+    rows = S.cache_hit_curve(corpus, cache_sizes=(1, 2, 16)).collect()
+    by = {r.cache_size: r for r in rows}
+    # total=7 queries, 3 distinct; online (demand-filled) bound = 4/7
+    for r in rows:
+        assert r.online_bound == round(4 / 7, 4)
+    assert (by[1].n_cached, by[1].n_hits) == (1, 4)      # top query 'a b'
+    assert by[1].hit_rate == round(4 / 7, 4)
+    assert (by[2].n_cached, by[2].n_hits) == (2, 6)      # + 'c d'
+    assert by[2].hit_rate == round(6 / 7, 4)
+    assert (by[16].n_cached, by[16].n_hits) == (3, 7)    # everything
+    assert by[16].hit_rate == 1.0
+    # pre-warmed static cache legally beats the online bound
+    assert by[16].hit_rate > by[16].online_bound
+
+
+def test_cache_tie_break_lexical(spark):
+    """Equal-popularity queries: cache membership at size 1 must pick
+    the lexically smaller query (deterministic rank tie rule)."""
+    rows = [(0, "b z x", "en", "s", 5), (1, "a z y", "en", "s", 5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    r = {x.cache_size: x for x in
+         S.cache_hit_curve(docs, cache_sizes=(1,)).collect()}[1]
+    # both queries have n=1; 'a z' sorts first -> 1 hit of 2
+    assert (r.n_cached, r.n_hits) == (1, 1)
+    assert r.hit_rate == 0.5
+
+
+def test_partition_routing_invariants(spark, corpus):
+    rows = S.partition_routing(corpus, n_shards=8).collect()
+    by = {r.strategy: r for r in rows}
+    doc, term = by["doc"], by["term"]
+    # identical total work; doc fans out everywhere but balances evenly
+    assert doc.total_work == term.total_work > 0
+    assert doc.avg_shards_per_query == 8.0
+    assert doc.load_imbalance == 1.0
+    # a 2-term query touches 1 or 2 term-partitioned shards
+    assert 1.0 <= term.avg_shards_per_query <= 2.0
+    # max shard load can never be below the even split
+    assert term.max_shard_load >= term.total_work / 8
+    assert term.load_imbalance >= 1.0
+
+
+def test_partition_routing_work_is_df_weighted(spark, corpus):
+    """total_work must equal sum over query-term occurrences of that
+    term's whitespace document frequency (hand-derivable here)."""
+    # dfs: a=4, b=4, c=2, d=2, e=1, f=1 (each term in its own docs only)
+    # occurrences: a,b x4 each; c,d x2 each; e,f x1 each
+    expect = 4 * (4 + 4) + 2 * (2 + 2) + 1 * (1 + 1)
+    got = S.partition_routing(corpus, n_shards=8).collect()[0].total_work
+    assert got == expect
