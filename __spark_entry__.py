@@ -997,6 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cache_hit_curve": lambda s, d: serving.cache_hit_curve(_docs(s, d)),
         "q_partition_routing": lambda s, d: serving.partition_routing(
             _docs(s, d), n_shards=16),
+        "q_posting_cache_plan": lambda s, d: serving.posting_cache_plan(
+            _docs(s, d)),
     }
 
 
@@ -1318,4 +1320,5 @@ def oracle_sql() -> dict[str, str]:
             PROBE_VEC_IDS, k=5, rounds=2, n_planes=4),
         "q_cache_hit_curve": osql.cache_hit_curve(),
         "q_partition_routing": osql.partition_routing(n_shards=16),
+        "q_posting_cache_plan": osql.posting_cache_plan(),
     }

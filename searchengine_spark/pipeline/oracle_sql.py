@@ -7450,3 +7450,49 @@ SELECT 'term', {n}::BIGINT, round(spq.avg_spq, 4), total_work, max_load,
        round(max_load * {n} / total_work, 4)
 FROM t_agg CROSS JOIN spq
 """
+
+
+def posting_cache_plan(budgets: tuple[int, ...] = (256, 1024, 4096, 16384)) -> str:
+    """Twin of serving.posting_cache_plan (QtfDf greedy byte knapsack)."""
+    bs = ", ".join(str(int(b)) for b in budgets)
+    return f"""
+WITH {_QUERY_LOG_CTE},
+occ AS (SELECT t0 AS term FROM qlog UNION ALL SELECT t1 FROM qlog),
+qtf AS (SELECT term, count(*)::BIGINT AS qtf FROM occ GROUP BY 1),
+wp AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term
+  FROM documents
+),
+od AS (
+  SELECT wp.term,
+         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY wp.term
+                                             ORDER BY doc_id),
+                  doc_id) AS dval
+  FROM wp JOIN qtf USING (term)
+),
+sizes AS (
+  SELECT term, count(*)::BIGINT AS df,
+         sum({_vb_len_sql('dval')})::BIGINT AS bytes
+  FROM od GROUP BY 1
+),
+ranked AS (
+  SELECT q.term, q.qtf, s.bytes,
+         sum(s.bytes) OVER (ORDER BY q.qtf / s.df::DOUBLE DESC, q.term ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum_bytes
+  FROM qtf q JOIN sizes s USING (term)
+),
+tot AS (SELECT sum(qtf)::DOUBLE AS total FROM qtf JOIN sizes USING (term)),
+grid AS (SELECT unnest([{bs}])::BIGINT AS budget_bytes)
+SELECT g.budget_bytes,
+       sum(CASE WHEN r.cum_bytes <= g.budget_bytes THEN 1 ELSE 0 END)::BIGINT
+         AS n_terms,
+       max(CASE WHEN r.cum_bytes <= g.budget_bytes THEN r.cum_bytes
+                ELSE 0 END)::BIGINT AS bytes_used,
+       sum(CASE WHEN r.cum_bytes <= g.budget_bytes THEN r.qtf ELSE 0 END)
+         ::BIGINT AS n_hits,
+       round(sum(CASE WHEN r.cum_bytes <= g.budget_bytes THEN r.qtf
+                      ELSE 0 END) / tot.total, 4) AS hit_rate
+FROM grid g CROSS JOIN ranked r CROSS JOIN tot
+GROUP BY g.budget_bytes, tot.total
+ORDER BY g.budget_bytes
+"""

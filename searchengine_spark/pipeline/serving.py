@@ -10,6 +10,12 @@ decisions made from workload data, not guesses:
   small static cache of the most popular queries absorbs a large share
   of traffic.  ``cache_hit_curve`` computes the exact hit-rate curve of
   a pre-warmed top-C static cache for a grid of cache sizes.
+- **Posting-list caching** (the same SIGIR'07 paper's second half):
+  below the result cache sits a posting-list cache; the optimal
+  static policy is NOT most-popular (qtf) but popularity per byte —
+  Baeza-Yates' QtfDf ratio.  ``posting_cache_plan`` fills a byte
+  budget greedily by qtf/df and reports the workload term-lookup
+  share served from memory, per budget grid point.
 - **Index partitioning** (Moffat, Webber & Zobel, SPIRE'06 /
   "load balancing for term-distributed parallel retrieval"):
   document-partitioned shards all work on every query but balance
@@ -95,6 +101,83 @@ def cache_hit_curve(documents: DataFrame,
                     4).alias("online_bound"),
         )
         .orderBy("cache_size")
+    )
+
+
+CACHE_BUDGETS = (256, 1024, 4096, 16384)
+
+
+def posting_cache_plan(documents: DataFrame,
+                       budgets: tuple[int, ...] = CACHE_BUDGETS,
+                       text_col: str = "text") -> DataFrame:
+    """(budget_bytes, n_terms, bytes_used, n_hits, hit_rate) — static
+    posting-list cache plan under Baeza-Yates'07's QtfDf policy: rank
+    workload terms by qtf/df (query-popularity per posting — popular
+    AND cheap fills first), greedily pack posting lists into the byte
+    budget, report the share of workload term lookups served from
+    memory.
+
+    Sizing is exact delta+varbyte doc-id stream bytes over the
+    whitespace-token postings (the module's self-consistent vocabulary,
+    cf. partition_routing) — the same integer ladder the index codec
+    gate proves physical.  Ratio ties break by term asc.
+
+    Scale: postings window is partitioned by term (the postings'
+    bucketing key); the greedy prefix is ONE running-sum window over
+    the workload-term dimension, then a broadcast budget grid.
+    """
+    from searchengine_spark.pipeline.reorder import vb_len_col
+
+    log = query_log(documents, text_col)
+    qtf = (
+        log.select(F.explode(F.array("t0", "t1")).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("qtf"))
+    )
+    postings = (
+        documents.select(
+            "doc_id",
+            F.explode(F.array_distinct(
+                F.filter(F.split(F.col(text_col), r"\s+"),
+                         lambda x: x != ""))).alias("term"))
+        .join(F.broadcast(qtf.select("term")), "term")
+    )
+    wt = Window.partitionBy("term").orderBy("doc_id")
+    sizes = (
+        postings.withColumn(
+            "dval",
+            F.coalesce(F.col("doc_id") - F.lag("doc_id").over(wt),
+                       F.col("doc_id")))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"),
+             F.sum(vb_len_col(F.col("dval"))).cast("long").alias("bytes"))
+    )
+    wg = Window.orderBy(F.desc(F.col("qtf") / F.col("df")), F.asc("term")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        qtf.join(sizes, "term")
+        .withColumn("cum_bytes", F.sum("bytes").over(wg))
+    )
+    tot = ranked.agg(F.sum("qtf").cast("double").alias("total"))
+    grid = F.explode(
+        F.array([F.lit(int(b)) for b in budgets])).alias("budget_bytes")
+    fits = F.col("cum_bytes") <= F.col("budget_bytes")
+    return (
+        ranked.select(grid, "qtf", "cum_bytes")
+        .groupBy("budget_bytes")
+        .agg(
+            F.sum(F.when(fits, 1).otherwise(0)).cast("long").alias("n_terms"),
+            F.max(F.when(fits, F.col("cum_bytes")).otherwise(0))
+            .cast("long").alias("bytes_used"),
+            F.sum(F.when(fits, F.col("qtf")).otherwise(0))
+            .cast("long").alias("n_hits"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("budget_bytes").cast("long").alias("budget_bytes"),
+            "n_terms", "bytes_used", "n_hits",
+            F.round(F.col("n_hits") / F.col("total"), 4).alias("hit_rate"),
+        )
+        .orderBy("budget_bytes")
     )
 
 

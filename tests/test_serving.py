@@ -80,3 +80,31 @@ def test_partition_routing_work_is_df_weighted(spark, corpus):
     expect = 4 * (4 + 4) + 2 * (2 + 2) + 1 * (1 + 1)
     got = S.partition_routing(corpus, n_shards=8).collect()[0].total_work
     assert got == expect
+
+
+def test_posting_cache_plan_hand_math(spark, corpus):
+    """All a..f ratios tie at qtf/df = 1.0 -> lexical fill order; varbyte
+    doc-id bytes hand-derived: a=4,b=4,c=2,d=2,e=1,f=1 (cum 4,8,10,12,
+    13,14); total workload lookups = 14."""
+    rows = S.posting_cache_plan(corpus, budgets=(8, 12, 100)).collect()
+    by = {r.budget_bytes: r for r in rows}
+    assert (by[8].n_terms, by[8].bytes_used, by[8].n_hits) == (2, 8, 8)
+    assert by[8].hit_rate == round(8 / 14, 4)
+    assert (by[12].n_terms, by[12].n_hits) == (4, 12)
+    assert (by[100].n_terms, by[100].bytes_used, by[100].n_hits) == (6, 14, 14)
+    assert by[100].hit_rate == 1.0
+
+
+def test_posting_cache_qtfdf_order(spark):
+    """Fill order is popularity-per-byte: the low-ratio term g (qtf 1,
+    df 3) packs last even though its list is no bigger than the rest."""
+    texts = ["h w g x", "h w g y", "g v c d"]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    # ratios: h=1, v=1, w=1 (tie -> term asc), g=1/3; bytes h2,v1,w2,g3
+    by = {r.budget_bytes: r for r in
+          S.posting_cache_plan(docs, budgets=(5, 8)).collect()}
+    assert (by[5].n_terms, by[5].bytes_used, by[5].n_hits) == (3, 5, 5)
+    assert (by[8].n_terms, by[8].n_hits) == (4, 6)
