@@ -30,11 +30,12 @@ Natural duplication across the corpus gives the skewed popularity
 distribution both analyses need, and the rule is trivially portable to
 the DuckDB oracle (`oracle_sql.cache_hit_curve` / `partition_routing`).
 
-Scale shape: the workload and its popularity table are corpus-row and
-vocabulary-row sized respectively; every step is a hash agg or a
-broadcast of a size-grid literal.  The only window runs over the
-distinct-query dimension (bounded like textstats.vocab_oov_curve's
-vocab window), never over corpus rows.
+Scale shape: the workload and its popularity table are corpus-row
+sized (first-two-token pairs are NOT vocabulary-bounded); every step
+is a hash agg or a broadcast of a grid literal, and the two global
+windows (cache rank, knapsack running sum) each sit behind a
+TakeOrderedAndProject cut to the grid maximum — max(cache_sizes) /
+max(budgets) rows — never the full dimension.
 """
 
 from __future__ import annotations
@@ -79,8 +80,14 @@ def cache_hit_curve(documents: DataFrame,
         query_log(documents, text_col)
         .groupBy("query").agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    # Only the top max(cache_sizes) queries can ever be cached, and the
+    # distinct-query dimension is NOT vocabulary-bounded (first-two-token
+    # pairs approach corpus cardinality at 100 TB) — cut with a
+    # TakeOrderedAndProject before the global rank window so the window
+    # sorts max(cache_sizes) rows, never the full popularity table.
+    top = pop.orderBy(F.desc("n"), F.asc("query")).limit(max(cache_sizes))
     w = Window.orderBy(F.desc("n"), F.asc("query"))
-    ranked = pop.withColumn("rank", F.row_number().over(w))
+    ranked = top.withColumn("rank", F.row_number().over(w))
     tot = pop.agg(
         F.sum("n").cast("double").alias("total"),
         F.count(F.lit(1)).cast("double").alias("n_distinct"))
@@ -151,13 +158,17 @@ def posting_cache_plan(documents: DataFrame,
         .agg(F.count(F.lit(1)).cast("long").alias("df"),
              F.sum(vb_len_col(F.col("dval"))).cast("long").alias("bytes"))
     )
-    wg = Window.orderBy(F.desc(F.col("qtf") / F.col("df")), F.asc("term")) \
+    joined = qtf.join(sizes, "term").withColumn(
+        "ratio", F.col("qtf") / F.col("df"))
+    # Every posting list costs >= 1 byte, so no term past rank
+    # max(budgets) in QtfDf order can ever fit — TakeOrderedAndProject
+    # cut before the running-sum window (the workload-term dimension is
+    # corpus-sized at scale, cf. cache_hit_curve).
+    cand = joined.orderBy(F.desc("ratio"), F.asc("term")).limit(max(budgets))
+    wg = Window.orderBy(F.desc("ratio"), F.asc("term")) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = (
-        qtf.join(sizes, "term")
-        .withColumn("cum_bytes", F.sum("bytes").over(wg))
-    )
-    tot = ranked.agg(F.sum("qtf").cast("double").alias("total"))
+    ranked = cand.withColumn("cum_bytes", F.sum("bytes").over(wg))
+    tot = joined.agg(F.sum("qtf").cast("double").alias("total"))
     grid = F.explode(
         F.array([F.lit(int(b)) for b in budgets])).alias("budget_bytes")
     fits = F.col("cum_bytes") <= F.col("budget_bytes")
