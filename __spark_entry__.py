@@ -993,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), k=5, rounds=2, n_planes=4),
         "q_nndescent_recall": lambda s, d: nndescent.nndescent_recall(
             _emb(s, d), PROBE_VEC_IDS, k=5, rounds=2, n_planes=4),
+        "q_knn_hubness": lambda s, d: nndescent.knn_hubness(
+            _emb(s, d), k=5, rounds=2, n_planes=4),
         # serving-tier planning: static result-cache curve + doc/term routing
         "q_cache_hit_curve": lambda s, d: serving.cache_hit_curve(_docs(s, d)),
         "q_partition_routing": lambda s, d: serving.partition_routing(
@@ -1318,6 +1320,7 @@ def oracle_sql() -> dict[str, str]:
         "q_nndescent_graph": osql.nndescent_graph(k=5, rounds=2, n_planes=4),
         "q_nndescent_recall": osql.nndescent_recall(
             PROBE_VEC_IDS, k=5, rounds=2, n_planes=4),
+        "q_knn_hubness": osql.knn_hubness(k=5, rounds=2, n_planes=4),
         "q_cache_hit_curve": osql.cache_hit_curve(),
         "q_partition_routing": osql.partition_routing(n_shards=16),
         "q_posting_cache_plan": osql.posting_cache_plan(),

@@ -132,6 +132,40 @@ def nndescent_graph(embeddings: DataFrame, k: int = NND_K,
     return finalize(out, vecs)
 
 
+def knn_hubness(embeddings: DataFrame, k: int = NND_K,
+                rounds: int = NND_ROUNDS, n_planes: int = NND_PLANES,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(in_degree, n_nodes) — reverse-kNN in-degree histogram of the
+    NN-Descent graph, including in_degree=0 antihubs (nodes no other
+    node names as a neighbour).
+
+    Hubness (Radovanović, Nanopoulos & Ivanović, JMLR 2010): in high
+    dimensions the in-degree distribution of a kNN graph grows skewed —
+    a few hub points appear in everyone's neighbour list while antihubs
+    vanish from all of them.  A heavy right tail here predicts poor ANN
+    recall and degraded kNN-classifier quality regardless of index
+    family, so this is the embedding-quality gate to run BEFORE
+    sizing LSH/IVF/PQ on a new embedding column.
+
+    Scale: one hash agg over the n·k edge list + one broadcast-able
+    left join against the id dimension; histogram rows ≤ n·k distinct
+    degrees.
+    """
+    g = nndescent_graph(embeddings, k, rounds, n_planes, id_col, vec_col)
+    deg = g.groupBy(F.col("nbr_id").alias("vid")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_degree"))
+    ids = embeddings.select(F.col(id_col).alias("vid"))
+    return (
+        ids.join(deg, "vid", "left")
+        .select(F.coalesce(F.col("in_degree"), F.lit(0)).cast("long")
+                .alias("in_degree"))
+        .groupBy("in_degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("in_degree")
+    )
+
+
 def nndescent_recall(embeddings: DataFrame, probe_ids: list[int],
                      k: int = NND_K, rounds: int = NND_ROUNDS,
                      n_planes: int = NND_PLANES,

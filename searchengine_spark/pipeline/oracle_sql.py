@@ -7496,3 +7496,18 @@ FROM grid g CROSS JOIN ranked r CROSS JOIN tot
 GROUP BY g.budget_bytes, tot.total
 ORDER BY g.budget_bytes
 """
+
+
+def knn_hubness(k: int = 5, rounds: int = 2, n_planes: int = 4) -> str:
+    """Twin of nndescent.knn_hubness (reverse-kNN in-degree histogram
+    with in_degree=0 antihubs)."""
+    return f"""
+WITH deg AS (
+  SELECT nbr_id AS vid, count(*)::BIGINT AS in_degree
+  FROM ({nndescent_graph(k, rounds, n_planes)}) g GROUP BY 1
+)
+SELECT coalesce(deg.in_degree, 0)::BIGINT AS in_degree,
+       count(*)::BIGINT AS n_nodes
+FROM embeddings e LEFT JOIN deg ON deg.vid = e.vec_id
+GROUP BY 1 ORDER BY 1
+"""

@@ -100,3 +100,16 @@ def test_isolated_bucket_nodes_reachable(spark):
     pdf = g.toPandas()
     assert len(pdf) > 0
     assert (pdf.groupby("vec_id")["rank"].max() <= 3).all()
+
+
+def test_knn_hubness_accounting(spark, clustered):
+    """Histogram mass equals node count; degree-weighted mass equals the
+    edge count; antihub row covers exactly the never-named nodes."""
+    g = N.nndescent_graph(clustered, k=5, rounds=1, n_planes=4)
+    hist = N.knn_hubness(clustered, k=5, rounds=1, n_planes=4).collect()
+    n = clustered.count()
+    assert sum(r.n_nodes for r in hist) == n
+    assert sum(r.in_degree * r.n_nodes for r in hist) == g.count()
+    named = g.select("nbr_id").distinct().count()
+    zero = {r.in_degree: r.n_nodes for r in hist}.get(0, 0)
+    assert zero == n - named
