@@ -31,6 +31,7 @@ import json
 import copy
 import threading
 from collections import OrderedDict
+from contextlib import contextmanager
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -42,8 +43,63 @@ from searchengine_spark.index.manifest import RUNNING
 from searchengine_spark.query.search import search, statistics
 
 
+class _RWLock:
+    """Shared/exclusive gate: many concurrent readers, one writer, no
+    reader while a writer holds it.  Writer-preference is unnecessary
+    here (mutations are rare and sub-second)."""
+
+    def __init__(self) -> None:
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writing = False
+
+    @contextmanager
+    def read(self):
+        with self._cond:
+            while self._writing:
+                self._cond.wait()
+            self._readers += 1
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._readers -= 1
+                if self._readers == 0:
+                    self._cond.notify_all()
+
+    @contextmanager
+    def write(self):
+        with self._cond:
+            while self._writing or self._readers:
+                self._cond.wait()
+            self._writing = True
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._writing = False
+                self._cond.notify_all()
+
+
 class SearchEngineService:
-    """Endpoint semantics over a corpus DataFrame + index directory."""
+    """Endpoint semantics over a corpus DataFrame + index directory.
+
+    Read/write isolation: delta mutations (indexPage, site removal)
+    promote partitions with directory renames that are atomic per
+    partition but not across partitions, so a concurrent reader could
+    observe shard A new + shard B old.  Inside this serving process,
+    ``_rw`` closes that window — searches/statistics/explain hold the
+    shared side for the duration of their Spark reads, mutations hold
+    the exclusive side across recover→write→promote.  Across processes
+    (a separate reindex job against a live server), isolation is the
+    table format's job: production indexes live in Iceberg, whose
+    snapshot manifests give every reader a consistent generation — this
+    lock is the single-process stand-in for that seam.  The full
+    wipe-rebuild (startIndexing) intentionally does NOT exclude
+    readers: the reference, too, serves from partially rebuilt tables
+    during full reindexing, and blocking queries for a whole build
+    would change the endpoint's availability contract.
+    """
 
     def __init__(self, spark: SparkSession, index_root: str,
                  docs: DataFrame | None = None,
@@ -55,6 +111,7 @@ class SearchEngineService:
         self._build_thread: threading.Thread | None = None
         self._build_error: str | None = None
         self._build_lock = threading.Lock()
+        self._rw = _RWLock()
         # query-result cache: LRU keyed by (params, generation).  The
         # generation counter is bumped by every index mutation (build
         # completion, indexPage delta, site removal), which makes stale
@@ -115,8 +172,9 @@ class SearchEngineService:
         cached = self._cache_get(key)
         if cached is not None:
             return cached
-        out = search(self._index(), query, repo=site, offset=offset,
-                     limit=limit, docs=self.docs)
+        with self._rw.read():
+            out = search(self._index(), query, repo=site, offset=offset,
+                         limit=limit, docs=self.docs)
         if out.get("result"):  # never cache error responses
             self._cache_put(key, out)
         return out
@@ -138,10 +196,11 @@ class SearchEngineService:
         terms = sorted(_analyzer(idx).lemma_set(query))
         if not terms:
             return {"result": False, "error": "empty query"}
-        rows = (
-            idx.df_stats.filter(F.col("term").isin(terms))
-            .select("term", "df").collect()
-        )
+        with self._rw.read():
+            rows = (
+                idx.df_stats.filter(F.col("term").isin(terms))
+                .select("term", "df").collect()
+            )
         found = {r["term"]: int(r["df"]) for r in rows}
         per_term = [
             {"term": t, "df": found.get(t, 0),
@@ -170,7 +229,8 @@ class SearchEngineService:
                 # fail?" — lastError must be reachable pre-build too
                 msg += f"; last build error: {self._build_error}"
             return {"result": False, "error": msg}
-        s = statistics(self._index())
+        with self._rw.read():
+            s = statistics(self._index())
         # StatisticsResponse shape: {result, statistics: {total, detailed, indexing}}
         out = {
             "result": True,
@@ -281,8 +341,9 @@ class SearchEngineService:
                     "error": "page is outside the configured corpus"}
         from searchengine_spark.index.delta import reindex_docs
 
-        reindex_docs(self.spark, self.index_root, page)
-        self._invalidate_cache()  # the delta changed postings/df_stats
+        with self._rw.write():  # no reader across recover->write->promote
+            reindex_docs(self.spark, self.index_root, page)
+            self._invalidate_cache()  # the delta changed postings/df_stats
         return {"result": True}
 
     # -- POST/DELETE /api/site (IndexingServiceImpl.java:298-367) -----------
@@ -290,11 +351,12 @@ class SearchEngineService:
         return self.scopes.add(url, name)
 
     def remove_site(self, url: str | None) -> dict:
-        manifest = (InvertedIndex(self.spark, self.index_root).manifest()
-                    if self._index_built() else None)
-        out = self.scopes.remove(url, manifest=manifest)
-        if out.get("result"):
-            self._invalidate_cache()
+        with self._rw.write():  # manifest/scope teardown mutates index state
+            manifest = (InvertedIndex(self.spark, self.index_root).manifest()
+                        if self._index_built() else None)
+            out = self.scopes.remove(url, manifest=manifest)
+            if out.get("result"):
+                self._invalidate_cache()
         return out
 
 

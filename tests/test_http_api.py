@@ -292,3 +292,89 @@ def test_explain_absent_term_not_executable(api):
 def test_explain_empty_query_error(api):
     out = _get(api, "/api/explain?query=")
     assert out["result"] is False
+
+
+def test_rwlock_discipline():
+    """Many readers interleave; a writer excludes readers and vice versa."""
+    import threading
+    import time
+
+    from searchengine_spark.api.http import _RWLock
+
+    rw = _RWLock()
+    log = []
+
+    def reader(i):
+        with rw.read():
+            log.append(("r+", i))
+            time.sleep(0.05)
+            log.append(("r-", i))
+
+    def writer():
+        with rw.write():
+            log.append(("w+", 0))
+            time.sleep(0.05)
+            log.append(("w-", 0))
+
+    rs = [threading.Thread(target=reader, args=(i,)) for i in range(3)]
+    for t in rs:
+        t.start()
+    time.sleep(0.01)  # readers are in
+    wt = threading.Thread(target=writer)
+    wt.start()
+    for t in rs + [wt]:
+        t.join(5)
+    # the writer section must not interleave with any reader section
+    w_start = log.index(("w+", 0))
+    w_end = log.index(("w-", 0))
+    assert w_end == w_start + 1
+    # and with readers holding the lock first, the writer waited for all
+    assert all(("r-", i) in log[:w_start] for i in range(3))
+
+
+def test_search_isolated_from_index_page_delta(spark, tmp_path, monkeypatch):
+    """A search issued while an indexPage delta is mid-promote must not
+    start until the mutation finishes (single-process snapshot isolation;
+    the cross-process story is the table format's manifest snapshots)."""
+    import threading
+    import time
+
+    from searchengine_spark.api import http as http_mod
+    from searchengine_spark.index.build import build_index
+
+    docs = spark.read.parquet(docs_path("t1")).limit(30)
+    row = docs.select("repo", "path").first()
+    out_dir = str(tmp_path / "idx_rw")
+    build_index(spark, docs, out_dir, n_shards=2, n_buckets=2)
+    svc = SearchEngineService(spark, out_dir, docs=docs,
+                              scopes_path=str(tmp_path / "sc_rw.json"))
+
+    events = []
+    in_delta = threading.Event()
+
+    def slow_reindex(spark_, root, page, **kw):
+        events.append(("delta+", time.monotonic()))
+        in_delta.set()
+        time.sleep(0.4)  # simulated promote window
+        events.append(("delta-", time.monotonic()))
+        return {}
+
+    monkeypatch.setattr(http_mod, "reindex_docs", slow_reindex,
+                        raising=False)
+    import searchengine_spark.index.delta as delta_mod
+    monkeypatch.setattr(delta_mod, "reindex_docs", slow_reindex)
+
+    wt = threading.Thread(target=svc.index_page, args=(row.repo, row.path))
+    wt.start()
+    assert in_delta.wait(10)
+    text = docs.filter((F.col("repo") == row.repo)
+                       & (F.col("path") == row.path)).first().content
+    term = next(w for w in text.split() if w.isalpha() and len(w) > 3)
+    res = svc.search(term, None, 0, 5)
+    events.append(("search-done", time.monotonic()))
+    wt.join(10)
+    assert res["result"] is True
+    # the search completed only after the writer released the lock
+    delta_end = next(t for n, t in events if n == "delta-")
+    search_end = next(t for n, t in events if n == "search-done")
+    assert search_end >= delta_end
