@@ -1001,6 +1001,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), n_shards=16),
         "q_posting_cache_plan": lambda s, d: serving.posting_cache_plan(
             _docs(s, d)),
+        # incremental ingest-batch dedup vs the base snapshot
+        "q_incremental_dedup": lambda s, d: dedup.incremental_dedup(
+            _docs(s, d), added_pct=10, threshold=0.2),
     }
 
 
@@ -1324,4 +1327,6 @@ def oracle_sql() -> dict[str, str]:
         "q_cache_hit_curve": osql.cache_hit_curve(),
         "q_partition_routing": osql.partition_routing(n_shards=16),
         "q_posting_cache_plan": osql.posting_cache_plan(),
+        "q_incremental_dedup": osql.incremental_dedup(
+            added_pct=10, threshold=0.2),
     }

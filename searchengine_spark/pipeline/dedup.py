@@ -890,3 +890,89 @@ def lsh_recall_curve(documents: DataFrame,
     for o in outs[1:]:
         out = out.unionByName(o)
     return finalize(out, truth, found)
+
+
+def incremental_dedup(documents: DataFrame, added_pct: int = 10,
+                      salt: str = "ingest", n: int = 3,
+                      threshold: float = 0.2, **kw) -> DataFrame:
+    """(doc_id, exact_dup, near_dup, keep) for each doc in an "added"
+    ingest batch, deduplicated against the base snapshot AND the batch's
+    own earlier arrivals — the incremental composition of
+    ``exact_duplicates`` + ``lsh_verified_near_dups`` whose cost is
+    proportional to the BATCH, never the corpus.
+
+    Split rule: md5(salt:doc_id) % 100 < added_pct marks the batch (the
+    same coin as health.incremental_df_stats / corpus_diff).  A batch
+    doc is ``exact_dup`` if its sha256 matches any base doc or an
+    earlier (smaller doc_id) batch doc; ``near_dup`` if a banded-LSH
+    candidate partner on either side verifies at n-gram Jaccard >=
+    threshold (first-seen greedy semantics: earlier batch docs win,
+    like the streaming stateful dedup).  ``keep`` = neither.
+
+    At 100 TB the base side of both joins is a MATERIALIZED artifact
+    (sha dictionary, band-bucket table) maintained across ingests;
+    re-deriving it here from the split keeps the gate self-contained.
+    The work per ingest is |batch| sha probes + |batch| x bucket-
+    occupancy candidate edges — base x base pairs are never formed.
+    """
+    id_col = kw.get("id_col", "doc_id")
+    text_col = kw.get("text_col", "text")
+    coin_of = lambda c: md5_long(  # noqa: E731
+        F.concat_ws(":", F.lit(salt), c.cast("string"))) % 100
+
+    shas = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("sha"),
+        (coin_of(F.col(id_col)) < added_pct).alias("added"),
+    ).persist()
+    x, y = shas.alias("x"), shas.alias("y")
+    exact_ids = (
+        x.filter(F.col("x.added"))
+        .join(y, (F.col("x.sha") == F.col("y.sha"))
+              & (~F.col("y.added") | (F.col("y.doc_id") < F.col("x.doc_id"))),
+              "left_semi")
+        .select(F.col("x.doc_id").alias("doc_id"))
+        .distinct()
+    )
+
+    bb = lsh_band_buckets(documents, n, **kw).withColumn(
+        "added", coin_of(F.col("doc_id")) < added_pct).persist()
+    a, b = bb.alias("a"), bb.alias("b")
+    cand = (
+        a.filter(F.col("a.added"))
+        .join(b, (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.bucket") == F.col("b.bucket"))
+              & (~F.col("b.added") | (F.col("b.doc_id") < F.col("a.doc_id")))
+              & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = shingles(documents, n, **kw).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_a"))
+    sb = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["shingle", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    near_ids = (
+        _jaccard_scored(inter, sizes, threshold)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+
+    out = (
+        shas.filter("added").select("doc_id")
+        .join(exact_ids.withColumn("e", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("nd", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("e").isNotNull().alias("exact_dup"),
+            F.col("nd").isNotNull().alias("near_dup"),
+            (F.col("e").isNull() & F.col("nd").isNull()).alias("keep"),
+        )
+    )
+    return finalize(out, shas, bb, sh)

@@ -7511,3 +7511,71 @@ SELECT coalesce(deg.in_degree, 0)::BIGINT AS in_degree,
 FROM embeddings e LEFT JOIN deg ON deg.vid = e.vec_id
 GROUP BY 1 ORDER BY 1
 """
+
+
+def incremental_dedup(added_pct: int = 10, salt: str = "ingest",
+                      threshold: float = 0.2) -> str:
+    """Twin of dedup.incremental_dedup (batch-vs-base exact + LSH-verified
+    near dedup, first-seen greedy within the batch)."""
+    coin = (f"(('0x' || substr(md5('{salt}:' || doc_id::VARCHAR), 1, 15))"
+            f"::BIGINT % 100 < {int(added_pct)})")
+    band_rows = []
+    for b_ in range(MINHASH_BANDS):
+        cols = " || '_' || ".join(
+            f"sig_{b_ * MINHASH_ROWS + r}::VARCHAR" for r in range(MINHASH_ROWS)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b_} AS band, "
+            f"('0x' || substr(md5({cols}), 1, 15))::BIGINT AS bucket FROM sigs"
+        )
+    bands_union = " UNION ALL ".join(band_rows)
+    return f"""
+WITH sigs AS ({minhash_signatures()}),
+bb0 AS ({bands_union}),
+coinside AS (SELECT doc_id, {coin} AS added FROM documents),
+bb AS (SELECT bb0.*, coinside.added FROM bb0 JOIN coinside USING (doc_id)),
+shas AS (
+  SELECT d.doc_id, sha256(d.text) AS sha, c.added
+  FROM documents d JOIN coinside c USING (doc_id)
+),
+exact AS (
+  SELECT DISTINCT x.doc_id
+  FROM shas x JOIN shas y ON x.sha = y.sha
+   AND (NOT y.added OR y.doc_id < x.doc_id)
+  WHERE x.added
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+   AND (NOT b.added OR b.doc_id < a.doc_id) AND a.doc_id <> b.doc_id
+  WHERE a.added
+),
+sh2 AS (SELECT doc_id, shingle FROM ({ngram_shingles_view()})),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c JOIN sh2 a ON a.doc_id = c.doc_a
+              JOIN sh2 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT DISTINCT i.doc_a AS doc_id
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+               JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE round(i.inter / (sa.sz + sb.sz - i.inter)::DOUBLE, 4) >= {threshold}
+)
+SELECT s.doc_id,
+       (e.doc_id IS NOT NULL) AS exact_dup,
+       (n.doc_id IS NOT NULL) AS near_dup,
+       (e.doc_id IS NULL AND n.doc_id IS NULL) AS keep
+FROM shas s
+LEFT JOIN exact e ON e.doc_id = s.doc_id
+LEFT JOIN near n ON n.doc_id = s.doc_id
+WHERE s.added
+"""
+
+
+def ngram_shingles_view() -> str:
+    """Standalone (doc_id, shingle) projection of _SHINGLE_CTE for reuse
+    inside other WITH blocks."""
+    return f"WITH {_SHINGLE_CTE} SELECT doc_id, shingle FROM sh"

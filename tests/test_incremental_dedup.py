@@ -1,0 +1,67 @@
+"""Incremental ingest-batch dedup: planted exact/near duplicates across
+the coin split, first-seen greedy semantics, and batch-only output."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline import dedup as D
+from searchengine_spark.pipeline.hashing import md5_long_py
+
+# md5("ingest:<id>") % 100 < 10 marks the batch: 0,5,11,14,19,25 are
+# "added"; 1,2,3,4,6,7 are base (probed in tests via md5_long_py).
+T_SHARED = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+T_NEAR_B = "one two three four five six seven eight nine ten eleven twelve"
+T_NEAR_A = "one two three four five six seven eight nine ten eleven zzz"
+T_PAIR = "red orange yellow green blue indigo violet pink brown black"
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark):
+    rows = [
+        # base snapshot
+        (1, T_SHARED),                       # exact-dup target for added 0
+        (2, T_NEAR_B),                       # near-dup target for added 14
+        (3, "completely different words here about boats and rivers"),
+        (4, "another unrelated base document speaking of mountains"),
+        # added batch
+        (0, T_SHARED),                       # exact dup of base 1
+        (5, T_PAIR),                         # first-seen of the batch pair
+        (11, T_PAIR),                        # exact dup of EARLIER added 5
+        (14, T_NEAR_A),                      # near dup of base 2
+        (19, "totally novel content nobody else wrote anywhere at all"),
+    ]
+    for i, t in rows:
+        side = md5_long_py(f"ingest:{i}") % 100 < 10
+        assert side == (i in (0, 5, 11, 14, 19)), i
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_incremental_dedup_flags(spark, split_corpus):
+    out = {r.doc_id: r for r in
+           D.incremental_dedup(split_corpus, added_pct=10).collect()}
+    # output covers exactly the batch
+    assert set(out) == {0, 5, 11, 14, 19}
+    assert out[0].exact_dup and not out[0].keep          # matches base 1
+    assert out[11].exact_dup and not out[11].keep        # matches earlier 5
+    assert not out[5].exact_dup                          # first-seen wins
+    assert out[14].near_dup and not out[14].exact_dup    # near base 2
+    assert not out[14].keep
+    assert out[19].keep and not out[19].exact_dup and not out[19].near_dup
+
+
+def test_keep_is_complement(spark, split_corpus):
+    for r in D.incremental_dedup(split_corpus, added_pct=10).collect():
+        assert r.keep == (not r.exact_dup and not r.near_dup)
+
+
+def test_first_seen_survivor_kept_even_if_pair(spark, split_corpus):
+    """Doc 5 and 11 share text; 5 (smaller id) must be the survivor.
+    Whether 5 is ALSO near-dup of anything else is independent -- here it
+    is not, so it keeps."""
+    out = {r.doc_id: r for r in
+           D.incremental_dedup(split_corpus, added_pct=10).collect()}
+    assert out[5].keep
