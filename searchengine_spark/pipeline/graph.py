@@ -283,7 +283,9 @@ def import_bfs(documents: DataFrame, seed: str = "core",
     driver-side graph state — rounds chain DataFrame plans only."""
     from searchengine_spark.pipeline.codestats import import_edges
 
-    repo_mod = import_edges(documents, text_col, source_col)
+    # the co-import self-join reads repo_mod twice — persist so the
+    # tokenize/extract subplan runs once, not per branch
+    repo_mod = import_edges(documents, text_col, source_col).persist()
     und = (
         repo_mod.select("src", F.col("dst").alias("a"))
         .join(repo_mod.select("src", F.col("dst").alias("b")), "src")
@@ -299,6 +301,7 @@ def import_bfs(documents: DataFrame, seed: str = "core",
     spark = documents.sparkSession
     dist = spark.createDataFrame([(seed, 0)], "module string, dist long")
     for _ in range(max_hops):
+        dist = dist.localCheckpoint()  # flatten the per-round lineage
         step = (
             dist.join(edges, dist["module"] == edges["a"])
             .select(F.col("b").alias("module"),
@@ -313,4 +316,4 @@ def import_bfs(documents: DataFrame, seed: str = "core",
     # (distance to a non-existent node is undefined, and the DuckDB twin
     # anchors on the seed unconditionally — keep both sides identical by
     # keeping it: dist 0 is correct for the seed by definition)
-    return finalize(dist, edges)
+    return finalize(dist, edges, repo_mod)
