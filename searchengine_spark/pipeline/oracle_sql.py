@@ -7417,9 +7417,11 @@ ORDER BY g.cache_size
 """
 
 
-def partition_routing(n_shards: int = 16) -> str:
-    """Twin of serving.partition_routing (doc- vs term-partitioned)."""
+def partition_routing(n_shards: int = 16, replicate_top: int = 8) -> str:
+    """Twin of serving.partition_routing (doc vs term vs replicated-hot
+    term routing)."""
     n = int(n_shards)
+    h = int(replicate_top)
     sh = f"(({md5_long_sql('term')}) % {n})::BIGINT"
     sh0 = f"(({md5_long_sql('t0')}) % {n})::BIGINT"
     sh1 = f"(({md5_long_sql('t1')}) % {n})::BIGINT"
@@ -7439,7 +7441,25 @@ t_agg AS (SELECT sum(load)::BIGINT AS total_work, max(load)::BIGINT AS max_load
           FROM shard_load),
 spq AS (
   SELECT avg(CASE WHEN {sh0} = {sh1} THEN 1 ELSE 2 END)::DOUBLE AS avg_spq
-  FROM qlog)
+  FROM qlog),
+per_term AS (
+  SELECT term, min(shard) AS shard, sum(df)::BIGINT AS tl
+  FROM work GROUP BY term),
+hot AS (SELECT term FROM per_term ORDER BY tl DESC, term ASC LIMIT {h}),
+cold_max AS (
+  SELECT coalesce(max(cl), 0)::BIGINT AS cold_max
+  FROM (SELECT shard, sum(tl) AS cl FROM per_term
+        WHERE term NOT IN (SELECT term FROM hot) GROUP BY shard)),
+hot_tot AS (
+  SELECT coalesce(sum(tl), 0)::BIGINT AS hot_tot
+  FROM per_term WHERE term IN (SELECT term FROM hot)),
+spq_rep AS (
+  SELECT avg(CASE WHEN q.t0 IN (SELECT term FROM hot)
+                    OR q.t1 IN (SELECT term FROM hot) THEN 1
+                  WHEN {sh0.replace('t0', 'q.t0')} =
+                       {sh1.replace('t1', 'q.t1')} THEN 1
+                  ELSE 2 END)::DOUBLE AS avg_spq
+  FROM qlog q)
 SELECT 'doc' AS strategy, {n}::BIGINT AS n_shards,
        {n}.0::DOUBLE AS avg_shards_per_query, total_work,
        ceil(total_work / {n})::BIGINT AS max_shard_load,
@@ -7449,6 +7469,12 @@ UNION ALL
 SELECT 'term', {n}::BIGINT, round(spq.avg_spq, 4), total_work, max_load,
        round(max_load * {n} / total_work, 4)
 FROM t_agg CROSS JOIN spq
+UNION ALL
+SELECT 'term_rep', {n}::BIGINT, round(sr.avg_spq, 4), total_work,
+       ceil(cm.cold_max + ht.hot_tot / {n})::BIGINT,
+       round((cm.cold_max + ht.hot_tot / {n}) * {n} / total_work, 4)
+FROM t_agg CROSS JOIN cold_max cm CROSS JOIN hot_tot ht
+     CROSS JOIN spq_rep sr
 """
 
 

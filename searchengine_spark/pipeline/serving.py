@@ -193,10 +193,12 @@ def posting_cache_plan(documents: DataFrame,
 
 
 def partition_routing(documents: DataFrame, n_shards: int = ROUTING_SHARDS,
+                      replicate_top: int = 8,
                       text_col: str = "text") -> DataFrame:
     """(strategy, n_shards, avg_shards_per_query, total_work,
     max_shard_load, load_imbalance) — document-partitioned vs
-    term-partitioned routing cost on the derived workload.
+    term-partitioned vs replicated-hot-term routing cost on the
+    derived workload.
 
     Work unit = one posting scanned; a query term costs df(term)
     (whitespace-token document frequency, computed only for terms the
@@ -209,6 +211,14 @@ def partition_routing(documents: DataFrame, n_shards: int = ROUTING_SHARDS,
       md5(term) % n (the repo's portable hash rule); queries touch
       only their terms' shards, but popular terms pile work onto
       single shards — imbalance = max shard load / (total work / n).
+    - ``term_rep``: Moffat/Webber/Zobel's fix — the ``replicate_top``
+      hottest terms (by workload load qtf·df, ties term asc) are
+      replicated to EVERY shard, their load modeled as spreading
+      evenly; cold terms stay on their home shard.  A query touches 1
+      shard whenever either term is hot (the hot copy rides along on
+      the cold term's home shard).  The head of a Zipf workload is
+      tiny, so a handful of replicas buys most of doc-partitioning's
+      balance at term-partitioning's fan-out.
     """
     log = query_log(documents, text_col)
     occ = (
@@ -260,4 +270,50 @@ def partition_routing(documents: DataFrame, n_shards: int = ROUTING_SHARDS,
         .alias("max_shard_load"),
         F.lit(1.0).alias("load_imbalance"),
     )
-    return doc_row.unionByName(term_row)
+
+    # replicated hot terms: top replicate_top by load spread evenly,
+    # cold terms stay home (TakeOrderedAndProject cut, term-dim window
+    # never materializes)
+    per_term = work.groupBy("term").agg(
+        F.first("shard").alias("shard"), F.sum("df").alias("tl"))
+    hot = (per_term.orderBy(F.desc("tl"), F.asc("term"))
+           .limit(replicate_top).select("term"))
+    cold_max = (
+        per_term.join(F.broadcast(hot), "term", "left_anti")
+        .groupBy("shard").agg(F.sum("tl").alias("cl"))
+        .agg(F.coalesce(F.max("cl"), F.lit(0)).alias("cold_max"))
+    )
+    hot_tot = (
+        per_term.join(F.broadcast(hot), "term", "left_semi")
+        .agg(F.coalesce(F.sum("tl"), F.lit(0)).alias("hot_tot"))
+    )
+    h0 = hot.select(F.col("term").alias("t0")).withColumn("h0", F.lit(1))
+    h1 = hot.select(F.col("term").alias("t1")).withColumn("h1", F.lit(1))
+    spq_rep = (
+        log.join(F.broadcast(h0), "t0", "left")
+        .join(F.broadcast(h1), "t1", "left")
+        .select(
+            F.when(F.col("h0").isNotNull() | F.col("h1").isNotNull(),
+                   F.lit(1))
+            .when(F.pmod(md5_long(F.col("t0")), F.lit(n_shards))
+                  == F.pmod(md5_long(F.col("t1")), F.lit(n_shards)),
+                  F.lit(1))
+            .otherwise(F.lit(2)).alias("ns"))
+        .agg(F.avg("ns").alias("avg_spq"))
+    )
+    rep_load = F.col("cold_max") + F.col("hot_tot") / n_shards
+    rep_row = (
+        t_agg.crossJoin(F.broadcast(cold_max))
+        .crossJoin(F.broadcast(hot_tot))
+        .crossJoin(F.broadcast(spq_rep))
+        .select(
+            F.lit("term_rep").alias("strategy"),
+            F.lit(n_shards).cast("long").alias("n_shards"),
+            F.round("avg_spq", 4).alias("avg_shards_per_query"),
+            "total_work",
+            F.ceil(rep_load).cast("long").alias("max_shard_load"),
+            F.round(rep_load * n_shards / F.col("total_work"), 4)
+            .alias("load_imbalance"),
+        )
+    )
+    return doc_row.unionByName(term_row).unionByName(rep_row)

@@ -60,9 +60,9 @@ def test_cache_tie_break_lexical(spark):
 def test_partition_routing_invariants(spark, corpus):
     rows = S.partition_routing(corpus, n_shards=8).collect()
     by = {r.strategy: r for r in rows}
-    doc, term = by["doc"], by["term"]
+    doc, term, rep = by["doc"], by["term"], by["term_rep"]
     # identical total work; doc fans out everywhere but balances evenly
-    assert doc.total_work == term.total_work > 0
+    assert doc.total_work == term.total_work == rep.total_work > 0
     assert doc.avg_shards_per_query == 8.0
     assert doc.load_imbalance == 1.0
     # a 2-term query touches 1 or 2 term-partitioned shards
@@ -70,6 +70,9 @@ def test_partition_routing_invariants(spark, corpus):
     # max shard load can never be below the even split
     assert term.max_shard_load >= term.total_work / 8
     assert term.load_imbalance >= 1.0
+    # replication can only help: fan-out and balance both bounded by term
+    assert rep.avg_shards_per_query <= term.avg_shards_per_query
+    assert rep.max_shard_load <= term.max_shard_load
 
 
 def test_partition_routing_work_is_df_weighted(spark, corpus):
@@ -78,8 +81,21 @@ def test_partition_routing_work_is_df_weighted(spark, corpus):
     # dfs: a=4, b=4, c=2, d=2, e=1, f=1 (each term in its own docs only)
     # occurrences: a,b x4 each; c,d x2 each; e,f x1 each
     expect = 4 * (4 + 4) + 2 * (2 + 2) + 1 * (1 + 1)
-    got = S.partition_routing(corpus, n_shards=8).collect()[0].total_work
-    assert got == expect
+    by = {r.strategy: r for r in
+          S.partition_routing(corpus, n_shards=8).collect()}
+    assert by["doc"].total_work == expect
+
+
+def test_partition_routing_replicate_all(spark, corpus):
+    """Replicating every workload term degenerates to doc-partitioning's
+    balance at single-shard fan-out: imbalance 1.0, 1 shard/query."""
+    by = {r.strategy: r for r in
+          S.partition_routing(corpus, n_shards=8,
+                              replicate_top=100).collect()}
+    rep = by["term_rep"]
+    assert rep.avg_shards_per_query == 1.0
+    assert rep.load_imbalance == 1.0
+    assert rep.max_shard_load == -(-rep.total_work // 8)
 
 
 def test_posting_cache_plan_hand_math(spark, corpus):
