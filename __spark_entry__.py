@@ -50,6 +50,7 @@ from searchengine_spark.pipeline import (  # noqa: E402
     rankeval,
     reorder,
     sampling,
+    selectivity,
     serving,
     similarity,
     sketches,
@@ -1004,6 +1005,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental ingest-batch dedup vs the base snapshot
         "q_incremental_dedup": lambda s, d: dedup.incremental_dedup(
             _docs(s, d), added_pct=10, threshold=0.2),
+        # optimizer statistics: estimate-vs-truth selectivity audits
+        "q_like_selectivity": lambda s, d: selectivity.like_selectivity(
+            _docs(s, d)),
+        "q_range_selectivity": lambda s, d: selectivity.range_selectivity(
+            _docs(s, d)),
     }
 
 
@@ -1329,4 +1335,6 @@ def oracle_sql() -> dict[str, str]:
         "q_posting_cache_plan": osql.posting_cache_plan(),
         "q_incremental_dedup": osql.incremental_dedup(
             added_pct=10, threshold=0.2),
+        "q_like_selectivity": osql.like_selectivity(),
+        "q_range_selectivity": osql.range_selectivity(),
     }

@@ -7605,3 +7605,93 @@ def ngram_shingles_view() -> str:
     """Standalone (doc_id, shingle) projection of _SHINGLE_CTE for reuse
     inside other WITH blocks."""
     return f"WITH {_SHINGLE_CTE} SELECT doc_id, shingle FROM sh"
+
+
+_QERR = ("round(greatest((est_docs + 1.0) / (actual_docs + 1.0), "
+         "(actual_docs + 1.0) / (est_docs + 1.0)), 4)")
+
+
+def like_selectivity(patterns: tuple[str, ...] = (
+        "merge vector", "spark", "row fast", "zzzq")) -> str:
+    """Twin of selectivity.like_selectivity (trigram independence)."""
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+    ptri = ", ".join(
+        f"('{esc(p)}', '{esc(p[i:i + 3])}')"
+        for p in patterns for i in range(max(len(p) - 2, 0)))
+    pats = ", ".join(f"('{esc(p)}')" for p in patterns)
+    ptri_cte = (f"ptri(pattern, tri) AS (VALUES {ptri})," if ptri
+                else "")
+    est_per = ("""
+est_per AS (
+  SELECT pattern, count(*)::BIGINT AS n_trigrams,
+         sum(CASE WHEN tdf.df IS NULL THEN 1 ELSE 0 END) AS n_missing,
+         sum(ln(tdf.df / n_row.n)) AS lsum
+  FROM ptri LEFT JOIN tdf USING (tri) CROSS JOIN n_row GROUP BY pattern),
+""" if ptri else """
+est_per AS (SELECT NULL::VARCHAR AS pattern, 0::BIGINT AS n_trigrams,
+            0 AS n_missing, 0.0 AS lsum WHERE false),
+""")
+    return f"""
+WITH {_TRIGRAM_CTE},
+tdf AS (SELECT trigram AS tri, count(DISTINCT doc_id)::BIGINT AS df
+        FROM grams GROUP BY 1),
+n_row AS (SELECT count(*)::DOUBLE AS n FROM documents),
+{ptri_cte}
+pats(pattern) AS (VALUES {pats}),
+{est_per}
+est AS (
+  SELECT p.pattern, coalesce(e.n_trigrams, 0)::BIGINT AS n_trigrams,
+         CASE WHEN coalesce(e.n_missing, 0) > 0 THEN 0.0
+              ELSE round(n_row.n * exp(coalesce(e.lsum, 0.0)), 4)
+         END AS est_docs
+  FROM pats p LEFT JOIN est_per e USING (pattern) CROSS JOIN n_row),
+act AS (
+  SELECT p.pattern, count(*)::BIGINT AS actual_docs
+  FROM pats p JOIN documents d ON contains(lower(d.text), p.pattern)
+  GROUP BY 1)
+SELECT e.pattern, e.n_trigrams, e.est_docs,
+       coalesce(a.actual_docs, 0)::BIGINT AS actual_docs,
+       {_QERR.replace('actual_docs', 'coalesce(a.actual_docs, 0)')
+             .replace('est_docs', 'e.est_docs')} AS q_error
+FROM est e LEFT JOIN act a USING (pattern)
+ORDER BY pattern
+"""
+
+
+def range_selectivity(value_col: str = "n_chars", n_buckets: int = 16,
+                      preds: tuple[tuple[int, int], ...] = (
+                          (0, 100), (100, 200), (150, 400), (1000, 2000))
+                      ) -> str:
+    """Twin of selectivity.range_selectivity (equi-width histogram)."""
+    b = int(n_buckets)
+    prs = ", ".join(f"({float(lo)}, {float(hi)})" for lo, hi in preds)
+    return f"""
+WITH vals AS (SELECT {value_col}::DOUBLE AS v FROM documents),
+stats AS (SELECT min(v) AS mn, (max(v) - min(v) + 1.0) / {b} AS width
+          FROM vals),
+hist AS (
+  SELECT least(floor((v - s.mn) / s.width), {b - 1})::BIGINT AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM vals CROSS JOIN stats s GROUP BY 1),
+pr(lo, hi) AS (VALUES {prs}),
+est AS (
+  SELECT pr.lo, pr.hi,
+         round(sum(
+           greatest(0.0, least(1.0,
+             (least(pr.hi, s.mn + (h.bucket + 1) * s.width)
+              - greatest(pr.lo, s.mn + h.bucket * s.width)) / s.width))
+           * h.cnt), 4) AS est_docs
+  FROM hist h CROSS JOIN pr CROSS JOIN stats s GROUP BY 1, 2),
+act AS (
+  SELECT pr.lo, pr.hi, count(*)::BIGINT AS actual_docs
+  FROM vals v JOIN pr ON v.v >= pr.lo AND v.v < pr.hi GROUP BY 1, 2)
+SELECT pr.lo::BIGINT AS lo, pr.hi::BIGINT AS hi,
+       coalesce(e.est_docs, 0.0) AS est_docs,
+       coalesce(a.actual_docs, 0)::BIGINT AS actual_docs,
+       {_QERR.replace('est_docs', 'coalesce(e.est_docs, 0.0)')
+             .replace('actual_docs', 'coalesce(a.actual_docs, 0)')}
+         AS q_error
+FROM pr LEFT JOIN est e USING (lo, hi) LEFT JOIN act a USING (lo, hi)
+ORDER BY lo, hi
+"""

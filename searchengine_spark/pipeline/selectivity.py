@@ -1,0 +1,173 @@
+"""Optimizer-statistics selectivity estimation, audited against truth.
+
+The reference plans nothing — MySQL's optimizer does (B-tree stats on
+`search_index`); a PySpark-native engine sits UNDER Catalyst, which has
+no statistics for the engine's own derived predicates (substring
+containment against text, ranges over derived numeric columns).  Serving
+admission control (api/http.explain, queryops.query_cost_estimate) and
+job planning both need cardinality estimates BEFORE running a scan, and
+the classic estimators are:
+
+- **q-gram selectivity for substring predicates** (Chaudhuri, Ganti &
+  Gravano, ICDE'04 "Selectivity estimation for string predicates"):
+  decompose the pattern into character trigrams, multiply their
+  per-trigram document selectivities under the independence assumption.
+  ``like_selectivity`` computes the estimate AND the true count per
+  pattern, reporting the (+1-smoothed) q-error — the audit that tells
+  you how far independence is from reality on this corpus.
+- **equi-width histogram for range predicates** (the textbook
+  System-R / PostgreSQL estimator): bucket counts + uniform-within-
+  bucket interpolation.  ``range_selectivity`` builds the histogram
+  over a numeric column and audits each range estimate the same way.
+
+Scale shape: the trigram dictionary and the histogram are the only
+aggregations (vocabulary- and bucket-dimension); patterns/predicates
+are literal broadcast rows; the truth side is ONE corpus scan per call
+shared by every pattern (a broadcast nested-loop over the literal
+pattern list).  q_error uses +1 smoothing so empty results stay finite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+LIKE_PATTERNS = ("merge vector", "spark", "row fast", "zzzq")
+RANGE_PREDS = ((0, 100), (100, 200), (150, 400), (1000, 2000))
+N_BUCKETS = 16
+
+
+def _qerr(est, actual):
+    return F.round(
+        F.greatest((est + F.lit(1.0)) / (actual + F.lit(1.0)),
+                   (actual + F.lit(1.0)) / (est + F.lit(1.0))), 4)
+
+
+def like_selectivity(documents: DataFrame,
+                     patterns: tuple[str, ...] = LIKE_PATTERNS,
+                     text_col: str = "text") -> DataFrame:
+    """(pattern, n_trigrams, est_docs, actual_docs, q_error) — trigram-
+    independence estimate vs true containment count per literal pattern
+    (matched against lowercased text, like the trigram index).
+
+    est = n_docs · Π df(tri)/n_docs over the pattern's sliding
+    trigrams; any trigram absent from the dictionary makes the
+    estimate 0 (and the sound trigram index would prune the scan
+    entirely).  Patterns shorter than 3 chars contribute no trigrams
+    and estimate n_docs (no evidence — selectivity 1)."""
+    from searchengine_spark.pipeline.trigram import trigram_df
+
+    spark = documents.sparkSession
+    pat_rows = [(p, p[i:i + 3])
+                for p in patterns for i in range(max(len(p) - 2, 0))]
+    docs = documents.select(F.lower(F.col(text_col)).alias("s"))
+    n_row = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    pats = spark.createDataFrame([(p,) for p in patterns],
+                                 "pattern string")
+
+    if pat_rows:
+        ptri = spark.createDataFrame(pat_rows, "pattern string, tri string")
+        tri = trigram_df(documents).select(
+            F.col("trigram").alias("tri"), "df")
+        est_per = (
+            ptri.join(F.broadcast(tri), "tri", "left")
+            .crossJoin(F.broadcast(n_row))
+            .groupBy("pattern")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+                F.sum(F.when(F.col("df").isNull(), 1).otherwise(0))
+                .alias("n_missing"),
+                F.sum(F.log(F.col("df") / F.col("n"))).alias("lsum"),
+            )
+        )
+    else:  # pragma: no cover - all patterns shorter than 3 chars
+        est_per = pats.select(
+            "pattern", F.lit(0).cast("long").alias("n_trigrams"),
+            F.lit(0).alias("n_missing"),
+            F.lit(0.0).alias("lsum"))
+
+    est = (
+        pats.join(est_per, "pattern", "left")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "pattern",
+            F.coalesce("n_trigrams", F.lit(0)).cast("long")
+            .alias("n_trigrams"),
+            F.when(F.coalesce("n_missing", F.lit(0)) > 0, F.lit(0.0))
+            .otherwise(F.round(
+                F.col("n") * F.exp(F.coalesce("lsum", F.lit(0.0))), 4))
+            .alias("est_docs"),
+        )
+    )
+    actual = (
+        docs.crossJoin(F.broadcast(pats))
+        .filter(F.col("s").contains(F.col("pattern")))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("long").alias("actual_docs"))
+    )
+    return (
+        est.join(actual, "pattern", "left")
+        .select(
+            "pattern", "n_trigrams", "est_docs",
+            F.coalesce("actual_docs", F.lit(0)).cast("long")
+            .alias("actual_docs"),
+        )
+        .withColumn("q_error", _qerr(F.col("est_docs"), F.col("actual_docs")))
+        .orderBy("pattern")
+    )
+
+
+def range_selectivity(documents: DataFrame, value_col: str = "n_chars",
+                      n_buckets: int = N_BUCKETS,
+                      preds: tuple[tuple[int, int], ...] = RANGE_PREDS
+                      ) -> DataFrame:
+    """(lo, hi, est_docs, actual_docs, q_error) — equi-width histogram
+    estimate (uniform interpolation within buckets) vs the true count
+    of rows with lo <= value < hi, per literal predicate."""
+    spark = documents.sparkSession
+    v = documents.select(F.col(value_col).cast("double").alias("v"))
+    stats = v.agg(
+        F.min("v").alias("mn"),
+        ((F.max("v") - F.min("v") + 1.0) / n_buckets).alias("width"))
+    hist = (
+        v.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(F.floor((F.col("v") - F.col("mn")) / F.col("width")),
+                    F.lit(n_buckets - 1)).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    pr = spark.createDataFrame([(float(lo), float(hi)) for lo, hi in preds],
+                               "lo double, hi double")
+    blo = F.col("mn") + F.col("bucket") * F.col("width")
+    bhi = blo + F.col("width")
+    frac = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            (F.least(F.col("hi"), bhi) - F.greatest(F.col("lo"), blo))
+            / F.col("width")))
+    est = (
+        hist.crossJoin(F.broadcast(pr))
+        .crossJoin(F.broadcast(stats))
+        .groupBy("lo", "hi")
+        .agg(F.round(F.sum(frac * F.col("cnt")), 4).alias("est_docs"))
+    )
+    actual = (
+        v.crossJoin(F.broadcast(pr))
+        .filter((F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")))
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("actual_docs"))
+    )
+    return (
+        pr.join(est, ["lo", "hi"], "left")
+        .join(actual, ["lo", "hi"], "left")
+        .select(
+            F.col("lo").cast("long").alias("lo"),
+            F.col("hi").cast("long").alias("hi"),
+            F.coalesce("est_docs", F.lit(0.0)).alias("est_docs"),
+            F.coalesce("actual_docs", F.lit(0)).cast("long")
+            .alias("actual_docs"),
+        )
+        .withColumn("q_error", _qerr(F.col("est_docs"), F.col("actual_docs")))
+        .orderBy("lo", "hi")
+    )

@@ -1,0 +1,60 @@
+"""Optimizer-statistics selectivity audits: hand-checkable trigram
+independence and histogram interpolation math."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.pipeline import selectivity as SEL
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """4 docs; 'abcd' appears in 2 of 4 docs, 'zz' never."""
+    texts = ["abcd efgh", "abcd xyzw", "efgh only here", "nothing shared"]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+
+def test_like_selectivity_exact_math(spark, corpus):
+    out = {r.pattern: r for r in
+           SEL.like_selectivity(corpus, patterns=("abcd", "qqqz")).collect()}
+    ab = out["abcd"]
+    # trigrams 'abc' (df 2) and 'bcd' (df 2): est = 4*(2/4)*(2/4) = 1.0
+    assert ab.n_trigrams == 2
+    assert ab.est_docs == 1.0
+    assert ab.actual_docs == 2
+    assert ab.q_error == round(3 / 2, 4)
+    qq = out["qqqz"]
+    # absent trigrams -> estimate 0; actual 0 -> smoothed q_error 1.0
+    assert qq.est_docs == 0.0 and qq.actual_docs == 0
+    assert qq.q_error == 1.0
+
+
+def test_like_selectivity_short_pattern_no_evidence(spark, corpus):
+    out = SEL.like_selectivity(corpus, patterns=("ab",)).collect()[0]
+    # no trigram evidence -> selectivity 1 -> est = n_docs
+    assert out.n_trigrams == 0
+    assert out.est_docs == 4.0
+    assert out.actual_docs == 2
+
+
+def test_range_selectivity_exact_math(spark):
+    # values 0..15, 4 buckets of width 4 -> perfectly uniform histogram
+    rows = [(i, "x", "en", "s", i) for i in range(16)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = {(r.lo, r.hi): r for r in
+           SEL.range_selectivity(docs, n_buckets=4,
+                                 preds=((0, 8), (2, 6), (20, 30))).collect()}
+    # [0,8) covers buckets 0-1 fully: est 8, actual 8
+    assert out[(0, 8)].est_docs == 8.0 and out[(0, 8)].actual_docs == 8
+    assert out[(0, 8)].q_error == 1.0
+    # [2,6) covers half of bucket 0 and half of bucket 1: est 4, actual 4
+    assert out[(2, 6)].est_docs == 4.0 and out[(2, 6)].actual_docs == 4
+    # out-of-range predicate: both sides zero
+    assert out[(20, 30)].est_docs == 0.0 and out[(20, 30)].actual_docs == 0
+    assert out[(20, 30)].q_error == 1.0
