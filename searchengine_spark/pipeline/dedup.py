@@ -976,3 +976,53 @@ def incremental_dedup(documents: DataFrame, added_pct: int = 10,
         )
     )
     return finalize(out, shas, bb, sh)
+
+
+def row_lsh_band_buckets(documents: DataFrame, n: int = 3,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """(doc_id, band, bucket) — EXACTLY ``lsh_band_buckets`` computed
+    entirely per-row: distinct shingles via array_distinct, each minhash
+    permutation as an array_min fold, band buckets assembled from the
+    per-row signature.  No explode-then-distinct and no groupBy, so this
+    version runs on a STREAMING DataFrame (streaming/windows.py's
+    near-dup state operator) — and doubles as the zero-shuffle batch
+    plan.  Equality with the aggregating version is pinned by
+    tests/test_streaming_near_dedup.py."""
+    from searchengine_spark.pipeline.hashing import (
+        MINHASH_A, MINHASH_B, MINHASH_P)
+
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    d = (
+        documents.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+    )
+    sh_arr = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size("toks") - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]),
+    ))
+    d = d.select("doc_id", sh_arr.alias("sh"))
+    base = lambda s: md5_long(s) % F.lit(MINHASH_P)  # noqa: E731
+
+    def sig(i: int):
+        # single-arg lambda: a 2-arg one would make transform() pass the
+        # array index as the second parameter
+        return F.array_min(F.transform(
+            F.col("sh"),
+            lambda s: (F.lit(MINHASH_A[i]) * base(s) + F.lit(MINHASH_B[i]))
+            % F.lit(MINHASH_P)))
+
+    sigs = [sig(i) for i in range(NUM_MINHASH)]
+    bands = []
+    for b in range(MINHASH_BANDS):
+        cols = [sigs[b * MINHASH_ROWS + r].cast("string")
+                for r in range(MINHASH_ROWS)]
+        bands.append(F.struct(
+            F.lit(b).alias("band"),
+            md5_long(F.concat_ws("_", *cols)).alias("bucket")))
+    return (
+        d.select("doc_id", F.explode(F.array(*bands)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    )

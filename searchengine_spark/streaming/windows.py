@@ -407,3 +407,81 @@ def run_streaming_hll(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def _near_dedup_fn(key, pdf_iter, state):
+    """Per (band, bucket): the first doc ever seen owns the bucket; every
+    later doc in any batch is a near-dup CANDIDATE against the owner
+    (state = the owner's doc_id, first-writer-wins like _dedup_fn).
+    Within the first batch the min doc_id owns — the batch keep-MIN
+    rule."""
+    import pandas as pd
+
+    ids: set[int] = set()
+    for pdf in pdf_iter:
+        ids.update(int(x) for x in pdf["doc_id"])
+    if not ids:
+        return
+    if state.exists:
+        first = int(state.get[0])
+    else:
+        first = min(ids)
+        state.update((first,))
+    out = sorted(ids)
+    yield pd.DataFrame({
+        "band": [int(key[0])] * len(out),
+        "bucket": [int(key[1])] * len(out),
+        "doc_id": out,
+        "first_id": [first] * len(out),
+        "dup_candidate": [i != first for i in out],
+    })
+
+
+def run_streaming_near_dedup(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream (doc_id, text) drops; append (band, bucket, doc_id,
+    first_id, dup_candidate) rows — the STREAMING twin of
+    dedup.lsh_candidate_pairs' candidate generation, with bucket
+    ownership carried across batches in the state store.
+
+    MinHash band buckets are computed per-row
+    (dedup.row_lsh_band_buckets: array folds only — the aggregating
+    batch plan's explode+distinct+groupBy is not stream-expressible),
+    then one applyInPandasWithState keyed by (band, bucket) holds ONE
+    long per bucket ever seen.  A doc is a near-dup candidate iff any
+    of its bands collides with an earlier arrival; readers aggregate
+    `max(dup_candidate) GROUP BY doc_id` and verify survivors with the
+    batch Jaccard tail (dedup.lsh_verified_near_dups' verify stage) —
+    candidates stream, verification batches, exactly the production
+    split."""
+    from searchengine_spark.pipeline.dedup import row_lsh_band_buckets
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA).format("parquet")
+        .load(drop_dir)
+    )
+    bb = row_lsh_band_buckets(stream)
+    flagged = bb.groupBy("band", "bucket").applyInPandasWithState(
+        _near_dedup_fn,
+        outputStructType=("band int, bucket long, doc_id long, "
+                          "first_id long, dup_candidate boolean"),
+        stateStructType="first_id long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    writer = (
+        flagged.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

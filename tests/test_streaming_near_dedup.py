@@ -1,0 +1,73 @@
+"""Streaming LSH near-dup candidates: per-row band buckets equal the
+aggregating batch plan, and bucket ownership carries across batches."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.pipeline.dedup import (
+    lsh_band_buckets,
+    row_lsh_band_buckets,
+)
+from searchengine_spark.streaming.windows import run_streaming_near_dedup
+
+TXT_A = "alpha beta gamma delta epsilon zeta"
+TXT_B = "one two three four five six seven"
+TXT_C = "totally different words in this document here"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_row_band_buckets_equal_batch_plan(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = lsh_band_buckets(docs).orderBy("doc_id", "band").toPandas()
+    b = row_lsh_band_buckets(docs).orderBy("doc_id", "band").toPandas()
+    assert a.equals(b)
+
+
+def test_stream_candidates_match_batch_rule_and_state(spark, tmp_path):
+    drop_dir = str(tmp_path / "nddrops")
+    out_dir = str(tmp_path / "ndout")
+    ckpt = str(tmp_path / "ndckpt")
+    os.makedirs(drop_dir)
+
+    # batch 1: 2 is a dup of 1 (same text -> same buckets); 3 is novel
+    d1 = [(1, TXT_A), (2, TXT_A), (3, TXT_B)]
+    _docs(spark, d1).coalesce(1).write.mode("append").parquet(drop_dir)
+    run_streaming_near_dedup(spark, drop_dir, out_dir, ckpt)
+
+    out1 = spark.read.parquet(out_dir)
+    flag1 = {r.doc_id: r.flag for r in
+             out1.groupBy("doc_id")
+             .agg(F.max(F.col("dup_candidate").cast("int")).alias("flag"))
+             .collect()}
+    assert flag1 == {1: 0, 2: 1, 3: 0}
+    # batch twin rule on the same data: candidate iff a smaller doc_id
+    # shares any band bucket
+    bb = lsh_band_buckets(_docs(spark, d1))
+    twin = (
+        bb.alias("a")
+        .join(bb.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.bucket") == F.col("b.bucket"))
+              & (F.col("b.doc_id") < F.col("a.doc_id")), "left")
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.max(F.col("b.doc_id").isNotNull().cast("int")).alias("flag"))
+    )
+    assert {r.doc_id: r.flag for r in twin.collect()} == flag1
+
+    # batch 2: 4 collides with batch-1 state (owner 1); 5 is novel
+    _docs(spark, [(4, TXT_A), (5, TXT_C)]).coalesce(1) \
+        .write.mode("append").parquet(drop_dir)
+    run_streaming_near_dedup(spark, drop_dir, out_dir, ckpt)
+
+    out2 = spark.read.parquet(out_dir)
+    rows4 = out2.filter(F.col("doc_id") == 4).collect()
+    assert rows4 and all(r.dup_candidate for r in rows4)
+    assert all(r.first_id == 1 for r in rows4)  # ownership from batch 1
+    rows5 = out2.filter(F.col("doc_id") == 5).collect()
+    assert rows5 and not any(r.dup_candidate for r in rows5)
