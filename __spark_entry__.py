@@ -1010,6 +1010,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)),
         "q_range_selectivity": lambda s, d: selectivity.range_selectivity(
             _docs(s, d)),
+        # segment merge-policy write-amplification planner
+        "q_merge_policy_plan": lambda s, d: indexopt.merge_policy_plan(
+            _docs(s, d), n_flushes=8, fanin=4),
     }
 
 
@@ -1337,4 +1340,5 @@ def oracle_sql() -> dict[str, str]:
             added_pct=10, threshold=0.2),
         "q_like_selectivity": osql.like_selectivity(),
         "q_range_selectivity": osql.range_selectivity(),
+        "q_merge_policy_plan": osql.merge_policy_plan(n_flushes=8, fanin=4),
     }

@@ -375,3 +375,92 @@ def for_packing(documents: DataFrame, block: int = 128, **kw) -> DataFrame:
         F.round(8.0 * F.sum("b_pfor") / F.sum("n"), 4)
         .alias("pfor_bits_per_posting"),
     )
+
+
+def _merge_weights(k: int, fanin: int) -> tuple[list[int], int]:
+    """Per-flush rewrite counts under a count-triggered tiered merge
+    (Lucene TieredMergePolicy / LSM leveling): flush i lands as a tier-0
+    segment; whenever a tier accumulates ``fanin`` segments they merge
+    into one segment of the next tier (cascading).  The schedule depends
+    only on (k, fanin) — sizes never trigger merges — so the weights are
+    plan-time constants.  Returns (w_1..w_k, final_segment_count) where
+    w_i counts every time flush i's bytes hit disk (initial write +
+    each merge containing it)."""
+    w = [0] * k
+    tiers: list[list[list[int]]] = []  # tiers[t] = list of segments
+    for i in range(k):
+        w[i] += 1  # the flush itself
+        if not tiers:
+            tiers.append([])
+        tiers[0].append([i])
+        t = 0
+        while t < len(tiers) and len(tiers[t]) >= fanin:
+            merged = [j for seg in tiers[t] for j in seg]
+            for j in merged:
+                w[j] += 1
+            tiers[t] = []
+            if t + 1 >= len(tiers):
+                tiers.append([])
+            tiers[t + 1].append(merged)
+            t += 1
+    return w, sum(len(t_) for t_ in tiers)
+
+
+def merge_policy_plan(documents: DataFrame, n_flushes: int = 8,
+                      fanin: int = 4, salt: str = "flush",
+                      size_col: str = "n_chars") -> DataFrame:
+    """(policy, n_flushes, ingest_bytes, written_bytes, write_amp,
+    final_segments) — write amplification of three segment-merge
+    policies over the corpus split into ``n_flushes`` ingest batches
+    (md5 coin, the sampling-family salt rule; ``size_col`` is the byte
+    proxy):
+
+      no_merge     every flush written once; final_segments = k — the
+                   read-amplification extreme (jobs/fsck counts these).
+      tiered       count-triggered cascade at ``fanin`` (the policy
+                   jobs/compact.py executes): write_amp ≈ log_fanin(k).
+      merge_always the reference's single-table analog (MySQL keeps ONE
+                   search_index b-tree): every flush rewrites the whole
+                   index — write_amp ≈ (k+1)/2, the petabyte-scale I/O
+                   case against it at 100 TB.
+
+    Spark shape: the merge schedule is count-triggered, so per-flush
+    rewrite weights are PLAN-TIME constants (``_merge_weights``); the
+    whole analysis is one flush-dim hash agg + a weighted sum per
+    policy — no recursion, no driver state."""
+    from searchengine_spark.pipeline.hashing import md5_long
+
+    k = int(n_flushes)
+    coin = F.pmod(md5_long(
+        F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string"))),
+        F.lit(k)).cast("int")
+    per_flush = (
+        documents.select(coin.alias("flush"),
+                         F.col(size_col).cast("long").alias("b"))
+        .groupBy("flush")
+        .agg(F.sum("b").alias("s"))
+    )
+    w_tier, segs_tier = _merge_weights(k, fanin)
+    policies = [
+        ("no_merge", [1] * k, k),
+        ("tiered", w_tier, segs_tier),
+        ("merge_always", [k - i for i in range(k)], 1),
+    ]
+    rows = []
+    for name, ws, segs in policies:
+        warr = F.element_at(
+            F.array(*[F.lit(int(x)).cast("long") for x in ws]),
+            F.col("flush") + 1)
+        rows.append(per_flush.agg(
+            F.lit(name).alias("policy"),
+            F.lit(k).cast("long").alias("n_flushes"),
+            F.sum("s").cast("long").alias("ingest_bytes"),
+            F.sum(warr * F.col("s")).cast("long").alias("written_bytes"),
+            F.round(F.sum(warr * F.col("s")) / F.sum("s"), 4)
+            .alias("write_amp"),
+            F.lit(int(segs)).cast("long").alias("final_segments"),
+        ))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -7695,3 +7695,37 @@ SELECT pr.lo::BIGINT AS lo, pr.hi::BIGINT AS hi,
 FROM pr LEFT JOIN est e USING (lo, hi) LEFT JOIN act a USING (lo, hi)
 ORDER BY lo, hi
 """
+
+
+def merge_policy_plan(n_flushes: int = 8, fanin: int = 4,
+                      salt: str = "flush", size_col: str = "n_chars") -> str:
+    """Twin of indexopt.merge_policy_plan: the same plan-time rewrite
+    weights (count-triggered schedule) as a VALUES dimension."""
+    from searchengine_spark.pipeline.indexopt import _merge_weights
+
+    k = int(n_flushes)
+    w_tier, segs_tier = _merge_weights(k, fanin)
+    policies = [
+        ("no_merge", [1] * k, k),
+        ("tiered", w_tier, segs_tier),
+        ("merge_always", [k - i for i in range(k)], 1),
+    ]
+    coin = (f"(('0x' || substr(md5('{salt}:' || doc_id::VARCHAR), 1, 15))"
+            f"::BIGINT % {k})")
+    wrows = ", ".join(
+        f"('{name}', {i}, {int(ws[i])}, {int(segs)})"
+        for name, ws, segs in policies for i in range(k))
+    return f"""
+WITH per_flush AS (
+  SELECT {coin}::INT AS flush, sum({size_col})::BIGINT AS s
+  FROM documents GROUP BY 1
+),
+w(policy, flush, w, final_segments) AS (VALUES {wrows})
+SELECT w.policy, {k}::BIGINT AS n_flushes,
+       sum(p.s)::BIGINT AS ingest_bytes,
+       sum(w.w * p.s)::BIGINT AS written_bytes,
+       round(sum(w.w * p.s) / sum(p.s)::DOUBLE, 4) AS write_amp,
+       any_value(w.final_segments)::BIGINT AS final_segments
+FROM per_flush p JOIN w ON w.flush = p.flush
+GROUP BY w.policy
+"""

@@ -58,3 +58,33 @@ def test_range_selectivity_exact_math(spark):
     # out-of-range predicate: both sides zero
     assert out[(20, 30)].est_docs == 0.0 and out[(20, 30)].actual_docs == 0
     assert out[(20, 30)].q_error == 1.0
+
+
+class TestMergePolicy:
+    def test_weights_hand_cases(self):
+        from searchengine_spark.pipeline.indexopt import _merge_weights
+
+        # k=8 fanin=4: two tier-0 cascades, each flush rewritten once
+        w, segs = _merge_weights(8, 4)
+        assert w == [2] * 8 and segs == 2
+        # k=4 fanin=2: full binary cascade -> one segment, 3 writes each
+        w, segs = _merge_weights(4, 2)
+        assert w == [3] * 4 and segs == 1
+        # no cascade triggers below fanin
+        w, segs = _merge_weights(3, 4)
+        assert w == [1, 1, 1] and segs == 3
+
+    def test_plan_invariants(self, spark):
+        from searchengine_spark.pipeline.indexopt import merge_policy_plan
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        by = {r.policy: r for r in
+              merge_policy_plan(docs, n_flushes=8, fanin=4).collect()}
+        nm, ti, ma = by["no_merge"], by["tiered"], by["merge_always"]
+        assert nm.ingest_bytes == ti.ingest_bytes == ma.ingest_bytes > 0
+        assert nm.write_amp == 1.0 and nm.written_bytes == nm.ingest_bytes
+        # tiered sits strictly between the two extremes here
+        assert nm.written_bytes < ti.written_bytes < ma.written_bytes
+        assert (nm.final_segments, ti.final_segments,
+                ma.final_segments) == (8, 2, 1)
