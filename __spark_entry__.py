@@ -1013,6 +1013,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # segment merge-policy write-amplification planner
         "q_merge_policy_plan": lambda s, d: indexopt.merge_policy_plan(
             _docs(s, d), n_flushes=8, fanin=4),
+        # Fagin TA stop depth for the blended (bm25 + prior) ranking
+        "q_ta_stop_depth": lambda s, d: queryops.ta_stop_depth(
+            _docs(s, d), Q_AND2, weight=2.0, k=10),
     }
 
 
@@ -1341,4 +1344,5 @@ def oracle_sql() -> dict[str, str]:
         "q_like_selectivity": osql.like_selectivity(),
         "q_range_selectivity": osql.range_selectivity(),
         "q_merge_policy_plan": osql.merge_policy_plan(n_flushes=8, fanin=4),
+        "q_ta_stop_depth": osql.ta_stop_depth(Q_AND2, weight=2.0, k=10),
     }

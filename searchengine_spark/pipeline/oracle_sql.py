@@ -7729,3 +7729,35 @@ SELECT w.policy, {k}::BIGINT AS n_flushes,
 FROM per_flush p JOIN w ON w.flush = p.flush
 GROUP BY w.policy
 """
+
+
+def ta_stop_depth(terms: list[str], weight: float = 2.0,
+                  k: int = 10) -> str:
+    """Twin of queryops.ta_stop_depth (Fagin TA instance-optimal stop
+    depth over the bm25 + weight·quality blended ranking)."""
+    return f"""
+WITH b AS ({bm25_scored(terms)}),
+q AS (SELECT doc_id, quality FROM ({quality_scores()}) _q),
+cand AS (
+  SELECT b.doc_id, b.score AS bm25, q.quality,
+         round(b.score + {weight} * q.quality, 4) AS blended
+  FROM b JOIN q USING (doc_id)
+),
+ra AS (SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS d,
+              bm25 AS a_val FROM cand),
+rb AS (SELECT row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS d,
+              quality AS b_val FROM cand),
+tau AS (SELECT ra.d, round(ra.a_val + {weight} * rb.b_val, 4) AS tau
+        FROM ra JOIN rb USING (d)),
+kth AS (SELECT min(blended) AS kth_blended
+        FROM (SELECT blended FROM cand
+              ORDER BY blended DESC, doc_id ASC LIMIT {int(k)})),
+n_row AS (SELECT count(*)::BIGINT AS n_candidates FROM cand),
+depth AS (SELECT min(d)::BIGINT AS ta_depth
+          FROM tau CROSS JOIN kth WHERE tau.tau <= kth.kth_blended)
+SELECT n_row.n_candidates, {int(k)}::BIGINT AS k, kth.kth_blended,
+       depth.ta_depth,
+       round(depth.ta_depth / n_row.n_candidates::DOUBLE, 4)
+         AS frac_scanned
+FROM n_row CROSS JOIN kth CROSS JOIN depth
+"""

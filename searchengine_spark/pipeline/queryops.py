@@ -2835,3 +2835,66 @@ def spell_context_suggest(documents: DataFrame, prev_term: str,
                  F.asc("term"))
         .limit(k)
     )
+
+
+def ta_stop_depth(documents: DataFrame, query_terms: list[str],
+                  weight: float = 2.0, k: int = 10, **kw) -> DataFrame:
+    """(n_candidates, k, kth_blended, ta_depth, frac_scanned) — how deep
+    Fagin's Threshold Algorithm (Fagin, Lotem & Naor, PODS'01) must scan
+    two sorted score lists before it can stop, for prior_blend_topk's
+    blended ranking (bm25 + weight·quality over the conjunctive
+    candidate set).
+
+    TA reads both lists in score order with random access to the other
+    attribute; after depth d the threshold τ(d) = bm25@d + w·quality@d
+    bounds every unseen doc, so scanning stops once τ(d) <= the k-th
+    best blended score.  Reported here with the GLOBAL k-th (the
+    instance-optimality bound the TA literature analyzes — real TA's
+    seen-k-th reaches it by depth d, so this is the depth a perfect
+    random-access TA achieves).  τ(n) = minA + w·minB <= every blended
+    score, so a stop depth always exists.  frac_scanned « 1 is the case
+    for serving blended rankings from two impact-ordered lists instead
+    of materializing the full join.
+
+    Scale: both rank windows run over the per-query conjunctive
+    candidate set (same boundedness as every top-k query); everything
+    else is a broadcast scalar.
+    """
+    from searchengine_spark.pipeline.fulltext import bm25_scored
+    from searchengine_spark.pipeline.textstats import quality_scores
+
+    s = bm25_scored(documents, query_terms, **kw)
+    q = quality_scores(documents, **kw).select("doc_id", "quality")
+    cand = s.join(q, "doc_id").select(
+        "doc_id", F.col("score").alias("bm25"), "quality",
+        F.round(F.col("score") + weight * F.col("quality"), 4)
+        .alias("blended")).persist()
+    wa = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    wb = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+    ra = cand.select(F.row_number().over(wa).alias("d"),
+                     F.col("bm25").alias("a_val"))
+    rb = cand.select(F.row_number().over(wb).alias("d"),
+                     F.col("quality").alias("b_val"))
+    tau = ra.join(rb, "d").select(
+        "d", F.round(F.col("a_val") + weight * F.col("b_val"), 4)
+        .alias("tau"))
+    kth = (cand.orderBy(F.desc("blended"), F.asc("doc_id")).limit(k)
+           .agg(F.min("blended").alias("kth_blended")))
+    n_row = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    depth = (
+        tau.crossJoin(F.broadcast(kth))
+        .filter(F.col("tau") <= F.col("kth_blended"))
+        .agg(F.min("d").cast("long").alias("ta_depth"))
+    )
+    out = (
+        n_row.crossJoin(F.broadcast(kth))
+        .crossJoin(F.broadcast(depth))
+        .select(
+            "n_candidates", F.lit(int(k)).cast("long").alias("k"),
+            "kth_blended", "ta_depth",
+            F.round(F.col("ta_depth") / F.col("n_candidates"), 4)
+            .alias("frac_scanned"),
+        )
+    )
+    from searchengine_spark.pipeline._cache import finalize
+    return finalize(out, cand)

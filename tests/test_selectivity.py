@@ -88,3 +88,56 @@ class TestMergePolicy:
         assert nm.written_bytes < ti.written_bytes < ma.written_bytes
         assert (nm.final_segments, ti.final_segments,
                 ma.final_segments) == (8, 2, 1)
+
+
+class TestTAStopDepth:
+    def test_invariants_and_k_monotonicity(self, spark):
+        from searchengine_spark.pipeline.queryops import ta_stop_depth
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet")
+        r5 = ta_stop_depth(docs, ["merge", "vector"], k=5).collect()[0]
+        r10 = ta_stop_depth(docs, ["merge", "vector"], k=10).collect()[0]
+        for r in (r5, r10):
+            assert 1 <= r.ta_depth <= r.n_candidates
+            assert 0.0 < r.frac_scanned <= 1.0
+        # a larger k can only force TA deeper (kth score is lower)
+        assert r10.ta_depth >= r5.ta_depth
+        assert r10.kth_blended <= r5.kth_blended
+
+    def test_matches_pure_python_ta(self, spark):
+        """Replicate TA in plain Python from the two gated score lists
+        and assert the operator lands on the identical stop depth."""
+        from searchengine_spark.pipeline.fulltext import bm25_scored
+        from searchengine_spark.pipeline.queryops import ta_stop_depth
+        from searchengine_spark.pipeline.textstats import quality_scores
+
+        rows = [
+            (0, "winner term " * 6, "en", "s", 10),
+            (1, "winner term filler words here and more padding around "
+                "this very long document that scores worse " * 3,
+             "en", "s", 10),
+            (2, "winner term other padding text of middling length "
+                "with several extra words", "en", "s", 10),
+            (3, "unrelated text entirely", "en", "s", 10),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long")
+        w, k = 2.0, 1
+        b = {r.doc_id: r.score
+             for r in bm25_scored(docs, ["winner", "term"]).collect()}
+        q = {r.doc_id: r.quality for r in quality_scores(docs).collect()}
+        cand = sorted(b)  # conjunctive candidates
+        blended = {i: round(b[i] + w * q[i], 4) for i in cand}
+        kth = sorted(blended.values(), reverse=True)[k - 1]
+        la = sorted(cand, key=lambda i: (-b[i], i))
+        lb = sorted(cand, key=lambda i: (-q[i], i))
+        depth = next(
+            d for d in range(1, len(cand) + 1)
+            if round(b[la[d - 1]] + w * q[lb[d - 1]], 4) <= kth)
+        out = ta_stop_depth(docs, ["winner", "term"], weight=w,
+                            k=k).collect()[0]
+        assert out.n_candidates == len(cand) == 3
+        assert out.kth_blended == kth
+        assert out.ta_depth == depth
