@@ -1016,6 +1016,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Fagin TA stop depth for the blended (bm25 + prior) ranking
         "q_ta_stop_depth": lambda s, d: queryops.ta_stop_depth(
             _docs(s, d), Q_AND2, weight=2.0, k=10),
+        # doc2query-lite PMI expansion: AND-candidate growth per query
+        "q_doc_expansion": lambda s, d: queryops.doc_expansion_candidates(
+            _docs(s, d), [Q_AND2, Q_AND3], m=3, min_co=2),
     }
 
 
@@ -1345,4 +1348,6 @@ def oracle_sql() -> dict[str, str]:
         "q_range_selectivity": osql.range_selectivity(),
         "q_merge_policy_plan": osql.merge_policy_plan(n_flushes=8, fanin=4),
         "q_ta_stop_depth": osql.ta_stop_depth(Q_AND2, weight=2.0, k=10),
+        "q_doc_expansion": osql.doc_expansion_candidates(
+            [Q_AND2, Q_AND3], m=3, min_co=2),
     }

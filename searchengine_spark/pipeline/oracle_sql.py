@@ -7761,3 +7761,50 @@ SELECT n_row.n_candidates, {int(k)}::BIGINT AS k, kth.kth_blended,
          AS frac_scanned
 FROM n_row CROSS JOIN kth CROSS JOIN depth
 """
+
+
+def doc_expansion_candidates(query_sets: list[list[str]], m: int = 3,
+                             min_co: int = 2) -> str:
+    """Twin of queryops.doc_expansion_candidates (PMI doc2query-lite
+    AND-candidate growth)."""
+    def gate(tbl: str, terms: list[str]) -> str:
+        tl = _terms_in(terms)
+        return (f"(SELECT count(*)::BIGINT FROM ("
+                f"SELECT doc_id FROM {tbl} WHERE term IN ({tl}) "
+                f"GROUP BY doc_id HAVING count(*) = {len(terms)}))")
+    selects = []
+    for terms in query_sets:
+        label = " ".join(terms).replace("'", "''")
+        nb, ne = gate("p", terms), gate("ex", terms)
+        selects.append(
+            f"SELECT '{label}' AS query, {nb} AS n_base, "
+            f"{ne} AS n_expanded, ({ne} - {nb})::BIGINT AS n_new")
+    body = " UNION ALL ".join(selects)
+    return f"""
+WITH {_TOKS_CTE},
+p AS (SELECT DISTINCT term, doc_id FROM postings),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nd FROM p),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY 1),
+pairs AS (
+  SELECT a.term AS ta, b.term AS tb, count(*)::BIGINT AS n_co
+  FROM p a JOIN p b USING (doc_id) WHERE a.term <> b.term
+  GROUP BY 1, 2 HAVING count(*) >= {int(min_co)}),
+pmi AS (
+  SELECT pairs.ta AS term, pairs.tb AS partner,
+         round(ln(n_co * nd.nd / (da.df * db.df)), 4) AS pmi
+  FROM pairs JOIN dfs da ON da.term = pairs.ta
+             JOIN dfs db ON db.term = pairs.tb CROSS JOIN nd),
+ce AS (
+  SELECT p.doc_id, pmi.partner, max(pmi.pmi) AS pmi
+  FROM p JOIN pmi USING (term)
+  WHERE NOT EXISTS (SELECT 1 FROM p x
+                    WHERE x.doc_id = p.doc_id AND x.term = pmi.partner)
+  GROUP BY 1, 2),
+expterms AS (
+  SELECT partner AS term, doc_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY pmi DESC, partner ASC) AS r
+    FROM ce) WHERE r <= {int(m)}),
+ex AS (SELECT term, doc_id FROM p UNION SELECT term, doc_id FROM expterms)
+{body}
+"""

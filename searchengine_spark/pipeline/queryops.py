@@ -2898,3 +2898,89 @@ def ta_stop_depth(documents: DataFrame, query_terms: list[str],
     )
     from searchengine_spark.pipeline._cache import finalize
     return finalize(out, cand)
+
+
+def doc_expansion_candidates(documents: DataFrame,
+                             query_sets: list[list[str]], m: int = 3,
+                             min_co: int = 2, **kw) -> DataFrame:
+    """(query, n_base, n_expanded, n_new) — doc2query-lite vocabulary-
+    mismatch repair (Nogueira & Lin's doc2query, with deterministic PMI
+    partners standing in for the generative model): every document is
+    expanded with its top-``m`` document-level PMI co-occurrence
+    partners it does NOT already contain, and each query reports how
+    many conjunctive (AND) candidates the base index has, how many the
+    expanded index has, and how many are NEW — the docs a vocabulary-
+    mismatched query was silently missing.
+
+    Scale: the co-occurrence pair table costs Σ_d (terms/doc)² (the
+    textrank/PMI pattern — bounded by doc length, never vocab²); the
+    expansion rank window partitions BY DOCUMENT; candidate counting is
+    the standard HAVING-count AND gate on each postings set.
+    """
+    from searchengine_spark.pipeline.fulltext import tf_postings
+
+    p = (tf_postings(documents, **kw)
+         .select("term", "doc_id").persist())
+    nd = p.agg(F.countDistinct("doc_id").cast("double").alias("nd"))
+    dfs = p.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    a = p.select(F.col("doc_id"), F.col("term").alias("ta"))
+    b = p.select(F.col("doc_id"), F.col("term").alias("tb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("ta") != F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= min_co)
+    )
+    pmi = (
+        pairs.join(F.broadcast(dfs.selectExpr("term AS ta", "df AS df_a")),
+                   "ta")
+        .join(F.broadcast(dfs.selectExpr("term AS tb", "df AS df_b")), "tb")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("ta").alias("term"), F.col("tb").alias("partner"),
+            F.round(F.log(F.col("n_co") * F.col("nd")
+                          / (F.col("df_a") * F.col("df_b"))), 4)
+            .alias("pmi"),
+        )
+    )
+    cand_exp = (
+        p.join(pmi, "term")
+        .groupBy("doc_id", "partner")
+        .agg(F.max("pmi").alias("pmi"))
+        .join(p.selectExpr("doc_id", "term AS partner"),
+              ["doc_id", "partner"], "left_anti")
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("pmi"), F.asc("partner"))
+    exp = (
+        cand_exp.withColumn("r", F.row_number().over(wd))
+        .filter(F.col("r") <= m)
+        .selectExpr("partner AS term", "doc_id")
+    )
+    expanded = p.unionByName(exp).distinct().persist()
+
+    def and_count(postings: DataFrame, terms: list[str], name: str):
+        return (
+            postings.filter(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("nhit"))
+            .filter(F.col("nhit") == len(terms))
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    rows = []
+    for terms in query_sets:
+        label = " ".join(terms)
+        rows.append(
+            and_count(p, terms, "n_base")
+            .crossJoin(F.broadcast(and_count(expanded, terms, "n_expanded")))
+            .select(
+                F.lit(label).alias("query"), "n_base", "n_expanded",
+                (F.col("n_expanded") - F.col("n_base")).cast("long")
+                .alias("n_new"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return finalize(out, p, expanded)

@@ -141,3 +141,38 @@ class TestTAStopDepth:
         assert out.n_candidates == len(cand) == 3
         assert out.kth_blended == kth
         assert out.ta_depth == depth
+
+
+class TestDocExpansion:
+    def test_vocabulary_mismatch_repaired(self, spark):
+        from searchengine_spark.pipeline.queryops import (
+            doc_expansion_candidates)
+
+        rows = [
+            (0, "cat dog walks in park today", "en", "s", 10),
+            (1, "cat dog sleeps near river bank", "en", "s", 10),
+            (2, "cat alone watching birds quietly there", "en", "s", 10),
+            (3, "unrelated words about sorting algorithms", "en", "s", 10),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long")
+        out = {r.query: r for r in doc_expansion_candidates(
+            docs, [["cat", "dog"]], m=3, min_co=2).collect()}
+        r = out["cat dog"]
+        # base AND gate: docs 0,1; expansion gives doc 2 the partner
+        # 'dog' (cat-dog co-occur in 2 docs, its strongest partner)
+        assert r.n_base == 2
+        assert r.n_expanded == 3
+        assert r.n_new == 1
+
+    def test_expansion_never_shrinks(self, spark):
+        from searchengine_spark.pipeline.queryops import (
+            doc_expansion_candidates)
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        for r in doc_expansion_candidates(
+                docs, [["merge", "vector"]], m=2).collect():
+            assert r.n_expanded >= r.n_base
+            assert r.n_new == r.n_expanded - r.n_base
