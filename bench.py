@@ -196,6 +196,19 @@ HEADLINE = [
     "q_homoglyph_scan",
     "q_spell_context",
     "q_vocab_oov_curve",
+    # closing round-3 batch
+    "q_nndescent_graph",
+    "q_nndescent_recall",
+    "q_knn_hubness",
+    "q_cache_hit_curve",
+    "q_posting_cache_plan",
+    "q_partition_routing",
+    "q_incremental_dedup",
+    "q_like_selectivity",
+    "q_range_selectivity",
+    "q_merge_policy_plan",
+    "q_ta_stop_depth",
+    "q_doc_expansion",
 ]
 
 
