@@ -433,3 +433,54 @@ class TestRound3DContracts:
         agg_before_collect = p.index("HashAggregate") < p.index("collect_list")
         assert agg_before_collect
         assert "BatchEvalPython" not in p
+
+
+class TestClosingBatchContracts:
+    """Plan contracts for the closing round-3 batch: bounded windows
+    behind TakeOrderedAndProject cuts, broadcast grids/rings, no
+    cartesian blowups."""
+
+    def test_cache_hit_curve_rank_window_is_cut(self, docs):
+        from searchengine_spark.pipeline import serving
+
+        p = plan_str(serving.cache_hit_curve(docs))
+        assert "TakeOrderedAndProject" in p
+        assert "CartesianProduct" not in p
+
+    def test_posting_cache_knapsack_window_is_cut(self, docs):
+        from searchengine_spark.pipeline import serving
+
+        p = plan_str(serving.posting_cache_plan(docs))
+        assert "TakeOrderedAndProject" in p
+        assert "CartesianProduct" not in p
+
+    def test_reshard_ring_is_one_broadcast_row(self, docs):
+        from searchengine_spark.pipeline.health import reshard_movement
+
+        p = plan_str(reshard_movement(docs))
+        # the ring arrays ride a broadcast build side, not per-row literals
+        assert "BroadcastNestedLoopJoin" in p
+        assert "SortMergeJoin" not in p
+
+    def test_row_band_buckets_have_no_exchange(self, docs):
+        from searchengine_spark.pipeline.dedup import row_lsh_band_buckets
+
+        # the stream-safe per-row variant must be shuffle-free
+        p = plan_str(row_lsh_band_buckets(docs))
+        assert "Exchange" not in p
+        assert "HashAggregate" not in p
+
+    def test_nndescent_candidates_are_equi_joins(self, emb, explain_only):
+        from searchengine_spark.pipeline.nndescent import nndescent_graph
+
+        p = plan_str(nndescent_graph(emb, k=3, rounds=1, n_planes=4))
+        assert "CartesianProduct" not in p
+
+    def test_merge_policy_is_flush_dim_aggs_only(self, docs):
+        from searchengine_spark.pipeline.indexopt import merge_policy_plan
+
+        p = plan_str(merge_policy_plan(docs))
+        assert "CartesianProduct" not in p
+        assert "SortMergeJoin" not in p
+        # rewrite weights are plan-time constants: no join to a weight table
+        assert "BroadcastHashJoin" not in p
