@@ -989,13 +989,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vocabulary-size planning: OOV-rate coverage curve
         "q_vocab_oov_curve": lambda s, d: textstats.vocab_oov_curve(
             _docs(s, d)),
-        # NN-Descent kNN graph (graph-based ANN family) + its recall gate
+        # NN-Descent kNN graph (graph-based ANN family) + its recall gate.
+        # n_planes is size-adaptive (nndescent.nnd_planes): at the sf0.01
+        # gate corpus (500 vectors) the formula lands exactly on the
+        # static oracle twin's pinned 4, while larger corpora (bench
+        # sf0.1+) get proportionally more seed buckets so init scoring
+        # stays occupancy-bounded instead of quadratic.
         "q_nndescent_graph": lambda s, d: nndescent.nndescent_graph(
-            _emb(s, d), k=5, rounds=2, n_planes=4),
+            _emb(s, d), k=5, rounds=2),
         "q_nndescent_recall": lambda s, d: nndescent.nndescent_recall(
-            _emb(s, d), PROBE_VEC_IDS, k=5, rounds=2, n_planes=4),
+            _emb(s, d), PROBE_VEC_IDS, k=5, rounds=2),
         "q_knn_hubness": lambda s, d: nndescent.knn_hubness(
-            _emb(s, d), k=5, rounds=2, n_planes=4),
+            _emb(s, d), k=5, rounds=2),
+        # beam-search serving over the NN-Descent graph (HNSW layer-0 shape)
+        "q_graph_ann_topk": lambda s, d: nndescent.graph_search_topk(
+            _emb(s, d), PROBE_VEC_IDS, k=5, beam=8, hops=2,
+            graph_k=5, rounds=2),
+        "q_graph_ann_recall": lambda s, d: nndescent.graph_search_recall(
+            _emb(s, d), PROBE_VEC_IDS, k=5, beam=8, hops=2,
+            graph_k=5, rounds=2),
         # serving-tier planning: static result-cache curve + doc/term routing
         "q_cache_hit_curve": lambda s, d: serving.cache_hit_curve(_docs(s, d)),
         "q_partition_routing": lambda s, d: serving.partition_routing(
@@ -1339,6 +1351,12 @@ def oracle_sql() -> dict[str, str]:
         "q_nndescent_recall": osql.nndescent_recall(
             PROBE_VEC_IDS, k=5, rounds=2, n_planes=4),
         "q_knn_hubness": osql.knn_hubness(k=5, rounds=2, n_planes=4),
+        "q_graph_ann_topk": osql.graph_search_topk(
+            PROBE_VEC_IDS, k=5, beam=8, hops=2, graph_k=5, rounds=2,
+            n_planes=4),
+        "q_graph_ann_recall": osql.graph_search_recall(
+            PROBE_VEC_IDS, k=5, beam=8, hops=2, graph_k=5, rounds=2,
+            n_planes=4),
         "q_cache_hit_curve": osql.cache_hit_curve(),
         "q_partition_routing": osql.partition_routing(n_shards=16),
         "q_posting_cache_plan": osql.posting_cache_plan(),

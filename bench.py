@@ -200,6 +200,8 @@ HEADLINE = [
     "q_nndescent_graph",
     "q_nndescent_recall",
     "q_knn_hubness",
+    "q_graph_ann_topk",
+    "q_graph_ann_recall",
     "q_cache_hit_curve",
     "q_posting_cache_plan",
     "q_partition_routing",

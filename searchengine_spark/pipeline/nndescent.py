@@ -60,6 +60,20 @@ NND_ROUNDS = 2
 NND_PLANES = 4  # 16 init buckets; at n docs pick ~log2(n / (8k))
 
 
+def nnd_planes(n_rows: int, k: int = NND_K) -> int:
+    """Seed-table width from corpus size: 2^planes ≈ n / (8k) keeps
+    expected bucket occupancy ~8k — enough candidates per node for a
+    top-k seed, while per-bucket pair space stays ~constant as the
+    corpus grows (the same occupancy rule as
+    ``similarity.banded_lsh_bits``; a fixed width makes init scoring
+    grow quadratically).  Every ``n_planes=None`` entry point derives
+    its width here; the sf0.01 gate corpus lands exactly on the
+    oracle twin's pinned 4."""
+    import math
+
+    return max(2, min(24, math.ceil(math.log2(max(n_rows / (8.0 * k), 2.0)))))
+
+
 def _topk_edges(scored: DataFrame, k: int) -> DataFrame:
     """(id, nbr, cosine, rank) — best k edges per node, deterministic."""
     w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("nbr"))
@@ -71,22 +85,29 @@ def _topk_edges(scored: DataFrame, k: int) -> DataFrame:
 
 
 def _score(cand: DataFrame, vecs: DataFrame) -> DataFrame:
-    """Exact cosine for (id, nbr) pairs via two vec_id equi-joins."""
-    p = vecs.select(F.col("vid").alias("id"), F.col("vec").alias("pvec"))
-    q = vecs.select(F.col("vid").alias("nbr"), F.col("vec").alias("cvec"))
+    """Exact cosine for (id, nbr) pairs via two vec_id equi-joins.
+
+    ``vecs`` carries a precomputed per-vector norm (materialized once by
+    the caller's persist), so each pair costs ONE array fold (the dot)
+    instead of three — same expression tree per factor, so the 3dp
+    values are bit-identical to inline norms."""
+    p = vecs.select(F.col("vid").alias("id"), F.col("vec").alias("pvec"),
+                    F.col("nrm").alias("pnrm"))
+    q = vecs.select(F.col("vid").alias("nbr"), F.col("vec").alias("cvec"),
+                    F.col("nrm").alias("cnrm"))
     return (
         cand.join(p, "id").join(q, "nbr")
         .withColumn(
             "cosine",
             F.round(_dot(F.col("pvec"), F.col("cvec"))
-                    / (_norm(F.col("pvec")) * _norm(F.col("cvec"))), 3),
+                    / (F.col("pnrm") * F.col("cnrm")), 3),
         )
         .select("id", "nbr", "cosine")
     )
 
 
 def nndescent_graph(embeddings: DataFrame, k: int = NND_K,
-                    rounds: int = NND_ROUNDS, n_planes: int = NND_PLANES,
+                    rounds: int = NND_ROUNDS, n_planes: int | None = None,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """(vec_id, nbr_id, cosine, rank) — the kNN graph after ``rounds``
@@ -95,9 +116,17 @@ def nndescent_graph(embeddings: DataFrame, k: int = NND_K,
     A node alone in its bucket in BOTH tables starts isolated and can
     only be reached through other nodes' reverse edges; choose
     ``n_planes`` so occupancy makes that negligible (documented above).
+    Default width is size-adaptive (``nnd_planes``); pass an explicit
+    value to pin a layout (the gate queries pin the oracle twin's).
     """
-    vecs = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).persist()
+    if n_planes is None:
+        n_planes = nnd_planes(embeddings.count(), k)
+    vecs = (
+        embeddings.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .withColumn("nrm", _norm(F.col("vec")))  # once per vector, not per pair
+        .persist()
+    )
 
     def bucket_pairs(family: int) -> DataFrame:
         b = lsh_buckets(embeddings, id_col, vec_col,
@@ -133,7 +162,7 @@ def nndescent_graph(embeddings: DataFrame, k: int = NND_K,
 
 
 def knn_hubness(embeddings: DataFrame, k: int = NND_K,
-                rounds: int = NND_ROUNDS, n_planes: int = NND_PLANES,
+                rounds: int = NND_ROUNDS, n_planes: int | None = None,
                 id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
     """(in_degree, n_nodes) — reverse-kNN in-degree histogram of the
@@ -168,7 +197,7 @@ def knn_hubness(embeddings: DataFrame, k: int = NND_K,
 
 def nndescent_recall(embeddings: DataFrame, probe_ids: list[int],
                      k: int = NND_K, rounds: int = NND_ROUNDS,
-                     n_planes: int = NND_PLANES,
+                     n_planes: int | None = None,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
     """(probe_id, n_hits, n_exact, recall) — the graph's edge lists for
@@ -179,3 +208,111 @@ def nndescent_recall(embeddings: DataFrame, probe_ids: list[int],
         F.col("vec_id").alias("probe_id"), F.col("nbr_id").alias("vec_id"))
     return ann_recall(
         cosine_topk(embeddings, probe_ids, k, id_col, vec_col), ann)
+
+
+def graph_search_topk(embeddings: DataFrame, probe_ids: list[int],
+                      k: int = 5, beam: int = 8, hops: int = 2,
+                      graph_k: int = NND_K, rounds: int = NND_ROUNDS,
+                      n_planes: int | None = None,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      graph: DataFrame | None = None) -> DataFrame:
+    """(probe_id, vec_id, cosine, rank) — batch beam search OVER the
+    NN-Descent graph: the serving/query side of the graph-ANN family
+    (HNSW/NSG-style navigation, Malkov & Yashunin TPAMI'18 layer-0;
+    public), completing build(``nndescent_graph``) with search the way
+    ``ivf_topk`` completes ``ivf_lists``.
+
+    The reference has no vector surface (SURVEY.md §2 LLM-pipeline
+    block); this is the batch-serving shape every graph-ANN engine uses:
+
+    - **entries**: a fixed global entry set — the ``beam`` smallest
+      vec_ids (HNSW's fixed entry point, widened to the beam; no
+      randomness, so Spark and the DuckDB twin agree) — UNION each
+      probe's bucket-mates from the same two-family LSH forest the
+      builder seeds from.  A flat kNN graph over clustered data is
+      disconnected (each node's top-k are cluster-mates), so a global
+      entry alone can never walk into another component; the hash route
+      gives every probe a local entry the way HNSW's upper layers or
+      NSG's spanning-tree edges do, stays computable for out-of-corpus
+      query vectors, and is zero-shuffle (bucket equi-join).
+    - **hop**: candidates = current beam ∪ its graph neighbours
+      (ONE equi-join of the probes×beam frontier against the n·k edge
+      list), exact-cosine rescore against the broadcast probe batch,
+      keep top-``beam`` per probe.  Per hop the scored set is
+      probes × beam × (graph_k + 1) rows — independent of corpus size;
+      the corpus is touched only through the edge list and the
+      candidate-id vector lookups (both vec_id equi-joins, index-served
+      point reads at cluster scale).
+    - after ``hops`` expansions, emit the top-``k`` of the final beam.
+
+    A beam candidate evicted in hop h can be re-proposed in hop h+1;
+    re-scoring it is idempotent (exact cosine), so the result depends
+    only on (entries, graph, hops) — deterministic under the engine-wide
+    3dp / id-asc tie contract.  Probes are excluded from their own
+    result, matching ``cosine_topk``.
+
+    Pass ``graph=`` to search a prebuilt (persisted) graph — the serving
+    deployment, where one graph build amortizes over every query batch.
+    """
+    if n_planes is None:
+        n_planes = nnd_planes(embeddings.count(), graph_k)
+    g = (graph if graph is not None
+         else nndescent_graph(embeddings, graph_k, rounds, n_planes,
+                              id_col, vec_col)).select("vec_id", "nbr_id")
+    probes = (
+        embeddings.filter(F.col(id_col).isin(probe_ids))
+        .select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
+    )
+    cand_vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+
+    def scored_beam(cand: DataFrame) -> DataFrame:
+        """cand (probe_id, vec_id) -> per-probe top-beam with cosine."""
+        s = (
+            cand.filter(F.col("vec_id") != F.col("probe_id"))
+            .join(cand_vecs, "vec_id")
+            .join(F.broadcast(probes), "probe_id")
+            .withColumn(
+                "cosine",
+                F.round(_dot(F.col("pvec"), F.col("cvec"))
+                        / (_norm(F.col("pvec")) * _norm(F.col("cvec"))), 3))
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id"))
+        return (
+            s.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= beam)
+            .select("probe_id", "vec_id", "cosine", "rank")
+        )
+
+    entries = embeddings.select(F.col(id_col).alias("vec_id")) \
+        .orderBy("vec_id").limit(beam)
+
+    def bucket_mates(family: int) -> DataFrame:
+        b = lsh_buckets(embeddings, id_col, vec_col,
+                        n_planes=n_planes, family=family)
+        pb = (b.filter(F.col("vec_id").isin(probe_ids))
+              .select(F.col("vec_id").alias("probe_id"), "bucket"))
+        return pb.join(b, "bucket").select("probe_id", "vec_id")
+
+    seeds = (
+        probes.select("probe_id").crossJoin(F.broadcast(entries))
+        .union(bucket_mates(0)).union(bucket_mates(1)).distinct()
+    )
+    beam_df = scored_beam(seeds)
+    for _ in range(hops):
+        beam_df = beam_df.localCheckpoint()  # cut lineage between hops
+        frontier = beam_df.select("probe_id", "vec_id")
+        nbrs = frontier.join(g, "vec_id").select(
+            "probe_id", F.col("nbr_id").alias("vec_id"))
+        beam_df = scored_beam(frontier.union(nbrs).distinct())
+    return beam_df.filter(F.col("rank") <= k)
+
+
+def graph_search_recall(embeddings: DataFrame, probe_ids: list[int],
+                        k: int = 5, **kw) -> DataFrame:
+    """(probe_id, n_hits, n_exact, recall) — beam-search result vs exact
+    cosine top-k; the recall gate shape shared by lsh/ivf/pq/nndescent."""
+    return ann_recall(
+        cosine_topk(embeddings, probe_ids, k),
+        graph_search_topk(embeddings, probe_ids, k, **kw))

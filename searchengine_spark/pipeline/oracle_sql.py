@@ -7808,3 +7808,70 @@ expterms AS (
 ex AS (SELECT term, doc_id FROM p UNION SELECT term, doc_id FROM expterms)
 {body}
 """
+
+
+def graph_search_topk(probe_ids: list[int], k: int = 5, beam: int = 8,
+                      hops: int = 2, graph_k: int = 5, rounds: int = 2,
+                      n_planes: int = 4) -> str:
+    """Twin of nndescent.graph_search_topk: smallest-id entry set ∪
+    per-probe LSH-forest bucket-mates, then ``hops`` unrolled beam
+    expansions over the NN-Descent edge list (beam ∪ neighbours,
+    exact-cosine rescore, per-probe top-beam), then the top-k of the
+    final beam.  Same 3dp / id-asc tie contract."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    parts = [f"""g AS (SELECT vec_id, nbr_id
+     FROM ({nndescent_graph(graph_k, rounds, n_planes)})),
+probes AS (SELECT vec_id AS probe_id, embedding AS pvec
+           FROM embeddings WHERE vec_id IN ({ids})),
+entries AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {beam}),
+f0 AS ({embedding_lsh_buckets(n_planes, family=0)}),
+f1 AS ({embedding_lsh_buckets(n_planes, family=1)}),
+mates AS (
+  SELECT p.vec_id AS probe_id, x.vec_id
+  FROM f0 p JOIN f0 x USING (bucket) WHERE p.vec_id IN ({ids})
+  UNION
+  SELECT p.vec_id, x.vec_id
+  FROM f1 p JOIN f1 x USING (bucket) WHERE p.vec_id IN ({ids})
+),
+c0 AS (SELECT probe_id, vec_id FROM (
+         SELECT probe_id, e.vec_id FROM probes CROSS JOIN entries e
+         UNION
+         SELECT probe_id, vec_id FROM mates)
+       WHERE vec_id <> probe_id),
+sp0 AS (SELECT c.probe_id, c.vec_id, p.pvec, q.embedding AS cvec
+        FROM c0 c JOIN probes p USING (probe_id)
+                  JOIN embeddings q ON q.vec_id = c.vec_id),
+s0 AS (SELECT probe_id, vec_id, {_COS} FROM sp0),
+b0 AS (SELECT probe_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM s0) WHERE rank <= {beam})"""]
+    for h in range(1, hops + 1):
+        parts.append(f"""c{h} AS (
+  SELECT probe_id, vec_id FROM b{h - 1}
+  UNION
+  SELECT b.probe_id, g.nbr_id FROM b{h - 1} b JOIN g ON g.vec_id = b.vec_id
+  WHERE g.nbr_id <> b.probe_id
+),
+sp{h} AS (SELECT c.probe_id, c.vec_id, p.pvec, q.embedding AS cvec
+          FROM c{h} c JOIN probes p USING (probe_id)
+                      JOIN embeddings q ON q.vec_id = c.vec_id),
+s{h} AS (SELECT probe_id, vec_id, {_COS} FROM sp{h}),
+b{h} AS (SELECT probe_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM s{h}) WHERE rank <= {beam})""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT probe_id, vec_id, cosine, rank FROM b{hops} WHERE rank <= {k}
+"""
+
+
+def graph_search_recall(probe_ids: list[int], k: int = 5, beam: int = 8,
+                        hops: int = 2, graph_k: int = 5, rounds: int = 2,
+                        n_planes: int = 4) -> str:
+    ann = f"""SELECT probe_id, vec_id
+FROM ({graph_search_topk(probe_ids, k, beam, hops, graph_k, rounds,
+                         n_planes)})"""
+    return _recall_sql(cosine_topk(probe_ids, k), ann)

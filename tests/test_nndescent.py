@@ -113,3 +113,68 @@ def test_knn_hubness_accounting(spark, clustered):
     named = g.select("nbr_id").distinct().count()
     zero = {r.in_degree: r.n_nodes for r in hist}.get(0, 0)
     assert zero == n - named
+
+
+class TestGraphSearch:
+    """Beam-search serving over the graph (graph_search_topk)."""
+
+    def test_exact_when_beam_covers_corpus(self, spark):
+        """beam >= n makes hop-0 scoring exhaustive: the entry set IS the
+        corpus, so the result must equal exact cosine top-k."""
+        rng = np.random.default_rng(7)
+        rows = [(i, [float(x) for x in rng.normal(size=16)])
+                for i in range(12)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        probes = [0, 5, 11]
+        exact = S.cosine_topk(emb, probes, k=3).toPandas()
+        got = N.graph_search_topk(emb, probes, k=3, beam=12, hops=0,
+                                  graph_k=3, rounds=0).toPandas()
+        key = ["probe_id", "rank"]
+        assert exact.sort_values(key).reset_index(drop=True).equals(
+            got.sort_values(key).reset_index(drop=True))
+
+    def test_hops_reach_clusters_entries_missed(self, spark, clustered):
+        """Entry ids 0..7 all sit in cluster 0, so far-cluster probes
+        enter the graph only through their LSH bucket-mates — a partial
+        slice of the true neighbourhood (the hyperplanes split clusters
+        across buckets).  Navigation must complete it: recall strictly
+        improves with hops and ends >=0.9."""
+        probes = [202, 303, 404, 505, 606, 707]
+        kw = dict(k=5, beam=8, graph_k=5, rounds=2, n_planes=4)
+        r0 = N.graph_search_recall(clustered, probes, hops=0, **kw) \
+            .agg(F.avg("recall")).collect()[0][0]
+        r3 = N.graph_search_recall(clustered, probes, hops=3, **kw) \
+            .agg(F.avg("recall")).collect()[0][0]
+        assert r3 >= r0, f"hops degraded recall {r0:.3f} -> {r3:.3f}"
+        assert r3 >= 0.9, f"3-hop beam search recall {r3:.3f} < 0.9"
+
+    def test_contract_and_determinism(self, spark, clustered):
+        probes = [0, 101, 202]
+        kw = dict(k=5, beam=8, hops=2, graph_k=5, rounds=1, n_planes=4)
+        a = N.graph_search_topk(clustered, probes, **kw).toPandas()
+        b = N.graph_search_topk(clustered, probes, **kw).toPandas()
+        key = ["probe_id", "rank"]
+        a = a.sort_values(key).reset_index(drop=True)
+        assert a.equals(b.sort_values(key).reset_index(drop=True))
+        # k rows per probe, rank 1..k, no self-hits, cosine desc order
+        per = a.groupby("probe_id")["rank"]
+        assert (per.count() == 5).all() and (per.max() == 5).all()
+        assert (a["probe_id"] != a["vec_id"]).all()
+        for _, grp in a.groupby("probe_id"):
+            keys = list(zip(-grp["cosine"], grp["vec_id"]))
+            assert keys == sorted(keys)
+
+    def test_prebuilt_graph_reused(self, spark, clustered):
+        """Passing graph= must give the same answer as building inline —
+        the serving path where one build serves many query batches."""
+        g = N.nndescent_graph(clustered, k=5, rounds=1, n_planes=4)
+        probes = [101, 404]
+        kw = dict(k=5, beam=8, hops=2)
+        inline = N.graph_search_topk(clustered, probes, graph_k=5,
+                                     rounds=1, n_planes=4, **kw).toPandas()
+        reused = N.graph_search_topk(clustered, probes, graph=g,
+                                     **kw).toPandas()
+        key = ["probe_id", "rank"]
+        assert inline.sort_values(key).reset_index(drop=True).equals(
+            reused.sort_values(key).reset_index(drop=True))
