@@ -261,10 +261,12 @@ def graph_search_topk(embeddings: DataFrame, probe_ids: list[int],
                               id_col, vec_col)).select("vec_id", "nbr_id")
     probes = (
         embeddings.filter(F.col(id_col).isin(probe_ids))
-        .select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
+        .select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"),
+                _norm(F.col(vec_col)).alias("pnrm"))
     )
     cand_vecs = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnrm"))
 
     def scored_beam(cand: DataFrame) -> DataFrame:
         """cand (probe_id, vec_id) -> per-probe top-beam with cosine."""
@@ -275,7 +277,7 @@ def graph_search_topk(embeddings: DataFrame, probe_ids: list[int],
             .withColumn(
                 "cosine",
                 F.round(_dot(F.col("pvec"), F.col("cvec"))
-                        / (_norm(F.col("pvec")) * _norm(F.col("cvec"))), 3))
+                        / (F.col("pnrm") * F.col("cnrm")), 3))
         )
         w = Window.partitionBy("probe_id").orderBy(
             F.desc("cosine"), F.asc("vec_id"))

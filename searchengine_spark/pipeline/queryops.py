@@ -2657,11 +2657,12 @@ def maxsim_topk(documents: DataFrame, query_terms: list[str], k: int = 20,
     from searchengine_spark.pipeline.similarity import _dot, _norm
 
     cells = (
-        dterms.crossJoin(F.broadcast(qframe))
+        dterms.withColumn("dnrm", _norm(F.col("dvec")))  # once per doc-term
+        .crossJoin(F.broadcast(qframe.withColumn("qnrm", _norm(F.col("qvec")))))
         .withColumn(
             "cos",
             F.round(_dot(F.col("qvec"), F.col("dvec"))
-                    / (_norm(F.col("qvec")) * _norm(F.col("dvec"))), 6))
+                    / (F.col("qnrm") * F.col("dnrm")), 6))
     )
     per_q = cells.groupBy("doc_id", "qterm").agg(F.max("cos").alias("maxsim"))
     scored = per_q.groupBy("doc_id").agg(
