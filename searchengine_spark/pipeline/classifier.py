@@ -60,16 +60,19 @@ def feature_frame(documents: DataFrame, label: str = "rule:0.6",
     q = quality_scores(documents, id_col=id_col)
     kind, _, arg = label.partition(":")
     if kind == "rule":
-        ycol = F.when(F.col("quality") >= float(arg), 1.0).otherwise(0.0)
-        labeled = q.select("doc_id", ycol.alias("y"))
+        # label is a function of q's own columns: project it in place
+        # (a q ⋈ q self-join would scan the corpus twice for nothing)
+        base = q.withColumn(
+            "y", F.when(F.col("quality") >= float(arg), 1.0).otherwise(0.0))
     elif kind == "lang":
         labeled = documents.select(
             F.col(id_col).alias("doc_id"),
             F.when(F.col("lang") == arg, 1.0).otherwise(0.0).alias("y"),
         )
+        base = q.join(labeled, "doc_id")
     else:
         raise ValueError(f"unknown label spec {label!r}")
-    return q.join(labeled, "doc_id").select(
+    return base.select(
         "doc_id",
         "y",
         F.lit(1.0).alias("bias"),
@@ -94,9 +97,16 @@ def _sigmoid(z: Column) -> Column:
 
 def train_weights(documents: DataFrame, iters: int = DEFAULT_ITERS,
                   lr: float = DEFAULT_LR,
-                  label: str = "rule:0.6") -> list[float]:
-    """Run ``iters`` GD steps; returns the final 8dp-rounded weights."""
-    feats = feature_frame(documents, label=label).persist()
+                  label: str = "rule:0.6",
+                  feats: DataFrame | None = None) -> list[float]:
+    """Run ``iters`` GD steps; returns the final 8dp-rounded weights.
+
+    Pass an already-persisted ``feats`` frame to share one
+    materialization with the caller's scoring pass (scores/calibration
+    otherwise rebuild the design matrix from a second corpus scan)."""
+    owned = feats is None
+    if owned:
+        feats = feature_frame(documents, label=label).persist()
     w = [0.0] * len(FEATURES)
     try:
         for _ in range(iters):
@@ -107,7 +117,8 @@ def train_weights(documents: DataFrame, iters: int = DEFAULT_ITERS,
             w = [round(w[j] - lr * row[name], 8)
                  for j, name in enumerate(FEATURES)]
     finally:
-        feats.unpersist()
+        if owned:
+            feats.unpersist()
     return w
 
 
@@ -128,12 +139,15 @@ def quality_logreg_scores(documents: DataFrame, iters: int = DEFAULT_ITERS,
     """(doc_id, p, pred) — every document scored by the trained model:
     p = sigmoid(x.w) (4dp), pred = p >= 0.5.  Map-only over the feature
     frame with the d-scalar model inlined as literals."""
-    w = train_weights(documents, iters=iters, lr=lr, label=label)
-    feats = feature_frame(documents, label=label)
+    feats = feature_frame(documents, label=label).persist()
+    w = train_weights(documents, iters=iters, lr=lr, label=label, feats=feats)
     p = F.round(_sigmoid(_z(w)), 4)
-    return feats.select(
+    out = feats.select(
         "doc_id", p.alias("p"), (p >= 0.5).alias("pred"),
     )
+    from searchengine_spark.pipeline._cache import finalize
+
+    return finalize(out, feats)
 
 
 def calibration_report(documents: DataFrame, n_buckets: int = 10,
@@ -151,8 +165,8 @@ def calibration_report(documents: DataFrame, n_buckets: int = 10,
     computed over exact integers (round(p·10⁴) summed as longs) and every
     other column is integer-derived — no float merge-order drift.
     """
-    w = train_weights(documents, iters=iters, lr=lr, label=label)
-    feats = feature_frame(documents, label=label)
+    feats = feature_frame(documents, label=label).persist()
+    w = train_weights(documents, iters=iters, lr=lr, label=label, feats=feats)
     p = F.round(_sigmoid(_z(w)), 4)
     scored = feats.select(
         F.least(F.floor(p * n_buckets), F.lit(n_buckets - 1))
@@ -160,7 +174,7 @@ def calibration_report(documents: DataFrame, n_buckets: int = 10,
         F.col("y"),
         F.round(p * 10000, 0).cast("long").alias("ip"),
     )
-    return (
+    out = (
         scored.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -174,3 +188,6 @@ def calibration_report(documents: DataFrame, n_buckets: int = 10,
         )
         .orderBy("bucket")
     )
+    from searchengine_spark.pipeline._cache import finalize
+
+    return finalize(out, feats)

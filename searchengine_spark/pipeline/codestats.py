@@ -380,17 +380,18 @@ def import_edges(documents: DataFrame, text_col: str = "text",
     one distinct — the edge list is registry×repo sized, never corpus
     sized."""
     txt = F.col(text_col)
-    per_pattern = [
+    # all conventions extracted in ONE corpus scan (a union of per-pattern
+    # scans re-reads and re-tokenizes the corpus once per convention)
+    all_matches = F.flatten(F.array(*[
+        F.regexp_extract_all(txt, F.lit(pat), 1) for _, pat in IMPORT_PATTERNS
+    ]))
+    return (
         documents.select(
             F.col(source_col).alias("src"),
-            F.explode(F.regexp_extract_all(txt, F.lit(pat), 1)).alias("dst"),
+            F.explode(all_matches).alias("dst"),
         )
-        for _, pat in IMPORT_PATTERNS
-    ]
-    refs = per_pattern[0]
-    for p in per_pattern[1:]:
-        refs = refs.unionByName(p)
-    return refs.distinct()
+        .distinct()
+    )
 
 
 def hits_scores(documents: DataFrame, n_iter: int = 5,

@@ -216,7 +216,7 @@ def co_import_triangles(documents: DataFrame, min_both: int = 2,
     structure."""
     from searchengine_spark.pipeline.codestats import import_edges
 
-    repo_mod = import_edges(documents, text_col, source_col)
+    repo_mod = import_edges(documents, text_col, source_col).persist()
     edges = (
         repo_mod.select("src", F.col("dst").alias("a"))
         .join(repo_mod.select("src", F.col("dst").alias("b")), "src")
@@ -263,7 +263,7 @@ def co_import_triangles(documents: DataFrame, min_both: int = 2,
             ).otherwise(F.lit(0.0)).alias("clustering"),
         )
     )
-    return finalize(out, edges)
+    return finalize(out, edges, repo_mod)
 
 
 def import_bfs(documents: DataFrame, seed: str = "core",
