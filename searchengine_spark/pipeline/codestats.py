@@ -237,16 +237,15 @@ def top_imports(documents: DataFrame, limit: int = 50,
     (corpus-bounded), aggregates to the MODULE dimension — the output is
     package-registry sized, never corpus sized."""
     txt = F.col(text_col)
-    per_pattern = [
-        documents.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.regexp_extract_all(txt, F.lit(pat), 1)).alias("module"),
-        )
-        for _, pat in IMPORT_PATTERNS
-    ]
-    refs = per_pattern[0]
-    for p in per_pattern[1:]:
-        refs = refs.unionByName(p)
+    # one corpus scan for all conventions (flattened match array), not a
+    # union of per-pattern scans
+    refs = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.flatten(F.array(*[
+            F.regexp_extract_all(txt, F.lit(pat), 1)
+            for _, pat in IMPORT_PATTERNS
+        ]))).alias("module"),
+    )
     return (
         refs.groupBy("module")
         .agg(
@@ -304,21 +303,26 @@ def symbol_defs(documents: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """(doc_id, kind, symbol) — every symbol DEFINITION site by the
     SYMBOL_PATTERNS conventions (one row per definition occurrence).
-    One corpus scan per convention unioned in-plan; per-row JVM regex,
-    output bounded by definition count, never token count."""
+    ONE corpus scan for all conventions — each pattern's matches tagged
+    with their kind via a struct array, flattened and exploded in-plan;
+    per-row JVM regex, output bounded by definition count, never token
+    count."""
     txt = F.col(text_col)
-    parts = [
-        documents.select(
-            F.col(id_col).alias("doc_id"),
-            F.lit(kind).alias("kind"),
-            F.explode(F.regexp_extract_all(txt, F.lit(pat), 1)).alias("symbol"),
-        )
+    def _tag(kind):
+        # single-arg lambda: a 2-arg one would be read as (element, index)
+        return lambda m: F.struct(
+            F.lit(kind).alias("kind"), m.alias("symbol"))
+
+    matches = F.flatten(F.array(*[
+        F.transform(F.regexp_extract_all(txt, F.lit(pat), 1), _tag(kind))
         for kind, pat in SYMBOL_PATTERNS
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    ]))
+    return (
+        documents.select(F.col(id_col).alias("doc_id"),
+                         F.explode(matches).alias("m"))
+        .select("doc_id", F.col("m.kind").alias("kind"),
+                F.col("m.symbol").alias("symbol"))
+    )
 
 
 def symbol_index(documents: DataFrame, id_col: str = "doc_id",
@@ -749,18 +753,22 @@ def cross_source_symbol_dupes(documents: DataFrame, min_sources: int = 2,
     shape plus the source column; everything after is a symbol-dim agg.
     """
     txt = F.col(text_col)
-    parts = [
-        documents.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(source_col).alias("source"),
-            F.lit(kind).alias("kind"),
-            F.explode(F.regexp_extract_all(txt, F.lit(pat), 1)).alias("symbol"),
-        )
+    def _tag(kind):
+        # single-arg lambda: a 2-arg one would be read as (element, index)
+        return lambda m: F.struct(
+            F.lit(kind).alias("kind"), m.alias("symbol"))
+
+    matches = F.flatten(F.array(*[
+        F.transform(F.regexp_extract_all(txt, F.lit(pat), 1), _tag(kind))
         for kind, pat in SYMBOL_PATTERNS
-    ]
-    defs = parts[0]
-    for p in parts[1:]:
-        defs = defs.unionByName(p)
+    ]))
+    defs = (
+        documents.select(F.col(id_col).alias("doc_id"),
+                         F.col(source_col).alias("source"),
+                         F.explode(matches).alias("m"))
+        .select("doc_id", "source", F.col("m.kind").alias("kind"),
+                F.col("m.symbol").alias("symbol"))
+    )
     return (
         defs.groupBy("symbol", "kind")
         .agg(F.countDistinct("source").cast("long").alias("n_sources"),
