@@ -484,3 +484,16 @@ class TestClosingBatchContracts:
         assert "SortMergeJoin" not in p
         # rewrite weights are plan-time constants: no join to a weight table
         assert "BroadcastHashJoin" not in p
+
+    def test_graph_search_probes_broadcast_no_cartesian(self, emb,
+                                                        explain_only):
+        from searchengine_spark.pipeline.nndescent import graph_search_topk
+
+        # rounds=0 / hops=0: the seed stage's physical plan (later hops
+        # repeat the same joins against the materialized edge list)
+        p = plan_str(graph_search_topk(emb, [0, 1], k=3, beam=4,
+                                       hops=0, rounds=0))
+        assert "CartesianProduct" not in p
+        # the probe batch and entry set ride broadcast exchanges; the
+        # corpus-side vector lookup stays an equi-join
+        assert "BroadcastExchange" in p
