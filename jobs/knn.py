@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Vector top-k search CLI over an embeddings table — one entry point for
+every ANN family the engine ships (pipeline/similarity.py, pq.py,
+nndescent.py), so the vector side has the same job surface as full-text
+search (jobs/search.py).
+
+    python jobs/knn.py --input /root/testdata/sf0.01/embeddings.parquet \
+        --probes 0,1,2 --k 5                      # exact cosine (default)
+    python jobs/knn.py --input emb.parquet --probes 0 --method lsh
+    python jobs/knn.py --input emb.parquet --probes 0 --method ivf --nprobe 2
+    python jobs/knn.py --input emb.parquet --probes 0 --method pq
+    python jobs/knn.py --input emb.parquet --probes 0 --method graph \
+        --beam 8 --hops 2
+    python jobs/knn.py ... --with-recall    # adds per-probe recall vs exact
+
+Methods map to the documented scale families: ``exact`` = broadcast-probe
+single corpus pass; ``lsh`` = bucket-restricted; ``multiprobe`` = LSH with
+9-bucket probe fan-out; ``ivf`` = nprobe nearest inverted lists; ``pq`` =
+compressed-domain ADC scan; ``graph`` = beam search over the NN-Descent
+kNN graph with LSH-forest entry routing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+METHODS = ("exact", "lsh", "multiprobe", "ivf", "pq", "graph")
+
+
+def run(emb, method: str, probes: list[int], k: int, nprobe: int,
+        beam: int, hops: int):
+    from searchengine_spark.pipeline import nndescent, pq, similarity
+
+    if method == "exact":
+        return similarity.cosine_topk(emb, probes, k)
+    if method == "lsh":
+        return similarity.lsh_cosine_topk(emb, probes, k)
+    if method == "multiprobe":
+        return similarity.lsh_cosine_topk_multiprobe(emb, probes, k)
+    if method == "ivf":
+        return similarity.ivf_topk(emb, probes, k, nprobe=nprobe)
+    if method == "pq":
+        return pq.pq_adc_topk(emb, probes, topk=k)
+    if method == "graph":
+        return nndescent.graph_search_topk(emb, probes, k,
+                                           beam=beam, hops=hops)
+    raise ValueError(f"unknown method {method!r}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="embeddings parquet path")
+    ap.add_argument("--probes", required=True,
+                    help="comma-separated probe vec_ids")
+    ap.add_argument("--method", choices=METHODS, default="exact")
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--nprobe", type=int, default=2, help="ivf lists probed")
+    ap.add_argument("--beam", type=int, default=8, help="graph beam width")
+    ap.add_argument("--hops", type=int, default=2, help="graph expansions")
+    ap.add_argument("--with-recall", action="store_true",
+                    help="also report per-probe recall vs exact cosine")
+    args = ap.parse_args()
+
+    from searchengine_spark.pipeline import similarity
+    from searchengine_spark.session import get_spark
+
+    probes = [int(x) for x in args.probes.split(",") if x]
+    spark = get_spark("knn")
+    emb = spark.read.parquet(args.input)
+    res = run(emb, args.method, probes, args.k, args.nprobe,
+              args.beam, args.hops)
+    rows = res.collect()
+    out = {
+        "method": args.method, "k": args.k, "probes": probes,
+        "results": [
+            {"probe_id": r.probe_id, "vec_id": r.vec_id,
+             "score": float(r[2]), "rank": int(r[-1])}
+            for r in sorted(rows, key=lambda r: (r.probe_id, r[-1]))
+        ],
+    }
+    if args.with_recall and args.method != "exact":
+        exact = similarity.cosine_topk(emb, probes, args.k)
+        rec = similarity.ann_recall(exact, res).collect()
+        out["recall"] = {int(r.probe_id): float(r.recall) for r in rec}
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

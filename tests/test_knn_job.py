@@ -1,0 +1,43 @@
+"""jobs/knn.py — the unified vector-search CLI dispatcher: every method
+returns the (probe_id, vec_id, score, rank) shape, exact == graph when
+the beam covers the corpus, and unknown methods fail loudly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from jobs.knn import METHODS, run
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(24)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_every_method_returns_ranked_rows(spark, emb):
+    for m in METHODS:
+        rows = run(emb, m, [0, 3], k=3, nprobe=2, beam=8, hops=1).collect()
+        assert rows, m
+        by_probe = {}
+        for r in rows:
+            by_probe.setdefault(r.probe_id, []).append(int(r[-1]))
+        for pid, ranks in by_probe.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), (m, pid)
+            assert pid not in {r.vec_id for r in rows
+                               if r.probe_id == pid}, (m, "self-hit")
+
+
+def test_graph_with_full_beam_matches_exact(spark, emb):
+    exact = run(emb, "exact", [0], k=3, nprobe=2, beam=8, hops=0).toPandas()
+    graph = run(emb, "graph", [0], k=3, nprobe=2, beam=24, hops=0).toPandas()
+    key = ["probe_id", "rank"]
+    assert exact.sort_values(key).reset_index(drop=True).equals(
+        graph.sort_values(key).reset_index(drop=True))
+
+
+def test_unknown_method_raises(spark, emb):
+    with pytest.raises(ValueError):
+        run(emb, "hnswlib", [0], k=3, nprobe=2, beam=8, hops=1)
