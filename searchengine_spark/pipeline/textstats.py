@@ -929,46 +929,48 @@ def token_budget_plan(documents: DataFrame, n_deciles: int = 10,
     )
 
 
-def _ngram_stream(documents: DataFrame, n: int, text_col: str,
-                  lang_col: str) -> DataFrame:
-    """(lang, gram) — every n-token gram occurrence (NOT distinct)."""
-    toks = F.filter(tokens_col(text_col), lambda t: t != "")
-    d = (documents.select(F.col(lang_col).alias("lang"), toks.alias("toks"))
-         .filter(F.size("toks") >= n))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]),
-    )
-    return d.select("lang", F.explode(grams).alias("gram"))
-
-
 def distinct_ngrams(documents: DataFrame, max_n: int = 3,
                     id_col: str = "doc_id", text_col: str = "text",
                     lang_col: str = "lang") -> DataFrame:
     """(lang, n, total_grams, distinct_grams, distinct_ratio) — the
     distinct-n diversity metric per language (the corpus-level twin of
     self-BLEU: low distinct-2/3 ratios flag template floods and decoding
-    loops in synthetic data).  One gram-stream hash agg per n, unioned
-    inside the plan — gram streams are corpus-token sized, aggregated
-    to the gram vocabulary before anything else."""
-    parts = []
-    for n in range(1, max_n + 1):
-        g = _ngram_stream(documents, n, text_col, lang_col)
-        parts.append(
-            g.groupBy("lang")
-            .agg(F.count(F.lit(1)).cast("long").alias("total_grams"),
-                 F.countDistinct("gram").cast("long").alias("distinct_grams"))
-            .select("lang", F.lit(n).alias("n"), "total_grams",
-                    "distinct_grams",
-                    F.round(F.col("distinct_grams")
-                            / F.greatest(F.col("total_grams"), F.lit(1)), 4)
-                    .alias("distinct_ratio"))
+    loops in synthetic data).  ONE corpus scan + tokenize for ALL gram
+    sizes: every n's grams are generated from the same token array,
+    tagged (n, gram) through a struct array, and aggregated by
+    (lang, n) — a per-n union re-tokenized the corpus max_n times.
+    Gram streams are corpus-token sized, aggregated to the gram
+    vocabulary before anything else."""
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    d = documents.select(F.col(lang_col).alias("lang"), toks.alias("toks"))
+
+    def grams_of(n: int):
+        # sequence stop is clamped to >= start (a negative stop would
+        # produce a DESCENDING sequence); docs shorter than n tokens emit
+        # one junk gram which the slice to max(size-n+1, 0) removes
+        idx = F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0)))
+        g = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", *[F.element_at(F.col("toks"), i + j + 1)
+                                   for j in range(n)]).alias("gram"),
+            ),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        return F.slice(g, 1, F.greatest(F.size("toks") - n + 1, F.lit(0)))
+
+    all_grams = F.flatten(F.array(*[grams_of(n) for n in range(1, max_n + 1)]))
+    stream = d.select("lang", F.explode(all_grams).alias("m")) \
+        .select("lang", F.col("m.n").alias("n"), F.col("m.gram").alias("gram"))
+    return (
+        stream.groupBy("lang", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("total_grams"),
+             F.countDistinct("gram").cast("long").alias("distinct_grams"))
+        .select("lang", "n", "total_grams", "distinct_grams",
+                F.round(F.col("distinct_grams")
+                        / F.greatest(F.col("total_grams"), F.lit(1)), 4)
+                .alias("distinct_ratio"))
+    )
 
 
 def term_dispersion(documents: DataFrame, limit: int = 100,
