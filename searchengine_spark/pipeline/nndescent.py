@@ -318,3 +318,38 @@ def graph_search_recall(embeddings: DataFrame, probe_ids: list[int],
     return ann_recall(
         cosine_topk(embeddings, probe_ids, k),
         graph_search_topk(embeddings, probe_ids, k, **kw))
+
+
+def mutual_knn_pairs(embeddings: DataFrame, k: int = NND_K,
+                     rounds: int = NND_ROUNDS, n_planes: int | None = None,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     graph: DataFrame | None = None) -> DataFrame:
+    """(vec_a, vec_b, cosine) with vec_a < vec_b — RECIPROCAL nearest
+    neighbours: pairs where each endpoint sits in the OTHER's NN-Descent
+    top-k.  The standard high-precision pair filter (reciprocal-NN /
+    mutual-kNN, long-standing in image retrieval and metric-learning
+    supervision): a one-directional edge often just points at a hub the
+    hub never points back at, while mutuality certifies the pair is
+    close for BOTH sides — the edges worth promoting to training pairs,
+    duplicate candidates, or cluster seeds without any cosine threshold
+    to tune.
+
+    Plan: ONE self-join of the n·k edge list on the reversed key —
+    edge-dimension work, never corpus²; cosine is symmetric under the
+    engine's array-order fold (zip_with multiplies elementwise in array
+    order), so either direction carries the same 3dp value and the
+    a<b orientation dedups exactly.  ``graph=`` reuses a persisted
+    build, as in ``graph_search_topk``.
+    """
+    g = (graph if graph is not None
+         else nndescent_graph(embeddings, k, rounds, n_planes,
+                              id_col, vec_col))
+    e = g.select("vec_id", "nbr_id", "cosine")
+    rev = e.select(F.col("nbr_id").alias("vec_id"),
+                   F.col("vec_id").alias("nbr_id"))
+    return (
+        e.join(rev, ["vec_id", "nbr_id"], "semi")
+        .filter(F.col("vec_id") < F.col("nbr_id"))
+        .select(F.col("vec_id").alias("vec_a"),
+                F.col("nbr_id").alias("vec_b"), "cosine")
+    )

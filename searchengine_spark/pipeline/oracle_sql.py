@@ -7875,3 +7875,16 @@ def graph_search_recall(probe_ids: list[int], k: int = 5, beam: int = 8,
 FROM ({graph_search_topk(probe_ids, k, beam, hops, graph_k, rounds,
                          n_planes)})"""
     return _recall_sql(cosine_topk(probe_ids, k), ann)
+
+
+def mutual_knn_pairs(k: int = 5, rounds: int = 2, n_planes: int = 4) -> str:
+    """Twin of nndescent.mutual_knn_pairs: the edge list self-joined on
+    its reversed key, oriented a < b.  Cosine is symmetric under the
+    shared array-order fold, so either direction's value matches."""
+    return f"""
+WITH g AS (SELECT vec_id, nbr_id, cosine
+           FROM ({nndescent_graph(k, rounds, n_planes)}))
+SELECT a.vec_id AS vec_a, a.nbr_id AS vec_b, a.cosine
+FROM g a JOIN g b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id
+WHERE a.vec_id < a.nbr_id
+"""

@@ -178,3 +178,39 @@ class TestGraphSearch:
         key = ["probe_id", "rank"]
         assert inline.sort_values(key).reset_index(drop=True).equals(
             reused.sort_values(key).reset_index(drop=True))
+
+
+class TestMutualKnn:
+    def test_mutual_subset_oriented_and_symmetric(self, spark, clustered):
+        g = N.nndescent_graph(clustered, k=5, rounds=1, n_planes=4)
+        m = N.mutual_knn_pairs(clustered, graph=g).toPandas()
+        edges = {(r.vec_id, r.nbr_id): r.cosine for r in g.collect()}
+        assert len(m) > 0
+        for a, b, c in zip(m["vec_a"], m["vec_b"], m["cosine"]):
+            assert a < b
+            # both directions present in the graph, same 3dp cosine
+            assert (a, b) in edges and (b, a) in edges
+            assert edges[(a, b)] == edges[(b, a)] == c
+        # exactly the reciprocal edge set, nothing dropped
+        expected = {(a, b) for (a, b) in edges
+                    if a < b and (b, a) in edges}
+        assert set(zip(m["vec_a"], m["vec_b"])) == expected
+
+    def test_hub_one_way_edges_filtered(self, spark):
+        """A planted hub near everyone collects incoming edges from all
+        nodes, but its own top-k keeps only the k best — so most edges
+        into the hub must NOT survive the mutuality filter."""
+        rng = np.random.default_rng(13)
+        base = rng.normal(size=16)
+        rows = [(0, [float(x) for x in base])]  # hub at the centroid
+        for i in range(1, 30):
+            v = base + rng.normal(scale=2.0, size=16)
+            rows.append((i, [float(x) for x in v]))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        g = N.nndescent_graph(emb, k=3, rounds=2, n_planes=2)
+        into_hub = g.filter(F.col("nbr_id") == 0).count()
+        mutual_hub = N.mutual_knn_pairs(emb, graph=g) \
+            .filter((F.col("vec_a") == 0) | (F.col("vec_b") == 0)).count()
+        assert mutual_hub <= 3          # bounded by the hub's own top-k
+        assert into_hub > mutual_hub    # one-way hub edges were dropped
