@@ -1011,6 +1011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reciprocal-NN pair mining (high-precision training-pair filter)
         "q_mutual_knn_pairs": lambda s, d: nndescent.mutual_knn_pairs(
             _emb(s, d), k=5, rounds=2),
+        "q_mutual_knn_clusters": lambda s, d: nndescent.mutual_knn_clusters(
+            _emb(s, d), k=5, rounds=2),
         # serving-tier planning: static result-cache curve + doc/term routing
         "q_cache_hit_curve": lambda s, d: serving.cache_hit_curve(_docs(s, d)),
         "q_partition_routing": lambda s, d: serving.partition_routing(
@@ -1362,6 +1364,8 @@ def oracle_sql() -> dict[str, str]:
             n_planes=4),
         "q_mutual_knn_pairs": osql.mutual_knn_pairs(k=5, rounds=2,
                                                     n_planes=4),
+        "q_mutual_knn_clusters": osql.mutual_knn_clusters(k=5, rounds=2,
+                                                          n_planes=4),
         "q_cache_hit_curve": osql.cache_hit_curve(),
         "q_partition_routing": osql.partition_routing(n_shards=16),
         "q_posting_cache_plan": osql.posting_cache_plan(),

@@ -326,6 +326,18 @@ def duplicate_clusters(documents: DataFrame, threshold: float = 0.2,
     """
     pairs = lsh_verified_near_dups(documents, n=n, threshold=threshold, **kw) \
         .select("doc_a", "doc_b")
+    all_docs = documents.select(F.col(kw.get("id_col", "doc_id")).alias("doc_id"))
+    return components_from_edges(pairs, all_docs, max_iters)
+
+
+def components_from_edges(pairs: DataFrame, all_ids: DataFrame,
+                          max_iters: int = 25) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over an undirected
+    pair list via iterative min-label propagation (the loop documented
+    in ``duplicate_clusters``; extracted so any edge source — near-dup
+    pairs, mutual-kNN edges — clusters through the same machinery).
+    ``pairs``: (doc_a, doc_b); ``all_ids``: (doc_id) — off-graph ids
+    come back as their own singleton cluster."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
@@ -358,9 +370,8 @@ def duplicate_clusters(documents: DataFrame, threshold: float = 0.2,
         if changed == 0:
             break
 
-    all_docs = documents.select(F.col(kw.get("id_col", "doc_id")).alias("doc_id"))
     return (
-        all_docs.join(labels, "doc_id", "left")
+        all_ids.join(labels, "doc_id", "left")
         .select("doc_id",
                 F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"))
     )

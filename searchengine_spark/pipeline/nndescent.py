@@ -353,3 +353,32 @@ def mutual_knn_pairs(embeddings: DataFrame, k: int = NND_K,
         .select(F.col("vec_id").alias("vec_a"),
                 F.col("nbr_id").alias("vec_b"), "cosine")
     )
+
+
+def mutual_knn_clusters(embeddings: DataFrame, k: int = NND_K,
+                        rounds: int = NND_ROUNDS,
+                        n_planes: int | None = None,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        graph: DataFrame | None = None) -> DataFrame:
+    """(vec_id, cluster_id) for EVERY vector — connected components over
+    the reciprocal-NN edge list: the threshold-free semantic grouping
+    step (mutual edges certify closeness for both endpoints, so the
+    components are tight groups rather than hub-chained blobs; compare
+    ``dedup.duplicate_clusters``, whose edges need a Jaccard threshold).
+    cluster_id = min vec_id in the component; off-graph vectors are
+    their own singleton.
+
+    Plan: ``mutual_knn_pairs`` edges (n·k-bounded) through the shared
+    ``dedup.components_from_edges`` min-label propagation — per round
+    ONE join + agg over the edge set, localCheckpoint lineage cuts, the
+    GraphX connected-components shape.
+    """
+    from searchengine_spark.pipeline.dedup import components_from_edges
+
+    pairs = mutual_knn_pairs(embeddings, k, rounds, n_planes,
+                             id_col, vec_col, graph=graph) \
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    ids = embeddings.select(F.col(id_col).alias("doc_id"))
+    return components_from_edges(pairs, ids).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id")

@@ -7888,3 +7888,26 @@ SELECT a.vec_id AS vec_a, a.nbr_id AS vec_b, a.cosine
 FROM g a JOIN g b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id
 WHERE a.vec_id < a.nbr_id
 """
+
+
+def mutual_knn_clusters(k: int = 5, rounds: int = 2,
+                        n_planes: int = 4) -> str:
+    """Twin of nndescent.mutual_knn_clusters: recursive-CTE connected
+    components (min reachable vec_id) over the reciprocal edge list."""
+    return f"""
+WITH RECURSIVE g AS (SELECT vec_id, nbr_id
+           FROM ({nndescent_graph(k, rounds, n_planes)})),
+mut AS (
+  SELECT a.vec_id AS a, a.nbr_id AS b
+  FROM g a JOIN g x ON a.vec_id = x.nbr_id AND a.nbr_id = x.vec_id
+),
+reach(node, label) AS (
+  SELECT a, a FROM mut
+  UNION
+  SELECT m.b, r.label FROM reach r JOIN mut m ON m.a = r.node
+),
+labels AS (SELECT node AS vec_id, min(label) AS cluster_id
+           FROM reach GROUP BY node)
+SELECT e.vec_id, coalesce(l.cluster_id, e.vec_id) AS cluster_id
+FROM embeddings e LEFT JOIN labels l USING (vec_id)
+"""

@@ -214,3 +214,35 @@ class TestMutualKnn:
             .filter((F.col("vec_a") == 0) | (F.col("vec_b") == 0)).count()
         assert mutual_hub <= 3          # bounded by the hub's own top-k
         assert into_hub > mutual_hub    # one-way hub edges were dropped
+
+    def test_clusters_refine_planted_groups(self, spark, clustered):
+        """Mutual-kNN components are PRECISION groupings: with k=5 over
+        25-point clusters the reciprocal graph fragments each planted
+        cluster into several tight cliques-of-mutual-neighbours (that
+        fineness is the filter's point), but a component must NEVER span
+        two planted clusters — a cross edge would need both endpoints to
+        rank the other above their own cluster-mates."""
+        c = N.mutual_knn_clusters(clustered, k=5, rounds=2, n_planes=4) \
+            .toPandas()
+        assert len(c) == 200
+        c["planted"] = c["vec_id"] // 100
+        # purity: every component lies inside exactly one planted cluster
+        spread = c.groupby("cluster_id")["planted"].nunique()
+        assert (spread == 1).all(), spread[spread > 1].to_dict()
+        # refinement is real grouping, not all-singletons
+        sizes = c.groupby("cluster_id").size()
+        assert (sizes > 1).sum() >= 8
+        # label invariant: cluster_id is the min member id
+        assert (c.groupby("cluster_id")["vec_id"].min()
+                == c.groupby("cluster_id")["vec_id"].min().index).all()
+
+    def test_singletons_off_graph(self, spark):
+        """Vectors with no reciprocal edge keep their own id as cluster."""
+        rng = np.random.default_rng(17)
+        rows = [(i, [float(x) for x in rng.normal(size=16)])
+                for i in range(10)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        c = N.mutual_knn_clusters(emb, k=2, rounds=1, n_planes=2).toPandas()
+        assert len(c) == 10
+        assert set(c["vec_id"]) == set(range(10))
