@@ -508,6 +508,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_label_purity": lambda s, d: similarity.knn_label_purity(
             _emb(s, d), PROBE_VEC_IDS, k=5
         ),
+        # the kNN classifier itself (majority label over the exact top-k)
+        "q_knn_predict": lambda s, d: similarity.knn_predict(
+            _emb(s, d), PROBE_VEC_IDS, k=5
+        ),
         # per-source keep-one report over transitive near-dup clusters
         "q_dedup_survivors": lambda s, d: dedup.dedup_survivors(
             _docs(s, d), threshold=0.2
@@ -1175,6 +1179,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tokenizer_fertility": osql.tokenizer_fertility(),
         "q_hard_negatives": osql.hard_negatives(PROBE_VEC_IDS, k=5),
         "q_knn_label_purity": osql.knn_label_purity(PROBE_VEC_IDS, k=5),
+        "q_knn_predict": osql.knn_predict(PROBE_VEC_IDS, k=5),
         "q_dedup_survivors": osql.dedup_survivors(threshold=0.2),
         "q_zipf_fit": osql.zipf_fit(),
         "q_heaps_law": osql.heaps_law(),

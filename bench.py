@@ -204,6 +204,7 @@ HEADLINE = [
     "q_graph_ann_recall",
     "q_mutual_knn_pairs",
     "q_mutual_knn_clusters",
+    "q_knn_predict",
     "q_cache_hit_curve",
     "q_posting_cache_plan",
     "q_partition_routing",

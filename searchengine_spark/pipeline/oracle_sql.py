@@ -7911,3 +7911,26 @@ labels AS (SELECT node AS vec_id, min(label) AS cluster_id
 SELECT e.vec_id, coalesce(l.cluster_id, e.vec_id) AS cluster_id
 FROM embeddings e LEFT JOIN labels l USING (vec_id)
 """
+
+
+def knn_predict(probe_ids: list[int], k: int = 5) -> str:
+    """Twin of similarity.knn_predict: majority label over the exact
+    top-k, argmax by (votes desc, label asc)."""
+    return f"""
+WITH topk AS ({cosine_topk(probe_ids, k)}),
+l AS (SELECT vec_id, label FROM embeddings),
+votes AS (
+  SELECT t.probe_id, cl.label, count(*)::BIGINT AS n_votes
+  FROM topk t JOIN l cl ON cl.vec_id = t.vec_id
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT probe_id, label AS pred_label, n_votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY n_votes DESC, label ASC) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT b.probe_id, b.pred_label, b.n_votes, pl.label AS true_label,
+       b.pred_label = pl.label AS correct
+FROM best b JOIN l pl ON pl.vec_id = b.probe_id
+"""

@@ -205,3 +205,40 @@ class TestSemanticDedup:
         assert sum(r.n_vecs for r in rows) == 260
         for r in rows:
             assert abs(r.keep_ratio - round((r.n_vecs - r.n_pruned) / r.n_vecs, 4)) < 1e-9
+
+
+class TestKnnPredict:
+    @pytest.fixture(scope="class")
+    def labeled(self, spark):
+        """Two tight Gaussian clusters labeled a/b + probes from each."""
+        rng = np.random.default_rng(23)
+        ca, cb = rng.normal(size=16) * 5, rng.normal(size=16) * 5
+        rows = []
+        for i in range(20):
+            rows.append((i, [float(x) for x in ca + rng.normal(scale=0.3, size=16)], "a"))
+            rows.append((100 + i, [float(x) for x in cb + rng.normal(scale=0.3, size=16)], "b"))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label string")
+
+    def test_predicts_cluster_label(self, spark, labeled):
+        out = {r.probe_id: r for r in
+               S.knn_predict(labeled, [0, 5, 100, 105], k=5).collect()}
+        assert set(out) == {0, 5, 100, 105}
+        for pid, r in out.items():
+            assert r.pred_label == ("a" if pid < 100 else "b")
+            assert r.correct and r.n_votes == 5  # pure neighbourhoods
+
+    def test_tie_breaks_label_asc(self, spark):
+        """k=2 across a 1-vs-1 vote must pick the lexicographically
+        smaller label deterministically."""
+        rows = [
+            (0, [1.0, 0.0, 0.0], "z"),          # probe
+            (1, [0.99, 0.14, 0.0], "b"),
+            (2, [0.99, 0.0, 0.14], "a"),
+            (3, [-1.0, 0.0, 0.0], "a"),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label string")
+        r = S.knn_predict(df, [0], k=2).collect()[0]
+        assert r.pred_label == "a" and r.n_votes == 1
+        assert r.true_label == "z" and not r.correct
