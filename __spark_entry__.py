@@ -1017,6 +1017,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), k=5, rounds=2),
         "q_mutual_knn_clusters": lambda s, d: nndescent.mutual_knn_clusters(
             _emb(s, d), k=5, rounds=2),
+        # kNN-radius outlier scoring (embedding-space junk quarantine)
+        "q_knn_outlier_scores": lambda s, d: nndescent.knn_outlier_scores(
+            _emb(s, d), k=5, rounds=2),
         # serving-tier planning: static result-cache curve + doc/term routing
         "q_cache_hit_curve": lambda s, d: serving.cache_hit_curve(_docs(s, d)),
         "q_partition_routing": lambda s, d: serving.partition_routing(
@@ -1371,6 +1374,8 @@ def oracle_sql() -> dict[str, str]:
                                                     n_planes=4),
         "q_mutual_knn_clusters": osql.mutual_knn_clusters(k=5, rounds=2,
                                                           n_planes=4),
+        "q_knn_outlier_scores": osql.knn_outlier_scores(k=5, rounds=2,
+                                                        n_planes=4),
         "q_cache_hit_curve": osql.cache_hit_curve(),
         "q_partition_routing": osql.partition_routing(n_shards=16),
         "q_posting_cache_plan": osql.posting_cache_plan(),

@@ -382,3 +382,68 @@ def mutual_knn_clusters(embeddings: DataFrame, k: int = NND_K,
     ids = embeddings.select(F.col(id_col).alias("doc_id"))
     return components_from_edges(pairs, ids).select(
         F.col("doc_id").alias("vec_id"), "cluster_id")
+
+
+def knn_outlier_scores(embeddings: DataFrame, k: int = NND_K,
+                       rounds: int = NND_ROUNDS,
+                       n_planes: int | None = None,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       graph: DataFrame | None = None) -> DataFrame:
+    """(vec_id, kth_cosine, n_edges, is_outlier) — distance-to-kth-
+    neighbour outlier scoring (Ramaswamy, Rastogi & Shim SIGMOD'00, in
+    cosine form): a vector whose k-th nearest neighbour is still far
+    away sits in no local structure — embedding-space junk (OCR noise,
+    binary-as-text, wrong-modality rows) that dedup and ANN recall both
+    degrade on.  The curation use: drop or quarantine ``is_outlier``
+    rows before sizing LSH/IVF/PQ, next to ``knn_hubness`` on the same
+    graph.
+
+    kth_cosine = the rank-k edge's cosine (the WEAKEST of the k best);
+    nodes with fewer than k edges score their weakest available edge,
+    and isolated nodes (no edges at all — alone in every seed bucket)
+    surface with kth_cosine NULL and is_outlier true.  is_outlier =
+    kth_cosine below the corpus-wide mean minus two standard deviations
+    of kth_cosine (a deterministic 6dp two-sigma cut; production would
+    tune the cut on a sample).  One agg over the n·k edge list + a
+    broadcast scalar join — edge-dimension work.
+    """
+    g = (graph if graph is not None
+         else nndescent_graph(embeddings, k, rounds, n_planes,
+                              id_col, vec_col))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("rank"))
+    weakest = (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cosine").alias("kth_cosine"),
+                F.col("rank").cast("long").alias("n_edges"))
+    )
+    ids = embeddings.select(F.col(id_col).alias("vec_id"))
+    scored = ids.join(weakest, "vec_id", "left").select(
+        "vec_id", "kth_cosine",
+        F.coalesce(F.col("n_edges"), F.lit(0)).cast("long").alias("n_edges"))
+    # mean/stddev from EXACT scaled-integer sums (kth_cosine is 3dp, so
+    # iv = round(1000x) is exact): float-merge-order-free, so the 6dp cut
+    # is identical on both engines
+    iv = F.round(F.col("kth_cosine") * 1000).cast("long")
+    cut = (
+        scored.filter(F.col("kth_cosine").isNotNull())
+        .select(iv.alias("iv"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"),
+             F.sum("iv").cast("double").alias("s"),
+             F.sum(F.col("iv") * F.col("iv")).cast("double").alias("ss"))
+        .select(F.round(
+            (F.col("s") / F.col("n")
+             - 2 * F.sqrt(F.greatest(
+                 F.col("ss") / F.col("n")
+                 - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
+                 F.lit(0.0)))) / 1000.0, 6).alias("cut"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .select(
+            "vec_id", "kth_cosine", "n_edges",
+            F.coalesce(F.col("kth_cosine") < F.col("cut"), F.lit(True))
+            .alias("is_outlier"),
+        )
+    )

@@ -7934,3 +7934,38 @@ SELECT b.probe_id, b.pred_label, b.n_votes, pl.label AS true_label,
        b.pred_label = pl.label AS correct
 FROM best b JOIN l pl ON pl.vec_id = b.probe_id
 """
+
+
+def knn_outlier_scores(k: int = 5, rounds: int = 2,
+                       n_planes: int = 4) -> str:
+    """Twin of nndescent.knn_outlier_scores: weakest kept edge per node,
+    two-sigma cut from exact scaled-integer sums."""
+    return f"""
+WITH g AS (SELECT vec_id, cosine, rank
+           FROM ({nndescent_graph(k, rounds, n_planes)})),
+weakest AS (
+  SELECT vec_id, cosine AS kth_cosine, rank::BIGINT AS n_edges FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY rank DESC) AS rn
+    FROM g) WHERE rn = 1
+),
+scored AS (
+  SELECT e.vec_id, w.kth_cosine, coalesce(w.n_edges, 0)::BIGINT AS n_edges
+  FROM embeddings e LEFT JOIN weakest w USING (vec_id)
+),
+ivs AS (SELECT round(kth_cosine * 1000)::BIGINT AS iv FROM scored
+        WHERE kth_cosine IS NOT NULL),
+cut AS (
+  SELECT round(
+    (sum(iv)::DOUBLE / count(*)::DOUBLE
+     - 2 * sqrt(greatest(
+         sum(iv * iv)::DOUBLE / count(*)::DOUBLE
+         - (sum(iv)::DOUBLE / count(*)::DOUBLE)
+           * (sum(iv)::DOUBLE / count(*)::DOUBLE), 0.0))) / 1000.0,
+    6) AS cut
+  FROM ivs
+)
+SELECT s.vec_id, s.kth_cosine, s.n_edges,
+       coalesce(s.kth_cosine < c.cut, TRUE) AS is_outlier
+FROM scored s CROSS JOIN cut c
+"""

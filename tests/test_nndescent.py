@@ -246,3 +246,34 @@ class TestMutualKnn:
         c = N.mutual_knn_clusters(emb, k=2, rounds=1, n_planes=2).toPandas()
         assert len(c) == 10
         assert set(c["vec_id"]) == set(range(10))
+
+
+class TestKnnOutliers:
+    def test_planted_outlier_flagged(self, spark):
+        """One far-away junk vector among a tight cluster must carry the
+        cluster's worst kth_cosine and be flagged; cluster members with
+        tight neighbourhoods must not."""
+        rng = np.random.default_rng(29)
+        center = rng.normal(size=16) * 4.0
+        rows = [(i, [float(x) for x in center + rng.normal(scale=0.2, size=16)])
+                for i in range(30)]
+        rows.append((99, [float(x) for x in -center * 3]))  # junk, far away
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        out = {r.vec_id: r for r in
+               N.knn_outlier_scores(emb, k=3, rounds=2, n_planes=2).collect()}
+        assert len(out) == 31
+        assert out[99].is_outlier
+        flagged = [v for v, r in out.items() if r.is_outlier]
+        assert flagged == [99], flagged
+        # the junk vector's weakest edge is the corpus minimum
+        assert out[99].kth_cosine is None or out[99].kth_cosine == min(
+            r.kth_cosine for r in out.values() if r.kth_cosine is not None)
+
+    def test_isolated_node_is_outlier_null_radius(self, spark, clustered):
+        out = N.knn_outlier_scores(clustered, k=5, rounds=1, n_planes=4)
+        pdf = out.toPandas()
+        assert len(pdf) == 200
+        # well-clustered data: every node has edges and few outliers
+        assert (pdf["n_edges"] > 0).all()
+        assert pdf["is_outlier"].sum() <= 20
