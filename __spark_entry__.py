@@ -1020,6 +1020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kNN-radius outlier scoring (embedding-space junk quarantine)
         "q_knn_outlier_scores": lambda s, d: nndescent.knn_outlier_scores(
             _emb(s, d), k=5, rounds=2),
+        # semi-supervised label spread from seed nodes through the graph
+        "q_graph_label_prop": lambda s, d: nndescent.graph_label_propagation(
+            _emb(s, d), PROBE_VEC_IDS, iters=3, k=5, rounds=2),
         # serving-tier planning: static result-cache curve + doc/term routing
         "q_cache_hit_curve": lambda s, d: serving.cache_hit_curve(_docs(s, d)),
         "q_partition_routing": lambda s, d: serving.partition_routing(
@@ -1376,6 +1379,8 @@ def oracle_sql() -> dict[str, str]:
                                                           n_planes=4),
         "q_knn_outlier_scores": osql.knn_outlier_scores(k=5, rounds=2,
                                                         n_planes=4),
+        "q_graph_label_prop": osql.graph_label_propagation(
+            PROBE_VEC_IDS, iters=3, k=5, rounds=2, n_planes=4),
         "q_cache_hit_curve": osql.cache_hit_curve(),
         "q_partition_routing": osql.partition_routing(n_shards=16),
         "q_posting_cache_plan": osql.posting_cache_plan(),

@@ -206,6 +206,7 @@ HEADLINE = [
     "q_mutual_knn_clusters",
     "q_knn_predict",
     "q_knn_outlier_scores",
+    "q_graph_label_prop",
     "q_cache_hit_curve",
     "q_posting_cache_plan",
     "q_partition_routing",

@@ -447,3 +447,76 @@ def knn_outlier_scores(embeddings: DataFrame, k: int = NND_K,
             .alias("is_outlier"),
         )
     )
+
+
+def graph_label_propagation(embeddings: DataFrame, seed_ids: list[int],
+                            iters: int = 3, k: int = NND_K,
+                            rounds: int = NND_ROUNDS,
+                            n_planes: int | None = None,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            label_col: str = "label",
+                            graph: DataFrame | None = None) -> DataFrame:
+    """(vec_id, pred_label) — semi-supervised label propagation (Zhu &
+    Ghahramani '02, hard-clamped form) over the undirected NN-Descent
+    graph: seed nodes keep their true label; each synchronous round,
+    every still-unlabeled node takes the majority label among its
+    LABELED neighbours (ties by votes desc, label asc — the
+    ``knn_predict`` argmax rule), and once assigned a label is final.
+    Nodes the label frontier never reaches stay NULL — the honest
+    "don't know", not a forced guess.
+
+    This is how a labeled seed set (human-tagged languages, licenses,
+    quality grades) classifies the WHOLE corpus at edge-list cost:
+    ``knn_predict`` prices each classification at one broadcast corpus
+    scan per probe batch, while propagation prices the entire corpus at
+    ``iters`` joins over the n·k edge list.
+
+    Each round is ONE join + vote agg + argmax window over the edge
+    set; state is localCheckpoint'd per round (the iterative-algorithm
+    lineage hygiene shared with ``nndescent_graph`` and
+    ``components_from_edges``).
+    """
+    g = (graph if graph is not None
+         else nndescent_graph(embeddings, k, rounds, n_planes,
+                              id_col, vec_col))
+    fwd = g.select("vec_id", "nbr_id")
+    und = fwd.union(
+        fwd.select(F.col("nbr_id").alias("vec_id"),
+                   F.col("vec_id").alias("nbr_id"))
+    ).distinct().localCheckpoint(eager=True)
+
+    seeds = (
+        embeddings.filter(F.col(id_col).isin(seed_ids))
+        .select(F.col(id_col).alias("vec_id"),
+                F.col(label_col).alias("pred_label"))
+    )
+    state = (
+        embeddings.select(F.col(id_col).alias("vec_id"))
+        .join(seeds, "vec_id", "left")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        labeled = state.filter(F.col("pred_label").isNotNull()).select(
+            F.col("vec_id").alias("nbr_id"),
+            F.col("pred_label").alias("nbr_label"))
+        votes = (
+            und.join(labeled, "nbr_id")
+            .groupBy("vec_id", "nbr_label")
+            .agg(F.count(F.lit(1)).alias("n_votes"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("n_votes"), F.asc("nbr_label"))
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("nbr_label").alias("best_label"))
+        )
+        state = (
+            state.join(best, "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce(F.col("pred_label"), F.col("best_label"))
+                    .alias("pred_label"))
+            .localCheckpoint(eager=True)
+        )
+    return state

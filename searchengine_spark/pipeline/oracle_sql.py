@@ -7969,3 +7969,46 @@ SELECT s.vec_id, s.kth_cosine, s.n_edges,
        coalesce(s.kth_cosine < c.cut, TRUE) AS is_outlier
 FROM scored s CROSS JOIN cut c
 """
+
+
+def graph_label_propagation(seed_ids: list[int], iters: int = 3,
+                            k: int = 5, rounds: int = 2,
+                            n_planes: int = 4) -> str:
+    """Twin of nndescent.graph_label_propagation: ``iters`` unrolled
+    hard-clamped propagation rounds over the undirected edge list, same
+    (votes desc, label asc) argmax."""
+    ids = ", ".join(str(i) for i in seed_ids)
+    parts = [f"""g AS (SELECT vec_id, nbr_id
+     FROM ({nndescent_graph(k, rounds, n_planes)})),
+und AS (
+  SELECT vec_id, nbr_id FROM g
+  UNION
+  SELECT nbr_id, vec_id FROM g
+),
+l0 AS (
+  SELECT e.vec_id,
+         CASE WHEN e.vec_id IN ({ids}) THEN e.label END AS pred_label
+  FROM embeddings e
+)"""]
+    for r in range(1, iters + 1):
+        parts.append(f"""v{r} AS (
+  SELECT u.vec_id, p.pred_label AS nbr_label, count(*)::BIGINT AS n_votes
+  FROM und u JOIN l{r - 1} p ON p.vec_id = u.nbr_id
+  WHERE p.pred_label IS NOT NULL
+  GROUP BY 1, 2
+),
+b{r} AS (
+  SELECT vec_id, nbr_label AS best_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY n_votes DESC, nbr_label ASC) AS rn
+    FROM v{r}) WHERE rn = 1
+),
+l{r} AS (
+  SELECT l.vec_id, coalesce(l.pred_label, b.best_label) AS pred_label
+  FROM l{r - 1} l LEFT JOIN b{r} b USING (vec_id)
+)""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT vec_id, pred_label FROM l{iters}
+"""

@@ -277,3 +277,31 @@ class TestKnnOutliers:
         # well-clustered data: every node has edges and few outliers
         assert (pdf["n_edges"] > 0).all()
         assert pdf["is_outlier"].sum() <= 20
+
+
+class TestLabelPropagation:
+    def test_seed_labels_spread_within_clusters(self, spark, clustered):
+        """One seed per planted cluster, labeled by its cluster id: after
+        enough rounds the label must cover most of its cluster and NEVER
+        leak into another (intra-cluster edges only on this fixture)."""
+        labeled = clustered.withColumn(
+            "label", F.concat(F.lit("c"), (F.col("vec_id") / 100)
+                              .cast("int").cast("string")))
+        seeds = [0, 101, 202, 303, 404, 505, 606, 707]
+        out = N.graph_label_propagation(
+            labeled, seeds, iters=6, k=5, rounds=2, n_planes=4).toPandas()
+        assert len(out) == 200
+        got = out[out["pred_label"].notna()].copy()
+        got["true"] = "c" + (got["vec_id"] // 100).astype(int).astype(str)
+        # no leakage: every assigned label matches the node's own cluster
+        assert (got["pred_label"] == got["true"]).all()
+        # real spread: far beyond the 8 seeds
+        assert len(got) > 100
+
+    def test_seeds_clamped_and_unreached_null(self, spark, clustered):
+        labeled = clustered.withColumn("label", F.lit("x"))
+        out = N.graph_label_propagation(
+            labeled, [0], iters=0, k=5, rounds=1, n_planes=4).toPandas()
+        byid = dict(zip(out["vec_id"], out["pred_label"]))
+        assert byid[0] == "x"
+        assert out["pred_label"].notna().sum() == 1  # only the seed at iters=0
