@@ -33,7 +33,7 @@ METHODS = ("exact", "lsh", "multiprobe", "ivf", "pq", "graph")
 
 
 def run(emb, method: str, probes: list[int], k: int, nprobe: int,
-        beam: int, hops: int):
+        beam: int, hops: int, graph=None):
     from searchengine_spark.pipeline import nndescent, pq, similarity
 
     if method == "exact":
@@ -48,7 +48,7 @@ def run(emb, method: str, probes: list[int], k: int, nprobe: int,
         return pq.pq_adc_topk(emb, probes, topk=k)
     if method == "graph":
         return nndescent.graph_search_topk(emb, probes, k,
-                                           beam=beam, hops=hops)
+                                           beam=beam, hops=hops, graph=graph)
     raise ValueError(f"unknown method {method!r}")
 
 
@@ -62,18 +62,32 @@ def main() -> None:
     ap.add_argument("--nprobe", type=int, default=2, help="ivf lists probed")
     ap.add_argument("--beam", type=int, default=8, help="graph beam width")
     ap.add_argument("--hops", type=int, default=2, help="graph expansions")
+    ap.add_argument("--save-graph", default=None, metavar="DIR",
+                    help="graph method: persist the built NN-Descent "
+                         "graph as parquet for later --load-graph runs")
+    ap.add_argument("--load-graph", default=None, metavar="DIR",
+                    help="graph method: search a previously saved graph "
+                         "instead of rebuilding (the serving deployment)")
     ap.add_argument("--with-recall", action="store_true",
                     help="also report per-probe recall vs exact cosine")
     args = ap.parse_args()
 
-    from searchengine_spark.pipeline import similarity
+    from searchengine_spark.pipeline import nndescent, similarity
     from searchengine_spark.session import get_spark
 
     probes = [int(x) for x in args.probes.split(",") if x]
     spark = get_spark("knn")
     emb = spark.read.parquet(args.input)
+    graph = None
+    if args.method == "graph":
+        if args.load_graph:
+            graph = spark.read.parquet(args.load_graph)
+        elif args.save_graph:
+            nndescent.nndescent_graph(emb).write.mode("overwrite") \
+                .parquet(args.save_graph)
+            graph = spark.read.parquet(args.save_graph)
     res = run(emb, args.method, probes, args.k, args.nprobe,
-              args.beam, args.hops)
+              args.beam, args.hops, graph=graph)
     rows = res.collect()
     out = {
         "method": args.method, "k": args.k, "probes": probes,
