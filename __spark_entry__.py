@@ -1023,6 +1023,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semi-supervised label spread from seed nodes through the graph
         "q_graph_label_prop": lambda s, d: nndescent.graph_label_propagation(
             _emb(s, d), PROBE_VEC_IDS, iters=3, k=5, rounds=2),
+        # navigation-depth sizing curve (hops -> micro-recall)
+        "q_graph_ann_hops_curve": lambda s, d: nndescent.graph_search_hops_curve(
+            _emb(s, d), PROBE_VEC_IDS, k=5, beam=8, max_hops=3,
+            graph_k=5, rounds=2),
         # serving-tier planning: static result-cache curve + doc/term routing
         "q_cache_hit_curve": lambda s, d: serving.cache_hit_curve(_docs(s, d)),
         "q_partition_routing": lambda s, d: serving.partition_routing(
@@ -1381,6 +1385,9 @@ def oracle_sql() -> dict[str, str]:
                                                         n_planes=4),
         "q_graph_label_prop": osql.graph_label_propagation(
             PROBE_VEC_IDS, iters=3, k=5, rounds=2, n_planes=4),
+        "q_graph_ann_hops_curve": osql.graph_search_hops_curve(
+            PROBE_VEC_IDS, k=5, beam=8, max_hops=3, graph_k=5, rounds=2,
+            n_planes=4),
         "q_cache_hit_curve": osql.cache_hit_curve(),
         "q_partition_routing": osql.partition_routing(n_shards=16),
         "q_posting_cache_plan": osql.posting_cache_plan(),

@@ -207,6 +207,7 @@ HEADLINE = [
     "q_knn_predict",
     "q_knn_outlier_scores",
     "q_graph_label_prop",
+    "q_graph_ann_hops_curve",
     "q_cache_hit_curve",
     "q_posting_cache_plan",
     "q_partition_routing",

@@ -520,3 +520,47 @@ def graph_label_propagation(embeddings: DataFrame, seed_ids: list[int],
             .localCheckpoint(eager=True)
         )
     return state
+
+
+def graph_search_hops_curve(embeddings: DataFrame, probe_ids: list[int],
+                            k: int = 5, beam: int = 8, max_hops: int = 3,
+                            graph_k: int = NND_K, rounds: int = NND_ROUNDS,
+                            n_planes: int | None = None,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """(hops, n_probes, sum_hits, sum_exact, micro_recall) — beam-search
+    recall as a function of navigation depth: the curve that sizes
+    ``hops`` for a latency budget, the way ``lsh_recall_curve`` sizes
+    banding and ``ivf_nprobe_sweep`` sizes nprobe.  micro-averaged
+    (Σhits/Σexact over the probe set) from exact integer counts, so the
+    4dp ratio has no float merge-order drift.
+
+    Cost: the graph builds ONCE and every depth searches it
+    (``graph=``); the exact baseline computes once and is persisted —
+    the whole curve prices at one build + (max_hops+1) beam searches.
+    """
+    if n_planes is None:
+        n_planes = nnd_planes(embeddings.count(), graph_k)
+    g = nndescent_graph(embeddings, graph_k, rounds, n_planes,
+                        id_col, vec_col)
+    exact = cosine_topk(embeddings, probe_ids, k, id_col, vec_col).persist()
+    parts = []
+    for h in range(max_hops + 1):
+        r = ann_recall(
+            exact,
+            graph_search_topk(embeddings, probe_ids, k, beam, h,
+                              graph_k, rounds, n_planes, id_col, vec_col,
+                              graph=g))
+        parts.append(
+            r.agg(F.count(F.lit(1)).cast("long").alias("n_probes"),
+                  F.sum("n_hits").cast("long").alias("sum_hits"),
+                  F.sum("n_exact").cast("long").alias("sum_exact"))
+            .select(F.lit(h).cast("long").alias("hops"),
+                    "n_probes", "sum_hits", "sum_exact",
+                    F.round(F.col("sum_hits") / F.col("sum_exact"), 4)
+                    .alias("micro_recall"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return finalize(out, exact)

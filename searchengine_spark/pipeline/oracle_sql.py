@@ -8012,3 +8012,21 @@ l{r} AS (
 WITH {ctes}
 SELECT vec_id, pred_label FROM l{iters}
 """
+
+
+def graph_search_hops_curve(probe_ids: list[int], k: int = 5,
+                            beam: int = 8, max_hops: int = 3,
+                            graph_k: int = 5, rounds: int = 2,
+                            n_planes: int = 4) -> str:
+    """Twin of nndescent.graph_search_hops_curve: per-depth micro-recall
+    from the unrolled beam-search twins (each depth embeds its own graph
+    CTE — acceptable at gate scale; the engine builds the graph once)."""
+    parts = []
+    for h in range(max_hops + 1):
+        parts.append(f"""
+SELECT {h}::BIGINT AS hops, count(*)::BIGINT AS n_probes,
+       sum(n_hits)::BIGINT AS sum_hits, sum(n_exact)::BIGINT AS sum_exact,
+       round(sum(n_hits) / sum(n_exact)::DOUBLE, 4) AS micro_recall
+FROM ({graph_search_recall(probe_ids, k, beam, h, graph_k, rounds,
+                           n_planes)})""")
+    return "\nUNION ALL\n".join(parts)

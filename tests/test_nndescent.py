@@ -305,3 +305,18 @@ class TestLabelPropagation:
         byid = dict(zip(out["vec_id"], out["pred_label"]))
         assert byid[0] == "x"
         assert out["pred_label"].notna().sum() == 1  # only the seed at iters=0
+
+
+def test_hops_curve_monotone_on_clusters(spark, clustered):
+    """Micro-recall is non-decreasing in navigation depth on clustered
+    data, reaches >=0.9 by depth 3, and the integer columns reconcile."""
+    out = N.graph_search_hops_curve(
+        clustered, [202, 303, 404, 505], k=5, beam=8, max_hops=3,
+        graph_k=5, rounds=2, n_planes=4).orderBy("hops").collect()
+    assert [r.hops for r in out] == [0, 1, 2, 3]
+    recalls = [r.micro_recall for r in out]
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] >= 0.9
+    for r in out:
+        assert r.n_probes == 4 and r.sum_exact == 20
+        assert r.micro_recall == round(r.sum_hits / r.sum_exact, 4)
