@@ -337,7 +337,16 @@ def components_from_edges(pairs: DataFrame, all_ids: DataFrame,
     in ``duplicate_clusters``; extracted so any edge source — near-dup
     pairs, mutual-kNN edges — clusters through the same machinery).
     ``pairs``: (doc_a, doc_b); ``all_ids``: (doc_id) — off-graph ids
-    come back as their own singleton cluster."""
+    come back as their own singleton cluster.
+
+    Each round does (1) one-hop neighbour-min and (2) a pointer-jump
+    (take the label OF your label — the shortcutting step of
+    hash-to-min / Shiloach-Vishkin CC), so a chain of diameter d
+    converges in O(log d) rounds instead of d: max_iters=25 covers
+    components of diameter ~2^25, not 25.  If the loop still exhausts
+    ``max_iters`` without a fixed point it RAISES rather than silently
+    returning split components (a wrong answer downstream consumers —
+    dedup survivors, mutual-kNN clusters — could not detect)."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
@@ -347,16 +356,28 @@ def components_from_edges(pairs: DataFrame, all_ids: DataFrame,
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         neigh = (
             edges.join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
             .groupBy("doc_a").agg(F.min("label").alias("nmin"))
             .withColumnRenamed("doc_a", "doc_id")
         )
-        new_labels = (
+        hop = (
             labels.join(neigh, "doc_id", "left")
             .select("doc_id",
                     F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label")))
+                    .alias("label"))
+        )
+        # pointer jump: label <- label(label).  A label is always a node id
+        # inside the same component, so the jump only ever shortcuts toward
+        # the component minimum — one edge-free self-join on the node set.
+        parent = hop.select(F.col("doc_id").alias("label"),
+                            F.col("label").alias("plabel"))
+        new_labels = (
+            hop.join(parent, "label", "left")
+            .select("doc_id",
+                    F.least(F.col("label"), F.coalesce(F.col("plabel"), F.col("label")))
                     .alias("label"))
             .localCheckpoint(eager=True)
         )
@@ -368,7 +389,12 @@ def components_from_edges(pairs: DataFrame, all_ids: DataFrame,
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"components_from_edges: no fixed point after {max_iters} "
+            f"rounds (component diameter > ~2^{max_iters}); raise max_iters")
 
     return (
         all_ids.join(labels, "doc_id", "left")

@@ -164,7 +164,8 @@ def nndescent_graph(embeddings: DataFrame, k: int = NND_K,
 def knn_hubness(embeddings: DataFrame, k: int = NND_K,
                 rounds: int = NND_ROUNDS, n_planes: int | None = None,
                 id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                graph: DataFrame | None = None) -> DataFrame:
     """(in_degree, n_nodes) — reverse-kNN in-degree histogram of the
     NN-Descent graph, including in_degree=0 antihubs (nodes no other
     node names as a neighbour).
@@ -179,9 +180,11 @@ def knn_hubness(embeddings: DataFrame, k: int = NND_K,
 
     Scale: one hash agg over the n·k edge list + one broadcast-able
     left join against the id dimension; histogram rows ≤ n·k distinct
-    degrees.
+    degrees.  ``graph=`` reuses a persisted build.
     """
-    g = nndescent_graph(embeddings, k, rounds, n_planes, id_col, vec_col)
+    g = (graph if graph is not None
+         else nndescent_graph(embeddings, k, rounds, n_planes,
+                              id_col, vec_col))
     deg = g.groupBy(F.col("nbr_id").alias("vid")).agg(
         F.count(F.lit(1)).cast("long").alias("in_degree"))
     ids = embeddings.select(F.col(id_col).alias("vid"))
@@ -199,11 +202,15 @@ def nndescent_recall(embeddings: DataFrame, probe_ids: list[int],
                      k: int = NND_K, rounds: int = NND_ROUNDS,
                      n_planes: int | None = None,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     graph: DataFrame | None = None) -> DataFrame:
     """(probe_id, n_hits, n_exact, recall) — the graph's edge lists for
     the probe nodes scored against exact cosine top-k (the same
-    recall gate shape as lsh/ivf/pq_recall, pinning graph quality)."""
-    g = nndescent_graph(embeddings, k, rounds, n_planes, id_col, vec_col)
+    recall gate shape as lsh/ivf/pq_recall, pinning graph quality).
+    ``graph=`` reuses a persisted build."""
+    g = (graph if graph is not None
+         else nndescent_graph(embeddings, k, rounds, n_planes,
+                              id_col, vec_col))
     ann = g.filter(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("nbr_id").alias("vec_id"))
     return ann_recall(
@@ -253,7 +260,11 @@ def graph_search_topk(embeddings: DataFrame, probe_ids: list[int],
 
     Pass ``graph=`` to search a prebuilt (persisted) graph — the serving
     deployment, where one graph build amortizes over every query batch.
+
+    ``beam`` is clamped to at least ``k`` — a beam narrower than the
+    result size would silently return fewer than ``k`` rows.
     """
+    beam = max(beam, k)
     if n_planes is None:
         n_planes = nnd_planes(embeddings.count(), graph_k)
     g = (graph if graph is not None
@@ -360,7 +371,8 @@ def mutual_knn_clusters(embeddings: DataFrame, k: int = NND_K,
                         n_planes: int | None = None,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        graph: DataFrame | None = None) -> DataFrame:
+                        graph: DataFrame | None = None,
+                        max_iters: int = 25) -> DataFrame:
     """(vec_id, cluster_id) for EVERY vector — connected components over
     the reciprocal-NN edge list: the threshold-free semantic grouping
     step (mutual edges certify closeness for both endpoints, so the
@@ -380,7 +392,7 @@ def mutual_knn_clusters(embeddings: DataFrame, k: int = NND_K,
                              id_col, vec_col, graph=graph) \
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     ids = embeddings.select(F.col(id_col).alias("doc_id"))
-    return components_from_edges(pairs, ids).select(
+    return components_from_edges(pairs, ids, max_iters).select(
         F.col("doc_id").alias("vec_id"), "cluster_id")
 
 
@@ -527,7 +539,8 @@ def graph_search_hops_curve(embeddings: DataFrame, probe_ids: list[int],
                             graph_k: int = NND_K, rounds: int = NND_ROUNDS,
                             n_planes: int | None = None,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            graph: DataFrame | None = None) -> DataFrame:
     """(hops, n_probes, sum_hits, sum_exact, micro_recall) — beam-search
     recall as a function of navigation depth: the curve that sizes
     ``hops`` for a latency budget, the way ``lsh_recall_curve`` sizes
@@ -536,13 +549,15 @@ def graph_search_hops_curve(embeddings: DataFrame, probe_ids: list[int],
     4dp ratio has no float merge-order drift.
 
     Cost: the graph builds ONCE and every depth searches it
-    (``graph=``); the exact baseline computes once and is persisted —
-    the whole curve prices at one build + (max_hops+1) beam searches.
+    (``graph=`` — pass one in to amortize it across curve calls too);
+    the exact baseline computes once and is persisted — the whole curve
+    prices at one build + (max_hops+1) beam searches.
     """
     if n_planes is None:
         n_planes = nnd_planes(embeddings.count(), graph_k)
-    g = nndescent_graph(embeddings, graph_k, rounds, n_planes,
-                        id_col, vec_col)
+    g = (graph if graph is not None
+         else nndescent_graph(embeddings, graph_k, rounds, n_planes,
+                              id_col, vec_col))
     exact = cosine_topk(embeddings, probe_ids, k, id_col, vec_col).persist()
     parts = []
     for h in range(max_hops + 1):

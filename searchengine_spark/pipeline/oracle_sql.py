@@ -7817,7 +7817,8 @@ def graph_search_topk(probe_ids: list[int], k: int = 5, beam: int = 8,
     per-probe LSH-forest bucket-mates, then ``hops`` unrolled beam
     expansions over the NN-Descent edge list (beam ∪ neighbours,
     exact-cosine rescore, per-probe top-beam), then the top-k of the
-    final beam.  Same 3dp / id-asc tie contract."""
+    final beam.  Same 3dp / id-asc tie contract, same beam>=k clamp."""
+    beam = max(beam, k)
     ids = ", ".join(str(i) for i in probe_ids)
     parts = [f"""g AS (SELECT vec_id, nbr_id
      FROM ({nndescent_graph(graph_k, rounds, n_planes)})),
@@ -7915,13 +7916,15 @@ FROM embeddings e LEFT JOIN labels l USING (vec_id)
 
 def knn_predict(probe_ids: list[int], k: int = 5) -> str:
     """Twin of similarity.knn_predict: majority label over the exact
-    top-k, argmax by (votes desc, label asc)."""
+    top-k, argmax by (votes desc, label asc); NULL neighbour labels are
+    dropped before voting on both engines."""
     return f"""
 WITH topk AS ({cosine_topk(probe_ids, k)}),
 l AS (SELECT vec_id, label FROM embeddings),
 votes AS (
   SELECT t.probe_id, cl.label, count(*)::BIGINT AS n_votes
   FROM topk t JOIN l cl ON cl.vec_id = t.vec_id
+  WHERE cl.label IS NOT NULL
   GROUP BY 1, 2
 ),
 best AS (
