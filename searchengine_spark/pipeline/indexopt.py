@@ -29,10 +29,13 @@ layout decisions dominate cost:
 Scale notes: roaring/pruning are one windowed shuffle over the
 postings table (partitioned by term — the same key the postings are
 already bucketed by, so at rest this is shuffle-free); zonemap_prune
-reduces the corpus to (doc_id, key) pairs before any windowing and its
-global ntile is a planning calculation over that narrow projection —
-the production layout itself comes from repartitionByRange, which
-samples boundaries instead of sorting globally.
+reduces the corpus to (doc_id, key) pairs and assigns its clustered
+layout with the two-pass distributed rank (range shuffle + per-
+partition running counts + a #partitions-row offset table) — the same
+machinery as ``reorder.docid_remap``, so no row of the corpus ever
+funnels through a single-partition window; the production layout
+itself comes from repartitionByRange, which samples boundaries
+instead of sorting globally.
 """
 
 from __future__ import annotations
@@ -244,6 +247,66 @@ def static_pruning_recall(documents: DataFrame,
     return finalize(out, full, ds_full, scored_full, pruned)
 
 
+_ZONE_RANK_SCHEMA = "len long, pid int, local_rank long"
+
+
+def _zone_rank_fn(it):
+    """Running counter over a partition's Arrow batches (arrive in the
+    partition's sort order after sortWithinPartitions) — the same local
+    pass as ``reorder._local_rank_fn``, keyed on len."""
+    import pandas as pd
+
+    seen = 0
+    for pdf in it:
+        n = len(pdf)
+        yield pd.DataFrame({
+            "len": pdf["len"].to_numpy(),
+            "pid": pdf["pid"].to_numpy(),
+            "local_rank": range(seen, seen + n),
+        })
+        seen += n
+
+
+def _clustered_parts(keyed: DataFrame, n_parts: int) -> DataFrame:
+    """(len, part) with part == EXACT ``ntile(n_parts) ORDER BY (len,
+    doc_id)`` — computed with the two-pass distributed rank instead of a
+    single-partition window: range-shuffle on the sort key, per-partition
+    local ranks in one mapInPandas pass, then a #partitions-row count
+    table (a bounded driver-side collect, the zipWithIndex shape) turned
+    into prefix offsets and ntile arithmetic (first n%P tiles get
+    ⌈n/P⌉ rows, the rest ⌊n/P⌋).  No corpus row ever funnels through
+    one partition, so the planning query itself practices the layout it
+    recommends."""
+    ranked = (
+        keyed.repartitionByRange(n_parts, "len", "doc_id")
+        .sortWithinPartitions("len", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .select("len", "pid")
+        .mapInPandas(_zone_rank_fn, schema=_ZONE_RANK_SCHEMA)
+        .persist()
+    )
+    counts = {int(r["pid"]): int(r["n"]) for r in
+              ranked.groupBy("pid").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(x) for pid_acc in offsets.items() for x in pid_acc]
+    )[F.col("pid")] if offsets else F.lit(0)
+    rank = (off + F.col("local_rank")).cast("long")  # 0-based global rank
+    q, r = divmod(n, n_parts)
+    if q == 0:  # fewer rows than tiles: each row its own tile
+        part = rank + 1
+    else:
+        part = F.when(
+            rank < r * (q + 1), F.floor(rank / (q + 1)) + 1
+        ).otherwise(F.lit(r) + F.floor((rank - r * (q + 1)) / q) + 1)
+    return ranked.select("len", part.cast("int").alias("part")), ranked
+
+
 def zonemap_prune(documents: DataFrame, n_parts: int = 32,
                   lo: int = 200, hi: int = 400) -> DataFrame:
     """(layout, n_parts, n_scanned, rows_scanned, rows_matching,
@@ -252,26 +315,21 @@ def zonemap_prune(documents: DataFrame, n_parts: int = 32,
 
       arrival    partition = doc_id % n_parts (insertion order —
                  every partition's [min,max] spans the key range),
-      clustered  partition = ntile(n_parts) ordered by (len, doc_id)
-                 (the layout repartitionByRange + sort-within gives).
+      clustered  partition = exact ntile(n_parts) ordered by
+                 (len, doc_id) — the layout repartitionByRange +
+                 sort-within gives — assigned via the two-pass
+                 distributed rank (``_clustered_parts``), never a
+                 single-partition window.
 
     A partition is scanned iff its zone map [min_len, max_len]
     intersects [lo, hi] — exactly Parquet row-group / Iceberg manifest
     pruning.  The two output rows quantify what clustering the corpus
-    by the key buys: rows_matching is identical, rows_scanned is not.
-
-    The corpus is first projected to (doc_id, len) — the windowed
-    ntile runs over that narrow pair stream, a planning calculation;
-    the layout itself would be written with repartitionByRange
-    (sampled boundaries, no global sort)."""
+    by the key buys: rows_matching is identical, rows_scanned is not."""
     keyed = documents.select(
         "doc_id", F.length("text").cast("long").alias("len")
     )
     arrival = keyed.withColumn("part", F.col("doc_id") % n_parts)
-    clustered = keyed.withColumn(
-        "part",
-        F.ntile(n_parts).over(Window.orderBy(F.asc("len"), F.asc("doc_id"))),
-    )
+    clustered, ranked = _clustered_parts(keyed, n_parts)
     out = []
     for name, df in (("arrival", arrival), ("clustered", clustered)):
         zones = df.groupBy("part").agg(
@@ -298,7 +356,7 @@ def zonemap_prune(documents: DataFrame, n_parts: int = 32,
                     / F.sum("n_rows"), 4).alias("frac_scanned"),
             )
         )
-    return out[0].unionByName(out[1])
+    return finalize(out[0].unionByName(out[1]), ranked)
 
 
 def for_packing(documents: DataFrame, block: int = 128, **kw) -> DataFrame:

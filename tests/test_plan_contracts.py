@@ -497,3 +497,16 @@ class TestClosingBatchContracts:
         # the probe batch and entry set ride broadcast exchanges; the
         # corpus-side vector lookup stays an equi-join
         assert "BroadcastExchange" in p
+
+    def test_zonemap_clustered_layout_has_no_global_window(self, docs,
+                                                           explain_only):
+        from searchengine_spark.pipeline.indexopt import zonemap_prune
+
+        # the clustered layout must come from the two-pass distributed
+        # rank (range shuffle + mapInPandas local counts + bounded offset
+        # map), NEVER an ntile over an unpartitioned window funnelling the
+        # corpus through one task
+        p = plan_str(zonemap_prune(docs, n_parts=8, lo=200, hi=400))
+        assert "ntile" not in p.lower()
+        assert "Window" not in p, "single-partition Window crept back in"
+        assert "MapInPandas" in p or "InMemoryTableScan" in p
