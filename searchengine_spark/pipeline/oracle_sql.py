@@ -20,6 +20,7 @@ from searchengine_spark.pipeline.hashing import (
     md5_long_sql,
     simhash_band_layout,
 )
+from searchengine_spark.pipeline.classifier import FEATURES as _LOGREG_FEATURES
 from searchengine_spark.pipeline.textstats import BPE_PRETOKEN_RE, EN_MARKERS
 
 # tokenizer twin of pipeline.fulltext.tokens_col
@@ -3826,10 +3827,6 @@ SELECT e.vec_id, round(sum(e.x * c.loading), 4) AS proj
 FROM e JOIN comps c ON c.i = e.i
 GROUP BY e.vec_id
 """
-
-
-_LOGREG_FEATURES = ["bias", "tok_sat", "atl_sat", "alnum_ratio",
-                    "marker_ratio", "quality"]
 
 
 def _logreg_chain(iters: int, lr: float, label: str) -> tuple[str, str]:

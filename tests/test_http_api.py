@@ -378,3 +378,45 @@ def test_search_isolated_from_index_page_delta(spark, tmp_path, monkeypatch):
     delta_end = next(t for n, t in events if n == "delta-")
     search_end = next(t for n, t in events if n == "search-done")
     assert search_end >= delta_end
+
+
+def test_ru_inflected_query_matches_base_form_end_to_end(spark, tmp_path):
+    """An inflected RU query through /api/search finds documents indexed
+    under OTHER inflections, and returns exactly the base-form query's
+    results — the serving-path twin of the analyzer-level
+    LemmatizationServiceTest goldens (the reference lemmatizes both the
+    page text and the query, SearchServiceImpl.java:34-81)."""
+    rows = [
+        ("ru/zoo", "a.txt", "c1", "ru",
+         "Повторное появление леопарда в Осетии"),      # genitive
+        ("ru/zoo", "b.txt", "c1", "ru",
+         "Леопарды живут высоко в горах"),               # nominative plural
+        ("ru/zoo", "c.txt", "c1", "ru",
+         "Медведи спят всю зиму в берлоге"),             # no leopard
+    ]
+    docs = spark.createDataFrame(
+        rows, ["repo", "path", "commit", "lang", "content"])
+    out_dir = str(tmp_path / "ruidx")
+    from searchengine_spark.index.build import build_index
+
+    build_index(spark, docs, out_dir, n_shards=2, n_buckets=2)
+    svc = SearchEngineService(spark, out_dir, docs=docs,
+                              scopes_path=str(tmp_path / "ruscopes.json"))
+    httpd = serve(svc)
+    base = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        import urllib.parse
+
+        def q(term):
+            return _get(base, "/api/search?query="
+                        + urllib.parse.quote(term))
+
+        base_form = q("леопард")
+        dative = q("леопарду")          # inflection indexed NOWHERE
+        assert base_form["result"] is True and base_form["count"] == 2
+        assert dative["result"] is True and dative["count"] == 2
+        assert ([d["uri"] for d in dative["data"]]
+                == [d["uri"] for d in base_form["data"]])
+        assert {d["uri"] for d in dative["data"]} == {"a.txt", "b.txt"}
+    finally:
+        httpd.shutdown()

@@ -1,0 +1,81 @@
+"""Oracle-layer constant hygiene: the DuckDB twins in
+pipeline/oracle_sql.py must IMPORT every engine constant they depend on
+(hashing moduli, feature lists, scoring parameters), never re-type it —
+a re-typed copy drifts silently and surfaces as a value-hash mismatch
+with no code bug to find.
+
+Two guards:
+
+1. AST scan — every module-level assignment in oracle_sql.py whose value
+   is a non-string literal (list/tuple/dict/number) is a re-typed
+   constant and fails the test; SQL template strings (the module's
+   legitimate module-level state) are exempt.
+2. Source scan for the BM25 parameters — the SQL embeds k1/b as decimal
+   literals inside raw template strings, so the test extracts every
+   occurrence of the BM25 tf-normalization shape and asserts the
+   literals equal textproc.core.BM25_K1 / BM25_B exactly.
+"""
+
+from __future__ import annotations
+
+import ast
+import inspect
+import re
+
+from searchengine_spark.pipeline import classifier, hashing
+from searchengine_spark.pipeline import oracle_sql as osql
+from searchengine_spark.textproc.core import BM25_B, BM25_K1
+
+SRC = inspect.getsource(osql)
+
+
+def _is_stringy(node: ast.expr) -> bool:
+    """True for SQL-template shapes: str literals, f-strings, str
+    concatenation/multiplication, .format()/.join() calls, and
+    parenthesized combinations thereof."""
+    if isinstance(node, ast.Constant):
+        return isinstance(node.value, str)
+    if isinstance(node, ast.JoinedStr):
+        return True
+    if isinstance(node, ast.BinOp):
+        return _is_stringy(node.left) or _is_stringy(node.right)
+    if isinstance(node, ast.Call):
+        return True  # .format()/.join()/str builders — derived, not re-typed
+    if isinstance(node, ast.Name):
+        return True  # alias of another module-level template
+    return False
+
+
+def test_no_retyped_nonstring_module_constants():
+    tree = ast.parse(SRC)
+    offenders = []
+    for node in tree.body:
+        if isinstance(node, ast.Assign):
+            for tgt in node.targets:
+                if isinstance(tgt, ast.Name) and not _is_stringy(node.value):
+                    offenders.append(tgt.name)
+    assert not offenders, (
+        f"module-level non-string constants re-typed in oracle_sql.py "
+        f"(import them from the engine instead): {offenders}")
+
+
+def test_logreg_feature_list_is_the_engine_object():
+    assert osql._LOGREG_FEATURES is classifier.FEATURES
+
+
+def test_hashing_constants_are_the_engine_objects():
+    for name in ("MINHASH_A", "MINHASH_B", "MINHASH_P", "MINHASH_BANDS",
+                 "MINHASH_ROWS", "NUM_MINHASH", "FINGERPRINT_HEX"):
+        assert getattr(osql, name) is getattr(hashing, name), name
+
+
+def test_bm25_literals_in_sql_match_engine_constants():
+    # every tf-normalization denominator in the twins:
+    #   (p.tf + K1 * (1 - B + B * (ds.dl / g.avgdl)))
+    pat = re.compile(
+        r"tf \+ ([0-9.]+) \* \(1 - ([0-9.]+) \+ ([0-9.]+) \*")
+    hits = pat.findall(SRC)
+    assert hits, "BM25 denominator shape not found — update the pattern"
+    for k1, b1, b2 in hits:
+        assert float(k1) == BM25_K1, (k1, BM25_K1)
+        assert float(b1) == BM25_B == float(b2), (b1, b2, BM25_B)
