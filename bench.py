@@ -224,6 +224,19 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# round-3's slowest headline entries swung ±15% single-sample (BASELINE.md
+# headline block; scale16_token_counts showed a phantom 1.6->2.3 s
+# "regression" on identical code), so the heaviest queries get the same
+# warm-median-of-3 discipline as the builds.  Everything else stays
+# single-sample: cheap entries' absolute noise is small.
+SLOW_WARM = {
+    "q_graph_ann_hops_curve", "q_graph_ann_recall", "q_graph_ann_topk",
+    "q_mutual_knn_clusters", "q_logreg_scores", "q_nndescent_recall",
+    "q_lsh_recall_curve", "q_knn_hubness", "q_nndescent_graph",
+    "q_graph_label_prop", "q_quantization_agreement", "q_rank_agreement",
+}
+
+
 def _warm_median3(fn) -> float:
     """One untimed warm run + median of 3 timed runs.
 
@@ -263,9 +276,13 @@ def main() -> None:
     timings["plain_index_build"] = round(time.time() - t0, 3)
 
     for name in HEADLINE:
-        t0 = time.time()
-        _force(qmap[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        if name in SLOW_WARM:
+            timings[name] = round(
+                _warm_median3(lambda: _force(qmap[name](spark, sf_dir))), 3)
+        else:
+            t0 = time.time()
+            _force(qmap[name](spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
 
     # index-build throughput at the current parallelism (segment build path)
     import shutil
@@ -375,15 +392,60 @@ def main() -> None:
                 "text")
     )
     extras["scale16_n_docs"] = n_docs * 16
-    t0 = time.time()
-    _force(_ft.bm25_topk(big, ["merge", "vector"], k=20))
-    timings["scale16_bm25_and2"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    _force(_dedup.simhash(big))
-    timings["scale16_simhash"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    _force(_ts.token_counts(big))
-    timings["scale16_token_counts"] = round(time.time() - t0, 3)
+    # warm medians here too: these are the scale canaries round-over-round
+    # diffs lean on hardest, and single samples swung ±40% on identical code
+    timings["scale16_bm25_and2"] = round(_warm_median3(
+        lambda: _force(_ft.bm25_topk(big, ["merge", "vector"], k=20))), 3)
+    timings["scale16_simhash"] = round(_warm_median3(
+        lambda: _force(_dedup.simhash(big))), 3)
+    timings["scale16_token_counts"] = round(_warm_median3(
+        lambda: _force(_ts.token_counts(big))), 3)
+
+    # --- serving latency at 16x corpus: index the replicated corpus once,
+    # then SegmentSearcher p50/p99 over a fixed testdata-vocabulary battery
+    # (the t2 serving numbers above cover the 20k-doc fixture only; this
+    # pins the 80k-doc scaling of the serving path the same way the
+    # scale16_* plans pin the batch side)
+    big_docs = (
+        base.crossJoin(F.broadcast(
+            spark.range(16).withColumnRenamed("id", "rep")))
+        .selectExpr(
+            "cast(doc_id as string) as repo",
+            "concat('doc/', cast(rep as string), '/', "
+            "cast(doc_id as string), '.txt') as path",
+            "'HEAD' as commit",
+            "lang",
+            "text as content",
+        )
+    )
+    s16tmp = tempfile.mkdtemp(prefix="bench_s16idx_")
+    try:
+        t0 = time.time()
+        build_index(spark, big_docs, s16tmp, mode="code",
+                    n_shards=8, n_buckets=16)
+        extras["scale16_index_build_s"] = round(time.time() - t0, 3)
+        s16 = SegmentSearcher(None, s16tmp)  # io="arrow": no Spark jobs
+        battery = [
+            ["merge", "vector"], ["dup"], ["table", "join"],
+            ["hash", "stream", "vector"], ["window", "agg"],
+            ["merge"], ["vector"], ["table"], ["join"], ["hash"],
+            ["stream"], ["batch"], ["window"], ["row"],
+        ]
+        for terms in battery:  # warm pass
+            s16.search(terms, k=20)
+        lat16 = []
+        for _ in range(15):  # 14 x 15 = 210 samples, as for t2
+            for terms in battery:
+                t0 = time.time()
+                s16.search(terms, k=20)
+                lat16.append((time.time() - t0) * 1000.0)
+        lat16.sort()
+        extras["scale16_query_p50_ms"] = round(lat16[len(lat16) // 2], 1)
+        extras["scale16_query_p99_ms"] = round(
+            lat16[min(len(lat16) - 1, int(len(lat16) * 0.99))], 1)
+        extras["scale16_query_samples"] = len(lat16)
+    finally:
+        shutil.rmtree(s16tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     out = {
