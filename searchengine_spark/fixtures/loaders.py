@@ -37,6 +37,22 @@ def load_lemma_dict() -> dict[str, str]:
 
 
 @lru_cache(maxsize=1)
+def load_morph_heldout() -> list[tuple[str, str, str]]:
+    """(lang, inflected, dictionary-lemma) HELD-OUT evaluation pairs: the
+    measured OOV-lemmatization rate (tests/test_morph_heldout.py,
+    reported in BASELINE.md).  Unlike the goldens, the engine is NOT
+    required to match these — none of these surface forms may appear in
+    the engines' exception dictionaries or the golden suite, so the file
+    measures how far the RULES generalize beyond the tuned vocabulary."""
+    out = []
+    for line in _read_text("morph_eval_heldout.tsv").splitlines():
+        if line.strip():
+            lang, word, lemma = line.split("\t")
+            out.append((lang, word, lemma))
+    return out
+
+
+@lru_cache(maxsize=1)
 def load_morph_goldens() -> list[tuple[str, str, str]]:
     """(lang, inflected, lemma) golden pairs from public grammar sources
     (declension/conjugation tables + the reference's

@@ -59,6 +59,12 @@ EN_EXCEPTIONS: dict[str, str] = {
     "ordering": "order", "read": "read",
     # -ie verbs whose gerund rewrites the stem
     "dying": "die", "lying": "lie", "tying": "tie",
+    # vowel-less stems the no-vowel gerund guard skips
+    "trying": "try", "flying": "fly", "drying": "dry", "frying": "fry",
+    # Latin/Greek and other dictionary plurals
+    "statuses": "status", "crises": "crisis", "theses": "thesis",
+    "bases": "base", "oxen": "ox",
+    "frozen": "freeze", "froze": "freeze",
     # gerunds/pasts the doubling/e-restore heuristics misread
     "falling": "fall", "telling": "tell", "selling": "sell",
     "calling": "call", "filling": "fill", "rolling": "roll",
@@ -88,6 +94,16 @@ EN_EXCEPTIONS: dict[str, str] = {
     "series": "series", "species": "species", "news": "news",
     "this": "this", "his": "his", "its": "its", "us": "us",
     "shoes": "shoe", "axes": "axis",
+    # -es after ch where the lemma keeps the e (watch/watches is the
+    # majority pattern the rule follows; these are the cache-like few)
+    "caches": "cache", "cached": "cache", "caching": "cache",
+    "niches": "niche",
+    # vowel-final stems the -ed/-ing vowel guard skips
+    "argued": "argue", "argues": "argue", "arguing": "argue",
+    "issued": "issue", "issues": "issue", "issuing": "issue",
+    "valued": "value", "values": "value", "valuing": "value",
+    "continued": "continue", "continues": "continue",
+    "continuing": "continue", "queued": "queue", "queues": "queue",
     # short/irregular forms the length guards or heuristics miss
     "used": "use", "using": "use", "uses": "use",
     "agreed": "agree", "freed": "free",
@@ -104,14 +120,25 @@ _VOWELS = frozenset("aeiou")
 # (running -> run); l/s/z excluded — their doubles are usually lexical
 # (falling, passing, buzzing) and live in EN_EXCEPTIONS instead
 _DOUBLES = frozenset("bdgkmnprt")
+# consonant clusters that only end English words with a silent e —
+# stripping -ed/-ing off merge/parse/force/dance/judge/serve/solve/
+# handle-type verbs leaves these tails, so the e comes back (rl/wl/ll
+# excluded: curl/howl/roll are real bare stems)
+_E_CLUSTERS = frozenset((
+    "rg", "rs", "rc", "nc", "dg", "rv", "ns", "ls", "ps", "lv",
+    "bl", "cl", "dl", "fl", "gl", "kl", "pl", "tl", "zl",
+))
 
 
 def _undouble_or_e(stem: str) -> str:
     """Post-fix a stem after stripping -ing/-ed: undo consonant doubling
-    (stopp -> stop) or restore a silent e after a C-V-C tail
-    (mak -> make, us -> use)."""
+    (stopp -> stop), restore a silent e after a C-V-C tail
+    (mak -> make, us -> use) or after an e-only consonant cluster
+    (merg -> merge, handl -> handle)."""
     if (len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] in _DOUBLES):
         return stem[:-1]
+    if len(stem) >= 3 and stem[-2:] in _E_CLUSTERS:
+        return stem + "e"
     if (
         len(stem) >= 2
         and stem[-1] not in _VOWELS and stem[-1] not in "wxy"
@@ -192,6 +219,7 @@ def en_normal_forms_series(s: pd.Series) -> pd.Series:
         last, prev = stems.str[-1], stems.str[-2].fillna("")
         third = stems.str[-3].fillna("")
         dbl = (ln >= 3) & (last == prev) & last.isin(_DOUBLES)
+        clus = (ln >= 3) & stems.str[-2:].isin(_E_CLUSTERS) & ~dbl
         eres = (
             (ln >= 2)
             & ~last.isin(_VOWELS) & ~last.isin(list("wxy"))
@@ -200,7 +228,8 @@ def en_normal_forms_series(s: pd.Series) -> pd.Series:
         )
         res = stems.copy()
         res[dbl] = stems[dbl].str[:-1]
-        res[eres & ~dbl] = stems[eres & ~dbl] + "e"
+        res[clus] = stems[clus] + "e"
+        res[eres & ~dbl & ~clus] = stems[eres & ~dbl & ~clus] + "e"
         return res
 
     ed = s.str.endswith("ed") & (n >= 5) & ~done

@@ -129,7 +129,12 @@ _FEM_A_STEMS = (
     "собак кошк игр цен газет комнат квартир"
 ).split()
 for _stem in _FEM_A_STEMS:
-    RU_EXCEPTIONS.update(_fem_a_paradigm(_stem))
+    for _form, _lemma in _fem_a_paradigm(_stem).items():
+        # setdefault: on an ambiguous surface form (дорогой = instr. of
+        # дорога AND the -ой adjective nominative) the earlier paradigm
+        # entry wins, keeping every exceptions TARGET a fixpoint
+        RU_EXCEPTIONS.setdefault(_form, _lemma)
+    del _form, _lemma
 del _stem
 
 _ADJ = "__ADJ__"        # replacement is stem-aware ый/ий
@@ -175,6 +180,18 @@ RU_RULES: list[tuple[str, str, int]] = [
     # Oblique -сть feminines outside the exceptions table (страсти)
     # stay unfolded — the lesser divergence vs mangling every verb.
     ("сти", "сти", 1), ("зти", "зти", 1),
+    # productive agentive -тель family (учитель, показатель, ...):
+    # declension -> nominative.  The prepositional "-теле" is excluded
+    # (collides with тело's case form); soft-masc dictionary stems win
+    # anyway on their listed words.
+    ("телями", "тель", 1), ("телях", "тель", 1), ("телям", "тель", 1),
+    ("телей", "тель", 1), ("телем", "тель", 1), ("телю", "тель", 1),
+    ("теля", "тель", 1), ("тели", "тель", 1), ("тель", "тель", 1),
+    # productive neuter -ство family (средство, качество, ...): every
+    # case form incl. the bare-stem genitive plural -> nominative
+    ("ствами", "ство", 2), ("ствах", "ство", 2), ("ствам", "ство", 2),
+    ("ством", "ство", 2), ("ству", "ство", 2), ("ства", "ство", 2),
+    ("стве", "ство", 2), ("ство", "ство", 2), ("ств", "ство", 2),
     # full adjectives -> masculine nominative.  Hard forms always apply
     # (ый, or ий after velars/hushers: хорошая -> хороший); soft forms
     # only after stems that actually take them (velars/hushers/н), so
@@ -196,16 +213,36 @@ RU_RULES: list[tuple[str, str, int]] = [
     ("ается", "аться", 2), ("аются", "аться", 2),
     ("ался", "аться", 2), ("алась", "аться", 2), ("ались", "аться", 2),
     ("ился", "иться", 2), ("илась", "иться", 2), ("ились", "иться", 2),
+    # reflexive present: -уется (требуется -> требоваться), -яется
+    # (является -> являться), -ится/-атся/-ятся second-conjugation
+    # (находится -> находиться, учатся -> учиться) — verb-only suffixes,
+    # no noun collisions
+    ("уется", "оваться", 2), ("уются", "оваться", 2),
+    ("яется", "яться", 2), ("яются", "яться", 2),
+    ("ится", "иться", 2), ("атся", "иться", 2), ("ятся", "иться", 2),
+    # -овать past (рисовала -> рисовать); the -ировал* rules above are
+    # the narrower special case and fire first
+    ("овала", "овать", 2), ("овали", "овать", 2), ("овало", "овать", 2),
+    ("овал", "овать", 2),
     ("ует", "овать", 2), ("уют", "овать", 2),
     ("ает", "ать", 2), ("ают", "ать", 2),
     ("яет", "ять", 2), ("яют", "ять", 2),
     ("еет", "еть", 2), ("еют", "еть", 2),
     ("аешь", "ать", 2), ("аете", "ать", 2), ("ишь", "ить", 2),
+    # reflexive verb endings the bare strips below would mangle into
+    # garbage keys (создаётся -> "создаётс" via the -я strip): identity
+    # guards — an unrecognized reflexive form stays itself, the honest
+    # fallback.  The specific reflexive rules above fire first.
+    ("ться", "ться", 2), ("тся", "тся", 2), ("лся", "лся", 2),
+    ("лась", "лась", 2), ("лись", "лись", 2), ("лось", "лось", 2),
     # bare case endings (masc/neuter nouns: леопарда -> леопард); stem must
-    # end in a consonant so vowel-stem words are left alone
+    # end in a consonant so vowel-stem words are left alone.  The -ой
+    # strip folds feminine instrumentals (ракетой -> ракет, joining the
+    # genitive's key); -ой masculine nominatives (герой, слой) live in
+    # the irregular dictionary so they are checked first.
     ("ами", "", 3), ("ями", "", 3), ("ах", "", 3), ("ях", "", 3),
     ("ам", "", 3), ("ям", "", 3), ("ов", "", 3), ("ев", "", 3),
-    ("ом", "", 3), ("ем", "", 3), ("ей", "", 3),
+    ("ом", "", 3), ("ем", "", 3), ("ей", "", 3), ("ой", "", 3),
     ("у", "", 3), ("ю", "", 3), ("е", "", 3), ("а", "", 3), ("я", "", 3),
     ("ы", "", 3), ("и", "", 3),
 ]

@@ -128,6 +128,20 @@ def _anin(stem: str) -> dict[str, str]:
     return {f: nom for f in forms}
 
 
+def _adj_oi(stem: str) -> dict[str, str]:
+    """End-stressed adjective in -ой (основной, дорогой): the suffix
+    rules can only emit -ый/-ий nominatives (stress is lexical), so the
+    frequent -ой adjectives are enumerated.  Feminine oblique -ой is the
+    masculine nominative string itself — a fixpoint by construction."""
+    i = "и" if stem[-1] in _VELARS_HUSHERS else "ы"
+    nom = stem + "ой"
+    forms = [nom, stem + "ого", stem + "ому", stem + "ом",
+             stem + ("им" if i == "и" else "ым"),
+             stem + "ая", stem + "ую", stem + "ое",
+             stem + i + "е", stem + i + "х", stem + i + "ми"]
+    return {f: nom for f in forms}
+
+
 def _pronoun(nom: str, *forms: str) -> dict[str, str]:
     out = {nom: nom}
     for f in forms:
@@ -142,6 +156,32 @@ def _verb(inf: str, *forms: str) -> dict[str, str]:
     return out
 
 
+def _second_conj(stem: str, inf: str) -> dict[str, str]:
+    """Second-conjugation present + past paradigm (public conjugation
+    table): говор-/говорить → говорит, говорят, говорил(а/о/и), говорим,
+    говорите.  The 3sg -ит / 3pl -ят forms are exactly the class the
+    rule engine must EXCLUDE as suffixes (they swallow nouns like
+    визит/ребят), so the frequent verbs are enumerated here instead.
+    3pl is -ат after hushers (учат), -ят otherwise; the past builds on
+    the INFINITIVE stem (говори-л, держа-л, смотре-л)."""
+    ya = "а" if stem[-1] in _HUSHERS else "я"
+    past = inf[:-2]  # говори-, держа-, смотре-
+    forms = [inf, stem + "ит", stem + ya + "т", stem + "им",
+             stem + "ите", stem + "ишь",
+             past + "л", past + "ла", past + "ло", past + "ли"]
+    return {f: inf for f in forms}
+
+
+def _first_conj_past(inf: str) -> dict[str, str]:
+    """Past tense of a regular -ать/-ять/-еть verb (делал/делала/делало/
+    делали → делать).  The present is already rule-covered (-ает/-ают);
+    the bare pasts cannot be rules (-ал swallows журнал/канал), so the
+    frequent verbs are enumerated."""
+    stem = inf[:-2]  # дела-
+    forms = [inf, stem + "л", stem + "ла", stem + "ло", stem + "ли"]
+    return {f: inf for f in forms}
+
+
 def _build() -> dict[str, str]:
     d: dict[str, str] = {}
 
@@ -154,18 +194,31 @@ def _build() -> dict[str, str]:
         ("список", "списк"), ("порядок", "порядк"), ("участок", "участк"),
         ("остаток", "остатк"), ("отрезок", "отрезк"), ("подарок", "подарк"),
         ("заголовок", "заголовк"), ("ребёнок", "ребёнк"),
+        ("звонок", "звонк"), ("платок", "платк"), ("молоток", "молотк"),
+        ("напиток", "напитк"), ("станок", "станк"), ("каток", "катк"),
+        ("мешок", "мешк"), ("горшок", "горшк"), ("значок", "значк"),
+        ("крючок", "крючк"), ("потолок", "потолк"), ("посёлок", "посёлк"),
+        ("переулок", "переулк"), ("желудок", "желудк"),
+        ("рот", "рт"), ("лоб", "лб"), ("лёд", "льд"), ("лев", "льв"),
+        ("пёс", "пс"), ("ров", "рв"), ("шов", "шв"),
     ]:
         d.update(_masc_hard(nom, stem))
     for nom, stem in [("день", "дн"), ("огонь", "огн"), ("уровень", "уровн"),
                       ("камень", "камн"), ("корень", "корн"),
-                      ("парень", "парн")]:
+                      ("парень", "парн"), ("пень", "пн"),
+                      ("локоть", "локт"), ("ноготь", "ногт"),
+                      ("коготь", "когт")]:
         d.update(_masc_soft(nom, stem))
 
     # --- soft-sign masculines (no mobile vowel) ---
     for stem in ("словар", "модул", "пользовател", "руководител",
                  "учител", "читател", "писател", "двигател",
                  "показател", "создател", "потребител", "исполнител",
-                 "рубл", "стил", "контрол", "корабл", "путь"):
+                 "рубл", "стил", "контрол", "корабл",
+                 "январ", "феврал", "апрел", "июн", "июл", "сентябр",
+                 "октябр", "ноябр", "декабр", "гвозд", "дожд", "гост",
+                 "звер", "кремл", "фонар", "календар", "секретар",
+                 "буквар", "путь"):
         if stem == "путь":  # путь declines like a 3rd-declension noun
             d.update({"путь": "путь", "пути": "путь", "путём": "путь",
                       "путем": "путь", "путей": "путь", "путям": "путь",
@@ -176,7 +229,11 @@ def _build() -> dict[str, str]:
     # --- third-declension feminines ---
     for stem in ("ноч", "част", "связ", "запис", "сет", "цел", "рол",
                  "модел", "жизн", "двер", "площад", "област", "вещ",
-                 "степен", "очеред", "памят", "власт", "сут"):  # суть
+                 "степен", "очеред", "памят", "власт", "сут",  # суть
+                 "мыш", "печ", "реч", "кроват", "тетрад", "лошад",
+                 "смерт", "груд", "осен", "тен", "бол", "сол", "пыл",
+                 "стал", "мелоч", "ладон", "ступен", "медал", "детал",
+                 "печат", "мебел", "обув", "морков", "ткан", "цеп"):
         d.update(_fem_third(stem))
 
     # --- neuter -о nouns (stem, irregular genitive plural) ---
@@ -188,8 +245,17 @@ def _build() -> dict[str, str]:
         ("устройств", "устройств"), ("качеств", "качеств"),
         ("количеств", "количеств"), ("государств", "государств"),
         ("обществ", "обществ"),
+        ("облак", "облаков"), ("зеркал", "зеркал"), ("болот", "болот"),
+        ("колен", "колен"), ("яблок", "яблок"), ("одеял", "одеял"),
     ]:
         d.update(_neuter_hard(stem, gp))
+    # е/ё-alternating neuters: singular on the е-stem, plural on ё
+    for nom, sg, pl, gp in [("озеро", "озер", "озёр", "озёр"),
+                            ("ведро", "ведр", "вёдр", "вёдер"),
+                            ("колесо", "колес", "колёс", "колёс")]:
+        forms = [nom, sg + "а", sg + "у", sg + "ом", sg + "е",
+                 pl + "а", pl + "ам", pl + "ами", pl + "ах", gp]
+        d.update({f: nom for f in forms})
     for stem, gp in [("пол", "полей"), ("мор", "морей")]:
         d.update(_neuter_soft(stem, gp))
     # ц-stem neuters spell -е in the nominative but decline hard
@@ -215,6 +281,27 @@ def _build() -> dict[str, str]:
     for stem in ("граждан", "англичан", "горожан", "крестьян",
                  "христиан", "славян", "россиян"):
         d.update(_anin(stem))
+
+    # --- masculine nouns in -й/-ой (герой, слой): enumerated because the
+    # -ой instrumental strip would otherwise truncate their nominatives ---
+    for nom, obl in [("герой", "геро"), ("слой", "сло"), ("бой", "бо"),
+                     ("строй", "стро"), ("рой", "ро"), ("покой", "поко"),
+                     ("случай", "случа"), ("чай", "ча"), ("край", "кра"),
+                     ("музей", "музе"), ("юбилей", "юбиле"),
+                     ("трамвай", "трамва"), ("сарай", "сара")]:
+        forms = [nom, obl + "я", obl + "ю", obl + "ем", obl + "е",
+                 obl + "и", obl + "ев", obl + "ям", obl + "ями",
+                 obl + "ях"]
+        d.update({f: nom for f in forms})
+
+    # --- end-stressed -ой adjectives ---
+    for stem in ("основн", "дорог", "больш", "друг", "втор", "как",
+                 "так", "плох", "прост", "прям", "сух", "жив",
+                 "молод", "родн", "крут", "густ", "пуст", "свят",
+                 "морск", "городск", "мужск", "людск", "миров",
+                 "делов", "боев", "трудов", "ключев", "передов",
+                 "целев", "стальн"):
+        d.update(_adj_oi(stem))
 
     # --- pronouns (oblique → nominative; public paradigm tables) ---
     d.update(_pronoun("я", "меня", "мне", "мной", "мною"))
@@ -303,6 +390,78 @@ def _build() -> dict[str, str]:
                    "ел", "ела", "ело", "ели"))
     d.update(_verb("понять", "пойму", "поймёт", "поймет", "поймут",
                    "понял", "поняла", "поняло", "поняли"))
+    d.update(_verb("нести", "несу", "несёт", "несет", "несут", "нёс",
+                   "нес", "несла", "несло", "несли"))
+    d.update(_verb("вести", "веду", "ведёт", "ведет", "ведут", "вёл",
+                   "вел", "вела", "вело", "вели"))
+    d.update(_verb("везти", "везу", "везёт", "везет", "везут", "вёз",
+                   "везла", "везло", "везли"))
+    d.update(_verb("расти", "расту", "растёт", "растет", "растут",
+                   "рос", "росла", "росло", "росли"))
+    d.update(_verb("класть", "кладу", "кладёт", "кладет", "кладут",
+                   "клал", "клала", "клало", "клали"))
+    d.update(_verb("сесть", "сяду", "сядет", "сядут", "сел", "села",
+                   "село", "сели"))
+    d.update(_verb("лечь", "лягу", "ляжет", "лягут", "лёг", "лег",
+                   "легла", "легло", "легли"))
+    d.update(_verb("помочь", "помогу", "поможет", "помогут", "помог",
+                   "помогла", "помогло", "помогли"))
+    d.update(_verb("бежать", "бегу", "бежит", "бегут", "бежал",
+                   "бежала", "бежало", "бежали"))
+    d.update(_verb("ехать", "еду", "едет", "едут", "ехал", "ехала",
+                   "ехало", "ехали"))
+    d.update(_verb("спать", "сплю", "спит", "спят", "спал", "спала",
+                   "спало", "спали"))
+    d.update(_verb("начать", "начну", "начнёт", "начнет", "начнут",
+                   "начался", "началась", "начались"))
+    d.update(_verb("открыть", "открою", "откроет", "откроют", "открыл",
+                   "открыла", "открыло", "открыли"))
+    d.update(_verb("закрыть", "закрою", "закроет", "закроют", "закрыл",
+                   "закрыла", "закрыло", "закрыли"))
+    d.update(_verb("пить", "пью", "пьёт", "пьет", "пьют", "пил",
+                   "пила", "пило", "пили"))
+    d.update(_verb("петь", "пою", "поёт", "поет", "поют", "пел",
+                   "пела", "пело", "пели"))
+    d.update(_verb("звать", "зову", "зовёт", "зовет", "зовут", "звал",
+                   "звала", "звало", "звали"))
+    d.update(_verb("ждать", "жду", "ждёт", "ждет", "ждут", "ждал",
+                   "ждала", "ждало", "ждали"))
+    d.update(_verb("брать", "беру", "берёт", "берет", "берут", "брал",
+                   "брала", "брало", "брали"))
+
+    # --- frequent second-conjugation verbs (3sg -ит / 3pl -ят and the
+    # bare pasts are exactly what the rule engine must exclude) ---
+    for stem, inf in [
+        ("говор", "говорить"), ("смотр", "смотреть"), ("люб", "любить"),
+        ("держ", "держать"), ("леж", "лежать"), ("слыш", "слышать"),
+        ("знач", "значить"), ("прос", "просить"), ("нос", "носить"),
+        ("ход", "ходить"), ("вход", "входить"), ("выход", "выходить"),
+        ("наход", "находить"), ("привод", "приводить"),
+        ("перевод", "переводить"), ("готов", "готовить"),
+        ("став", "ставить"), ("остав", "оставить"),
+        ("представ", "представить"), ("куп", "купить"),
+        ("плат", "платить"), ("уч", "учить"), ("реш", "решить"),
+        ("получ", "получить"), ("включ", "включить"),
+        ("помн", "помнить"), ("вер", "верить"), ("провер", "проверить"),
+        ("стро", "строить"), ("сто", "стоить"), ("звон", "звонить"),
+        ("сохран", "сохранить"), ("измен", "изменить"),
+        ("объясн", "объяснить"), ("выполн", "выполнить"),
+        ("запомн", "запомнить"), ("определ", "определить"),
+        ("провод", "проводить"), ("служ", "служить"),
+        ("друж", "дружить"), ("спеш", "спешить"),
+    ]:
+        d.update(_second_conj(stem, inf))
+
+    # --- frequent first-conjugation pasts (present is rule-covered) ---
+    # (reflexive pasts — боялся/старались — are already rule-covered
+    # via -ался/-ались -> -аться, so reflexive verbs are absent here)
+    for inf in ("делать", "сделать", "думать", "знать", "работать",
+                "читать", "играть", "искать", "спрашивать", "отвечать",
+                "понимать", "начинать", "заканчивать", "использовать",
+                "показывать", "рассказывать", "получать", "покупать",
+                "открывать", "закрывать", "помогать", "мечтать",
+                "гулять", "стоять", "уметь", "успеть"):
+        d.update(_first_conj_past(inf))
 
     return d
 
