@@ -67,3 +67,30 @@ class TestCrossLangSharedShingles:
         # every shingle appears in 10 docs > max_df=5 -> all dropped
         assert cross_lang_shared_shingles(docs, min_shared=1, max_df=5).count() == 0
         assert cross_lang_shared_shingles(docs, min_shared=1, max_df=10).count() > 0
+
+
+class TestComponentsFromEdges:
+    """Pointer-jump convergence + the non-convergence guard (round-4
+    ADVICE: silent split components were undetectable downstream)."""
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        from searchengine_spark.pipeline.dedup import components_from_edges
+
+        # path graph 0-1-2-...-63: one-hop min-label propagation needs 63
+        # rounds; with the label-of-label shortcut, max_iters=10 suffices
+        n = 64
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+        ids = spark.range(n).withColumnRenamed("id", "doc_id")
+        out = components_from_edges(pairs, ids, max_iters=10)
+        labels = {r.doc_id: r.cluster_id for r in out.collect()}
+        assert set(labels.values()) == {0}
+
+    def test_nonconvergence_raises_instead_of_splitting(self, spark):
+        from searchengine_spark.pipeline.dedup import components_from_edges
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(31)], "doc_a long, doc_b long")
+        ids = spark.range(32).withColumnRenamed("id", "doc_id")
+        with pytest.raises(RuntimeError, match="no fixed point"):
+            components_from_edges(pairs, ids, max_iters=1)

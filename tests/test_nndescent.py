@@ -320,3 +320,12 @@ def test_hops_curve_monotone_on_clusters(spark, clustered):
     for r in out:
         assert r.n_probes == 4 and r.sum_exact == 20
         assert r.micro_recall == round(r.sum_hits / r.sum_exact, 4)
+
+
+def test_beam_clamped_to_k(spark, clustered):
+    """beam < k silently returned fewer than k rows before the round-4
+    clamp; the engine (and the SQL twin) now widen beam to k."""
+    out = N.graph_search_topk(clustered, [0, 101], k=6, beam=2, hops=1,
+                              graph_k=5, rounds=1, n_planes=4).toPandas()
+    per = out.groupby("probe_id")["rank"].count()
+    assert (per == 6).all(), per.to_dict()
