@@ -406,6 +406,12 @@ def main() -> None:
     # (the t2 serving numbers above cover the 20k-doc fixture only; this
     # pins the 80k-doc scaling of the serving path the same way the
     # scale16_* plans pin the batch side)
+    # per-replica length padding: 16 verbatim copies of every doc score
+    # IDENTICALLY, which collapses block-max pruning into the all-ties
+    # worst case (theta == every block max) — a dedup-shaped pathology,
+    # not a serving-scale measurement.  Varying dl per replica restores
+    # the score diversity a real 16x corpus has, so the canary measures
+    # posting-list VOLUME.
     big_docs = (
         base.crossJoin(F.broadcast(
             spark.range(16).withColumnRenamed("id", "rep")))
@@ -415,7 +421,7 @@ def main() -> None:
             "cast(doc_id as string), '.txt') as path",
             "'HEAD' as commit",
             "lang",
-            "text as content",
+            "concat(text, repeat(' pad', cast(rep * 8 as int))) as content",
         )
     )
     s16tmp = tempfile.mkdtemp(prefix="bench_s16idx_")
