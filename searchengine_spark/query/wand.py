@@ -174,18 +174,36 @@ class SegmentSearcher:
         if io == "spark" and spark is None:
             raise ValueError("io='spark' needs a SparkSession")
         self.io = io
+        self._datasets: dict[str, object] = {}
 
     def _buckets_of(self, terms: list[str]) -> list[int]:
         return sorted({term_hash(t) % self.n_buckets for t in terms})
 
+    def _dataset(self, path: str):
+        """Arrow dataset handles are cached per table: discovery (directory
+        listing + schema unification) costs ~ms per call and is identical
+        for every query against one segment generation.  Every shipped
+        caller constructs a SegmentSearcher per call/request (the HTTP
+        tier per request under its rwlock, the CLIs one-shot, bench per
+        index), so a cached handle never observes a delta promote; a
+        long-lived embedder must build a fresh searcher per generation,
+        which the ledger's generation counter makes cheap to detect."""
+        ds = self._datasets.get(path)
+        if ds is None:
+            import pyarrow.dataset as pads
+
+            ds = pads.dataset(path, format="parquet", partitioning="hive")
+            self._datasets[path] = ds
+        return ds
+
     def _arrow_read(self, path: str, terms: list[str], columns: list[str] | None):
         import pyarrow.dataset as pads
 
-        dataset = pads.dataset(path, format="parquet", partitioning="hive")
         filt = pads.field("bucket").isin(self._buckets_of(terms)) & pads.field(
             "term"
         ).isin(terms)
-        return dataset.to_table(filter=filt, columns=columns).to_pylist()
+        return self._dataset(path).to_table(
+            filter=filt, columns=columns).to_pylist()
 
     # -- term resolution (J1 broadcast-join analog, bucket-pruned scan) ------
 
