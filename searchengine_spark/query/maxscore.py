@@ -130,19 +130,36 @@ def score_grp_or(
             )
             in_range = in_range[worth]
             blk = blk[worth]
-        for bi in np.unique(blk):
+        # dense candidate sets (most blocks hold a candidate — the
+        # high-df shape) decode the whole list in ONE vectorized pass
+        # instead of paying per-block interpreter overhead; identical
+        # arithmetic, same shape as wand.score_grp's dense path
+        hot = np.unique(blk)
+        if hot.size and 2 * hot.size >= p.last.size:
             if stats is not None:
-                stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + 1
-            sel = blk == bi
-            bids, btfs, bdls = codec.decode_block(p, int(bi))
-            cand = ids[in_range[sel]]
-            pos = np.searchsorted(bids, cand)
-            ok = (pos < bids.size) & (
-                bids[np.minimum(pos, bids.size - 1)] == cand
-            )
-            hit = in_range[sel][ok]
-            bimp = idf[t] * _impact(btfs, bdls, avgdl)
-            partial[hit] += bimp[np.minimum(pos, bids.size - 1)[ok]]
+                stats["blocks_decoded"] = (
+                    stats.get("blocks_decoded", 0) + int(p.last.size))
+            tids, ttfs, tdls = codec.unpack_all(p)
+            cand = ids[in_range]
+            pos = np.minimum(np.searchsorted(tids, cand), tids.size - 1)
+            ok = tids[pos] == cand
+            hit = in_range[ok]
+            imp = idf[t] * _impact(ttfs, tdls, avgdl)
+            partial[hit] += imp[pos[ok]]
+        else:
+            for bi in hot:
+                if stats is not None:
+                    stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + 1
+                sel = blk == bi
+                bids, btfs, bdls = codec.decode_block(p, int(bi))
+                cand = ids[in_range[sel]]
+                pos = np.searchsorted(bids, cand)
+                ok = (pos < bids.size) & (
+                    bids[np.minimum(pos, bids.size - 1)] == cand
+                )
+                hit = in_range[sel][ok]
+                bimp = idf[t] * _impact(btfs, bdls, avgdl)
+                partial[hit] += bimp[np.minimum(pos, bids.size - 1)[ok]]
         rem -= ub[t]
     keep = partial >= theta - EPS
     return ids[keep], partial[keep]
