@@ -203,27 +203,40 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # NN-Descent graph per sf_dir, built once per process and persisted to
 # parquet: all ten graph-family gates search/consume the SAME build
-# (graph_k=5, rounds=2, n_planes=4 — the parameters every gate pins), so
-# the suite pays ONE build instead of ten.  n_planes is pinned to the
-# oracle twins' 4 rather than derived from corpus size: the adaptive
-# default (nndescent.nnd_planes) only coincides with 4 at the sf0.01
-# corpus, and a driver gating at any other scale factor would otherwise
-# diverge spuriously on every graph gate.  Library/CLI callers keep the
-# adaptive default.
-_NND_GRAPH: dict[str, str] = {}
-_NND_PLANES = 4
+# (graph_k=5, rounds=2, one shared n_planes), so the suite pays ONE
+# build instead of ten.  n_planes is PINNED to the oracle twins' 4 for
+# gate-sized corpora (<= 640 vectors — sf0.001 and sf0.01 both carry
+# 500): the adaptive default (nndescent.nnd_planes) only coincides with
+# 4 there by arithmetic accident, and a driver gating at either scale
+# must not diverge from the static SQL twins.  Larger corpora (bench
+# sf0.1+, where no oracle ever runs) keep the adaptive width — a fixed
+# 16-bucket seed table grows quadratic init scoring with corpus size,
+# which is exactly what nnd_planes was added to prevent.
+_NND_GRAPH: dict[str, tuple[str, int]] = {}
+_NND_PIN_MAX = 640  # upper edge of the adaptive-width==4 occupancy band
 
 
-def _nnd_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _nnd_meta(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     if sf_dir not in _NND_GRAPH:
         import tempfile
 
+        emb = _emb(spark, sf_dir)
+        n = emb.count()
+        planes = 4 if n <= _NND_PIN_MAX else nndescent.nnd_planes(n, 5)
         out = tempfile.mkdtemp(prefix="nndgraph_") + "/edges"
         nndescent.nndescent_graph(
-            _emb(spark, sf_dir), k=5, rounds=2, n_planes=_NND_PLANES
-        ).write.parquet(out)
-        _NND_GRAPH[sf_dir] = out
-    return spark.read.parquet(_NND_GRAPH[sf_dir])
+            emb, k=5, rounds=2, n_planes=planes).write.parquet(out)
+        _NND_GRAPH[sf_dir] = (out, planes)
+    path, planes = _NND_GRAPH[sf_dir]
+    return spark.read.parquet(path), planes
+
+
+def _nnd_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _nnd_meta(spark, sf_dir)[0]
+
+
+def _nnd_planes_of(spark: SparkSession, sf_dir: str) -> int:
+    return _nnd_meta(spark, sf_dir)[1]
 
 
 # positional index per sf_dir, built once per process (shared by the
@@ -1053,48 +1066,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_oov_curve": lambda s, d: textstats.vocab_oov_curve(
             _docs(s, d)),
         # NN-Descent kNN graph (graph-based ANN family) + its recall gate.
-        # Every graph gate pins n_planes=4 (the oracle twins' layout) and
+        # Every graph gate shares ONE `_nnd_meta` build and its n_planes
+        # (pinned 4 at gate scale, adaptive beyond — see _nnd_meta) and
         # searches/consumes the ONE shared `_nnd_graph` build — see the
         # _nnd_graph comment; the adaptive nnd_planes default stays for
         # library/CLI callers, where larger corpora get proportionally
         # more seed buckets so init scoring stays occupancy-bounded.
         "q_nndescent_graph": lambda s, d: _nnd_graph(s, d),
         "q_nndescent_recall": lambda s, d: nndescent.nndescent_recall(
-            _emb(s, d), PROBE_VEC_IDS, k=5, rounds=2, n_planes=_NND_PLANES,
+            _emb(s, d), PROBE_VEC_IDS, k=5, rounds=2, n_planes=_nnd_planes_of(s, d),
             graph=_nnd_graph(s, d)),
         "q_knn_hubness": lambda s, d: nndescent.knn_hubness(
-            _emb(s, d), k=5, rounds=2, n_planes=_NND_PLANES,
+            _emb(s, d), k=5, rounds=2, n_planes=_nnd_planes_of(s, d),
             graph=_nnd_graph(s, d)),
         # beam-search serving over the NN-Descent graph (HNSW layer-0 shape);
         # n_planes also drives the probes' LSH entry routing, so it is
         # pinned even with a prebuilt graph
         "q_graph_ann_topk": lambda s, d: nndescent.graph_search_topk(
             _emb(s, d), PROBE_VEC_IDS, k=5, beam=8, hops=2,
-            graph_k=5, rounds=2, n_planes=_NND_PLANES,
+            graph_k=5, rounds=2, n_planes=_nnd_planes_of(s, d),
             graph=_nnd_graph(s, d)),
         "q_graph_ann_recall": lambda s, d: nndescent.graph_search_recall(
             _emb(s, d), PROBE_VEC_IDS, k=5, beam=8, hops=2,
-            graph_k=5, rounds=2, n_planes=_NND_PLANES,
+            graph_k=5, rounds=2, n_planes=_nnd_planes_of(s, d),
             graph=_nnd_graph(s, d)),
         # reciprocal-NN pair mining (high-precision training-pair filter)
         "q_mutual_knn_pairs": lambda s, d: nndescent.mutual_knn_pairs(
-            _emb(s, d), k=5, rounds=2, n_planes=_NND_PLANES,
+            _emb(s, d), k=5, rounds=2, n_planes=_nnd_planes_of(s, d),
             graph=_nnd_graph(s, d)),
         "q_mutual_knn_clusters": lambda s, d: nndescent.mutual_knn_clusters(
-            _emb(s, d), k=5, rounds=2, n_planes=_NND_PLANES,
+            _emb(s, d), k=5, rounds=2, n_planes=_nnd_planes_of(s, d),
             graph=_nnd_graph(s, d)),
         # kNN-radius outlier scoring (embedding-space junk quarantine)
         "q_knn_outlier_scores": lambda s, d: nndescent.knn_outlier_scores(
-            _emb(s, d), k=5, rounds=2, n_planes=_NND_PLANES,
+            _emb(s, d), k=5, rounds=2, n_planes=_nnd_planes_of(s, d),
             graph=_nnd_graph(s, d)),
         # semi-supervised label spread from seed nodes through the graph
         "q_graph_label_prop": lambda s, d: nndescent.graph_label_propagation(
             _emb(s, d), PROBE_VEC_IDS, iters=3, k=5, rounds=2,
-            n_planes=_NND_PLANES, graph=_nnd_graph(s, d)),
+            n_planes=_nnd_planes_of(s, d), graph=_nnd_graph(s, d)),
         # navigation-depth sizing curve (hops -> micro-recall)
         "q_graph_ann_hops_curve": lambda s, d: nndescent.graph_search_hops_curve(
             _emb(s, d), PROBE_VEC_IDS, k=5, beam=8, max_hops=3,
-            graph_k=5, rounds=2, n_planes=_NND_PLANES,
+            graph_k=5, rounds=2, n_planes=_nnd_planes_of(s, d),
             graph=_nnd_graph(s, d)),
         # serving-tier planning: static result-cache curve + doc/term routing
         "q_cache_hit_curve": lambda s, d: serving.cache_hit_curve(_docs(s, d)),

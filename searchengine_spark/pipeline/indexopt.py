@@ -250,23 +250,6 @@ def static_pruning_recall(documents: DataFrame,
 _ZONE_RANK_SCHEMA = "len long, pid int, local_rank long"
 
 
-def _zone_rank_fn(it):
-    """Running counter over a partition's Arrow batches (arrive in the
-    partition's sort order after sortWithinPartitions) — the same local
-    pass as ``reorder._local_rank_fn``, keyed on len."""
-    import pandas as pd
-
-    seen = 0
-    for pdf in it:
-        n = len(pdf)
-        yield pd.DataFrame({
-            "len": pdf["len"].to_numpy(),
-            "pid": pdf["pid"].to_numpy(),
-            "local_rank": range(seen, seen + n),
-        })
-        seen += n
-
-
 def _clustered_parts(keyed: DataFrame, n_parts: int) -> DataFrame:
     """(len, part) with part == EXACT ``ntile(n_parts) ORDER BY (len,
     doc_id)`` — computed with the two-pass distributed rank instead of a
@@ -277,12 +260,14 @@ def _clustered_parts(keyed: DataFrame, n_parts: int) -> DataFrame:
     ⌈n/P⌉ rows, the rest ⌊n/P⌋).  No corpus row ever funnels through
     one partition, so the planning query itself practices the layout it
     recommends."""
+    from searchengine_spark.pipeline.reorder import local_rank_fn
+
     ranked = (
         keyed.repartitionByRange(n_parts, "len", "doc_id")
         .sortWithinPartitions("len", "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .select("len", "pid")
-        .mapInPandas(_zone_rank_fn, schema=_ZONE_RANK_SCHEMA)
+        .mapInPandas(local_rank_fn("len"), schema=_ZONE_RANK_SCHEMA)
         .persist()
     )
     counts = {int(r["pid"]): int(r["n"]) for r in

@@ -61,19 +61,29 @@ def vb_len_col(col):
 _RANK_SCHEMA = "doc_id long, pid int, local_rank long"
 
 
-def _local_rank_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Running counter over a partition's Arrow batches (arrive in the
-    partition's sort order after sortWithinPartitions)."""
-    seen = 0
-    for pdf in it:
-        n = len(pdf)
-        out = pd.DataFrame({
-            "doc_id": pdf["doc_id"].to_numpy(),
-            "pid": pdf["pid"].to_numpy(),
-            "local_rank": range(seen, seen + n),
-        })
-        seen += n
-        yield out
+def local_rank_fn(payload: str):
+    """Build the per-partition running-counter kernel of the two-pass
+    distributed rank: carries one ``payload`` column + (pid, local_rank).
+    Batches arrive in the partition's sort order after
+    sortWithinPartitions, so a plain running counter IS the local rank.
+    Shared by ``docid_remap`` (payload=doc_id) and
+    ``indexopt._clustered_parts`` (payload=len) so the ordering-dependent
+    machinery has exactly one implementation."""
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in it:
+            n = len(pdf)
+            out = pd.DataFrame({
+                payload: pdf[payload].to_numpy(),
+                "pid": pdf["pid"].to_numpy(),
+                "local_rank": range(seen, seen + n),
+            })
+            seen += n
+            yield out
+    return fn
+
+
+_local_rank_fn = local_rank_fn("doc_id")
 
 
 def docid_remap(documents: DataFrame, n_parts: int | None = None,

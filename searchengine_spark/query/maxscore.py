@@ -42,6 +42,7 @@ from searchengine_spark.query.wand import (
     RESULT_SCHEMA,
     SegmentSearcher,
     _impact,
+    dense_probe,
 )
 
 
@@ -139,13 +140,8 @@ def score_grp_or(
             if stats is not None:
                 stats["blocks_decoded"] = (
                     stats.get("blocks_decoded", 0) + int(p.last.size))
-            tids, ttfs, tdls = codec.unpack_all(p)
-            cand = ids[in_range]
-            pos = np.minimum(np.searchsorted(tids, cand), tids.size - 1)
-            ok = tids[pos] == cand
-            hit = in_range[ok]
-            imp = idf[t] * _impact(ttfs, tdls, avgdl)
-            partial[hit] += imp[pos[ok]]
+            ok, contrib = dense_probe(p, ids[in_range], idf[t], avgdl)
+            partial[in_range[ok]] += contrib
         else:
             for bi in hot:
                 if stats is not None:

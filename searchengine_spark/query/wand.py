@@ -67,6 +67,21 @@ def _impact(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
     return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
 
 
+def dense_probe(p: "codec.PackedList", cand_ids: np.ndarray,
+                idf_t: float, avgdl: float) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-list membership probe for a DENSE candidate set: one decode
+    of the full packed list + one vectorized searchsorted.  Returns
+    (ok_mask over cand_ids, impact contributions of the matches).
+    Shared by the conjunctive (``score_grp``) and MaxScore
+    (``maxscore.score_grp_or``) dense paths so the clamp/equality
+    arithmetic cannot drift between them."""
+    tids, ttfs, tdls = codec.unpack_all(p)
+    pos = np.minimum(np.searchsorted(tids, cand_ids), tids.size - 1)
+    ok = tids[pos] == cand_ids
+    imp = idf_t * _impact(ttfs, tdls, avgdl)
+    return ok, imp[pos[ok]]
+
+
 def score_grp(
     runs: dict[str, codec.PackedList],
     order: list[str],
@@ -135,13 +150,9 @@ def score_grp(
             if stats is not None:
                 stats["blocks_decoded"] = (
                     stats.get("blocks_decoded", 0) + int(p.last.size))
-            tids, ttfs, tdls = codec.unpack_all(p)
-            pos = np.minimum(np.searchsorted(tids, alive_ids),
-                             tids.size - 1)
-            ok = tids[pos] == alive_ids
-            imp = idf[t] * _impact(ttfs, tdls, avgdl)
+            ok, contrib = dense_probe(p, alive_ids, idf[t], avgdl)
             alive_ids = alive_ids[ok]
-            alive_scores = alive_scores[ok] + imp[pos[ok]]
+            alive_scores = alive_scores[ok] + contrib
             continue
         new_scores = np.empty_like(alive_scores)
         member = np.zeros(alive_ids.size, dtype=bool)
