@@ -123,6 +123,7 @@ class SearchEngineService:
         self._cache: "OrderedDict[tuple, dict]" = OrderedDict()
         self._cache_lock = threading.Lock()
         self._generation = 0
+        self._idx_cache: tuple[int, InvertedIndex] | None = None
         self.cache_hits = 0
         self.cache_misses = 0
 
@@ -161,7 +162,17 @@ class SearchEngineService:
     def _index(self) -> InvertedIndex:
         if not self._index_built():
             raise LookupError("index is not built yet — call /api/startIndexing")
-        return InvertedIndex(self.spark, self.index_root)
+        # one InvertedIndex (and thus one SegmentSearcher with cached
+        # Arrow dataset handles) per index GENERATION: every mutation
+        # path bumps _generation via _invalidate_cache before readers
+        # resume, so a cached handle never observes a promote mid-life.
+        # Readers race benignly here (last construction wins).
+        gen = self._generation
+        cached = self._idx_cache
+        if cached is None or cached[0] != gen:
+            cached = (gen, InvertedIndex(self.spark, self.index_root))
+            self._idx_cache = cached
+        return cached[1]
 
     # -- GET /api/search (SearchServiceImpl.search) -------------------------
     def search(self, query: str, site: str | None, offset: int, limit: int) -> dict:

@@ -401,6 +401,19 @@ class InvertedIndex:
         self.paths = IndexPaths(root)
         with open(self.paths.stats) as f:
             self.stats = json.load(f)
+        self._searcher = None
+
+    def segment_searcher(self):
+        """Lazy per-handle SegmentSearcher: the searcher caches Arrow
+        dataset handles, so callers serving many queries against ONE
+        index generation (the HTTP tier caches an InvertedIndex per
+        generation) amortize dataset discovery.  A fresh InvertedIndex —
+        which every mutation forces — gets fresh handles."""
+        if self._searcher is None:
+            from searchengine_spark.query.wand import SegmentSearcher
+
+            self._searcher = SegmentSearcher(self.spark, self.paths.root)
+        return self._searcher
 
     @property
     def docs_meta(self) -> DataFrame:

@@ -52,12 +52,9 @@ def _scored_pairs(
 ) -> tuple[int, list[tuple[int, float]]]:
     """(total_count, top-`need` (doc_id, score)) via WAND or DataFrame plan."""
     if repo is None and index.has_segments():
-        from searchengine_spark.query.wand import (
-            SegmentSearcher,
-            count_and_matches_distributed,
-        )
+        from searchengine_spark.query.wand import count_and_matches_distributed
 
-        searcher = SegmentSearcher(index.spark, index.paths.root)
+        searcher = index.segment_searcher()
         # top page: block-max pruned — the driver only ever materializes the
         # per-grp survivors, never the full match set (VERDICT r1 finding 1)
         res = searcher.search(terms, k=need, prune=True)
