@@ -126,7 +126,10 @@ def _fem_a_paradigm(stem: str) -> dict[str, str]:
 _FEM_A_STEMS = (
     "вод работ систем книг групп машин программ стран школ дорог рук ног "
     "голов задач карт форм строк таблиц баз проблем команд минут "
-    "собак кошк игр цен газет комнат квартир"
+    "собак кошк игр цен газет комнат квартир "
+    "звезд улиц столиц границ страниц больниц лестниц девушк бабушк "
+    "подушк чашк ложк вилк тарелк бутылк коробк сумк шапк юбк рубашк "
+    "куртк"
 ).split()
 for _stem in _FEM_A_STEMS:
     for _form, _lemma in _fem_a_paradigm(_stem).items():

@@ -449,6 +449,15 @@ def _build() -> dict[str, str]:
         ("запомн", "запомнить"), ("определ", "определить"),
         ("провод", "проводить"), ("служ", "служить"),
         ("друж", "дружить"), ("спеш", "спешить"),
+        ("сид", "сидеть"), ("лет", "лететь"), ("гор", "гореть"),
+        ("вис", "висеть"), ("дыш", "дышать"), ("крас", "красить"),
+        ("чист", "чистить"), ("корм", "кормить"), ("лов", "ловить"),
+        ("воз", "возить"), ("груз", "грузить"), ("дар", "дарить"),
+        ("жар", "жарить"), ("кур", "курить"), ("леч", "лечить"),
+        ("мер", "мерить"), ("руб", "рубить"), ("суд", "судить"),
+        ("тащ", "тащить"), ("топ", "топить"), ("туш", "тушить"),
+        ("хвал", "хвалить"), ("хран", "хранить"), ("чин", "чинить"),
+        ("шут", "шутить"),
     ]:
         d.update(_second_conj(stem, inf))
 
@@ -460,7 +469,14 @@ def _build() -> dict[str, str]:
                 "понимать", "начинать", "заканчивать", "использовать",
                 "показывать", "рассказывать", "получать", "покупать",
                 "открывать", "закрывать", "помогать", "мечтать",
-                "гулять", "стоять", "уметь", "успеть"):
+                "гулять", "стоять", "уметь", "успеть",
+                "бегать", "бросать", "вспоминать", "двигать", "желать",
+                "забывать", "запускать", "кончать", "кушать", "летать",
+                "мешать", "наблюдать", "объяснять", "отдыхать",
+                "плавать", "повторять", "принимать", "разговаривать",
+                "разрешать", "собирать", "стрелять", "стирать",
+                "терять", "трогать", "убирать", "украшать",
+                "учитывать", "хватать", "шагать", "встречать"):
         d.update(_first_conj_past(inf))
 
     return d
