@@ -287,36 +287,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# order.  Rounds 1-3 gated the same long-green spine (tf/df/bm25/wand/
-# dedup/similarity basics); this window rotates the newest, highest-risk
-# families — graph-ANN + serving + positional + MaxScore and the other
-# operators that have never had a driver row — to the front.  Everything
-# below stays verified locally by tools/check_entry.py over the full
-# registry; the spine queries follow immediately after the window.
+# order.  Rounds 1-4 cumulatively gated 104 distinct queries (the
+# long-green spine in r1-r3, then the graph-ANN/serving/positional/
+# MaxScore families in r4).  This round-5 window rotates in the next 48
+# never-driver-gated operators — rank-evaluation, sketches, OLAP cube,
+# example-generation, and the code-corpus surface — plus the two
+# multimodal queries whose oracle moved to the sha-chain twin in r2 and
+# has never been driver-verified since.  Everything below stays verified
+# locally by tools/check_entry.py over the full registry; the previously
+# gated families follow immediately after the window.
 _DRIVER_WINDOW = [
-    # graph-ANN family (build, recall, serving, mining, curation)
-    "q_nndescent_graph", "q_nndescent_recall", "q_knn_hubness",
-    "q_graph_ann_topk", "q_graph_ann_recall", "q_graph_ann_hops_curve",
-    "q_mutual_knn_pairs", "q_mutual_knn_clusters", "q_knn_outlier_scores",
-    "q_graph_label_prop",
-    # serving-tier planning
-    "q_cache_hit_curve", "q_partition_routing", "q_posting_cache_plan",
-    # positional index family
-    "q_positional_decode", "q_phrase_indexed", "q_phrase_indexed_repeat",
-    "q_near_indexed", "q_sloppy_phrase",
-    # MaxScore disjunctive family
-    "q_maxscore_or", "q_maxscore_partial", "q_maxscore_distributed",
-    # never-driver-gated operators, newest first
-    "q_incremental_dedup", "q_like_selectivity", "q_range_selectivity",
-    "q_merge_policy_plan", "q_ta_stop_depth", "q_doc_expansion",
-    "q_spell_context", "q_vocab_oov_curve", "q_homoglyph_scan",
-    "q_query_language_scoped", "q_hll_users", "q_event_trigrams",
-    "q_incremental_df", "q_reshard_movement", "q_import_bfs",
-    "q_dp_counts", "q_bm25_plus", "q_post_qpp", "q_for_packing",
-    "q_interval_join", "q_import_triangles", "q_ewma_daily",
-    "q_zonemap_prune", "q_static_pruning", "q_roaring_stats",
-    "q_sp_seed_vocab", "q_maxsim_topk", "q_hll_source_overlap",
-    "q_lsh_recall_curve",
+    # rank-evaluation family (qrels, runs, NDCG/ERR, stat tests, LTR, CORI)
+    "q_synthetic_qrels", "q_bm25_runs", "q_bm25_eval", "q_bm25_err",
+    "q_randomization_test", "q_rank_agreement", "q_interleaved",
+    "q_ltr_features", "q_ltr_labeled", "q_cori_selection",
+    # sketches (HLL / CMS / Bloom / MinHash-estimator)
+    "q_hll_distinct", "q_cms_heavy_hitters", "q_bloom_prune",
+    "q_minhash_estimate",
+    # OLAP / corpus-cube family
+    "q_corpus_cube", "q_lang_pivot", "q_corpus_health", "q_corpus_diff",
+    "q_shard_skew", "q_length_percentiles", "q_length_quantiles",
+    "q_length_histogram",
+    # example-generation sha-gates
+    "q_span_corruption", "q_fim_transform", "q_ul2_mixture",
+    "q_masked_loss_plan", "q_curriculum_order",
+    # code-corpus surface
+    "q_license_mix", "q_code_hygiene", "q_indent_census", "q_ident_styles",
+    "q_top_imports", "q_symbol_defs", "q_symbol_index", "q_symbol_lookup",
+    "q_code_quality", "q_function_chunks", "q_complexity_stats",
+    "q_function_complexity", "q_doc_coverage", "q_co_imports",
+    "q_todo_census", "q_api_usage", "q_symbol_dupes", "q_clone_classes",
+    "q_hits_scores",
+    # multimodal: two first-timers + the two r1-gated queries whose
+    # sha-chain oracle twin has never been driver-verified (VERDICT r4 #8)
+    "q_media_decode_real", "q_media_signal_stats",
+    "q_media_features", "q_media_frame_sample",
 ]
 
 

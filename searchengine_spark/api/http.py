@@ -16,6 +16,7 @@ dto/ package: every endpoint returns HTTP 200 with a JSON body carrying
 | POST /api/indexPage?repo=&path=             | url param -> (repo, path) corpus key  |
 | POST /api/site  {"url","name"}              | same (scope-list add)                 |
 | DELETE /api/site?url=                       | same (scope-list remove)              |
+| POST /api/compact?fanin=                    | (extension) coordinated segment merge |
 
 Implementation is the Python stdlib ``ThreadingHTTPServer`` — the service
 is a thin dispatcher over the existing library surface (query/search.py,
@@ -29,6 +30,7 @@ from __future__ import annotations
 
 import json
 import copy
+import os
 import threading
 from collections import OrderedDict
 from contextlib import contextmanager
@@ -123,7 +125,7 @@ class SearchEngineService:
         self._cache: "OrderedDict[tuple, dict]" = OrderedDict()
         self._cache_lock = threading.Lock()
         self._generation = 0
-        self._idx_cache: tuple[int, InvertedIndex] | None = None
+        self._idx_cache: tuple[int, tuple | None, InvertedIndex] | None = None
         self.cache_hits = 0
         self.cache_misses = 0
 
@@ -153,26 +155,58 @@ class SearchEngineService:
     STALE_RUNNING_SECS = 3600.0
 
     def _index_built(self) -> bool:
-        import os
-
         from searchengine_spark.index.build import IndexPaths
 
         return os.path.exists(IndexPaths(self.index_root).stats)
+
+    def _freshness_token(self) -> tuple | None:
+        """Out-of-band-mutation detector for the per-generation handle
+        cache.  ``jobs/compact.py`` (and any separate-process reindex)
+        swaps the ``segments`` directory via tmp/bak renames WITHOUT
+        going through this server's mutation paths, so ``_generation``
+        alone cannot see it — a cached SegmentSearcher would keep Arrow
+        dataset handles on renamed/deleted parquet.  The swap gives the
+        live ``segments`` dir a new inode (it IS the former tmp dir),
+        and in-place partition promotes touch its mtime, so one
+        ``os.stat`` per request (~µs) catches both; stats.json's mtime
+        covers full out-of-band rebuilds that rewrite stats in place."""
+        from searchengine_spark.index.build import IndexPaths
+
+        paths = IndexPaths(self.index_root)
+        try:
+            seg = os.stat(paths.segments)
+            return (seg.st_ino, seg.st_mtime_ns, os.stat(paths.stats).st_mtime_ns)
+        except FileNotFoundError:
+            return None
+
+    def _check_freshness(self) -> None:
+        """If an external job swapped index files since the cached handle
+        was built, treat it exactly like an in-process mutation: bump the
+        generation (retiring every query-result cache entry) and drop the
+        handle.  Must run BEFORE the result cache is consulted — a stale
+        cached response is as wrong as a stale Arrow handle."""
+        cached = self._idx_cache
+        if cached is not None and cached[1] != self._freshness_token():
+            self._invalidate_cache()
+            self._idx_cache = None
 
     def _index(self) -> InvertedIndex:
         if not self._index_built():
             raise LookupError("index is not built yet — call /api/startIndexing")
         # one InvertedIndex (and thus one SegmentSearcher with cached
-        # Arrow dataset handles) per index GENERATION: every mutation
-        # path bumps _generation via _invalidate_cache before readers
-        # resume, so a cached handle never observes a promote mid-life.
+        # Arrow dataset handles) per index GENERATION: every in-process
+        # mutation path bumps _generation via _invalidate_cache before
+        # readers resume, and the freshness token catches out-of-band
+        # swaps (external compaction/reindex) the generation can't see.
         # Readers race benignly here (last construction wins).
+        self._check_freshness()
         gen = self._generation
         cached = self._idx_cache
         if cached is None or cached[0] != gen:
-            cached = (gen, InvertedIndex(self.spark, self.index_root))
+            cached = (gen, self._freshness_token(),
+                      InvertedIndex(self.spark, self.index_root))
             self._idx_cache = cached
-        return cached[1]
+        return cached[2]
 
     # -- GET /api/search (SearchServiceImpl.search) -------------------------
     def search(self, query: str, site: str | None, offset: int, limit: int) -> dict:
@@ -180,6 +214,7 @@ class SearchEngineService:
             return {"result": False,
                     "error": "offset must be >= 0 and limit must be > 0"}
         key = ("search", query, site, offset, limit)
+        self._check_freshness()  # before the result cache, not only _index()
         cached = self._cache_get(key)
         if cached is not None:
             return cached
@@ -357,6 +392,24 @@ class SearchEngineService:
             self._invalidate_cache()  # the delta changed postings/df_stats
         return {"result": True}
 
+    # -- POST /api/compact (extension; Lucene forceMerge analog) ------------
+    def compact(self, fanin: int) -> dict:
+        """Segment compaction routed through the server: holds the
+        exclusive lock across the directory swap and retires the handle +
+        result caches, so a live server never serves from renamed
+        parquet.  (The out-of-band ``jobs/compact.py`` path is ALSO safe
+        against a live server via ``_freshness_token``; this endpoint is
+        the coordinated front door.)"""
+        if not self._index_built():
+            return {"result": False,
+                    "error": "index is not built yet — call /api/startIndexing"}
+        from searchengine_spark.index.maintenance import compact_index
+
+        with self._rw.write():  # no reader across the segment swap
+            report = compact_index(self.spark, self.index_root, fanin=fanin)
+            self._invalidate_cache()
+        return {"result": True, **report}
+
     # -- POST/DELETE /api/site (IndexingServiceImpl.java:298-367) -----------
     def add_site(self, url: str | None, name: str | None) -> dict:
         return self.scopes.add(url, name)
@@ -448,6 +501,8 @@ def make_handler(service: SearchEngineService):
             path, q = self._params()
             if path == "/api/indexPage":
                 self._dispatch(lambda: service.index_page(q.get("repo"), q.get("path")))
+            elif path == "/api/compact":
+                self._dispatch(lambda: service.compact(self._int(q, "fanin", 4)))
             elif path == "/api/site":
                 try:  # malformed Content-Length must not drop the socket
                     n = int(self.headers.get("Content-Length") or 0)

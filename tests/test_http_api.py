@@ -420,3 +420,69 @@ def test_ru_inflected_query_matches_base_form_end_to_end(spark, tmp_path):
         assert {d["uri"] for d in dative["data"]} == {"a.txt", "b.txt"}
     finally:
         httpd.shutdown()
+
+
+def test_out_of_band_compaction_refreshes_cached_handle(spark, tmp_path):
+    """An external ``jobs/compact.py`` run swaps the segments directory
+    from OUTSIDE the server process — no mutation endpoint bumps
+    ``_generation``, so only the freshness token stands between the
+    cached SegmentSearcher's Arrow handles and renamed/deleted parquet.
+    Search results must stay identical across the swap with no
+    FileNotFound (VERDICT r4 defect #1)."""
+    from searchengine_spark.index.build import build_index
+    from searchengine_spark.index.maintenance import compact_index
+
+    docs = spark.read.parquet(docs_path("t1"))
+    out_dir = str(tmp_path / "cidx")
+    # small fanin at build time leaves several runs per term to merge
+    build_index(spark, docs, out_dir, n_shards=8, n_buckets=4,
+                compact_fanin=2)
+    svc = SearchEngineService(spark, out_dir, docs=docs,
+                              scopes_path=str(tmp_path / "cscopes.json"))
+    httpd = serve(svc)
+    base = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        before = _get(base, "/api/search?query=sofiko")
+        assert before["result"] is True and before["count"] >= 1
+        assert svc._idx_cache is not None  # handle is cached and warm
+        gen_before = svc._generation
+
+        # out-of-band: same maintenance entrypoint jobs/compact.py calls,
+        # deliberately NOT via the server
+        rep = compact_index(spark, out_dir, fanin=2)
+        assert rep["rows_after"] < rep["rows_before"]
+
+        after = _get(base, "/api/search?query=sofiko")
+        assert after["result"] is True
+        assert after["data"] == before["data"]  # identical results, no stale read
+        # the token retired the result cache too (external swap ≡ mutation)
+        assert svc._generation > gen_before
+    finally:
+        httpd.shutdown()
+
+
+def test_compact_endpoint_coordinated(spark, tmp_path):
+    """POST /api/compact: the coordinated front door — exclusive lock
+    across the swap, caches retired, search unchanged."""
+    from searchengine_spark.index.build import build_index
+
+    docs = spark.read.parquet(docs_path("t1"))
+    out_dir = str(tmp_path / "cidx2")
+    build_index(spark, docs, out_dir, n_shards=8, n_buckets=4,
+                compact_fanin=2)
+    svc = SearchEngineService(spark, out_dir, docs=docs,
+                              scopes_path=str(tmp_path / "cscopes2.json"))
+    httpd = serve(svc)
+    base = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        before = _get(base, "/api/search?query=sofiko")
+        out = _req(base, "/api/compact?fanin=2", "POST")
+        assert out["result"] is True
+        assert out["rows_after"] < out["rows_before"]
+        after = _get(base, "/api/search?query=sofiko")
+        assert after["data"] == before["data"]
+        # bad fanin -> JSON error, never a dropped socket
+        bad = _req(base, "/api/compact?fanin=1", "POST")
+        assert bad["result"] is False and bad["error"]
+    finally:
+        httpd.shutdown()
