@@ -450,6 +450,32 @@ def main() -> None:
         extras["scale16_query_p99_ms"] = round(
             lat16[min(len(lat16) - 1, int(len(lat16) * 0.99))], 1)
         extras["scale16_query_samples"] = len(lat16)
+
+        # --- doc-sharded serving fan-out over the SAME 16x index: 8 lanes
+        # (one per doc-shard grp), merged bounded heaps — the horizontal
+        # answer to p99 growing with posting volume (query/sharded.py).
+        # Results are parity-tested identical (tests/test_sharded.py);
+        # this measures the latency the fan-out buys at 80k docs.
+        from searchengine_spark.query.sharded import ShardedSearcher
+
+        s16sh = ShardedSearcher(None, s16tmp, n_lanes=8)
+        try:
+            for terms in battery:  # warm pass
+                s16sh.search(terms, k=20)
+            lat16s = []
+            for _ in range(15):
+                for terms in battery:
+                    t0 = time.time()
+                    s16sh.search(terms, k=20)
+                    lat16s.append((time.time() - t0) * 1000.0)
+            lat16s.sort()
+            extras["scale16_sharded_p50_ms"] = round(
+                lat16s[len(lat16s) // 2], 1)
+            extras["scale16_sharded_p99_ms"] = round(
+                lat16s[min(len(lat16s) - 1, int(len(lat16s) * 0.99))], 1)
+            extras["scale16_sharded_lanes"] = 8
+        finally:
+            s16sh.close()
     finally:
         shutil.rmtree(s16tmp, ignore_errors=True)
 

@@ -25,6 +25,9 @@ def main() -> None:
                                      "(corpus or documents shape, auto-detected)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--lanes", type=int, default=1,
+                    help="doc-sharded serving fan-out width (>1 scores "
+                         "doc-shard grps concurrently; identical results)")
     args = ap.parse_args()
 
     from http.server import ThreadingHTTPServer
@@ -40,7 +43,8 @@ def main() -> None:
         # joins by its own id — do NOT reshape, ids must stay aligned with
         # however the index was built
         docs = spark.read.parquet(args.corpus)
-    svc = SearchEngineService(spark, args.index, docs=docs)
+    svc = SearchEngineService(spark, args.index, docs=docs,
+                              serving_lanes=args.lanes)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(svc))
     print(f"serving on http://{args.host}:{httpd.server_port}/api/…  (Ctrl-C to stop)")
     try:

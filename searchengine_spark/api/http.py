@@ -105,9 +105,13 @@ class SearchEngineService:
 
     def __init__(self, spark: SparkSession, index_root: str,
                  docs: DataFrame | None = None,
-                 scopes_path: str | None = None):
+                 scopes_path: str | None = None,
+                 serving_lanes: int = 1):
         self.spark = spark
         self.index_root = index_root
+        # >1: serve searches through the doc-sharded fan-out
+        # (query/sharded.ShardedSearcher) — identical results, lower p99
+        self.serving_lanes = serving_lanes
         self.docs = docs
         self.scopes = ScopeList(scopes_path or f"{index_root}/scopes.json")
         self._build_thread: threading.Thread | None = None
@@ -204,7 +208,8 @@ class SearchEngineService:
         cached = self._idx_cache
         if cached is None or cached[0] != gen:
             cached = (gen, self._freshness_token(),
-                      InvertedIndex(self.spark, self.index_root))
+                      InvertedIndex(self.spark, self.index_root,
+                                    serving_lanes=self.serving_lanes))
             self._idx_cache = cached
         return cached[2]
 

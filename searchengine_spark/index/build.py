@@ -396,11 +396,13 @@ def _build_resumable(spark, docs, paths, n_shards, n_buckets, mode,
 class InvertedIndex:
     """Loaded index handle: lazy DataFrames + driver-side scalar stats."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 serving_lanes: int = 1):
         self.spark = spark
         self.paths = IndexPaths(root)
         with open(self.paths.stats) as f:
             self.stats = json.load(f)
+        self.serving_lanes = serving_lanes
         self._searcher = None
 
     def segment_searcher(self):
@@ -408,11 +410,19 @@ class InvertedIndex:
         dataset handles, so callers serving many queries against ONE
         index generation (the HTTP tier caches an InvertedIndex per
         generation) amortize dataset discovery.  A fresh InvertedIndex —
-        which every mutation forces — gets fresh handles."""
+        which every mutation forces — gets fresh handles.
+        ``serving_lanes > 1`` serves through the doc-sharded fan-out
+        (query/sharded.py) — identical results, parallel grp scoring."""
         if self._searcher is None:
-            from searchengine_spark.query.wand import SegmentSearcher
+            if self.serving_lanes > 1:
+                from searchengine_spark.query.sharded import ShardedSearcher
 
-            self._searcher = SegmentSearcher(self.spark, self.paths.root)
+                self._searcher = ShardedSearcher(
+                    self.spark, self.paths.root, n_lanes=self.serving_lanes)
+            else:
+                from searchengine_spark.query.wand import SegmentSearcher
+
+                self._searcher = SegmentSearcher(self.spark, self.paths.root)
         return self._searcher
 
     @property

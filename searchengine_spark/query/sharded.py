@@ -1,0 +1,136 @@
+"""Doc-sharded serving fan-out: search N doc-shards concurrently, merge
+top-k heaps.
+
+The 16x serving canary (BENCH r4) showed conjunctive p99 growing ~linearly
+with corpus size — posting lists lengthen and one thread scores every grp
+sequentially, and block-max WAND prunes the tail but cannot flatten the
+volume.  The serving answer at cluster scale is horizontal: doc-shard the
+index, push the SAME query to every shard in parallel, and merge bounded
+per-shard top-k heaps — the plan the routing-cost operator
+(pipeline/serving.partition_routing_cost) prices, made real.
+
+The index is already physically doc-sharded: ``grp`` is a pure function of
+doc_id (index/segments.py phase-1 pack), every term's postings for one doc
+shard live in the same grp, and conjunctive evaluation decomposes exactly
+per grp.  ``ShardedSearcher`` therefore assigns grps to ``n_lanes``
+serving lanes (grp % n_lanes — on a cluster, lane == node owning those doc
+shards) and scores lanes concurrently in a thread pool.  Scoring is
+NumPy-vectorized (``score_grp``), which releases the GIL for the decode +
+membership kernels, so lanes overlap on real cores.
+
+Exactness: global statistics (n_docs, avgdl, idf) come from the shared
+``_prepare`` — identical across lanes by construction (the broadcast-stats
+exchange of a distributed search tier).  Each lane keeps a local top-k
+heap, pruned by max(local theta, global theta snapshot); since a lane's
+local top-k is always a superset of that lane's contribution to the global
+top-k, the merged result is EXACTLY the single-thread result (parity test:
+tests/test_sharded.py).  The global theta is a lock-guarded scalar updated
+as lanes fill their heaps — cross-shard threshold gossip, the standard
+distributed top-k refinement; it only tightens pruning, never changes
+results.
+
+The reference has no analog (single MySQL, one-node search:
+src/main/java/searchengine/services/SearchServiceImpl.java:59-73); this is
+the piece the reference would need first at any multi-node scale.
+"""
+
+from __future__ import annotations
+
+import heapq
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from searchengine_spark.index import codec
+from searchengine_spark.query.wand import SegmentSearcher, score_grp
+
+
+class _GlobalTheta:
+    """Lock-guarded monotone max of every lane's k-th-best score.  Lanes
+    snapshot it when entering a grp; stale reads are safe (a lower theta
+    only prunes less)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.value = -np.inf
+
+    def raise_to(self, v: float) -> None:
+        with self._lock:
+            if v > self.value:
+                self.value = v
+
+
+class ShardedSearcher(SegmentSearcher):
+    """Drop-in SegmentSearcher with doc-sharded fan-out across
+    ``n_lanes`` concurrent serving lanes (threads here; nodes on a
+    cluster).  Same results, same ordering, bounded merge state
+    (n_lanes x k heap entries)."""
+
+    def __init__(self, spark, root: str, n_lanes: int = 8,
+                 io: str = "arrow"):
+        super().__init__(spark, root, io=io)
+        if n_lanes < 1:
+            raise ValueError("n_lanes must be >= 1")
+        self.n_lanes = n_lanes
+        self._pool = ThreadPoolExecutor(max_workers=n_lanes)
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)
+
+    def search(self, terms: list[str], k: int = 20,
+               prune: bool = True) -> list[tuple[int, float]]:
+        terms = sorted(set(terms))
+        if not terms or k <= 0:
+            return []
+        prep = self._prepare(terms)
+        if prep is None:
+            return []
+        order, idf, by_grp = prep
+        avgdl = float(self.stats["avgdl"])
+
+        lanes: list[list[int]] = [[] for _ in range(self.n_lanes)]
+        for grp in sorted(by_grp):
+            lanes[grp % self.n_lanes].append(grp)
+        lanes = [ln for ln in lanes if ln]
+
+        gtheta = _GlobalTheta()
+
+        def run_lane(grps: list[int]):
+            heap: list[tuple[float, int]] = []  # (score, -doc) min-heap
+            full: list[tuple[int, float]] = []
+            for grp in grps:
+                theta = -np.inf
+                if prune and len(heap) >= k:
+                    theta = max(heap[0][0], gtheta.value)
+                elif prune:
+                    theta = gtheta.value if np.isfinite(gtheta.value) else -np.inf
+                alive_ids, alive_scores = score_grp(
+                    by_grp[grp], order, idf, avgdl,
+                    theta if prune else -np.inf)
+                for d, s in zip(alive_ids.tolist(), alive_scores.tolist()):
+                    item = (float(s), -int(d))
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+                    if not prune:
+                        full.append((int(d), float(s)))
+                if prune and len(heap) >= k:
+                    gtheta.raise_to(heap[0][0])
+            return heap, full
+
+        if len(lanes) <= 1:
+            outs = [run_lane(lanes[0])] if lanes else []
+        else:
+            outs = list(self._pool.map(run_lane, lanes))
+
+        if not prune:
+            results = [item for _, full in outs for item in full]
+            results.sort(key=lambda ds: (-ds[1], ds[0]))
+            return results
+        merged = heapq.nlargest(
+            k, (item for heap, _ in outs for item in heap))
+        results = [(-nd, s) for s, nd in merged]
+        results.sort(key=lambda ds: (-ds[1], ds[0]))
+        return results

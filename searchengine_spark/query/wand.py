@@ -244,6 +244,33 @@ class SegmentSearcher:
 
     # -- search --------------------------------------------------------------
 
+    def _prepare(self, terms: list[str]):
+        """Shared front half of every conjunctive evaluation: resolve dfs
+        (AND gate), derive idf + df-ascending order, read + group the
+        packed runs per grp.  Returns (order, idf, by_grp) or None when
+        the AND gate fails.  The sharded fan-out (query/sharded.py) reuses
+        this so global statistics (n_docs, avgdl, idf) are identical by
+        construction across serving shards — on a cluster this is the
+        broadcast-stats exchange every distributed search tier does."""
+        dfs = self.resolve(terms)
+        if len(dfs) < len(terms):
+            return None  # AND gate: SearchServiceImpl.java:100-102
+
+        n_docs = int(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"])
+        idf = {
+            t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+            for t, d in dfs.items()
+        }
+        # df-ascending processing order (O1), ties by term for determinism
+        order = sorted(terms, key=lambda t: (dfs[t], t))
+
+        # grp -> term -> PackedList
+        by_grp: dict[int, dict[str, codec.PackedList]] = {}
+        for r in self._segment_rows(terms):
+            by_grp.setdefault(int(r["grp"]), {})[r["term"]] = row_to_packed(r)
+        return order, idf, by_grp
+
     def search(self, terms: list[str], k: int = 20,
                prune: bool = True) -> list[tuple[int, float]]:
         """Exact BM25 scores for the conjunctive query, ordered by
@@ -259,23 +286,11 @@ class SegmentSearcher:
         terms = sorted(set(terms))
         if not terms or k <= 0:
             return []
-        dfs = self.resolve(terms)
-        if len(dfs) < len(terms):
-            return []  # AND gate: SearchServiceImpl.java:100-102
-
-        n_docs = int(self.stats["n_docs"])
+        prep = self._prepare(terms)
+        if prep is None:
+            return []
+        order, idf, by_grp = prep
         avgdl = float(self.stats["avgdl"])
-        idf = {
-            t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
-            for t, d in dfs.items()
-        }
-        # df-ascending processing order (O1), ties by term for determinism
-        order = sorted(terms, key=lambda t: (dfs[t], t))
-
-        # grp -> term -> PackedList
-        by_grp: dict[int, dict[str, codec.PackedList]] = {}
-        for r in self._segment_rows(terms):
-            by_grp.setdefault(int(r["grp"]), {})[r["term"]] = row_to_packed(r)
 
         heap: list[tuple[float, int]] = []  # min-heap of (score, -doc) top-k
         results: list[tuple[int, float]] = []

@@ -1,0 +1,99 @@
+"""Doc-sharded serving fan-out == single-thread SegmentSearcher, exactly.
+
+The merge-of-bounded-heaps must reproduce the single-thread result list —
+same doc ids, same float64 scores, same (-score, doc_id) order — for every
+lane count, with and without pruning (VERDICT r4 #4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.query.sharded import ShardedSearcher
+from searchengine_spark.query.wand import SegmentSearcher
+
+BATTERY = [
+    ["sofiko"],
+    ["sofiko", "leopard"],
+    ["the"],                       # stopword-shaped high-df single term
+    ["merge", "vector"],
+    ["data", "table", "query"],
+    ["zzz_absent_term"],           # AND gate -> []
+    ["sofiko", "zzz_absent_term"],
+]
+
+
+@pytest.fixture(scope="module")
+def sharded_root(spark, tmp_path_factory):
+    """t1 corpus packed with 16 doc-shards so 8 lanes each own >=2 grps."""
+    from searchengine_spark.fixtures.loaders import docs_path
+    from searchengine_spark.index.build import build_index
+
+    out = str(tmp_path_factory.mktemp("sharded_idx"))
+    build_index(spark, spark.read.parquet(docs_path("t1")), out,
+                n_shards=16, n_buckets=8)
+    return out
+
+
+@pytest.fixture(scope="module")
+def searchers(sharded_root):
+    return SegmentSearcher(None, sharded_root)
+
+
+@pytest.mark.parametrize("n_lanes", [1, 2, 4, 8])
+def test_sharded_parity_topk(sharded_root, searchers, n_lanes):
+    base = searchers
+    sh = ShardedSearcher(None, sharded_root, n_lanes=n_lanes)
+    try:
+        for terms in BATTERY:
+            want = base.search(terms, k=20)
+            got = sh.search(terms, k=20)
+            assert got == want, (terms, n_lanes)
+    finally:
+        sh.close()
+
+
+def test_sharded_parity_unpruned_full_set(sharded_root, searchers):
+    """prune=False returns EVERY AND match — the full set must agree
+    across the fan-out too (ordering is the same global sort)."""
+    base = searchers
+    sh = ShardedSearcher(None, sharded_root, n_lanes=4)
+    try:
+        for terms in (["sofiko"], ["merge", "vector"]):
+            assert sh.search(terms, k=10**9, prune=False) == \
+                base.search(terms, k=10**9, prune=False)
+    finally:
+        sh.close()
+
+
+def test_sharded_parity_small_k_ties(sharded_root, searchers):
+    """k smaller than the tie group: the cross-lane merge must break
+    score ties by doc_id exactly like the sequential heap."""
+    base = searchers
+    sh = ShardedSearcher(None, sharded_root, n_lanes=8)
+    try:
+        for k in (1, 3, 5):
+            for terms in (["the"], ["sofiko"], ["merge", "vector"]):
+                assert sh.search(terms, k=k) == base.search(terms, k=k), (terms, k)
+    finally:
+        sh.close()
+
+
+def test_sharded_rejects_bad_lanes(sharded_root):
+    with pytest.raises(ValueError):
+        ShardedSearcher(None, sharded_root, n_lanes=0)
+
+
+def test_serving_tier_lanes_parity(spark, sharded_root, tmp_path):
+    """The HTTP service with serving_lanes>1 routes through the fan-out
+    and returns byte-identical SearchResponse payloads."""
+    from searchengine_spark.api.http import SearchEngineService
+    from searchengine_spark.fixtures.loaders import docs_path
+
+    docs = spark.read.parquet(docs_path("t1"))
+    one = SearchEngineService(spark, sharded_root, docs=docs,
+                              scopes_path=str(tmp_path / "s1.json"))
+    fan = SearchEngineService(spark, sharded_root, docs=docs,
+                              scopes_path=str(tmp_path / "s2.json"),
+                              serving_lanes=4)
+    for q in ("sofiko", "merge vector", "data table"):
+        assert fan.search(q, None, 0, 20) == one.search(q, None, 0, 20)
