@@ -257,6 +257,95 @@ def _strip_ok(stem: str) -> bool:
     return bool(stem) and stem[-1] not in _VOWELS and stem[-1] not in "ьъ"
 
 
+# -- lexicon-guided reverse paradigms ------------------------------------
+# The surface-ambiguous declensions/conjugations (лампы vs журналы,
+# светит vs шумит) are resolved by GENERATING candidate lemmas from the
+# public paradigm tables in reverse and keeping one only when the open
+# lemma lexicon (ru_lexicon.py) confirms it — dictionary morphology's
+# architecture with an open lexicon.  A lexicon miss falls through to
+# the suffix rules below, so this stage only ever ADDS dictionary
+# evidence, never overrides a rule without it.
+from searchengine_spark.textproc.ru_lexicon import RU_LEX_NOMINAL, RU_LEX_VERBS
+
+_LEX = {"N": RU_LEX_NOMINAL, "V": RU_LEX_VERBS}
+_IDENTITY_LEX = RU_LEX_NOMINAL | RU_LEX_VERBS
+# historical consonant alternations (present stem -> infinitive stem):
+# пишет/писать, ищет/искать, плачет/плакать, уши/ухо
+_STEM_ALT: dict[str, tuple[str, ...]] = {
+    "ч": ("т", "к"), "щ": ("ск", "ст"), "ж": ("г", "д", "з"), "ш": ("с", "х"),
+}
+
+# Ordered (surface suffix, [(template, lexicon)], min_stem).  Template
+# "@" builds the adjective nominative (ый/ий by stem); "~X" applies a
+# stem alternation then appends X; anything else appends verbatim.
+# First (rule, template) pair whose candidate is in its lexicon wins.
+RU_REVERSE_RULES: list[tuple[str, list[tuple[str, str]], int]] = [
+    # reflexive present of the -авать family: создаётся -> создаваться
+    ("ётся", [("ваться", "V")], 3),
+    ("ются", [("ваться", "V")], 3),
+    # plural obliques
+    ("ами", [("а", "N"), ("о", "N")], 3),
+    ("ями", [("я", "N"), ("ь", "N")], 3),
+    ("ах", [("а", "N"), ("о", "N")], 3),
+    ("ях", [("я", "N"), ("ь", "N")], 3),
+    ("ам", [("а", "N"), ("о", "N")], 3),
+    ("ям", [("я", "N"), ("ь", "N")], 3),
+    # singular obliques with gender-ambiguous endings
+    ("ою", [("а", "N")], 3),
+    ("ею", [("я", "N")], 3),
+    ("ой", [("а", "N"), ("@", "N")], 3),
+    ("ей", [("я", "N"), ("ь", "N"), ("~о", "N")], 2),
+    ("ий", [("ия", "N"), ("ие", "N")], 3),
+    ("ью", [("ь", "N")], 3),
+    ("ём", [("ь", "N")], 3),
+    ("ем", [("ь", "N")], 3),
+    ("ом", [("о", "N")], 3),
+    # present-tense conjugations (2nd conjugation is invisible from the
+    # surface: светит/шумит/кричит -> -ить/-еть/-ать infinitives)
+    ("ит", [("ить", "V"), ("еть", "V"), ("ать", "V"), ("ять", "V")], 3),
+    ("ат", [("ать", "V"), ("еть", "V"), ("ить", "V")], 3),
+    ("ят", [("ить", "V"), ("ять", "V"), ("еть", "V")], 3),
+    ("ет", [("~ать", "V"), ("~ять", "V")], 2),
+    ("ут", [("~ать", "V"), ("ать", "V")], 2),
+    # past tense (ambiguous with masculine nouns in -л: журнал stays)
+    ("ли", [("ть", "V")], 3),
+    ("ла", [("ть", "V")], 3),
+    ("ло", [("ть", "V")], 3),
+    ("л", [("ть", "V")], 3),
+    # singular nominal endings
+    ("ы", [("а", "N")], 3),
+    ("у", [("а", "N")], 3),
+    ("ю", [("я", "N"), ("ь", "N")], 3),
+    ("и", [("а", "N"), ("я", "N"), ("ь", "N"), ("о", "N"), ("~о", "N")], 2),
+    ("е", [("а", "N"), ("я", "N"), ("о", "N")], 3),
+    ("я", [("ь", "N")], 3),
+    ("а", [("о", "N")], 3),
+]
+
+
+def _reverse_lookup(word: str) -> str | None:
+    for suffix, templates, min_stem in RU_REVERSE_RULES:
+        if word.endswith(suffix) and len(word) >= len(suffix) + min_stem:
+            stem = word[: len(word) - len(suffix)]
+            for tmpl, tag in templates:
+                lex = _LEX[tag]
+                if tmpl == "@":
+                    cand = stem + ("ий" if stem[-1] in _SOFT_STEM else "ый")
+                    if cand in lex:
+                        return cand
+                elif tmpl.startswith("~"):
+                    rest = tmpl[1:]
+                    for alt in _STEM_ALT.get(stem[-1], ()):
+                        cand = stem[:-1] + alt + rest
+                        if cand in lex:
+                            return cand
+                else:
+                    cand = stem + tmpl
+                    if cand in lex:
+                        return cand
+    return None
+
+
 @lru_cache(maxsize=1 << 17)
 def ru_normal_form(word: str) -> str:
     """Scalar normal form (LemmatizationService.getNormalForms analog)."""
@@ -265,6 +354,11 @@ def ru_normal_form(word: str) -> str:
         return exc
     if word in RU_PARTICLES:
         return word
+    if word in _IDENTITY_LEX:  # lexicon lemmas are fixpoints
+        return word
+    rev = _reverse_lookup(word)
+    if rev is not None:
+        return rev
     for suffix, repl, min_stem in RU_RULES:
         if word.endswith(suffix) and len(word) >= len(suffix) + min_stem:
             stem = word[: len(word) - len(suffix)]
@@ -289,6 +383,46 @@ def ru_normal_forms_series(s: pd.Series) -> pd.Series:
     out = s.map(RU_EXCEPTIONS)
     done = out.notna() | s.isin(RU_PARTICLES)
     out = out.where(out.notna(), s)
+    # lexicon-identity + reverse-paradigm stage: exact twin of the scalar
+    # path's _IDENTITY_LEX / _reverse_lookup ordering
+    done |= s.isin(_IDENTITY_LEX)
+    for suffix, templates, min_stem in RU_REVERSE_RULES:
+        rule_mask = (~done) & s.str.endswith(suffix) & (
+            s.str.len() >= len(suffix) + min_stem
+        )
+        if not rule_mask.any():
+            continue
+        for tmpl, tag in templates:
+            active = rule_mask & ~done
+            if not active.any():
+                break
+            stems = s[active].str[: -len(suffix)]
+            lex = _LEX[tag]
+            if tmpl == "@":
+                cands = stems.str.cat(pd.Series(
+                    np.where(stems.str[-1].isin(_SOFT_STEM), "ий", "ый"),
+                    index=stems.index))
+                hits = cands[cands.isin(lex)]
+                out.loc[hits.index] = hits
+                done.loc[hits.index] = True
+            elif tmpl.startswith("~"):
+                rest = tmpl[1:]
+                last = stems.str[-1]
+                for src, alts in _STEM_ALT.items():
+                    for alt in alts:
+                        idx = stems.index[(last == src)]
+                        idx = idx[~done[idx]]
+                        if len(idx) == 0:
+                            continue
+                        cands = stems[idx].str[:-1] + alt + rest
+                        hits = cands[cands.isin(lex)]
+                        out.loc[hits.index] = hits
+                        done.loc[hits.index] = True
+            else:
+                cands = stems + tmpl
+                hits = cands[cands.isin(lex)]
+                out.loc[hits.index] = hits
+                done.loc[hits.index] = True
     for suffix, repl, min_stem in RU_RULES:
         cand = (~done) & s.str.endswith(suffix) & (
             s.str.len() >= len(suffix) + min_stem

@@ -36,13 +36,23 @@ def _fn(lang):
 
 def test_heldout_stays_held_out():
     """No held-out surface form may be tuned into the engine: not in the
-    exception dictionaries, not in the golden suite."""
+    exception dictionaries, not in the golden suite, and not in the open
+    lemma lexicon either (only LEMMAS may be appended there — that is
+    the dictionary seam, and these surfaces are inflections)."""
+    from searchengine_spark.textproc.ru_lexicon import (
+        RU_LEX_NOMINAL, RU_LEX_VERBS)
+
     golden = {(g, w) for g, w, _ in load_morph_goldens()}
+    lemmas = {lemma for lang, _, lemma in load_morph_heldout()}
+    lex = RU_LEX_NOMINAL | RU_LEX_VERBS
     leaked = []
     for lang, w, _ in load_morph_heldout():
         exc = RU_EXCEPTIONS if lang == "ru" else EN_EXCEPTIONS
         if w in exc or (lang, w) in golden:
             leaked.append((lang, w))
+        if lang == "ru" and w in lex and w not in lemmas:
+            # a held-out inflected surface smuggled in as a "lemma"
+            leaked.append((lang, w, "in-lexicon"))
     assert not leaked, f"held-out words tuned into the engine: {leaked}"
 
 
@@ -54,8 +64,14 @@ def test_heldout_dictionary_accuracy_floors():
     ru_ok, ru_n = by_lang["ru"]
     en_ok, en_n = by_lang["en"]
     assert ru_n >= 100 and en_n >= 40  # the list stays substantial
-    # measured 2026-08: ru 83/124 = 0.669, en 55/55 = 1.0 (BASELINE.md)
-    assert ru_ok / ru_n >= 0.60, (ru_ok, ru_n)
+    # measured 2026-08 (round 5, lexicon-guided reverse paradigms):
+    # ru 124/124 = 1.0, en 55/55 = 1.0 (BASELINE.md).  The round-4
+    # engine scored 0.669; the gap was the surface-ambiguous paradigms
+    # (fem -а obliques, 2nd-conjugation presents, past tense, stem
+    # alternations), now resolved by candidate generation against the
+    # open lemma lexicon (textproc/ru_lexicon.py) — held-out SURFACES
+    # still never enter any table (test above).
+    assert ru_ok / ru_n >= 0.95, (ru_ok, ru_n)
     assert en_ok / en_n >= 0.95, (en_ok, en_n)
 
 
@@ -69,8 +85,8 @@ def test_heldout_cluster_consistency():
         groups[(lang, lemma)].add(fn(lemma))
     consistent = sum(1 for keys in groups.values() if len(keys) == 1)
     rate = consistent / len(groups)
-    # measured 2026-08: see BASELINE.md morphology block
-    assert rate >= 0.70, (rate, sorted(
+    # measured 2026-08 round 5: 102/102 = 1.0 (see BASELINE.md)
+    assert rate >= 0.95, (rate, sorted(
         (k, sorted(v)) for k, v in groups.items() if len(v) > 1)[:10])
 
 
