@@ -40,6 +40,43 @@ _TOKARR = (
 )
 
 
+
+# -- shared CTE prologue builders ----------------------------------------
+# One statement of each corpus-level building block; every twin composes
+# these instead of restating them, so the doc-length/avgdl/df identities
+# and the BM25 scoring expression cannot drift between twins (round-4
+# VERDICT #6).  Names are the CTE aliases the twins reference (ds, g,
+# dfs) — the composition stays readable as SQL.
+_DS = "ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id)"
+_G_AVGDL = ("g AS (SELECT count(*)::DOUBLE AS n_docs, "
+            "(sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds)")
+_G_NDOCS = "g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings)"
+_DFS_ALL = "dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term)"
+# BM25 (k1=1.2, b=0.75) per-posting contribution — THE score formula;
+# aliases p/dfs/ds/g are the conventional CTE names above
+_BM25_SUMMAND = ("ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) * (p.tf * 2.2) "
+                 "/ (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl)))")
+_TOKS_CTE_MAT = _TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")
+
+
+def _dfs_terms(tl: str) -> str:
+    return ("dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings "
+            f"WHERE term IN ({tl}) GROUP BY term)")
+
+
+
+def _probe_topk(src: str, k) -> str:
+    """Shared tail of every ANN twin: per-probe top-k by
+    (cosine DESC, vec_id ASC) over an already-scored relation."""
+    return (
+        "SELECT probe_id, vec_id, cosine, rank FROM (\n"
+        "  SELECT *, row_number() OVER (PARTITION BY probe_id "
+        "ORDER BY cosine DESC, vec_id ASC) AS rank\n"
+        f"  FROM {src}\n"
+        f") WHERE rank <= {int(k)}"
+    )
+
+
 def tf_postings() -> str:
     return f"WITH {_TOKS_CTE} SELECT term, doc_id, tf FROM postings"
 
@@ -49,7 +86,7 @@ def postings_with_dl() -> str:
     with doc length — proves the packed segments are a lossless encoding."""
     return (
         f"WITH {_TOKS_CTE}, "
-        "ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id) "
+        f"{_DS} "
         "SELECT p.term, p.doc_id, p.tf, ds.dl FROM postings p JOIN ds USING (doc_id)"
     )
 
@@ -87,14 +124,12 @@ def bm25_scored(terms: list[str]) -> str:
     tl = _terms_in(terms)
     return f"""
 WITH {_TOKS_CTE},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
-g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY term),
+{_DS},
+{_G_AVGDL},
+{_dfs_terms(tl)},
 scored AS (
   SELECT p.doc_id, count(*) AS nhit,
-         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
-              * (p.tf * 2.2)
-              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ) AS score
+         sum( {_BM25_SUMMAND} ) AS score
   FROM postings p
   JOIN dfs USING (term)
   JOIN ds ON p.doc_id = ds.doc_id
@@ -128,7 +163,7 @@ def compat_relevance(terms: list[str], max_df_ratio: float = 0.8) -> str:
     return f"""
 WITH {_TOKS_CTE},
 total AS (SELECT count(DISTINCT term)::DOUBLE AS total FROM postings),
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY term),
+{_dfs_terms(tl)},
 kept AS (SELECT term FROM dfs CROSS JOIN total WHERE df / total < {max_df_ratio}),
 n_kept AS (SELECT count(*) AS n_kept FROM kept),
 cand AS (
@@ -340,10 +375,7 @@ scored AS (
   SELECT probe_id, vec_id, {_COS}
   FROM cand CROSS JOIN probes WHERE vec_id <> probe_id
 )
-SELECT probe_id, vec_id, cosine, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank
-  FROM scored
-) WHERE rank <= {k}
+{_probe_topk('scored', k)}
 """
 
 
@@ -407,10 +439,7 @@ scored AS (
   FROM cand JOIN probes ON cand.bucket = probes.pbucket
   WHERE vec_id <> probe_id
 )
-SELECT probe_id, vec_id, cosine, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank
-  FROM scored
-) WHERE rank <= {k}
+{_probe_topk('scored', k)}
 """
 
 
@@ -537,10 +566,7 @@ scored AS (
   FROM cand JOIN pl USING (list_id)
   WHERE vec_id <> probe_id
 )
-SELECT probe_id, vec_id, cosine, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank
-  FROM scored
-) WHERE rank <= {k}
+{_probe_topk('scored', k)}
 """
 
 
@@ -1334,14 +1360,12 @@ def bm25_or_scored(terms: list[str], min_match: int = 1) -> str:
     tl = _terms_in(terms)
     return f"""
 WITH {_TOKS_CTE},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
-g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY term),
+{_DS},
+{_G_AVGDL},
+{_dfs_terms(tl)},
 scored AS (
   SELECT p.doc_id, count(*)::BIGINT AS nhit,
-         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
-              * (p.tf * 2.2)
-              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ) AS score
+         sum( {_BM25_SUMMAND} ) AS score
   FROM postings p
   JOIN dfs USING (term)
   JOIN ds ON p.doc_id = ds.doc_id
@@ -1439,7 +1463,7 @@ def more_like_this(probe_doc_id: int, k: int = 10) -> str:
     """DuckDB twin of queryops.more_like_this (TF-IDF cosine)."""
     return f"""
 WITH {_TOKS_CTE},
-g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+{_G_NDOCS},
 w AS (
   SELECT p.term, p.doc_id, p.tf * ln(g.n_docs / dfs.df) AS w
   FROM postings p
@@ -1491,7 +1515,7 @@ def prefix_search(prefix: str, k: int = 20) -> str:
     esc = prefix.replace("'", "''")
     return f"""
 WITH {_TOKS_CTE},
-g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+{_G_NDOCS},
 matched AS (
   SELECT term, count(*)::BIGINT AS df FROM postings
   WHERE term LIKE '{esc}%' GROUP BY term
@@ -1512,7 +1536,7 @@ def cooccurrence_pmi(probe_term: str, min_co: int = 5, k: int = 50) -> str:
     esc = probe_term.replace("'", "''")
     return f"""
 WITH {_TOKS_CTE},
-g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+{_G_NDOCS},
 probe_docs AS (SELECT doc_id FROM postings WHERE term = '{esc}'),
 df_probe AS (SELECT count(*)::DOUBLE AS df_probe FROM probe_docs),
 co AS (
@@ -1522,7 +1546,7 @@ co AS (
   GROUP BY p.term
   HAVING count(*) >= {min_co}
 ),
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term)
+{_DFS_ALL}
 SELECT co.term, co.n_co,
        round(ln(co.n_co * g.n_docs / (df_probe.df_probe * dfs.df)), 4) AS pmi
 FROM co JOIN dfs USING (term) CROSS JOIN g CROSS JOIN df_probe
@@ -1535,7 +1559,7 @@ def spell_suggest(query_term: str, max_dist: int = 1, k: int = 5) -> str:
     esc = query_term.replace("'", "''")
     return f"""
 WITH {_TOKS_CTE},
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+{_DFS_ALL},
 cand AS (
   SELECT term, df, levenshtein(term, '{esc}')::BIGINT AS dist
   FROM dfs
@@ -1557,7 +1581,7 @@ def symspell_suggest(query_term: str, max_dist: int = 1, k: int = 5) -> str:
         "'" + d.replace("'", "''") + "'" for d in _symspell_deletes(query_term))
     return f"""
 WITH {_TOKS_CTE},
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+{_DFS_ALL},
 dk AS (
   SELECT term, df,
          unnest(list_append([substr(term, 1, i - 1) || substr(term, i + 1)
@@ -1586,9 +1610,9 @@ FROM dfs WHERE abs(length(term) - {len(t)}) <= {max_dist}
     )
     return f"""
 WITH {_TOKS_CTE},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
-g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+{_DS},
+{_G_AVGDL},
+{_DFS_ALL},
 exp0 AS ({slot_selects}),
 exp AS (
   SELECT slot, term, df FROM (
@@ -1677,8 +1701,8 @@ def keywords_tfidf(per_doc: int = 5) -> str:
     """DuckDB twin of queryops.keywords_tfidf."""
     return f"""
 WITH {_TOKS_CTE},
-g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+{_G_NDOCS},
+{_DFS_ALL},
 w AS (
   SELECT p.doc_id, p.term, round(p.tf * ln(g.n_docs / dfs.df), 4) AS w
   FROM postings p JOIN dfs USING (term) CROSS JOIN g
@@ -2164,7 +2188,7 @@ def index_size_stats(n_buckets: int = 16) -> str:
     bucket = f"(({md5_long_sql('term')}) % {int(n_buckets)})::INT"
     return f"""
 WITH {_TOKS_CTE},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+{_DS},
 d AS (
   SELECT term, tf, ds.dl,
          coalesce(p.doc_id - lag(p.doc_id) OVER (PARTITION BY term ORDER BY p.doc_id),
@@ -2222,10 +2246,7 @@ scored AS (
   SELECT probe_id, vec_id, {_COS}
   FROM cand CROSS JOIN probes WHERE vec_id <> probe_id
 )
-SELECT probe_id, vec_id, cosine, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank
-  FROM scored
-) WHERE rank <= {int(k)}
+{_probe_topk('scored', int(k))}
 """
 
 
@@ -2288,7 +2309,7 @@ def stopword_candidates(df_ratio: float = 0.5, k: int = 50) -> str:
     """Twin of textstats.stopword_candidates."""
     return f"""
 WITH {_TOKS_CTE},
-g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+{_G_NDOCS},
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1)
 SELECT term, df, round(df / g.n_docs, 4) AS doc_ratio,
        round(ln(1 + (g.n_docs - df + 0.5) / (df + 0.5)), 6) AS idf
@@ -3937,7 +3958,7 @@ def rocchio_search(terms: list[str], fb_docs: int = 5, fb_terms: int = 3,
   GROUP BY p.doc_id
 """
     return f"""
-WITH {_TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")},
+WITH {_TOKS_CTE_MAT},
 ds AS MATERIALIZED (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
 g AS MATERIALIZED (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
 dfs_all AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
@@ -4022,8 +4043,8 @@ def dirichlet_ql_topk(terms: list[str], mu: float = 2000.0,
     tl = _terms_in(terms)
     nq = float(len(terms))
     return f"""
-WITH {_TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+WITH {_TOKS_CTE_MAT},
+{_DS},
 coll AS (SELECT sum(tf)::DOUBLE AS c_tokens FROM postings),
 cfs AS (SELECT term, sum(tf)::DOUBLE AS cf FROM postings
         WHERE term IN ({tl}) GROUP BY term),
@@ -4081,14 +4102,12 @@ def query_language(must: list[str], must_not: list[str],
             f"FROM (SELECT * FROM documents WHERE lang IN ({ll})) documents")
     return f"""
 WITH {cte},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
-g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+{_DS},
+{_G_AVGDL},
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({pl}) GROUP BY term),
 scored AS (
   SELECT p.doc_id,
-         round(sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
-              * (p.tf * 2.2)
-              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ), 4) AS score
+         round(sum( {_BM25_SUMMAND} ), 4) AS score
   FROM postings p
   JOIN dfs USING (term)
   JOIN ds ON p.doc_id = ds.doc_id
@@ -4227,10 +4246,7 @@ scored AS (
   SELECT probe_id, vec_id, {_COS}
   FROM cd CROSS JOIN probes WHERE vec_id <> probe_id
 )
-SELECT probe_id, vec_id, cosine, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank
-  FROM scored
-) WHERE rank <= {k}
+{_probe_topk('scored', k)}
 """
 
 
@@ -4252,8 +4268,8 @@ def synonym_bm25_topk(query_groups: list[list[str]], k: int = 20) -> str:
     ) + " END"
     return f"""
 WITH {_TOKS_CTE},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
-g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+{_DS},
+{_G_AVGDL},
 gt AS (
   SELECT {gid_case} AS gid, doc_id, sum(tf)::BIGINT AS tf
   FROM postings WHERE term IN ({all_terms}) GROUP BY 1, 2
@@ -4383,14 +4399,12 @@ def clarity_score(terms: list[str], k: int = 10) -> str:
     tl = _terms_in(terms)
     return f"""
 WITH {_TOKS_CTE},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
-g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY 1),
+{_DS},
+{_G_AVGDL},
+{_dfs_terms(tl)},
 sc AS (
   SELECT p.doc_id,
-         round(sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
-              * (p.tf * 2.2)
-              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ), 4) AS score
+         round(sum( {_BM25_SUMMAND} ), 4) AS score
   FROM postings p
   JOIN dfs USING (term)
   JOIN ds ON p.doc_id = ds.doc_id
@@ -4634,9 +4648,9 @@ def _runs_cte(queries: list[tuple[int, list[str]]], k: int,
     all_terms = sorted({t for _, terms in queries for t in terms})
     tl = _terms_in(all_terms)
     return f"""
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
-g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY 1),
+{_DS},
+{_G_AVGDL},
+{_dfs_terms(tl)},
 sc AS (
   SELECT q.qid, p.doc_id,
          round(sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
@@ -4698,9 +4712,9 @@ def rank_agreement(queries: list[tuple[int, list[str]]], k: int = 10,
 
     return f"""
 WITH {_TOKS_CTE}, {_qdim_values(queries)},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
-g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY 1),
+{_DS},
+{_G_AVGDL},
+{_dfs_terms(tl)},
 {sc(0.75, "run_a")},
 {sc(0.0, "run_b")},
 common AS (
@@ -4754,9 +4768,9 @@ def bm25_interleaved(queries: list[tuple[int, list[str]]],
 
     return f"""
 WITH {_TOKS_CTE}, {_qdim_values(queries)},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
-g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY 1),
+{_DS},
+{_G_AVGDL},
+{_dfs_terms(tl)},
 {sc(0.75, "run_a")},
 {sc(0.0, "run_b")},
 merged AS (
@@ -4885,18 +4899,16 @@ def ltr_features(queries: list[tuple[int, list[str]]]) -> str:
     tl = _terms_in(all_terms)
     return f"""
 WITH {_TOKS_CTE}, {_qdim_values(queries)},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
-g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY 1)
+{_DS},
+{_G_AVGDL},
+{_dfs_terms(tl)}
 SELECT q.qid, p.doc_id,
        count(*)::BIGINT AS n_matched,
        sum(p.tf)::BIGINT AS sum_tf,
        min(p.tf)::BIGINT AS min_tf,
        max(ds.dl)::BIGINT AS dl,
        round(sum(ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))), 4) AS idf_sum,
-       round(sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
-            * (p.tf * 2.2)
-            / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ), 4) AS bm25
+       round(sum( {_BM25_SUMMAND} ), 4) AS bm25
 FROM postings p
 JOIN qdim q USING (term)
 JOIN dfs USING (term)
@@ -4985,14 +4997,12 @@ tok0 AS (
 ),
 toks AS (SELECT doc_id, term FROM tok0 WHERE term <> ''),
 postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
-g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY term),
+{_DS},
+{_G_AVGDL},
+{_dfs_terms(tl)},
 scored AS (
   SELECT p.doc_id,
-         round(sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
-              * (p.tf * 2.2)
-              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) ), 4) AS score
+         round(sum( {_BM25_SUMMAND} ), 4) AS score
   FROM postings p
   JOIN dfs USING (term)
   JOIN ds ON p.doc_id = ds.doc_id
@@ -5009,7 +5019,7 @@ def suffix_search(suffix: str, k: int = 20) -> str:
     esc = suffix.replace("'", "''")
     return f"""
 WITH {_TOKS_CTE},
-g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+{_G_NDOCS},
 matched AS (
   SELECT term, count(*)::BIGINT AS df FROM postings
   WHERE term LIKE '%{esc}' GROUP BY term
@@ -5065,7 +5075,7 @@ def query_segmentation(terms: list[str], pmi_threshold: float = 1.0) -> str:
     )
     return f"""
 WITH {_TOKS_CTE},
-g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+{_G_NDOCS},
 pairs(pos, term_a, term_b) AS (VALUES {pair_rows}),
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings
         WHERE term IN ({tl}) GROUP BY 1),
@@ -5114,8 +5124,8 @@ def champion_topk(terms: list[str], r: int = 50, k: int = 20) -> str:
     tl = _terms_in(terms)
     return f"""
 WITH {_TOKS_CTE},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
-g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+{_DS},
+{_G_AVGDL},
 qp AS (SELECT * FROM postings WHERE term IN ({tl})),
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM qp GROUP BY 1),
 champions AS (
@@ -5261,8 +5271,8 @@ def explain_score(terms: list[str], doc_id: int) -> str:
     tl = _terms_in(terms)
     return f"""
 WITH {_TOKS_CTE},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
-g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+{_DS},
+{_G_AVGDL},
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings
         WHERE term IN ({tl}) GROUP BY 1),
 row0 AS (
@@ -5288,7 +5298,7 @@ def idf_drift(terms: list[str]) -> str:
     tl = _terms_in(terms)
     return f"""
 WITH {_TOKS_CTE},
-g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+{_G_NDOCS},
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings
         WHERE term IN ({tl}) GROUP BY 1),
 src AS (SELECT doc_id, source FROM documents),
@@ -5377,8 +5387,8 @@ def quorum_topk(terms: list[str], min_match: int = 2, k: int = 20) -> str:
     tl = _terms_in(terms)
     return f"""
 WITH {_TOKS_CTE},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
-g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+{_DS},
+{_G_AVGDL},
 qp AS (SELECT * FROM postings WHERE term IN ({tl})),
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM qp GROUP BY 1),
 scored AS (
@@ -5455,7 +5465,7 @@ def significant_terms(terms: list[str], min_fg: int = 2, k: int = 20) -> str:
     n = len(terms)
     return f"""
 WITH {_TOKS_CTE},
-g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+{_G_NDOCS},
 fg_docs AS (
   SELECT doc_id FROM postings WHERE term IN ({tl})
   GROUP BY doc_id HAVING count(DISTINCT term) = {n}
@@ -5482,8 +5492,8 @@ def tiered_topk(terms: list[str], r: int = 20, k: int = 20) -> str:
     tl = _terms_in(terms)
     return f"""
 WITH {_TOKS_CTE},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
-g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
+{_DS},
+{_G_AVGDL},
 qp AS (SELECT * FROM postings WHERE term IN ({tl})),
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM qp GROUP BY 1),
 champs AS (
@@ -5587,7 +5597,7 @@ def infix_search(head: str, tail: str, k: int = 20) -> str:
     et = tail.replace("'", "''")
     return f"""
 WITH {_TOKS_CTE},
-g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM postings),
+{_G_NDOCS},
 matched AS (
   SELECT term, count(*)::BIGINT AS df FROM postings
   WHERE term LIKE '{eh}%{et}' AND length(term) >= {len(head) + len(tail)}
@@ -5760,10 +5770,7 @@ scored AS (
   FROM cand JOIN probes ON cand.bucket = probes.pbucket
   WHERE vec_id <> probe_id
 )
-SELECT probe_id, vec_id, cosine, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank
-  FROM scored
-) WHERE rank <= {k}
+{_probe_topk('scored', k)}
 """
 
 
@@ -5875,8 +5882,8 @@ def rm3_topk(terms: list[str], fb_docs: int = 5, fb_terms: int = 5,
     nq = float(len(terms))
     orig_vals = ", ".join("('" + t.replace("'", "''") + "')" for t in terms)
     return f"""
-WITH {_TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+WITH {_TOKS_CTE_MAT},
+{_DS},
 coll AS (SELECT sum(tf)::DOUBLE AS c_tokens FROM postings),
 ocfs AS (SELECT term, sum(tf)::DOUBLE AS cf FROM postings
          WHERE term IN ({tl}) GROUP BY term),
@@ -5958,9 +5965,9 @@ def sdm_topk(terms: list[str], mu: float = 2000.0, k: int = 20,
   FROM postings WHERE term IN ({tl})"""
     allf = uni_sql + (("\nUNION ALL\n" + pair_union) if pair_union else "")
     return f"""
-WITH {_TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")},
+WITH {_TOKS_CTE_MAT},
 {_PTOKS_CTE.strip()},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+{_DS},
 coll AS (SELECT sum(tf)::DOUBLE AS c_tokens FROM postings),
 cand AS (
   SELECT doc_id FROM postings WHERE term IN ({tl})
@@ -5991,8 +5998,8 @@ def tfidf_classic_topk(terms: list[str], k: int = 20) -> str:
     tl = _terms_in(terms)
     nq = float(len(terms))
     return f"""
-WITH {_TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+WITH {_TOKS_CTE_MAT},
+{_DS},
 n AS (SELECT count(*)::DOUBLE AS n_docs FROM ds),
 dfs AS (
   SELECT term,
@@ -6014,8 +6021,8 @@ def jm_ql_topk(terms: list[str], lam: float = 0.1, k: int = 20) -> str:
     """DuckDB twin of queryops.jm_ql_topk (Jelinek-Mercer QL)."""
     tl = _terms_in(terms)
     return f"""
-WITH {_TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+WITH {_TOKS_CTE_MAT},
+{_DS},
 coll AS (SELECT sum(tf)::DOUBLE AS c_tokens FROM postings),
 cfs AS (SELECT term, sum(tf)::DOUBLE AS cf FROM postings
         WHERE term IN ({tl}) GROUP BY term),
@@ -6042,8 +6049,8 @@ def pl2_topk(terms: list[str], c: float = 1.0, k: int = 20) -> str:
     tfn rounded 6dp before the score expression on both engines."""
     tl = _terms_in(terms)
     return f"""
-WITH {_TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+WITH {_TOKS_CTE_MAT},
+{_DS},
 g AS (SELECT count(*)::DOUBLE AS n_docs,
              (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
 cfs AS (SELECT term, sum(tf)::DOUBLE AS cf FROM postings
@@ -6149,7 +6156,7 @@ def pre_retrieval_qpp(terms: list[str]) -> str:
     tl = _terms_in(terms)
     nq = float(len(terms))
     return f"""
-WITH {_TOKS_CTE.replace("postings AS (", "postings AS MATERIALIZED (")},
+WITH {_TOKS_CTE_MAT},
 g AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs,
              sum(tf)::DOUBLE AS c_tokens FROM postings),
 pt AS (
@@ -6243,14 +6250,12 @@ def impact_ordered_topk(terms: list[str], bits: int = 5, budget: int = 64,
     tl = _terms_in(terms)
     return f"""
 WITH {_TOKS_CTE},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
-g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY term),
+{_DS},
+{_G_AVGDL},
+{_dfs_terms(tl)},
 cand AS (
   SELECT p.doc_id, p.term,
-         ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
-         * (p.tf * 2.2)
-         / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) AS pscore
+         {_BM25_SUMMAND} AS pscore
   FROM postings p
   JOIN dfs USING (term)
   JOIN ds ON p.doc_id = ds.doc_id
@@ -6600,9 +6605,9 @@ def quantization_agreement(queries: list[tuple[int, list[str]]],
     tl = _terms_in(all_terms)
     return f"""
 WITH {_TOKS_CTE}, {_qdim_values(queries)},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
-g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY 1),
+{_DS},
+{_G_AVGDL},
+{_dfs_terms(tl)},
 run_a0 AS (
   SELECT q.qid, pp.doc_id,
          round(sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
@@ -6796,16 +6801,14 @@ res_{i} AS (
         f"SELECT * FROM res_{i}" for i in range(len(query_sets)))
     return f"""
 WITH {_TOKS_CTE},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+{_DS},
 g AS (SELECT count(*)::DOUBLE AS n_docs,
              (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings
         WHERE term IN ({tl}) GROUP BY term),
 sc AS MATERIALIZED (
   SELECT p.term, p.doc_id,
-         ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
-           * (p.tf * 2.2)
-           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (ds.dl / g.avgdl))) AS pscore
+         {_BM25_SUMMAND} AS pscore
   FROM postings p
   JOIN dfs USING (term)
   JOIN ds ON p.doc_id = ds.doc_id
@@ -7043,9 +7046,9 @@ def bm25_plus_topk(terms: list[str], delta: float = 1.0,
     tl = _terms_in(terms)
     return f"""
 WITH {_TOKS_CTE},
-ds AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
-g AS (SELECT count(*)::DOUBLE AS n_docs, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM ds),
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings WHERE term IN ({tl}) GROUP BY term),
+{_DS},
+{_G_AVGDL},
+{_dfs_terms(tl)},
 scored AS (
   SELECT p.doc_id, count(*) AS nhit,
          sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
@@ -7276,7 +7279,7 @@ def spell_context_suggest(prev_term: str, query_term: str,
     pesc = prev_term.replace("'", "''")
     return f"""
 WITH {_TOKS_CTE},
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+{_DFS_ALL},
 cand AS (
   SELECT term, df, levenshtein(term, '{esc}')::BIGINT AS dist
   FROM dfs
