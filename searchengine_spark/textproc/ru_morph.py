@@ -380,6 +380,14 @@ def ru_normal_forms_series(s: pd.Series) -> pd.Series:
     input order on a fresh RangeIndex (callers assign positionally; the
     exploded token Series carries duplicate labels)."""
     s = s.reset_index(drop=True)
+    # Small batches: the masked-pass machinery costs ~0.5 ms per rule
+    # pass (~125 passes) regardless of row count, so under ~2k rows the
+    # lru-cached scalar is an order of magnitude faster.  Callers pass
+    # UNIQUE tokens (udfs.analyze_batch), so this is the common case;
+    # the property test pins scalar == vectorized, making the switch
+    # invisible.
+    if len(s) < 2048:
+        return s.map(ru_normal_form)
     out = s.map(RU_EXCEPTIONS)
     done = out.notna() | s.isin(RU_PARTICLES)
     out = out.where(out.notna(), s)
