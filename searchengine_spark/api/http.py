@@ -183,6 +183,16 @@ class SearchEngineService:
         except FileNotFoundError:
             return None
 
+    @staticmethod
+    def _release(handle: "InvertedIndex | None") -> None:
+        # a rotated-out ShardedSearcher keeps an idle thread pool alive
+        # until GC; release it eagerly so mutation-heavy servers with
+        # serving_lanes > 1 never accumulate lane threads
+        searcher = getattr(handle, "_searcher", None)
+        close = getattr(searcher, "close", None)
+        if close is not None:
+            close()
+
     def _check_freshness(self) -> None:
         """If an external job swapped index files since the cached handle
         was built, treat it exactly like an in-process mutation: bump the
@@ -193,6 +203,7 @@ class SearchEngineService:
         if cached is not None and cached[1] != self._freshness_token():
             self._invalidate_cache()
             self._idx_cache = None
+            self._release(cached[2])
 
     def _index(self) -> InvertedIndex:
         if not self._index_built():
@@ -207,6 +218,8 @@ class SearchEngineService:
         gen = self._generation
         cached = self._idx_cache
         if cached is None or cached[0] != gen:
+            if cached is not None:
+                self._release(cached[2])
             cached = (gen, self._freshness_token(),
                       InvertedIndex(self.spark, self.index_root,
                                     serving_lanes=self.serving_lanes))

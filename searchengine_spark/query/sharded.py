@@ -123,7 +123,13 @@ class ShardedSearcher(SegmentSearcher):
         if len(lanes) <= 1:
             outs = [run_lane(lanes[0])] if lanes else []
         else:
-            outs = list(self._pool.map(run_lane, lanes))
+            try:
+                outs = list(self._pool.map(run_lane, lanes))
+            except RuntimeError:
+                # pool closed under us (a serving-tier handle rotation
+                # racing a reader holding the old handle): results must
+                # still be correct, so score the lanes serially
+                outs = [run_lane(ln) for ln in lanes]
 
         if not prune:
             results = [item for _, full in outs for item in full]

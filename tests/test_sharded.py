@@ -97,3 +97,13 @@ def test_serving_tier_lanes_parity(spark, sharded_root, tmp_path):
                               serving_lanes=4)
     for q in ("sofiko", "merge vector", "data table"):
         assert fan.search(q, None, 0, 20) == one.search(q, None, 0, 20)
+
+
+def test_closed_pool_degrades_to_serial(sharded_root, searchers):
+    """A handle rotation can close the lane pool while a racing reader
+    still holds the searcher: results must stay correct (serial
+    fallback), never an exception."""
+    sh = ShardedSearcher(None, sharded_root, n_lanes=4)
+    want = searchers.search(["merge", "vector"], k=20)
+    sh.close()
+    assert sh.search(["merge", "vector"], k=20) == want
