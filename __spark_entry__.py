@@ -152,6 +152,13 @@ def _wand(spark: SparkSession, sf_dir: str, terms: list[str], k: int = 20) -> Da
     return wand_topk(spark, _plain_index(spark, sf_dir), terms, k=k)
 
 
+def _sharded(spark: SparkSession, sf_dir: str, terms: list[str],
+             k: int = 20) -> DataFrame:
+    from searchengine_spark.query.sharded import sharded_topk
+
+    return sharded_topk(spark, _plain_index(spark, sf_dir), terms, k=k)
+
+
 def _wand_dist(spark: SparkSession, sf_dir: str, terms: list[str], k: int = 20) -> DataFrame:
     from searchengine_spark.query.wand import wand_topk_distributed
 
@@ -358,6 +365,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wand_and3": lambda s, d: _wand(s, d, Q_AND3),
         "q_wand_and_gate_empty": lambda s, d: _wand(s, d, Q_ABSENT),
         "q_wand_distributed_and2": lambda s, d: _wand_dist(s, d, Q_AND2),
+        # doc-sharded serving fan-out (query/sharded.py): same BM25
+        # contract as the wand twins, scored across 8 concurrent lanes
+        "q_sharded_and2": lambda s, d: _sharded(s, d, Q_AND2),
+        "q_sharded_and3": lambda s, d: _sharded(s, d, Q_AND3),
         "q_segments_decode": _decode_segments,
         "q_index_bucket_stats": _bucket_stats,
         # dedup suite
@@ -1163,6 +1174,8 @@ def oracle_sql() -> dict[str, str]:
         "q_wand_and3": osql.bm25_topk(Q_AND3, k=20),
         "q_wand_and_gate_empty": osql.bm25_topk(Q_ABSENT, k=20),
         "q_wand_distributed_and2": osql.bm25_topk(Q_AND2, k=20),
+        "q_sharded_and2": osql.bm25_topk(Q_AND2, k=20),
+        "q_sharded_and3": osql.bm25_topk(Q_AND3, k=20),
         "q_segments_decode": osql.postings_with_dl(),
         "q_index_bucket_stats": osql.index_bucket_stats(n_buckets=16),
         "q_dedup_exact": osql.exact_duplicates(),

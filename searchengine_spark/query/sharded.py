@@ -140,3 +140,25 @@ class ShardedSearcher(SegmentSearcher):
         results = [(-nd, s) for s, nd in merged]
         results.sort(key=lambda ds: (-ds[1], ds[0]))
         return results
+
+
+def sharded_topk(spark, index_root: str, terms: list[str], k: int = 20,
+                 n_lanes: int = 8):
+    """DataFrame contract twin of ``wand.wand_topk`` over the fan-out —
+    same (doc_id, score) columns, rounding, ordering and limit, so the
+    BM25 oracle twins gate the sharded serving path directly."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.wand import RESULT_SCHEMA
+
+    searcher = ShardedSearcher(spark, index_root, n_lanes=n_lanes)
+    try:
+        rows = searcher.search(terms, k=k + 8)  # rounding slack, as wand_topk
+    finally:
+        searcher.close()
+    df = spark.createDataFrame(rows or [], schema=RESULT_SCHEMA)
+    return (
+        df.select("doc_id", F.round(F.col("score"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
