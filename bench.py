@@ -472,31 +472,42 @@ def main() -> None:
             lat16[min(len(lat16) - 1, int(len(lat16) * 0.99))], 1)
         extras["scale16_query_samples"] = len(lat16)
 
-        # --- doc-sharded serving fan-out over the SAME 16x index: 8 lanes
-        # (one per doc-shard grp), merged bounded heaps — the horizontal
-        # answer to p99 growing with posting volume (query/sharded.py).
-        # Results are parity-tested identical (tests/test_sharded.py);
-        # this measures the latency the fan-out buys at 80k docs.
-        from searchengine_spark.query.sharded import ShardedSearcher
+        # --- doc-sharded serving fan-out (query/sharded.py): the
+        # horizontal answer to p99 growing with posting volume.  The
+        # compacted default layout above merges every term down to 1-3
+        # grps, so there is nothing to fan out — serving shards are a
+        # LAYOUT choice (n_shards=32, fanin=2 -> 16 doc-shard grps, the
+        # per-node shard count the routing planner prices).  Build that
+        # layout once and measure BOTH the sequential searcher and the
+        # 8-lane fan-out on it, so the win is attributable to the lanes
+        # and the layout's own cost vs the compacted index is visible.
+        from searchengine_spark.query.sharded import ProcessShardedSearcher
 
-        s16sh = ShardedSearcher(None, s16tmp, n_lanes=8)
+        shtmp = tempfile.mkdtemp(prefix="bench_s16sh_")
         try:
-            for terms in battery:  # warm pass
-                s16sh.search(terms, k=20)
-            lat16s = []
-            for _ in range(15):
-                for terms in battery:
-                    t0 = time.time()
-                    s16sh.search(terms, k=20)
-                    lat16s.append((time.time() - t0) * 1000.0)
-            lat16s.sort()
-            extras["scale16_sharded_p50_ms"] = round(
-                lat16s[len(lat16s) // 2], 1)
-            extras["scale16_sharded_p99_ms"] = round(
-                lat16s[min(len(lat16s) - 1, int(len(lat16s) * 0.99))], 1)
+            build_index(spark, big_docs, shtmp, mode="code",
+                        n_shards=32, n_buckets=16, compact_fanin=2)
+            for tag, searcher in (
+                ("scale16_shardlayout_single", SegmentSearcher(None, shtmp)),
+                ("scale16_sharded", ProcessShardedSearcher(shtmp, n_lanes=8)),
+            ):
+                for terms in battery:  # warm pass
+                    searcher.search(terms, k=20)
+                lat16s = []
+                for _ in range(15):
+                    for terms in battery:
+                        t0 = time.time()
+                        searcher.search(terms, k=20)
+                        lat16s.append((time.time() - t0) * 1000.0)
+                lat16s.sort()
+                extras[f"{tag}_p50_ms"] = round(lat16s[len(lat16s) // 2], 1)
+                extras[f"{tag}_p99_ms"] = round(
+                    lat16s[min(len(lat16s) - 1, int(len(lat16s) * 0.99))], 1)
+                if hasattr(searcher, "close"):
+                    searcher.close()
             extras["scale16_sharded_lanes"] = 8
         finally:
-            s16sh.close()
+            shutil.rmtree(shtmp, ignore_errors=True)
     finally:
         shutil.rmtree(s16tmp, ignore_errors=True)
 

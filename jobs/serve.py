@@ -28,6 +28,11 @@ def main() -> None:
     ap.add_argument("--lanes", type=int, default=1,
                     help="doc-sharded serving fan-out width (>1 scores "
                          "doc-shard grps concurrently; identical results)")
+    ap.add_argument("--lane-backend", choices=("process", "thread"),
+                    default="process",
+                    help="fan-out workers: processes (measured single-box "
+                         "latency win) or threads (cluster-model, GIL-bound "
+                         "on one box)")
     args = ap.parse_args()
 
     from http.server import ThreadingHTTPServer
@@ -44,7 +49,8 @@ def main() -> None:
         # however the index was built
         docs = spark.read.parquet(args.corpus)
     svc = SearchEngineService(spark, args.index, docs=docs,
-                              serving_lanes=args.lanes)
+                              serving_lanes=args.lanes,
+                              lane_backend=args.lane_backend)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(svc))
     print(f"serving on http://{args.host}:{httpd.server_port}/api/…  (Ctrl-C to stop)")
     try:

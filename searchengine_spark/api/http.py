@@ -106,12 +106,14 @@ class SearchEngineService:
     def __init__(self, spark: SparkSession, index_root: str,
                  docs: DataFrame | None = None,
                  scopes_path: str | None = None,
-                 serving_lanes: int = 1):
+                 serving_lanes: int = 1, lane_backend: str = "process"):
         self.spark = spark
         self.index_root = index_root
         # >1: serve searches through the doc-sharded fan-out
-        # (query/sharded.ShardedSearcher) — identical results, lower p99
+        # (query/sharded.py) — identical results, lower p99; backend
+        # "process" (measured single-box win) or "thread"
         self.serving_lanes = serving_lanes
+        self.lane_backend = lane_backend
         self.docs = docs
         self.scopes = ScopeList(scopes_path or f"{index_root}/scopes.json")
         self._build_thread: threading.Thread | None = None
@@ -222,7 +224,8 @@ class SearchEngineService:
                 self._release(cached[2])
             cached = (gen, self._freshness_token(),
                       InvertedIndex(self.spark, self.index_root,
-                                    serving_lanes=self.serving_lanes))
+                                    serving_lanes=self.serving_lanes,
+                                    lane_backend=self.lane_backend))
             self._idx_cache = cached
         return cached[2]
 

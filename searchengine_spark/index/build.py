@@ -397,12 +397,13 @@ class InvertedIndex:
     """Loaded index handle: lazy DataFrames + driver-side scalar stats."""
 
     def __init__(self, spark: SparkSession, root: str,
-                 serving_lanes: int = 1):
+                 serving_lanes: int = 1, lane_backend: str = "process"):
         self.spark = spark
         self.paths = IndexPaths(root)
         with open(self.paths.stats) as f:
             self.stats = json.load(f)
         self.serving_lanes = serving_lanes
+        self.lane_backend = lane_backend
         self._searcher = None
 
     def segment_searcher(self):
@@ -412,9 +413,17 @@ class InvertedIndex:
         generation) amortize dataset discovery.  A fresh InvertedIndex —
         which every mutation forces — gets fresh handles.
         ``serving_lanes > 1`` serves through the doc-sharded fan-out
-        (query/sharded.py) — identical results, parallel grp scoring."""
+        (query/sharded.py) — identical results, parallel grp scoring;
+        ``lane_backend`` picks worker processes (the measured single-box
+        win) or threads (the cluster-architecture model)."""
         if self._searcher is None:
-            if self.serving_lanes > 1:
+            if self.serving_lanes > 1 and self.lane_backend == "process":
+                from searchengine_spark.query.sharded import (
+                    ProcessShardedSearcher)
+
+                self._searcher = ProcessShardedSearcher(
+                    self.paths.root, n_lanes=self.serving_lanes)
+            elif self.serving_lanes > 1:
                 from searchengine_spark.query.sharded import ShardedSearcher
 
                 self._searcher = ShardedSearcher(

