@@ -240,6 +240,32 @@ def _lane_search(args):
     return heap, full
 
 
+def _lane_count(args):
+    root, terms, lane, n_lanes = args
+    s = _worker_searcher(root)
+    dfs = s.resolve(terms)
+    if len(dfs) < len(terms):
+        return 0
+    order = sorted(terms, key=lambda t: (dfs[t], t))
+    by_grp: dict[int, dict[str, codec.PackedList]] = {}
+    from searchengine_spark.index.segments import row_to_packed
+
+    for r in s._segment_rows(terms, grps=_owned_grps(s.stats, lane, n_lanes)):
+        by_grp.setdefault(int(r["grp"]), {})[r["term"]] = row_to_packed(r)
+    total = 0
+    for runs in by_grp.values():
+        if len(runs) < len(terms):
+            continue
+        ids = codec.unpack_ids(runs[order[0]])
+        for t in order[1:]:
+            ids = np.intersect1d(ids, codec.unpack_ids(runs[t]),
+                                 assume_unique=True)
+            if ids.size == 0:
+                break
+        total += int(ids.size)
+    return total
+
+
 class ProcessShardedSearcher:
     """Doc-sharded serving fan-out across ``n_lanes`` worker PROCESSES.
     Same result contract as SegmentSearcher.search; each worker owns the
@@ -270,7 +296,21 @@ class ProcessShardedSearcher:
         return self._local.resolve(terms)
 
     def count(self, terms: list[str]) -> int:
-        return self._local.count(terms)
+        """Exact AND-match count, fanned out like search: counts
+        decompose exactly over doc-shard grps (grps partition doc ids),
+        so the global count is the sum of per-lane counts.  Single-term
+        counts come straight from the df dictionary."""
+        terms = sorted(set(terms))
+        if not terms:
+            return 0
+        dfs = self._local.resolve(terms)
+        if len(dfs) < len(terms):
+            return 0
+        if len(terms) == 1:
+            return int(dfs[terms[0]])
+        tasks = [(self.root, terms, lane, self.n_lanes)
+                 for lane in range(self.n_lanes)]
+        return int(sum(self._pool.map(_lane_count, tasks)))
 
     def close(self) -> None:
         self._pool.terminate()

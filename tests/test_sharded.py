@@ -146,3 +146,16 @@ def test_process_sharded_serving_tier(spark, sharded_root, tmp_path):
             assert fan.search(q, None, 0, 20) == one.search(q, None, 0, 20)
     finally:
         fan._release(fan._idx_cache[2] if fan._idx_cache else None)
+
+
+def test_process_sharded_count_parity(sharded_root, searchers):
+    """Fanned-out exact AND-count == sequential count (counts decompose
+    exactly over doc-shard grps), incl. single-term and AND-gate cases."""
+    from searchengine_spark.query.sharded import ProcessShardedSearcher
+
+    base = searchers
+    with ProcessShardedSearcher(sharded_root, n_lanes=4) as sh:
+        for terms in (["sofiko"], ["merge", "vector"],
+                      ["data", "table", "query"], ["the"],
+                      ["zzz_absent_term"], ["sofiko", "zzz_absent_term"]):
+            assert sh.count(terms) == base.count(terms), terms
